@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession factory for the graft engine.
+  *
+  * All entry points (Verify, Bench, tests, the emulator server) build their
+  * session here so that the scale-oriented defaults are applied uniformly:
+  *
+  *  - AQE on (runtime shuffle coalescing + skew-join splitting) so plans
+  *    tuned at sf0.1 survive a 1000x scale-up without re-tuning.
+  *  - `spark.sql.shuffle.partitions` sized to the local core count; on a
+  *    real cluster AQE's coalescing makes the initial number far less
+  *    critical than a hard-coded 200.
+  *  - UTC session timezone (the reference pins TIMEZONE=UTC in its default
+  *    session parameters — reference `config/constants.go:28-56`).
+  *  - Parquet pushdown/pruning left at defaults (on) — the query layer is
+  *    written so filters and projections reach the scan.
+  */
+object GraftSession {
+
+  /** Configure an existing builder with graft defaults (shared by every main). */
+  def configure(b: SparkSession.Builder, cores: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+      .withExtensions(functions.SnowflakeExtensions.inject)
+
+  /** Local session for tests / ad-hoc use. */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = configure(
+      SparkSession.builder().master(s"local[$cores]").appName("graft"),
+      cores
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

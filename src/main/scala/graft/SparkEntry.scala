@@ -1,13 +1,36 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.queries.{Dml, Pipeline, Relational}
+import graft.{queries => gq}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * The operator inventory lives in graft.queries.{Relational, Dml,
+  * Pipeline}; each entry pairs the Spark implementation with DuckDB oracle
+  * SQL (where SQL-expressible) for the driver's hash-compare.
+  */
 object SparkEntry {
+
+  private val allDefs: Seq[gq.QDef] =
+    Relational.defs ++ Dml.defs ++ Pipeline.defs
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  def entry(spark: SparkSession): DataFrame = {
+    functions.SnowflakeExtensions.register(spark)
+    allDefs.head.fn(spark, "/root/testdata/sf0.001")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allDefs.map { q =>
+      q.name -> { (spark: SparkSession, dir: String) =>
+        // idempotent: covers sessions built without GraftSession extensions
+        functions.SnowflakeExtensions.register(spark)
+        q.fn(spark, dir)
+      }
+    }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    allDefs.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

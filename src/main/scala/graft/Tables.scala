@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loader for the driver-generated TPC-H-ish parquet testdata
+  * (see TESTDATA.md). Each table is one parquet file under the
+  * scale-factor directory.
+  *
+  * At 100 TB each of these would be a partitioned parquet dataset; the
+  * reader path is identical (`spark.read.parquet(dir)`), so nothing here
+  * assumes single-file inputs.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Dimension tables small enough to broadcast at any realistic scale. */
+  val broadcastable: Set[String] = Set("region", "nation")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    // rejects; read nanos as long and rebuild the timestamp. `div` (integer
+    // division) is required: float division loses precision above 2^53 ns.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
+
+  /** Register every table as a temp view named after the table, so
+    * `spark.sql` text matches the DuckDB oracle SQL verbatim. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach { t => load(spark, sfDir, t).createOrReplaceTempView(t) }
+}

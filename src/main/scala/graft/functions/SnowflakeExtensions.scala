@@ -1,0 +1,156 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.json.JSONOptions
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Snowflake scalar-function surface, registered directly in the session
+  * `FunctionRegistry` instead of the reference's string/AST rewriting layer
+  * (reference `pkg/query/translator.go:31-94` renames FuncExpr nodes and
+  * post-processes marker functions in the SQL text).
+  *
+  * Registering builders that expand to *builtin* Catalyst expressions keeps
+  * every call whole-stage-codegen'd — there is no UDF boundary and no extra
+  * plan node, so a query using IFF/NVL2/OBJECT_CONSTRUCT compiles to exactly
+  * the same physical plan as the equivalent native Spark SQL.
+  *
+  * Functions that Spark 4.x already ships natively (nvl, nvl2, ifnull,
+  * listagg, parse_json, timestampadd, timestampdiff) are NOT re-registered.
+  */
+object SnowflakeExtensions {
+
+  /** JSON-encode a scalar value the way `CAST(x AS JSON)` does in the
+    * reference's DuckDB backend (reference `translator.go:61-67` rewrites
+    * TO_VARIANT(x) to CAST(x AS JSON)): strings quote+escape, numbers and
+    * booleans verbatim, date/timestamp quoted ISO text, NULL -> SQL NULL.
+    * Non-hot-path (result-shaping), so CodegenFallback is acceptable.
+    */
+  case class ToVariantJson(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "to_variant"
+
+    private lazy val childToString: Any => String = child.dataType match {
+      case StringType =>
+        (v: Any) => jsonQuote(v.asInstanceOf[UTF8String].toString)
+      case BooleanType | _: NumericType =>
+        (v: Any) => v.toString
+      case DateType =>
+        (v: Any) =>
+          jsonQuote(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString)
+      case TimestampType | TimestampNTZType =>
+        (v: Any) =>
+          jsonQuote(java.time.LocalDateTime
+            .ofEpochSecond(Math.floorDiv(v.asInstanceOf[Long], 1000000L),
+              (Math.floorMod(v.asInstanceOf[Long], 1000000L) * 1000).toInt,
+              java.time.ZoneOffset.UTC)
+            .toString.replace('T', ' '))
+      case _ =>
+        (v: Any) => jsonQuote(v.toString)
+    }
+
+    private def jsonQuote(s: String): String = {
+      val sb = new StringBuilder(s.length + 2)
+      sb.append('"')
+      s.foreach {
+        case '"'  => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.append('"')
+      sb.toString
+    }
+
+    override def nullSafeEval(v: Any): Any = UTF8String.fromString(childToString(v))
+    override protected def withNewChildInternal(newChild: Expression): ToVariantJson =
+      copy(child = newChild)
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(SnowflakeExtensions.getClass.getCanonicalName, null, name, usage, "")
+
+  private type Builder = Seq[Expression] => Expression
+
+  /** name -> (usage, builder). All builders expand to builtin expressions. */
+  val builders: Seq[(String, String, Builder)] = Seq(
+    // IFF(cond, t, f) — reference translator.go:33 renames to IF.
+    ("iff", "iff(cond, t, f)",
+      (args: Seq[Expression]) => If(args(0), args(1), args(2))),
+    // OBJECT_CONSTRUCT('k1', v1, ...) — reference translator.go:37 renames
+    // to DuckDB json_object; here: to_json(named_struct(...)).
+    ("object_construct", "object_construct(k1, v1, ...)",
+      (args: Seq[Expression]) =>
+        StructsToJson(Map.empty, CreateNamedStruct(args))),
+    // TO_VARIANT(x) — reference translator.go:61-67 -> CAST(x AS JSON).
+    ("to_variant", "to_variant(x)",
+      (args: Seq[Expression]) => ToVariantJson(args.head)),
+    // FLATTEN(arr) in select position — reference translator.go:38 renames
+    // to UNNEST; Spark's generator equivalent is explode.
+    ("flatten_array", "flatten_array(arr)",
+      (args: Seq[Expression]) => Explode(args.head)),
+    // DATEADD(part, n, d) / DATEDIFF(part, a, b) with a *string* part
+    // argument (the translator pre-pass turns the bare-identifier form into
+    // this; Snowflake also accepts 'day' quoted). TimestampAdd/Diff are the
+    // builtin codegen'd expressions behind timestampadd/timestampdiff.
+    ("sf_dateadd", "sf_dateadd('part', n, d)",
+      (args: Seq[Expression]) => TimestampAdd(unitOf(args(0)), args(1), args(2))),
+    ("sf_datediff", "sf_datediff('part', start, end)",
+      (args: Seq[Expression]) => TimestampDiff(unitOf(args(0)), args(1), args(2))),
+    // Vector / dedup expressions (graft.functions.VectorExpressions) — the
+    // engine's own codegen'd primitives for the data-pipeline operators.
+    // Input casts replace ExpectsInputTypes (private[sql] in Spark 4): the
+    // kernels read ArrayData as float/long, so coerce at build time.
+    ("cosine_sim", "cosine_sim(vec1, vec2)",
+      (args: Seq[Expression]) => CosineSimilarity(
+        Cast(args(0), ArrayType(FloatType)), Cast(args(1), ArrayType(FloatType)))),
+    ("dot_product", "dot_product(vec1, vec2)",
+      (args: Seq[Expression]) => DotProduct(
+        Cast(args(0), ArrayType(FloatType)), Cast(args(1), ArrayType(FloatType)))),
+    ("simhash64", "simhash64(array_of_int64_token_hashes)",
+      (args: Seq[Expression]) => SimHash64(Cast(args.head, ArrayType(LongType))))
+  )
+
+  /** Extract the constant date-part from a foldable string arg and
+    * normalize Snowflake's abbreviations (d/dd/days, mm/mons, ...). */
+  private def unitOf(e: Expression): String = {
+    val raw = e match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => other.sql.stripPrefix("'").stripSuffix("'")
+    }
+    raw.toUpperCase(java.util.Locale.ROOT) match {
+      case "D" | "DD" | "DAYS" | "DAYOFMONTH" | "DAY" => "DAY"
+      case "Y" | "YY" | "YYY" | "YYYY" | "YR" | "YEARS" | "YEAR" => "YEAR"
+      case "MM" | "MON" | "MONS" | "MONTHS" | "MONTH" => "MONTH"
+      case "WK" | "WEEKS" | "W" | "WEEK" => "WEEK"
+      case "Q" | "QTR" | "QUARTERS" | "QUARTER" => "QUARTER"
+      case "H" | "HH" | "HR" | "HOURS" | "HOUR" => "HOUR"
+      case "M" | "MI" | "MIN" | "MINUTES" | "MINUTE" => "MINUTE"
+      case "S" | "SEC" | "SECONDS" | "SECOND" => "SECOND"
+      case "MS" | "MSEC" | "MILLISECONDS" | "MILLISECOND" => "MILLISECOND"
+      case "US" | "USEC" | "MICROSECONDS" | "MICROSECOND" => "MICROSECOND"
+      case other => other
+    }
+  }
+
+  /** Install into a SparkSessionExtensions (used by GraftSession). */
+  def inject(ext: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, usage, b) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), b))
+    }
+
+  /** Install into an already-running session (used by tests). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    builders.foreach { case (name, usage, b) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), info(name, usage), b)
+    }
+}

@@ -1,0 +1,333 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.Q._
+
+/** LLM-training-data pipeline operators over `documents` / `embeddings` /
+  * `events`: deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash),
+  * similarity search (brute-force cosine KNN and LSH-bucketed ANN),
+  * text analysis (language ID, quality scoring, token stats,
+  * fingerprinting), and the batch analog of streaming windowed aggregation.
+  *
+  * Scale design: everything here is shuffle-on-key relational work — no
+  * driver-side collects, no per-row UDF boxing (the cosine/simhash kernels
+  * are codegen'd Catalyst expressions from graft.functions). The LSH
+  * variants exist precisely so the quadratic brute-force paths are only the
+  * small-scale baselines.
+  */
+object Pipeline {
+
+  private def docs(s: SparkSession, dir: String) = t(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) = t(s, dir, "embeddings")
+
+  /** doc_id -> distinct 3-token shingles, the shared front of the n-gram /
+    * MinHash dedup paths. */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+      .filter(size(col("arr")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(arr)-3), i -> concat_ws(' ', arr[i], arr[i+1], arr[i+2]))")))
+        .as("shingle"))
+
+  val defs: Seq[QDef] = Seq(
+
+    // ---- exact dedup: hash-groupBy, keep lowest doc_id ----------------
+    QDef("p01_dedup_exact",
+      (s, dir) => docs(s, dir)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(md5(col("text")).as("fp"), col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id")),
+      Some("""SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY text ORDER BY keep_id""")),
+
+    // ---- n-gram Jaccard near-dup: inverted index self-join ------------
+    QDef("p02_dedup_ngram_jaccard",
+      (s, dir) => {
+        val sh = shingles(s, dir)
+        val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val pairs = sh.select(col("doc_id").as("a_id"), col("shingle"))
+          .join(sh.select(col("doc_id").as("b_id"), col("shingle")), "shingle")
+          .filter(col("a_id") < col("b_id"))
+          .groupBy(col("a_id"), col("b_id"))
+          .agg(count(lit(1)).as("inter"))
+        pairs
+          .join(sz.select(col("doc_id").as("a_id"), col("sz").as("sza")), "a_id")
+          .join(sz.select(col("doc_id").as("b_id"), col("sz").as("szb")), "b_id")
+          .withColumn("jaccard",
+            col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("a_id"), col("b_id"), col("jaccard"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(
+            [arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] FOR i IN range(1, len(arr) - 1)])) AS shingle
+          FROM toks),
+        sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+        SELECT a_id, b_id,
+          CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+        FROM pr JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+        ORDER BY a_id, b_id""")),
+
+    // ---- MinHash + LSH banding: candidate pairs then exact verify -----
+    // (hash functions are engine-internal -> rows-only check, but the
+    // final jaccard is the exact shingle jaccard, so candidates are a
+    // subset of p02's >=0.5 pairs with high probability.)
+    QDef("p03_dedup_minhash_lsh",
+      (s, dir) => {
+        val numHashes = 32
+        val bands = 8 // 8 bands x 4 rows
+        val rowsPerBand = numHashes / bands
+        val sh = shingles(s, dir)
+        // signature[i] = min over shingles of xxhash64(shingle, salt_i)
+        val sigCols = (0 until numHashes).map(i =>
+          min(xxhash64(concat(col("shingle"), lit(s"#$i")))).as(s"h$i"))
+        val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+        val bandCols = (0 until bands).map { b =>
+          val parts = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+          struct(lit(b).as("band"), xxhash64(parts: _*).as("sig")).as(s"b$b")
+        }
+        val banded = sigs.select(col("doc_id") +: bandCols: _*)
+          .select(col("doc_id"), explode(array((0 until bands).map(b => col(s"b$b")): _*)).as("bk"))
+          .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+        val candidates = banded.select(col("doc_id").as("a_id"), col("band"), col("sig"))
+          .join(banded.select(col("doc_id").as("b_id"), col("band"), col("sig")),
+            Seq("band", "sig"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id")).distinct()
+        // exact-verify ONLY the candidate pairs: expand each candidate by
+        // doc A's shingles, then inner-join doc B's shingles on (b_id,
+        // shingle) to count the intersection. Cost is O(candidates x
+        // shingles-per-doc), not the full quadratic shingle self-join —
+        // that asymmetry is the whole point of the LSH pass.
+        val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val inter = candidates
+          .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
+          .join(sh.select(col("doc_id").as("b_id"), col("shingle")),
+            Seq("b_id", "shingle"))
+          .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+        inter
+          .join(sz.select(col("doc_id").as("a_id"), col("sz").as("sza")), "a_id")
+          .join(sz.select(col("doc_id").as("b_id"), col("sz").as("szb")), "b_id")
+          .withColumn("jaccard",
+            col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("a_id"), col("b_id"), col("jaccard"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      None),
+
+    // ---- SimHash near-dup: 64-bit fingerprint + banded hamming join ---
+    QDef("p04_dedup_simhash",
+      (s, dir) => {
+        val hashed = docs(s, dir)
+          .select(col("doc_id"),
+            expr("simhash64(transform(split(text, ' '), t -> xxhash64(t)))").as("sh"))
+        // 4 bands of 16 bits: near-dups (hamming <= 3) must collide on
+        // at least one full band.
+        val banded = hashed.select(col("doc_id"), col("sh"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*))
+            .as("bk"))
+          .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.chunk"))
+        banded.select(col("doc_id").as("a_id"), col("sh").as("sha"), col("band"), col("chunk"))
+          .join(banded.select(col("doc_id").as("b_id"), col("sh").as("shb"), col("band"), col("chunk")),
+            Seq("band", "chunk"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 3)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      None),
+
+    // ---- brute-force cosine KNN (exact baseline) ----------------------
+    QDef("p05_knn_exact",
+      (s, dir) => {
+        val q = emb(s, dir).select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val c = emb(s, dir).select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        val rn = Window.partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("cid"))
+        q.crossJoin(c).filter(col("qid") =!= col("cid"))
+          .withColumn("sim", expr("cosine_sim(qv, cv)"))
+          .withColumn("rank", row_number().over(rn))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("cid").as("neighbor_id"),
+            col("rank"), round(col("sim"), 6).as("sim_r"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some("""WITH sims AS (
+          SELECT a.vec_id AS qid, b.vec_id AS cid,
+            list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) FOR i IN range(1, len(a.embedding) + 1)])
+              / (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) FOR i IN range(1, len(a.embedding) + 1)]))
+               * sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) FOR i IN range(1, len(b.embedding) + 1)]))) AS sim
+          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        ranked AS (
+          SELECT qid, cid, sim,
+            CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rank
+          FROM sims)
+        SELECT qid, cid AS neighbor_id, rank, round(sim, 6) AS sim_r
+        FROM ranked WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    // ---- LSH-bucketed ANN (the scale path; rows-only) -----------------
+    QDef("p06_knn_lsh",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val dim = 64
+        val numPlanes = 8
+        // Deterministic pseudo-random +-1 hyperplanes (seeded), shipped as
+        // literal arrays -> dot products stay codegen'd, no shuffle to
+        // compute buckets.
+        val rnd = new scala.util.Random(42)
+        val planes = Array.fill(numPlanes)(
+          Array.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f))
+        def bucketOf(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          (0 until numPlanes).map { p =>
+            val plane = array(planes(p).toSeq.map(x => lit(x)): _*)
+            when(call_function("dot_product", v, plane) > 0, lit(1L << p))
+              .otherwise(lit(0L))
+          }.reduce(_ + _)
+        val q = e.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          bucketOf(col("embedding")).as("bucket"))
+        val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+          bucketOf(col("embedding")).as("bucket"))
+        val rn = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+        q.join(c, Seq("bucket")).filter(col("qid") =!= col("cid"))
+          .withColumn("sim", expr("cosine_sim(qv, cv)"))
+          .withColumn("rank", row_number().over(rn))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("cid").as("neighbor_id"), col("rank"),
+            round(col("sim"), 6).as("sim_r"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      None),
+
+    // ---- per-label centroids (element-wise mean over vectors) ---------
+    QDef("p07_centroids",
+      (s, dir) => emb(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(16, 8)))
+          .cast("double") / count(lit(1))).as("centroid"))
+        .orderBy(col("label"), col("pos")),
+      // CAST(... AS DOUBLE) before DECIMAL: DuckDB's direct FLOAT->DECIMAL
+      // cast rounds via the float's shortest decimal repr, Spark via the
+      // exact double expansion; going through DOUBLE makes both identical.
+      Some("""SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+        CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(16,8))) AS DOUBLE) / COUNT(*) AS centroid
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+        GROUP BY 1, 2 ORDER BY label, pos""")),
+
+    // ---- language ID (stopword-ratio heuristic) -----------------------
+    QDef("p08_lang_id",
+      (s, dir) => docs(s, dir)
+        .withColumn("n_tok", size(split(col("text"), " ")))
+        .withColumn("n_stop", expr(
+          "size(filter(split(text, ' '), w -> w IN ('the', 'a', 'of', 'and', 'in', 'to')))"))
+        .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tok"))
+        .withColumn("predicted",
+          when(col("stop_ratio") >= 0.08, "en")
+            .when(col("stop_ratio") >= 0.03, "mixed")
+            .otherwise("other"))
+        .select(col("doc_id"), col("stop_ratio"), col("predicted"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a', 'of', 'and', 'in', 'to'))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS stop_ratio,
+        CASE WHEN CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a', 'of', 'and', 'in', 'to'))) AS DOUBLE)
+          / len(string_split(text, ' ')) >= 0.08 THEN 'en'
+          WHEN CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a', 'of', 'and', 'in', 'to'))) AS DOUBLE)
+          / len(string_split(text, ' ')) >= 0.03 THEN 'mixed'
+          ELSE 'other' END AS predicted
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- quality scoring ----------------------------------------------
+    QDef("p09_quality_score",
+      (s, dir) => docs(s, dir)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .withColumn("avg_token_len",
+          length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_tokens"))
+        .withColumn("punct_ratio",
+          (length(col("text")) - length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")))
+            .cast("double") / length(col("text")))
+        .withColumn("quality",
+          (when(col("n_tokens").between(5, 1000), 0.4).otherwise(0.0) +
+            when(col("avg_token_len").between(3.0, 10.0), 0.3).otherwise(0.0) +
+            when(col("punct_ratio") < 0.1, 0.3).otherwise(0.0)).cast("double"))
+        .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
+          col("punct_ratio"), col("quality"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+        CAST(length(text) - length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+        CAST((CASE WHEN len(string_split(text, ' ')) BETWEEN 5 AND 1000 THEN 0.4 ELSE 0.0 END
+          + CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END
+          + CASE WHEN CAST(length(text) - length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) < 0.1 THEN 0.3 ELSE 0.0 END) AS DOUBLE) AS quality
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- token counting (whitespace + BPE-ish regex) ------------------
+    QDef("p10_token_stats",
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_ws"),
+          regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("n_bpe"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- document fingerprinting --------------------------------------
+    QDef("p11_fingerprint",
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"),
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp_md5"),
+          sha2(col("text"), 256).as("fp_sha256"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,
+        sha256(text) AS fp_sha256
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- windowed event aggregation (batch analog of streaming) -------
+    QDef("p12_events_hourly",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumd(d(col("value"))).as("total"))
+        .orderBy(col("hour"), col("event_type")),
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
+
+    // ---- multimodal column plumbing (binary payload + metadata) -------
+    QDef("p13_media_meta",
+      (s, dir) => docs(s, dir)
+        .withColumn("payload", col("text").cast("binary"))
+        .select(col("doc_id"),
+          length(col("payload")).as("n_bytes"),
+          (ascii(substring(col("text"), 1, 1)) % 64).as("fake_w"),
+          (ascii(substring(col("text"), 2, 1)) % 64).as("fake_h"),
+          md5(col("text")).as("fp"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+        CAST(ascii(substr(text, 1, 1)) % 64 AS INTEGER) AS fake_w,
+        CAST(ascii(substr(text, 2, 1)) % 64 AS INTEGER) AS fake_h,
+        md5(text) AS fp
+        FROM documents ORDER BY doc_id"""))
+  )
+}

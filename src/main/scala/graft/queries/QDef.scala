@@ -1,0 +1,35 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One verifiable operator/query: the Spark implementation plus (when
+  * SQL-expressible) the equivalent ANSI SQL the driver runs on DuckDB over
+  * the same parquet tables. Column names are aligned on both sides — the
+  * driver's compare sorts columns by name before hashing.
+  */
+final case class QDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+  /** Money columns: exact decimal so Spark and DuckDB aggregate to the
+    * identical value regardless of accumulation order, then cast the final
+    * aggregate to double on BOTH sides. */
+  def d(c: Column): Column = c.cast(DecimalType(12, 2))
+  /** Rate columns (discount/tax in [0,1]). */
+  def r(c: Column): Column = c.cast(DecimalType(4, 2))
+  def sumd(c: Column): Column = sum(c).cast("double")
+
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    graft.Tables.load(spark, sfDir, name)
+
+  /** Register all tables as temp views and run SQL text (used where
+    * subqueries read better than the DataFrame API; same Catalyst plan). */
+  def sql(spark: SparkSession, sfDir: String, text: String): DataFrame = {
+    graft.Tables.registerAll(spark, sfDir)
+    spark.sql(text)
+  }
+}

@@ -1,0 +1,411 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.Q._
+
+/** Relational operator inventory (SURVEY.md §2.1-§2.10): scans, filters,
+  * joins (inner/left/semi/anti), aggregation, windows, sorts/limits, set
+  * ops, rollup, subqueries, scalar/date/string/null/JSON functions,
+  * LISTAGG, explode. Each query is the idiomatic Spark plan — broadcastable
+  * dims are broadcast, aggregates are partial+final hash aggs, top-k is
+  * TakeOrderedAndProject — and every result is deterministic (explicit
+  * ORDER BY with unique tie-breakers, exact-decimal money math).
+  */
+object Relational {
+
+  private def lineitem(s: SparkSession, dir: String) = t(s, dir, "lineitem")
+  private def orders(s: SparkSession, dir: String) = t(s, dir, "orders")
+  private def customer(s: SparkSession, dir: String) = t(s, dir, "customer")
+  private def supplier(s: SparkSession, dir: String) = t(s, dir, "supplier")
+  private def nation(s: SparkSession, dir: String) = t(s, dir, "nation")
+  private def region(s: SparkSession, dir: String) = t(s, dir, "region")
+  private def part(s: SparkSession, dir: String) = t(s, dir, "part")
+  private def events(s: SparkSession, dir: String) = t(s, dir, "events")
+
+  private val one = lit(1).cast(org.apache.spark.sql.types.DecimalType(4, 2))
+
+  val defs: Seq[QDef] = Seq(
+
+    // ---- scan + grouped aggregation (TPC-H Q1 shape) ------------------
+    QDef("q01_pricing_summary",
+      (s, dir) => lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sumd(d(col("l_quantity"))).as("sum_qty"),
+          sumd(d(col("l_extendedprice"))).as("sum_base_price"),
+          sumd(d(col("l_extendedprice")) * (one - r(col("l_discount")))).as("sum_disc_price"),
+          sumd(d(col("l_extendedprice")) * (one - r(col("l_discount"))) * (one + r(col("l_tax")))).as("sum_charge"),
+          (sumd(d(col("l_quantity"))) / count(lit(1))).as("avg_qty"),
+          (sumd(d(col("l_extendedprice"))) / count(lit(1))).as("avg_price"),
+          (sumd(r(col("l_discount"))) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- selective filter + ungrouped aggregate (TPC-H Q6 shape) ------
+    QDef("q02_revenue_filter",
+      (s, dir) => lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
+        .agg(sumd(d(col("l_extendedprice")) * r(col("l_discount"))).as("revenue")),
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""")),
+
+    // ---- 3-way join + agg + top-k (TPC-H Q3 shape) --------------------
+    QDef("q03_top_orders",
+      (s, dir) => customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .join(orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .join(lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sumd(d(col("l_extendedprice")) * (one - r(col("l_discount")))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10),
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    // ---- semi join (EXISTS) -------------------------------------------
+    QDef("q04_semi_join_priority",
+      (s, dir) => orders(s, dir)
+        .join(lineitem(s, dir).filter(col("l_quantity") >= 49)
+          .select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- 6-way join with broadcast dims (TPC-H Q5 shape) --------------
+    QDef("q05_nation_revenue",
+      (s, dir) => customer(s, dir)
+        .join(orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .join(lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .join(supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(sumd(d(col("l_extendedprice")) * (one - r(col("l_discount")))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name")),
+      Some("""SELECT n_name,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY revenue DESC, n_name""")),
+
+    // ---- anti join (NOT EXISTS) ---------------------------------------
+    QDef("q06_anti_join_customers",
+      (s, dir) => customer(s, dir)
+        .join(orders(s, dir).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment")),
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---- left outer join + null-aware aggregation ---------------------
+    QDef("q07_left_join_balance",
+      (s, dir) => broadcast(nation(s, dir))
+        .join(customer(s, dir), col("c_nationkey") === col("n_nationkey"), "left_outer")
+        .groupBy(col("n_name"))
+        .agg(
+          count(col("c_custkey")).as("n_customers"),
+          coalesce(sum(d(col("c_acctbal"))), lit(0)).cast("double").as("total_bal"))
+        .orderBy(col("n_name")),
+      Some("""SELECT n_name, COUNT(c_custkey) AS n_customers,
+        CAST(COALESCE(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 0) AS DOUBLE) AS total_bal
+        FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name""")),
+
+    // ---- HAVING --------------------------------------------------------
+    QDef("q08_having",
+      (s, dir) => customer(s, dir)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 40)
+        .orderBy(col("c_nationkey")),
+      Some("""SELECT c_nationkey, COUNT(*) AS cnt FROM customer
+        GROUP BY c_nationkey HAVING COUNT(*) > 40 ORDER BY c_nationkey""")),
+
+    // ---- IN subquery ---------------------------------------------------
+    QDef("q09_in_subquery",
+      (s, dir) => orders(s, dir)
+        .join(customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n")),
+      Some("""SELECT COUNT(*) AS n FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""")),
+
+    // ---- scalar subquery ----------------------------------------------
+    QDef("q10_scalar_subquery",
+      (s, dir) => Q.sql(s, dir,
+        """SELECT p_partkey, p_name, p_retailprice FROM part
+           WHERE p_retailprice > (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM part)
+           ORDER BY p_partkey"""),
+      Some("""SELECT p_partkey, p_name, p_retailprice FROM part
+        WHERE p_retailprice > (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM part)
+        ORDER BY p_partkey""")),
+
+    // ---- order by + limit (top-k) -------------------------------------
+    QDef("q11_topk",
+      (s, dir) => orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(5),
+      Some("""SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 5""")),
+
+    // ---- distinct ------------------------------------------------------
+    QDef("q12_distinct",
+      (s, dir) => lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_linestatus")).distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- set ops -------------------------------------------------------
+    QDef("q13_union",
+      (s, dir) => nation(s, dir).select(col("n_name").as("name"))
+        .union(region(s, dir).select(col("r_name").as("name")))
+        .distinct().orderBy(col("name")),
+      Some("""SELECT n_name AS name FROM nation UNION SELECT r_name AS name FROM region ORDER BY name""")),
+
+    QDef("q14_intersect",
+      (s, dir) => customer(s, dir).select(col("c_nationkey").as("nk"))
+        .intersect(supplier(s, dir).select(col("s_nationkey").as("nk")))
+        .orderBy(col("nk")),
+      Some("""SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""")),
+
+    QDef("q15_except",
+      (s, dir) => nation(s, dir).select(col("n_nationkey").as("nk"))
+        .except(supplier(s, dir).select(col("s_nationkey").as("nk")))
+        .orderBy(col("nk")),
+      Some("""SELECT n_nationkey AS nk FROM nation EXCEPT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""")),
+
+    // ---- rollup (grouping sets) ---------------------------------------
+    QDef("q16_rollup",
+      (s, dir) => lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), sumd(d(col("l_quantity"))).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    // ---- window: rank within partition --------------------------------
+    QDef("q17_window_rank",
+      (s, dir) => orders(s, dir)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("o_orderpriority"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"), col("rn"))
+        .orderBy(col("o_orderpriority"), col("rn")),
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice, rn FROM (
+          SELECT o_orderkey, o_orderpriority, o_totalprice,
+            CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+          FROM orders) sub
+        WHERE rn <= 3 ORDER BY o_orderpriority, rn""")),
+
+    // ---- window: running total ----------------------------------------
+    QDef("q18_window_running",
+      (s, dir) => events(s, dir)
+        .withColumn("running_total",
+          sum(d(col("value"))).over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("ts"), col("event_id"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .select(col("event_id"), col("user_id"), col("running_total"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, user_id,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        FROM events ORDER BY event_id""")),
+
+    // ---- window: lag / session gaps -----------------------------------
+    QDef("q19_window_lag",
+      (s, dir) => events(s, dir)
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(
+            Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+        .select(col("event_id"), col("user_id"), col("gap_us"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, user_id,
+        epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events ORDER BY event_id""")),
+
+    // ---- CASE buckets --------------------------------------------------
+    QDef("q20_case_buckets",
+      (s, dir) => customer(s, dir)
+        .withColumn("bucket",
+          when(col("c_acctbal") < 0, "neg")
+            .when(col("c_acctbal") < 5000, "mid")
+            .otherwise("high"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("bucket")),
+      Some("""SELECT CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bucket,
+        COUNT(*) AS cnt FROM customer GROUP BY 1 ORDER BY bucket""")),
+
+    // ---- date functions (incl. the Snowflake DATEADD/DATEDIFF surface) -
+    QDef("q21_date_parts",
+      (s, dir) => orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          expr("sf_dateadd('day', 30, o_orderdate)").as("plus30"),
+          expr("sf_datediff('day', o_orderdate, timestamp'2002-01-01')").as("days_to_2002"),
+          date_trunc("month", col("o_orderdate")).as("mon_start"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
+        CAST(month(o_orderdate) AS INTEGER) AS mo,
+        o_orderdate + INTERVAL 30 DAY AS plus30,
+        date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS days_to_2002,
+        date_trunc('month', o_orderdate) AS mon_start
+        FROM orders ORDER BY o_orderkey""")),
+
+    // ---- string functions ---------------------------------------------
+    QDef("q22_string_funcs",
+      (s, dir) => customer(s, dir)
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("up"),
+          lower(col("c_name")).as("lo"),
+          substring(col("c_name"), 1, 8).as("pre"),
+          length(col("c_name")).as("len"),
+          concat(col("c_name"), lit("-"), col("c_mktsegment")).as("cat"),
+          expr("replace(c_name, 'Customer', 'Cust')").as("rep"),
+          reverse(col("c_name")).as("rev"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("pad"),
+          expr("split_part(c_name, '#', 2)").as("num"))
+        .orderBy(col("c_custkey")).limit(100),
+      Some("""SELECT c_custkey, UPPER(c_name) AS up, LOWER(c_name) AS lo,
+        SUBSTR(c_name, 1, 8) AS pre, CAST(LENGTH(c_name) AS INTEGER) AS len,
+        c_name || '-' || c_mktsegment AS cat,
+        REPLACE(c_name, 'Customer', 'Cust') AS rep, REVERSE(c_name) AS rev,
+        LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS pad,
+        SPLIT_PART(c_name, '#', 2) AS num
+        FROM customer ORDER BY c_custkey LIMIT 100""")),
+
+    // ---- null-handling functions (Snowflake IFF/NVL/NVL2 surface) -----
+    QDef("q23_null_funcs",
+      (s, dir) => Q.sql(s, dir,
+        """SELECT event_id,
+             nvl(nullif(event_type, 'error'), 'was-error') AS et,
+             nvl2(nullif(value, 0.0D), 'nonzero', 'zero') AS vz,
+             iff(value > 100, 'big', 'small') AS sz,
+             coalesce(nullif(event_type, 'click'), 'clicked') AS cc,
+             ifnull(nullif(user_id, 0), -1) AS uid
+           FROM events ORDER BY event_id"""),
+      Some("""SELECT event_id,
+        COALESCE(NULLIF(event_type, 'error'), 'was-error') AS et,
+        CASE WHEN NULLIF(value, 0.0) IS NOT NULL THEN 'nonzero' ELSE 'zero' END AS vz,
+        CASE WHEN value > 100 THEN 'big' ELSE 'small' END AS sz,
+        COALESCE(NULLIF(event_type, 'click'), 'clicked') AS cc,
+        COALESCE(NULLIF(user_id, 0), -1) AS uid
+        FROM events ORDER BY event_id""")),
+
+    // ---- JSON / semi-structured (VARIANT-as-JSON-text model) ----------
+    QDef("q24_json_funcs",
+      (s, dir) => events(s, dir)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"),
+          expr("object_construct('id', event_id, 'type', event_type)").as("obj"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        CAST(json_object('id', event_id, 'type', event_type) AS VARCHAR) AS obj
+        FROM events ORDER BY event_id""")),
+
+    // ---- LISTAGG (order-stable variant) -------------------------------
+    QDef("q25_listagg",
+      (s, dir) => broadcast(nation(s, dir))
+        .join(customer(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(array_join(array_sort(collect_list(col("c_name"))), ",").as("names"))
+        .orderBy(col("n_name")),
+      Some("""SELECT n_name, string_agg(c_name, ',' ORDER BY c_name) AS names
+        FROM nation JOIN customer ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name""")),
+
+    // ---- explode / FLATTEN --------------------------------------------
+    QDef("q26_explode_words",
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(20),
+      Some("""SELECT word, COUNT(*) AS cnt FROM (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents) sub
+        WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word LIMIT 20""")),
+
+    // ---- conditional aggregation (pivot shape) ------------------------
+    QDef("q27_cond_agg",
+      (s, dir) => events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+          sum(when(col("event_type") === "purchase", d(col("value")))
+            .otherwise(lit(0).cast(org.apache.spark.sql.types.DecimalType(12, 2))))
+            .cast("double").as("purchase_value"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id, COUNT(*) AS n_events,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase_value
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- exact percentiles --------------------------------------------
+    QDef("q28_percentiles",
+      (s, dir) => lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25D)").as("q25"),
+          expr("percentile(l_quantity, 0.5D)").as("med"),
+          expr("percentile(l_quantity, 0.75D)").as("q75"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.25) AS q25,
+        quantile_cont(l_quantity, 0.5) AS med,
+        quantile_cont(l_quantity, 0.75) AS q75
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+  )
+}
