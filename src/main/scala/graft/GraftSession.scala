@@ -19,14 +19,26 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Managed-table warehouse location — static config, so it is fixed once
+    * per JVM at session build (a fresh temp dir keeps test runs isolated;
+    * a real deployment overrides via -Dspark.sql.warehouse.dir). */
+  lazy val warehouseDir: String =
+    sys.props.getOrElse("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
+
   /** Configure an existing builder with graft defaults (shared by every main). */
   def configure(b: SparkSession.Builder, cores: Int): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // Snowflake/DuckDB-style implicit casts on INSERT (string literals
+      // into timestamp/number columns); Spark 4's ANSI default refuses them.
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.storeAssignmentPolicy", "LEGACY")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)

@@ -1,0 +1,550 @@
+package graft.emulator
+
+import java.nio.file.Files
+import java.util.UUID
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, lit}
+import graft.operators.{CopyInto, MergeInto, MutableOps}
+import graft.stage.StageManager
+import scala.jdk.CollectionConverters._
+
+/** Statement executor — the analog of the reference's
+  * `pkg/query/executor.go`: classify (`classifier.go:44-130`), bind
+  * parameters (`executor.go:148-280`), route to query / DML / DDL / COPY /
+  * MERGE / transaction handling, materialize results with Snowflake-shaped
+  * column metadata (`type_mapper.go:69-103`) and record query history
+  * (`executor.go:516-573`).
+  *
+  * Where the reference hands the translated SQL to DuckDB, this executor
+  * hands it to Spark SQL after flattened-name rewriting; the Snowflake
+  * scalar-function surface is already injected into the session's
+  * FunctionRegistry (graft.functions.SnowflakeExtensions), so no text-level
+  * function rewriting exists at all.
+  */
+final class Executor(
+    val catalog: Catalog,
+    val stages: StageManager,
+    val warehouses: WarehouseManager,
+    val history: QueryHistory) {
+
+  import Executor._
+
+  private val spark: SparkSession = catalog.spark
+  private val transactions = new ConcurrentHashMap[String, Txn]()
+
+  // ------------------------------------------------------------------
+  // entry point
+  // ------------------------------------------------------------------
+
+  def execute(ctx: Context, sql: String,
+      bindings: Map[String, Bindings.Binding] = Map.empty): Result = {
+    val queryId = newQueryId()
+    val bound = Bindings.apply(sql, bindings)
+    val t0 = history.start(queryId, bound)
+    try {
+      val r = route(ctx, bound, queryId)
+      history.success(queryId, bound, r.rows.size.toLong max r.rowsAffected.getOrElse(0L), t0)
+      r
+    } catch {
+      case t: Throwable =>
+        val err = SnowflakeError.fromThrowable(t)
+        history.failure(queryId, bound, err.getMessage, t0)
+        throw err
+    }
+  }
+
+  private def route(ctx: Context, sql: String, queryId: String): Result = {
+    if (Classifier.isUse(sql)) return useStatement(ctx, sql, queryId)
+    val cls = Classifier.classify(sql)
+    cls.tpe match {
+      case Classifier.Query => query(ctx, sql, queryId)
+      case Classifier.DdlCreate => ddlCreate(ctx, sql, queryId)
+      case Classifier.DdlDrop => ddlDrop(ctx, sql, queryId)
+      case Classifier.DdlAlter => ddlAlter(ctx, sql, queryId)
+      case Classifier.Copy => copyInto(ctx, sql, queryId)
+      case Classifier.Merge => mergeInto(ctx, sql, queryId)
+      case Classifier.Transaction => transaction(ctx, sql, queryId)
+      case _ => dml(ctx, sql, queryId)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // queries
+  // ------------------------------------------------------------------
+
+  private def query(ctx: Context, sql: String, queryId: String): Result = {
+    val u = sql.trim.toUpperCase(java.util.Locale.ROOT)
+    if (u.startsWith("SHOW")) return show(ctx, sql, queryId)
+    if (u.startsWith("DESC")) return describe(ctx, sql, queryId)
+    val rewritten = TableNaming.rewrite(sql, ctx.database, ctx.schema)
+    val df = spark.sql(rewritten)
+    collectResult(df, queryId, Classifier.StatementTypeSelect)
+  }
+
+  /** Run a query and get the DataFrame (internal; used by MERGE USING
+    * subqueries and tests that want plans, not materialized rows). */
+  def queryDf(ctx: Context, sql: String): DataFrame =
+    spark.sql(TableNaming.rewrite(sql, ctx.database, ctx.schema))
+
+  private def show(ctx: Context, sql: String, queryId: String): Result = {
+    val u = sql.trim.toUpperCase(java.util.Locale.ROOT).stripSuffix(";")
+    // Snowflake SHOW column shapes, minimally: name-first like the real
+    // SHOW output; the reference passes SHOW to DuckDB, we synthesize from
+    // our catalog (richer than the reference, same spirit).
+    def result(cols: Seq[String], rows: Seq[Seq[Any]]) =
+      localResult(queryId, cols, rows)
+    if (u.startsWith("SHOW DATABASES"))
+      result(Seq("name", "created_on"),
+        catalog.listDatabases().map(d => Seq[Any](d.name, d.createdOn)))
+    else if (u.startsWith("SHOW SCHEMAS"))
+      result(Seq("name", "database_name"),
+        catalog.listSchemas(ctx.database).map(s => Seq[Any](s.name, s.database)))
+    else if (u.startsWith("SHOW WAREHOUSES"))
+      result(Seq("name", "state", "type", "size"),
+        warehouses.list().map(w => Seq[Any](w.name, w.state, "STANDARD", w.size)))
+    else if (u.startsWith("SHOW TABLES"))
+      result(Seq("name", "database_name", "schema_name", "kind", "comment"),
+        catalog.listTables(ctx.database).map(t =>
+          Seq[Any](t.table, t.database, t.schema, t.tableType, t.comment)))
+    else
+      throw SnowflakeError.compilation(s"unsupported SHOW statement: $sql")
+  }
+
+  private def describe(ctx: Context, sql: String, queryId: String): Result = {
+    val m = """(?is)DESC(?:RIBE)?\s+(?:TABLE\s+)?(\S+)""".r
+      .findFirstMatchIn(sql.trim)
+      .getOrElse(throw SnowflakeError.compilation(s"invalid DESCRIBE: $sql"))
+    val ref = TableNaming.parse(m.group(1), ctx.database, ctx.schema)
+    val meta = catalog.getTable(ref).getOrElse(
+      throw SnowflakeError.notFound(s"table ${m.group(1)} does not exist"))
+    localResult(queryId,
+      Seq("name", "type", "kind", "null?", "default", "primary key"),
+      meta.columns.map(c => Seq[Any](
+        c.name, c.snowflakeType, "COLUMN",
+        if (c.nullable) "Y" else "N", c.default.orNull,
+        if (c.primaryKey) "Y" else "N")))
+  }
+
+  // ------------------------------------------------------------------
+  // DDL
+  // ------------------------------------------------------------------
+
+  private val createDbRe =
+    """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\S+?);?\s*$""".r
+  private val createSchemaRe =
+    """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?SCHEMA\s+(?:IF\s+NOT\s+EXISTS\s+)?(\S+?);?\s*$""".r
+  private val createTableRe =
+    """(?is)CREATE\s+(OR\s+REPLACE\s+)?(?:TRANSIENT\s+|TEMPORARY\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([^\s(]+)\s*\((.*)\)\s*;?\s*$""".r
+  private val ctasRe =
+    """(?is)CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([^\s(]+)\s+AS\s+(SELECT.*)$""".r
+  private val createWarehouseRe =
+    """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?WAREHOUSE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\S+)(.*)$""".r
+  private val createStageRe =
+    """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?STAGE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\S+?);?\s*$""".r
+
+  private def status(queryId: String, msg: String): Result =
+    localResult(queryId, Seq("status"), Seq(Seq[Any](msg)),
+      Classifier.StatementTypeDdl)
+
+  private def ddlCreate(ctx: Context, sql: String, queryId: String): Result =
+    sql.trim match {
+      case createDbRe(name) =>
+        catalog.createDatabase(name, ifNotExists = true)
+        status(queryId, s"Database ${name.toUpperCase} successfully created.")
+      case createSchemaRe(name) =>
+        val parts = name.split('.')
+        val (db, sc) = if (parts.length == 2) (parts(0), parts(1))
+          else (ctx.database, name)
+        catalog.createSchema(db, sc, ifNotExists = true)
+        status(queryId, s"Schema ${sc.toUpperCase} successfully created.")
+      case createWarehouseRe(name, rest) =>
+        val size = """(?is)WAREHOUSE_SIZE\s*=\s*'?([\w-]+)'?""".r
+          .findFirstMatchIn(rest).map(_.group(1)).getOrElse("X-SMALL")
+        warehouses.create(name, size, ifNotExists = true)
+        status(queryId, s"Warehouse ${name.toUpperCase} successfully created.")
+      case createStageRe(name) =>
+        stages.stageDir(name.toUpperCase(java.util.Locale.ROOT))
+        status(queryId, s"Stage area ${name.toUpperCase} successfully created.")
+      case ctasRe(orReplace, ifNotExists, name, select) =>
+        val ref = TableNaming.parse(name, ctx.database, ctx.schema)
+        if (catalog.tableExists(ref) && ifNotExists != null)
+          return status(queryId, s"${ref.table} already exists, statement skipped.")
+        if (catalog.tableExists(ref) && orReplace == null)
+          throw SnowflakeError.alreadyExists(s"table ${ref.table} already exists")
+        beforeWrite(ctx, ref, created = !catalog.tableExists(ref))
+        val df = queryDf(ctx, select)
+        catalog.createDatabase(ref.database)
+        catalog.createSchema(ref.database, ref.schema, ifNotExists = true)
+        catalog.overwriteTable(ref, df)
+        catalog.registerExisting(ref)
+        status(queryId, s"Table ${ref.table} successfully created.")
+      case createTableRe(orReplace, ifNotExists, name, colDefs) =>
+        val ref = TableNaming.parse(name, ctx.database, ctx.schema)
+        if (catalog.tableExists(ref) && ifNotExists != null)
+          return status(queryId, s"${ref.table} already exists, statement skipped.")
+        beforeWrite(ctx, ref, created = !catalog.tableExists(ref))
+        catalog.createTable(ref, parseColumnDefs(colDefs),
+          orReplace = orReplace != null, ifNotExists = ifNotExists != null)
+        status(queryId, s"Table ${ref.table} successfully created.")
+      case other =>
+        throw SnowflakeError.compilation(s"unsupported CREATE statement: $other")
+    }
+
+  /** Parse `(name TYPE [NOT NULL] [DEFAULT x] [PRIMARY KEY], ...)` bodies.
+    * The reference leaves raw-SQL CREATE TABLE unparsed (TODO at
+    * `executor.go:370-372`); we parse so the catalog has real column defs. */
+  private[emulator] def parseColumnDefs(body: String): Seq[Catalog.ColumnDef] =
+    MergeParser.splitTopLevel(body).flatMap { colDef =>
+      val d = colDef.trim
+      val upper = d.toUpperCase(java.util.Locale.ROOT)
+      if (upper.startsWith("PRIMARY KEY") || upper.startsWith("FOREIGN KEY") ||
+        upper.startsWith("CONSTRAINT") || upper.startsWith("UNIQUE")) None
+      else {
+        val m = """^("[^"]+"|\S+)\s+(\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)(.*)$""".r
+          .findFirstMatchIn(d)
+          .getOrElse(throw SnowflakeError.compilation(s"invalid column def: $d"))
+        val rest = m.group(3).toUpperCase(java.util.Locale.ROOT)
+        val default = """(?is)DEFAULT\s+(\S+)""".r
+          .findFirstMatchIn(m.group(3)).map(_.group(1))
+        Some(Catalog.ColumnDef(
+          m.group(1).stripPrefix("\"").stripSuffix("\"")
+            .toUpperCase(java.util.Locale.ROOT),
+          m.group(2).toUpperCase(java.util.Locale.ROOT).replaceAll("\\s", ""),
+          nullable = !rest.contains("NOT NULL"),
+          default = default,
+          primaryKey = rest.contains("PRIMARY KEY")))
+      }
+    }
+
+  private def ddlDrop(ctx: Context, sql: String, queryId: String): Result = {
+    val m = """(?is)DROP\s+(DATABASE|SCHEMA|TABLE|WAREHOUSE|STAGE)\s+(IF\s+EXISTS\s+)?(\S+?);?\s*$""".r
+      .findFirstMatchIn(sql.trim)
+      .getOrElse(throw SnowflakeError.compilation(s"unsupported DROP statement: $sql"))
+    val ifExists = m.group(2) != null
+    val name = m.group(3)
+    m.group(1).toUpperCase(java.util.Locale.ROOT) match {
+      case "DATABASE" => catalog.dropDatabase(name, ifExists)
+      case "SCHEMA" =>
+        val parts = name.split('.')
+        if (parts.length == 2) catalog.dropSchema(parts(0), parts(1), ifExists)
+        else catalog.dropSchema(ctx.database, name, ifExists)
+      case "TABLE" =>
+        val ref = TableNaming.parse(name, ctx.database, ctx.schema)
+        if (catalog.tableExists(ref)) beforeWrite(ctx, ref, created = false)
+        catalog.dropTable(ref, ifExists)
+      case "WAREHOUSE" => warehouses.drop(name, ifExists)
+      case "STAGE" => stages.dropStage(name.toUpperCase(java.util.Locale.ROOT))
+    }
+    status(queryId, s"${name.toUpperCase} successfully dropped.")
+  }
+
+  private def ddlAlter(ctx: Context, sql: String, queryId: String): Result = {
+    val whAlter =
+      """(?is)ALTER\s+WAREHOUSE\s+(\S+)\s+(SUSPEND|RESUME|SET\s+WAREHOUSE_SIZE\s*=\s*'?([\w-]+)'?).*""".r
+    sql.trim match {
+      case whAlter(name, action, size) =>
+        val u = action.toUpperCase(java.util.Locale.ROOT)
+        if (u == "SUSPEND") warehouses.suspend(name)
+        else if (u == "RESUME") warehouses.resume(name)
+        else warehouses.resize(name, size)
+        status(queryId, "Statement executed successfully.")
+      case other =>
+        // ALTER TABLE pass-through (reference: `integration_test.go:414-421`)
+        val rewritten = TableNaming.rewrite(other, ctx.database, ctx.schema)
+        spark.sql(rewritten)
+        """(?is)ALTER\s+TABLE\s+(\S+)""".r.findFirstMatchIn(other).foreach { m =>
+          val ref = TableNaming.parse(m.group(1), ctx.database, ctx.schema)
+          if (catalog.tableExists(ref)) catalog.registerExisting(ref)
+        }
+        status(queryId, "Statement executed successfully.")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // DML
+  // ------------------------------------------------------------------
+
+  private val updateRe =
+    """(?is)UPDATE\s+(\S+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?;?\s*$""".r
+  private val deleteRe =
+    """(?is)DELETE\s+FROM\s+(\S+)(?:\s+WHERE\s+(.+?))?;?\s*$""".r
+  private val truncateRe =
+    """(?is)TRUNCATE\s+(?:TABLE\s+)?(\S+?);?\s*$""".r
+  private val insertRe = """(?is)INSERT\s+INTO\s+([^\s(]+).*""".r
+
+  private def dml(ctx: Context, sql: String, queryId: String): Result =
+    sql.trim match {
+      case insertRe(name) =>
+        val ref = TableNaming.parse(name, ctx.database, ctx.schema)
+        beforeWrite(ctx, ref, created = false)
+        catalog.lockFor(ref).synchronized {
+          val before = catalog.tableDf(ref).count()
+          spark.sql(TableNaming.rewrite(sql, ctx.database, ctx.schema))
+          val after = catalog.tableDf(ref).count()
+          dmlResult(queryId, "number of rows inserted", after - before)
+        }
+      case updateRe(name, sets, where) =>
+        val ref = TableNaming.parse(name, ctx.database, ctx.schema)
+        beforeWrite(ctx, ref, created = false)
+        val df = catalog.tableDf(ref)
+        val cond = Option(where).map(expr).getOrElse(lit(true))
+        // resolve SET keys case-insensitively against the physical schema —
+        // catalog columns are upper-cased, SQL references usually aren't
+        val setMap = MergeParser.splitTopLevel(sets).map { kv =>
+          val eq = kv.indexOf('=')
+          if (eq < 0) throw SnowflakeError.compilation(s"invalid SET clause: $kv")
+          val key = kv.substring(0, eq).trim
+          df.columns.find(_.equalsIgnoreCase(key)).getOrElse(
+            throw SnowflakeError.compilation(s"invalid identifier '$key'")) ->
+            expr(kv.substring(eq + 1).trim)
+        }.toMap
+        val affected = MutableOps.affectedCount(df, cond)
+        catalog.overwriteTable(ref, MutableOps.update(df, cond, setMap))
+        dmlResult(queryId, "number of rows updated", affected)
+      case deleteRe(name, where) =>
+        val ref = TableNaming.parse(name, ctx.database, ctx.schema)
+        beforeWrite(ctx, ref, created = false)
+        val df = catalog.tableDf(ref)
+        val cond = Option(where).map(expr).getOrElse(lit(true))
+        val affected = MutableOps.affectedCount(df, cond)
+        catalog.overwriteTable(ref, MutableOps.delete(df, cond))
+        dmlResult(queryId, "number of rows deleted", affected)
+      case truncateRe(name) =>
+        val ref = TableNaming.parse(name, ctx.database, ctx.schema)
+        beforeWrite(ctx, ref, created = false)
+        val df = catalog.tableDf(ref)
+        val affected = df.count()
+        catalog.overwriteTable(ref, df.limit(0))
+        status(queryId, "Statement executed successfully.")
+      case other =>
+        // unknown statements pass through, the reference's contract
+        // (`translator.go:121-127`: DuckDB may accept what we don't parse)
+        val df = spark.sql(TableNaming.rewrite(other, ctx.database, ctx.schema))
+        collectResult(df, queryId, Classifier.StatementTypeDml)
+    }
+
+  // ------------------------------------------------------------------
+  // COPY INTO
+  // ------------------------------------------------------------------
+
+  private def copyInto(ctx: Context, sql: String, queryId: String): Result = {
+    val stmt = CopyParser.parse(sql, ctx.database, ctx.schema)
+    val meta = catalog.getTable(stmt.target).getOrElse(
+      throw SnowflakeError.notFound(s"table ${stmt.target.table} does not exist"))
+    val schema = catalog.tableDf(stmt.target).schema
+    val stageDir = stages.stageDir(stmt.stageName)
+    val dir = if (stmt.stagePath.isEmpty) stageDir
+      else stageDir.resolve(stmt.stagePath)
+    val (df, res) = CopyInto.load(spark, dir, schema, stmt.options)
+    if (stmt.validationMode)
+      return localResult(queryId, Seq("rows_validated", "files_validated"),
+        Seq(Seq[Any](res.rowsLoaded, res.filesLoaded)), Classifier.StatementTypeDml)
+    beforeWrite(ctx, stmt.target, created = false)
+    catalog.appendToTable(stmt.target, df)
+    localResult(queryId,
+      Seq("file", "status", "rows_parsed", "rows_loaded", "errors_seen"),
+      Seq(Seq[Any](s"@${stmt.stageName}/${stmt.stagePath}", "LOADED",
+        res.rowsLoaded, res.rowsLoaded, res.errors.size.toLong)),
+      Classifier.StatementTypeDml, rowsAffected = Some(res.rowsLoaded))
+  }
+
+  // ------------------------------------------------------------------
+  // MERGE INTO
+  // ------------------------------------------------------------------
+
+  private def mergeInto(ctx: Context, sql: String, queryId: String): Result = {
+    val stmt = MergeParser.parse(sql)
+    val targetRef = TableNaming.parse(stmt.targetTable, ctx.database, ctx.schema)
+    val targetDf0 = catalog.tableDf(targetRef)
+    val tAlias = stmt.targetAlias.getOrElse(targetRef.table.toLowerCase)
+    val target = targetDf0.alias(tAlias)
+
+    val source0 =
+      if (stmt.source.startsWith("("))
+        queryDf(ctx, stmt.source.stripPrefix("(").stripSuffix(")"))
+      else
+        catalog.tableDf(TableNaming.parse(stmt.source, ctx.database, ctx.schema))
+    val sAlias = stmt.sourceAlias.getOrElse("src")
+    val source = source0.alias(sAlias)
+
+    // strip the target alias prefix and resolve against the physical column
+    // case (catalog metadata is upper-cased, SQL refs usually lower)
+    def targetCol(c: String): String = {
+      val dot = c.indexOf('.')
+      val bare = if (dot > 0) c.substring(dot + 1) else c
+      targetDf0.columns.find(_.equalsIgnoreCase(bare)).getOrElse(
+        throw SnowflakeError.compilation(s"invalid identifier '$bare'"))
+    }
+
+    val matched = stmt.whenClauses.filter(_.isMatched).map { w =>
+      val action = w.action match {
+        case MergeParser.UpdateAction(sets) =>
+          MergeInto.Update(sets.map { case (k, v) => targetCol(k) -> expr(v) }.toMap)
+        case MergeParser.DeleteAction => MergeInto.Delete
+        case _ => throw SnowflakeError.compilation(
+          "INSERT is not valid in WHEN MATCHED")
+      }
+      MergeInto.WhenMatched(w.condition.map(expr), action)
+    }
+    val notMatched = stmt.whenClauses.filterNot(_.isMatched).map { w =>
+      val (cols, vals) = w.action match {
+        case MergeParser.InsertAction(cs, vs) =>
+          (if (cs.nonEmpty) cs.map(targetCol) else targetDf0.columns.toSeq, vs)
+        case _ => throw SnowflakeError.compilation(
+          "only INSERT is valid in WHEN NOT MATCHED")
+      }
+      if (cols.size != vals.size)
+        throw SnowflakeError.compilation(
+          s"INSERT column/value count mismatch: ${cols.size} vs ${vals.size}")
+      MergeInto.WhenNotMatched(w.condition.map(expr),
+        cols.zip(vals.map(expr)).toMap)
+    }
+
+    val condition = expr(stmt.onCondition)
+    val counts = MergeInto.counts(target, source, condition, matched, notMatched)
+    beforeWrite(ctx, targetRef, created = false)
+    catalog.overwriteTable(targetRef,
+      MergeInto(target, source, condition, matched, notMatched))
+
+    // Snowflake MERGE result shape: one row of per-action counts
+    val cols = Seq("number of rows inserted", "number of rows updated",
+      "number of rows deleted")
+    localResult(queryId, cols,
+      Seq(Seq[Any](counts.inserted, counts.updated, counts.deleted)),
+      Classifier.StatementTypeDml,
+      rowsAffected = Some(counts.inserted + counts.updated + counts.deleted))
+  }
+
+  // ------------------------------------------------------------------
+  // transactions (reference `executor.go:399-426`; Spark has none, so BEGIN
+  // snapshots tables on first write and ROLLBACK restores — SURVEY §7 hard
+  // part 2)
+  // ------------------------------------------------------------------
+
+  private final class Txn {
+    val snapshots = new ConcurrentHashMap[String, (TableNaming.Ref, java.nio.file.Path)]()
+    val created = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val createdRefs = new ConcurrentHashMap[String, TableNaming.Ref]()
+  }
+
+  private def key(r: TableNaming.Ref) = s"${r.database}.${r.schema}.${r.table}"
+
+  /** Snapshot a table before its first modification inside a transaction. */
+  private def beforeWrite(ctx: Context, ref: TableNaming.Ref, created: Boolean): Unit = {
+    val txn = transactions.get(ctx.sessionId)
+    if (txn == null) return
+    val k = key(ref)
+    if (created) {
+      txn.created.add(k)
+      txn.createdRefs.put(k, ref)
+    } else if (!txn.snapshots.containsKey(k) && !txn.created.contains(k)
+        && catalog.tableExists(ref)) {
+      val tmp = Files.createTempDirectory("graft_txn")
+      catalog.tableDf(ref).write.mode("overwrite").parquet(tmp.toString)
+      txn.snapshots.put(k, (ref, tmp))
+    }
+  }
+
+  private def transaction(ctx: Context, sql: String, queryId: String): Result = {
+    if (Classifier.isBegin(sql)) {
+      transactions.putIfAbsent(ctx.sessionId, new Txn)
+      status(queryId, "Statement executed successfully.")
+    } else if (Classifier.isCommit(sql)) {
+      Option(transactions.remove(ctx.sessionId)).foreach { txn =>
+        txn.snapshots.values.asScala.foreach { case (_, tmp) => deleteDir(tmp) }
+      }
+      status(queryId, "Statement executed successfully.")
+    } else { // ROLLBACK
+      Option(transactions.remove(ctx.sessionId)).foreach { txn =>
+        txn.snapshots.values.asScala.foreach { case (ref, tmp) =>
+          catalog.overwriteTable(ref, spark.read.parquet(tmp.toString))
+          deleteDir(tmp)
+        }
+        txn.createdRefs.values.asScala.foreach(r =>
+          catalog.dropTable(r, ifExists = true))
+      }
+      status(queryId, "Statement executed successfully.")
+    }
+  }
+
+  def inTransaction(sessionId: String): Boolean =
+    transactions.containsKey(sessionId)
+
+  private def deleteDir(p: java.nio.file.Path): Unit = {
+    val s = Files.walk(p)
+    try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    finally s.close()
+  }
+
+  // ------------------------------------------------------------------
+  // USE
+  // ------------------------------------------------------------------
+
+  private def useStatement(ctx: Context, sql: String, queryId: String): Result = {
+    val m = """(?is)USE\s+(?:(DATABASE|SCHEMA|WAREHOUSE)\s+)?(\S+?);?\s*$""".r
+      .findFirstMatchIn(sql.trim)
+      .getOrElse(throw SnowflakeError.compilation(s"invalid USE: $sql"))
+    val kind = Option(m.group(1)).map(_.toUpperCase(java.util.Locale.ROOT))
+      .getOrElse("DATABASE")
+    val name = m.group(2).toUpperCase(java.util.Locale.ROOT)
+    kind match {
+      case "DATABASE" => ctx.onUse.foreach(f => f(Some(name), None))
+      case "SCHEMA" => ctx.onUse.foreach(f => f(None, Some(name)))
+      case "WAREHOUSE" => () // warehouses carry no compute
+    }
+    status(queryId, "Statement executed successfully.")
+  }
+
+  // ------------------------------------------------------------------
+  // result materialization
+  // ------------------------------------------------------------------
+
+  private def collectResult(df: DataFrame, queryId: String,
+      statementTypeId: Long): Result = {
+    // full materialization at the protocol edge, like the reference's
+    // fetch loop (`executor.go:99-119`)
+    val rows = df.collect().toSeq.map(_.toSeq)
+    Result(TypeMapper.inferRowType(df.schema), rows, statementTypeId, None, queryId)
+  }
+
+  private def dmlResult(queryId: String, label: String, n: Long): Result =
+    localResult(queryId, Seq(label), Seq(Seq[Any](n)),
+      Classifier.StatementTypeDml, rowsAffected = Some(n))
+
+  private def localResult(queryId: String, cols: Seq[String],
+      rows: Seq[Seq[Any]], statementTypeId: Long = Classifier.StatementTypeSelect,
+      rowsAffected: Option[Long] = None): Result = {
+    val meta = cols.map { c =>
+      val sample = rows.iterator.map(r => r(cols.indexOf(c)))
+        .find(_ != null).orNull
+      val tpe = sample match {
+        case _: java.lang.Long | _: java.lang.Integer => "NUMBER"
+        case _ => "TEXT"
+      }
+      TypeMapper.ColumnMetadata(c, tpe, nullable = true)
+    }
+    Result(meta, rows, statementTypeId, rowsAffected, queryId)
+  }
+
+  private def newQueryId(): String =
+    "01" + UUID.randomUUID().toString.replace("-", "")
+}
+
+object Executor {
+  /** Per-statement execution context: the session's identity and current
+    * database/schema drive name resolution; `onUse` lets USE statements
+    * update the owning session. */
+  final case class Context(
+      sessionId: String,
+      database: String,
+      schema: String,
+      onUse: Option[(Option[String], Option[String]) => Unit] = None)
+
+  final case class Result(
+      columns: Seq[TypeMapper.ColumnMetadata],
+      rows: Seq[Seq[Any]],
+      statementTypeId: Long,
+      rowsAffected: Option[Long],
+      queryId: String)
+}

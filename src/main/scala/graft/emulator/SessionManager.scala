@@ -1,0 +1,91 @@
+package graft.emulator
+
+import java.security.SecureRandom
+import java.util.Base64
+import java.util.concurrent.ConcurrentHashMap
+import scala.jdk.CollectionConverters._
+
+/** Token-keyed session store (reference `pkg/session/manager.go:14-136`):
+  * crypto-random token + master token, 24h TTL (master 4x), validation
+  * touches expiry, renewal via master token issues a fresh pair
+  * (`manager.go:205-242`), USE switches current database/schema
+  * (`manager.go:162-184`). No real auth — any LOGIN_NAME/PASSWORD accepted
+  * (reference `README.md:299`).
+  */
+final class SessionManager(ttlMillis: Long = 24L * 3600 * 1000) {
+
+  final case class Session(
+      token: String,
+      masterToken: String,
+      username: String,
+      var database: String,
+      var schema: String,
+      parameters: scala.collection.concurrent.Map[String, String],
+      var expiresAt: Long)
+
+  /** Default session parameters (reference `config/constants.go:28-56`). */
+  def defaultParameters: Map[String, String] = Map(
+    "TIMEZONE" -> "UTC",
+    "TIMESTAMP_OUTPUT_FORMAT" -> "YYYY-MM-DD HH24:MI:SS",
+    "CLIENT_SESSION_KEEP_ALIVE" -> "false",
+    "QUERY_TAG" -> "",
+    "GO_QUERY_RESULT_FORMAT" -> "json")
+
+  private val rng = new SecureRandom()
+  private val byToken = new ConcurrentHashMap[String, Session]()
+  private val byMaster = new ConcurrentHashMap[String, Session]()
+
+  private def newToken(): String = {
+    val b = new Array[Byte](32)
+    rng.nextBytes(b)
+    Base64.getUrlEncoder.withoutPadding.encodeToString(b)
+  }
+
+  def create(username: String,
+      database: String = "TEST_DB",
+      schema: String = "PUBLIC"): Session = {
+    val s = Session(
+      token = newToken(),
+      masterToken = newToken(),
+      username = username,
+      database = database.toUpperCase(java.util.Locale.ROOT),
+      schema = schema.toUpperCase(java.util.Locale.ROOT),
+      parameters = new ConcurrentHashMap[String, String](
+        defaultParameters.asJava).asScala,
+      expiresAt = System.currentTimeMillis() + ttlMillis)
+    byToken.put(s.token, s)
+    byMaster.put(s.masterToken, s)
+    s
+  }
+
+  /** Validate and touch (reference `manager.go:112-136`). */
+  def validate(token: String): Option[Session] =
+    Option(byToken.get(token)).flatMap { s =>
+      if (System.currentTimeMillis() > s.expiresAt) { close(s.token); None }
+      else { s.expiresAt = System.currentTimeMillis() + ttlMillis; Some(s) }
+    }
+
+  /** Renew via master token: new token pair, same context
+    * (reference `manager.go:205-242`). */
+  def renew(masterToken: String): Option[Session] =
+    Option(byMaster.get(masterToken)).map { old =>
+      close(old.token)
+      val s = create(old.username, old.database, old.schema)
+      old.parameters.foreach { case (k, v) => s.parameters.put(k, v) }
+      s
+    }
+
+  def use(token: String, database: Option[String], schema: Option[String]): Option[Session] =
+    validate(token).map { s =>
+      database.foreach(d => s.database = d.toUpperCase(java.util.Locale.ROOT))
+      schema.foreach(sc => s.schema = sc.toUpperCase(java.util.Locale.ROOT))
+      s
+    }
+
+  def close(token: String): Boolean =
+    Option(byToken.remove(token)).map { s =>
+      byMaster.remove(s.masterToken); true
+    }.getOrElse(false)
+
+  def activeCount: Int = byToken.size
+}

@@ -1,0 +1,62 @@
+package graft.emulator
+
+/** Snowflake 3-level names onto Spark's 2-level catalog, using the exact
+  * flattening trick of the reference (`pkg/query/table_naming.go:23-40`):
+  * Spark database = Snowflake DATABASE, Spark table = `SCHEMA_TABLE`.
+  * Unquoted identifiers are upper-cased, the Snowflake convention the
+  * reference applies everywhere (`table_naming.go:24-27`,
+  * `repository.go:198-199`).
+  */
+object TableNaming {
+
+  final case class Ref(database: String, schema: String, table: String)
+
+  private def norm(s: String): String =
+    s.trim.stripPrefix("\"").stripSuffix("\"").toUpperCase(java.util.Locale.ROOT)
+
+  /** DATABASE.SCHEMA.TABLE -> `DATABASE`.`SCHEMA_TABLE` components. */
+  def flatten(database: String, schema: String, table: String): String = {
+    val d = norm(database); val s = norm(schema); val t = norm(table)
+    if (d.nonEmpty && s.nonEmpty) s"$d.${s}_$t"
+    else if (s.nonEmpty) s"${s}_$t"
+    else t
+  }
+
+  /** Parse `table` / `schema.table` / `database.schema.table` (reference
+    * `table_naming.go:42-66`), filling blanks from the session context. */
+  def parse(ref: String, currentDb: String, currentSchema: String): Ref =
+    ref.split('.').toSeq.map(norm) match {
+      case Seq(t) => Ref(norm(currentDb), norm(currentSchema), t)
+      case Seq(s, t) => Ref(norm(currentDb), s, t)
+      case Seq(d, s, t) => Ref(d, s, t)
+      case other =>
+        throw SnowflakeError.compilation(s"invalid table reference: $ref")
+    }
+
+  /** Spark-side identifier for a parsed ref: `db`.`schema_table`. */
+  def sparkName(r: Ref): String = s"`${r.database}`.`${r.schema}_${r.table}`"
+
+  private val tableRefRe =
+    ("""(?i)\b(FROM|JOIN|INTO|UPDATE|TABLE|USING)\s+""" +
+      """((?:"[^"]+"|[A-Za-z_][A-Za-z_0-9$]*)""" +
+      """(?:\.(?:"[^"]+"|[A-Za-z_][A-Za-z_0-9$]*)){0,2})""").r
+
+  /** Rewrite the table references of a SQL statement into flattened Spark
+    * names, resolving 1- and 2-part names against the session's current
+    * database/schema. Keyword-anchored (FROM/JOIN/INTO/UPDATE/TABLE/USING),
+    * the same set of positions the reference's Go-implemented statement
+    * paths rewrite; column refs and aliases are untouched.
+    */
+  def rewrite(sql: String, currentDb: String, currentSchema: String): String =
+    tableRefRe.replaceAllIn(sql, m => {
+      val kw = m.group(1)
+      val ref = m.group(2)
+      // leave sub-selects and function-ish tokens alone
+      if (ref.equalsIgnoreCase("select") || ref.equalsIgnoreCase("lateral"))
+        m.matched
+      else {
+        val r = parse(ref, currentDb, currentSchema)
+        java.util.regex.Matcher.quoteReplacement(s"$kw ${sparkName(r)}")
+      }
+    })
+}

@@ -1,0 +1,395 @@
+package graft.server
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import graft.emulator._
+
+/** HTTP protocol layer speaking the reference's two Snowflake wire
+  * protocols (reference `cmd/server/main.go:77-134` routes): the
+  * gosnowflake driver protocol (login/token/heartbeat/query/abort, errors
+  * as HTTP 200 + success:false — `server/handlers/session.go:282-293`) and
+  * the SQL REST API v2 (`/api/v2/statements` incl. handle replay + cancel —
+  * `server/handlers/rest_api_v2.go`). Built on the JDK's HttpServer and
+  * Spark's bundled Jackson; no extra dependencies.
+  */
+final class EmulatorServer(
+    val executor: Executor,
+    val sessions: SessionManager,
+    val statements: StatementManager,
+    port: Int = 0) {
+
+  private val mapper = new ObjectMapper()
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+
+  def actualPort: Int = server.getAddress.getPort
+
+  // ------------------------------------------------------------------
+  // routing
+  // ------------------------------------------------------------------
+
+  server.createContext("/health", exchange =>
+    respond(exchange, 200, obj(o => o.put("status", "ok"))))
+
+  server.createContext("/session/v1/login-request", handler(login))
+  server.createContext("/session/token-request", handler(tokenRenew))
+  server.createContext("/session/heartbeat", handler(heartbeat))
+  server.createContext("/session", handler(sessionDelete)) // ?delete=true
+  server.createContext("/queries/v1/query-request", handler(queryRequest))
+  server.createContext("/queries/v1/abort-request", handler(abortRequest))
+  server.createContext("/api/v2/statements", handler(restStatements))
+  server.createContext("/telemetry/send", exchange =>
+    respond(exchange, 200, obj(o => o.put("success", true)))) // accepted+ignored
+
+  def start(): Unit = server.start()
+  def stop(): Unit = server.stop(0)
+
+  private def handler(f: HttpExchange => Unit): com.sun.net.httpserver.HttpHandler =
+    exchange =>
+      try f(exchange)
+      catch {
+        case t: Throwable =>
+          val e = SnowflakeError.fromThrowable(t)
+          respond(exchange, 200, gosnowflakeError(e))
+      }
+
+  // ------------------------------------------------------------------
+  // gosnowflake protocol
+  // ------------------------------------------------------------------
+
+  /** POST /session/v1/login-request — any credentials accepted (reference
+    * `README.md:299`); auto-creates the default database like
+    * `session.go:94-102`. */
+  private def login(exchange: HttpExchange): Unit = {
+    val body = readJson(exchange)
+    val data = Option(body.get("data")).getOrElse(mapper.createObjectNode())
+    val user = textOf(data, "LOGIN_NAME").getOrElse("")
+    if (user.isEmpty) {
+      respond(exchange, 200, gosnowflakeError(
+        SnowflakeError(SnowflakeError.CodeAuthenticationFailed, "LOGIN_NAME is required")))
+      return
+    }
+    val params = queryParams(exchange)
+    val db = params.getOrElse("databaseName", "TEST_DB")
+    val schema = params.getOrElse("schemaName", "PUBLIC")
+    executor.catalog.createDatabase(db)
+    val sess = sessions.create(user, db, schema)
+    respond(exchange, 200, obj { o =>
+      o.put("success", true)
+      val d = o.putObject("data")
+      d.put("token", sess.token)
+      d.put("masterToken", sess.masterToken)
+      d.put("sessionId", sess.token.hashCode.toLong)
+      val ps = d.putArray("parameters")
+      sessions.defaultParameters.foreach { case (k, v) =>
+        val p = ps.addObject(); p.put("name", k); p.put("value", v)
+      }
+      val si = d.putObject("sessionInfo")
+      si.put("databaseName", sess.database)
+      si.put("schemaName", sess.schema)
+    })
+  }
+
+  /** POST /session/token-request — renewal via master token
+    * (reference `session.go:164-197`). */
+  private def tokenRenew(exchange: HttpExchange): Unit = {
+    val body = readJson(exchange)
+    val master = Option(body.get("data"))
+      .flatMap(d => textOf(d, "masterToken").orElse(textOf(d, "MASTER_TOKEN")))
+      .getOrElse("")
+    sessions.renew(master) match {
+      case Some(s) => respond(exchange, 200, obj { o =>
+        o.put("success", true)
+        val d = o.putObject("data")
+        d.put("sessionToken", s.token)
+        d.put("masterToken", s.masterToken)
+      })
+      case None => respond(exchange, 200, gosnowflakeError(
+        SnowflakeError(SnowflakeError.CodeSessionNotFound, "invalid master token")))
+    }
+  }
+
+  private def heartbeat(exchange: HttpExchange): Unit =
+    withSession(exchange)(_ => respond(exchange, 200, obj(_.put("success", true))))
+
+  /** POST /session?delete=true — logout (reference `session.go:230-253`). */
+  private def sessionDelete(exchange: HttpExchange): Unit = {
+    if (queryParams(exchange).get("delete").contains("true")) {
+      tokenOf(exchange).foreach(sessions.close)
+      respond(exchange, 200, obj(_.put("success", true)))
+    } else respond(exchange, 404, obj(_.put("success", false)))
+  }
+
+  /** POST /queries/v1/query-request — execute; all values stringified to
+    * `rowset [][]string` (reference `query.go:179-193`); errors are HTTP
+    * 200 with success:false + Snowflake code (`session.go:282-293`). */
+  private def queryRequest(exchange: HttpExchange): Unit =
+    withSession(exchange) { sess =>
+      val body = readJson(exchange)
+      val sqlText = textOf(body, "sqlText").getOrElse("")
+      if (sqlText.isEmpty) {
+        respond(exchange, 200, gosnowflakeError(
+          SnowflakeError(SnowflakeError.CodeInvalidParameter, "SQL text is required")))
+        return
+      }
+      val bindings = parseBindings(body.get("bindings"))
+      val ctx = Executor.Context(sess.token, sess.database, sess.schema,
+        onUse = Some((d, s) => { sessions.use(sess.token, d, s); () }))
+      try {
+        val r = executor.execute(ctx, sqlText, bindings)
+        respond(exchange, 200, obj { o =>
+          o.put("success", true)
+          val d = o.putObject("data")
+          d.put("queryId", r.queryId)
+          d.put("sqlState", SnowflakeError.SQLStateSuccess)
+          d.put("statementTypeId", r.statementTypeId)
+          putRowType(d.putArray("rowtype"), r)
+          val rs = d.putArray("rowset")
+          r.rows.foreach { row =>
+            val jr = rs.addArray()
+            row.foreach(v => if (v == null) jr.addNull() else jr.add(stringify(v)))
+          }
+          d.put("total", r.rowsAffected.getOrElse(r.rows.size.toLong))
+          d.put("returned", r.rows.size.toLong)
+          d.put("queryResultFormat", "json")
+        })
+      } catch {
+        case t: Throwable =>
+          respond(exchange, 200, gosnowflakeError(SnowflakeError.fromThrowable(t)))
+      }
+    }
+
+  /** POST /queries/v1/abort-request — a stub in the reference
+    * (`handlers/query.go:149-165`); same here. */
+  private def abortRequest(exchange: HttpExchange): Unit =
+    withSession(exchange)(_ => respond(exchange, 200, obj(_.put("success", true))))
+
+  // ------------------------------------------------------------------
+  // REST API v2
+  // ------------------------------------------------------------------
+
+  private def restStatements(exchange: HttpExchange): Unit = {
+    val path = exchange.getRequestURI.getPath.stripPrefix("/api/v2/statements")
+    (exchange.getRequestMethod, path) match {
+      case ("POST", "" | "/") => submitStatement(exchange)
+      case ("GET", p) => getStatement(exchange, p.stripPrefix("/"))
+      case ("POST", p) if p.endsWith("/cancel") =>
+        cancelStatement(exchange, p.stripPrefix("/").stripSuffix("/cancel"))
+      case _ => respond(exchange, 404, obj(_.put("message", "not found")))
+    }
+  }
+
+  /** POST /api/v2/statements — synchronous execution, result stored on the
+    * handle for later GET replay (reference `rest_api_v2.go:45-122`). */
+  private def submitStatement(exchange: HttpExchange): Unit = {
+    val body = readJson(exchange)
+    val statement = textOf(body, "statement").getOrElse("")
+    if (statement.isEmpty) {
+      respond(exchange, 400, obj { o =>
+        o.put("message", "Statement is required")
+        o.put("sqlState", SnowflakeError.SQLStateSyntaxError)
+      })
+      return
+    }
+    val db = textOf(body, "database").getOrElse("TEST_DB")
+    val schema = textOf(body, "schema").getOrElse("PUBLIC")
+    executor.catalog.createDatabase(db)
+    val bindings = parseBindings(body.get("bindings"))
+    val st = statements.create(statement)
+    val spark = executor.catalog.spark
+    statements.markRunning(st,
+      () => spark.sparkContext.cancelJobGroup(st.handle))
+    val ctx = Executor.Context(st.handle, db, schema)
+    try {
+      spark.sparkContext.setJobGroup(st.handle, statement,
+        interruptOnCancel = true)
+      val r = executor.execute(ctx, statement, bindings)
+      statements.complete(st, r)
+      respond(exchange, 200, statementResponse(st, Some(r), None))
+    } catch {
+      case t: Throwable =>
+        val e = SnowflakeError.fromThrowable(t)
+        statements.fail(st, e)
+        respond(exchange, 200, statementResponse(st, None, Some(e)))
+    } finally spark.sparkContext.clearJobGroup()
+  }
+
+  /** GET /api/v2/statements/{handle} — replay by status
+    * (reference `rest_api_v2.go:125-170`). */
+  private def getStatement(exchange: HttpExchange, handle: String): Unit =
+    statements.get(handle) match {
+      case None => respond(exchange, 404, obj { o =>
+        o.put("message", "Statement not found")
+        o.put("sqlState", SnowflakeError.SQLStateNoData)
+      })
+      case Some(st) =>
+        respond(exchange, 200, statementResponse(st, st.result, st.error))
+    }
+
+  /** POST /api/v2/statements/{handle}/cancel — fires the stored cancel
+    * (reference `rest_api_v2.go:173-197` + `statement_manager.go:150-171`). */
+  private def cancelStatement(exchange: HttpExchange, handle: String): Unit =
+    if (statements.cancel(handle))
+      respond(exchange, 200, obj(_.put("status", "canceled")))
+    else respond(exchange, 404, obj(_.put("message",
+      "Statement not found or not cancellable")))
+
+  private def statementResponse(st: statements.Statement,
+      result: Option[Executor.Result], error: Option[SnowflakeError]): ObjectNode =
+    obj { o =>
+      o.put("statementHandle", st.handle)
+      o.put("statementStatusUrl", "/api/v2/statements/" + st.handle)
+      o.put("createdOn", System.currentTimeMillis())
+      error match {
+        case Some(e) =>
+          o.put("code", e.code)
+          o.put("sqlState", e.sqlState)
+          o.put("message", e.getMessage)
+        case None => result match {
+          case Some(r) =>
+            o.put("code", "090001")
+            o.put("sqlState", SnowflakeError.SQLStateSuccess)
+            o.put("message", "Statement executed successfully.")
+            val md = o.putObject("resultSetMetaData")
+            md.put("numRows", r.rowsAffected.getOrElse(r.rows.size.toLong))
+            md.put("format", "jsonv2")
+            putRowType(md.putArray("rowType"), r)
+            val data = o.putArray("data")
+            r.rows.foreach { row =>
+              val jr = data.addArray()
+              row.foreach(v => addTyped(jr, v))
+            }
+          case None =>
+            o.put("code", "090001")
+            o.put("sqlState", SnowflakeError.SQLStateSuccess)
+            o.put("message", "Statement is running.")
+        }
+      }
+    }
+
+  // ------------------------------------------------------------------
+  // helpers
+  // ------------------------------------------------------------------
+
+  private def putRowType(arr: ArrayNode, r: Executor.Result): Unit =
+    r.columns.foreach { c =>
+      val t = arr.addObject()
+      t.put("name", c.name)
+      t.put("type", c.snowflakeType.toLowerCase(java.util.Locale.ROOT))
+      t.put("length", c.length)
+      t.put("precision", c.precision)
+      t.put("scale", c.scale)
+      t.put("nullable", c.nullable)
+    }
+
+  /** gosnowflake stringification — the analog of the reference's
+    * `fmt.Sprintf("%v")` loop (`query.go:179-193`). */
+  private def stringify(v: Any): String = v match {
+    case d: java.math.BigDecimal => d.toPlainString
+    case d: scala.math.BigDecimal => d.bigDecimal.toPlainString
+    case other => other.toString
+  }
+
+  private def addTyped(arr: ArrayNode, v: Any): Unit = v match {
+    case null => arr.addNull()
+    case b: Boolean => arr.add(b)
+    case i: Int => arr.add(i)
+    case l: Long => arr.add(l)
+    case d: Double => arr.add(d)
+    case f: Float => arr.add(f.toDouble)
+    case s: Short => arr.add(s.toInt)
+    case b: Byte => arr.add(b.toInt)
+    case d: java.math.BigDecimal => arr.add(d)
+    case d: scala.math.BigDecimal => arr.add(d.bigDecimal)
+    case other => arr.add(stringify(other))
+  }
+
+  private def withSession(exchange: HttpExchange)(
+      f: sessions.Session => Unit): Unit =
+    tokenOf(exchange).flatMap(sessions.validate) match {
+      case Some(s) => f(s)
+      case None => respond(exchange, 200, gosnowflakeError(
+        SnowflakeError(SnowflakeError.CodeSessionNotFound, "session not found")))
+    }
+
+  /** `Authorization: Snowflake Token="…"` or `Bearer …`
+    * (reference `handlers/session.go:329-355`). */
+  private def tokenOf(exchange: HttpExchange): Option[String] =
+    Option(exchange.getRequestHeaders.getFirst("Authorization")).flatMap { h =>
+      val sf = """Snowflake\s+Token="([^"]+)"""".r
+      sf.findFirstMatchIn(h).map(_.group(1))
+        .orElse(if (h.startsWith("Bearer ")) Some(h.stripPrefix("Bearer ")) else None)
+    }
+
+  private def gosnowflakeError(e: SnowflakeError): ObjectNode =
+    obj { o =>
+      o.put("success", false)
+      o.put("code", e.code)
+      o.put("message", e.getMessage)
+      val d = o.putObject("data")
+      d.put("sqlState", e.sqlState)
+    }
+
+  private def parseBindings(node: JsonNode): Map[String, Bindings.Binding] =
+    if (node == null || !node.isObject) Map.empty
+    else {
+      val it = node.fields()
+      val b = Map.newBuilder[String, Bindings.Binding]
+      while (it.hasNext) {
+        val e = it.next()
+        b += e.getKey -> Bindings.Binding(
+          textOf(e.getValue, "type").getOrElse("TEXT"),
+          textOf(e.getValue, "value").getOrElse(""))
+      }
+      b.result()
+    }
+
+  private def readJson(exchange: HttpExchange): JsonNode = {
+    val bytes = exchange.getRequestBody.readAllBytes()
+    if (bytes.isEmpty) mapper.createObjectNode()
+    else mapper.readTree(bytes)
+  }
+
+  private def textOf(n: JsonNode, field: String): Option[String] =
+    Option(n.get(field)).filterNot(_.isNull).map(_.asText())
+
+  private def queryParams(exchange: HttpExchange): Map[String, String] =
+    Option(exchange.getRequestURI.getQuery).map { q =>
+      q.split('&').toSeq.flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+          case _ => None
+        }
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  private def obj(f: ObjectNode => Unit): ObjectNode = {
+    val o = mapper.createObjectNode()
+    f(o)
+    o
+  }
+
+  private def respond(exchange: HttpExchange, status: Int, body: JsonNode): Unit = {
+    val bytes = mapper.writeValueAsBytes(body)
+    exchange.getResponseHeaders.set("Content-Type", "application/json")
+    exchange.sendResponseHeaders(status, bytes.length)
+    val os = exchange.getResponseBody
+    os.write(bytes)
+    os.close()
+  }
+}
+
+object EmulatorServer {
+  /** Wire up a complete emulator (session factory + managers + server). */
+  def apply(spark: org.apache.spark.sql.SparkSession, port: Int = 0,
+      stageRoot: java.nio.file.Path =
+        java.nio.file.Files.createTempDirectory("graft_stages")): EmulatorServer = {
+    val catalog = new Catalog(spark)
+    val executor = new Executor(catalog, new graft.stage.StageManager(stageRoot),
+      new WarehouseManager(), new QueryHistory())
+    new EmulatorServer(executor, new SessionManager(), new StatementManager(), port)
+  }
+}

@@ -1,0 +1,181 @@
+package graft.emulator
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.stage.StageManager
+
+/** Executor conformance suite — ports the de-facto conformance list of the
+  * reference (`pkg/query/integration_test.go:339`
+  * TestIntegration_AllSQLOperations: SELECT/SHOW/DESCRIBE, CREATE/ALTER/
+  * DROP TABLE, INSERT/UPDATE/DELETE with affected counts, BEGIN/COMMIT +
+  * BEGIN/ROLLBACK visibility, MERGE, bindings) and the function-semantics
+  * value assertions of `tests/e2e/gosnowflake_test.go:175-338`
+  * (IFF/NVL/NVL2/DATEADD/DATEDIFF/LISTAGG).
+  */
+class ExecutorSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.GraftSession.local(4)
+  private lazy val executor = {
+    val catalog = new Catalog(spark)
+    new Executor(catalog, new StageManager(Files.createTempDirectory("graft_stages")),
+      new WarehouseManager(), new QueryHistory())
+  }
+  private def ctx = Executor.Context("sess1", "TEST_DB", "PUBLIC")
+
+  private def exec(sql: String, bindings: Map[String, Bindings.Binding] = Map.empty) =
+    executor.execute(ctx, sql, bindings)
+
+  private def bootstrap(): Unit = executor.catalog.createDatabase("TEST_DB")
+
+  test("00 bootstrap + create table + insert + select") {
+    bootstrap()
+    exec("""CREATE TABLE users (
+        id INTEGER, name VARCHAR(100), email VARCHAR(255),
+        score NUMBER(5,2), created TIMESTAMP_NTZ)""")
+    val ins = exec("""INSERT INTO users VALUES
+        (1, 'Alice', 'alice@example.com', 95.5, '2024-01-01 10:00:00'),
+        (2, 'Bob', NULL, 72.25, '2024-01-02 11:00:00'),
+        (3, 'Carol', 'carol@example.com', 88.0, '2024-01-03 12:00:00')""")
+    assert(ins.rowsAffected.contains(3L))
+    assert(ins.columns.head.name == "number of rows inserted")
+    val r = exec("SELECT id, name FROM users ORDER BY id")
+    assert(r.rows.map(_.head) == Seq(1, 2, 3))
+    assert(r.columns.map(_.snowflakeType) == Seq("NUMBER", "TEXT"))
+  }
+
+  test("01 flagship README query: IFF + NVL with snowflake metadata") {
+    // the reference README's own headline query (README.md:129-135)
+    val r = exec("""SELECT name, IFF(score >= 90, 'A', 'B') AS grade,
+        NVL(email, 'no-email') AS email FROM users ORDER BY id""")
+    assert(r.rows == Seq(
+      Seq("Alice", "A", "alice@example.com"),
+      Seq("Bob", "B", "no-email"),
+      Seq("Carol", "B", "carol@example.com")))
+  }
+
+  test("02 function semantics: NVL2, DATEADD=2024-01-08, DATEDIFF=9") {
+    // value assertions from gosnowflake_test.go:175-338
+    val r = exec("""SELECT
+        NVL2(email, 'has', 'none') AS n2,
+        CAST(sf_dateadd('day', 7, DATE'2024-01-01') AS DATE) AS d7,
+        sf_datediff('day', DATE'2024-01-01', DATE'2024-01-10') AS dd
+        FROM users WHERE id = 2""")
+    assert(r.rows.head(0) == "none")
+    assert(r.rows.head(1).toString == "2024-01-08")
+    assert(r.rows.head(2) == 9L)
+  }
+
+  test("03 update + delete with affected counts") {
+    val u = exec("UPDATE users SET score = 100.0 WHERE id = 2")
+    assert(u.rowsAffected.contains(1L))
+    assert(u.columns.head.name == "number of rows updated")
+    val check = exec("SELECT score FROM users WHERE id = 2")
+    assert(check.rows.head.head.toString.startsWith("100"))
+    val d = exec("DELETE FROM users WHERE id = 3")
+    assert(d.rowsAffected.contains(1L))
+    assert(exec("SELECT COUNT(*) AS n FROM users").rows.head.head == 2L)
+  }
+
+  test("04 transactions: rollback restores, commit persists") {
+    // reference integration_test.go:470-487 rollback-visibility contract
+    exec("BEGIN")
+    exec("INSERT INTO users VALUES (10, 'Temp', NULL, 1.0, '2024-01-04 00:00:00')")
+    assert(exec("SELECT COUNT(*) AS n FROM users").rows.head.head == 3L)
+    exec("ROLLBACK")
+    assert(exec("SELECT COUNT(*) AS n FROM users").rows.head.head == 2L)
+    exec("BEGIN")
+    exec("UPDATE users SET name = 'Alicia' WHERE id = 1")
+    exec("COMMIT")
+    assert(exec("SELECT name FROM users WHERE id = 1").rows.head.head == "Alicia")
+  }
+
+  test("05 merge into: matched update + not-matched insert") {
+    exec("CREATE TABLE src (id INTEGER, score NUMBER(5,2))")
+    exec("INSERT INTO src VALUES (1, 50.0), (99, 75.0)")
+    val m = exec("""MERGE INTO users t USING src s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET t.score = s.score
+        WHEN NOT MATCHED THEN INSERT (id, name, score) VALUES (s.id, 'New', s.score)""")
+    assert(m.rows.head == Seq(1L, 1L, 0L)) // inserted, updated, deleted
+    val r = exec("SELECT id, name, score FROM users ORDER BY id")
+    assert(r.rows.size == 3)
+    assert(r.rows.last.head == 99)
+    assert(r.rows.last(1) == "New")
+  }
+
+  test("06 copy into from stage (CSV)") {
+    exec("CREATE STAGE mystage")
+    val stageDir = executor.stages.stageDir("MYSTAGE")
+    Files.writeString(stageDir.resolve("data.csv"),
+      "id,name,email,score,created\n20,Dave,d@e.com,55.5,2024-02-01 09:00:00\n21,Eve,,66.6,2024-02-02 09:00:00\n")
+    val c = exec("""COPY INTO users FROM @mystage
+        FILE_FORMAT = (TYPE = CSV SKIP_HEADER = 1)""")
+    assert(c.rowsAffected.contains(2L))
+    assert(exec("SELECT COUNT(*) AS n FROM users WHERE id IN (20, 21)").rows.head.head == 2L)
+  }
+
+  test("07 show / describe / history") {
+    val t = exec("SHOW TABLES")
+    assert(t.rows.exists(_.head == "USERS"))
+    val d = exec("DESCRIBE TABLE users")
+    assert(d.rows.exists(r => r.head == "ID" && r(1) == "INTEGER"))
+    assert(executor.history.recent().nonEmpty)
+    assert(executor.history.recent().forall(_.status != "RUNNING"))
+  }
+
+  test("08 bindings: :N and ? with validation error surfaced") {
+    val r = exec("SELECT name FROM users WHERE id = :1",
+      Map("1" -> Bindings.Binding("FIXED", "1")))
+    assert(r.rows.head.head == "Alicia")
+    val e = intercept[SnowflakeError](
+      exec("SELECT * FROM users WHERE created < ?",
+        Map("1" -> Bindings.Binding("TIMESTAMP", "not-a-date"))))
+    assert(e.code == SnowflakeError.CodeSQLCompilationError)
+  }
+
+  test("09 errors carry snowflake codes") {
+    val e = intercept[SnowflakeError](exec("SELECT * FROM nonexistent_t"))
+    assert(e.code == SnowflakeError.CodeSQLCompilationError)
+    assert(e.sqlState == "42000")
+    val e2 = intercept[SnowflakeError](exec("SELEC 1"))
+    assert(e2.code == SnowflakeError.CodeSQLCompilationError)
+  }
+
+  test("10 ctas + truncate + drop") {
+    exec("CREATE TABLE users2 AS SELECT * FROM users")
+    assert(exec("SELECT COUNT(*) AS n FROM users2").rows.head.head ==
+      exec("SELECT COUNT(*) AS n FROM users").rows.head.head)
+    exec("TRUNCATE TABLE users2")
+    assert(exec("SELECT COUNT(*) AS n FROM users2").rows.head.head == 0L)
+    exec("DROP TABLE users2")
+    intercept[SnowflakeError](exec("SELECT * FROM users2"))
+  }
+
+  test("11 warehouses via SQL") {
+    exec("CREATE WAREHOUSE compute_wh WAREHOUSE_SIZE = 'SMALL'")
+    val w = exec("SHOW WAREHOUSES")
+    assert(w.rows.exists(r => r.head == "COMPUTE_WH" && r(3) == "SMALL"))
+    exec("ALTER WAREHOUSE compute_wh SUSPEND")
+    assert(exec("SHOW WAREHOUSES").rows
+      .exists(r => r.head == "COMPUTE_WH" && r(1) == "SUSPENDED"))
+    exec("DROP WAREHOUSE compute_wh")
+    assert(!exec("SHOW WAREHOUSES").rows.exists(_.head == "COMPUTE_WH"))
+  }
+
+  test("12 use statement switches context via callback") {
+    var db = "TEST_DB"; var sc = "PUBLIC"
+    val c = Executor.Context("sess2", db, sc, onUse = Some((d, s) => {
+      d.foreach(db = _); s.foreach(sc = _)
+    }))
+    executor.execute(c, "USE DATABASE other_db")
+    assert(db == "OTHER_DB")
+    executor.execute(c, "USE SCHEMA analytics")
+    assert(sc == "ANALYTICS")
+  }
+
+  test("13 object_construct / to_variant json surface") {
+    val r = exec("""SELECT object_construct('a', id, 'b', name) AS obj,
+        to_variant(name) AS v FROM users WHERE id = 1""")
+    assert(r.rows.head.head == """{"a":1,"b":"Alicia"}""")
+    assert(r.rows.head(1) == "\"Alicia\"")
+  }
+}

@@ -1,0 +1,214 @@
+package graft.server
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end protocol tests through real HTTP sockets — the analog of the
+  * reference's server integration suite
+  * (`tests/integration/server_integration_test.go:107-1014`: login,
+  * query flow, error shapes, sessions) and REST v2 e2e
+  * (`tests/e2e/rest_api_v2_test.go`: statements, bindings validation,
+  * handle status URL, cancel).
+  */
+class EmulatorServerSpec extends AnyFunSuite {
+
+  private val mapper = new ObjectMapper()
+  private lazy val server = {
+    val s = EmulatorServer(graft.GraftSession.local(4))
+    s.start()
+    s
+  }
+  private lazy val base = s"http://127.0.0.1:${server.actualPort}"
+  private val client = HttpClient.newHttpClient()
+
+  private def post(path: String, body: String, headers: Seq[(String, String)] = Nil) = {
+    val b = HttpRequest.newBuilder(URI.create(base + path))
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+      .header("Content-Type", "application/json")
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), mapper.readTree(resp.body()))
+  }
+
+  private def get(path: String, headers: Seq[(String, String)] = Nil) = {
+    val b = HttpRequest.newBuilder(URI.create(base + path)).GET()
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), mapper.readTree(resp.body()))
+  }
+
+  private lazy val token: String = {
+    val (_, body) = post(
+      "/session/v1/login-request?databaseName=TEST_DB&schemaName=PUBLIC",
+      """{"data":{"LOGIN_NAME":"tester","PASSWORD":"anything"}}""")
+    assert(body.get("success").asBoolean())
+    body.get("data").get("token").asText()
+  }
+  private def auth = Seq("Authorization" -> s"""Snowflake Token="$token"""")
+
+  private def query(sql: String) = {
+    val sqlEsc = sql.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ")
+    post("/queries/v1/query-request", s"""{"sqlText":"$sqlEsc"}""", auth)
+  }
+
+  test("health endpoint") {
+    val (code, body) = get("/health")
+    assert(code == 200 && body.get("status").asText() == "ok")
+  }
+
+  test("login issues tokens and default parameters") {
+    val (_, body) = post("/session/v1/login-request",
+      """{"data":{"LOGIN_NAME":"u2","PASSWORD":"p"}}""")
+    assert(body.get("success").asBoolean())
+    val d = body.get("data")
+    assert(d.get("token").asText().nonEmpty)
+    assert(d.get("masterToken").asText().nonEmpty)
+    val params = d.get("parameters").elements()
+    var found = false
+    while (params.hasNext) {
+      val p = params.next()
+      if (p.get("name").asText() == "TIMEZONE")
+        found = p.get("value").asText() == "UTC"
+    }
+    assert(found, "TIMEZONE=UTC parameter expected")
+  }
+
+  test("login without LOGIN_NAME fails with auth error code") {
+    val (code, body) = post("/session/v1/login-request", """{"data":{}}""")
+    assert(code == 200) // errors ride HTTP 200 in this protocol
+    assert(!body.get("success").asBoolean())
+    assert(body.get("code").asText() == "390100")
+  }
+
+  test("gosnowflake query flow: DDL + DML + SELECT with string rowset") {
+    val (_, c) = query("CREATE TABLE gs_users (id INTEGER, name VARCHAR(50), score NUMBER(5,2))")
+    assert(c.get("success").asBoolean())
+    val (_, i) = query("INSERT INTO gs_users VALUES (1, 'Ann', 90.5), (2, 'Ben', 80.25)")
+    assert(i.get("success").asBoolean())
+    assert(i.get("data").get("total").asLong() == 2L)
+    val (_, s) = query("SELECT id, name, IFF(score >= 90, 'A', 'B') AS grade FROM gs_users ORDER BY id")
+    assert(s.get("success").asBoolean())
+    val data = s.get("data")
+    assert(data.get("statementTypeId").asLong() == 1L)
+    assert(data.get("queryResultFormat").asText() == "json")
+    val rowset = data.get("rowset")
+    assert(rowset.size() == 2)
+    // all-strings rowset, like the reference's convertRowsToStrings
+    assert(rowset.get(0).get(0).asText() == "1")
+    assert(rowset.get(0).get(1).asText() == "Ann")
+    assert(rowset.get(0).get(2).asText() == "A")
+    val rowtype = data.get("rowtype")
+    assert(rowtype.get(0).get("type").asText() == "number")
+    assert(rowtype.get(1).get("type").asText() == "text")
+  }
+
+  test("query errors: HTTP 200 + success:false + snowflake code") {
+    val (code, body) = query("SELECT * FROM table_that_does_not_exist")
+    assert(code == 200)
+    assert(!body.get("success").asBoolean())
+    assert(body.get("code").asText() == "001003")
+    assert(body.get("data").get("sqlState").asText() == "42000")
+  }
+
+  test("unauthorized query rejected with session error") {
+    val (_, body) = post("/queries/v1/query-request", """{"sqlText":"SELECT 1"}""")
+    assert(!body.get("success").asBoolean())
+    assert(body.get("code").asText() == "390144")
+  }
+
+  test("token renewal via master token") {
+    val (_, login) = post("/session/v1/login-request",
+      """{"data":{"LOGIN_NAME":"u3","PASSWORD":"p"}}""")
+    val master = login.get("data").get("masterToken").asText()
+    val (_, renewed) = post("/session/token-request",
+      s"""{"data":{"masterToken":"$master"}}""")
+    assert(renewed.get("success").asBoolean())
+    assert(renewed.get("data").get("sessionToken").asText().nonEmpty)
+  }
+
+  test("heartbeat + logout lifecycle") {
+    val (_, login) = post("/session/v1/login-request",
+      """{"data":{"LOGIN_NAME":"u4","PASSWORD":"p"}}""")
+    val t = login.get("data").get("token").asText()
+    val a = Seq("Authorization" -> s"""Snowflake Token="$t"""")
+    val (_, hb) = post("/session/heartbeat", "", a)
+    assert(hb.get("success").asBoolean())
+    val (_, out) = post("/session?delete=true", "", a)
+    assert(out.get("success").asBoolean())
+    val (_, hb2) = post("/session/heartbeat", "", a)
+    assert(!hb2.get("success").asBoolean())
+  }
+
+  test("USE switches session context") {
+    val (_, r1) = query("CREATE DATABASE other_db")
+    assert(r1.get("success").asBoolean())
+    assert(query("USE DATABASE other_db")._2.get("success").asBoolean())
+    assert(query("CREATE TABLE ot (x INTEGER)")._2.get("success").asBoolean())
+    val (_, s) = query("SHOW TABLES")
+    val names = (0 until s.get("data").get("rowset").size())
+      .map(i => s.get("data").get("rowset").get(i).get(0).asText())
+    assert(names.contains("OT"))
+    assert(query("USE DATABASE test_db")._2.get("success").asBoolean())
+  }
+
+  test("REST v2: submit statement, replay by handle, status url") {
+    val (_, sub) = post("/api/v2/statements",
+      """{"statement":"SELECT id, name FROM gs_users ORDER BY id","database":"TEST_DB","schema":"PUBLIC"}""",
+      Seq("Authorization" -> s"Bearer $token"))
+    assert(sub.get("code").asText() == "090001")
+    val handle = sub.get("statementHandle").asText()
+    assert(handle.startsWith("01") && handle.length == 34)
+    assert(sub.get("statementStatusUrl").asText() == s"/api/v2/statements/$handle")
+    assert(sub.get("resultSetMetaData").get("numRows").asLong() == 2L)
+    assert(sub.get("resultSetMetaData").get("format").asText() == "jsonv2")
+    // typed data: numbers are numbers in v2 (not strings)
+    assert(sub.get("data").get(0).get(0).isNumber)
+    assert(sub.get("data").get(0).get(1).asText() == "Ann")
+    assert(sub.get("createdOn").isNumber) // ms epoch (rest_api_v2_test.go:841)
+    // replay
+    val (_, replay) = get(s"/api/v2/statements/$handle")
+    assert(replay.get("data").get(1).get(1).asText() == "Ben")
+  }
+
+  test("REST v2: DML returns rows-affected shape") {
+    val (_, r) = post("/api/v2/statements",
+      """{"statement":"UPDATE gs_users SET score = 99.0 WHERE id = 1","database":"TEST_DB"}""")
+    assert(r.get("code").asText() == "090001")
+    assert(r.get("resultSetMetaData").get("numRows").asLong() == 1L)
+    assert(r.get("resultSetMetaData").get("rowType").get(0).get("name").asText()
+      == "number of rows updated")
+  }
+
+  test("REST v2: bindings with validation error (bad date rejected)") {
+    val (_, ok) = post("/api/v2/statements",
+      """{"statement":"SELECT name FROM gs_users WHERE id = :1",
+         "database":"TEST_DB",
+         "bindings":{"1":{"type":"FIXED","value":"2"}}}""")
+    assert(ok.get("data").get(0).get(0).asText() == "Ben")
+    val (_, bad) = post("/api/v2/statements",
+      """{"statement":"SELECT * FROM gs_users WHERE created < :1",
+         "bindings":{"1":{"type":"DATE","value":"not-a-date"}}}""")
+    assert(bad.get("code").asText() == "001003")
+    assert(bad.get("message").asText().contains("invalid DATE"))
+  }
+
+  test("REST v2: unknown handle 404; merge through v2") {
+    val (code, _) = get("/api/v2/statements/01ffffffffffffffffffffffffffffffff")
+    assert(code == 404)
+    post("/api/v2/statements",
+      """{"statement":"CREATE TABLE m_src (id INTEGER, v NUMBER(5,2))","database":"TEST_DB"}""")
+    post("/api/v2/statements",
+      """{"statement":"INSERT INTO m_src VALUES (1, 10.0), (7, 70.0)","database":"TEST_DB"}""")
+    val (_, m) = post("/api/v2/statements",
+      """{"statement":"MERGE INTO gs_users t USING m_src s ON t.id = s.id WHEN MATCHED THEN UPDATE SET t.score = s.v WHEN NOT MATCHED THEN INSERT (id, name, score) VALUES (s.id, 'merged', s.v)","database":"TEST_DB"}""")
+    assert(m.get("code").asText() == "090001")
+    assert(m.get("resultSetMetaData").get("numRows").asLong() == 2L)
+  }
+
+  test("telemetry accepted and ignored") {
+    val (code, _) = post("/telemetry/send", """{"logs":[]}""")
+    assert(code == 200)
+  }
+}
