@@ -313,6 +313,44 @@ object Pipeline {
         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
 
+    // ---- embedding-cosine near-dup (exact baseline; p06 is the LSH
+    // scale path for the same shape) ------------------------------------
+    QDef("p14_embedding_neardup",
+      (s, dir) => {
+        val a = emb(s, dir).select(col("vec_id").as("a_id"), col("embedding").as("av"))
+        val b = emb(s, dir).select(col("vec_id").as("b_id"), col("embedding").as("bv"))
+        a.crossJoin(b).filter(col("a_id") < col("b_id"))
+          .withColumn("sim", expr("cosine_sim(av, bv)"))
+          .filter(col("sim") >= 0.4)
+          .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim_r"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+          round(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) FOR i IN range(1, len(a.embedding) + 1)])
+            / (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) FOR i IN range(1, len(a.embedding) + 1)]))
+             * sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) FOR i IN range(1, len(b.embedding) + 1)]))), 6) AS sim_r
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) FOR i IN range(1, len(a.embedding) + 1)])
+            / (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) FOR i IN range(1, len(a.embedding) + 1)]))
+             * sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) FOR i IN range(1, len(b.embedding) + 1)]))) >= 0.4
+        ORDER BY a_id, b_id""")),
+
+    // ---- multimodal decode plumbing (mapPartitions over binary payloads;
+    // stubbed codec -> rows-only check, Spark-side contract is real) -----
+    QDef("p15_multimodal_decode",
+      (s, dir) => {
+        val media = docs(s, dir).select(
+          col("doc_id").as("media_id"),
+          col("text").cast("binary").as("payload"),
+          lit("text").as("media_type"))
+        graft.operators.Multimodal.decodeAndFeaturize(media)
+          .select(col("media_id"), col("n_bytes"), col("width"), col("height"),
+            round(expr("aggregate(features, 0D, (acc, x) -> acc + x)"), 6)
+              .as("feat_sum"))
+          .orderBy(col("media_id"))
+      },
+      None),
+
     // ---- multimodal column plumbing (binary payload + metadata) -------
     QDef("p13_media_meta",
       (s, dir) => docs(s, dir)

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming extension over the `events` stream shape.
+  *
+  * The reference supports no streams/tasks/pipes (reference
+  * `README.md:295-306`), so nothing here is parity-required; this module is
+  * the engine's forward-looking streaming surface, built the idiomatic way:
+  * `readStream -> transforms -> writeStream`, event-time windows bounded by
+  * watermarks, and `mapGroupsWithState` for custom sessionization state.
+  *
+  * Scale notes: windowed aggregation shuffles on (window, key) with
+  * partial aggregation map-side; the watermark bounds state size, so the
+  * job runs indefinitely at constant memory; sessionization state is
+  * per-key and evicted by processing-time timeout.
+  */
+object EventStreams {
+
+  final case class Event(
+      event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionUpdate(
+      user_id: Long, events: Long, total_value: Double, closed: Boolean)
+
+  /** Hourly tumbling-window aggregation per event type, late data bounded
+    * by a 1-hour watermark. Batch analog: Pipeline p12_events_hourly. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("total"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Sliding-window rate (10-minute windows every 5), watermark-bounded. */
+  def slidingRate(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+
+  /** Per-user running session state via mapGroupsWithState: counts events
+    * and value; with `timeoutMs > 0` a processing-time timeout closes idle
+    * sessions (production mode — note the engine then schedules extra
+    * batches to service timers), `timeoutMs <= 0` keeps state until stream
+    * end (deterministic mode for tests). */
+  def sessionize(events: Dataset[Event],
+      timeoutMs: Long = 30L * 60 * 1000): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    val timeoutMode =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Double), SessionUpdate](timeoutMode) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[(Long, Double)]) =>
+          if (state.hasTimedOut) {
+            val (n, v) = state.get
+            state.remove()
+            SessionUpdate(userId, n, v, closed = true)
+          } else {
+            val buf = rows.toSeq
+            val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+            val n = n0 + buf.size
+            val v = v0 + buf.map(_.value).sum
+            state.update((n, v))
+            if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+            SessionUpdate(userId, n, v, closed = false)
+          }
+      }
+  }
+
+  /** Wire a streaming DataFrame to an in-memory sink (tests / demos). */
+  def toMemorySink(df: DataFrame, name: String, complete: Boolean = true) =
+    df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(if (complete) OutputMode.Complete else OutputMode.Update)
+}

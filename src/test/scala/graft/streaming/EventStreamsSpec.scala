@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming semantics through real micro-batch execution: MemoryStream
+  * source -> windowed agg / stateful sessionization -> memory sink. */
+class EventStreamsSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.GraftSession.local(4)
+
+  private def ts(minute: Int) =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("hourly windowed aggregation with watermark") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventStreams.Event]
+    input.addData(
+      EventStreams.Event(1, ts(5), 100, "click", 1.0),
+      EventStreams.Event(2, ts(10), 100, "click", 2.0),
+      EventStreams.Event(3, ts(20), 200, "purchase", 30.0))
+    val q = EventStreams.toMemorySink(
+      EventStreams.hourlyCounts(input.toDF()), "hourly").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT event_type, n, total FROM hourly ORDER BY event_type")
+        .collect()
+      assert(rows.length == 2)
+      assert(rows(0).getString(0) == "click" && rows(0).getLong(1) == 2
+        && rows(0).getDouble(2) == 3.0)
+      assert(rows(1).getString(0) == "purchase" && rows(1).getLong(1) == 1)
+    } finally q.stop()
+  }
+
+  test("late data beyond the watermark is dropped from finalized windows") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.toMemorySink(
+      EventStreams.hourlyCounts(input.toDF()), "late", complete = false).start()
+    try {
+      input.addData(EventStreams.Event(1, ts(5), 1, "click", 1.0))
+      q.processAllAvailable()
+      // advance watermark far past the 10:00 window (+1h watermark)
+      input.addData(EventStreams.Event(2,
+        Timestamp.valueOf("2024-01-01 13:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // this event is 3h late: its window is already finalized
+      input.addData(EventStreams.Event(3, ts(6), 1, "click", 100.0))
+      q.processAllAvailable()
+      val total = spark.sql(
+        "SELECT sum(n) FROM late WHERE event_type = 'click'").collect()(0).getLong(0)
+      assert(total == 2, "late row must not be re-aggregated")
+    } finally q.stop()
+  }
+
+  test("sessionization via mapGroupsWithState accumulates per user") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(input.toDS(), timeoutMs = 0)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        EventStreams.Event(1, ts(0), 7, "click", 1.5),
+        EventStreams.Event(2, ts(1), 7, "click", 2.5),
+        EventStreams.Event(3, ts(2), 9, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(EventStreams.Event(4, ts(3), 7, "purchase", 10.0))
+      q.processAllAvailable()
+      val row = spark.sql(
+        "SELECT events, total_value FROM sessions WHERE user_id = 7 ORDER BY events DESC LIMIT 1")
+        .collect()(0)
+      assert(row.getLong(0) == 3 && row.getDouble(1) == 14.0)
+    } finally q.stop()
+  }
+}
