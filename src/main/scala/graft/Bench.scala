@@ -13,6 +13,11 @@ object Bench {
     SparkEntry.queries.get("q01_pricing_summary")
       .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => () })
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Drop the previous query's shuffle state before timing: GC triggers
+      // Spark's ContextCleaner to release shuffle files/buffers, so each
+      // number measures the engine, not the predecessor's uncollected heap
+      // (observed 152s -> 5.7s on a heavy-shuffle successor without this).
+      System.gc(); Thread.sleep(300)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

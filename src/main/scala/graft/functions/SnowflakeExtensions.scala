@@ -75,6 +75,24 @@ object SnowflakeExtensions {
       copy(child = newChild)
   }
 
+  /** PARSE_JSON in the JSON-text VARIANT model: validate and canonicalize
+    * (DuckDB's CAST(s AS JSON) behavior — reference `translator.go:70-75`);
+    * invalid JSON -> null, matching DuckDB TRY_CAST-leniency for the
+    * emulator surface. Result-shaping, not hot path: CodegenFallback. */
+  case class ParseJsonText(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true // invalid JSON evaluates to null
+    override def prettyName: String = "parse_json"
+    @transient private lazy val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    override def nullSafeEval(v: Any): Any =
+      try UTF8String.fromString(
+        om.writeValueAsString(om.readTree(v.asInstanceOf[UTF8String].toString)))
+      catch { case _: Exception => null }
+    override protected def withNewChildInternal(newChild: Expression): ParseJsonText =
+      copy(child = newChild)
+  }
+
   private def info(name: String, usage: String) =
     new ExpressionInfo(SnowflakeExtensions.getClass.getCanonicalName, null, name, usage, "")
 
@@ -105,6 +123,13 @@ object SnowflakeExtensions {
       (args: Seq[Expression]) => TimestampAdd(unitOf(args(0)), args(1), args(2))),
     ("sf_datediff", "sf_datediff('part', start, end)",
       (args: Seq[Expression]) => TimestampDiff(unitOf(args(0)), args(1), args(2))),
+    // PARSE_JSON(s) — reference translator.go:70-75 rewrites to CAST(s AS
+    // JSON), which validates + canonicalizes the text. The engine's VARIANT
+    // model is JSON-in-string (SURVEY §1.2), so this validates/normalizes
+    // and stays a string; it intentionally shadows Spark's VariantType
+    // parse_json inside emulator sessions for reference parity.
+    ("parse_json", "parse_json(json_text)",
+      (args: Seq[Expression]) => ParseJsonText(args.head)),
     // Vector / dedup expressions (graft.functions.VectorExpressions) — the
     // engine's own codegen'd primitives for the data-pipeline operators.
     // Input casts replace ExpectsInputTypes (private[sql] in Spark 4): the

@@ -110,12 +110,15 @@ object Pipeline {
         // doc A's shingles, then inner-join doc B's shingles on (b_id,
         // shingle) to count the intersection. Cost is O(candidates x
         // shingles-per-doc), not the full quadratic shingle self-join —
-        // that asymmetry is the whole point of the LSH pass.
-        val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        // that asymmetry is the whole point of the LSH pass. The join key
+        // is the 64-bit shingle hash, not the string: at 100 TB the
+        // shuffle moves 8 bytes per shingle instead of ~30.
+        val shh = sh.select(col("doc_id"), xxhash64(col("shingle")).as("hs"))
+        val sz = shh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
         val inter = candidates
-          .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
-          .join(sh.select(col("doc_id").as("b_id"), col("shingle")),
-            Seq("b_id", "shingle"))
+          .join(shh.select(col("doc_id").as("a_id"), col("hs")), "a_id")
+          .join(shh.select(col("doc_id").as("b_id"), col("hs")),
+            Seq("b_id", "hs"))
           .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
         inter
           .join(sz.select(col("doc_id").as("a_id"), col("sz").as("sza")), "a_id")

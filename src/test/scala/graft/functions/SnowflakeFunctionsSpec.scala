@@ -111,4 +111,11 @@ class SnowflakeFunctionsSpec extends SparkSpecBase {
     val gen = one("SELECT simhash64(array(17L, 99L, 1234567L))").getLong(0)
     assert(interp == gen)
   }
+
+  test("parse_json validates and canonicalizes (JSON-text VARIANT model)") {
+    assert(one("""SELECT parse_json('{"a" : 1, "b": [1, 2]}')""").getString(0)
+      == """{"a":1,"b":[1,2]}""")
+    assert(one("SELECT parse_json('not json')").isNullAt(0))
+    assert(one("SELECT parse_json(NULL)").isNullAt(0))
+  }
 }
