@@ -41,6 +41,8 @@ final class EmulatorServer(
   server.createContext("/queries/v1/query-request", handler(queryRequest))
   server.createContext("/queries/v1/abort-request", handler(abortRequest))
   server.createContext("/api/v2/statements", handler(restStatements))
+  server.createContext("/api/v2/databases", v2handler(restObjects))
+  server.createContext("/api/v2/warehouses", v2handler(restWarehouses))
   server.createContext("/telemetry/send", exchange =>
     respond(exchange, 200, obj(o => o.put("success", true)))) // accepted+ignored
 
@@ -54,6 +56,26 @@ final class EmulatorServer(
         case t: Throwable =>
           val e = SnowflakeError.fromThrowable(t)
           respond(exchange, 200, gosnowflakeError(e))
+      }
+
+  /** REST v2 errors carry real HTTP status codes (unlike the gosnowflake
+    * protocol's HTTP-200-with-success:false). */
+  private def v2handler(f: HttpExchange => Unit): com.sun.net.httpserver.HttpHandler =
+    exchange =>
+      try f(exchange)
+      catch {
+        case t: Throwable =>
+          val e = SnowflakeError.fromThrowable(t)
+          val status = e.code match {
+            case SnowflakeError.CodeObjectNotFound => 404
+            case SnowflakeError.CodeObjectAlreadyExists => 409
+            case SnowflakeError.CodeInvalidParameter => 400
+            case _ => 400
+          }
+          respond(exchange, status, obj { o =>
+            o.put("code", e.code); o.put("message", e.getMessage)
+            o.put("sqlState", e.sqlState)
+          })
       }
 
   // ------------------------------------------------------------------
@@ -236,6 +258,146 @@ final class EmulatorServer(
       respond(exchange, 200, obj(_.put("status", "canceled")))
     else respond(exchange, 404, obj(_.put("message",
       "Statement not found or not cancellable")))
+
+  // ------------------------------------------------------------------
+  // REST v2 object CRUD (reference routes `cmd/server/main.go:100-126`)
+  // ------------------------------------------------------------------
+
+  /** /api/v2/databases[/{db}[/schemas[/{schema}[/tables[/{table}]]]]] */
+  private def restObjects(exchange: HttpExchange): Unit = {
+    val segs = exchange.getRequestURI.getPath
+      .stripPrefix("/api/v2/databases").stripPrefix("/").stripSuffix("/")
+      .split('/').toSeq.filter(_.nonEmpty)
+      .map(s => java.net.URLDecoder.decode(s, "UTF-8"))
+    val method = exchange.getRequestMethod
+    val cat = executor.catalog
+    (method, segs) match {
+      // databases
+      case ("GET", Seq()) =>
+        respond(exchange, 200, arr(cat.listDatabases()) { (o, d) =>
+          o.put("name", d.name); o.put("created_on", d.createdOn)
+        })
+      case ("POST", Seq()) =>
+        val name = textOf(readJson(exchange), "name").getOrElse(
+          throw SnowflakeError(SnowflakeError.CodeInvalidParameter, "name is required"))
+        cat.createDatabase(name, ifNotExists = false)
+        respond(exchange, 200, obj(_.put("status", s"Database ${name.toUpperCase} successfully created.")))
+      case ("GET", Seq(db)) =>
+        cat.listDatabases().find(_.name.equalsIgnoreCase(db)) match {
+          case Some(d) => respond(exchange, 200, obj { o =>
+            o.put("name", d.name); o.put("created_on", d.createdOn)
+          })
+          case None => respond(exchange, 404, obj(_.put("message", s"database $db not found")))
+        }
+      case ("DELETE", Seq(db)) =>
+        cat.dropDatabase(db); respond(exchange, 200, obj(_.put("status", "dropped")))
+      // schemas
+      case ("GET", Seq(db, "schemas")) =>
+        respond(exchange, 200, arr(cat.listSchemas(db)) { (o, s) =>
+          o.put("name", s.name); o.put("database", s.database)
+        })
+      case ("POST", Seq(db, "schemas")) =>
+        val name = textOf(readJson(exchange), "name").getOrElse(
+          throw SnowflakeError(SnowflakeError.CodeInvalidParameter, "name is required"))
+        cat.createSchema(db, name)
+        respond(exchange, 200, obj(_.put("status", s"Schema ${name.toUpperCase} successfully created.")))
+      case ("GET", Seq(db, "schemas", schema)) =>
+        cat.listSchemas(db).find(_.name.equalsIgnoreCase(schema)) match {
+          case Some(s) => respond(exchange, 200, obj { o =>
+            o.put("name", s.name); o.put("database", s.database)
+          })
+          case None => respond(exchange, 404, obj(_.put("message", s"schema $schema not found")))
+        }
+      case ("DELETE", Seq(db, "schemas", schema)) =>
+        cat.dropSchema(db, schema); respond(exchange, 200, obj(_.put("status", "dropped")))
+      // tables
+      case ("GET", Seq(db, "schemas", schema, "tables")) =>
+        respond(exchange, 200,
+          arr(cat.listTables(db).filter(_.schema.equalsIgnoreCase(schema))) { (o, t) =>
+            o.put("name", t.table); o.put("database", t.database)
+            o.put("schema", t.schema); o.put("kind", t.tableType)
+          })
+      case ("POST", Seq(db, "schemas", schema, "tables")) =>
+        val body = readJson(exchange)
+        val name = textOf(body, "name").getOrElse(
+          throw SnowflakeError(SnowflakeError.CodeInvalidParameter, "name is required"))
+        val cols = Option(body.get("columns")).filter(_.isArray).map { a =>
+          (0 until a.size()).map { i =>
+            val c = a.get(i)
+            Catalog.ColumnDef(
+              textOf(c, "name").getOrElse(s"C$i").toUpperCase(java.util.Locale.ROOT),
+              textOf(c, "datatype").orElse(textOf(c, "type")).getOrElse("VARCHAR"),
+              nullable = Option(c.get("nullable")).forall(_.asBoolean(true)))
+          }.toSeq
+        }.getOrElse(throw SnowflakeError(SnowflakeError.CodeInvalidParameter,
+          "columns are required"))
+        cat.createTable(TableNaming.parse(s"$db.$schema.$name", db, schema), cols)
+        respond(exchange, 200, obj(_.put("status", s"Table ${name.toUpperCase} successfully created.")))
+      case ("GET", Seq(db, "schemas", schema, table)) if segs.size == 4 =>
+        respond(exchange, 404, obj(_.put("message", "not found")))
+      case ("GET", Seq(db, "schemas", schema, "tables", table)) =>
+        cat.getTable(TableNaming.parse(s"$db.$schema.$table", db, schema)) match {
+          case Some(t) => respond(exchange, 200, obj { o =>
+            o.put("name", t.table); o.put("database", t.database)
+            o.put("schema", t.schema); o.put("kind", t.tableType)
+            val cs = o.putArray("columns")
+            t.columns.foreach { c =>
+              val cn = cs.addObject()
+              cn.put("name", c.name); cn.put("datatype", c.snowflakeType)
+              cn.put("nullable", c.nullable)
+            }
+          })
+          case None => respond(exchange, 404, obj(_.put("message", s"table $table not found")))
+        }
+      case ("DELETE", Seq(db, "schemas", schema, "tables", table)) =>
+        cat.dropTable(TableNaming.parse(s"$db.$schema.$table", db, schema))
+        respond(exchange, 200, obj(_.put("status", "dropped")))
+      case _ => respond(exchange, 404, obj(_.put("message", "not found")))
+    }
+  }
+
+  /** /api/v2/warehouses[/{name}[:resume|:suspend]] */
+  private def restWarehouses(exchange: HttpExchange): Unit = {
+    val seg = exchange.getRequestURI.getPath
+      .stripPrefix("/api/v2/warehouses").stripPrefix("/")
+    val method = exchange.getRequestMethod
+    val wm = executor.warehouses
+    (method, seg) match {
+      case ("GET", "") =>
+        respond(exchange, 200, arr(wm.list()) { (o, w) =>
+          o.put("name", w.name); o.put("size", w.size); o.put("state", w.state)
+        })
+      case ("POST", "") =>
+        val body = readJson(exchange)
+        val name = textOf(body, "name").getOrElse(
+          throw SnowflakeError(SnowflakeError.CodeInvalidParameter, "name is required"))
+        val w = wm.create(name, textOf(body, "warehouse_size").getOrElse("X-SMALL"))
+        respond(exchange, 200, obj(_.put("status", s"Warehouse ${w.name} successfully created.")))
+      case ("POST", s) if s.endsWith(":resume") =>
+        wm.resume(s.stripSuffix(":resume"))
+        respond(exchange, 200, obj(_.put("status", "resumed")))
+      case ("POST", s) if s.endsWith(":suspend") =>
+        wm.suspend(s.stripSuffix(":suspend"))
+        respond(exchange, 200, obj(_.put("status", "suspended")))
+      case ("GET", name) =>
+        wm.get(name) match {
+          case Some(w) => respond(exchange, 200, obj { o =>
+            o.put("name", w.name); o.put("size", w.size); o.put("state", w.state)
+            o.put("auto_suspend", w.autoSuspend); o.put("auto_resume", w.autoResume)
+          })
+          case None => respond(exchange, 404, obj(_.put("message", s"warehouse $name not found")))
+        }
+      case ("DELETE", name) =>
+        wm.drop(name); respond(exchange, 200, obj(_.put("status", "dropped")))
+      case _ => respond(exchange, 404, obj(_.put("message", "not found")))
+    }
+  }
+
+  private def arr[A](items: Seq[A])(f: (ObjectNode, A) => Unit): ArrayNode = {
+    val a = mapper.createArrayNode()
+    items.foreach { it => f(a.addObject(), it) }
+    a
+  }
 
   private def statementResponse(st: statements.Statement,
       result: Option[Executor.Result], error: Option[SnowflakeError]): ObjectNode =

@@ -211,4 +211,56 @@ class EmulatorServerSpec extends AnyFunSuite {
     val (code, _) = post("/telemetry/send", """{"logs":[]}""")
     assert(code == 200)
   }
+
+  private def req(method: String, path: String, body: String = "") = {
+    val b = HttpRequest.newBuilder(URI.create(base + path))
+      .method(method, if (body.isEmpty) HttpRequest.BodyPublishers.noBody()
+        else HttpRequest.BodyPublishers.ofString(body))
+      .header("Content-Type", "application/json")
+    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), mapper.readTree(resp.body()))
+  }
+
+  test("REST v2 object CRUD: databases, schemas, tables, warehouses") {
+    // databases (reference main.go:100-106)
+    val (c1, _) = req("POST", "/api/v2/databases", """{"name":"crud_db"}""")
+    assert(c1 == 200)
+    val (c2, dbs) = req("GET", "/api/v2/databases")
+    assert(c2 == 200)
+    assert((0 until dbs.size()).exists(i => dbs.get(i).get("name").asText() == "CRUD_DB"))
+    val (conflict, _) = req("POST", "/api/v2/databases", """{"name":"crud_db"}""")
+    assert(conflict == 409)
+    // schemas (main.go:108-112)
+    assert(req("POST", "/api/v2/databases/crud_db/schemas", """{"name":"s1"}""")._1 == 200)
+    val (_, schemas) = req("GET", "/api/v2/databases/crud_db/schemas")
+    assert((0 until schemas.size()).map(schemas.get(_).get("name").asText()).toSet
+      == Set("PUBLIC", "S1"))
+    // tables with typed columns (main.go:114-119; ColumnDef shape rest_api_v2.go:121-127)
+    val (ct, _) = req("POST", "/api/v2/databases/crud_db/schemas/s1/tables",
+      """{"name":"t1","columns":[
+          {"name":"id","datatype":"NUMBER(10,0)","nullable":false},
+          {"name":"label","datatype":"VARCHAR(50)"}]}""")
+    assert(ct == 200)
+    val (gt, table) = req("GET", "/api/v2/databases/crud_db/schemas/s1/tables/t1")
+    assert(gt == 200)
+    assert(table.get("columns").get(0).get("datatype").asText() == "NUMBER(10,0)")
+    assert(!table.get("columns").get(0).get("nullable").asBoolean())
+    // table visible to SQL through the same catalog
+    val (_, ins) = post("/api/v2/statements",
+      """{"statement":"INSERT INTO s1.t1 VALUES (1, 'x')","database":"CRUD_DB"}""")
+    assert(ins.get("code").asText() == "090001")
+    // warehouses (main.go:121-126)
+    assert(req("POST", "/api/v2/warehouses",
+      """{"name":"wh_v2","warehouse_size":"SMALL"}""")._1 == 200)
+    assert(req("POST", "/api/v2/warehouses/wh_v2:suspend")._1 == 200)
+    val (_, w) = req("GET", "/api/v2/warehouses/wh_v2")
+    assert(w.get("state").asText() == "SUSPENDED")
+    assert(req("POST", "/api/v2/warehouses/wh_v2:resume")._1 == 200)
+    assert(req("DELETE", "/api/v2/warehouses/wh_v2")._1 == 200)
+    assert(req("GET", "/api/v2/warehouses/wh_v2")._1 == 404)
+    // deletes cascade
+    assert(req("DELETE", "/api/v2/databases/crud_db/schemas/s1/tables/t1")._1 == 200)
+    assert(req("DELETE", "/api/v2/databases/crud_db")._1 == 200)
+    assert(req("GET", "/api/v2/databases/crud_db")._1 == 404)
+  }
 }
