@@ -1,0 +1,101 @@
+package graft.emulator
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based tests over the pure emulator layers — coverage the
+  * reference's table-driven suites lack entirely (SURVEY §5: no
+  * property-based testing anywhere in the Go repo).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  /** Run a ScalaCheck property under ScalaTest (the scalatest-scalacheck
+    * bridge isn't in the offline cache; raw ScalaCheck is). */
+  private def check(prop: Prop): Unit = {
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  // ---- bindings ------------------------------------------------------
+
+  test("bindings: every :N placeholder is replaced exactly, any count/order") {
+    val gen = for {
+      n <- Gen.choose(1, 30)
+      values <- Gen.listOfN(n, Gen.choose(-1000000L, 1000000L))
+    } yield values
+    check(Prop.forAll(gen) { values =>
+      val bindings = values.zipWithIndex.map { case (v, i) =>
+        (i + 1).toString -> Bindings.Binding("FIXED", v.toString)
+      }.toMap
+      val sql = (1 to values.size).map(i => s":$i").mkString("SELECT ", ", ", "")
+      val out = Bindings.apply(sql, bindings)
+      out == values.mkString("SELECT ", ", ", "")
+    })
+  }
+
+  test("bindings: TEXT values never break out of their quotes") {
+    check(Prop.forAll(Gen.asciiPrintableStr) { s =>
+      val v = Bindings.formatValue(Bindings.Binding("TEXT", s))
+      // quoted, and every interior quote is doubled: stripping the outer
+      // quotes and undoubling recovers the original
+      v.head == '\'' && v.last == '\'' &&
+        v.substring(1, v.length - 1).replace("''", "'") == s
+    })
+  }
+
+  // ---- classifier ----------------------------------------------------
+
+  test("classifier: leading whitespace and case never change the class") {
+    val stmts = Gen.oneOf(
+      "SELECT 1", "INSERT INTO t VALUES (1)", "UPDATE t SET a=1",
+      "DELETE FROM t", "CREATE TABLE t (i INT)", "DROP TABLE t",
+      "ALTER TABLE t ADD COLUMN c INT", "COPY INTO t FROM @s",
+      "MERGE INTO t USING s ON 1=1 WHEN MATCHED THEN DELETE",
+      "BEGIN", "COMMIT", "ROLLBACK", "SHOW TABLES", "EXPLAIN SELECT 1")
+    val ws = Gen.listOf(Gen.oneOf(' ', '\t', '\n')).map(_.mkString)
+    check(Prop.forAll(stmts, ws, Gen.oneOf(true, false)) { (sql, pad, lower) =>
+      val mutated = pad + (if (lower) sql.toLowerCase else sql)
+      Classifier.classify(mutated).tpe == Classifier.classify(sql).tpe
+    })
+  }
+
+  // ---- table naming --------------------------------------------------
+
+  test("naming: parse-then-flatten is stable under case and context") {
+    val ident = Gen.nonEmptyListOf(Gen.alphaNumChar).map("T" + _.mkString)
+      .map(_.take(20))
+    check(Prop.forAll(ident, ident, ident) { (db, sc, t) =>
+      val ref = TableNaming.parse(s"$db.$sc.$t", "X", "Y")
+      val viaContext = TableNaming.parse(t, db, sc)
+      ref == TableNaming.Ref(db.toUpperCase, sc.toUpperCase, t.toUpperCase) &&
+        viaContext == ref &&
+        TableNaming.flatten(db, sc, t) ==
+          s"${db.toUpperCase}.${sc.toUpperCase}_${t.toUpperCase}"
+    })
+  }
+
+  // ---- merge parser split -------------------------------------------
+
+  test("splitTopLevel: never splits inside parens or quotes, rejoins clean") {
+    val atom = Gen.oneOf("a", "f(x, y)", "'lit, eral'", "g(h(1,2), 3)", "col.b")
+    check(Prop.forAll(Gen.nonEmptyListOf(atom)) { parts =>
+      MergeParser.splitTopLevel(parts.mkString(", ")) == parts
+    })
+  }
+
+  // ---- type mapper ---------------------------------------------------
+
+  test("type mapper: every snowflake type round-trips to a snowflake name") {
+    val types = Gen.oneOf("NUMBER(10,2)", "DECIMAL(5,1)", "INT", "BIGINT",
+      "FLOAT", "DOUBLE", "VARCHAR(100)", "TEXT", "BOOLEAN", "DATE",
+      "TIMESTAMP_NTZ", "TIMESTAMP_TZ", "VARIANT", "OBJECT", "ARRAY",
+      "BINARY", "GEOGRAPHY", "SOMETHING_UNKNOWN")
+    check(Prop.forAll(types) { t =>
+      // total function: never throws, always lands in the documented
+      // result-name set (type_mapper.go collapse rules)
+      val name = TypeMapper.toSnowflakeTypeName(TypeMapper.toSparkType(t))
+      Set("NUMBER", "FLOAT", "TEXT", "BOOLEAN", "DATE", "TIMESTAMP_NTZ",
+        "TIMESTAMP_TZ", "BINARY", "ARRAY", "OBJECT").contains(name)
+    })
+  }
+}
