@@ -218,6 +218,43 @@ object Pipeline {
       },
       None),
 
+    // ---- IVF-style ANN: coarse-quantize to per-label centroid cells,
+    // probe the nprobe nearest cells, score only their members. The cell
+    // index is tiny (one row per label) and broadcast, so candidate
+    // generation is a broadcast join — no quadratic pair shuffle. --------
+    QDef("p16_knn_ivf",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val nprobe = 3
+        // coarse quantizer: per-label mean vector, rebuilt as float arrays
+        val cells = e
+          .select(col("label").as("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("c"))
+          .groupBy(col("cell"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> CAST(x.c AS FLOAT))")
+            .as("cv"))
+        val scored = e.select(col("vec_id"), col("embedding"))
+          .crossJoin(broadcast(cells))
+          .withColumn("csim", expr("cosine_sim(embedding, cv)"))
+        val byCell = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
+        val ranked = scored.withColumn("crank", row_number().over(byCell))
+        // membership = nearest cell; probe list = nprobe nearest cells
+        val assigned = ranked.filter(col("crank") === 1)
+          .select(col("vec_id").as("cid"), col("cell"), col("embedding").as("cv2"))
+        val probes = ranked.filter(col("crank") <= nprobe)
+          .select(col("vec_id").as("qid"), col("cell"), col("embedding").as("qv"))
+        val rn = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+        probes.join(assigned, "cell")
+          .filter(col("qid") =!= col("cid"))
+          .withColumn("sim", expr("cosine_sim(qv, cv2)"))
+          .withColumn("rank", row_number().over(rn))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("cid").as("neighbor_id"), col("rank"),
+            round(col("sim"), 6).as("sim_r"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      None),
+
     // ---- per-label centroids (element-wise mean over vectors) ---------
     QDef("p07_centroids",
       (s, dir) => emb(s, dir)
