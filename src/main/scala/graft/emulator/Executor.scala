@@ -242,6 +242,11 @@ final class Executor(
   private def ddlAlter(ctx: Context, sql: String, queryId: String): Result = {
     val whAlter =
       """(?is)ALTER\s+WAREHOUSE\s+(\S+)\s+(SUSPEND|RESUME|SET\s+WAREHOUSE_SIZE\s*=\s*'?([\w-]+)'?).*""".r
+    // ALTER SESSION SET k = v: accepted and acknowledged (the reference
+    // stores session parameters only at login, constants.go:28-56; clients
+    // routinely issue this, so it must not error)
+    if (sql.trim.toUpperCase(java.util.Locale.ROOT).startsWith("ALTER SESSION"))
+      return status(queryId, "Statement executed successfully.")
     sql.trim match {
       case whAlter(name, action, size) =>
         val u = action.toUpperCase(java.util.Locale.ROOT)

@@ -178,4 +178,9 @@ class ExecutorSpec extends AnyFunSuite {
     assert(r.rows.head.head == """{"a":1,"b":"Alicia"}""")
     assert(r.rows.head(1) == "\"Alicia\"")
   }
+
+  test("14 alter session accepted without error") {
+    val r = exec("ALTER SESSION SET QUERY_TAG = 'ci'")
+    assert(r.rows.head.head == "Statement executed successfully.")
+  }
 }
