@@ -28,6 +28,7 @@ object CopyParser {
   private val onErrorRe: Regex = """(?is)ON_ERROR\s*=\s*(\w+)""".r
   private val typeRe: Regex = """(?is)TYPE\s*=\s*(\w+)""".r
   private val fieldDelimRe: Regex = """(?is)FIELD_DELIMITER\s*=\s*'([^']*)'""".r
+  private val recordDelimRe: Regex = """(?is)RECORD_DELIMITER\s*=\s*'([^']*)'""".r
   private val skipHeaderRe: Regex = """(?is)SKIP_HEADER\s*=\s*(\d+)""".r
   private val nullIfRe: Regex = """(?is)NULL_IF\s*=\s*\(([^)]*)\)""".r
 
@@ -59,6 +60,9 @@ object CopyParser {
         .map(_.group(1).toUpperCase(java.util.Locale.ROOT)).getOrElse("CSV"),
       fieldDelimiter = fieldDelimRe.findFirstMatchIn(ffText)
         .map(_.group(1)).filter(_.nonEmpty).getOrElse(","),
+      recordDelimiter = recordDelimRe.findFirstMatchIn(ffText)
+        .map(_.group(1)).filter(_.nonEmpty)
+        .map(_.replace("\\n", "\n").replace("\\r", "\r")).getOrElse("\n"),
       skipHeader = skipHeaderRe.findFirstMatchIn(ffText)
         .map(_.group(1).toInt).getOrElse(0),
       trimSpace = ffUpper.replaceAll("\\s", "").contains("TRIM_SPACE=TRUE"),

@@ -77,9 +77,25 @@ final class Executor(
     val u = sql.trim.toUpperCase(java.util.Locale.ROOT)
     if (u.startsWith("SHOW")) return show(ctx, sql, queryId)
     if (u.startsWith("DESC")) return describe(ctx, sql, queryId)
-    val rewritten = TableNaming.rewrite(sql, ctx.database, ctx.schema)
+    val rewritten = TableNaming.rewrite(rewriteFlatten(sql), ctx.database, ctx.schema)
     val df = spark.sql(rewritten)
     collectResult(df, queryId, Classifier.StatementTypeSelect)
+  }
+
+  /** Snowflake `FROM t, LATERAL FLATTEN(input => expr) f` / `TABLE(
+    * FLATTEN(expr)) f` -> Spark `LATERAL VIEW posexplode(expr) f AS index,
+    * value`, so `f.value` / `f.index` references keep working. The
+    * reference renames FLATTEN to UNNEST and leans on DuckDB
+    * (`translator.go:38`); Spark's generator needs the LATERAL VIEW form. */
+  private[emulator] def rewriteFlatten(sql: String): String = {
+    val re = ("""(?is),?\s*(?:LATERAL\s+FLATTEN|TABLE\s*\(\s*FLATTEN)\s*\(?\s*""" +
+      """(?:INPUT\s*=>\s*)?([^()]+(?:\([^()]*\))?[^()]*)\)\s*\)?\s*""" +
+      """(?:AS\s+)?([A-Za-z_]\w*)?""").r
+    re.replaceAllIn(sql, m => {
+      val alias = Option(m.group(2)).getOrElse("f")
+      java.util.regex.Matcher.quoteReplacement(
+        s" LATERAL VIEW posexplode(${m.group(1).trim}) $alias AS index, value ")
+    })
   }
 
   /** Run a query and get the DataFrame (internal; used by MERGE USING

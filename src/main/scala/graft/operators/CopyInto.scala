@@ -32,6 +32,7 @@ object CopyInto {
   final case class Options(
       format: String = "CSV", // CSV | JSON
       fieldDelimiter: String = ",",
+      recordDelimiter: String = "\n",
       skipHeader: Int = 0,
       trimSpace: Boolean = false,
       nullIf: Seq[String] = Seq(""),
@@ -68,6 +69,9 @@ object CopyInto {
         var r = spark.read.schema(schema)
           .option("sep", opts.fieldDelimiter)
           .option("header", (opts.skipHeader > 0).toString)
+        if (opts.recordDelimiter != "\n")
+          r = r.option("lineSep", opts.recordDelimiter)
+        r = r
           .option("ignoreLeadingWhiteSpace", opts.trimSpace.toString)
           .option("ignoreTrailingWhiteSpace", opts.trimSpace.toString)
           .option("mode", if (opts.onError == Abort) "FAILFAST" else "DROPMALFORMED")

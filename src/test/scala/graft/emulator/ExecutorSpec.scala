@@ -183,4 +183,24 @@ class ExecutorSpec extends AnyFunSuite {
     val r = exec("ALTER SESSION SET QUERY_TAG = 'ci'")
     assert(r.rows.head.head == "Statement executed successfully.")
   }
+
+  test("15 lateral flatten in FROM position") {
+    exec("CREATE TABLE flat_t (id INTEGER, tags VARCHAR(200))")
+    exec("INSERT INTO flat_t VALUES (1, 'a,b'), (2, 'c')")
+    val r = exec("""SELECT id, f.index, f.value
+        FROM flat_t, LATERAL FLATTEN(input => split(tags, ',')) f
+        ORDER BY id, f.index""")
+    assert(r.rows == Seq(Seq(1, 0, "a"), Seq(1, 1, "b"), Seq(2, 0, "c")))
+  }
+
+  test("16 copy with custom record delimiter") {
+    exec("CREATE TABLE rd_t (a INTEGER, b VARCHAR(10))")
+    exec("CREATE STAGE rdstage")
+    Files.writeString(executor.stages.stageDir("RDSTAGE").resolve("d.csv"),
+      "1,x;2,y;3,z")
+    val c = exec("""COPY INTO rd_t FROM @rdstage
+        FILE_FORMAT = (TYPE = CSV RECORD_DELIMITER = ';')""")
+    assert(c.rowsAffected.contains(3L))
+    assert(exec("SELECT COUNT(*) AS n FROM rd_t").rows.head.head == 3L)
+  }
 }
