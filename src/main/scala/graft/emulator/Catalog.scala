@@ -125,6 +125,23 @@ final class Catalog(val spark: SparkSession) {
     tables.put(tKey(r), TableMeta(r.database, r.schema, r.table, "BASE TABLE", cols))
   }
 
+  /** Register a view just created via SQL; columns read from the resolved
+    * plan. Views carry type VIEW in metadata like the reference's table
+    * rows (`repository.go:42-52`). */
+  def registerView(r: TableNaming.Ref): Unit = {
+    val df = spark.table(sparkTableName(r))
+    val cols = df.schema.fields.toSeq.map(f =>
+      ColumnDef(up(f.name), TypeMapper.toSnowflakeTypeName(f.dataType), f.nullable))
+    tables.put(tKey(r), TableMeta(r.database, r.schema, r.table, "VIEW", cols))
+  }
+
+  def dropView(r: TableNaming.Ref, ifExists: Boolean = false): Unit = {
+    if (tables.remove(tKey(r)) == null && !ifExists)
+      throw SnowflakeError.notFound(
+        s"view ${r.database}.${r.schema}.${r.table} does not exist")
+    spark.sql(s"DROP VIEW IF EXISTS ${sparkTableName(r)}")
+  }
+
   def dropTable(r: TableNaming.Ref, ifExists: Boolean = false): Unit = {
     if (tables.remove(tKey(r)) == null && !ifExists)
       throw SnowflakeError.notFound(

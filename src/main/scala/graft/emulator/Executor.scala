@@ -154,6 +154,8 @@ final class Executor(
     """(?is)CREATE\s+(OR\s+REPLACE\s+)?(?:TRANSIENT\s+|TEMPORARY\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([^\s(]+)\s*\((.*)\)\s*;?\s*$""".r
   private val ctasRe =
     """(?is)CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([^\s(]+)\s+AS\s+(SELECT.*)$""".r
+  private val createViewRe =
+    """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?([^\s(]+)\s+AS\s+(SELECT.*)$""".r
   private val createWarehouseRe =
     """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?WAREHOUSE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\S+)(.*)$""".r
   private val createStageRe =
@@ -174,6 +176,15 @@ final class Executor(
           else (ctx.database, name)
         catalog.createSchema(db, sc, ifNotExists = true)
         status(queryId, s"Schema ${sc.toUpperCase} successfully created.")
+      case createViewRe(name, select) =>
+        val ref = TableNaming.parse(name, ctx.database, ctx.schema)
+        catalog.createDatabase(ref.database)
+        catalog.createSchema(ref.database, ref.schema, ifNotExists = true)
+        val rewritten = TableNaming.rewrite(rewriteFlatten(select),
+          ctx.database, ctx.schema)
+        spark.sql(s"CREATE OR REPLACE VIEW ${catalog.sparkTableName(ref)} AS $rewritten")
+        catalog.registerView(ref)
+        status(queryId, s"View ${ref.table} successfully created.")
       case createWarehouseRe(name, rest) =>
         val size = """(?is)WAREHOUSE_SIZE\s*=\s*'?([\w-]+)'?""".r
           .findFirstMatchIn(rest).map(_.group(1)).getOrElse("X-SMALL")
@@ -234,13 +245,15 @@ final class Executor(
     }
 
   private def ddlDrop(ctx: Context, sql: String, queryId: String): Result = {
-    val m = """(?is)DROP\s+(DATABASE|SCHEMA|TABLE|WAREHOUSE|STAGE)\s+(IF\s+EXISTS\s+)?(\S+?);?\s*$""".r
+    val m = """(?is)DROP\s+(DATABASE|SCHEMA|TABLE|VIEW|WAREHOUSE|STAGE)\s+(IF\s+EXISTS\s+)?(\S+?);?\s*$""".r
       .findFirstMatchIn(sql.trim)
       .getOrElse(throw SnowflakeError.compilation(s"unsupported DROP statement: $sql"))
     val ifExists = m.group(2) != null
     val name = m.group(3)
     m.group(1).toUpperCase(java.util.Locale.ROOT) match {
       case "DATABASE" => catalog.dropDatabase(name, ifExists)
+      case "VIEW" =>
+        catalog.dropView(TableNaming.parse(name, ctx.database, ctx.schema), ifExists)
       case "SCHEMA" =>
         val parts = name.split('.')
         if (parts.length == 2) catalog.dropSchema(parts(0), parts(1), ifExists)

@@ -203,4 +203,20 @@ class ExecutorSpec extends AnyFunSuite {
     assert(c.rowsAffected.contains(3L))
     assert(exec("SELECT COUNT(*) AS n FROM rd_t").rows.head.head == 3L)
   }
+
+  test("17 create view, query it, show kind, drop") {
+    exec("CREATE TABLE v_base (id INTEGER, v NUMBER(5,2))")
+    exec("INSERT INTO v_base VALUES (1, 10.0), (2, 20.0), (3, 30.0)")
+    exec("CREATE VIEW v_high AS SELECT id, v FROM v_base WHERE v >= 20.0")
+    val r = exec("SELECT id FROM v_high ORDER BY id")
+    assert(r.rows.map(_.head) == Seq(2, 3))
+    assert(exec("SHOW TABLES").rows.exists(row =>
+      row.head == "V_HIGH" && row(3) == "VIEW"))
+    // view reflects base-table mutations (it is a real view, not a copy)
+    exec("UPDATE v_base SET v = 25.0 WHERE id = 1")
+    assert(exec("SELECT COUNT(*) AS n FROM v_high").rows.head.head == 3L)
+    exec("DROP VIEW v_high")
+    intercept[SnowflakeError](exec("SELECT * FROM v_high"))
+    intercept[SnowflakeError](exec("DROP VIEW v_high"))
+  }
 }
