@@ -56,6 +56,11 @@ final class Executor(
 
   private def route(ctx: Context, sql: String, queryId: String): Result = {
     if (Classifier.isUse(sql)) return useStatement(ctx, sql, queryId)
+    val u = sql.trim.toUpperCase(java.util.Locale.ROOT)
+    if (u.startsWith("LIST ") || u.startsWith("LS "))
+      return listStage(sql, queryId)
+    if (u.startsWith("REMOVE ") || u.startsWith("RM "))
+      return removeStage(sql, queryId)
     val cls = Classifier.classify(sql)
     cls.tpe match {
       case Classifier.Query => query(ctx, sql, queryId)
@@ -509,6 +514,42 @@ final class Executor(
     val s = Files.walk(p)
     try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     finally s.close()
+  }
+
+  // ------------------------------------------------------------------
+  // stage listing / removal (Snowflake LIST/REMOVE statements; the
+  // reference implements the same ops via its stage manager,
+  // `stage/manager.go:165-249`)
+  // ------------------------------------------------------------------
+
+  private val stageRefRe =
+    """(?is)(?:LIST|LS|REMOVE|RM)\s+@([^\s/]+)(/\S*)?(?:\s+PATTERN\s*=\s*'([^']+)')?""".r
+
+  private def listStage(sql: String, queryId: String): Result = {
+    val m = stageRefRe.findFirstMatchIn(sql.trim).getOrElse(
+      throw SnowflakeError.compilation(s"invalid LIST statement: $sql"))
+    val stage = m.group(1).toUpperCase(java.util.Locale.ROOT)
+    val prefix = Option(m.group(2)).map(_.stripPrefix("/")).getOrElse("")
+    val pattern = Option(m.group(3))
+    val files = stages.list(stage)
+      .filter(f => f.relativePath.startsWith(prefix))
+      .filter(f => pattern.forall(p => f.relativePath.matches(p)))
+    localResult(queryId, Seq("name", "size", "md5", "last_modified"),
+      files.map(f => Seq[Any](s"$stage/${f.relativePath}", f.sizeBytes, null, null)))
+  }
+
+  private def removeStage(sql: String, queryId: String): Result = {
+    val m = stageRefRe.findFirstMatchIn(sql.trim).getOrElse(
+      throw SnowflakeError.compilation(s"invalid REMOVE statement: $sql"))
+    val stage = m.group(1).toUpperCase(java.util.Locale.ROOT)
+    val prefix = Option(m.group(2)).map(_.stripPrefix("/")).getOrElse("")
+    val pattern = Option(m.group(3))
+    val victims = stages.list(stage)
+      .filter(f => f.relativePath.startsWith(prefix))
+      .filter(f => pattern.forall(p => f.relativePath.matches(p)))
+    victims.foreach(f => stages.remove(stage, f.relativePath))
+    localResult(queryId, Seq("name", "result"),
+      victims.map(f => Seq[Any](s"$stage/${f.relativePath}", "removed")))
   }
 
   // ------------------------------------------------------------------

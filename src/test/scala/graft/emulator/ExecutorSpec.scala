@@ -219,4 +219,21 @@ class ExecutorSpec extends AnyFunSuite {
     intercept[SnowflakeError](exec("SELECT * FROM v_high"))
     intercept[SnowflakeError](exec("DROP VIEW v_high"))
   }
+
+  test("18 LIST and REMOVE stage statements") {
+    exec("CREATE STAGE lr_stage")
+    val d = executor.stages.stageDir("LR_STAGE")
+    Files.writeString(d.resolve("a.csv"), "1")
+    Files.createDirectories(d.resolve("sub"))
+    Files.writeString(d.resolve("sub").resolve("b.csv"), "22")
+    val l = exec("LIST @lr_stage")
+    assert(l.rows.map(_.head).toSet ==
+      Set("LR_STAGE/a.csv", "LR_STAGE/sub/b.csv"))
+    assert(l.rows.find(_.head == "LR_STAGE/sub/b.csv").get(1) == 2L)
+    val lp = exec("LIST @lr_stage/sub")
+    assert(lp.rows.map(_.head) == Seq("LR_STAGE/sub/b.csv"))
+    val rm = exec("REMOVE @lr_stage/sub")
+    assert(rm.rows.map(_.head) == Seq("LR_STAGE/sub/b.csv"))
+    assert(exec("LIST @lr_stage").rows.size == 1)
+  }
 }
