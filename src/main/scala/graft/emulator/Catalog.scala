@@ -95,8 +95,13 @@ final class Catalog(val spark: SparkSession) {
 
   def getTable(r: TableNaming.Ref): Option[TableMeta] = Option(tables.get(tKey(r)))
 
+  /** Buckets per clustered table: fixed so appends always match the
+    * existing spec; sized for local mode, a deployment would raise it. */
+  val ClusterBuckets = 16
+
   def createTable(r: TableNaming.Ref, columns: Seq[ColumnDef],
-      orReplace: Boolean = false, ifNotExists: Boolean = false): Unit = {
+      orReplace: Boolean = false, ifNotExists: Boolean = false,
+      clusterKey: Option[String] = None): Unit = {
     if (tableExists(r)) {
       if (ifNotExists) return
       if (!orReplace) throw SnowflakeError.alreadyExists(
@@ -109,10 +114,22 @@ final class Catalog(val spark: SparkSession) {
         c.name, TypeMapper.toSparkType(c.snowflakeType), c.nullable)))
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], struct)
-    empty.write.mode(SaveMode.Overwrite).format("parquet")
+    write(empty, clusterKey).mode(SaveMode.Overwrite)
       .saveAsTable(sparkTableName(r))
-    tables.put(tKey(r), TableMeta(r.database, r.schema, r.table, "BASE TABLE", columns))
+    tables.put(tKey(r), TableMeta(r.database, r.schema, r.table, "BASE TABLE",
+      columns, clusterKey = clusterKey))
   }
+
+  /** Snowflake CLUSTER BY -> Spark bucketed table: joins/aggregations on
+    * the cluster key between co-clustered tables read pre-partitioned data
+    * and skip the shuffle entirely — the physical meaning clustering has in
+    * Snowflake, expressed in Spark's storage layer. */
+  private def write(df: DataFrame, clusterKey: Option[String]) =
+    clusterKey match {
+      case Some(k) =>
+        df.write.format("parquet").bucketBy(ClusterBuckets, k).sortBy(k)
+      case None => df.write.format("parquet")
+    }
 
   /** Register a table created via raw SQL pass-through (CTAS etc.), reading
     * the column defs back from the physical table. */
@@ -122,7 +139,9 @@ final class Catalog(val spark: SparkSession) {
       ColumnDef(up(f.name), TypeMapper.toSnowflakeTypeName(f.dataType), f.nullable))
     createDatabase(r.database)
     createSchema(r.database, r.schema, ifNotExists = true)
-    tables.put(tKey(r), TableMeta(r.database, r.schema, r.table, "BASE TABLE", cols))
+    val ck = getTable(r).flatMap(_.clusterKey)
+    tables.put(tKey(r), TableMeta(r.database, r.schema, r.table, "BASE TABLE",
+      cols, clusterKey = ck))
   }
 
   /** Register a view just created via SQL; columns read from the resolved
@@ -165,18 +184,20 @@ final class Catalog(val spark: SparkSession) {
     * replaced), then overwrite under the table lock. */
   def overwriteTable(r: TableNaming.Ref, df: DataFrame): Unit =
     lockFor(r).synchronized {
+      val ck = getTable(r).flatMap(_.clusterKey)
       val tmp = Files.createTempDirectory("graft_cow")
       try {
         df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        spark.read.parquet(tmp.toString)
-          .write.mode(SaveMode.Overwrite).format("parquet")
+        write(spark.read.parquet(tmp.toString), ck)
+          .mode(SaveMode.Overwrite)
           .saveAsTable(sparkTableName(r))
       } finally deleteRecursively(tmp)
     }
 
   def appendToTable(r: TableNaming.Ref, df: DataFrame): Unit =
     lockFor(r).synchronized {
-      df.write.mode(SaveMode.Append).format("parquet")
+      write(df, getTable(r).flatMap(_.clusterKey))
+        .mode(SaveMode.Append)
         .saveAsTable(sparkTableName(r))
     }
 
@@ -210,7 +231,8 @@ object Catalog {
       tableType: String, // BASE TABLE | VIEW
       columns: Seq[ColumnDef],
       var comment: String = "",
-      createdOn: Long = System.currentTimeMillis())
+      createdOn: Long = System.currentTimeMillis(),
+      clusterKey: Option[String] = None)
 
   final case class SchemaMeta(database: String, name: String,
       createdOn: Long = System.currentTimeMillis())

@@ -170,7 +170,14 @@ final class Executor(
     localResult(queryId, Seq("status"), Seq(Seq[Any](msg)),
       Classifier.StatementTypeDdl)
 
-  private def ddlCreate(ctx: Context, sql: String, queryId: String): Result =
+  private val clusterByRe = """(?is)\s*CLUSTER\s+BY\s*\(\s*([^)]+?)\s*\)\s*;?\s*$""".r
+
+  private def ddlCreate(ctx: Context, sql0: String, queryId: String): Result = {
+    // strip a trailing CLUSTER BY first: the column-def regex is greedy and
+    // would otherwise swallow it into the defs
+    val clusterKey = clusterByRe.findFirstMatchIn(sql0).map(_.group(1).trim
+      .toUpperCase(java.util.Locale.ROOT))
+    val sql = clusterByRe.replaceFirstIn(sql0, "")
     sql.trim match {
       case createDbRe(name) =>
         catalog.createDatabase(name, ifNotExists = true)
@@ -217,11 +224,13 @@ final class Executor(
           return status(queryId, s"${ref.table} already exists, statement skipped.")
         beforeWrite(ctx, ref, created = !catalog.tableExists(ref))
         catalog.createTable(ref, parseColumnDefs(colDefs),
-          orReplace = orReplace != null, ifNotExists = ifNotExists != null)
+          orReplace = orReplace != null, ifNotExists = ifNotExists != null,
+          clusterKey = clusterKey)
         status(queryId, s"Table ${ref.table} successfully created.")
       case other =>
         throw SnowflakeError.compilation(s"unsupported CREATE statement: $other")
     }
+  }
 
   /** Parse `(name TYPE [NOT NULL] [DEFAULT x] [PRIMARY KEY], ...)` bodies.
     * The reference leaves raw-SQL CREATE TABLE unparsed (TODO at

@@ -41,11 +41,21 @@ object TableNaming {
       """((?:"[^"]+"|[A-Za-z_][A-Za-z_0-9$]*)""" +
       """(?:\.(?:"[^"]+"|[A-Za-z_][A-Za-z_0-9$]*)){0,2})""").r
 
+  /** Keywords that can follow a table ref in FROM/JOIN position — anything
+    * else there is an alias the user already wrote. */
+  private val postRefKeywords = Set(
+    "ON", "WHERE", "GROUP", "ORDER", "JOIN", "LEFT", "RIGHT", "FULL",
+    "INNER", "CROSS", "OUTER", "UNION", "EXCEPT", "INTERSECT", "LIMIT",
+    "HAVING", "SET", "VALUES", "LATERAL", "USING", "NATURAL", "SEMI",
+    "ANTI", "WHEN", "MATCHED", "QUALIFY", "WINDOW", "PIVOT", "UNPIVOT")
+
   /** Rewrite the table references of a SQL statement into flattened Spark
     * names, resolving 1- and 2-part names against the session's current
     * database/schema. Keyword-anchored (FROM/JOIN/INTO/UPDATE/TABLE/USING),
     * the same set of positions the reference's Go-implemented statement
-    * paths rewrite; column refs and aliases are untouched.
+    * paths rewrite. In FROM/JOIN/USING position, when the user wrote no
+    * alias, the original bare table name is injected as one so qualified
+    * column references (`users.id`) keep resolving after flattening.
     */
   def rewrite(sql: String, currentDb: String, currentSchema: String): String =
     tableRefRe.replaceAllIn(sql, m => {
@@ -56,7 +66,13 @@ object TableNaming {
         m.matched
       else {
         val r = parse(ref, currentDb, currentSchema)
-        java.util.regex.Matcher.quoteReplacement(s"$kw ${sparkName(r)}")
+        val kwU = kw.toUpperCase(java.util.Locale.ROOT)
+        val aliasable = kwU == "FROM" || kwU == "JOIN" || kwU == "USING"
+        val nextTok = "^\\s*([A-Za-z_][A-Za-z_0-9]*)".r
+          .findFirstMatchIn(m.after.toString).map(_.group(1).toUpperCase(java.util.Locale.ROOT))
+        val hasAlias = nextTok.exists(t => t == "AS" || !postRefKeywords.contains(t))
+        val alias = if (aliasable && !hasAlias && !ref.contains("\"")) s" ${r.table}" else ""
+        java.util.regex.Matcher.quoteReplacement(s"$kw ${sparkName(r)}$alias")
       }
     })
 }

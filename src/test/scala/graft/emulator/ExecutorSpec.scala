@@ -236,4 +236,25 @@ class ExecutorSpec extends AnyFunSuite {
     assert(rm.rows.map(_.head) == Seq("LR_STAGE/sub/b.csv"))
     assert(exec("LIST @lr_stage").rows.size == 1)
   }
+
+  test("19 cluster by: co-clustered join runs without a shuffle exchange") {
+    exec("CREATE TABLE ck_a (k INTEGER, va NUMBER(5,2)) CLUSTER BY (k)")
+    exec("CREATE TABLE ck_b (k INTEGER, vb NUMBER(5,2)) CLUSTER BY (k)")
+    exec("INSERT INTO ck_a VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    exec("INSERT INTO ck_b VALUES (2, 20.0), (3, 30.0), (4, 40.0)")
+    val r = exec("SELECT ck_a.k, va, vb FROM ck_a JOIN ck_b ON ck_a.k = ck_b.k ORDER BY ck_a.k")
+    assert(r.rows.map(_.head) == Seq(2, 3))
+    // plan check: bucketed scan on both sides, no hash-partition exchange
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = executor.queryDf(ctx,
+        "SELECT ck_a.k, va, vb FROM ck_a JOIN ck_b ON ck_a.k = ck_b.k")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"expected bucketed scans in:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"co-clustered join must not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
 }
