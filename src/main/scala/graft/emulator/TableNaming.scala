@@ -49,6 +49,19 @@ object TableNaming {
     "HAVING", "SET", "VALUES", "LATERAL", "USING", "NATURAL", "SEMI",
     "ANTI", "WHEN", "MATCHED", "QUALIFY", "WINDOW", "PIVOT", "UNPIVOT")
 
+  /** CTE / WINDOW-clause definitions: `name [(col, ...)] AS (` — the only
+    * SQL shapes where a bare identifier is bound to a name usable in FROM
+    * position later in the same statement. Those names must NOT be
+    * rewritten into catalog names (the reference gets this free via
+    * pass-through, `translator.go:121-127`). */
+  private val localDefRe =
+    """(?is)\b([A-Za-z_][A-Za-z_0-9$]*)\s*(?:\([^()]*\))?\s+AS\s*\(""".r
+
+  /** Names bound locally by the statement itself (CTEs, named windows);
+    * references to them stay untouched by [[rewrite]]. */
+  private[emulator] def localNames(sql: String): Set[String] =
+    localDefRe.findAllMatchIn(sql).map(m => norm(m.group(1))).toSet
+
   /** Rewrite the table references of a SQL statement into flattened Spark
     * names, resolving 1- and 2-part names against the session's current
     * database/schema. Keyword-anchored (FROM/JOIN/INTO/UPDATE/TABLE/USING),
@@ -56,13 +69,18 @@ object TableNaming {
     * paths rewrite. In FROM/JOIN/USING position, when the user wrote no
     * alias, the original bare table name is injected as one so qualified
     * column references (`users.id`) keep resolving after flattening.
+    * Single-part names bound by a WITH clause in the same statement are
+    * left alone — a CTE shadows any like-named table, per SQL scoping.
     */
-  def rewrite(sql: String, currentDb: String, currentSchema: String): String =
+  def rewrite(sql: String, currentDb: String, currentSchema: String): String = {
+    val local = localNames(sql)
     tableRefRe.replaceAllIn(sql, m => {
       val kw = m.group(1)
       val ref = m.group(2)
-      // leave sub-selects and function-ish tokens alone
-      if (ref.equalsIgnoreCase("select") || ref.equalsIgnoreCase("lateral"))
+      // leave sub-selects, function-ish tokens, and statement-local
+      // (CTE/window) names alone
+      if (ref.equalsIgnoreCase("select") || ref.equalsIgnoreCase("lateral") ||
+        (!ref.contains(".") && local.contains(norm(ref))))
         m.matched
       else {
         val r = parse(ref, currentDb, currentSchema)
@@ -75,4 +93,5 @@ object TableNaming {
         java.util.regex.Matcher.quoteReplacement(s"$kw ${sparkName(r)}$alias")
       }
     })
+  }
 }

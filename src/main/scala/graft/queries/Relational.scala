@@ -406,6 +406,49 @@ object Relational {
         quantile_cont(l_quantity, 0.25) AS q25,
         quantile_cont(l_quantity, 0.5) AS med,
         quantile_cont(l_quantity, 0.75) AS q75
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- CTEs (WITH): multi-CTE chain joined back to a base table -----
+    QDef("q34_cte",
+      (s, dir) => Q.sql(s, dir,
+        """WITH recent AS (
+             SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01'
+           ), per_cust AS (
+             SELECT o_custkey, COUNT(*) AS n_orders FROM recent GROUP BY o_custkey
+           )
+           SELECT c_mktsegment, COUNT(*) AS n_cust,
+             CAST(SUM(n_orders) AS BIGINT) AS total_orders
+           FROM customer JOIN per_cust ON c_custkey = o_custkey
+           GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      Some("""WITH recent AS (
+          SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01'
+        ), per_cust AS (
+          SELECT o_custkey, COUNT(*) AS n_orders FROM recent GROUP BY o_custkey
+        )
+        SELECT c_mktsegment, COUNT(*) AS n_cust,
+          CAST(SUM(n_orders) AS BIGINT) AS total_orders
+        FROM customer JOIN per_cust ON c_custkey = o_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---- TO_VARIANT (JSON-text VARIANT model) -------------------------
+    // DuckDB's to_json is the reference's own rewrite target for
+    // TO_VARIANT (translator.go:61-67): strings quote, numbers verbatim.
+    QDef("q35_to_variant",
+      (s, dir) => Q.sql(s, dir,
+        """SELECT event_id, to_variant(event_type) AS v_type,
+             to_variant(user_id) AS v_uid
+           FROM events ORDER BY event_id"""),
+      Some("""SELECT event_id, CAST(to_json(event_type) AS VARCHAR) AS v_type,
+        CAST(to_json(user_id) AS VARCHAR) AS v_uid
+        FROM events ORDER BY event_id""")),
+
+    // ---- PARSE_JSON (validate + canonicalize JSON text) ---------------
+    // json_extract(x, '$') is DuckDB's canonical re-serialization, the
+    // same minified form Jackson produces on the Spark side.
+    QDef("q36_parse_json",
+      (s, dir) => Q.sql(s, dir,
+        "SELECT event_id, parse_json(props) AS pj FROM events ORDER BY event_id"),
+      Some("""SELECT event_id, CAST(json_extract(props, '$') AS VARCHAR) AS pj
+        FROM events ORDER BY event_id"""))
   )
 }

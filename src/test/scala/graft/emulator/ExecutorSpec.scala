@@ -257,4 +257,28 @@ class ExecutorSpec extends AnyFunSuite {
         s"co-clustered join must not shuffle:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
+
+  test("20 CTE: simple, nested, and shadowing a real table") {
+    // the reference serves CTEs by pass-through (translator.go:121-127);
+    // our rewriter must not flatten WITH-bound names into catalog names
+    exec("CREATE TABLE cte_base (id INTEGER, v NUMBER(5,2))")
+    exec("INSERT INTO cte_base VALUES (1, 10.0), (2, 20.0), (3, 30.0)")
+    val simple = exec(
+      "WITH recent AS (SELECT * FROM cte_base WHERE id > 1) SELECT COUNT(*) AS n FROM recent")
+    assert(simple.rows.head.head == 2L)
+    val nested = exec(
+      """WITH a AS (SELECT * FROM cte_base WHERE id > 1),
+         b AS (SELECT id FROM a WHERE v > 25.0)
+         SELECT COUNT(*) AS n FROM b""")
+    assert(nested.rows.head.head == 1L)
+    // CTE shadowing the physical table name: CTE wins, per SQL scoping
+    val shadow = exec(
+      "WITH cte_base AS (SELECT 99 AS id) SELECT id FROM cte_base")
+    assert(shadow.rows == Seq(Seq(99)))
+    // CTE joined against a real table in the same statement
+    val mixed = exec(
+      """WITH big AS (SELECT id FROM cte_base WHERE v >= 20.0)
+         SELECT COUNT(*) AS n FROM cte_base t JOIN big ON t.id = big.id""")
+    assert(mixed.rows.head.head == 2L)
+  }
 }

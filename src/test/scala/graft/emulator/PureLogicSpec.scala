@@ -94,6 +94,26 @@ class PureLogicSpec extends AnyFunSuite {
     assert(sub.contains("FROM (SELECT 1)"))
   }
 
+  test("rewrite leaves CTE and window names alone") {
+    val cte = TableNaming.rewrite(
+      "WITH recent AS (SELECT * FROM orders WHERE o_orderdate > '1998-01-01') " +
+        "SELECT COUNT(*) FROM recent", "TEST_DB", "PUBLIC")
+    assert(cte.contains("FROM `TEST_DB`.`PUBLIC_ORDERS`"), cte)
+    assert(cte.contains("FROM recent"), cte)
+    assert(!cte.contains("PUBLIC_RECENT"), cte)
+    // multiple CTEs, one joined with a real table
+    val multi = TableNaming.rewrite(
+      "WITH a AS (SELECT 1 AS x), b (y) AS (SELECT 2) " +
+        "SELECT * FROM a JOIN b ON a.x = b.y JOIN t ON t.id = a.x",
+      "D", "S")
+    assert(multi.contains("FROM a JOIN b"), multi)
+    assert(multi.contains("JOIN `D`.`S_T`"), multi)
+    // a qualified ref is never a CTE, even if the last part collides
+    val qual = TableNaming.rewrite(
+      "WITH t AS (SELECT 1) SELECT * FROM other.t", "D", "S")
+    assert(qual.contains("FROM `D`.`OTHER_T`"), qual)
+  }
+
   // ---- type mapper ---------------------------------------------------
 
   test("snowflake->spark->snowflake type collapse") {
