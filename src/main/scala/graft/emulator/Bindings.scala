@@ -59,27 +59,49 @@ object Bindings {
     }
   }
 
-  /** Apply `:N` then `?` substitution (reference `executor.go:150-214`). */
+  /** Apply `:N` and `?` substitution (reference `executor.go:150-214`) with
+    * a quote-aware scan: placeholders inside single-quoted literals (with
+    * `''` escapes) and double-quoted identifiers are left untouched, so a
+    * literal `'10:30:00'` or a `'?'` in quoted text never gets clobbered.
+    * `?` markers are numbered 1-based left to right. */
   def apply(sql: String, bindings: Map[String, Binding]): String = {
     if (bindings.isEmpty) return sql
-    val keys = bindings.keys.map { k =>
-      scala.util.Try(k.toInt).getOrElse(
-        throw SnowflakeError.compilation(s"invalid binding key '$k': must be a number"))
-    }.toSeq.sorted(Ordering.Int.reverse)
-    var result = sql
-    keys.foreach { pos =>
-      val b = bindings(pos.toString)
-      if (b != null) result = result.replace(s":$pos", formatValue(b))
+    bindings.keys.foreach { k =>
+      if (scala.util.Try(k.toInt).isFailure)
+        throw SnowflakeError.compilation(s"invalid binding key '$k': must be a number")
     }
-    // ? placeholders right-to-left, 1-based
-    val positions = result.zipWithIndex.collect { case ('?', i) => i }
-    positions.reverseIterator.zip(positions.indices.reverseIterator).foreach {
-      case (strIdx, qIdx) =>
-        bindings.get((qIdx + 1).toString).filter(_ != null).foreach { b =>
-          result = result.substring(0, strIdx) + formatValue(b) +
-            result.substring(strIdx + 1)
-        }
+    val out = new StringBuilder(sql.length + 32)
+    var i = 0
+    var inSq = false // single-quoted literal ('' escape = two toggles, safe)
+    var inDq = false // double-quoted identifier
+    var qIdx = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inSq) {
+        out.append(c); if (c == '\'') inSq = false; i += 1
+      } else if (inDq) {
+        out.append(c); if (c == '"') inDq = false; i += 1
+      } else c match {
+        case '\'' => inSq = true; out.append(c); i += 1
+        case '"' => inDq = true; out.append(c); i += 1
+        case ':' if i + 1 < sql.length && sql.charAt(i + 1).isDigit =>
+          var j = i + 1
+          while (j < sql.length && sql.charAt(j).isDigit) j += 1
+          bindings.get(sql.substring(i + 1, j).toInt.toString) match {
+            case Some(b) if b != null => out.append(formatValue(b))
+            case _ => out.append(sql, i, j)
+          }
+          i = j
+        case '?' =>
+          qIdx += 1
+          bindings.get(qIdx.toString) match {
+            case Some(b) if b != null => out.append(formatValue(b))
+            case _ => out.append(c)
+          }
+          i += 1
+        case _ => out.append(c); i += 1
+      }
     }
-    result
+    out.toString
   }
 }

@@ -204,6 +204,15 @@ final class Catalog(val spark: SparkSession) {
   def setTableComment(r: TableNaming.Ref, comment: String): Unit =
     Option(tables.get(tKey(r))).foreach(_.comment = comment)
 
+  /** Re-install a snapshotted metadata row (transaction ROLLBACK after a
+    * DROP/REPLACE restores the parquet AND the catalog entry, preserving
+    * the cluster key so the restoring write re-buckets identically). */
+  def restoreMeta(m: TableMeta): Unit = {
+    createDatabase(m.database)
+    createSchema(m.database, m.schema, ifNotExists = true)
+    tables.put(s"${m.database}.${m.schema}.${m.table}", m)
+  }
+
   // ---- file formats (reference `repository.go:76-85`) ----------------
 
   def createFileFormat(db: String, schema: String, name: String,

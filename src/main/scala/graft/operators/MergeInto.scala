@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** MERGE INTO, re-expressed as ONE declarative join plan.
   *
@@ -15,11 +17,22 @@ import org.apache.spark.sql.functions._
   * single overwrite. Skew on the join key is handled by AQE's skew-join
   * splitting (enabled in GraftSession).
   *
+  * The statement path ([[run]]) executes the join exactly once: the tagged
+  * join is persisted, the nondeterminism check, the per-action counts and
+  * the written result all read the cache. At scale that trades one extra
+  * materialization (≈ |target|+|source| rows, spilling to disk) against a
+  * second full scan+shuffle of both inputs — the right trade whenever the
+  * join is the dominant cost, which is always at 100 TB.
+  *
   * Clause semantics follow Snowflake/ANSI MERGE: WHEN [NOT] MATCHED clauses
   * are evaluated in declaration order, the first clause whose AND-condition
   * holds wins, a matched row with no applicable clause passes through
   * unchanged, a source-only row with no applicable insert clause is dropped
-  * (reference grammar: `merge_processor.go:174-272`).
+  * (reference grammar: `merge_processor.go:174-272`). When several source
+  * rows match one target row and more than one of them would update/delete
+  * it, the merge is nondeterministic and raises the Snowflake duplicate-row
+  * error (ERROR_ON_NONDETERMINISTIC_MERGE default behavior); when the extra
+  * matches are all pass-through, the target row is kept exactly once.
   */
 object MergeInto {
 
@@ -32,29 +45,51 @@ object MergeInto {
   /** INSERT with explicit value per target column (missing cols -> NULL). */
   final case class WhenNotMatched(condition: Option[Column], values: Map[String, Column])
 
+  /** Per-action row counts (inserted / updated / deleted), mirroring the
+    * reference's MergeResult (`pkg/query/result.go:43-47`). */
+  final case class Counts(inserted: Long, updated: Long, deleted: Long)
+
+  /** Raised when one target row is updated/deleted by more than one source
+    * row — Snowflake's ERROR_ON_NONDETERMINISTIC_MERGE contract. The
+    * executor maps it onto a Snowflake execution error. */
+  final class NondeterministicMergeException
+      extends RuntimeException("Duplicate row detected during DML action")
+
   private val TMark = "__graft_t_mark"
   private val SMark = "__graft_s_mark"
+  private val TId = "__graft_t_id"
+  private val SId = "__graft_s_id"
   private val ActionCol = "__graft_action"
+  private val RowNum = "__graft_rn"
 
   /** Pass-through action index for matched rows with no applicable clause. */
   private val Keep = -1
 
-  /** Execute the merge and return the new target content (same schema as
-    * `target`). Column expressions in clauses/condition may reference
-    * `target("col")` / `source("col")` or plain `col("name")` when
-    * unambiguous.
-    */
-  def apply(
+  /** The one join plan all paths share: marks + per-target/source row ids +
+    * the winning clause index per row. */
+  private final case class Tagged(
+      joined: DataFrame,
+      isMatched: Column,
+      targetOnly: Column,
+      sourceOnly: Column,
+      matchedIdx: Column,
+      insertIdx: Column,
+      updateIdxs: Set[Int],
+      deleteIdxs: Set[Int]) {
+    /** A matched row to which some WHEN MATCHED clause applies. */
+    def applied: Column = isMatched && matchedIdx =!= lit(Keep)
+  }
+
+  private def tag(
       target: DataFrame,
       source: DataFrame,
       condition: Column,
-      matched: Seq[WhenMatched] = Nil,
-      notMatched: Seq[WhenNotMatched] = Nil): DataFrame = {
-
-    val targetCols = target.columns.toSeq
+      matched: Seq[WhenMatched],
+      notMatched: Seq[WhenNotMatched]): Tagged = {
     val t = target.withColumn(TMark, lit(1))
+      .withColumn(TId, monotonically_increasing_id())
     val s = source.withColumn(SMark, lit(1))
-
+      .withColumn(SId, monotonically_increasing_id())
     val joined = t.join(s, condition, "full_outer")
     val isMatched = col(TMark).isNotNull && col(SMark).isNotNull
     val targetOnly = col(TMark).isNotNull && col(SMark).isNull
@@ -66,8 +101,29 @@ object MergeInto {
         c.map(cc => when(cc, lit(i)).otherwise(rest)).getOrElse(lit(i))
       }
 
-    val matchedIdx = firstApplicable(matched.map(_.condition))
-    val insertIdx = firstApplicable(notMatched.map(_.condition))
+    val deleteIdxs = matched.zipWithIndex.collect {
+      case (WhenMatched(_, Delete), i) => i
+    }.toSet
+    Tagged(joined, isMatched, targetOnly, sourceOnly,
+      matchedIdx = firstApplicable(matched.map(_.condition)),
+      insertIdx = firstApplicable(notMatched.map(_.condition)),
+      updateIdxs = matched.indices.filterNot(deleteIdxs.contains).toSet,
+      deleteIdxs = deleteIdxs)
+  }
+
+  /** Action decision + final projection over the tagged join. With
+    * `dedupeFanout`, target rows that matched several source rows are
+    * first collapsed to one join row (the applying one, if any) — only
+    * taken when fanout was actually observed, so the common unique-key
+    * merge never pays the extra window shuffle. */
+  private def finish(
+      tg: Tagged,
+      target: DataFrame,
+      matched: Seq[WhenMatched],
+      notMatched: Seq[WhenNotMatched],
+      dedupeFanout: Boolean): DataFrame = {
+    import tg._
+    val targetCols = target.columns.toSeq
 
     val withAction = joined.withColumn(
       ActionCol,
@@ -75,9 +131,17 @@ object MergeInto {
         .when(targetOnly, lit(Keep))
         .otherwise(insertIdx))
 
-    val deleteIdxs = matched.zipWithIndex.collect {
-      case (WhenMatched(_, Delete), i) => i
-    }.toSet
+    val deduped =
+      if (!dedupeFanout) withAction
+      else {
+        // one window partition per target row; source-only rows get unique
+        // negative keys, so no partition holds more than one source row
+        val part = coalesce(col(TId), -col(SId) - 1)
+        val w = Window.partitionBy(part)
+          .orderBy(when(applied, 0).otherwise(1), col(SId))
+        withAction.withColumn(RowNum, row_number().over(w))
+          .filter(col(RowNum) === 1).drop(RowNum)
+      }
 
     // Row survives unless a DELETE clause selected it, or it is a
     // source-only row with no applicable insert clause.
@@ -106,50 +170,73 @@ object MergeInto {
         .as(name)
     }
 
-    withAction.filter(survives).select(outCols: _*)
+    deduped.filter(survives).select(outCols: _*)
   }
 
-  /** Per-action row counts (inserted / updated / deleted), mirroring the
-    * reference's MergeResult (`pkg/query/result.go:43-47`). Computed as a
-    * single aggregate over the same one-pass join plan.
-    */
-  final case class Counts(inserted: Long, updated: Long, deleted: Long)
+  private def countsOf(tg: Tagged): Counts = {
+    import tg._
+    def cnt(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
+    def in(c: Column, idxs: Set[Int]): Column =
+      if (idxs.isEmpty) lit(false)
+      else c.isin(idxs.toSeq.map(_.asInstanceOf[Any]): _*)
+    val row = joined.agg(
+      cnt(sourceOnly && insertIdx =!= lit(Keep)).as("ins"),
+      cnt(isMatched && in(matchedIdx, updateIdxs)).as("upd"),
+      cnt(isMatched && in(matchedIdx, deleteIdxs)).as("del")).collect()(0)
+    def l(i: Int): Long = if (row.isNullAt(i)) 0L else row.getLong(i)
+    Counts(l(0), l(1), l(2))
+  }
 
+  /** Execute the merge and return the new target content (same schema as
+    * `target`). Column expressions in clauses/condition may reference
+    * `target("col")` / `source("col")` or plain `col("name")` when
+    * unambiguous. Query-path entry — no fanout handling; the statement
+    * path is [[run]]. */
+  def apply(
+      target: DataFrame,
+      source: DataFrame,
+      condition: Column,
+      matched: Seq[WhenMatched] = Nil,
+      notMatched: Seq[WhenNotMatched] = Nil): DataFrame =
+    finish(tag(target, source, condition, matched, notMatched),
+      target, matched, notMatched, dedupeFanout = false)
+
+  /** Per-action counts alone (spec surface); [[run]] shares the plan. */
   def counts(
       target: DataFrame,
       source: DataFrame,
       condition: Column,
       matched: Seq[WhenMatched] = Nil,
-      notMatched: Seq[WhenNotMatched] = Nil): Counts = {
-    val t = target.withColumn(TMark, lit(1))
-    val s = source.withColumn(SMark, lit(1))
-    val joined = t.join(s, condition, "full_outer")
-    val isMatched = col(TMark).isNotNull && col(SMark).isNotNull
-    val sourceOnly = col(TMark).isNull && col(SMark).isNotNull
+      notMatched: Seq[WhenNotMatched] = Nil): Counts =
+    countsOf(tag(target, source, condition, matched, notMatched))
 
-    def firstApplicable(conds: Seq[Option[Column]]): Column =
-      conds.zipWithIndex.foldRight(lit(Keep)) { case ((c, i), rest) =>
-        c.map(cc => when(cc, lit(i)).otherwise(rest)).getOrElse(lit(i))
-      }
-    val matchedIdx = firstApplicable(matched.map(_.condition))
-    val insertIdx = firstApplicable(notMatched.map(_.condition))
-    val deleteIdxs = matched.zipWithIndex.collect {
-      case (WhenMatched(_, Delete), i) => i
-    }.toSet
-    val updateIdxs = matched.indices.filterNot(deleteIdxs.contains).toSet
-
-    def cnt(cond: Column): Column =
-      sum(when(cond, 1L).otherwise(0L))
-
-    val row = joined.agg(
-      cnt(sourceOnly && insertIdx =!= lit(Keep)).as("ins"),
-      cnt(isMatched && (if (updateIdxs.isEmpty) lit(false)
-        else matchedIdx.isin(updateIdxs.toSeq.map(_.asInstanceOf[Any]): _*))).as("upd"),
-      cnt(isMatched && (if (deleteIdxs.isEmpty) lit(false)
-        else matchedIdx.isin(deleteIdxs.toSeq.map(_.asInstanceOf[Any]): _*))).as("del")
-    ).collect()(0)
-
-    def l(i: Int): Long = if (row.isNullAt(i)) 0L else row.getLong(i)
-    Counts(l(0), l(1), l(2))
+  /** Statement-path execution: ONE join, persisted, feeding (a) the
+    * nondeterminism check, (b) the per-action counts, and (c) the written
+    * result via `write`. Returns the counts. */
+  def run(
+      target: DataFrame,
+      source: DataFrame,
+      condition: Column,
+      matched: Seq[WhenMatched],
+      notMatched: Seq[WhenNotMatched])(write: DataFrame => Unit): Counts = {
+    val tg = tag(target, source, condition, matched, notMatched)
+    val cached = tg.joined.persist(StorageLevel.MEMORY_AND_DISK)
+    val tgc = tg.copy(joined = cached)
+    try {
+      // fanout probe: max matches / max applying matches per target row
+      val fan = cached.filter(tgc.isMatched)
+        .groupBy(col(TId))
+        .agg(count(lit(1)).as("m"),
+          sum(when(tgc.applied, 1L).otherwise(0L)).as("ap"))
+        .agg(coalesce(max(col("m")), lit(0L)),
+          coalesce(max(col("ap")), lit(0L)))
+        .collect()(0)
+      val (maxMatches, maxApplies) = (fan.getLong(0), fan.getLong(1))
+      if (maxApplies > 1) throw new NondeterministicMergeException
+      val c = countsOf(tgc)
+      write(finish(tgc, target, matched, notMatched,
+        dedupeFanout = maxMatches > 1))
+      c
+    } finally cached.unpersist()
   }
 }

@@ -54,6 +54,13 @@ final class StageManager(root: Path) {
     StagedFile(s"$relPath", content.length.toLong)
   }
 
+  /** Resolve a user-supplied path inside a stage with full traversal
+    * sanitization — the entry point COPY INTO must use (the reference
+    * rejects `..`/absolute paths centrally, `manager.go:89-130`). */
+  def resolve(stageName: String, relPath: String): Path =
+    if (relPath.isEmpty) stageDir(stageName)
+    else sanitize(s"$stageName/$relPath")
+
   /** GET: open a staged file for reading. */
   def get(stageName: String, relPath: String): InputStream =
     Files.newInputStream(sanitize(s"$stageName/$relPath"))

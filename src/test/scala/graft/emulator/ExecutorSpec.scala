@@ -281,4 +281,53 @@ class ExecutorSpec extends AnyFunSuite {
          SELECT COUNT(*) AS n FROM cte_base t JOIN big ON t.id = big.id""")
     assert(mixed.rows.head.head == 2L)
   }
+
+  test("21 insert counts: VALUES tuples and INSERT..SELECT, no target scan") {
+    exec("CREATE TABLE ins_t (id INTEGER, txt VARCHAR(50))")
+    // tricky literal: comma + paren inside the string must not split tuples
+    val v = exec("INSERT INTO ins_t VALUES (1, 'a,b(c'), (2, 'd'')x')")
+    assert(v.rowsAffected.contains(2L))
+    val sel = exec("INSERT INTO ins_t SELECT id + 10, txt FROM ins_t")
+    assert(sel.rowsAffected.contains(2L))
+    assert(exec("SELECT COUNT(*) AS n FROM ins_t").rows.head.head == 4L)
+    val r = exec("SELECT txt FROM ins_t WHERE id = 1")
+    assert(r.rows.head.head == "a,b(c")
+  }
+
+  test("22 rollback after DROP TABLE restores table AND catalog entry") {
+    exec("CREATE TABLE rb_t (id INTEGER, v NUMBER(5,2))")
+    exec("INSERT INTO rb_t VALUES (1, 1.5), (2, 2.5)")
+    exec("BEGIN")
+    exec("DROP TABLE rb_t")
+    exec("ROLLBACK")
+    // table must be fully usable again: DESCRIBE, SELECT, INSERT, SHOW
+    assert(exec("DESCRIBE TABLE rb_t").rows.nonEmpty)
+    assert(exec("SELECT COUNT(*) AS n FROM rb_t").rows.head.head == 2L)
+    assert(exec("INSERT INTO rb_t VALUES (3, 3.5)").rowsAffected.contains(1L))
+    val shown = exec("SHOW TABLES").rows.map(_.head.toString)
+    assert(shown.contains("RB_T"), shown)
+  }
+
+  test("23 copy into rejects stage path traversal") {
+    exec("CREATE TABLE esc_t (id INTEGER)")
+    exec("CREATE STAGE esc_stage")
+    val e = intercept[SnowflakeError] {
+      exec("COPY INTO esc_t FROM @esc_stage/../../../etc FILE_FORMAT = (TYPE = 'CSV')")
+    }
+    assert(e.getMessage.toLowerCase.contains("traversal") ||
+      e.getMessage.toLowerCase.contains("escape"), e.getMessage)
+  }
+
+  test("24 nondeterministic merge surfaces the Snowflake duplicate-row error") {
+    exec("CREATE TABLE nd_t (id INTEGER, v NUMBER(5,2))")
+    exec("INSERT INTO nd_t VALUES (1, 1.0)")
+    exec("CREATE TABLE nd_s (id INTEGER, v NUMBER(5,2))")
+    exec("INSERT INTO nd_s VALUES (1, 2.0), (1, 3.0)")
+    val e = intercept[SnowflakeError] {
+      exec("""MERGE INTO nd_t USING nd_s ON nd_t.id = nd_s.id
+              WHEN MATCHED THEN UPDATE SET v = nd_s.v""")
+    }
+    assert(e.code == SnowflakeError.CodeSQLExecutionError)
+    assert(e.getMessage.contains("Duplicate row detected"), e.getMessage)
+  }
 }

@@ -114,6 +114,25 @@ class PureLogicSpec extends AnyFunSuite {
     assert(qual.contains("FROM `D`.`OTHER_T`"), qual)
   }
 
+  test("bindings leave placeholders inside quoted literals untouched") {
+    val b = Map("1" -> Bindings.Binding("TEXT", "X"),
+      "30" -> Bindings.Binding("FIXED", "42"))
+    // ':30' inside the time literal must survive; the real :1 is replaced
+    val out = Bindings("SELECT * FROM t WHERE ts = '10:30:00' AND a = :1", b)
+    assert(out == "SELECT * FROM t WHERE ts = '10:30:00' AND a = 'X'", out)
+    // '?' inside a string is not a positional marker
+    val q = Bindings("SELECT 'why?' AS w, ? AS v", Map("1" -> Bindings.Binding("FIXED", "7")))
+    assert(q == "SELECT 'why?' AS w, 7 AS v", q)
+    // '' escape keeps the literal context; :2 after it is replaced
+    val esc = Bindings("SELECT 'it''s :1 ok', :2",
+      Map("2" -> Bindings.Binding("FIXED", "9")))
+    assert(esc == "SELECT 'it''s :1 ok', 9", esc)
+    // double-quoted identifier with a colon-digit sequence
+    val dq = Bindings("""SELECT "c:1" FROM t WHERE x = :1""",
+      Map("1" -> Bindings.Binding("FIXED", "5")))
+    assert(dq == """SELECT "c:1" FROM t WHERE x = 5""", dq)
+  }
+
   // ---- type mapper ---------------------------------------------------
 
   test("snowflake->spark->snowflake type collapse") {

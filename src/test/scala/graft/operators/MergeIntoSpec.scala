@@ -74,6 +74,57 @@ class MergeIntoSpec extends SparkSpecBase {
     assert(out.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
   }
 
+  test("run: one pass — counts + cached-plan write, no second join") {
+    val t = target; val s = source
+    var written: Array[org.apache.spark.sql.Row] = Array.empty
+    val c = MergeInto.run(
+      target = t, source = s,
+      condition = t("id") === s("sid"),
+      matched = Seq(MergeInto.WhenMatched(None,
+        MergeInto.Update(Map("bal" -> s("amount"))))),
+      notMatched = Seq(MergeInto.WhenNotMatched(None, Map(
+        "id" -> s("sid"), "name" -> lit("new"), "bal" -> s("amount"))))) { result =>
+      // the written plan must read the persisted join, not re-execute it
+      val plan = result.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"), s"expected cache reuse in:\n$plan")
+      written = result.orderBy("id").collect()
+    }
+    assert(c == MergeInto.Counts(inserted = 1, updated = 2, deleted = 0))
+    assert(written.map(r => (r.getInt(0), r.getDouble(2))).toSeq ==
+      Seq((1, 10.0), (2, 200.0), (3, -1.0), (4, 400.0)))
+  }
+
+  test("run: duplicate source matches applying an update raise the Snowflake error") {
+    val t = target
+    val dupSource = Seq((2, 200.0), (2, 201.0)).toDF("sid", "amount")
+    val ex = intercept[MergeInto.NondeterministicMergeException] {
+      MergeInto.run(
+        target = t, source = dupSource,
+        condition = t("id") === dupSource("sid"),
+        matched = Seq(MergeInto.WhenMatched(None,
+          MergeInto.Update(Map("bal" -> dupSource("amount"))))),
+        notMatched = Nil) { _ => fail("must not write") }
+    }
+    assert(ex.getMessage.contains("Duplicate row detected"))
+  }
+
+  test("run: pass-through fanout keeps the target row exactly once") {
+    val t = target
+    // two source rows match id=2 but neither satisfies the clause condition;
+    // one matches id=3 and applies -> deterministic, no error, no row growth
+    val dupSource = Seq((2, 200.0), (2, 201.0), (3, -5.0)).toDF("sid", "amount")
+    var written: Array[org.apache.spark.sql.Row] = Array.empty
+    val c = MergeInto.run(
+      target = t, source = dupSource,
+      condition = t("id") === dupSource("sid"),
+      matched = Seq(MergeInto.WhenMatched(Some(dupSource("amount") < 0),
+        MergeInto.Update(Map("bal" -> dupSource("amount"))))),
+      notMatched = Nil) { result => written = result.orderBy("id").collect() }
+    assert(c == MergeInto.Counts(inserted = 0, updated = 1, deleted = 0))
+    assert(written.map(r => (r.getInt(0), r.getDouble(2))).toSeq ==
+      Seq((1, 10.0), (2, 20.0), (3, -5.0)))
+  }
+
   test("counts reports inserted/updated/deleted") {
     val t = target; val s = source
     val c = MergeInto.counts(
