@@ -216,12 +216,20 @@ final class Catalog(val spark: SparkSession) {
   // ---- file formats (reference `repository.go:76-85`) ----------------
 
   def createFileFormat(db: String, schema: String, name: String,
-      formatType: String, options: Map[String, String]): Unit =
+      formatType: String, rawOptions: String): Unit =
     fileFormats.put(s"${up(db)}.${up(schema)}.${up(name)}",
-      FileFormatMeta(up(db), up(schema), up(name), up(formatType), options))
+      FileFormatMeta(up(db), up(schema), up(name), up(formatType), rawOptions))
 
   def getFileFormat(db: String, schema: String, name: String): Option[FileFormatMeta] =
     Option(fileFormats.get(s"${up(db)}.${up(schema)}.${up(name)}"))
+
+  def dropFileFormat(db: String, schema: String, name: String,
+      ifExists: Boolean = false): Unit =
+    if (fileFormats.remove(s"${up(db)}.${up(schema)}.${up(name)}") == null && !ifExists)
+      throw SnowflakeError.notFound(s"file format ${up(name)} does not exist")
+
+  def listFileFormats(db: String): Seq[FileFormatMeta] =
+    fileFormats.values.asScala.filter(_.database == up(db)).toSeq.sortBy(_.name)
 
   private def deleteRecursively(p: Path): Unit = {
     val s = Files.walk(p)
@@ -247,6 +255,9 @@ object Catalog {
       createdOn: Long = System.currentTimeMillis())
   final case class DatabaseMeta(name: String,
       createdOn: Long = System.currentTimeMillis())
+  /** Named file format (reference `repository.go:76-85`): the option text
+    * is stored raw and re-parsed by CopyParser when COPY references the
+    * format by name, so format options have one parsing code path. */
   final case class FileFormatMeta(database: String, schema: String,
-      name: String, formatType: String, options: Map[String, String])
+      name: String, formatType: String, rawOptions: String)
 }

@@ -31,8 +31,17 @@ object CopyParser {
   private val recordDelimRe: Regex = """(?is)RECORD_DELIMITER\s*=\s*'([^']*)'""".r
   private val skipHeaderRe: Regex = """(?is)SKIP_HEADER\s*=\s*(\d+)""".r
   private val nullIfRe: Regex = """(?is)NULL_IF\s*=\s*\(([^)]*)\)""".r
+  private val formatNameRe: Regex = """(?is)FORMAT_NAME\s*=\s*'?([\w.]+)'?""".r
+  // bare form: FILE_FORMAT = my_fmt (no parens)
+  private val bareFormatRe: Regex = """(?is)FILE_FORMAT\s*=\s*'?([A-Za-z_][\w.]*)'?""".r
 
-  def parse(sql: String, currentDb: String, currentSchema: String): CopyStatement = {
+  /** Parse a COPY INTO statement. `formatLookup` resolves a named file
+    * format (`FILE_FORMAT = (FORMAT_NAME='x')` or `FILE_FORMAT = x`) to its
+    * stored raw option text (reference stores formats in metadata,
+    * `repository.go:76-85`); the stored text is parsed with the same
+    * regexes as inline options. */
+  def parse(sql: String, currentDb: String, currentSchema: String,
+      formatLookup: String => Option[String] = _ => None): CopyStatement = {
     val m = copyIntoRe.findFirstMatchIn(sql.trim).getOrElse(
       throw SnowflakeError.compilation(s"invalid COPY INTO syntax: $sql"))
 
@@ -41,7 +50,17 @@ object CopyParser {
     val stagePath = Option(m.group(3)).map(_.stripPrefix("/")).getOrElse("")
 
     val upper = sql.toUpperCase(java.util.Locale.ROOT)
-    val ffText = fileFormatRe.findFirstMatchIn(sql).map(_.group(1)).getOrElse("")
+    val inlineFf = fileFormatRe.findFirstMatchIn(sql).map(_.group(1))
+    val namedFormat = inlineFf.flatMap(t => formatNameRe.findFirstMatchIn(t))
+      .map(_.group(1))
+      .orElse(if (inlineFf.isEmpty)
+        bareFormatRe.findFirstMatchIn(sql).map(_.group(1)) else None)
+    val ffText = namedFormat match {
+      case Some(name) =>
+        formatLookup(name).getOrElse(throw SnowflakeError.notFound(
+          s"file format ${name.toUpperCase(java.util.Locale.ROOT)} does not exist"))
+      case None => inlineFf.getOrElse("")
+    }
     val ffUpper = ffText.toUpperCase(java.util.Locale.ROOT)
 
     val nullIf = nullIfRe.findFirstMatchIn(ffText).map { nm =>

@@ -128,7 +128,30 @@ final class Executor(
       result(Seq("name", "database_name", "schema_name", "kind", "comment"),
         catalog.listTables(ctx.database).map(t =>
           Seq[Any](t.table, t.database, t.schema, t.tableType, t.comment)))
-    else
+    else if (u.startsWith("SHOW VIEWS"))
+      result(Seq("name", "database_name", "schema_name", "comment"),
+        catalog.listTables(ctx.database).filter(_.tableType == "VIEW").map(t =>
+          Seq[Any](t.table, t.database, t.schema, t.comment)))
+    else if (u.startsWith("SHOW STAGES"))
+      result(Seq("name", "database_name", "schema_name", "type"),
+        stages.listStages().map(n =>
+          Seq[Any](n, ctx.database, ctx.schema, "INTERNAL")))
+    else if (u.startsWith("SHOW FILE FORMATS"))
+      result(Seq("name", "database_name", "schema_name", "type"),
+        catalog.listFileFormats(ctx.database).map(f =>
+          Seq[Any](f.name, f.database, f.schema, f.formatType)))
+    else if (u.startsWith("SHOW COLUMNS")) {
+      val tbl = """(?is)SHOW\s+COLUMNS\s+IN\s+(?:TABLE\s+)?(\S+)""".r
+        .findFirstMatchIn(sql.trim).map(_.group(1))
+        .getOrElse(throw SnowflakeError.compilation(s"invalid SHOW COLUMNS: $sql"))
+      val ref = TableNaming.parse(tbl, ctx.database, ctx.schema)
+      val meta = catalog.getTable(ref).getOrElse(
+        throw SnowflakeError.notFound(s"table $tbl does not exist"))
+      result(Seq("table_name", "schema_name", "column_name", "data_type", "null?"),
+        meta.columns.map(c => Seq[Any](
+          meta.table, meta.schema, c.name, c.snowflakeType,
+          if (c.nullable) "true" else "false")))
+    } else
       throw SnowflakeError.compilation(s"unsupported SHOW statement: $sql")
   }
 
@@ -165,6 +188,8 @@ final class Executor(
     """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?WAREHOUSE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\S+)(.*)$""".r
   private val createStageRe =
     """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?STAGE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\S+?);?\s*$""".r
+  private val createFileFormatRe =
+    """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?FILE\s+FORMAT\s+(?:IF\s+NOT\s+EXISTS\s+)?(\S+)\s+(.*?);?\s*$""".r
 
   private def status(queryId: String, msg: String): Result =
     localResult(queryId, Seq("status"), Seq(Seq[Any](msg)),
@@ -205,6 +230,11 @@ final class Executor(
       case createStageRe(name) =>
         stages.stageDir(name.toUpperCase(java.util.Locale.ROOT))
         status(queryId, s"Stage area ${name.toUpperCase} successfully created.")
+      case createFileFormatRe(name, optionsText) =>
+        val tpe = """(?is)TYPE\s*=\s*'?(\w+)'?""".r
+          .findFirstMatchIn(optionsText).map(_.group(1)).getOrElse("CSV")
+        catalog.createFileFormat(ctx.database, ctx.schema, name, tpe, optionsText)
+        status(queryId, s"File format ${name.toUpperCase} successfully created.")
       case ctasRe(orReplace, ifNotExists, name, select) =>
         val ref = TableNaming.parse(name, ctx.database, ctx.schema)
         if (catalog.tableExists(ref) && ifNotExists != null)
@@ -259,12 +289,12 @@ final class Executor(
     }
 
   private def ddlDrop(ctx: Context, sql: String, queryId: String): Result = {
-    val m = """(?is)DROP\s+(DATABASE|SCHEMA|TABLE|VIEW|WAREHOUSE|STAGE)\s+(IF\s+EXISTS\s+)?(\S+?);?\s*$""".r
+    val m = """(?is)DROP\s+(DATABASE|SCHEMA|TABLE|VIEW|WAREHOUSE|STAGE|FILE\s+FORMAT)\s+(IF\s+EXISTS\s+)?(\S+?);?\s*$""".r
       .findFirstMatchIn(sql.trim)
       .getOrElse(throw SnowflakeError.compilation(s"unsupported DROP statement: $sql"))
     val ifExists = m.group(2) != null
     val name = m.group(3)
-    m.group(1).toUpperCase(java.util.Locale.ROOT) match {
+    m.group(1).toUpperCase(java.util.Locale.ROOT).replaceAll("\\s+", " ") match {
       case "DATABASE" => catalog.dropDatabase(name, ifExists)
       case "VIEW" =>
         catalog.dropView(TableNaming.parse(name, ctx.database, ctx.schema), ifExists)
@@ -278,6 +308,8 @@ final class Executor(
         catalog.dropTable(ref, ifExists)
       case "WAREHOUSE" => warehouses.drop(name, ifExists)
       case "STAGE" => stages.dropStage(name.toUpperCase(java.util.Locale.ROOT))
+      case "FILE FORMAT" =>
+        catalog.dropFileFormat(ctx.database, ctx.schema, name, ifExists)
     }
     status(queryId, s"${name.toUpperCase} successfully dropped.")
   }
@@ -405,7 +437,16 @@ final class Executor(
   // ------------------------------------------------------------------
 
   private def copyInto(ctx: Context, sql: String, queryId: String): Result = {
-    val stmt = CopyParser.parse(sql, ctx.database, ctx.schema)
+    val stmt = CopyParser.parse(sql, ctx.database, ctx.schema,
+      formatLookup = n => {
+        val parts = n.split('.')
+        val (db, sc, fmt) = parts.length match {
+          case 3 => (parts(0), parts(1), parts(2))
+          case 2 => (ctx.database, parts(0), parts(1))
+          case _ => (ctx.database, ctx.schema, n)
+        }
+        catalog.getFileFormat(db, sc, fmt).map(_.rawOptions)
+      })
     val meta = catalog.getTable(stmt.target).getOrElse(
       throw SnowflakeError.notFound(s"table ${stmt.target.table} does not exist"))
     val schema = catalog.tableDf(stmt.target).schema
@@ -420,8 +461,9 @@ final class Executor(
     catalog.appendToTable(stmt.target, df)
     localResult(queryId,
       Seq("file", "status", "rows_parsed", "rows_loaded", "errors_seen"),
-      Seq(Seq[Any](s"@${stmt.stageName}/${stmt.stagePath}", "LOADED",
-        res.rowsLoaded, res.rowsLoaded, res.errors.size.toLong)),
+      Seq(Seq[Any](s"@${stmt.stageName}/${stmt.stagePath}",
+        if (res.errorsSeen > 0) "PARTIALLY_LOADED" else "LOADED",
+        res.rowsLoaded + res.errorsSeen, res.rowsLoaded, res.errorsSeen)),
       Classifier.StatementTypeDml, rowsAffected = Some(res.rowsLoaded))
   }
 

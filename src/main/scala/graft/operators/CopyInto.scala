@@ -41,8 +41,12 @@ object CopyInto {
       onError: OnError = Abort,
       purge: Boolean = false)
 
-  /** Result shape of the reference (`pkg/query/result.go:35-40`). */
-  final case class Result(rowsLoaded: Long, filesLoaded: Int, errors: Seq[String])
+  /** Result shape of the reference (`pkg/query/result.go:35-40`):
+    * `errorsSeen` counts every rejected row/file, `errors` holds a bounded
+    * sample of messages (the reference collects per-row errors,
+    * `copy_processor.go:270-281`). */
+  final case class Result(rowsLoaded: Long, filesLoaded: Int,
+      errorsSeen: Long, errors: Seq[String])
 
   /** List stage files honoring PATTERN (a regex over the relative path, as
     * in Snowflake; reference applies it at `copy_processor.go:242-250`). */
@@ -61,12 +65,22 @@ object CopyInto {
     } finally stream.close()
   }
 
-  /** Read one file group into a DataFrame with the target schema. */
+  /** Column recording the raw text of a row Spark could not parse into the
+    * target schema (PERMISSIVE mode's corrupt-record channel). */
+  val CorruptCol = "_graft_corrupt_record"
+
+  /** Read one file group into a DataFrame with the target schema.
+    * `mode` is the Spark parse mode; with PERMISSIVE the returned frame
+    * carries [[CorruptCol]] holding the raw text of each rejected row. */
   def read(spark: SparkSession, files: Seq[String], schema: StructType,
-           opts: Options): DataFrame = {
+           opts: Options, mode: String = "FAILFAST"): DataFrame = {
+    val readSchema =
+      if (mode == "PERMISSIVE")
+        schema.add(CorruptCol, org.apache.spark.sql.types.StringType)
+      else schema
     opts.format.toUpperCase match {
       case "CSV" =>
-        var r = spark.read.schema(schema)
+        var r = spark.read.schema(readSchema)
           .option("sep", opts.fieldDelimiter)
           .option("header", (opts.skipHeader > 0).toString)
         if (opts.recordDelimiter != "\n")
@@ -74,7 +88,8 @@ object CopyInto {
         r = r
           .option("ignoreLeadingWhiteSpace", opts.trimSpace.toString)
           .option("ignoreTrailingWhiteSpace", opts.trimSpace.toString)
-          .option("mode", if (opts.onError == Abort) "FAILFAST" else "DROPMALFORMED")
+          .option("mode", mode)
+          .option("columnNameOfCorruptRecord", CorruptCol)
         // Snowflake NULL_IF list; Spark CSV supports one nullValue token —
         // the first is mapped natively, the rest post-mapped below.
         opts.nullIf.headOption.foreach(nv => r = r.option("nullValue", nv))
@@ -82,8 +97,8 @@ object CopyInto {
         if (opts.nullIf.size > 1) {
           val extra = opts.nullIf.tail
           df.select(df.columns.toSeq.map { c =>
-            val sf = schema(c)
-            if (sf.dataType == org.apache.spark.sql.types.StringType)
+            if (c != CorruptCol &&
+              schema(c).dataType == org.apache.spark.sql.types.StringType)
               when(col(c).isin(extra.map(_.asInstanceOf[Any]): _*), lit(null))
                 .otherwise(col(c)).as(c)
             else col(c)
@@ -93,9 +108,10 @@ object CopyInto {
         // STRIP_OUTER_ARRAY=TRUE -> one row per array element (Spark's
         // multiLine mode reads a top-level array exactly that way);
         // default JSON-lines otherwise (copy_processor.go:378-445).
-        spark.read.schema(schema)
+        spark.read.schema(readSchema)
           .option("multiLine", opts.stripOuterArray.toString)
-          .option("mode", if (opts.onError == Abort) "FAILFAST" else "DROPMALFORMED")
+          .option("mode", mode)
+          .option("columnNameOfCorruptRecord", CorruptCol)
           .json(files: _*)
       case other => throw new IllegalArgumentException(s"unsupported format $other")
     }
@@ -103,8 +119,11 @@ object CopyInto {
 
   /** Load the matching staged files and return (rows ready to append,
     * result). ON_ERROR=SKIP_FILE reads file by file, dropping files that
-    * fail outright; CONTINUE drops malformed rows; ABORT fails fast on the
-    * whole batch in one vectorized read.
+    * fail outright; CONTINUE loads good rows and ACCOUNTS for each rejected
+    * row via PERMISSIVE + corrupt-record column (reference
+    * `copy_processor.go:270-281` collects per-row errors — DROPMALFORMED
+    * would silently zero `errors_seen`); ABORT fails fast on the whole
+    * batch in one vectorized read.
     */
   def load(spark: SparkSession, stageDir: Path, schema: StructType,
            opts: Options): (DataFrame, Result) = {
@@ -112,7 +131,7 @@ object CopyInto {
     if (files.isEmpty)
       return (spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
-        Result(0, 0, Nil))
+        Result(0, 0, 0, Nil))
 
     opts.onError match {
       case SkipFile =>
@@ -138,15 +157,30 @@ object CopyInto {
           else parts.reduce(_ union _)
         val n = if (parts.isEmpty) 0L else all.count()
         if (opts.purge) files.foreach(Files.deleteIfExists(_))
-        (all, Result(n, loaded, errors))
-      case _ =>
+        (all, Result(n, loaded, errors.size.toLong, errors))
+      case Continue =>
+        // caching before filtering on the corrupt column is Spark's
+        // documented contract for referencing it; it also pins the parsed
+        // rows so PURGE can delete inputs before the append executes
+        val raw = read(spark, files.map(_.toString), schema, opts,
+          mode = "PERMISSIVE").cache()
+        val bad = raw.filter(col(CorruptCol).isNotNull)
+        val errorsSeen = bad.count()
+        val samples = bad.select(col(CorruptCol)).take(10)
+          .map(r => s"rejected: ${r.getString(0)}").toSeq
+        val good = raw.filter(col(CorruptCol).isNull)
+          .select(schema.fieldNames.toSeq.map(col): _*)
+        val n = good.count()
+        if (opts.purge) files.foreach(Files.deleteIfExists(_))
+        (good, Result(n, files.size, errorsSeen, samples))
+      case Abort =>
         var df = read(spark, files.map(_.toString), schema, opts)
         // PURGE deletes the inputs after a successful load, so the result
         // must be materialized before the files go away.
         if (opts.purge) df = df.cache()
         val n = df.count()
         if (opts.purge) files.foreach(Files.deleteIfExists(_))
-        (df, Result(n, files.size, Nil))
+        (df, Result(n, files.size, 0, Nil))
     }
   }
 }

@@ -88,6 +88,15 @@ final class StageManager(root: Path) {
   def remove(stageName: String, relPath: String): Boolean =
     Files.deleteIfExists(sanitize(s"$stageName/$relPath"))
 
+  /** Stage names = top-level directories under the stage root. */
+  def listStages(): Seq[String] = {
+    if (!Files.isDirectory(root)) return Nil
+    val stream = Files.list(root)
+    try stream.iterator().asScala.filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).toVector.sorted
+    finally stream.close()
+  }
+
   /** Drop the whole stage directory. */
   def dropStage(stageName: String): Unit = {
     val dir = sanitize(stageName)

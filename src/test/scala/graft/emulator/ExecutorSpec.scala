@@ -318,6 +318,58 @@ class ExecutorSpec extends AnyFunSuite {
       e.getMessage.toLowerCase.contains("escape"), e.getMessage)
   }
 
+  test("25 named file format drives COPY; SHOW FILE FORMATS lists it") {
+    exec("CREATE FILE FORMAT my_psv TYPE = 'CSV' FIELD_DELIMITER = '|' SKIP_HEADER = 1")
+    exec("CREATE TABLE ff_t (id INTEGER, name VARCHAR(50))")
+    exec("CREATE STAGE ff_stage")
+    val d = executor.stages.stageDir("FF_STAGE")
+    Files.writeString(d.resolve("data.csv"), "id|name\n1|alice\n2|bob\n")
+    val r = exec("COPY INTO ff_t FROM @ff_stage FILE_FORMAT = (FORMAT_NAME = 'my_psv')")
+    assert(r.rowsAffected.contains(2L))
+    assert(exec("SELECT name FROM ff_t ORDER BY id").rows.map(_.head) ==
+      Seq("alice", "bob"))
+    val shown = exec("SHOW FILE FORMATS")
+    assert(shown.rows.exists(row => row.head == "MY_PSV" && row(3) == "CSV"))
+    // bare-name form
+    exec("TRUNCATE TABLE ff_t")
+    val r2 = exec("COPY INTO ff_t FROM @ff_stage FILE_FORMAT = my_psv")
+    assert(r2.rowsAffected.contains(2L))
+    // unknown format -> object-not-found
+    val e = intercept[SnowflakeError](
+      exec("COPY INTO ff_t FROM @ff_stage FILE_FORMAT = (FORMAT_NAME = 'nope')"))
+    assert(e.code == SnowflakeError.CodeObjectNotFound)
+    exec("DROP FILE FORMAT my_psv")
+    intercept[SnowflakeError](exec("DROP FILE FORMAT my_psv"))
+  }
+
+  test("26 SHOW VIEWS / SHOW STAGES / SHOW COLUMNS") {
+    exec("CREATE TABLE sc_t (id INTEGER NOT NULL, txt VARCHAR(20))")
+    exec("CREATE VIEW sc_v AS SELECT id FROM sc_t")
+    exec("CREATE STAGE sc_stage")
+    val views = exec("SHOW VIEWS")
+    assert(views.rows.exists(_.head == "SC_V"), views.rows)
+    val stagesShown = exec("SHOW STAGES")
+    assert(stagesShown.rows.exists(_.head == "SC_STAGE"), stagesShown.rows)
+    val cols = exec("SHOW COLUMNS IN TABLE sc_t")
+    assert(cols.rows.map(r => (r(2), r(4))) ==
+      Seq(("ID", "false"), ("TXT", "true")), cols.rows)
+    exec("DROP VIEW sc_v")
+  }
+
+  test("27 COPY ON_ERROR=CONTINUE reports errors_seen through the statement") {
+    exec("CREATE TABLE oe_t (id INTEGER, name VARCHAR(50))")
+    exec("CREATE STAGE oe_stage")
+    val d = executor.stages.stageDir("OE_STAGE")
+    Files.writeString(d.resolve("data.csv"), "1,alice\nBAD,ROW,EXTRA\n3,carol\n")
+    val r = exec("COPY INTO oe_t FROM @oe_stage ON_ERROR = CONTINUE")
+    val row = r.rows.head
+    val cols = r.columns.map(_.name)
+    assert(row(cols.indexOf("rows_loaded")) == 2L, r.rows)
+    assert(row(cols.indexOf("errors_seen")) == 1L, r.rows)
+    assert(row(cols.indexOf("status")) == "PARTIALLY_LOADED", r.rows)
+    assert(exec("SELECT COUNT(*) AS n FROM oe_t").rows.head.head == 2L)
+  }
+
   test("24 nondeterministic merge surfaces the Snowflake duplicate-row error") {
     exec("CREATE TABLE nd_t (id INTEGER, v NUMBER(5,2))")
     exec("INSERT INTO nd_t VALUES (1, 1.0)")

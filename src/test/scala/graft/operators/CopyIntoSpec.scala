@@ -72,6 +72,32 @@ class CopyIntoSpec extends SparkSpecBase {
     assert(res.filesLoaded >= 1)
   }
 
+  test("ON_ERROR=CONTINUE loads good rows and accounts for each bad row") {
+    val dir = Files.createTempDirectory("copy_cont")
+    // row 2 has a non-numeric id, row 4 has too many columns
+    writeFile(dir, "a.csv",
+      "1,alice,10.5\nBADID,bob,20.0\n3,carol,30.0\n4,dan,40.0,EXTRA,COLS\n")
+    val (df, res) = CopyInto.load(spark, dir, schema, CopyInto.Options(
+      format = "CSV", onError = CopyInto.Continue))
+    assert(res.rowsLoaded == 2, res)
+    assert(res.errorsSeen == 2, res)
+    assert(res.errors.exists(_.contains("BADID")), res.errors)
+    assert(df.orderBy("id").collect().map(_.getInt(0)).toSeq == Seq(1, 3))
+    // the corrupt-record bookkeeping column must not leak into the output
+    assert(df.columns.toSeq == schema.fieldNames.toSeq)
+  }
+
+  test("ON_ERROR=CONTINUE on JSON counts unparseable lines") {
+    val dir = Files.createTempDirectory("copy_cont_json")
+    writeFile(dir, "a.json",
+      """{"id":1,"name":"a","bal":1.0}""" + "\n" + "{{{nope\n" +
+        """{"id":2,"name":"b","bal":2.0}""")
+    val (df, res) = CopyInto.load(spark, dir, schema, CopyInto.Options(
+      format = "JSON", onError = CopyInto.Continue))
+    assert(res.rowsLoaded == 2 && res.errorsSeen == 1, res)
+    assert(df.count() == 2)
+  }
+
   test("PURGE deletes staged files after a successful load") {
     val dir = Files.createTempDirectory("copy_purge")
     val f = writeFile(dir, "a.csv", "1,a,1.0\n2,b,2.0\n")
