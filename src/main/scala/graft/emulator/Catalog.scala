@@ -64,6 +64,9 @@ final class Catalog(val spark: SparkSession) {
   def listDatabases(): Seq[DatabaseMeta] =
     databases.values.asScala.toSeq.sortBy(_.name)
 
+  def setDatabaseComment(name: String, comment: String): Unit =
+    Option(databases.get(up(name))).foreach(_.comment = comment)
+
   // ---- schemas -------------------------------------------------------
 
   def createSchema(db: String, name: String, ifNotExists: Boolean = false): Unit = {
@@ -254,7 +257,8 @@ object Catalog {
   final case class SchemaMeta(database: String, name: String,
       createdOn: Long = System.currentTimeMillis())
   final case class DatabaseMeta(name: String,
-      createdOn: Long = System.currentTimeMillis())
+      createdOn: Long = System.currentTimeMillis(),
+      var comment: String = "")
   /** Named file format (reference `repository.go:76-85`): the option text
     * is stored raw and re-parsed by CopyParser when COPY references the
     * format by name, so format options have one parsing code path. */

@@ -82,9 +82,39 @@ final class Executor(
     val u = sql.trim.toUpperCase(java.util.Locale.ROOT)
     if (u.startsWith("SHOW")) return show(ctx, sql, queryId)
     if (u.startsWith("DESC")) return describe(ctx, sql, queryId)
-    val rewritten = TableNaming.rewrite(rewriteFlatten(sql), ctx.database, ctx.schema)
+    val withHistory = rewriteQueryHistory(sql)
+    val rewritten = TableNaming.rewrite(rewriteFlatten(withHistory),
+      ctx.database, ctx.schema)
     val df = spark.sql(rewritten)
     collectResult(df, queryId, Classifier.StatementTypeSelect)
+  }
+
+  private val queryHistoryRe =
+    """(?is)(?:TABLE\s*\(\s*)?INFORMATION_SCHEMA\.QUERY_HISTORY(?:\s*\(\s*\)\s*\))?""".r
+
+  /** SQL-queryable query history (reference persists history to a
+    * selectable table, `repository.go:1213-1313`): references to
+    * INFORMATION_SCHEMA.QUERY_HISTORY — bare or in Snowflake's
+    * TABLE(...()) form — are served from a temp view refreshed from the
+    * in-memory ring, so WHERE/ORDER BY/aggregation all work over it. The
+    * backticked substitute name is invisible to the table-name rewriter. */
+  private def rewriteQueryHistory(sql: String): String = {
+    if (queryHistoryRe.findFirstIn(sql).isEmpty) return sql
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("QUERY_ID", StringType),
+      StructField("QUERY_TEXT", StringType),
+      StructField("EXECUTION_STATUS", StringType),
+      StructField("ROWS_PRODUCED", LongType),
+      StructField("TOTAL_ELAPSED_TIME", LongType),
+      StructField("ERROR_MESSAGE", StringType),
+      StructField("START_TIME", TimestampType)))
+    val rows = history.recent(10000).map(r => Row(
+      r.queryId, r.sqlText, r.status, r.rows, r.elapsedMs, r.errorMessage,
+      new java.sql.Timestamp(r.startedAt)))
+    spark.createDataFrame(rows.asJava, schema)
+      .createOrReplaceTempView("graft_query_history")
+    queryHistoryRe.replaceAllIn(sql, "`graft_query_history`")
   }
 
   /** Snowflake `FROM t, LATERAL FLATTEN(input => expr) f` / `TABLE(

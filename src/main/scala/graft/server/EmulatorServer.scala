@@ -36,6 +36,11 @@ final class EmulatorServer(
 
   server.createContext("/session/v1/login-request", handler(login))
   server.createContext("/session/token-request", handler(tokenRenew))
+  // legacy renewal alias — the reference delegates it to token-request
+  // (`session.go:224-227`)
+  server.createContext("/session/renew", handler(tokenRenew))
+  server.createContext("/session/logout", handler(logout))
+  server.createContext("/session/use", handler(useContext))
   server.createContext("/session/heartbeat", handler(heartbeat))
   server.createContext("/session", handler(sessionDelete)) // ?delete=true
   server.createContext("/queries/v1/query-request", handler(queryRequest))
@@ -136,6 +141,28 @@ final class EmulatorServer(
 
   private def heartbeat(exchange: HttpExchange): Unit =
     withSession(exchange)(_ => respond(exchange, 200, obj(_.put("success", true))))
+
+  /** POST /session/logout — body `{token}` (reference `session.go:231-253`). */
+  private def logout(exchange: HttpExchange): Unit = {
+    val token = textOf(readJson(exchange), "token").getOrElse("")
+    if (sessions.close(token))
+      respond(exchange, 200, obj(_.put("success", true)))
+    else respond(exchange, 200, gosnowflakeError(
+      SnowflakeError(SnowflakeError.CodeInternalError, "Failed to close session")))
+  }
+
+  /** POST /session/use — body `{token, database?, schema?}` switches the
+    * session context (reference `session.go:256-279`). */
+  private def useContext(exchange: HttpExchange): Unit = {
+    val body = readJson(exchange)
+    val token = textOf(body, "token").getOrElse("")
+    sessions.use(token, textOf(body, "database"), textOf(body, "schema")) match {
+      case Some(_) => respond(exchange, 200, obj(_.put("success", true)))
+      case None => respond(exchange, 200, gosnowflakeError(
+        SnowflakeError(SnowflakeError.CodeInvalidParameter,
+          "Failed to update session context")))
+    }
+  }
 
   /** POST /session?delete=true — logout (reference `session.go:230-253`). */
   private def sessionDelete(exchange: HttpExchange): Unit = {
@@ -291,6 +318,21 @@ final class EmulatorServer(
         }
       case ("DELETE", Seq(db)) =>
         cat.dropDatabase(db); respond(exchange, 200, obj(_.put("status", "dropped")))
+      // PUT /api/v2/databases/{db} — alter (comment), reference
+      // `rest_api_v2.go:620-660` + `types/rest_api_v2.go:130-132`
+      case ("PUT", Seq(db)) =>
+        val body = readJson(exchange)
+        cat.listDatabases().find(_.name.equalsIgnoreCase(db)) match {
+          case Some(d) =>
+            textOf(body, "comment").foreach(cat.setDatabaseComment(db, _))
+            val updated = cat.listDatabases().find(_.name.equalsIgnoreCase(db)).get
+            respond(exchange, 200, obj { o =>
+              o.put("name", updated.name); o.put("created_on", updated.createdOn)
+              o.put("comment", updated.comment)
+            })
+          case None =>
+            respond(exchange, 404, obj(_.put("message", s"database $db not found")))
+        }
       // schemas
       case ("GET", Seq(db, "schemas")) =>
         respond(exchange, 200, arr(cat.listSchemas(db)) { (o, s) =>
@@ -352,6 +394,23 @@ final class EmulatorServer(
       case ("DELETE", Seq(db, "schemas", schema, "tables", table)) =>
         cat.dropTable(TableNaming.parse(s"$db.$schema.$table", db, schema))
         respond(exchange, 200, obj(_.put("status", "dropped")))
+      // PUT .../tables/{table} — alter (comment), reference
+      // `rest_api_v2.go:731-789` + `types/rest_api_v2.go:135-137`
+      case ("PUT", Seq(db, "schemas", schema, "tables", table)) =>
+        val ref = TableNaming.parse(s"$db.$schema.$table", db, schema)
+        cat.getTable(ref) match {
+          case Some(_) =>
+            textOf(readJson(exchange), "comment")
+              .foreach(cat.setTableComment(ref, _))
+            val t = cat.getTable(ref).get
+            respond(exchange, 200, obj { o =>
+              o.put("name", t.table); o.put("database_name", t.database)
+              o.put("schema_name", t.schema); o.put("table_type", t.tableType)
+              o.put("comment", t.comment)
+            })
+          case None =>
+            respond(exchange, 404, obj(_.put("message", s"table $table not found")))
+        }
       case _ => respond(exchange, 404, obj(_.put("message", "not found")))
     }
   }

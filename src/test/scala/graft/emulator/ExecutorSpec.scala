@@ -370,6 +370,31 @@ class ExecutorSpec extends AnyFunSuite {
     assert(exec("SELECT COUNT(*) AS n FROM oe_t").rows.head.head == 2L)
   }
 
+  test("28 query history is SQL-queryable with status and elapsed") {
+    exec("CREATE TABLE qh_t (id INTEGER)")
+    exec("INSERT INTO qh_t VALUES (1), (2)")
+    intercept[SnowflakeError](exec("SELECT nope FROM qh_t"))
+    val r = exec(
+      """SELECT query_id, query_text, execution_status, rows_produced
+         FROM TABLE(INFORMATION_SCHEMA.QUERY_HISTORY())
+         WHERE query_text LIKE '%qh_t%' AND query_text NOT LIKE '%QUERY_HISTORY%'
+         ORDER BY start_time""")
+    val statuses = r.rows.map(row => (row(1).toString, row(2)))
+    assert(statuses.exists { case (t, s) => t.startsWith("INSERT") && s == "SUCCESS" })
+    assert(statuses.exists { case (t, s) => t.startsWith("SELECT nope") && s == "FAILED" })
+    // aggregation over history works too (it is a real relation)
+    val agg = exec(
+      """SELECT execution_status, COUNT(*) AS n
+         FROM INFORMATION_SCHEMA.QUERY_HISTORY
+         GROUP BY execution_status""")
+    assert(agg.rows.nonEmpty)
+    // elapsed column is a non-negative number for completed statements
+    val el = exec(
+      """SELECT total_elapsed_time FROM INFORMATION_SCHEMA.QUERY_HISTORY
+         WHERE execution_status = 'SUCCESS' LIMIT 1""")
+    assert(el.rows.head.head.asInstanceOf[Long] >= 0L)
+  }
+
   test("24 nondeterministic merge surfaces the Snowflake duplicate-row error") {
     exec("CREATE TABLE nd_t (id INTEGER, v NUMBER(5,2))")
     exec("INSERT INTO nd_t VALUES (1, 1.0)")

@@ -153,6 +153,66 @@ class EmulatorServerSpec extends AnyFunSuite {
     assert(query("USE DATABASE test_db")._2.get("success").asBoolean())
   }
 
+  test("session endpoints: /renew, /use, /logout") {
+    val (_, login) = post("/session/v1/login-request",
+      """{"data":{"LOGIN_NAME":"u5","PASSWORD":"p"}}""")
+    val t0 = login.get("data").get("token").asText()
+    val master = login.get("data").get("masterToken").asText()
+    // /session/renew delegates to token renewal (reference session.go:224-227)
+    val (_, renewed) = post("/session/renew", s"""{"data":{"masterToken":"$master"}}""")
+    assert(renewed.get("success").asBoolean(), renewed)
+    val t1 = renewed.get("data").get("sessionToken").asText()
+    assert(t1.nonEmpty && t1 != t0)
+    // /session/use switches database/schema by token in the body
+    val a1 = Seq("Authorization" -> s"""Snowflake Token="$t1"""")
+    post("/queries/v1/query-request",
+      """{"sqlText":"CREATE DATABASE use_db"}""", a1)
+    val (_, used) = post("/session/use",
+      s"""{"token":"$t1","database":"USE_DB","schema":"PUBLIC"}""")
+    assert(used.get("success").asBoolean(), used)
+    val (_, shown) = post("/queries/v1/query-request",
+      """{"sqlText":"CREATE TABLE use_t (x INTEGER)"}""", a1)
+    assert(shown.get("success").asBoolean())
+    val (_, sel) = post("/queries/v1/query-request",
+      """{"sqlText":"SELECT * FROM use_db.public.use_t"}""", a1)
+    assert(sel.get("success").asBoolean())
+    // /session/logout closes by token in the body
+    val (_, out) = post("/session/logout", s"""{"token":"$t1"}""")
+    assert(out.get("success").asBoolean(), out)
+    val (_, hb) = post("/session/heartbeat", "", a1)
+    assert(!hb.get("success").asBoolean())
+    // unknown session: use fails with invalid-parameter error
+    val (_, bad) = post("/session/use", """{"token":"nope","database":"X"}""")
+    assert(!bad.get("success").asBoolean())
+    assert(bad.get("code").asText() == "000002")
+  }
+
+  test("REST v2 PUT alters: database and table comments") {
+    val mk = post("/api/v2/databases", """{"name":"alter_db"}""")
+    assert(mk._1 == 200)
+    assert(post("/api/v2/databases/alter_db/schemas", """{"name":"s1"}""")._1 == 200)
+    val cols = """{"name":"t1","columns":[{"name":"id","datatype":"INTEGER"}]}"""
+    assert(post("/api/v2/databases/alter_db/schemas/s1/tables", cols)._1 == 200)
+    def put(path: String, body: String) = {
+      val b = HttpRequest.newBuilder(URI.create(base + path))
+        .PUT(HttpRequest.BodyPublishers.ofString(body))
+        .header("Content-Type", "application/json")
+      val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), mapper.readTree(resp.body()))
+    }
+    val (dc, dbody) = put("/api/v2/databases/alter_db", """{"comment":"db note"}""")
+    assert(dc == 200 && dbody.get("comment").asText() == "db note", dbody)
+    val (tc, tbody) = put("/api/v2/databases/alter_db/schemas/s1/tables/t1",
+      """{"comment":"tbl note"}""")
+    assert(tc == 200 && tbody.get("comment").asText() == "tbl note", tbody)
+    assert(tbody.get("name").asText() == "T1")
+    assert(tbody.get("table_type").asText() == "BASE TABLE")
+    // 404s for unknown objects
+    assert(put("/api/v2/databases/no_such_db", """{"comment":"x"}""")._1 == 404)
+    assert(put("/api/v2/databases/alter_db/schemas/s1/tables/nope",
+      """{"comment":"x"}""")._1 == 404)
+  }
+
   test("REST v2: submit statement, replay by handle, status url") {
     val (_, sub) = post("/api/v2/statements",
       """{"statement":"SELECT id, name FROM gs_users ORDER BY id","database":"TEST_DB","schema":"PUBLIC"}""",
