@@ -24,13 +24,31 @@ object Pipeline {
 
   /** doc_id -> distinct 3-token shingles, the shared front of the n-gram /
     * MinHash dedup paths. */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
+  private def rawShingles(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("arr"))
       .filter(size(col("arr")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(0, size(arr)-3), i -> concat_ws(' ', arr[i], arr[i+1], arr[i+2]))")))
         .as("shingle"))
+
+  /** Shingles with a document-frequency guard: shingles present in more
+    * than max(5, 1%) of documents are dropped before any self-join. A
+    * shingle shared by k documents produces k² join rows — one viral
+    * shingle at 100 TB makes the inverted-index join quadratic, and
+    * near-dup evidence from boilerplate shingles is noise anyway (standard
+    * stop-shingle hygiene). The hot set is tiny by construction (only
+    * shingles above the cap), so the anti-join broadcasts. */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    val sh0 = rawShingles(s, dir)
+    val nDocs = docs(s, dir).select(count(lit(1)).as("n_docs"))
+    val hot = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .crossJoin(nDocs)
+      .filter(col("df").cast("double") >
+        greatest(lit(5.0), col("n_docs").cast("double") * lit(0.01)))
+      .select(col("shingle"))
+    sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
+  }
 
   val defs: Seq[QDef] = Seq(
 
@@ -66,10 +84,14 @@ object Pipeline {
       Some("""WITH toks AS (
           SELECT doc_id, string_split(text, ' ') AS arr FROM documents
           WHERE len(string_split(text, ' ')) >= 3),
-        sh AS (
+        sh0 AS (
           SELECT doc_id, unnest(list_distinct(
             [arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] FOR i IN range(1, len(arr) - 1)])) AS shingle
           FROM toks),
+        nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        hot AS (SELECT shingle FROM (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle) d, nd
+                WHERE CAST(d.df AS DOUBLE) > greatest(5.0, CAST(nd.n_docs AS DOUBLE) * 0.01)),
+        sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
         sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
         pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
