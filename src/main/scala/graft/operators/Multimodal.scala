@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
   * pipeline — per-partition imperative decode is the one place SURVEY §7
   * sanctions dropping below the DataFrame API).
   *
-  * The actual codec work is STUBBED (this container ships no image/audio
-  * libraries): `decodeStub` derives deterministic pseudo-metadata and a
-  * fixed-size feature vector from the bytes themselves, so the Spark-side
-  * contract — schema, batch iteration, partitioning, output shape — is real
-  * and testable, and a production codec drops in by replacing one function.
+  * Image decode is REAL: PNG/JPEG/GIF/BMP payloads go through the JDK's
+  * built-in `javax.imageio` (no external dependencies) for true pixel
+  * dimensions. Audio/video codec work is STUBBED (this container ships no
+  * media libraries): `decodeStub` derives deterministic pseudo-metadata
+  * from the bytes themselves, so the Spark-side contract — schema, batch
+  * iteration, partitioning, output shape — is real and testable, and a
+  * production codec drops in by replacing one function.
   *
   * Scale notes: payloads never leave their partition (no shuffle), the
   * decode is streamed row-group by row-group (iterator in, iterator out —
@@ -38,15 +40,10 @@ object Multimodal {
     StructField("features", ArrayType(FloatType, containsNull = false),
       nullable = false)))
 
-  /** STUB decode standing in for a real codec (PIL/ffmpeg/soundfile in a
-    * Pandas-UDF deployment): metadata and features are pure deterministic
-    * functions of the payload bytes. Replace this one function to go
-    * production — everything around it is the real pipeline. */
-  def decodeStub(payload: Array[Byte], dim: Int = 16): (Int, Int, Int, Array[Float]) = {
+  /** Normalized byte-histogram features — deterministic stand-in for a
+    * learned embedding, shared by the real-image and stub paths. */
+  private def byteFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
     val n = payload.length
-    val width = 1 + (if (n > 0) (payload(0) & 0x3F) else 0)
-    val height = 1 + (if (n > 1) (payload(1) & 0x3F) else 0)
-    val frames = 1 + n / 4096
     val features = new Array[Float](dim)
     var i = 0
     while (i < n) {
@@ -54,8 +51,49 @@ object Multimodal {
       i += 1
     }
     if (n > 0) { var j = 0; while (j < dim) { features(j) /= n; j += 1 } }
-    (width, height, frames, features)
+    features
   }
+
+  /** PNG/JPEG magic-byte sniff — cheap pre-check so ImageIO is only
+    * invoked on plausible image payloads. */
+  private def looksLikeImage(p: Array[Byte]): Boolean =
+    p.length > 8 && (
+      (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') || // PNG
+      (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte) ||                       // JPEG
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F') ||                        // GIF
+      (p(0) == 'B' && p(1) == 'M'))                                         // BMP
+
+  /** REAL image decode via the JDK's built-in ImageIO (PNG/JPEG/GIF/BMP,
+    * zero external dependencies): true pixel dimensions, or None when the
+    * payload isn't a decodable image. */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int)] = {
+    if (payload == null || !looksLikeImage(payload)) return None
+    val in = new java.io.ByteArrayInputStream(payload)
+    try {
+      val img = javax.imageio.ImageIO.read(in)
+      if (img == null) None else Some((img.getWidth, img.getHeight))
+    } catch { case _: Exception => None } finally in.close()
+  }
+
+  /** STUB decode standing in for the remaining codecs (ffmpeg/soundfile in
+    * a Pandas-UDF deployment): metadata is a pure deterministic function of
+    * the payload bytes. Audio/video payloads go through here; images take
+    * the real [[decodeImage]] path. */
+  def decodeStub(payload: Array[Byte], dim: Int = 16): (Int, Int, Int, Array[Float]) = {
+    val n = payload.length
+    val width = 1 + (if (n > 0) (payload(0) & 0x3F) else 0)
+    val height = 1 + (if (n > 1) (payload(1) & 0x3F) else 0)
+    val frames = 1 + n / 4096
+    (width, height, frames, byteFeatures(payload, dim))
+  }
+
+  /** Decode one payload: real ImageIO dimensions when the bytes are a
+    * decodable PNG/JPEG/GIF/BMP, the deterministic stub otherwise. */
+  def decode(payload: Array[Byte], dim: Int = 16): (Int, Int, Int, Array[Float]) =
+    decodeImage(payload) match {
+      case Some((w, h)) => (w, h, 1, byteFeatures(payload, dim))
+      case None => decodeStub(payload, dim)
+    }
 
   /** Decode + feature-extract a media DataFrame (columns: media_id,
     * payload, media_type) into `decodedSchema`, batch-at-a-time. */
@@ -69,7 +107,7 @@ object Multimodal {
         val payload =
           if (r.isNullAt(payloadIdx)) Array.emptyByteArray
           else r.getAs[Array[Byte]](payloadIdx)
-        val (w, h, f, feat) = decodeStub(payload, dim)
+        val (w, h, f, feat) = decode(payload, dim)
         Row(r.getLong(idIdx),
           if (r.isNullAt(typeIdx)) null else r.getString(typeIdx),
           payload.length, w, h, f, feat.toSeq)

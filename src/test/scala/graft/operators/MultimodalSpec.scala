@@ -38,6 +38,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeAndFeaturize(df).schema == Multimodal.decodedSchema)
   }
 
+  private def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach(y =>
+      img.setRGB(x, y, (x * 31 + y * 17) & 0xFFFFFF)))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, out)
+    out.toByteArray
+  }
+
+  test("real PNG and JPEG dimensions via javax.imageio") {
+    val png = imageBytes("png", 37, 21)
+    val jpg = imageBytes("jpg", 48, 9)
+    assert(Multimodal.decodeImage(png).contains((37, 21)))
+    assert(Multimodal.decodeImage(jpg).contains((48, 9)))
+    // non-image bytes fall back to the stub path
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(null).isEmpty)
+    // end-to-end through the distributed decode: real dims in the frame
+    val df = media((1L, png, "image"), (2L, jpg, "image"),
+      (3L, "plain text".getBytes, "text"))
+    val out = Multimodal.decodeAndFeaturize(df).orderBy("media_id").collect()
+    assert((out(0).getInt(3), out(0).getInt(4)) == (37, 21))
+    assert((out(1).getInt(3), out(1).getInt(4)) == (48, 9))
+    // text row keeps the deterministic stub dims (bounded 1..64)
+    assert(out(2).getInt(3) >= 1 && out(2).getInt(3) <= 64)
+    // features still populated for real images
+    assert(out(0).getSeq[Float](6).exists(_ != 0.0f))
+  }
+
   test("frame sampling emits stride-spaced ordinals per video") {
     val df = media((7L, Array.tabulate[Byte](12000)(_.toByte), "video"))
     val frames = Multimodal.sampleFrames(df, everyN = 2)
