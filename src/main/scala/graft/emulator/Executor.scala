@@ -82,12 +82,28 @@ final class Executor(
     val u = sql.trim.toUpperCase(java.util.Locale.ROOT)
     if (u.startsWith("SHOW")) return show(ctx, sql, queryId)
     if (u.startsWith("DESC")) return describe(ctx, sql, queryId)
-    val withHistory = rewriteQueryHistory(sql)
+    val withHistory = rewriteQueryHistory(sessionContextFns(ctx, sql))
     val rewritten = TableNaming.rewrite(rewriteFlatten(withHistory),
       ctx.database, ctx.schema)
     val df = spark.sql(rewritten)
     collectResult(df, queryId, Classifier.StatementTypeSelect)
   }
+
+  /** Session-context functions resolved against the statement's context:
+    * Spark's native current_database()/current_schema() would answer from
+    * the JVM-global catalog (wrong per-session), so the emulator inlines
+    * the session values the way the reference answers from its session
+    * store (`session.go:94-127`). */
+  private def sessionContextFns(ctx: Context, sql: String): String =
+    """(?i)\bCURRENT_(DATABASE|SCHEMA|WAREHOUSE|ROLE|USER)\s*\(\s*\)""".r
+      .replaceAllIn(sql, m =>
+        m.group(1).toUpperCase(java.util.Locale.ROOT) match {
+          case "DATABASE" => s"'${ctx.database}'"
+          case "SCHEMA" => s"'${ctx.schema}'"
+          case "WAREHOUSE" => "'COMPUTE_WH'"
+          case "ROLE" => "'ACCOUNTADMIN'"
+          case _ => "'GRAFT'"
+        })
 
   private val queryHistoryRe =
     """(?is)(?:TABLE\s*\(\s*)?INFORMATION_SCHEMA\.QUERY_HISTORY(?:\s*\(\s*\)\s*\))?""".r

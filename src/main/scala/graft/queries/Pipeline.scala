@@ -413,6 +413,115 @@ object Pipeline {
       },
       None),
 
+    // ---- corpus filtering (C4-style): language whitelist + length band
+    // + quality threshold, reported as per-source keep rates -------------
+    QDef("p17_corpus_filter",
+      (s, dir) => docs(s, dir)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .withColumn("avg_token_len",
+          length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_tokens"))
+        .withColumn("punct_ratio",
+          (length(col("text")) - length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")))
+            .cast("double") / length(col("text")))
+        .withColumn("quality",
+          (when(col("n_tokens").between(5, 1000), 0.4).otherwise(0.0) +
+            when(col("avg_token_len").between(3.0, 10.0), 0.3).otherwise(0.0) +
+            when(col("punct_ratio") < 0.1, 0.3).otherwise(0.0)).cast("double"))
+        .withColumn("keep",
+          col("lang").isin("en", "es") && col("n_tokens").between(10, 400) &&
+            col("quality") >= 0.7)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("keep_rate",
+          col("n_kept").cast("double") / col("n_total"))
+        .orderBy(col("source")),
+      Some("""WITH scored AS (
+          SELECT source, lang,
+            len(string_split(text, ' ')) AS n_tokens,
+            CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+            CAST(length(text) - length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio
+          FROM documents),
+        flagged AS (
+          SELECT source,
+            (lang IN ('en', 'es') AND n_tokens BETWEEN 10 AND 400 AND
+             (CASE WHEN n_tokens BETWEEN 5 AND 1000 THEN 0.4 ELSE 0.0 END
+              + CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END
+              + CASE WHEN punct_ratio < 0.1 THEN 0.3 ELSE 0.0 END) >= 0.7) AS keep
+          FROM scored)
+        SELECT source, COUNT(*) AS n_total,
+          CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS keep_rate
+        FROM flagged GROUP BY source ORDER BY source""")),
+
+    // ---- PII redaction: regex scrub of emails/phones with per-doc
+    // counts (PII injected deterministically so the redactor has real
+    // work at every scale factor) ---------------------------------------
+    QDef("p18_pii_redact",
+      (s, dir) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "\\+1-555-01[0-9]{2}"
+        docs(s, dir)
+          .withColumn("with_pii", concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 4 === 0,
+              concat(lit(" call +1-555-01"),
+                lpad((col("doc_id") % 100).cast("string"), 2, "0")))
+              .otherwise(lit(""))))
+          .select(col("doc_id"),
+            regexp_count(col("with_pii"), lit(emailRe)).as("n_emails"),
+            regexp_count(col("with_pii"), lit(phoneRe)).as("n_phones"),
+            md5(regexp_replace(regexp_replace(col("with_pii"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>")).as("redacted_fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH pii AS (
+          SELECT doc_id, text ||
+            CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+            CASE WHEN doc_id % 4 = 0 THEN ' call +1-555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ELSE '' END
+            AS with_pii
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(with_pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+          CAST(len(regexp_extract_all(with_pii, '\+1-555-01[0-9]{2}')) AS INTEGER) AS n_phones,
+          md5(regexp_replace(regexp_replace(with_pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\+1-555-01[0-9]{2}', '<PHONE>', 'g')) AS redacted_fp
+        FROM pii ORDER BY doc_id""")),
+
+    // ---- n-gram statistics: top-5 bigrams per language (tokenizer-
+    // training shape: partial agg, then per-group top-k window) ----------
+    QDef("p19_bigram_topk",
+      (s, dir) => {
+        val bi = docs(s, dir)
+          .select(col("lang"), split(col("text"), " ").as("arr"))
+          .filter(size(col("arr")) >= 2)
+          .select(col("lang"), explode(expr(
+            "transform(sequence(0, size(arr)-2), i -> concat_ws(' ', arr[i], arr[i+1]))"))
+            .as("bigram"))
+        val counted = bi.groupBy(col("lang"), col("bigram"))
+          .agg(count(lit(1)).as("cnt"))
+        counted
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("lang"))
+              .orderBy(col("cnt").desc, col("bigram"))))
+          .filter(col("rk") <= 5)
+          .select(col("lang"), col("bigram"), col("cnt"), col("rk"))
+          .orderBy(col("lang"), col("rk"))
+      },
+      Some("""WITH toks AS (
+          SELECT lang, string_split(text, ' ') AS arr FROM documents
+          WHERE len(string_split(text, ' ')) >= 2),
+        bi AS (
+          SELECT lang, unnest([arr[i] || ' ' || arr[i+1] FOR i IN range(1, len(arr))]) AS bigram
+          FROM toks),
+        counted AS (SELECT lang, bigram, COUNT(*) AS cnt FROM bi GROUP BY 1, 2),
+        ranked AS (
+          SELECT lang, bigram, cnt,
+            CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS INTEGER) AS rk
+          FROM counted)
+        SELECT lang, bigram, cnt, rk FROM ranked WHERE rk <= 5 ORDER BY lang, rk""")),
+
     // ---- multimodal column plumbing (binary payload + metadata) -------
     QDef("p13_media_meta",
       (s, dir) => docs(s, dir)

@@ -76,6 +76,18 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup for a document/event feed: drop rows whose
+    * fingerprint was already seen, with state bounded by the watermark
+    * (`dropDuplicatesWithinWatermark` evicts fingerprints older than the
+    * delay — the streaming form of the p01 exact-dedup batch operator; at
+    * 100 TB/day the state store only ever holds one watermark-window of
+    * 16-byte fingerprints per partition). Expects columns `ts` and `text`. */
+  def dedupStream(docs: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", md5(col("text")))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Wire a streaming DataFrame to an in-memory sink (tests / demos). */
   def toMemorySink(df: DataFrame, name: String, complete: Boolean = true) =
     df.writeStream

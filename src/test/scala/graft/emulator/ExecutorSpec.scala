@@ -395,6 +395,15 @@ class ExecutorSpec extends AnyFunSuite {
     assert(el.rows.head.head.asInstanceOf[Long] >= 0L)
   }
 
+  test("29 session context functions + EXPLAIN") {
+    val r = exec("SELECT CURRENT_DATABASE() AS db, CURRENT_SCHEMA() AS sc, CURRENT_ROLE() AS rl")
+    assert(r.rows.head == Seq("TEST_DB", "PUBLIC", "ACCOUNTADMIN"), r.rows)
+    exec("CREATE TABLE ex_t (id INTEGER)")
+    val ex = exec("EXPLAIN SELECT * FROM ex_t WHERE id > 1")
+    assert(ex.rows.nonEmpty)
+    assert(ex.rows.map(_.mkString).mkString.contains("Physical Plan"), ex.rows)
+  }
+
   test("24 nondeterministic merge surfaces the Snowflake duplicate-row error") {
     exec("CREATE TABLE nd_t (id INTEGER, v NUMBER(5,2))")
     exec("INSERT INTO nd_t VALUES (1, 1.0)")

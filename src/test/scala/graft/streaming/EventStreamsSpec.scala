@@ -78,4 +78,25 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(row.getLong(0) == 3 && row.getDouble(1) == 14.0)
     } finally q.stop()
   }
+
+  test("streaming exact dedup drops repeated fingerprints within watermark") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String)]
+    val docs = input.toDF().toDF("ts", "text")
+    val q = EventStreams.dedupStream(docs)
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts(0), "alpha doc"), (ts(1), "beta doc"), (ts(2), "alpha doc"))
+      q.processAllAvailable()
+      // duplicate within the same batch is dropped
+      input.addData((ts(3), "alpha doc"), (ts(4), "gamma doc"))
+      q.processAllAvailable()
+      val texts = spark.sql("SELECT text FROM dedup ORDER BY text")
+        .collect().map(_.getString(0)).toSeq
+      assert(texts == Seq("alpha doc", "beta doc", "gamma doc"), texts)
+    } finally q.stop()
+  }
 }
