@@ -31,8 +31,16 @@ object Tables {
     else df
   }
 
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   /** Register every table as a temp view named after the table, so
-    * `spark.sql` text matches the DuckDB oracle SQL verbatim. */
+    * `spark.sql` text matches the DuckDB oracle SQL verbatim. Registration
+    * is skipped when this session already has views for this sfDir: each
+    * `load` reads parquet footers for schema inference, so re-registering
+    * ten tables on every SQL-text query costs ~2 s of pure metadata I/O.
+    * Switching a session to a different sfDir re-registers. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    all.foreach { t => load(spark, sfDir, t).createOrReplaceTempView(t) }
+    if (registeredDir.put(spark, sfDir) != sfDir)
+      all.foreach { t => load(spark, sfDir, t).createOrReplaceTempView(t) }
 }

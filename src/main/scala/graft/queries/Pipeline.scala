@@ -37,17 +37,19 @@ object Pipeline {
     * shingle shared by k documents produces k² join rows — one viral
     * shingle at 100 TB makes the inverted-index join quadratic, and
     * near-dup evidence from boilerplate shingles is noise anyway (standard
-    * stop-shingle hygiene). The hot set is tiny by construction (only
-    * shingles above the cap), so the anti-join broadcasts. */
+    * stop-shingle hygiene). The document frequency is a window count over
+    * the same hash-partitioning the downstream self-join needs, so the
+    * guard adds no extra traversal of the explode and no extra shuffle —
+    * consumers joining on `shingle` inherit the partitioning. */
   private def shingles(s: SparkSession, dir: String): DataFrame = {
-    val sh0 = rawShingles(s, dir)
     val nDocs = docs(s, dir).select(count(lit(1)).as("n_docs"))
-    val hot = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .crossJoin(nDocs)
-      .filter(col("df").cast("double") >
+    rawShingles(s, dir)
+      .crossJoin(broadcast(nDocs))
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("df").cast("double") <=
         greatest(lit(5.0), col("n_docs").cast("double") * lit(0.01)))
-      .select(col("shingle"))
-    sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
+      .select(col("doc_id"), col("shingle"))
   }
 
   val defs: Seq[QDef] = Seq(
