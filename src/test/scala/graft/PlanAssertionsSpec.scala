@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions for the scale-critical queries: these guard the
+  * properties that make the engine viable at 100 TB — filter/column
+  * pushdown into the parquet scan, broadcast of small dimensions, top-k
+  * via TakeOrderedAndProject, whole-stage codegen coverage, and the
+  * absence of unbounded cartesian products outside the declared exact
+  * baselines. A green correctness run with a regressed plan is exactly the
+  * failure mode these tests catch.
+  */
+class PlanAssertionsSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.local(4)
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  /** Codegen explain — compiles the plan and reports WholeStageCodegen
+    * subtrees, which the adaptive initial-plan toString does not show. */
+  private def codegen(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+
+  test("q01: shipdate filter and column pruning reach the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    // projection pruning: the scan must not read join-irrelevant columns
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_orderkey"), s"q01 must not read l_orderkey:\n$p")
+    val cg = codegen("q01_pricing_summary")
+    assert(cg.contains("WholeStageCodegen subtrees"),
+      s"q01 hot path must be whole-stage codegen'd:\n${cg.take(500)}")
+  }
+
+  test("q02: selective filters pushed, 4-column read schema") {
+    val p = plan("q02_revenue_filter")
+    // the PushedFilters metadata string truncates at 100 chars, so assert
+    // the head of the pushed list plus the pruned scan column list
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    assert(p.contains("FileScan parquet [l_quantity"), p)
+    assert(!p.contains("l_returnflag"), s"q02 must not read l_returnflag:\n$p")
+  }
+
+  test("q05: nation and region dimensions are broadcast") {
+    val p = plan("q05_nation_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"expected >=2 broadcast joins in:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q11: order+limit plans as TakeOrderedAndProject (top-k, no global sort)") {
+    val p = plan("q11_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("p02: guarded self-join — window DF guard present, single shuffle on shingle") {
+    val df = SparkEntry.queries("p02_dedup_ngram_jaccard")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Window"), s"DF guard window missing:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("p06/p16: ANN paths have no unbounded cartesian product") {
+    val p06 = plan("p06_knn_lsh")
+    assert(!p06.contains("CartesianProduct"), p06)
+    val p16 = plan("p16_knn_ivf")
+    // the only nested-loop join allowed is against the broadcast tiny
+    // centroid index
+    assert(!p16.contains("CartesianProduct"), p16)
+    assert(p16.contains("BroadcastNestedLoopJoin") || p16.contains("BroadcastExchange"), p16)
+  }
+
+  test("q34 CTE: aggregate pushed below the join (partial aggregation)") {
+    val p = plan("q34_cte")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}
