@@ -83,10 +83,64 @@ final class Executor(
     if (u.startsWith("SHOW")) return show(ctx, sql, queryId)
     if (u.startsWith("DESC")) return describe(ctx, sql, queryId)
     val withHistory = rewriteQueryHistory(sessionContextFns(ctx, sql))
-    val rewritten = TableNaming.rewrite(rewriteFlatten(withHistory),
+    val (deQualified, hadQualify) = rewriteQualify(withHistory)
+    val rewritten = TableNaming.rewrite(rewriteFlatten(deQualified),
       ctx.database, ctx.schema)
-    val df = spark.sql(rewritten)
+    val df0 = spark.sql(rewritten)
+    val df = if (hadQualify) df0.drop(QualifyCol) else df0
     collectResult(df, queryId, Classifier.StatementTypeSelect)
+  }
+
+  private val QualifyCol = "__graft_qualify"
+
+  /** Find the first top-level (outside parens/quotes) occurrence of a
+    * keyword, or -1. */
+  private def topLevelIndexOf(sql: String, word: String, from: Int): Int = {
+    val u = sql.toUpperCase(java.util.Locale.ROOT)
+    val w = word.toUpperCase(java.util.Locale.ROOT)
+    var i = from; var depth = 0; var inQ = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else c match {
+        case '\'' => inQ = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && u.startsWith(w, i) &&
+            (i == 0 || !sql.charAt(i - 1).isLetterOrDigit) &&
+            (i + w.length >= sql.length || !sql.charAt(i + w.length).isLetterOrDigit))
+            return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Snowflake QUALIFY — filter on a window expression after windows are
+    * computed. Spark has no QUALIFY (the reference inherits DuckDB's,
+    * `translator.go:121-127`), so rewrite
+    * `SELECT <list> FROM <rest> QUALIFY <cond> [ORDER BY/LIMIT <suffix>]`
+    * into `SELECT * FROM (SELECT <list>, (<cond>) AS q FROM <rest>) WHERE q
+    * <suffix>` — the marker column is dropped from the DataFrame after
+    * execution. Top-level QUALIFY only (subquery QUALIFY would need a real
+    * parser; unsupported, like most emulators). */
+  private[emulator] def rewriteQualify(sql: String): (String, Boolean) = {
+    val qIdx = topLevelIndexOf(sql, "QUALIFY", 0)
+    if (qIdx < 0) return (sql, false)
+    val head = sql.substring(0, qIdx).trim
+    val tail = sql.substring(qIdx + "QUALIFY".length)
+    val suffixAt = Seq(topLevelIndexOf(tail, "ORDER", 0), topLevelIndexOf(tail, "LIMIT", 0))
+      .filter(_ >= 0).sorted.headOption.getOrElse(tail.length)
+    val cond = tail.substring(0, suffixAt).trim.stripSuffix(";")
+    val suffix = tail.substring(suffixAt).trim.stripSuffix(";")
+    val fromIdx = topLevelIndexOf(head, "FROM", 0)
+    if (fromIdx < 0)
+      throw SnowflakeError.compilation(s"QUALIFY without FROM: $sql")
+    val selectPart = head.substring(0, fromIdx).trim
+    val fromPart = head.substring(fromIdx).trim
+    val inner = s"$selectPart, ($cond) AS $QualifyCol $fromPart"
+    (s"SELECT * FROM ($inner) __graft_qs WHERE $QualifyCol $suffix", true)
   }
 
   /** Session-context functions resolved against the statement's context:

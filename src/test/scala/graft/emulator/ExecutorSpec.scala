@@ -404,6 +404,27 @@ class ExecutorSpec extends AnyFunSuite {
     assert(ex.rows.map(_.mkString).mkString.contains("Physical Plan"), ex.rows)
   }
 
+  test("30 QUALIFY filters on window expressions") {
+    exec("CREATE TABLE ql_t (grp VARCHAR(10), id INTEGER, v NUMBER(5,2))")
+    exec("""INSERT INTO ql_t VALUES
+        ('a', 1, 10.0), ('a', 2, 30.0), ('a', 3, 20.0),
+        ('b', 4, 5.0), ('b', 5, 50.0)""")
+    // top row per group
+    val r = exec(
+      """SELECT grp, id, v FROM ql_t
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v DESC) = 1
+         ORDER BY grp""")
+    assert(r.rows.map(row => (row.head, row(1))) == Seq(("a", 2), ("b", 5)), r.rows)
+    // marker column must not leak into the result
+    assert(r.columns.map(_.name.toLowerCase) == Seq("grp", "id", "v"))
+    // QUALIFY with LIMIT suffix
+    val l = exec(
+      """SELECT grp, id FROM ql_t
+         QUALIFY RANK() OVER (PARTITION BY grp ORDER BY v DESC) <= 2
+         ORDER BY grp, id LIMIT 3""")
+    assert(l.rows.size == 3, l.rows)
+  }
+
   test("24 nondeterministic merge surfaces the Snowflake duplicate-row error") {
     exec("CREATE TABLE nd_t (id INTEGER, v NUMBER(5,2))")
     exec("INSERT INTO nd_t VALUES (1, 1.0)")
