@@ -61,6 +61,8 @@ final class Executor(
       return listStage(sql, queryId)
     if (u.startsWith("REMOVE ") || u.startsWith("RM "))
       return removeStage(sql, queryId)
+    if (u.startsWith("PUT ")) return putStage(sql, queryId)
+    if (u.startsWith("GET ")) return getStage(sql, queryId)
     val cls = Classifier.classify(sql)
     cls.tpe match {
       case Classifier.Query => query(ctx, sql, queryId)
@@ -743,6 +745,51 @@ final class Executor(
     victims.foreach(f => stages.remove(stage, f.relativePath))
     localResult(queryId, Seq("name", "result"),
       victims.map(f => Seq[Any](s"$stage/${f.relativePath}", "removed")))
+  }
+
+  // ------------------------------------------------------------------
+  // PUT / GET — local-file <-> stage transfer as SQL statements. The
+  // reference's stage manager implements the same ops behind its REST
+  // surface (`stage/manager.go:89-162`); the SQL forms are what SnowSQL
+  // and connectors issue. file:// URIs only (this is a local emulator).
+  // ------------------------------------------------------------------
+
+  private val putRe =
+    """(?is)PUT\s+'?file://([^'\s]+)'?\s+@([^\s/]+)(/\S*)?.*""".r
+  private val getRe =
+    """(?is)GET\s+@([^\s/]+)(/\S+)\s+'?file://([^'\s]+)'?.*""".r
+
+  private def putStage(sql: String, queryId: String): Result = sql.trim match {
+    case putRe(localPath, stage, subdir) =>
+      val src = java.nio.file.Paths.get(localPath)
+      if (!Files.isRegularFile(src))
+        throw SnowflakeError.notFound(s"file not found: $localPath")
+      val stageName = stage.toUpperCase(java.util.Locale.ROOT)
+      val rel = Option(subdir).map(_.stripPrefix("/").stripSuffix("/") + "/")
+        .getOrElse("") + src.getFileName.toString
+      val in = Files.newInputStream(src)
+      val staged = try stages.put(stageName, rel, in) finally in.close()
+      localResult(queryId,
+        Seq("source", "target", "source_size", "target_size", "status"),
+        Seq(Seq[Any](src.getFileName.toString, rel,
+          Files.size(src), staged.sizeBytes, "UPLOADED")))
+    case _ => throw SnowflakeError.compilation(s"invalid PUT statement: $sql")
+  }
+
+  private def getStage(sql: String, queryId: String): Result = sql.trim match {
+    case getRe(stage, path, localDir) =>
+      val stageName = stage.toUpperCase(java.util.Locale.ROOT)
+      val rel = path.stripPrefix("/")
+      val dst = java.nio.file.Paths.get(localDir)
+      Files.createDirectories(dst)
+      val target = dst.resolve(java.nio.file.Paths.get(rel).getFileName.toString)
+      val in = stages.get(stageName, rel)
+      try Files.copy(in, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      localResult(queryId, Seq("file", "size", "status"),
+        Seq(Seq[Any](target.getFileName.toString, Files.size(target), "DOWNLOADED")))
+    case _ => throw SnowflakeError.compilation(s"invalid GET statement: $sql")
   }
 
   // ------------------------------------------------------------------

@@ -52,6 +52,25 @@ object Pipeline {
       .select(col("doc_id"), col("shingle"))
   }
 
+  /** Near-dup pairs (a_id < b_id) with exact shingle-Jaccard >= 0.5 —
+    * p02's result and p20's edge set. */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val pairs = sh.select(col("doc_id").as("a_id"), col("shingle"))
+      .join(sh.select(col("doc_id").as("b_id"), col("shingle")), "shingle")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sz.select(col("doc_id").as("a_id"), col("sz").as("sza")), "a_id")
+      .join(sz.select(col("doc_id").as("b_id"), col("sz").as("szb")), "b_id")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // ---- exact dedup: hash-groupBy, keep lowest doc_id ----------------
@@ -66,23 +85,7 @@ object Pipeline {
 
     // ---- n-gram Jaccard near-dup: inverted index self-join ------------
     QDef("p02_dedup_ngram_jaccard",
-      (s, dir) => {
-        val sh = shingles(s, dir)
-        val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-        val pairs = sh.select(col("doc_id").as("a_id"), col("shingle"))
-          .join(sh.select(col("doc_id").as("b_id"), col("shingle")), "shingle")
-          .filter(col("a_id") < col("b_id"))
-          .groupBy(col("a_id"), col("b_id"))
-          .agg(count(lit(1)).as("inter"))
-        pairs
-          .join(sz.select(col("doc_id").as("a_id"), col("sz").as("sza")), "a_id")
-          .join(sz.select(col("doc_id").as("b_id"), col("sz").as("szb")), "b_id")
-          .withColumn("jaccard",
-            col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
-          .filter(col("jaccard") >= 0.5)
-          .select(col("a_id"), col("b_id"), col("jaccard"))
-          .orderBy(col("a_id"), col("b_id"))
-      },
+      (s, dir) => jaccardPairs(s, dir).orderBy(col("a_id"), col("b_id")),
       Some("""WITH toks AS (
           SELECT doc_id, string_split(text, ' ') AS arr FROM documents
           WHERE len(string_split(text, ' ')) >= 3),
@@ -523,6 +526,72 @@ object Pipeline {
             CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS INTEGER) AS rk
           FROM counted)
         SELECT lang, bigram, cnt, rk FROM ranked WHERE rk <= 5 ORDER BY lang, rk""")),
+
+    // ---- near-dup clustering: connected components over the Jaccard
+    // pair graph via Pregel-style min-label propagation. Each iteration
+    // is one join + one partial/final min-agg; the driver loop is only
+    // the convergence controller (sum of labels is monotone decreasing).
+    // Near-dup clusters are tiny, so the fixpoint lands in 2-4 rounds;
+    // localCheckpoint cuts lineage so plans stay flat at any iteration
+    // count (a cluster deployment would checkpoint to durable storage).
+    // The canonical doc per cluster (min id) is what a dedup pipeline
+    // keeps. ------------------------------------------------------------
+    QDef("p20_dedup_clusters",
+      (s, dir) => {
+        val pairs = jaccardPairs(s, dir).select(col("a_id"), col("b_id"))
+        val edges = pairs
+          .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+          .toDF("src", "dst").localCheckpoint()
+        var labels = docs(s, dir)
+          .select(col("doc_id"), col("doc_id").as("comp")).localCheckpoint()
+        var prevTotal = Long.MaxValue
+        var iter = 0
+        var converged = false
+        while (!converged && iter < 20) {
+          val prop = labels.join(edges, labels("doc_id") === edges("src"))
+            .select(edges("dst").as("doc_id"), col("comp"))
+          val next = labels.union(prop)
+            .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
+            .localCheckpoint()
+          val total = next.agg(sum(col("comp"))).collect()(0).getLong(0)
+          converged = total == prevTotal
+          prevTotal = total
+          labels = next
+          iter += 1
+        }
+        labels
+          .select(col("doc_id"), col("comp"),
+            when(col("doc_id") === col("comp"), 1).otherwise(0).as("is_kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE toks AS (
+          SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+        sh0 AS (
+          SELECT doc_id, unnest(list_distinct(
+            [arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] FOR i IN range(1, len(arr) - 1)])) AS shingle
+          FROM toks),
+        nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        hot AS (SELECT shingle FROM (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle) d, nd
+                WHERE CAST(d.df AS DOUBLE) > greatest(5.0, CAST(nd.n_docs AS DOUBLE) * 0.01)),
+        sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+        pairs AS (
+          SELECT a_id, b_id
+          FROM pr JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+        edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+                  UNION SELECT b_id, a_id FROM pairs),
+        reach(id, comp) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id)
+        SELECT id AS doc_id, CAST(MIN(comp) AS BIGINT) AS comp,
+          CAST(CASE WHEN MIN(comp) = id THEN 1 ELSE 0 END AS INTEGER) AS is_kept
+        FROM reach GROUP BY id ORDER BY doc_id""")),
 
     // ---- multimodal column plumbing (binary payload + metadata) -------
     QDef("p13_media_meta",

@@ -425,6 +425,29 @@ class ExecutorSpec extends AnyFunSuite {
     assert(l.rows.size == 3, l.rows)
   }
 
+  test("31 PUT and GET move files between local paths and stages") {
+    exec("CREATE STAGE pg_stage")
+    val src = Files.createTempFile("put_src", ".csv")
+    Files.writeString(src, "1,alice\n2,bob\n")
+    val put = exec(s"PUT file://$src @pg_stage/sub")
+    assert(put.rows.head(4) == "UPLOADED", put.rows)
+    val listed = exec("LIST @pg_stage")
+    assert(listed.rows.map(_.head.toString)
+      .contains(s"PG_STAGE/sub/${src.getFileName}"), listed.rows)
+    // round-trip through COPY proves the staged bytes are intact
+    exec("CREATE TABLE pg_t (id INTEGER, name VARCHAR(20))")
+    val copied = exec("COPY INTO pg_t FROM @pg_stage/sub")
+    assert(copied.rowsAffected.contains(2L))
+    val outDir = Files.createTempDirectory("get_dst")
+    val get = exec(s"GET @pg_stage/sub/${src.getFileName} file://$outDir")
+    assert(get.rows.head(2) == "DOWNLOADED", get.rows)
+    assert(Files.readString(outDir.resolve(src.getFileName.toString)) ==
+      "1,alice\n2,bob\n")
+    // PUT of a missing file errors with object-not-found
+    val e = intercept[SnowflakeError](exec("PUT file:///nope/missing.csv @pg_stage"))
+    assert(e.code == SnowflakeError.CodeObjectNotFound)
+  }
+
   test("24 nondeterministic merge surfaces the Snowflake duplicate-row error") {
     exec("CREATE TABLE nd_t (id INTEGER, v NUMBER(5,2))")
     exec("INSERT INTO nd_t VALUES (1, 1.0)")
