@@ -538,28 +538,41 @@ object Pipeline {
     // keeps. ------------------------------------------------------------
     QDef("p20_dedup_clusters",
       (s, dir) => {
+        import org.apache.spark.storage.StorageLevel
         val pairs = jaccardPairs(s, dir).select(col("a_id"), col("b_id"))
         val edges = pairs
           .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-          .toDF("src", "dst").localCheckpoint()
+          .toDF("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
         var labels = docs(s, dir)
-          .select(col("doc_id"), col("doc_id").as("comp")).localCheckpoint()
+          .select(col("doc_id"), col("doc_id").as("comp"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
         var prevTotal = Long.MaxValue
         var iter = 0
         var converged = false
         while (!converged && iter < 20) {
-          val prop = labels.join(edges, labels("doc_id") === edges("src"))
-            .select(edges("dst").as("doc_id"), col("comp"))
+          // string-qualified aliases: labels' lineage contains edges after
+          // round one, so attribute-identity refs would be ambiguous
+          val prop = labels.alias("l")
+            .join(edges.alias("e"), col("l.doc_id") === col("e.src"))
+            .select(col("e.dst").as("doc_id"), col("l.comp").as("comp"))
           val next = labels.union(prop)
             .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
-            .localCheckpoint()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          // materializes `next` and doubles as the convergence metric
           val total = next.agg(sum(col("comp"))).collect()(0).getLong(0)
+          labels.unpersist()
           converged = total == prevTotal
           prevTotal = total
           labels = next
           iter += 1
         }
-        labels
+        // snapshot the fixpoint, then free every loop block: the returned
+        // plan reads only the checkpoint, so bench/verify successors do
+        // not inherit this query's cached state
+        val out = labels.localCheckpoint()
+        labels.unpersist()
+        edges.unpersist()
+        out
           .select(col("doc_id"), col("comp"),
             when(col("doc_id") === col("comp"), 1).otherwise(0).as("is_kept"))
           .orderBy(col("doc_id"))

@@ -442,6 +442,35 @@ object Relational {
         CAST(to_json(user_id) AS VARCHAR) AS v_uid
         FROM events ORDER BY event_id""")),
 
+    // ---- small-quantity revenue (TPC-H Q17 shape): per-part average
+    // threshold as a pre-aggregated join (Catalyst's decorrelation target
+    // shape), all-decimal arithmetic so both engines compare exactly ----
+    QDef("q37_small_qty",
+      (s, dir) => {
+        val li = lineitem(s, dir).select(col("l_partkey"),
+          d(col("l_quantity")).as("qd"), d(col("l_extendedprice")).as("ep"))
+        val per = li.groupBy(col("l_partkey"))
+          .agg(sum(col("qd")).as("sq"), count(lit(1)).as("cn"))
+        li.join(per, "l_partkey")
+          .join(broadcast(part(s, dir)), col("p_partkey") === col("l_partkey"))
+          // l_quantity < 0.2 * avg  ==  5 * cn * qty < sum (exact decimals)
+          .filter(col("qd") * lit(5) * col("cn") < col("sq"))
+          .groupBy(col("p_brand"))
+          .agg((sumd(col("ep")) / lit(7.0)).as("avg_yearly"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""WITH per AS (
+          SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+                 COUNT(*) AS cn
+          FROM lineitem GROUP BY 1)
+        SELECT p_brand,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        FROM lineitem
+        JOIN per USING (l_partkey)
+        JOIN part ON p_partkey = l_partkey
+        WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * cn < sq
+        GROUP BY p_brand ORDER BY p_brand""")),
+
     // ---- PARSE_JSON (validate + canonicalize JSON text) ---------------
     // json_extract(x, '$') is DuckDB's canonical re-serialization, the
     // same minified form Jackson produces on the Spark side.
