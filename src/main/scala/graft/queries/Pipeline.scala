@@ -53,14 +53,24 @@ object Pipeline {
   }
 
   /** Near-dup pairs (a_id < b_id) with exact shingle-Jaccard >= 0.5 —
-    * p02's result and p20's edge set. */
+    * p02's result and p20's edge set.
+    *
+    * Pair generation is a grouped posting-list expansion, not a self-join:
+    * group the inverted index by shingle, emit the unordered doc-id pairs
+    * of each posting list locally. The DF guard bounds every list at
+    * max(5, 1%·docs) entries, so the per-shingle expansion is O(cap²)
+    * constant work — one shuffle on `shingle` total, versus the self-join's
+    * two full shuffles of the exploded index plus the join itself. */
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val pairs = sh.select(col("doc_id").as("a_id"), col("shingle"))
-      .join(sh.select(col("doc_id").as("b_id"), col("shingle")), "shingle")
-      .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
+    val pairs = sh.groupBy(col("shingle"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .select(explode(expr(
+        """filter(
+             flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))),
+             p -> p.a < p.b)""")).as("p"))
+      .groupBy(col("p.a").as("a_id"), col("p.b").as("b_id"))
       .agg(count(lit(1)).as("inter"))
     pairs
       .join(sz.select(col("doc_id").as("a_id"), col("sz").as("sza")), "a_id")
