@@ -84,13 +84,56 @@ final class Executor(
     val u = sql.trim.toUpperCase(java.util.Locale.ROOT)
     if (u.startsWith("SHOW")) return show(ctx, sql, queryId)
     if (u.startsWith("DESC")) return describe(ctx, sql, queryId)
-    val withHistory = rewriteQueryHistory(sessionContextFns(ctx, sql))
+    val withHistory =
+      rewriteQueryHistory(rewriteJsonPath(sessionContextFns(ctx, sql)))
     val (deQualified, hadQualify) = rewriteQualify(withHistory)
     val rewritten = TableNaming.rewrite(rewriteFlatten(deQualified),
       ctx.database, ctx.schema)
     val df0 = spark.sql(rewritten)
     val df = if (hadQualify) df0.drop(QualifyCol) else df0
     collectResult(df, queryId, Classifier.StatementTypeSelect)
+  }
+
+  /** Snowflake semi-structured path access `col:field[.sub...]` ->
+    * `get_json_object(col, '$.field.sub')` (VARIANT-as-JSON-text model,
+    * SURVEY §1.2). Quote-aware scan; `::` stays the cast operator, so
+    * `props:k::int` becomes `get_json_object(props, '$.k')::int` — Spark 4
+    * parses `::` casts natively. Applied after parameter binding, so `:N`
+    * markers are long gone. */
+  private[emulator] def rewriteJsonPath(sql: String): String = {
+    if (!sql.contains(":")) return sql
+    val out = new StringBuilder(sql.length + 32)
+    var i = 0; var inQ = false; var inDq = false
+    def identChar(c: Char) = c.isLetterOrDigit || c == '_' || c == '.'
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inQ) { out.append(c); if (c == '\'') inQ = false; i += 1 }
+      else if (inDq) { out.append(c); if (c == '"') inDq = false; i += 1 }
+      else c match {
+        case '\'' => inQ = true; out.append(c); i += 1
+        case '"' => inDq = true; out.append(c); i += 1
+        case ':' if i + 1 < sql.length && sql.charAt(i + 1) == ':' =>
+          out.append("::"); i += 2
+        case ':' if i + 1 < sql.length &&
+            (sql.charAt(i + 1).isLetter || sql.charAt(i + 1) == '_') =>
+          // identifier immediately before the colon = the VARIANT column
+          var j = out.length
+          while (j > 0 && identChar(out.charAt(j - 1))) j -= 1
+          val ident = out.substring(j)
+          if (ident.nonEmpty && (ident.head.isLetter || ident.head == '_')) {
+            var k = i + 1
+            val path = new StringBuilder
+            while (k < sql.length && identChar(sql.charAt(k))) {
+              path.append(sql.charAt(k)); k += 1
+            }
+            out.delete(j, out.length)
+            out.append(s"get_json_object($ident, '$$.$path')")
+            i = k
+          } else { out.append(c); i += 1 }
+        case _ => out.append(c); i += 1
+      }
+    }
+    out.toString
   }
 
   private val QualifyCol = "__graft_qualify"

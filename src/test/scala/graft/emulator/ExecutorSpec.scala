@@ -448,6 +448,20 @@ class ExecutorSpec extends AnyFunSuite {
     assert(e.code == SnowflakeError.CodeObjectNotFound)
   }
 
+  test("32 VARIANT path access col:field with :: casts") {
+    exec("CREATE TABLE vp_t (id INTEGER, props VARIANT)")
+    exec("""INSERT INTO vp_t VALUES
+        (1, '{"k": 7, "nest": {"deep": "x"}}'),
+        (2, '{"k": 9, "nest": {"deep": "y"}}')""")
+    val r = exec(
+      "SELECT id, props:k::int AS k, props:nest.deep AS d FROM vp_t ORDER BY id")
+    assert(r.rows == Seq(Seq(1, 7, "x"), Seq(2, 9, "y")), r.rows)
+    // path in WHERE; a time literal with a colon stays untouched
+    val w = exec(
+      "SELECT id FROM vp_t WHERE props:k::int > 7 AND 'a:b' = 'a:b'")
+    assert(w.rows == Seq(Seq(2)), w.rows)
+  }
+
   test("24 nondeterministic merge surfaces the Snowflake duplicate-row error") {
     exec("CREATE TABLE nd_t (id INTEGER, v NUMBER(5,2))")
     exec("INSERT INTO nd_t VALUES (1, 1.0)")
