@@ -325,6 +325,8 @@ final class Executor(
     """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?SCHEMA\s+(?:IF\s+NOT\s+EXISTS\s+)?(\S+?);?\s*$""".r
   private val createTableRe =
     """(?is)CREATE\s+(OR\s+REPLACE\s+)?(?:TRANSIENT\s+|TEMPORARY\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([^\s(]+)\s*\((.*)\)\s*;?\s*$""".r
+  private val createLikeRe =
+    """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([^\s(]+)\s+LIKE\s+(\S+?);?\s*$""".r
   private val ctasRe =
     """(?is)CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([^\s(]+)\s+AS\s+(SELECT.*)$""".r
   private val createViewRe =
@@ -380,6 +382,17 @@ final class Executor(
           .findFirstMatchIn(optionsText).map(_.group(1)).getOrElse("CSV")
         catalog.createFileFormat(ctx.database, ctx.schema, name, tpe, optionsText)
         status(queryId, s"File format ${name.toUpperCase} successfully created.")
+      case createLikeRe(name, srcName) =>
+        // CREATE TABLE ... LIKE: clone columns + cluster key, no data
+        // (reference delegates to DuckDB's LIKE support via pass-through)
+        val ref = TableNaming.parse(name, ctx.database, ctx.schema)
+        val srcRef = TableNaming.parse(srcName, ctx.database, ctx.schema)
+        val src = catalog.getTable(srcRef).getOrElse(
+          throw SnowflakeError.notFound(s"table $srcName does not exist"))
+        beforeWrite(ctx, ref, created = !catalog.tableExists(ref))
+        catalog.createTable(ref, src.columns, orReplace = true,
+          clusterKey = src.clusterKey)
+        status(queryId, s"Table ${ref.table} successfully created.")
       case ctasRe(orReplace, ifNotExists, name, select) =>
         val ref = TableNaming.parse(name, ctx.database, ctx.schema)
         if (catalog.tableExists(ref) && ifNotExists != null)
@@ -498,8 +511,19 @@ final class Executor(
     """(?is)TRUNCATE\s+(?:TABLE\s+)?(\S+?);?\s*$""".r
   private val insertRe = """(?is)INSERT\s+INTO\s+([^\s(]+).*""".r
 
+  private val insertOverwriteRe =
+    """(?is)INSERT\s+OVERWRITE\s+INTO\s+([^\s(]+)(.*)$""".r
+
   private def dml(ctx: Context, sql: String, queryId: String): Result =
     sql.trim match {
+      case insertOverwriteRe(name, rest) =>
+        // Snowflake INSERT OVERWRITE: atomic truncate-then-insert
+        val ref = TableNaming.parse(name, ctx.database, ctx.schema)
+        beforeWrite(ctx, ref, created = false)
+        catalog.lockFor(ref).synchronized {
+          catalog.overwriteTable(ref, catalog.tableDf(ref).limit(0))
+          dml(ctx, s"INSERT INTO $name$rest", queryId)
+        }
       case insertRe(name) =>
         val ref = TableNaming.parse(name, ctx.database, ctx.schema)
         beforeWrite(ctx, ref, created = false)

@@ -462,6 +462,24 @@ class ExecutorSpec extends AnyFunSuite {
     assert(w.rows == Seq(Seq(2)), w.rows)
   }
 
+  test("33 CREATE TABLE LIKE and INSERT OVERWRITE") {
+    exec("CREATE TABLE like_src (id INTEGER, v NUMBER(5,2)) CLUSTER BY (id)")
+    exec("INSERT INTO like_src VALUES (1, 1.0)")
+    exec("CREATE TABLE like_dst LIKE like_src")
+    // clone has the columns and cluster key, but no rows
+    assert(exec("SELECT COUNT(*) AS n FROM like_dst").rows.head.head == 0L)
+    val d = exec("DESCRIBE TABLE like_dst")
+    assert(d.rows.map(_.head) == Seq("ID", "V"), d.rows)
+    assert(executor.catalog.getTable(
+      TableNaming.parse("like_dst", "TEST_DB", "PUBLIC")).get.clusterKey
+      .contains("ID"))
+    exec("INSERT INTO like_dst VALUES (1, 1.0), (2, 2.0)")
+    val ow = exec("INSERT OVERWRITE INTO like_dst VALUES (9, 9.0)")
+    assert(ow.rowsAffected.contains(1L))
+    val r = exec("SELECT id FROM like_dst")
+    assert(r.rows == Seq(Seq(9)), r.rows)
+  }
+
   test("24 nondeterministic merge surfaces the Snowflake duplicate-row error") {
     exec("CREATE TABLE nd_t (id INTEGER, v NUMBER(5,2))")
     exec("INSERT INTO nd_t VALUES (1, 1.0)")
