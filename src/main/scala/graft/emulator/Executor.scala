@@ -84,14 +84,30 @@ final class Executor(
     val u = sql.trim.toUpperCase(java.util.Locale.ROOT)
     if (u.startsWith("SHOW")) return show(ctx, sql, queryId)
     if (u.startsWith("DESC")) return describe(ctx, sql, queryId)
-    val withHistory =
-      rewriteQueryHistory(rewriteJsonPath(sessionContextFns(ctx, sql)))
+    val withHistory = rewriteTopSample(
+      rewriteQueryHistory(rewriteJsonPath(sessionContextFns(ctx, sql))))
     val (deQualified, hadQualify) = rewriteQualify(withHistory)
     val rewritten = TableNaming.rewrite(rewriteFlatten(deQualified),
       ctx.database, ctx.schema)
     val df0 = spark.sql(rewritten)
     val df = if (hadQualify) df0.drop(QualifyCol) else df0
     collectResult(df, queryId, Classifier.StatementTypeSelect)
+  }
+
+  /** Snowflake `SELECT TOP n ...` -> trailing LIMIT (Snowflake forbids
+    * combining TOP with LIMIT, so appending is safe), and
+    * `SAMPLE [ROW|BLOCK] (p)` / `SAMPLE (n ROWS)` -> Spark TABLESAMPLE. */
+  private[emulator] def rewriteTopSample(sql: String): String = {
+    var s = sql.trim.stripSuffix(";")
+    val topRe = """(?is)^(SELECT)\s+TOP\s+(\d+)\s+(.*)$""".r
+    s = s match {
+      case topRe(sel, n, rest) => s"$sel $rest LIMIT $n"
+      case other => other
+    }
+    """(?is)\bSAMPLE\s+(?:ROW\s+|BLOCK\s+)?\(\s*(\d+(?:\.\d+)?)\s*(ROWS?)?\s*\)""".r
+      .replaceAllIn(s, m =>
+        if (m.group(2) != null) s"TABLESAMPLE (${m.group(1)} ROWS)"
+        else s"TABLESAMPLE (${m.group(1)} PERCENT)")
   }
 
   /** Snowflake semi-structured path access `col:field[.sub...]` ->
@@ -301,7 +317,7 @@ final class Executor(
   }
 
   private def describe(ctx: Context, sql: String, queryId: String): Result = {
-    val m = """(?is)DESC(?:RIBE)?\s+(?:TABLE\s+)?(\S+)""".r
+    val m = """(?is)DESC(?:RIBE)?\s+(?:TABLE\s+|VIEW\s+)?(\S+)""".r
       .findFirstMatchIn(sql.trim)
       .getOrElse(throw SnowflakeError.compilation(s"invalid DESCRIBE: $sql"))
     val ref = TableNaming.parse(m.group(1), ctx.database, ctx.schema)

@@ -480,6 +480,21 @@ class ExecutorSpec extends AnyFunSuite {
     assert(r.rows == Seq(Seq(9)), r.rows)
   }
 
+  test("34 TOP n, SAMPLE, DESCRIBE VIEW") {
+    exec("CREATE TABLE ts_t (id INTEGER)")
+    exec("INSERT INTO ts_t VALUES (5), (3), (1), (4), (2)")
+    val top = exec("SELECT TOP 2 id FROM ts_t ORDER BY id")
+    assert(top.rows.map(_.head) == Seq(1, 2), top.rows)
+    val sampled = exec("SELECT COUNT(*) AS n FROM (SELECT * FROM ts_t SAMPLE (3 ROWS))")
+    assert(sampled.rows.head.head == 3L, sampled.rows)
+    val pct = exec("SELECT COUNT(*) AS n FROM (SELECT * FROM ts_t SAMPLE (100))")
+    assert(pct.rows.head.head == 5L, pct.rows)
+    exec("CREATE VIEW ts_v AS SELECT id FROM ts_t")
+    val dv = exec("DESCRIBE VIEW ts_v")
+    assert(dv.rows.map(_.head) == Seq("ID"), dv.rows)
+    exec("DROP VIEW ts_v")
+  }
+
   test("24 nondeterministic merge surfaces the Snowflake duplicate-row error") {
     exec("CREATE TABLE nd_t (id INTEGER, v NUMBER(5,2))")
     exec("INSERT INTO nd_t VALUES (1, 1.0)")
