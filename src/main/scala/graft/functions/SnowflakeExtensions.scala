@@ -93,6 +93,108 @@ object SnowflakeExtensions {
       copy(child = newChild)
   }
 
+  /** Snowflake date/time format tokens -> java.time pattern (the token set
+    * Snowflake documents for TO_CHAR/TO_DATE/TO_TIMESTAMP; the reference
+    * leans on DuckDB's strptime and never translates). Longest token wins;
+    * stray letters are quoted so they stay literal. */
+  private[functions] def sfDateFormatToJava(fmt: String): String = {
+    val tokens = Seq(
+      "YYYY" -> "yyyy", "YY" -> "yy", "MON" -> "MMM", "MM" -> "MM",
+      "DY" -> "EEE", "DD" -> "dd", "HH24" -> "HH", "HH12" -> "hh",
+      "HH" -> "HH", "MI" -> "mm", "SS" -> "ss",
+      "FF9" -> "SSSSSSSSS", "FF6" -> "SSSSSS", "FF3" -> "SSS",
+      "FF" -> "SSSSSS", "AM" -> "a", "PM" -> "a")
+    val upper = fmt.toUpperCase(java.util.Locale.ROOT)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      tokens.find { case (t, _) => upper.startsWith(t, i) } match {
+        case Some((t, j)) => sb.append(j); i += t.length
+        case None =>
+          val c = fmt.charAt(i)
+          if (c.isLetter) sb.append('\'').append(c).append('\'')
+          else sb.append(c)
+          i += 1
+      }
+    }
+    sb.toString
+  }
+
+  private def formatterOf(fmtExpr: Expression): java.time.format.DateTimeFormatter = {
+    val raw = fmtExpr match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => other.sql.stripPrefix("'").stripSuffix("'")
+    }
+    java.time.format.DateTimeFormatter
+      .ofPattern(sfDateFormatToJava(raw), java.util.Locale.ROOT)
+  }
+
+  /** TO_DATE(string, 'snowflake-format') — Snowflake token semantics.
+    * Invalid input raises, as Snowflake does. Result-shaping: CodegenFallback. */
+  case class SfToDate(child: Expression, format: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def left: Expression = child
+    override def right: Expression = format
+    override def dataType: DataType = DateType
+    override def prettyName: String = "to_date"
+    @transient private lazy val fmt = formatterOf(format)
+    override def nullSafeEval(v: Any, f: Any): Any =
+      java.time.LocalDate.parse(v.toString, fmt).toEpochDay.toInt
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(child = l, format = r)
+  }
+
+  /** TO_TIMESTAMP(string, 'snowflake-format') — parses date-only patterns
+    * at midnight, date+time patterns fully; micros since epoch (NTZ model). */
+  case class SfToTimestamp(child: Expression, format: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def left: Expression = child
+    override def right: Expression = format
+    override def dataType: DataType = TimestampNTZType
+    override def prettyName: String = "to_timestamp"
+    @transient private lazy val fmt = formatterOf(format)
+    override def nullSafeEval(v: Any, f: Any): Any = {
+      val parsed = fmt.parse(v.toString)
+      val date = java.time.LocalDate.from(parsed)
+      val time =
+        if (parsed.isSupported(java.time.temporal.ChronoField.HOUR_OF_DAY))
+          java.time.LocalTime.from(parsed)
+        else java.time.LocalTime.MIDNIGHT
+      val ldt = java.time.LocalDateTime.of(date, time)
+      ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        ldt.getNano / 1000L
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(child = l, format = r)
+  }
+
+  /** TO_CHAR(date/timestamp, 'snowflake-format'); any other input renders
+    * via toString (Snowflake's numeric format surface is out of scope). */
+  case class SfToChar(child: Expression, format: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def left: Expression = child
+    override def right: Expression = format
+    override def dataType: DataType = StringType
+    override def prettyName: String = "to_char"
+    @transient private lazy val fmt = formatterOf(format)
+    override def nullSafeEval(v: Any, f: Any): Any = {
+      val rendered = child.dataType match {
+        case DateType =>
+          java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).format(fmt)
+        case TimestampType | TimestampNTZType =>
+          val micros = v.asInstanceOf[Long]
+          java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(micros, 1000000L),
+            (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC).format(fmt)
+        case _ => v.toString
+      }
+      UTF8String.fromString(rendered)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(child = l, format = r)
+  }
+
   private def info(name: String, usage: String) =
     new ExpressionInfo(SnowflakeExtensions.getClass.getCanonicalName, null, name, usage, "")
 
@@ -130,6 +232,22 @@ object SnowflakeExtensions {
     // parse_json inside emulator sessions for reference parity.
     ("parse_json", "parse_json(json_text)",
       (args: Seq[Expression]) => ParseJsonText(args.head)),
+    // TO_DATE/TO_TIMESTAMP/TO_CHAR with Snowflake format tokens (the
+    // native Spark forms expect java.time patterns; Snowflake users write
+    // YYYY/DD/HH24/MI — reference inherits DuckDB strptime). 1-arg forms
+    // stay plain casts.
+    ("to_date", "to_date(s[, 'YYYY-MM-DD'])",
+      (args: Seq[Expression]) =>
+        if (args.length >= 2) SfToDate(args(0), args(1))
+        else Cast(args.head, DateType)),
+    ("to_timestamp", "to_timestamp(s[, 'YYYY-MM-DD HH24:MI:SS'])",
+      (args: Seq[Expression]) =>
+        if (args.length >= 2) SfToTimestamp(args(0), args(1))
+        else Cast(args.head, TimestampNTZType)),
+    ("to_char", "to_char(x[, 'YYYY-MM-DD'])",
+      (args: Seq[Expression]) =>
+        if (args.length >= 2) SfToChar(args(0), args(1))
+        else Cast(args.head, StringType)),
     // Vector / dedup expressions (graft.functions.VectorExpressions) — the
     // engine's own codegen'd primitives for the data-pipeline operators.
     // Input casts replace ExpectsInputTypes (private[sql] in Spark 4): the

@@ -495,6 +495,22 @@ class ExecutorSpec extends AnyFunSuite {
     exec("DROP VIEW ts_v")
   }
 
+  test("35 TO_DATE / TO_TIMESTAMP / TO_CHAR with Snowflake format tokens") {
+    val r = exec(
+      """SELECT TO_DATE('2024/01/05', 'YYYY/MM/DD') AS d,
+           TO_CHAR(TO_DATE('2024/01/05', 'YYYY/MM/DD'), 'DD.MM.YYYY') AS s,
+           TO_CHAR(TO_TIMESTAMP('05-01-2024 13:45:07', 'DD-MM-YYYY HH24:MI:SS'),
+                   'YYYY-MM-DD HH24:MI') AS t,
+           TO_DATE('2024-02-03') AS plain""")
+    assert(r.rows.head(0).toString == "2024-01-05", r.rows)
+    assert(r.rows.head(1) == "05.01.2024", r.rows)
+    assert(r.rows.head(2) == "2024-01-05 13:45", r.rows)
+    assert(r.rows.head(3).toString == "2024-02-03", r.rows)
+    // invalid input errors (Snowflake semantics), not silent null
+    intercept[SnowflakeError](
+      exec("SELECT TO_DATE('not a date', 'YYYY-MM-DD') AS x"))
+  }
+
   test("24 nondeterministic merge surfaces the Snowflake duplicate-row error") {
     exec("CREATE TABLE nd_t (id INTEGER, v NUMBER(5,2))")
     exec("INSERT INTO nd_t VALUES (1, 1.0)")
