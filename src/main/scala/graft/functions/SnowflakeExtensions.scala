@@ -248,6 +248,17 @@ object SnowflakeExtensions {
       (args: Seq[Expression]) =>
         if (args.length >= 2) SfToChar(args(0), args(1))
         else Cast(args.head, StringType)),
+    // CHARINDEX(needle, haystack[, start]) — Snowflake arg order onto
+    // Spark's locate/StringLocate (which is needle-first too).
+    ("charindex", "charindex(needle, haystack[, start])",
+      (args: Seq[Expression]) =>
+        if (args.length >= 3) StringLocate(args(0), args(1), args(2))
+        else new StringLocate(args(0), args(1))),
+    // EDITDISTANCE -> levenshtein (same semantics, optional max).
+    ("editdistance", "editdistance(a, b[, max])",
+      (args: Seq[Expression]) =>
+        if (args.length >= 3) Levenshtein(args(0), args(1), Some(args(2)))
+        else Levenshtein(args(0), args(1))),
     // Vector / dedup expressions (graft.functions.VectorExpressions) — the
     // engine's own codegen'd primitives for the data-pipeline operators.
     // Input casts replace ExpectsInputTypes (private[sql] in Spark 4): the

@@ -511,6 +511,17 @@ class ExecutorSpec extends AnyFunSuite {
       exec("SELECT TO_DATE('not a date', 'YYYY-MM-DD') AS x"))
   }
 
+  test("36 snowflake function surface: charindex/editdistance + Spark-4 natives") {
+    val r = exec(
+      """SELECT CHARINDEX('lo', 'hello world') AS ci,
+           EDITDISTANCE('kitten', 'sitting') AS ed,
+           ZEROIFNULL(CAST(NULL AS INT)) AS z,
+           EQUAL_NULL(CAST(NULL AS INT), CAST(NULL AS INT)) AS eqn,
+           REGEXP_SUBSTR('a1b22c333', '[0-9]+') AS rs,
+           STARTSWITH('graft', 'gr') AS sw""")
+    assert(r.rows.head == Seq(4, 3, 0, true, "1", true), r.rows)
+  }
+
   test("24 nondeterministic merge surfaces the Snowflake duplicate-row error") {
     exec("CREATE TABLE nd_t (id INTEGER, v NUMBER(5,2))")
     exec("INSERT INTO nd_t VALUES (1, 1.0)")
