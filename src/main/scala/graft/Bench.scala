@@ -13,11 +13,16 @@ object Bench {
     SparkEntry.queries.get("q01_pricing_summary")
       .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => () })
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // Drop the previous query's shuffle state before timing: GC triggers
-      // Spark's ContextCleaner to release shuffle files/buffers, so each
-      // number measures the engine, not the predecessor's uncollected heap
-      // (observed 152s -> 5.7s on a heavy-shuffle successor without this).
-      System.gc(); Thread.sleep(300)
+      // Isolation between timed queries, regardless of heap state:
+      // drop every block a predecessor pinned (cached tables, persisted
+      // or locally-checkpointed RDDs left behind by iterative queries),
+      // blocking so the release completes before the clock starts, then
+      // let GC trigger the ContextCleaner for shuffle files/broadcasts.
+      // Without this a heavy-persist predecessor taxes its successors
+      // (observed 152s -> 5.7s on a heavy-shuffle successor).
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc(); Thread.sleep(200)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

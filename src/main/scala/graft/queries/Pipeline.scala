@@ -538,14 +538,17 @@ object Pipeline {
         SELECT lang, bigram, cnt, rk FROM ranked WHERE rk <= 5 ORDER BY lang, rk""")),
 
     // ---- near-dup clustering: connected components over the Jaccard
-    // pair graph via Pregel-style min-label propagation. Each iteration
-    // is one join + one partial/final min-agg; the driver loop is only
-    // the convergence controller (sum of labels is monotone decreasing).
-    // Near-dup clusters are tiny, so the fixpoint lands in 2-4 rounds;
-    // localCheckpoint cuts lineage so plans stay flat at any iteration
-    // count (a cluster deployment would checkpoint to durable storage).
-    // The canonical doc per cluster (min id) is what a dedup pipeline
-    // keeps. ------------------------------------------------------------
+    // pair graph via Pregel-style min-label propagation, restricted to
+    // the edge-connected vertex set. A vertex with no near-dup edge can
+    // never change label, and the near-dup subgraph is orders of
+    // magnitude smaller than the corpus, so the loop's working set is
+    // O(near-dups), not O(corpus) — each iteration is one join + one
+    // min-agg over that tiny frame. The fixpoint (tiny) is the only
+    // state the returned plan pins; every loop block is released before
+    // return, and isolated docs get their component via
+    // coalesce(comp, doc_id) in a final left join that AQE turns into a
+    // broadcast of the fixpoint. The canonical doc per cluster (min id)
+    // is what a dedup pipeline keeps. -----------------------------------
     QDef("p20_dedup_clusters",
       (s, dir) => {
         import org.apache.spark.storage.StorageLevel
@@ -553,12 +556,15 @@ object Pipeline {
         val edges = pairs
           .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
           .toDF("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
-        var labels = docs(s, dir)
-          .select(col("doc_id"), col("doc_id").as("comp"))
+        val nEdges = edges.count()
+        // only vertices that appear in the edge set can change label
+        var labels = edges.select(col("src").as("doc_id"))
+          .distinct()
+          .withColumn("comp", col("doc_id"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         var prevTotal = Long.MaxValue
         var iter = 0
-        var converged = false
+        var converged = nEdges == 0
         while (!converged && iter < 20) {
           // string-qualified aliases: labels' lineage contains edges after
           // round one, so attribute-identity refs would be ambiguous
@@ -569,20 +575,25 @@ object Pipeline {
             .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
             .persist(StorageLevel.MEMORY_AND_DISK)
           // materializes `next` and doubles as the convergence metric
-          val total = next.agg(sum(col("comp"))).collect()(0).getLong(0)
+          // (sum of min-labels is monotone decreasing)
+          val total = Option(next.agg(sum(col("comp"))).collect()(0).get(0))
+            .map(_.asInstanceOf[Long]).getOrElse(0L)
           labels.unpersist()
           converged = total == prevTotal
           prevTotal = total
           labels = next
           iter += 1
         }
-        // snapshot the fixpoint, then free every loop block: the returned
-        // plan reads only the checkpoint, so bench/verify successors do
-        // not inherit this query's cached state
-        val out = labels.localCheckpoint()
+        // pin ONLY the tiny fixpoint (near-dup vertices), then free every
+        // loop block — successors inherit at most O(near-dups) of state
+        val fix = labels.localCheckpoint(true)
         labels.unpersist()
         edges.unpersist()
-        out
+        docs(s, dir)
+          .select(col("doc_id"))
+          .join(fix.withColumnRenamed("comp", "edge_comp"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("edge_comp"), col("doc_id")).as("comp"))
           .select(col("doc_id"), col("comp"),
             when(col("doc_id") === col("comp"), 1).otherwise(0).as("is_kept"))
           .orderBy(col("doc_id"))
