@@ -81,6 +81,37 @@ object Pipeline {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Deterministic pseudo-random +-1 hyperplanes for p06's LSH buckets.
+    * Shared by the Spark plan (shipped as literal arrays, so bucket
+    * computation is codegen'd with no shuffle) AND rendered into the
+    * DuckDB oracle SQL as list literals — the seed is an implementation
+    * detail, the planes themselves are the contract, so the oracle can
+    * hash-match instead of rows-only. */
+  private val lshDim = 64
+  private val lshNumPlanes = 8
+  private val lshPlanes: Array[Array[Float]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(lshNumPlanes)(Array.fill(lshDim)(if (rnd.nextBoolean()) 1.0f else -1.0f))
+  }
+
+  /** DuckDB double-accumulation cosine over two float-list columns —
+    * mirrors the CosineSimilarity kernel's index-order double loop. */
+  private def duckCosine(a: String, b: String): String =
+    s"""list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) FOR i IN range(1, len($a) + 1)])
+       | / (sqrt(list_sum([CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE) FOR i IN range(1, len($a) + 1)]))
+       |  * sqrt(list_sum([CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) FOR i IN range(1, len($b) + 1)])))""".stripMargin
+
+  /** The p06 bucket id as DuckDB SQL: sum over planes of 2^p when
+    * dot(embedding, plane_p) > 0, with the plane rendered as a literal
+    * double list — bit-identical to the Spark side's codegen'd
+    * dot_product > 0 test (both accumulate in double, index order). */
+  private def duckLshBucket(vec: String): String =
+    lshPlanes.zipWithIndex.map { case (plane, p) =>
+      val planeLit = plane.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"""(CASE WHEN list_sum([CAST($vec[i] AS DOUBLE) * ($planeLit)[i]
+         |  FOR i IN range(1, len($vec) + 1)]) > 0 THEN ${1L << p} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+
   val defs: Seq[QDef] = Seq(
 
     // ---- exact dedup: hash-groupBy, keep lowest doc_id ----------------
@@ -222,21 +253,15 @@ object Pipeline {
         SELECT qid, cid AS neighbor_id, rank, round(sim, 6) AS sim_r
         FROM ranked WHERE rank <= 5 ORDER BY qid, rank""")),
 
-    // ---- LSH-bucketed ANN (the scale path; rows-only) -----------------
+    // ---- LSH-bucketed ANN (the scale path) ----------------------------
     QDef("p06_knn_lsh",
       (s, dir) => {
         val e = emb(s, dir)
-        val dim = 64
-        val numPlanes = 8
-        // Deterministic pseudo-random +-1 hyperplanes (seeded), shipped as
-        // literal arrays -> dot products stay codegen'd, no shuffle to
-        // compute buckets.
-        val rnd = new scala.util.Random(42)
-        val planes = Array.fill(numPlanes)(
-          Array.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f))
+        // hyperplanes shipped as literal arrays -> dot products stay
+        // codegen'd, no shuffle to compute buckets
         def bucketOf(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-          (0 until numPlanes).map { p =>
-            val plane = array(planes(p).toSeq.map(x => lit(x)): _*)
+          (0 until lshNumPlanes).map { p =>
+            val plane = array(lshPlanes(p).toSeq.map(x => lit(x)): _*)
             when(call_function("dot_product", v, plane) > 0, lit(1L << p))
               .otherwise(lit(0L))
           }.reduce(_ + _)
@@ -253,7 +278,19 @@ object Pipeline {
             round(col("sim"), 6).as("sim_r"))
           .orderBy(col("qid"), col("rank"))
       },
-      None),
+      Some(s"""WITH buck AS (
+          SELECT vec_id, embedding, ${duckLshBucket("embedding")} AS bucket
+          FROM embeddings),
+        sims AS (
+          SELECT a.vec_id AS qid, b.vec_id AS cid,
+            ${duckCosine("a.embedding", "b.embedding")} AS sim
+          FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        ranked AS (
+          SELECT qid, cid, sim,
+            CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rank
+          FROM sims)
+        SELECT qid, cid AS neighbor_id, rank, round(sim, 6) AS sim_r
+        FROM ranked WHERE rank <= 5 ORDER BY qid, rank""")),
 
     // ---- IVF-style ANN: coarse-quantize to per-label centroid cells,
     // probe the nprobe nearest cells, score only their members. The cell
@@ -263,10 +300,15 @@ object Pipeline {
       (s, dir) => {
         val e = emb(s, dir)
         val nprobe = 3
-        // coarse quantizer: per-label mean vector, rebuilt as float arrays
+        // coarse quantizer: per-label mean vector, rebuilt as float
+        // arrays. The mean goes through an exact DECIMAL(16,8) sum (like
+        // p07) so the centroid is identical under any partial-agg order —
+        // which is what lets the DuckDB oracle hash-match this query.
         val cells = e
           .select(col("label").as("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-          .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("c"))
+          .groupBy(col("cell"), col("pos"))
+          .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(16, 8)))
+            .cast("double") / count(lit(1))).as("c"))
           .groupBy(col("cell"))
           .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> CAST(x.c AS FLOAT))")
             .as("cv"))
@@ -290,7 +332,31 @@ object Pipeline {
             round(col("sim"), 6).as("sim_r"))
           .orderBy(col("qid"), col("rank"))
       },
-      None),
+      Some(s"""WITH cmeans AS (
+          SELECT label AS cell, CAST(i - 1 AS INTEGER) AS pos,
+            CAST(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(16,8))) AS DOUBLE) / COUNT(*) AS FLOAT) AS c
+          FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+          GROUP BY 1, 2),
+        cells AS (SELECT cell, list(c ORDER BY pos) AS cv FROM cmeans GROUP BY cell),
+        scored AS (
+          SELECT e.vec_id, e.embedding, c.cell,
+            ${duckCosine("e.embedding", "c.cv")} AS csim
+          FROM embeddings e CROSS JOIN cells c),
+        cranked AS (
+          SELECT vec_id, embedding, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS crank
+          FROM scored),
+        assigned AS (SELECT vec_id AS cid, cell, embedding AS cv2 FROM cranked WHERE crank = 1),
+        probes AS (SELECT vec_id AS qid, cell, embedding AS qv FROM cranked WHERE crank <= 3),
+        sims AS (
+          SELECT p.qid, a.cid, ${duckCosine("p.qv", "a.cv2")} AS sim
+          FROM probes p JOIN assigned a ON p.cell = a.cell AND p.qid <> a.cid),
+        ranked AS (
+          SELECT qid, cid, sim,
+            CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rank
+          FROM sims)
+        SELECT qid, cid AS neighbor_id, rank, round(sim, 6) AS sim_r
+        FROM ranked WHERE rank <= 5 ORDER BY qid, rank""")),
 
     // ---- per-label centroids (element-wise mean over vectors) ---------
     QDef("p07_centroids",
