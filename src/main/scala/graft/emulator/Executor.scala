@@ -86,11 +86,9 @@ final class Executor(
     if (u.startsWith("DESC")) return describe(ctx, sql, queryId)
     val withHistory = rewriteTopSample(
       rewriteQueryHistory(rewriteJsonPath(sessionContextFns(ctx, sql))))
-    val (deQualified, hadQualify) = rewriteQualify(withHistory)
-    val rewritten = TableNaming.rewrite(rewriteFlatten(deQualified),
+    val rewritten = TableNaming.rewrite(rewriteFlatten(rewriteQualify(withHistory)),
       ctx.database, ctx.schema)
-    val df0 = spark.sql(rewritten)
-    val df = if (hadQualify) df0.drop(QualifyCol) else df0
+    val df = spark.sql(rewritten)
     collectResult(df, queryId, Classifier.StatementTypeSelect)
   }
 
@@ -182,13 +180,52 @@ final class Executor(
     * computed. Spark has no QUALIFY (the reference inherits DuckDB's,
     * `translator.go:121-127`), so rewrite
     * `SELECT <list> FROM <rest> QUALIFY <cond> [ORDER BY/LIMIT <suffix>]`
-    * into `SELECT * FROM (SELECT <list>, (<cond>) AS q FROM <rest>) WHERE q
-    * <suffix>` — the marker column is dropped from the DataFrame after
-    * execution. Top-level QUALIFY only (subquery QUALIFY would need a real
-    * parser; unsupported, like most emulators). */
-  private[emulator] def rewriteQualify(sql: String): (String, Boolean) = {
+    * into `SELECT * EXCEPT (q) FROM (SELECT <list>, (<cond>) AS q FROM
+    * <rest>) WHERE q <suffix>` — star-EXCEPT keeps the marker out of the
+    * result schema, so the rewrite is safe at ANY nesting level. The
+    * rewrite recurses into every parenthesized group first (derived
+    * tables, CTE bodies, IN/EXISTS subqueries), then de-QUALIFYs what is
+    * top-level in its own scope — Snowflake users nest QUALIFY
+    * routinely. */
+  private[emulator] def rewriteQualify(sql: String): String = {
+    // recurse into parenthesized groups (quote-aware), innermost-first
+    val out = new StringBuilder(sql.length)
+    var i = 0; var inQ = false; var inDq = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inQ) { out.append(c); if (c == '\'') inQ = false; i += 1 }
+      else if (inDq) { out.append(c); if (c == '"') inDq = false; i += 1 }
+      else c match {
+        case '\'' => inQ = true; out.append(c); i += 1
+        case '"' => inDq = true; out.append(c); i += 1
+        case '(' =>
+          var depth = 1; var j = i + 1; var q = false; var dq = false
+          while (j < sql.length && depth > 0) {
+            val cj = sql.charAt(j)
+            if (q) { if (cj == '\'') q = false }
+            else if (dq) { if (cj == '"') dq = false }
+            else cj match {
+              case '\'' => q = true
+              case '"' => dq = true
+              case '(' => depth += 1
+              case ')' => depth -= 1
+              case _ =>
+            }
+            j += 1
+          }
+          val inner = sql.substring(i + 1, math.max(i + 1, j - 1))
+          out.append('(').append(rewriteQualify(inner)).append(')')
+          i = j
+        case _ => out.append(c); i += 1
+      }
+    }
+    rewriteQualifyHere(out.toString)
+  }
+
+  /** De-QUALIFY the current scope only (subqueries already handled). */
+  private def rewriteQualifyHere(sql: String): String = {
     val qIdx = topLevelIndexOf(sql, "QUALIFY", 0)
-    if (qIdx < 0) return (sql, false)
+    if (qIdx < 0) return sql
     val head = sql.substring(0, qIdx).trim
     val tail = sql.substring(qIdx + "QUALIFY".length)
     val suffixAt = Seq(topLevelIndexOf(tail, "ORDER", 0), topLevelIndexOf(tail, "LIMIT", 0))
@@ -201,7 +238,7 @@ final class Executor(
     val selectPart = head.substring(0, fromIdx).trim
     val fromPart = head.substring(fromIdx).trim
     val inner = s"$selectPart, ($cond) AS $QualifyCol $fromPart"
-    (s"SELECT * FROM ($inner) __graft_qs WHERE $QualifyCol $suffix", true)
+    s"SELECT * EXCEPT ($QualifyCol) FROM ($inner) __graft_qs WHERE $QualifyCol $suffix"
   }
 
   /** Session-context functions resolved against the statement's context:

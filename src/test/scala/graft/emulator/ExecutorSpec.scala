@@ -425,6 +425,39 @@ class ExecutorSpec extends AnyFunSuite {
     assert(l.rows.size == 3, l.rows)
   }
 
+  test("37 QUALIFY nested in derived tables and CTE bodies") {
+    exec("CREATE TABLE qn_t (grp VARCHAR(10), id INTEGER, v NUMBER(5,2))")
+    exec("""INSERT INTO qn_t VALUES
+        ('a', 1, 10.0), ('a', 2, 30.0), ('a', 3, 20.0),
+        ('b', 4, 5.0), ('b', 5, 50.0)""")
+    // QUALIFY inside a derived table
+    val d = exec(
+      """SELECT grp, id FROM (
+           SELECT grp, id, v FROM qn_t
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v DESC) = 1
+         ) t ORDER BY grp""")
+    assert(d.rows.map(r => (r.head, r(1))) == Seq(("a", 2), ("b", 5)), d.rows)
+    assert(d.columns.map(_.name.toLowerCase) == Seq("grp", "id"))
+    // QUALIFY inside a CTE body, with an outer aggregate over it
+    val c = exec(
+      """WITH best AS (
+           SELECT grp, id, v FROM qn_t
+           QUALIFY RANK() OVER (PARTITION BY grp ORDER BY v DESC) <= 2
+         )
+         SELECT grp, COUNT(*) AS n FROM best GROUP BY grp ORDER BY grp""")
+    assert(c.rows.map(r => (r.head, r(1))) == Seq(("a", 2), ("b", 2)), c.rows)
+    // nested + outer QUALIFY at once: outer filters over the CTE's result
+    val b = exec(
+      """WITH best AS (
+           SELECT grp, id, v FROM qn_t
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v DESC) <= 2
+         )
+         SELECT grp, id FROM best
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY grp ORDER BY id) = 1
+         ORDER BY grp""")
+    assert(b.rows.map(r => (r.head, r(1))) == Seq(("a", 2), ("b", 4)), b.rows)
+  }
+
   test("31 PUT and GET move files between local paths and stages") {
     exec("CREATE STAGE pg_stage")
     val src = Files.createTempFile("put_src", ".csv")
