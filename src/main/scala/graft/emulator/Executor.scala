@@ -525,6 +525,11 @@ final class Executor(
     status(queryId, s"${name.toUpperCase} successfully dropped.")
   }
 
+  private val alterDropColRe =
+    """(?is)ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\S+)\s+DROP\s+(?:COLUMN\s+)?(?:IF\s+EXISTS\s+)?([\w"]+(?:\s*,\s*[\w"]+)*)\s*;?\s*$""".r
+  private val alterRenameColRe =
+    """(?is)ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\S+)\s+RENAME\s+COLUMN\s+("?\w+"?)\s+TO\s+("?\w+"?)\s*;?\s*$""".r
+
   private def ddlAlter(ctx: Context, sql: String, queryId: String): Result = {
     val whAlter =
       """(?is)ALTER\s+WAREHOUSE\s+(\S+)\s+(SUSPEND|RESUME|SET\s+WAREHOUSE_SIZE\s*=\s*'?([\w-]+)'?).*""".r
@@ -539,6 +544,52 @@ final class Executor(
         if (u == "SUSPEND") warehouses.suspend(name)
         else if (u == "RESUME") warehouses.resume(name)
         else warehouses.resize(name, size)
+        status(queryId, "Statement executed successfully.")
+      // DROP/RENAME COLUMN: Spark's v1 parquet tables reject both, while
+      // the reference gets real drops from DuckDB pass-through
+      // (`pkg/query/executor.go:358-377`). Same copy-on-write shape as
+      // UPDATE/DELETE: one scan + one write of the projected table, no
+      // shuffle — embarrassingly parallel at any scale.
+      case alterDropColRe(name, colsRaw)
+          if !colsRaw.trim.toUpperCase(java.util.Locale.ROOT).startsWith("CLUSTERING") =>
+        val ref = TableNaming.parse(name, ctx.database, ctx.schema)
+        val drops = colsRaw.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSeq
+        val df = catalog.tableDf(ref)
+        drops.find(d => !df.columns.exists(_.equalsIgnoreCase(d))).foreach { missing =>
+          throw SnowflakeError.compilation(s"invalid identifier '$missing'")
+        }
+        val remaining = df.columns.filterNot(c => drops.exists(_.equalsIgnoreCase(c)))
+        if (remaining.isEmpty)
+          throw SnowflakeError.compilation("cannot drop all columns of a table")
+        if (catalog.getTable(ref).flatMap(_.clusterKey)
+            .exists(k => drops.exists(_.equalsIgnoreCase(k))))
+          throw SnowflakeError.compilation(
+            "cannot drop a clustering key column; drop the clustering key first")
+        beforeWrite(ctx, ref, created = false)
+        catalog.lockFor(ref).synchronized {
+          catalog.overwriteTable(ref,
+            df.select(remaining.map(org.apache.spark.sql.functions.col).toSeq: _*))
+          catalog.registerExisting(ref)
+        }
+        status(queryId, "Statement executed successfully.")
+      case alterRenameColRe(name, from0, to0) =>
+        val ref = TableNaming.parse(name, ctx.database, ctx.schema)
+        val from = from0.stripPrefix("\"").stripSuffix("\"")
+        val to = to0.stripPrefix("\"").stripSuffix("\"")
+        val df = catalog.tableDf(ref)
+        if (!df.columns.exists(_.equalsIgnoreCase(from)))
+          throw SnowflakeError.compilation(s"invalid identifier '$from'")
+        if (df.columns.exists(_.equalsIgnoreCase(to)))
+          throw SnowflakeError.compilation(s"column '$to' already exists")
+        if (catalog.getTable(ref).flatMap(_.clusterKey).exists(_.equalsIgnoreCase(from)))
+          throw SnowflakeError.compilation(
+            "cannot rename a clustering key column; drop the clustering key first")
+        beforeWrite(ctx, ref, created = false)
+        catalog.lockFor(ref).synchronized {
+          catalog.overwriteTable(ref, df.withColumnRenamed(from, to))
+          catalog.registerExisting(ref)
+        }
         status(queryId, "Statement executed successfully.")
       case other =>
         // ALTER TABLE pass-through (reference: `integration_test.go:414-421`)

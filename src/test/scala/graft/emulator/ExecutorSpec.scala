@@ -458,6 +458,32 @@ class ExecutorSpec extends AnyFunSuite {
     assert(b.rows.map(r => (r.head, r(1))) == Seq(("a", 2), ("b", 4)), b.rows)
   }
 
+  test("38 ALTER TABLE ADD / DROP / RENAME COLUMN with data preserved") {
+    exec("CREATE TABLE ac_t (id INTEGER, a VARCHAR(10), b NUMBER(5,2))")
+    exec("INSERT INTO ac_t VALUES (1, 'x', 1.5), (2, 'y', 2.5)")
+    // ADD stays a pass-through (works on parquet tables)
+    exec("ALTER TABLE ac_t ADD COLUMN c INTEGER")
+    val d1 = exec("DESCRIBE TABLE ac_t")
+    assert(d1.rows.map(_.head.toString.toLowerCase) == Seq("id", "a", "b", "c"), d1.rows)
+    // DROP COLUMN is copy-on-write (Spark v1 tables reject it natively)
+    exec("ALTER TABLE ac_t DROP COLUMN a, c")
+    val d2 = exec("DESCRIBE TABLE ac_t")
+    assert(d2.rows.map(_.head.toString.toLowerCase) == Seq("id", "b"), d2.rows)
+    val r = exec("SELECT id, b FROM ac_t ORDER BY id")
+    assert(r.rows.map(_.head) == Seq(1, 2), r.rows)
+    assert(r.rows.map(_(1).toString) == Seq("1.50", "2.50"), r.rows)
+    // RENAME COLUMN, also copy-on-write
+    exec("ALTER TABLE ac_t RENAME COLUMN b TO amount")
+    val d3 = exec("DESCRIBE TABLE ac_t")
+    assert(d3.rows.map(_.head.toString.toLowerCase) == Seq("id", "amount"), d3.rows)
+    val r2 = exec("SELECT SUM(amount) AS s FROM ac_t")
+    assert(r2.rows.head.head.toString == "4.00", r2.rows)
+    // dropping an unknown column is a compilation error
+    intercept[SnowflakeError] { exec("ALTER TABLE ac_t DROP COLUMN nope") }
+    // dropping every remaining column is refused
+    intercept[SnowflakeError] { exec("ALTER TABLE ac_t DROP COLUMN id, amount") }
+  }
+
   test("31 PUT and GET move files between local paths and stages") {
     exec("CREATE STAGE pg_stage")
     val src = Files.createTempFile("put_src", ".csv")
