@@ -37,6 +37,10 @@ object Multimodal {
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
     StructField("n_frames", IntegerType, nullable = false),
+    // audio-only metadata (null for non-audio payloads)
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
     StructField("features", ArrayType(FloatType, containsNull = false),
       nullable = false)))
 
@@ -75,10 +79,41 @@ object Multimodal {
     } catch { case _: Exception => None } finally in.close()
   }
 
-  /** STUB decode standing in for the remaining codecs (ffmpeg/soundfile in
-    * a Pandas-UDF deployment): metadata is a pure deterministic function of
-    * the payload bytes. Audio/video payloads go through here; images take
-    * the real [[decodeImage]] path. */
+  /** WAV/AIFF/AU magic-byte sniff — javax.sound is only invoked on
+    * plausible audio payloads. */
+  private def looksLikeAudio(p: Array[Byte]): Boolean =
+    p.length > 12 && (
+      (p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') || // WAV
+      (p(0) == 'F' && p(1) == 'O' && p(2) == 'R' && p(3) == 'M') ||    // AIFF
+      (p(0) == '.' && p(1) == 's' && p(2) == 'n' && p(3) == 'd'))      // AU
+
+  /** REAL audio metadata decode via the JDK's built-in
+    * `javax.sound.sampled` (WAV/AIFF/AU, zero external dependencies):
+    * (sampleRate Hz, channels, duration ms), or None when the payload
+    * isn't a decodable audio stream. Only compressed codecs (mp3 etc.)
+    * remain outside the JDK's reach. */
+  def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (payload == null || !looksLikeAudio(payload)) return None
+    val in = new java.io.ByteArrayInputStream(payload)
+    try {
+      val stream = javax.sound.sampled.AudioSystem.getAudioInputStream(in)
+      try {
+        val fmt = stream.getFormat
+        val frames = stream.getFrameLength
+        val rate = fmt.getSampleRate
+        val durMs =
+          if (frames >= 0 && rate > 0) (frames * 1000.0 / rate).toLong else 0L
+        Some((rate.toInt, fmt.getChannels, durMs))
+      } finally stream.close()
+    } catch { case _: Exception => None } finally in.close()
+  }
+
+  /** STUB decode standing in for the remaining codecs (ffmpeg in a
+    * Pandas-UDF deployment): metadata is a pure deterministic function of
+    * the payload bytes. Video and compressed-audio payloads go through
+    * here; images take the real [[decodeImage]] path and WAV/AIFF/AU the
+    * real [[decodeAudio]] path. */
   def decodeStub(payload: Array[Byte], dim: Int = 16): (Int, Int, Int, Array[Float]) = {
     val n = payload.length
     val width = 1 + (if (n > 0) (payload(0) & 0x3F) else 0)
@@ -87,12 +122,27 @@ object Multimodal {
     (width, height, frames, byteFeatures(payload, dim))
   }
 
-  /** Decode one payload: real ImageIO dimensions when the bytes are a
-    * decodable PNG/JPEG/GIF/BMP, the deterministic stub otherwise. */
-  def decode(payload: Array[Byte], dim: Int = 16): (Int, Int, Int, Array[Float]) =
+  /** One decoded payload: image/stub dims + frames, audio metadata when
+    * the bytes are a decodable audio stream, and the feature vector. */
+  final case class Decoded(width: Int, height: Int, nFrames: Int,
+    sampleRate: Option[Int], channels: Option[Int], durationMs: Option[Long],
+    features: Array[Float])
+
+  /** Decode one payload: real ImageIO dimensions for PNG/JPEG/GIF/BMP,
+    * real javax.sound metadata for WAV/AIFF/AU, the deterministic stub
+    * otherwise. */
+  def decode(payload: Array[Byte], dim: Int = 16): Decoded =
     decodeImage(payload) match {
-      case Some((w, h)) => (w, h, 1, byteFeatures(payload, dim))
-      case None => decodeStub(payload, dim)
+      case Some((w, h)) =>
+        Decoded(w, h, 1, None, None, None, byteFeatures(payload, dim))
+      case None => decodeAudio(payload) match {
+        case Some((rate, ch, durMs)) =>
+          Decoded(0, 0, 1, Some(rate), Some(ch), Some(durMs),
+            byteFeatures(payload, dim))
+        case None =>
+          val (w, h, f, feat) = decodeStub(payload, dim)
+          Decoded(w, h, f, None, None, None, feat)
+      }
     }
 
   /** Decode + feature-extract a media DataFrame (columns: media_id,
@@ -107,10 +157,12 @@ object Multimodal {
         val payload =
           if (r.isNullAt(payloadIdx)) Array.emptyByteArray
           else r.getAs[Array[Byte]](payloadIdx)
-        val (w, h, f, feat) = decode(payload, dim)
+        val d = decode(payload, dim)
         Row(r.getLong(idIdx),
           if (r.isNullAt(typeIdx)) null else r.getString(typeIdx),
-          payload.length, w, h, f, feat.toSeq)
+          payload.length, d.width, d.height, d.nFrames,
+          d.sampleRate.orNull, d.channels.orNull, d.durationMs.orNull,
+          d.features.toSeq)
       }
     }
     spark.createDataFrame(rdd, decodedSchema)

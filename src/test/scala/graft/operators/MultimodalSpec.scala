@@ -33,7 +33,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
     assert(out(1).getInt(2) == 0) // null payload -> 0 bytes
     assert(out(2).getInt(5) == 1 + 9000 / 4096) // n_frames
-    assert(out(0).getSeq[Float](6).length == 16)
+    assert(out(0).getSeq[Float](9).length == 16)
     // schema contract
     assert(Multimodal.decodeAndFeaturize(df).schema == Multimodal.decodedSchema)
   }
@@ -65,7 +65,34 @@ class MultimodalSpec extends AnyFunSuite {
     // text row keeps the deterministic stub dims (bounded 1..64)
     assert(out(2).getInt(3) >= 1 && out(2).getInt(3) <= 64)
     // features still populated for real images
-    assert(out(0).getSeq[Float](6).exists(_ != 0.0f))
+    assert(out(0).getSeq[Float](9).exists(_ != 0.0f))
+  }
+
+  private def wavBytes(rate: Float, channels: Int, nFrames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+    val data = Array.tabulate[Byte](nFrames * fmt.getFrameSize)(i => (i * 13 % 251).toByte)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("real WAV sample rate, channels and duration via javax.sound") {
+    // 8 kHz stereo, 4000 frames = exactly 500 ms
+    val wav = wavBytes(8000f, 2, 4000)
+    assert(Multimodal.decodeAudio(wav).contains((8000, 2, 500L)))
+    // non-audio bytes are not misdetected
+    assert(Multimodal.decodeAudio("not audio at all".getBytes).isEmpty)
+    assert(Multimodal.decodeAudio(null).isEmpty)
+    // end-to-end through the distributed decode: audio columns populated
+    // for the WAV row, null for image/text rows
+    val df = media((1L, wav, "audio"), (2L, imageBytes("png", 5, 4), "image"))
+    val out = Multimodal.decodeAndFeaturize(df).orderBy("media_id").collect()
+    assert(out(0).getInt(6) == 8000 && out(0).getInt(7) == 2 && out(0).getLong(8) == 500L)
+    assert(out(1).isNullAt(6) && out(1).isNullAt(7) && out(1).isNullAt(8))
+    assert((out(1).getInt(3), out(1).getInt(4)) == (5, 4))
   }
 
   test("frame sampling emits stride-spaced ordinals per video") {
