@@ -81,6 +81,25 @@ object Pipeline {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** p05/p14 are DECLARED exact all-pairs baselines — quadratic by
+    * definition. This guard refuses to build them above a row threshold
+    * so they cannot be invoked at 100 TB by accident; p06 (LSH) and p16
+    * (IVF) are the scale paths for the same shapes. The threshold is
+    * overridable via -Dgraft.exactBaselineMaxRows (tests use a tiny one).
+    * The count is one aggregate-pushdown parquet scan, negligible next
+    * to the O(n^2) work it gates. */
+  def exactBaselineMaxRows: Long =
+    sys.props.get("graft.exactBaselineMaxRows").map(_.toLong).getOrElse(200000L)
+
+  private def guardExactBaseline(s: SparkSession, dir: String,
+      name: String, scalePath: String): Unit = {
+    val n = emb(s, dir).count()
+    if (n > exactBaselineMaxRows)
+      throw new IllegalStateException(
+        s"$name is an exact all-pairs baseline and was refused at $n rows " +
+          s"(limit ${exactBaselineMaxRows}); use $scalePath at this scale")
+  }
+
   /** Deterministic pseudo-random +-1 hyperplanes for p06's LSH buckets.
     * Shared by the Spark plan (shipped as literal arrays, so bucket
     * computation is codegen'd with no shuffle) AND rendered into the
@@ -228,6 +247,7 @@ object Pipeline {
     // ---- brute-force cosine KNN (exact baseline) ----------------------
     QDef("p05_knn_exact",
       (s, dir) => {
+        guardExactBaseline(s, dir, "p05_knn_exact", "p06_knn_lsh / p16_knn_ivf")
         val q = emb(s, dir).select(col("vec_id").as("qid"), col("embedding").as("qv"))
         val c = emb(s, dir).select(col("vec_id").as("cid"), col("embedding").as("cv"))
         val rn = Window.partitionBy(col("qid"))
@@ -460,6 +480,7 @@ object Pipeline {
     // scale path for the same shape) ------------------------------------
     QDef("p14_embedding_neardup",
       (s, dir) => {
+        guardExactBaseline(s, dir, "p14_embedding_neardup", "p06_knn_lsh")
         val a = emb(s, dir).select(col("vec_id").as("a_id"), col("embedding").as("av"))
         val b = emb(s, dir).select(col("vec_id").as("b_id"), col("embedding").as("bv"))
         a.crossJoin(b).filter(col("a_id") < col("b_id"))

@@ -22,4 +22,17 @@ class QueriesSmokeSpec extends SparkSpecBase {
   test("every oracle key has a matching query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("exact all-pairs baselines refuse to run above the size guard") {
+    sys.props("graft.exactBaselineMaxRows") = "10"
+    try {
+      Seq("p05_knn_exact", "p14_embedding_neardup").foreach { name =>
+        val e = intercept[IllegalStateException] {
+          SparkEntry.queries(name)(spark, sf0001).count()
+        }
+        assert(e.getMessage.contains("exact all-pairs baseline"), e.getMessage)
+        assert(e.getMessage.contains("p06_knn_lsh"), e.getMessage)
+      }
+    } finally sys.props.remove("graft.exactBaselineMaxRows")
+  }
 }
