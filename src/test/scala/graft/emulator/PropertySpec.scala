@@ -74,6 +74,27 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("naming: literals and expression-position AS( never rewritten (parser path)") {
+    // the parser-driven rewrite needs an active session
+    graft.GraftSession.local(2)
+    val ident = Gen.nonEmptyListOf(Gen.alphaChar).map("tbl_" + _.mkString.toLowerCase)
+      .map(_.take(20))
+    val keyword = Gen.oneOf("FROM", "JOIN", "INTO", "UPDATE")
+    check(Prop.forAll(ident, ident, keyword) { (real, fake0, kw) =>
+      val fake = fake0 + "_f" // never collides with the real table name
+      // a table-ref-looking phrase inside a string literal, plus a window
+      // definition (expression-position `name AS (`): neither may be
+      // flattened; the genuine FROM target must be
+      val sql = s"SELECT max(v) OVER w AS m, '$kw $fake' AS note " +
+        s"FROM $real WINDOW w AS (PARTITION BY k)"
+      val out = TableNaming.rewrite(sql, "D", "S")
+      out.contains(s"'$kw $fake'") &&
+        out.contains(s"`D`.`S_${real.toUpperCase}`") &&
+        !out.contains(s"S_${fake.toUpperCase}") &&
+        out.contains("WINDOW w AS (PARTITION BY k)")
+    })
+  }
+
   // ---- merge parser split -------------------------------------------
 
   test("splitTopLevel: never splits inside parens or quotes, rejoins clean") {
