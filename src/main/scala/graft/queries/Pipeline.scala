@@ -729,6 +729,184 @@ object Pipeline {
         CAST(ascii(substr(text, 1, 1)) % 64 AS INTEGER) AS fake_w,
         CAST(ascii(substr(text, 2, 1)) % 64 AS INTEGER) AS fake_h,
         md5(text) AS fp
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- benchmark contamination check: fraction of a candidate doc's
+    // distinct 3-gram shingles that appear anywhere in a held-out
+    // benchmark set (docs with id % 20 == 0 stand in for an eval set).
+    // One shuffle on the shingle key; the benchmark shingle set is the
+    // small side and broadcasts at any realistic eval-set size. ----------
+    QDef("p21_contamination",
+      (s, dir) => {
+        val grams = docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("arr"))
+          .filter(size(col("arr")) >= 3)
+          .select(col("doc_id"), explode(array_distinct(expr(
+            "transform(sequence(0, size(arr)-3), i -> concat_ws(' ', arr[i], arr[i+1], arr[i+2]))")))
+            .as("shingle"))
+        val bench = grams.filter(col("doc_id") % 20 === 0)
+          .select(col("shingle")).distinct()
+        val cand = grams.filter(col("doc_id") % 20 =!= 0)
+        val sz = cand.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+        val hits = cand.join(bench, "shingle")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+        sz.join(hits, Seq("doc_id"), "left")
+          .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+          .withColumn("contamination",
+            col("n_hit").cast("double") / col("n_shingles"))
+          .filter(col("contamination") >= 0.2)
+          .select(col("doc_id"), col("n_shingles"), col("n_hit"), col("contamination"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(
+            [arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] FOR i IN range(1, len(arr) - 1)])) AS shingle
+          FROM toks),
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+        cand AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
+        sz AS (SELECT doc_id, COUNT(*) AS n_shingles FROM cand GROUP BY 1),
+        hits AS (SELECT doc_id, COUNT(*) AS n_hit FROM cand
+                 WHERE shingle IN (SELECT shingle FROM bench) GROUP BY 1)
+        SELECT sz.doc_id, sz.n_shingles,
+          CAST(COALESCE(hits.n_hit, 0) AS BIGINT) AS n_hit,
+          CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / sz.n_shingles AS contamination
+        FROM sz LEFT JOIN hits ON sz.doc_id = hits.doc_id
+        WHERE CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / sz.n_shingles >= 0.2
+        ORDER BY sz.doc_id""")),
+
+    // ---- intra-document repetition (Gopher-style repetition rule):
+    // duplicate-3-gram ratio per document. Pure per-row array math — no
+    // explode, no shuffle, embarrassingly parallel. ----------------------
+    QDef("p22_repetition",
+      (s, dir) => docs(s, dir)
+        .withColumn("arr", split(col("text"), " "))
+        .filter(size(col("arr")) >= 3)
+        .withColumn("grams", expr(
+          "transform(sequence(0, size(arr)-3), i -> concat_ws(' ', arr[i], arr[i+1], arr[i+2]))"))
+        .select(col("doc_id"),
+          size(col("grams")).as("n_grams"),
+          size(array_distinct(col("grams"))).as("n_distinct"))
+        .withColumn("rep_ratio",
+          lit(1.0) - col("n_distinct").cast("double") / col("n_grams"))
+        .orderBy(col("doc_id")),
+      Some("""WITH g AS (
+          SELECT doc_id,
+            [arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] FOR i IN range(1, len(arr) - 1)] AS grams
+          FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)
+          WHERE len(arr) >= 3)
+        SELECT doc_id, CAST(len(grams) AS INTEGER) AS n_grams,
+          CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct,
+          1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) AS rep_ratio
+        FROM g ORDER BY doc_id""")),
+
+    // ---- sequence packing: assign documents to ~512-token context
+    // windows. Deterministic bucket partitioning (doc_id % 32), greedy
+    // in-order chunking via a running token sum per bucket — one shuffle
+    // on the bucket key, windows computed partition-locally; at 100 TB
+    // the bucket count scales with executor width. -----------------------
+    QDef("p23_seq_pack",
+      (s, dir) => {
+        val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs(s, dir)
+          .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+          .withColumn("bucket", (col("doc_id") % 32).cast("int"))
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .withColumn("pack_id",
+            floor((col("cum") - col("n_tokens")) / lit(512)).cast("long"))
+          .select(col("doc_id"), col("bucket"), col("n_tokens"), col("pack_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, CAST(doc_id % 32 AS INTEGER) AS bucket,
+          CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+          CAST(FLOOR((SUM(len(string_split(text, ' ')))
+              OVER (PARTITION BY doc_id % 32 ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - len(string_split(text, ' '))) / 512) AS BIGINT) AS pack_id
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- deterministic stratified sampling: per-language keep rates
+    // driven by a uniform hash byte derived from md5(text) — the same
+    // rows are kept on any cluster, any partitioning, any engine (the
+    // oracle reproduces the exact sample). Per-row filter, no shuffle. ----
+    QDef("p24_stratified_sample",
+      (s, dir) => docs(s, dir)
+        .withColumn("h", (
+          (expr("instr('0123456789abcdef', substring(md5(text), 1, 1))") - 1) * 16 +
+            expr("instr('0123456789abcdef', substring(md5(text), 2, 1))") - 1) % 100)
+        .withColumn("rate",
+          when(col("lang") === "en", 10).when(col("lang") === "es", 30).otherwise(50))
+        .filter(col("h") < col("rate"))
+        .select(col("doc_id"), col("lang"),
+          col("h").cast("int").as("h"), col("rate").cast("int").as("rate"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, lang,
+          CAST(((instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+            + instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1) % 100 AS INTEGER) AS h,
+          CAST(CASE WHEN lang = 'en' THEN 10 WHEN lang = 'es' THEN 30 ELSE 50 END AS INTEGER) AS rate
+        FROM documents
+        WHERE ((instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+            + instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1) % 100
+          < CASE WHEN lang = 'en' THEN 10 WHEN lang = 'es' THEN 30 ELSE 50 END
+        ORDER BY doc_id""")),
+
+    // ---- text normalization: lowercase, whitespace collapse, strip
+    // non-alphanumerics — the canonical form a tokenizer sees. Per-row,
+    // no shuffle. --------------------------------------------------------
+    QDef("p25_text_normalize",
+      (s, dir) => docs(s, dir)
+        .withColumn("norm", regexp_replace(
+          regexp_replace(lower(trim(col("text"))), "[^a-z0-9 ]", ""),
+          "\\s+", " "))
+        .select(col("doc_id"),
+          md5(col("norm")).as("norm_md5"),
+          length(col("norm")).as("n_chars_norm"),
+          size(split(col("norm"), " ")).as("n_tokens_norm"))
+        .orderBy(col("doc_id")),
+      Some("""WITH n AS (
+          SELECT doc_id, regexp_replace(
+            regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'),
+            '\s+', ' ', 'g') AS norm
+          FROM documents)
+        SELECT doc_id, md5(norm) AS norm_md5,
+          CAST(length(norm) AS INTEGER) AS n_chars_norm,
+          CAST(len(string_split(norm, ' ')) AS INTEGER) AS n_tokens_norm
+        FROM n ORDER BY doc_id""")),
+
+    // ---- domain-mixture weights: per-source sampling weight that moves
+    // the corpus from its actual source distribution to a target mixture
+    // (integer mixture parts -> exact cross-engine shares). Two tiny
+    // aggregations, broadcast total. -------------------------------------
+    QDef("p26_domain_mix",
+      (s, dir) => {
+        val parts = when(col("source") === "src0", 4)
+          .when(col("source") === "src1", 3)
+          .when(col("source") === "src2", 2).otherwise(1)
+        val counts = docs(s, dir).groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("parts", parts)
+        val totals = counts.agg(sum(col("n_docs")).as("total"),
+          sum(col("parts")).as("total_parts"))
+        counts.crossJoin(broadcast(totals))
+          .withColumn("actual_share", col("n_docs").cast("double") / col("total"))
+          .withColumn("target_share", col("parts").cast("double") / col("total_parts"))
+          .withColumn("weight", col("target_share") / col("actual_share"))
+          .select(col("source"), col("n_docs"), col("actual_share"),
+            col("target_share"), col("weight"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH c AS (
+          SELECT source, COUNT(*) AS n_docs,
+            CASE source WHEN 'src0' THEN 4 WHEN 'src1' THEN 3 WHEN 'src2' THEN 2 ELSE 1 END AS parts
+          FROM documents GROUP BY 1),
+        t AS (SELECT SUM(n_docs) AS total, SUM(parts) AS total_parts FROM c)
+        SELECT source, n_docs,
+          CAST(n_docs AS DOUBLE) / total AS actual_share,
+          CAST(parts AS DOUBLE) / total_parts AS target_share,
+          (CAST(parts AS DOUBLE) / total_parts) / (CAST(n_docs AS DOUBLE) / total) AS weight
+        FROM c, t ORDER BY source"""))
   )
 }
