@@ -78,4 +78,31 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("p22/p24/p25: per-row operators plan without any join or aggregate shuffle") {
+    // these are narrow per-row transforms; the only exchange allowed is
+    // the final presentation sort
+    Seq("p22_repetition", "p24_stratified_sample", "p25_text_normalize").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+      assert(!p.contains("HashAggregate"), s"$q must not aggregate:\n$p")
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges <= 1, s"$q expected at most the sort exchange, got $exchanges:\n$p")
+    }
+  }
+
+  test("p23: sequence packing shuffles once on the bucket key") {
+    val p = plan("p23_seq_pack")
+    assert(p.contains("Window"), s"running-sum window missing:\n$p")
+    assert(!p.contains("Join"), p)
+    // one hashpartitioning exchange for the bucket window + the final sort
+    val hashEx = "hashpartitioning".r.findAllIn(p).size
+    assert(hashEx >= 1, s"bucket partitioning missing:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("p21: contamination joins on the shingle key, no cartesian product") {
+    val p = plan("p21_contamination")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
