@@ -88,6 +88,30 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Stream-static enrichment join: each micro-batch of events joins a
+    * static dimension table (e.g. a user/account dim re-read per batch at
+    * its current snapshot). The static side is broadcast — no shuffle of
+    * the stream, no streaming state at all, the canonical shape for
+    * attaching slowly-changing reference data to a high-volume stream. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** Streaming quality-gate: per-row score (the batch p09 heuristic) and
+    * keep/drop flag applied inside the stream — per-row projection only,
+    * so it fuses into whatever stateful operator runs downstream. */
+  def qualityGate(docs: DataFrame, minQuality: Double = 0.7): DataFrame =
+    docs
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("quality",
+        (when(col("n_tokens").between(5, 1000), 0.4).otherwise(0.0) +
+          when((length(regexp_replace(col("text"), " ", ""))
+            .cast("double") / col("n_tokens")).between(3.0, 10.0), 0.3)
+            .otherwise(0.0) +
+          when(((length(col("text")) - length(regexp_replace(col("text"),
+            "[A-Za-z0-9 ]", ""))).cast("double") / length(col("text"))) < 0.1, 0.3)
+            .otherwise(0.0)).cast("double"))
+      .filter(col("quality") >= minQuality)
+
   /** Wire a streaming DataFrame to an in-memory sink (tests / demos). */
   def toMemorySink(df: DataFrame, name: String, complete: Boolean = true) =
     df.writeStream

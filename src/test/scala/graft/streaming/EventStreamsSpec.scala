@@ -99,4 +99,44 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(texts == Seq("alpha doc", "beta doc", "gamma doc"), texts)
     } finally q.stop()
   }
+
+  test("stream-static enrichment joins a broadcast dimension per batch") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventStreams.Event]
+    val dim = Seq((100L, "gold"), (200L, "basic")).toDF("user_id", "tier")
+    val q = EventStreams.enrich(input.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        EventStreams.Event(1, ts(0), 100, "click", 1.0),
+        EventStreams.Event(2, ts(1), 300, "click", 2.0)) // 300 not in dim
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, tier FROM enriched ORDER BY user_id").collect()
+      assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((100L, "gold"), (300L, null)), rows.mkString(","))
+    } finally q.stop()
+  }
+
+  test("streaming quality gate filters low-quality docs in-flight") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String)]
+    val docs = input.toDF().toDF("ts", "text")
+    val q = EventStreams.qualityGate(docs)
+      .select("text", "quality")
+      .writeStream.format("memory").queryName("gated")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts(0), "the quick brown fox jumps over the lazy sleeping dog"),
+        (ts(1), "!!! ??? ###"),
+        (ts(2), "ok"))
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT text FROM gated").collect().map(_.getString(0)).toSeq
+      assert(kept == Seq("the quick brown fox jumps over the lazy sleeping dog"), kept)
+    } finally q.stop()
+  }
 }
