@@ -32,8 +32,24 @@ object Classifier {
       isDdl: Boolean,
       isDml: Boolean)
 
+  /** Strip leading whitespace and SQL comments (block and line) so a
+    * statement opening with a comment classifies by its first real
+    * keyword — clients routinely send hint- or tool-generated comments
+    * ahead of the verb. */
+  @annotation.tailrec
+  private[emulator] def stripLeading(s: String): String = {
+    val t = s.dropWhile(_.isWhitespace)
+    if (t.startsWith("/*")) {
+      val end = t.indexOf("*/")
+      if (end < 0) "" else stripLeading(t.substring(end + 2))
+    } else if (t.startsWith("--")) {
+      val nl = t.indexOf('\n')
+      if (nl < 0) "" else stripLeading(t.substring(nl + 1))
+    } else t
+  }
+
   private def upper(sql: String): String =
-    sql.trim.toUpperCase(java.util.Locale.ROOT)
+    stripLeading(sql).trim.toUpperCase(java.util.Locale.ROOT)
 
   def classify(sql: String): Result = {
     val u = upper(sql)

@@ -81,9 +81,11 @@ final class Executor(
   // ------------------------------------------------------------------
 
   private def query(ctx: Context, sql: String, queryId: String): Result = {
-    val u = sql.trim.toUpperCase(java.util.Locale.ROOT)
-    if (u.startsWith("SHOW")) return show(ctx, sql, queryId)
-    if (u.startsWith("DESC")) return describe(ctx, sql, queryId)
+    // comment-blind routing: SHOW/DESCRIBE may arrive behind tool comments
+    val bare = Classifier.stripLeading(sql)
+    val u = bare.trim.toUpperCase(java.util.Locale.ROOT)
+    if (u.startsWith("SHOW")) return show(ctx, bare, queryId)
+    if (u.startsWith("DESC")) return describe(ctx, bare, queryId)
     val withHistory = rewriteTopSample(
       rewriteQueryHistory(rewriteJsonPath(sessionContextFns(ctx, sql))))
     val rewritten = TableNaming.rewrite(rewriteFlatten(rewriteQualify(withHistory)),

@@ -484,6 +484,22 @@ class ExecutorSpec extends AnyFunSuite {
     intercept[SnowflakeError] { exec("ALTER TABLE ac_t DROP COLUMN id, amount") }
   }
 
+  test("39 SQL comments: leading, inline, and line comments execute cleanly") {
+    exec("CREATE TABLE cm_t (id INTEGER, name VARCHAR(20))")
+    exec("/* tool header */ INSERT INTO cm_t VALUES (1, 'a'), (2, 'b')")
+    // leading block comment on a query (reference exercises inline forms,
+    // `integration_test.go` IFF/NVL comment cases)
+    val r = exec("/* hint */ SELECT /* mid */ id, name FROM cm_t ORDER BY id")
+    assert(r.rows.map(_.head) == Seq(1, 2), r.rows)
+    // line comment ahead of the statement
+    val l = exec("-- generated\nSELECT COUNT(*) AS n FROM cm_t")
+    assert(l.rows.head.head == 2L, l.rows)
+    // leading comment before SHOW still routes to the SHOW surface
+    val s = exec("/* c */ SHOW TABLES")
+    assert(s.rows.exists(_.exists(v => v != null &&
+      v.toString.equalsIgnoreCase("cm_t"))), s.rows.take(5))
+  }
+
   test("31 PUT and GET move files between local paths and stages") {
     exec("CREATE STAGE pg_stage")
     val src = Files.createTempFile("put_src", ".csv")
