@@ -207,6 +207,22 @@ final class Catalog(val spark: SparkSession) {
   def setTableComment(r: TableNaming.Ref, comment: String): Unit =
     Option(tables.get(tKey(r))).foreach(_.comment = comment)
 
+  /** Move a table's catalog entry under a new name (the physical rename is
+    * the caller's ALTER TABLE RENAME; metadata moves here). */
+  def renameTable(from: TableNaming.Ref, to: TableNaming.Ref): Unit =
+    lockFor(from).synchronized {
+      val m = Option(tables.remove(tKey(from))).getOrElse(
+        throw SnowflakeError.notFound(
+          s"table ${from.database}.${from.schema}.${from.table} does not exist"))
+      if (tables.containsKey(tKey(to))) {
+        tables.put(tKey(from), m) // restore — rename refused
+        throw SnowflakeError.alreadyExists(
+          s"table ${to.database}.${to.schema}.${to.table} already exists")
+      }
+      tables.put(tKey(to),
+        m.copy(database = to.database, schema = to.schema, table = to.table))
+    }
+
   /** Re-install a snapshotted metadata row (transaction ROLLBACK after a
     * DROP/REPLACE restores the parquet AND the catalog entry, preserving
     * the cluster key so the restoring write re-buckets identically). */

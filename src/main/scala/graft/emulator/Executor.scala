@@ -531,6 +531,8 @@ final class Executor(
     """(?is)ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\S+)\s+DROP\s+(?:COLUMN\s+)?(?:IF\s+EXISTS\s+)?([\w"]+(?:\s*,\s*[\w"]+)*)\s*;?\s*$""".r
   private val alterRenameColRe =
     """(?is)ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\S+)\s+RENAME\s+COLUMN\s+("?\w+"?)\s+TO\s+("?\w+"?)\s*;?\s*$""".r
+  private val alterRenameTableRe =
+    """(?is)ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\S+)\s+RENAME\s+TO\s+(\S+?)\s*;?\s*$""".r
 
   private def ddlAlter(ctx: Context, sql: String, queryId: String): Result = {
     val whAlter =
@@ -575,6 +577,21 @@ final class Executor(
           catalog.registerExisting(ref)
         }
         status(queryId, "Statement executed successfully.")
+      // table rename: physical Spark rename + catalog metadata move
+      // (reference: DuckDB pass-through; flattened names need both sides)
+      case alterRenameTableRe(from0, to0) =>
+        val rf = TableNaming.parse(from0, ctx.database, ctx.schema)
+        val rt = TableNaming.parse(to0, ctx.database, ctx.schema)
+        if (!catalog.tableExists(rf))
+          throw SnowflakeError.notFound(
+            s"table ${rf.database}.${rf.schema}.${rf.table} does not exist")
+        beforeWrite(ctx, rf, created = false)
+        catalog.lockFor(rf).synchronized {
+          spark.sql(s"ALTER TABLE ${catalog.sparkTableName(rf)} " +
+            s"RENAME TO ${catalog.sparkTableName(rt)}")
+          catalog.renameTable(rf, rt)
+        }
+        status(queryId, s"Table ${rf.table} successfully renamed to ${rt.table}.")
       case alterRenameColRe(name, from0, to0) =>
         val ref = TableNaming.parse(name, ctx.database, ctx.schema)
         val from = from0.stripPrefix("\"").stripSuffix("\"")

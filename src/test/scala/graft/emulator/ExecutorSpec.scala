@@ -500,6 +500,26 @@ class ExecutorSpec extends AnyFunSuite {
       v.toString.equalsIgnoreCase("cm_t"))), s.rows.take(5))
   }
 
+  test("40 ALTER TABLE RENAME TO moves data and catalog entry") {
+    exec("CREATE TABLE rn_t (id INTEGER, v VARCHAR(10))")
+    exec("INSERT INTO rn_t VALUES (1, 'a'), (2, 'b')")
+    val r = exec("ALTER TABLE rn_t RENAME TO rn_t2")
+    assert(r.rows.head.head.toString.contains("renamed"), r.rows)
+    val sel = exec("SELECT COUNT(*) AS n FROM rn_t2")
+    assert(sel.rows.head.head == 2L, sel.rows)
+    // the old name is gone from catalog and engine
+    intercept[SnowflakeError] { exec("SELECT * FROM rn_t") }
+    val shown = exec("SHOW TABLES")
+    val names = shown.rows.flatMap(_.map(v => Option(v).map(_.toString.toUpperCase)))
+    assert(names.flatten.contains("RN_T2"), names.take(10))
+    assert(!names.flatten.contains("RN_T"), names.take(10))
+    // renaming onto an existing table is refused
+    exec("CREATE TABLE rn_t3 (id INTEGER)")
+    intercept[SnowflakeError] { exec("ALTER TABLE rn_t2 RENAME TO rn_t3") }
+    // and the source survived the refused rename
+    assert(exec("SELECT COUNT(*) AS n FROM rn_t2").rows.head.head == 2L)
+  }
+
   test("31 PUT and GET move files between local paths and stages") {
     exec("CREATE STAGE pg_stage")
     val src = Files.createTempFile("put_src", ".csv")
