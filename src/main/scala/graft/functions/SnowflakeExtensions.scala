@@ -130,40 +130,48 @@ object SnowflakeExtensions {
   }
 
   /** TO_DATE(string, 'snowflake-format') — Snowflake token semantics.
-    * Invalid input raises, as Snowflake does. Result-shaping: CodegenFallback. */
-  case class SfToDate(child: Expression, format: Expression)
+    * Invalid input raises, as Snowflake does; the TRY_ variant (`lenient`)
+    * evaluates to null instead. Result-shaping: CodegenFallback. */
+  case class SfToDate(child: Expression, format: Expression,
+      lenient: Boolean = false)
       extends BinaryExpression with CodegenFallback {
     override def left: Expression = child
     override def right: Expression = format
     override def dataType: DataType = DateType
-    override def prettyName: String = "to_date"
+    override def nullable: Boolean = true
+    override def prettyName: String = if (lenient) "try_to_date" else "to_date"
     @transient private lazy val fmt = formatterOf(format)
     override def nullSafeEval(v: Any, f: Any): Any =
-      java.time.LocalDate.parse(v.toString, fmt).toEpochDay.toInt
+      try java.time.LocalDate.parse(v.toString, fmt).toEpochDay.toInt
+      catch { case e: java.time.DateTimeException => if (lenient) null else throw e }
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(child = l, format = r)
   }
 
   /** TO_TIMESTAMP(string, 'snowflake-format') — parses date-only patterns
-    * at midnight, date+time patterns fully; micros since epoch (NTZ model). */
-  case class SfToTimestamp(child: Expression, format: Expression)
+    * at midnight, date+time patterns fully; micros since epoch (NTZ model).
+    * The TRY_ variant (`lenient`) evaluates to null on parse failure. */
+  case class SfToTimestamp(child: Expression, format: Expression,
+      lenient: Boolean = false)
       extends BinaryExpression with CodegenFallback {
     override def left: Expression = child
     override def right: Expression = format
     override def dataType: DataType = TimestampNTZType
-    override def prettyName: String = "to_timestamp"
+    override def nullable: Boolean = true
+    override def prettyName: String = if (lenient) "try_to_timestamp" else "to_timestamp"
     @transient private lazy val fmt = formatterOf(format)
-    override def nullSafeEval(v: Any, f: Any): Any = {
-      val parsed = fmt.parse(v.toString)
-      val date = java.time.LocalDate.from(parsed)
-      val time =
-        if (parsed.isSupported(java.time.temporal.ChronoField.HOUR_OF_DAY))
-          java.time.LocalTime.from(parsed)
-        else java.time.LocalTime.MIDNIGHT
-      val ldt = java.time.LocalDateTime.of(date, time)
-      ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
-        ldt.getNano / 1000L
-    }
+    override def nullSafeEval(v: Any, f: Any): Any =
+      try {
+        val parsed = fmt.parse(v.toString)
+        val date = java.time.LocalDate.from(parsed)
+        val time =
+          if (parsed.isSupported(java.time.temporal.ChronoField.HOUR_OF_DAY))
+            java.time.LocalTime.from(parsed)
+          else java.time.LocalTime.MIDNIGHT
+        val ldt = java.time.LocalDateTime.of(date, time)
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          ldt.getNano / 1000L
+      } catch { case e: java.time.DateTimeException => if (lenient) null else throw e }
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(child = l, format = r)
   }
@@ -270,8 +278,68 @@ object SnowflakeExtensions {
       (args: Seq[Expression]) => DotProduct(
         Cast(args(0), ArrayType(FloatType)), Cast(args(1), ArrayType(FloatType)))),
     ("simhash64", "simhash64(array_of_int64_token_hashes)",
-      (args: Seq[Expression]) => SimHash64(Cast(args.head, ArrayType(LongType))))
+      (args: Seq[Expression]) => SimHash64(Cast(args.head, ArrayType(LongType)))),
+    // TO_NUMBER / TO_DECIMAL(x[, precision, scale]) — Snowflake defaults
+    // to NUMBER(38,0); the TRY_ forms null out on conversion failure via
+    // Spark's TRY-mode cast.
+    ("to_number", "to_number(x[, precision, scale])",
+      (args: Seq[Expression]) => Cast(args.head, numberTypeOf(args))),
+    ("to_decimal", "to_decimal(x[, precision, scale])",
+      (args: Seq[Expression]) => Cast(args.head, numberTypeOf(args))),
+    ("try_to_number", "try_to_number(x[, precision, scale])",
+      (args: Seq[Expression]) =>
+        Cast(args.head, numberTypeOf(args), None, EvalMode.TRY)),
+    ("to_double", "to_double(x)",
+      (args: Seq[Expression]) => Cast(args.head, DoubleType)),
+    ("try_to_double", "try_to_double(x)",
+      (args: Seq[Expression]) => Cast(args.head, DoubleType, None, EvalMode.TRY)),
+    // TRY_TO_DATE / TRY_TO_TIMESTAMP: null instead of error — TRY cast for
+    // the bare form, lenient Snowflake-token parse for the format form.
+    ("try_to_date", "try_to_date(s[, 'YYYY-MM-DD'])",
+      (args: Seq[Expression]) =>
+        if (args.length >= 2) SfToDate(args(0), args(1), lenient = true)
+        else Cast(args.head, DateType, None, EvalMode.TRY)),
+    ("try_to_timestamp", "try_to_timestamp(s[, 'YYYY-MM-DD HH24:MI:SS'])",
+      (args: Seq[Expression]) =>
+        if (args.length >= 2) SfToTimestamp(args(0), args(1), lenient = true)
+        else Cast(args.head, TimestampNTZType, None, EvalMode.TRY)),
+    // ARRAY_CONSTRUCT(v1, ...) in the VARIANT-as-JSON model: a JSON array
+    // string, the collection analog of OBJECT_CONSTRUCT.
+    ("array_construct", "array_construct(v1, ...)",
+      (args: Seq[Expression]) => StructsToJson(Map.empty, CreateArray(args))),
+    // OBJECT_KEYS(json_text) -> array of top-level keys.
+    ("object_keys", "object_keys(json_text)",
+      (args: Seq[Expression]) => JsonObjectKeys(args.head)),
+    // GET_PATH(v, 'a.b') — function form of the `v:a.b` path operator.
+    ("get_path", "get_path(json_text, 'path.to.field')",
+      (args: Seq[Expression]) =>
+        GetJsonObject(args(0), Concat(Seq(Literal(UTF8String.fromString("$."),
+          StringType), args(1))))),
+    // NULLIFZERO / DIV0 — Snowflake numeric conveniences.
+    ("nullifzero", "nullifzero(x)",
+      (args: Seq[Expression]) =>
+        If(EqualTo(args.head, Literal(0)), Literal.create(null, NullType), args.head)),
+    ("div0", "div0(a, b)",
+      (args: Seq[Expression]) =>
+        If(EqualTo(Cast(args(1), DoubleType), Literal(0.0)),
+          Literal(0.0),
+          Divide(Cast(args(0), DoubleType), Cast(args(1), DoubleType)))),
+    // UUID_STRING() — random v4 uuid text.
+    ("uuid_string", "uuid_string()",
+      (_: Seq[Expression]) => Uuid())
   )
+
+  /** DecimalType from optional (precision, scale) literal args; Snowflake's
+    * NUMBER default is (38, 0). */
+  private def numberTypeOf(args: Seq[Expression]): DataType =
+    if (args.length >= 3) DecimalType(intOf(args(1)), intOf(args(2)))
+    else DecimalType(38, 0)
+
+  private def intOf(e: Expression): Int = e match {
+    case Literal(i: Int, IntegerType) => i
+    case Literal(l: Long, LongType) => l.toInt
+    case other => other.sql.trim.toInt
+  }
 
   /** Extract the constant date-part from a foldable string arg and
     * normalize Snowflake's abbreviations (d/dd/days, mm/mons, ...). */

@@ -520,6 +520,46 @@ class ExecutorSpec extends AnyFunSuite {
     assert(exec("SELECT COUNT(*) AS n FROM rn_t2").rows.head.head == 2L)
   }
 
+  test("41 numeric/variant conveniences: TO_NUMBER, TRY_*, DIV0, GET_PATH, ARRAY_CONSTRUCT") {
+    val r = exec(
+      """SELECT TO_NUMBER('42') AS a, TO_NUMBER('3.75', 10, 2) AS b,
+           TRY_TO_NUMBER('oops') AS c, TO_DOUBLE('2.5') AS d,
+           TRY_TO_DOUBLE('nah') AS e, DIV0(10, 0) AS f, DIV0(10, 4) AS g,
+           NULLIFZERO(0) AS h, NULLIFZERO(7) AS i""")
+    val row = r.rows.head
+    assert(row(0).toString == "42", row)
+    assert(row(1).toString == "3.75", row)
+    assert(row(2) == null, row)
+    assert(row(3) == 2.5, row)
+    assert(row(4) == null, row)
+    assert(row(5) == 0.0 && row(6) == 2.5, row)
+    assert(row(7) == null && row(8) == 7, row)
+    // try date/timestamp: bare and Snowflake-format forms
+    val t = exec(
+      """SELECT TRY_TO_DATE('2024-03-05') AS d1,
+           TRY_TO_DATE('05/03/2024', 'DD/MM/YYYY') AS d2,
+           TRY_TO_DATE('garbage', 'DD/MM/YYYY') AS d3,
+           TRY_TO_TIMESTAMP('2024-03-05 10:30:00') AS t1,
+           TRY_TO_TIMESTAMP('nope') AS t2""")
+    val tr = t.rows.head
+    assert(tr(0).toString == "2024-03-05", tr)
+    assert(tr(1).toString == "2024-03-05", tr)
+    assert(tr(2) == null && tr(4) == null, tr)
+    assert(tr(3).toString.startsWith("2024-03-05"), tr)
+    // variant constructors and path access
+    val v = exec(
+      """SELECT ARRAY_CONSTRUCT(1, 2, 3) AS arr,
+           OBJECT_KEYS('{"a": 1, "b": 2}') AS ks,
+           GET_PATH('{"a": {"b": 42}}', 'a.b') AS p""")
+    val vr = v.rows.head
+    assert(vr(0).toString == "[1,2,3]", vr)
+    assert(vr(1).toString.contains("a") && vr(1).toString.contains("b"), vr)
+    assert(vr(2).toString == "42", vr)
+    // uuid_string returns 36-char v4 text
+    val u = exec("SELECT UUID_STRING() AS u")
+    assert(u.rows.head.head.toString.length == 36, u.rows)
+  }
+
   test("31 PUT and GET move files between local paths and stages") {
     exec("CREATE STAGE pg_stage")
     val src = Files.createTempFile("put_src", ".csv")
