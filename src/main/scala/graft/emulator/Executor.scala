@@ -585,7 +585,10 @@ final class Executor(
         if (!catalog.tableExists(rf))
           throw SnowflakeError.notFound(
             s"table ${rf.database}.${rf.schema}.${rf.table} does not exist")
+        // txn posture: snapshot the old name, mark the new one created —
+        // ROLLBACK then restores the old table and drops the renamed one
         beforeWrite(ctx, rf, created = false)
+        beforeWrite(ctx, rt, created = true)
         catalog.lockFor(rf).synchronized {
           spark.sql(s"ALTER TABLE ${catalog.sparkTableName(rf)} " +
             s"RENAME TO ${catalog.sparkTableName(rt)}")

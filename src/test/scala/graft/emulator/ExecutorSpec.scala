@@ -518,6 +518,13 @@ class ExecutorSpec extends AnyFunSuite {
     intercept[SnowflakeError] { exec("ALTER TABLE rn_t2 RENAME TO rn_t3") }
     // and the source survived the refused rename
     assert(exec("SELECT COUNT(*) AS n FROM rn_t2").rows.head.head == 2L)
+    // ROLLBACK undoes a rename: old name restored, new name dropped
+    exec("BEGIN")
+    exec("ALTER TABLE rn_t2 RENAME TO rn_tx")
+    assert(exec("SELECT COUNT(*) AS n FROM rn_tx").rows.head.head == 2L)
+    exec("ROLLBACK")
+    assert(exec("SELECT COUNT(*) AS n FROM rn_t2").rows.head.head == 2L)
+    intercept[SnowflakeError] { exec("SELECT * FROM rn_tx") }
   }
 
   test("41 numeric/variant conveniences: TO_NUMBER, TRY_*, DIV0, GET_PATH, ARRAY_CONSTRUCT") {
