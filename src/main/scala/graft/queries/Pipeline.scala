@@ -91,6 +91,13 @@ object Pipeline {
   def exactBaselineMaxRows: Long =
     sys.props.get("graft.exactBaselineMaxRows").map(_.toLong).getOrElse(200000L)
 
+  /** p23's deterministic packing parallelism — doc_id % packBuckets. The
+    * local default matches the test core count; a cluster run raises it
+    * to executor width. Read once so the Spark plan and the oracle SQL
+    * always share one value. */
+  private val packBuckets: Int =
+    sys.props.get("graft.packBuckets").map(_.toInt).getOrElse(32)
+
   private def guardExactBaseline(s: SparkSession, dir: String,
       name: String, scalePath: String): Unit = {
     val n = emb(s, dir).count()
@@ -803,27 +810,28 @@ object Pipeline {
         FROM g ORDER BY doc_id""")),
 
     // ---- sequence packing: assign documents to ~512-token context
-    // windows. Deterministic bucket partitioning (doc_id % 32), greedy
-    // in-order chunking via a running token sum per bucket — one shuffle
-    // on the bucket key, windows computed partition-locally; at 100 TB
-    // the bucket count scales with executor width. -----------------------
+    // windows. Deterministic bucket partitioning (doc_id % packBuckets),
+    // greedy in-order chunking via a running token sum per bucket — one
+    // shuffle on the bucket key, windows computed partition-locally. At
+    // 100 TB raise -Dgraft.packBuckets to executor-width parallelism; the
+    // oracle SQL interpolates the same constant so the check follows. ----
     QDef("p23_seq_pack",
       (s, dir) => {
         val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         docs(s, dir)
           .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
-          .withColumn("bucket", (col("doc_id") % 32).cast("int"))
+          .withColumn("bucket", (col("doc_id") % packBuckets).cast("int"))
           .withColumn("cum", sum(col("n_tokens")).over(w))
           .withColumn("pack_id",
             floor((col("cum") - col("n_tokens")) / lit(512)).cast("long"))
           .select(col("doc_id"), col("bucket"), col("n_tokens"), col("pack_id"))
           .orderBy(col("doc_id"))
       },
-      Some("""SELECT doc_id, CAST(doc_id % 32 AS INTEGER) AS bucket,
+      Some(s"""SELECT doc_id, CAST(doc_id % $packBuckets AS INTEGER) AS bucket,
           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
           CAST(FLOOR((SUM(len(string_split(text, ' ')))
-              OVER (PARTITION BY doc_id % 32 ORDER BY doc_id
+              OVER (PARTITION BY doc_id % $packBuckets ORDER BY doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             - len(string_split(text, ' '))) / 512) AS BIGINT) AS pack_id
         FROM documents ORDER BY doc_id""")),
