@@ -915,6 +915,46 @@ object Pipeline {
           CAST(n_docs AS DOUBLE) / total AS actual_share,
           CAST(parts AS DOUBLE) / total_parts AS target_share,
           (CAST(parts AS DOUBLE) / total_parts) / (CAST(n_docs AS DOUBLE) / total) AS weight
-        FROM c, t ORDER BY source"""))
+        FROM c, t ORDER BY source""")),
+
+    // ---- batch sessionization: gap-based sessions (30-minute idle
+    // boundary) via lag + running sum of boundary flags — the batch
+    // analog of EventStreams.sessionize (mapGroupsWithState). One shuffle
+    // on user_id; both windows reuse the same partitioning. --------------
+    QDef("p27_sessionize",
+      (s, dir) => {
+        // event_id tiebreak: equal timestamps must order identically in
+        // any engine or the lag/running-sum assignment diverges
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+          .withColumn("brk",
+            when(col("prev_us").isNull ||
+              col("us") - col("prev_us") > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum(col("brk")).over(run))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            (max(col("us")) - min(col("us"))).as("duration_us"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some("""WITH b AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+            CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+              OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+          FROM events),
+        sess AS (
+          SELECT user_id, us,
+            SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM b)
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+          COUNT(*) AS n_events,
+          CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
+        FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id"""))
   )
 }
