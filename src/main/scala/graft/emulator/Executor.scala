@@ -33,6 +33,22 @@ final class Executor(
   private val spark: SparkSession = catalog.spark
   private val transactions = new ConcurrentHashMap[String, Txn]()
 
+  /** Bounded retention of completed query results for RESULT_SCAN
+    * (Snowflake serves 24 h from result storage; the emulator keeps the
+    * last 200 result sets under 100k rows — same spirit as the REST
+    * statement store's 1 h TTL). Maps queryId -> (schema, external rows). */
+  private val retainedResults =
+    new java.util.LinkedHashMap[String, (org.apache.spark.sql.types.StructType, Seq[Seq[Any]])](
+      16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (org.apache.spark.sql.types.StructType, Seq[Seq[Any]])]) =
+        size() > 200
+    }
+  private val RetainMaxRows = 100000
+
+  /** Per-session last completed statement id, for LAST_QUERY_ID(). */
+  private val lastQueryIds = new ConcurrentHashMap[String, String]()
+
   // ------------------------------------------------------------------
   // entry point
   // ------------------------------------------------------------------
@@ -45,6 +61,7 @@ final class Executor(
     try {
       val r = route(ctx, bound, queryId)
       history.success(queryId, bound, r.rows.size.toLong max r.rowsAffected.getOrElse(0L), t0)
+      lastQueryIds.put(ctx.sessionId, queryId)
       r
     } catch {
       case t: Throwable =>
@@ -87,7 +104,8 @@ final class Executor(
     if (u.startsWith("SHOW")) return show(ctx, bare, queryId)
     if (u.startsWith("DESC")) return describe(ctx, bare, queryId)
     val withHistory = rewriteTopSample(
-      rewriteQueryHistory(rewriteJsonPath(sessionContextFns(ctx, sql))))
+      rewriteQueryHistory(rewriteJsonPath(sessionContextFns(ctx,
+        rewriteResultScan(ctx, bare)))))
     val rewritten = TableNaming.rewrite(rewriteFlatten(rewriteQualify(withHistory)),
       ctx.database, ctx.schema)
     val df = spark.sql(rewritten)
@@ -258,6 +276,33 @@ final class Executor(
           case "ROLE" => "'ACCOUNTADMIN'"
           case _ => "'GRAFT'"
         })
+
+  private val resultScanRe =
+    """(?is)(?:TABLE\s*\(\s*)?RESULT_SCAN\s*\(\s*'([^']+)'\s*\)(?:\s*\))?""".r
+
+  /** Snowflake RESULT_SCAN('<query-id>') / LAST_QUERY_ID(): re-query a
+    * completed statement's result set. The retained (schema, rows) pair
+    * is rebuilt as a DataFrame and served through a temp view that the
+    * name rewriter knows to leave alone. Beyond reference parity (the Go
+    * emulator has no result storage on the SQL surface; its REST layer
+    * retains statements the same way). */
+  private def rewriteResultScan(ctx: Context, sql: String): String = {
+    if (!sql.toUpperCase(java.util.Locale.ROOT).contains("RESULT_SCAN")) return sql
+    val withLast = """(?i)LAST_QUERY_ID\s*\(\s*\)""".r.replaceAllIn(sql, _ =>
+      "'" + Option(lastQueryIds.get(ctx.sessionId)).getOrElse("") + "'")
+    resultScanRe.replaceAllIn(withLast, m => {
+      val qid = m.group(1)
+      val retained = retainedResults.synchronized(Option(retainedResults.get(qid)))
+      val (schema, rows) = retained.getOrElse(throw SnowflakeError.compilation(
+        s"Result for query id $qid is not available"))
+      val df = spark.createDataFrame(
+        rows.map(r => org.apache.spark.sql.Row.fromSeq(r)).asJava, schema)
+      // per-qid view name so one query can scan several results
+      val view = s"graft_result_scan_$qid"
+      df.createOrReplaceTempView(view)
+      s"`$view`"
+    })
+  }
 
   private val queryHistoryRe =
     """(?is)(?:TABLE\s*\(\s*)?INFORMATION_SCHEMA\.QUERY_HISTORY(?:\s*\(\s*\)\s*\))?""".r
@@ -1013,6 +1058,8 @@ final class Executor(
     // full materialization at the protocol edge, like the reference's
     // fetch loop (`executor.go:99-119`)
     val rows = df.collect().toSeq.map(_.toSeq)
+    if (rows.size <= RetainMaxRows)
+      retainedResults.synchronized { retainedResults.put(queryId, (df.schema, rows)) }
     Result(TypeMapper.inferRowType(df.schema), rows, statementTypeId, None, queryId)
   }
 

@@ -62,9 +62,10 @@ object TableNaming {
   private[emulator] def localNames(sql: String): Set[String] =
     localDefRe.findAllMatchIn(sql).map(m => norm(m.group(1))).toSet
 
-  /** Internal temp-view names the emulator itself injects (e.g. the query
-    * history view); never flattened. */
-  private val internalNames = Set("GRAFT_QUERY_HISTORY")
+  /** Internal temp-view names the emulator itself injects (query history,
+    * RESULT_SCAN views); never flattened. */
+  private def isInternalName(upper: String): Boolean =
+    upper == "GRAFT_QUERY_HISTORY" || upper.startsWith("GRAFT_RESULT_SCAN")
 
   /** Rewrite the table references of a SQL statement into flattened Spark
     * names, resolving 1- and 2-part names against the session's current
@@ -162,7 +163,7 @@ object TableNaming {
     val targets = occ.filter { o =>
       val single = o.parts.lengthIs == 1
       val upper = o.parts.last.toUpperCase(java.util.Locale.ROOT)
-      !(single && (cteNames.contains(upper) || internalNames.contains(upper)))
+      !(single && (cteNames.contains(upper) || isInternalName(upper)))
     }
     if (targets.exists(_.parts.lengthIs > 3)) return None
     var out = sql

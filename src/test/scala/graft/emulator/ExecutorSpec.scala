@@ -567,6 +567,27 @@ class ExecutorSpec extends AnyFunSuite {
     assert(u.rows.head.head.toString.length == 36, u.rows)
   }
 
+  test("42 RESULT_SCAN re-queries retained results; LAST_QUERY_ID resolves") {
+    exec("CREATE TABLE rs_t (id INTEGER, v VARCHAR(10))")
+    exec("INSERT INTO rs_t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val first = exec("SELECT id, v FROM rs_t WHERE id <= 2 ORDER BY id")
+    assert(first.rows.size == 2)
+    // by explicit query id — full result with schema, further filterable
+    val scanned = exec(
+      s"SELECT v FROM TABLE(RESULT_SCAN('${first.queryId}')) WHERE id = 2")
+    assert(scanned.rows.map(_.head) == Seq("b"), scanned.rows)
+    // bare function form without TABLE()
+    val bare = exec(s"SELECT COUNT(*) AS n FROM RESULT_SCAN('${first.queryId}')")
+    assert(bare.rows.head.head == 2L, bare.rows)
+    // LAST_QUERY_ID() points at the immediately preceding statement
+    val prev = exec("SELECT id FROM rs_t WHERE id = 3")
+    assert(prev.rows.size == 1)
+    val viaLast = exec("SELECT * FROM TABLE(RESULT_SCAN(LAST_QUERY_ID()))")
+    assert(viaLast.rows.map(_.head) == Seq(3), viaLast.rows)
+    // unknown id is a compilation error
+    intercept[SnowflakeError] { exec("SELECT * FROM TABLE(RESULT_SCAN('01ffffffff'))") }
+  }
+
   test("31 PUT and GET move files between local paths and stages") {
     exec("CREATE STAGE pg_stage")
     val src = Files.createTempFile("put_src", ".csv")
