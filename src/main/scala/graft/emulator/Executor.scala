@@ -105,7 +105,7 @@ final class Executor(
     if (u.startsWith("DESC")) return describe(ctx, bare, queryId)
     val withHistory = rewriteTopSample(
       rewriteQueryHistory(rewriteJsonPath(sessionContextFns(ctx,
-        rewriteResultScan(ctx, bare)))))
+        rewriteGenerator(rewriteResultScan(ctx, bare))))))
     val rewritten = TableNaming.rewrite(rewriteFlatten(rewriteQualify(withHistory)),
       ctx.database, ctx.schema)
     val df = spark.sql(rewritten)
@@ -276,6 +276,19 @@ final class Executor(
           case "ROLE" => "'ACCOUNTADMIN'"
           case _ => "'GRAFT'"
         })
+
+  private val generatorRe =
+    """(?is)TABLE\s*\(\s*GENERATOR\s*\(\s*ROWCOUNT\s*=>\s*(\d+)\s*\)\s*\)""".r
+
+  /** Snowflake row generator: `TABLE(GENERATOR(ROWCOUNT => n))` -> Spark's
+    * `range(n)` table-valued function (distributed, no driver loop);
+    * SEQ4()/SEQ8() become range's `id` ordinal. The canonical Snowflake
+    * test-data idiom. */
+  private def rewriteGenerator(sql: String): String = {
+    if (!sql.toUpperCase(java.util.Locale.ROOT).contains("GENERATOR")) return sql
+    val ranged = generatorRe.replaceAllIn(sql, m => s"range(${m.group(1)})")
+    """(?i)\bSEQ[48]\s*\(\s*\)""".r.replaceAllIn(ranged, "id")
+  }
 
   private val resultScanRe =
     """(?is)(?:TABLE\s*\(\s*)?RESULT_SCAN\s*\(\s*'([^']+)'\s*\)(?:\s*\))?""".r

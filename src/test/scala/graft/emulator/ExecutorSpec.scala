@@ -588,6 +588,21 @@ class ExecutorSpec extends AnyFunSuite {
     intercept[SnowflakeError] { exec("SELECT * FROM TABLE(RESULT_SCAN('01ffffffff'))") }
   }
 
+  test("43 GENERATOR(ROWCOUNT) and SEQ4 produce distributed row sequences") {
+    val r = exec("SELECT SEQ4() AS s FROM TABLE(GENERATOR(ROWCOUNT => 5)) ORDER BY s")
+    assert(r.rows.map(_.head) == Seq(0L, 1L, 2L, 3L, 4L), r.rows)
+    val agg = exec(
+      "SELECT COUNT(*) AS n, SUM(SEQ8()) AS total FROM TABLE(GENERATOR(ROWCOUNT => 100))")
+    assert(agg.rows.head == Seq(100L, 4950L), agg.rows)
+    // generator joined against a real table
+    exec("CREATE TABLE gen_t (id INTEGER)")
+    exec("INSERT INTO gen_t VALUES (0), (1), (2)")
+    val j = exec(
+      """SELECT g.id AS s FROM TABLE(GENERATOR(ROWCOUNT => 10)) g
+         JOIN gen_t t ON g.id = t.id ORDER BY s""")
+    assert(j.rows.map(_.head) == Seq(0L, 1L, 2L), j.rows)
+  }
+
   test("31 PUT and GET move files between local paths and stages") {
     exec("CREATE STAGE pg_stage")
     val src = Files.createTempFile("put_src", ".csv")
