@@ -106,7 +106,7 @@ final class Executor(
     val withHistory = rewriteTopSample(
       rewriteQueryHistory(rewriteJsonPath(sessionContextFns(ctx,
         rewriteGenerator(rewriteResultScan(ctx, bare))))))
-    val rewritten = TableNaming.rewrite(rewriteFlatten(rewriteQualify(withHistory)),
+    val rewritten = TableNaming.rewrite(rewriteFlatten(rewriteSplitToTable(rewriteQualify(withHistory))),
       ctx.database, ctx.schema)
     val df = spark.sql(rewritten)
     collectResult(df, queryId, Classifier.StatementTypeSelect)
@@ -361,6 +361,23 @@ final class Executor(
     })
   }
 
+  /** Snowflake `TABLE(SPLIT_TO_TABLE(expr, delim)) f` -> `LATERAL VIEW
+    * posexplode(split(expr, delim)) f AS index, value`, the FLATTEN
+    * pattern specialized to string splitting; `f.value` / `f.index`
+    * references keep working (Snowflake's SEQ column is per-input-row
+    * metadata the emulator does not track). */
+  private[emulator] def rewriteSplitToTable(sql: String): String = {
+    val re = ("""(?is),?\s*TABLE\s*\(\s*SPLIT_TO_TABLE\s*\(\s*""" +
+      """([^,()]+(?:\([^()]*\))?[^,()]*)\s*,\s*('[^']*'|[^()]+?)\s*\)\s*\)\s*""" +
+      """(?:AS\s+)?([A-Za-z_]\w*)?""").r
+    re.replaceAllIn(sql, m => {
+      val alias = Option(m.group(3)).getOrElse("f")
+      java.util.regex.Matcher.quoteReplacement(
+        s" LATERAL VIEW posexplode(split(${m.group(1).trim}, ${m.group(2).trim})) " +
+          s"$alias AS index, value ")
+    })
+  }
+
   /** Run a query and get the DataFrame (internal; used by MERGE USING
     * subqueries and tests that want plans, not materialized rows). */
   def queryDf(ctx: Context, sql: String): DataFrame =
@@ -477,8 +494,8 @@ final class Executor(
         val ref = TableNaming.parse(name, ctx.database, ctx.schema)
         catalog.createDatabase(ref.database)
         catalog.createSchema(ref.database, ref.schema, ifNotExists = true)
-        val rewritten = TableNaming.rewrite(rewriteFlatten(select),
-          ctx.database, ctx.schema)
+        val rewritten = TableNaming.rewrite(
+          rewriteFlatten(rewriteSplitToTable(select)), ctx.database, ctx.schema)
         spark.sql(s"CREATE OR REPLACE VIEW ${catalog.sparkTableName(ref)} AS $rewritten")
         catalog.registerView(ref)
         status(queryId, s"View ${ref.table} successfully created.")

@@ -603,6 +603,30 @@ class ExecutorSpec extends AnyFunSuite {
     assert(j.rows.map(_.head) == Seq(0L, 1L, 2L), j.rows)
   }
 
+  test("44 SPLIT_TO_TABLE, PIVOT and UNPIVOT") {
+    exec("CREATE TABLE stt_t (id INTEGER, csv VARCHAR(50))")
+    exec("INSERT INTO stt_t VALUES (1, 'a,b,c'), (2, 'x,y')")
+    val st = exec(
+      """SELECT id, f.index, f.value FROM stt_t,
+         TABLE(SPLIT_TO_TABLE(csv, ',')) f ORDER BY id, f.index""")
+    assert(st.rows.size == 5, st.rows)
+    assert(st.rows.head == Seq(1, 0, "a") && st.rows.last == Seq(2, 1, "y"), st.rows)
+    // Snowflake-style PIVOT parses natively on Spark
+    exec("CREATE TABLE pv_t (grp VARCHAR(5), k VARCHAR(5), v INTEGER)")
+    exec("""INSERT INTO pv_t VALUES
+        ('g1', 'a', 1), ('g1', 'b', 2), ('g2', 'a', 3), ('g2', 'b', 4)""")
+    val pv = exec(
+      """SELECT * FROM pv_t PIVOT (SUM(v) FOR k IN ('a', 'b')) ORDER BY grp""")
+    assert(pv.rows.size == 2, pv.rows)
+    assert(pv.rows.head.drop(1) == Seq(1L, 2L), pv.rows)
+    // UNPIVOT back to long form
+    exec("CREATE TABLE upv_t (id INTEGER, a INTEGER, b INTEGER)")
+    exec("INSERT INTO upv_t VALUES (1, 10, 20)")
+    val up = exec(
+      """SELECT id, k, v FROM upv_t UNPIVOT (v FOR k IN (a, b)) ORDER BY k""")
+    assert(up.rows == Seq(Seq(1, "a", 10), Seq(1, "b", 20)), up.rows)
+  }
+
   test("31 PUT and GET move files between local paths and stages") {
     exec("CREATE STAGE pg_stage")
     val src = Files.createTempFile("put_src", ".csv")
