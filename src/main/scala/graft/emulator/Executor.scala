@@ -457,6 +457,8 @@ final class Executor(
     """(?is)CREATE\s+(OR\s+REPLACE\s+)?(?:TRANSIENT\s+|TEMPORARY\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([^\s(]+)\s*\((.*)\)\s*;?\s*$""".r
   private val createLikeRe =
     """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([^\s(]+)\s+LIKE\s+(\S+?);?\s*$""".r
+  private val createCloneRe =
+    """(?is)CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([^\s(]+)\s+CLONE\s+(\S+?);?\s*$""".r
   private val ctasRe =
     """(?is)CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([^\s(]+)\s+AS\s+(SELECT.*)$""".r
   private val createViewRe =
@@ -512,6 +514,23 @@ final class Executor(
           .findFirstMatchIn(optionsText).map(_.group(1)).getOrElse("CSV")
         catalog.createFileFormat(ctx.database, ctx.schema, name, tpe, optionsText)
         status(queryId, s"File format ${name.toUpperCase} successfully created.")
+      // CREATE TABLE ... CLONE: schema + cluster key + DATA snapshot.
+      // Snowflake's clone is zero-copy metadata; the emulator's
+      // equivalent is one parquet copy at clone time — same user-visible
+      // semantics (independent table, point-in-time content), the
+      // storage trick is out of scope for a single-node emulator.
+      case createCloneRe(orReplace, name, srcName) =>
+        val ref = TableNaming.parse(name, ctx.database, ctx.schema)
+        val srcRef = TableNaming.parse(srcName, ctx.database, ctx.schema)
+        val src = catalog.getTable(srcRef).getOrElse(
+          throw SnowflakeError.notFound(s"table $srcName does not exist"))
+        if (catalog.tableExists(ref) && orReplace == null)
+          throw SnowflakeError.alreadyExists(s"table ${ref.table} already exists")
+        beforeWrite(ctx, ref, created = !catalog.tableExists(ref))
+        catalog.createTable(ref, src.columns, orReplace = true,
+          clusterKey = src.clusterKey)
+        catalog.overwriteTable(ref, catalog.tableDf(srcRef))
+        status(queryId, s"Table ${ref.table} successfully created.")
       case createLikeRe(name, srcName) =>
         // CREATE TABLE ... LIKE: clone columns + cluster key, no data
         // (reference delegates to DuckDB's LIKE support via pass-through)

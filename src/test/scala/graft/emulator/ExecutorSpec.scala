@@ -627,6 +627,24 @@ class ExecutorSpec extends AnyFunSuite {
     assert(up.rows == Seq(Seq(1, "a", 10), Seq(1, "b", 20)), up.rows)
   }
 
+  test("45 CREATE TABLE CLONE snapshots data independently") {
+    exec("CREATE TABLE cl_src (id INTEGER, v VARCHAR(10))")
+    exec("INSERT INTO cl_src VALUES (1, 'a'), (2, 'b')")
+    exec("CREATE TABLE cl_dst CLONE cl_src")
+    assert(exec("SELECT COUNT(*) AS n FROM cl_dst").rows.head.head == 2L)
+    // the clone is point-in-time: later writes to the source don't leak
+    exec("INSERT INTO cl_src VALUES (3, 'c')")
+    assert(exec("SELECT COUNT(*) AS n FROM cl_dst").rows.head.head == 2L)
+    assert(exec("SELECT COUNT(*) AS n FROM cl_src").rows.head.head == 3L)
+    // and writes to the clone don't touch the source
+    exec("DELETE FROM cl_dst WHERE id = 1")
+    assert(exec("SELECT COUNT(*) AS n FROM cl_src").rows.head.head == 3L)
+    // clone onto an existing name requires OR REPLACE
+    intercept[SnowflakeError] { exec("CREATE TABLE cl_dst CLONE cl_src") }
+    exec("CREATE OR REPLACE TABLE cl_dst CLONE cl_src")
+    assert(exec("SELECT COUNT(*) AS n FROM cl_dst").rows.head.head == 3L)
+  }
+
   test("31 PUT and GET move files between local paths and stages") {
     exec("CREATE STAGE pg_stage")
     val src = Files.createTempFile("put_src", ".csv")
