@@ -49,6 +49,17 @@ final class Executor(
   /** Per-session last completed statement id, for LAST_QUERY_ID(). */
   private val lastQueryIds = new ConcurrentHashMap[String, String]()
 
+  /** Drop-retention for UNDROP TABLE: the last 20 dropped tables' metadata
+    * and a parquet snapshot of their content at drop time. */
+  private val droppedTables =
+    new java.util.LinkedHashMap[String, (Catalog.TableMeta, java.nio.file.Path)](
+      16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Catalog.TableMeta, java.nio.file.Path)]) = {
+        if (size() > 20) { deleteDir(e.getValue._2); true } else false
+      }
+    }
+
   // ------------------------------------------------------------------
   // entry point
   // ------------------------------------------------------------------
@@ -80,6 +91,7 @@ final class Executor(
       return removeStage(sql, queryId)
     if (u.startsWith("PUT ")) return putStage(sql, queryId)
     if (u.startsWith("GET ")) return getStage(sql, queryId)
+    if (u.startsWith("UNDROP ")) return undrop(ctx, sql, queryId)
     val cls = Classifier.classify(sql)
     cls.tpe match {
       case Classifier.Query => query(ctx, sql, queryId)
@@ -595,6 +607,31 @@ final class Executor(
       }
     }
 
+  private val undropRe = """(?is)UNDROP\s+TABLE\s+(\S+?);?\s*$""".r
+
+  /** Snowflake UNDROP TABLE: restore the most recent drop of that name
+    * from the retention snapshot (content AND metadata, cluster key
+    * included, so the restoring write re-buckets identically). */
+  private def undrop(ctx: Context, sql: String, queryId: String): Result =
+    sql.trim match {
+      case undropRe(name) =>
+        val ref = TableNaming.parse(name, ctx.database, ctx.schema)
+        val key = s"${ref.database}.${ref.schema}.${ref.table}"
+        val entry = droppedTables.synchronized(Option(droppedTables.remove(key)))
+        val (meta, tmp) = entry.getOrElse(throw SnowflakeError.notFound(
+          s"table $name does not exist or was not recently dropped"))
+        if (catalog.tableExists(ref)) {
+          droppedTables.synchronized(droppedTables.put(key, (meta, tmp)))
+          throw SnowflakeError.alreadyExists(s"table ${ref.table} already exists")
+        }
+        catalog.restoreMeta(meta)
+        catalog.overwriteTable(ref, spark.read.parquet(tmp.toString))
+        deleteDir(tmp)
+        status(queryId, s"Table ${ref.table} successfully restored.")
+      case _ =>
+        throw SnowflakeError.compilation(s"unsupported UNDROP statement: $sql")
+    }
+
   private def ddlDrop(ctx: Context, sql: String, queryId: String): Result = {
     val m = """(?is)DROP\s+(DATABASE|SCHEMA|TABLE|VIEW|WAREHOUSE|STAGE|FILE\s+FORMAT)\s+(IF\s+EXISTS\s+)?(\S+?);?\s*$""".r
       .findFirstMatchIn(sql.trim)
@@ -611,7 +648,19 @@ final class Executor(
         else catalog.dropSchema(ctx.database, name, ifExists)
       case "TABLE" =>
         val ref = TableNaming.parse(name, ctx.database, ctx.schema)
-        if (catalog.tableExists(ref)) beforeWrite(ctx, ref, created = false)
+        if (catalog.tableExists(ref)) {
+          beforeWrite(ctx, ref, created = false)
+          // drop retention for UNDROP: snapshot content + metadata before
+          // the physical drop (Snowflake Time Travel's drop window; the
+          // emulator keeps the last few drops instead of a 24 h clock)
+          val meta = catalog.getTable(ref).get
+          val tmp = Files.createTempDirectory("graft_undrop")
+          catalog.tableDf(ref).write.mode("overwrite").parquet(tmp.toString)
+          droppedTables.synchronized {
+            droppedTables.put(s"${ref.database}.${ref.schema}.${ref.table}",
+              (meta, tmp))
+          }
+        }
         catalog.dropTable(ref, ifExists)
       case "WAREHOUSE" => warehouses.drop(name, ifExists)
       case "STAGE" => stages.dropStage(name.toUpperCase(java.util.Locale.ROOT))

@@ -645,6 +645,29 @@ class ExecutorSpec extends AnyFunSuite {
     assert(exec("SELECT COUNT(*) AS n FROM cl_dst").rows.head.head == 3L)
   }
 
+  test("46 UNDROP TABLE restores the most recent drop with data intact") {
+    exec("CREATE TABLE ud_t (id INTEGER, v VARCHAR(10))")
+    exec("INSERT INTO ud_t VALUES (1, 'a'), (2, 'b')")
+    exec("DROP TABLE ud_t")
+    intercept[SnowflakeError] { exec("SELECT * FROM ud_t") }
+    val r = exec("UNDROP TABLE ud_t")
+    assert(r.rows.head.head.toString.contains("restored"), r.rows)
+    val sel = exec("SELECT id, v FROM ud_t ORDER BY id")
+    assert(sel.rows == Seq(Seq(1, "a"), Seq(2, "b")), sel.rows)
+    // a second UNDROP of the same drop is refused (retention consumed)
+    exec("DROP TABLE ud_t")
+    exec("UNDROP TABLE ud_t")
+    intercept[SnowflakeError] { exec("UNDROP TABLE ud_t") }
+    // UNDROP when a new table took the name is refused, retention kept
+    exec("DROP TABLE ud_t")
+    exec("CREATE TABLE ud_t (x INTEGER)")
+    intercept[SnowflakeError] { exec("UNDROP TABLE ud_t") }
+    exec("DROP TABLE ud_t")
+    exec("UNDROP TABLE ud_t") // restores the REPLACEMENT (most recent drop)
+    val d = exec("DESCRIBE TABLE ud_t")
+    assert(d.rows.map(_.head.toString.toLowerCase) == Seq("x"), d.rows)
+  }
+
   test("31 PUT and GET move files between local paths and stages") {
     exec("CREATE STAGE pg_stage")
     val src = Files.createTempFile("put_src", ".csv")
