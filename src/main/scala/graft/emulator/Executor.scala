@@ -49,6 +49,16 @@ final class Executor(
   /** Per-session last completed statement id, for LAST_QUERY_ID(). */
   private val lastQueryIds = new ConcurrentHashMap[String, String]()
 
+  /** Streams on tables (CDC): name -> (source table, baseline snapshot).
+    * A stream's content is the row-level delta between the source's
+    * current state and the baseline; consuming the stream in a DML
+    * statement advances the baseline to the current state — Snowflake's
+    * stream contract, computed with Spark set operations instead of
+    * offset bookkeeping. */
+  private final case class StreamMeta(name: String, table: TableNaming.Ref,
+      @volatile var baseline: java.nio.file.Path)
+  private val streams = new ConcurrentHashMap[String, StreamMeta]()
+
   /** Drop-retention for UNDROP TABLE: the last 20 dropped tables' metadata
     * and a parquet snapshot of their content at drop time. */
   private val droppedTables =
@@ -117,7 +127,7 @@ final class Executor(
     if (u.startsWith("DESC")) return describe(ctx, bare, queryId)
     val withHistory = rewriteTopSample(
       rewriteQueryHistory(rewriteJsonPath(sessionContextFns(ctx,
-        rewriteGenerator(rewriteResultScan(ctx, bare))))))
+        rewriteStreams(ctx, rewriteGenerator(rewriteResultScan(ctx, bare)))))))
     val rewritten = TableNaming.rewrite(rewriteFlatten(rewriteSplitToTable(rewriteQualify(withHistory))),
       ctx.database, ctx.schema)
     val df = spark.sql(rewritten)
@@ -289,6 +299,60 @@ final class Executor(
           case _ => "'GRAFT'"
         })
 
+  /** Replace registered stream names in FROM position with a temp view of
+    * the stream's current delta: rows in the source but not the baseline
+    * (METADATA$ACTION = INSERT) plus rows in the baseline but not the
+    * source (DELETE), via exceptAll in both directions. Runs before table
+    * naming so the stream name is never flattened. */
+  private def rewriteStreams(ctx: Context, sql: String): String = {
+    if (streams.isEmpty) return sql
+    var out = sql
+    streams.asScala.foreach { case (key, sm) =>
+      if (key.startsWith(s"${norm(ctx.database)}.${norm(ctx.schema)}.")) {
+        val re = ("""(?i)\b""" + java.util.regex.Pattern.quote(sm.name) + """\b""").r
+        if (re.findFirstIn(out).isDefined) {
+          val cur = catalog.tableDf(sm.table)
+          val base = spark.read.parquet(sm.baseline.toString)
+          val delta = cur.exceptAll(base)
+            .withColumn("METADATA$ACTION", org.apache.spark.sql.functions.lit("INSERT"))
+            .union(base.exceptAll(cur)
+              .withColumn("METADATA$ACTION", org.apache.spark.sql.functions.lit("DELETE")))
+            .withColumn("METADATA$ISUPDATE", org.apache.spark.sql.functions.lit(false))
+          val view = s"graft_stream_${sm.name.toLowerCase(java.util.Locale.ROOT)}"
+          delta.createOrReplaceTempView(view)
+          out = re.replaceAllIn(out, s"`$view`")
+        }
+      }
+    }
+    if (out ne sql) {
+      // Snowflake spells the stream metadata columns "METADATA$ACTION"
+      // (double-quoted) or bare metadata$action; Spark needs backticks
+      out = """(?i)"(METADATA\$(?:ACTION|ISUPDATE))"|\b(METADATA\$(?:ACTION|ISUPDATE))""".r
+        .replaceAllIn(out, m => java.util.regex.Matcher.quoteReplacement(
+          "`" + Option(m.group(1)).getOrElse(m.group(2))
+            .toUpperCase(java.util.Locale.ROOT) + "`"))
+    }
+    out
+  }
+
+  /** After a DML that read from streams: advance each referenced stream's
+    * baseline to the source's current state (Snowflake consumes streams
+    * transactionally on DML; the emulator advances on statement success). */
+  private def advanceConsumedStreams(ctx: Context, sql: String): Unit =
+    streams.asScala.foreach { case (key, sm) =>
+      if (key.startsWith(s"${norm(ctx.database)}.${norm(ctx.schema)}.") &&
+        ("""(?i)\b""" + java.util.regex.Pattern.quote(sm.name) + """\b""").r
+          .findFirstIn(sql).isDefined) {
+        val tmp = Files.createTempDirectory("graft_stream")
+        catalog.tableDf(sm.table).write.mode("overwrite").parquet(tmp.toString)
+        val old = sm.baseline
+        sm.baseline = tmp
+        deleteDir(old)
+      }
+    }
+
+  private def norm(s: String): String = s.trim.toUpperCase(java.util.Locale.ROOT)
+
   private val generatorRe =
     """(?is)TABLE\s*\(\s*GENERATOR\s*\(\s*ROWCOUNT\s*=>\s*(\d+)\s*\)\s*\)""".r
 
@@ -423,6 +487,12 @@ final class Executor(
       result(Seq("name", "database_name", "schema_name", "type"),
         stages.listStages().map(n =>
           Seq[Any](n, ctx.database, ctx.schema, "INTERNAL")))
+    else if (u.startsWith("SHOW STREAMS"))
+      result(Seq("name", "database_name", "schema_name", "table_name"),
+        streams.asScala.toSeq.sortBy(_._1).collect {
+          case (key, sm) if key.startsWith(s"${norm(ctx.database)}.") =>
+            Seq[Any](sm.name, sm.table.database, sm.table.schema, sm.table.table)
+        })
     else if (u.startsWith("SHOW FILE FORMATS"))
       result(Seq("name", "database_name", "schema_name", "type"),
         catalog.listFileFormats(ctx.database).map(f =>
@@ -479,6 +549,8 @@ final class Executor(
     """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?WAREHOUSE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\S+)(.*)$""".r
   private val createStageRe =
     """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?STAGE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\S+?);?\s*$""".r
+  private val createStreamRe =
+    """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?STREAM\s+(?:IF\s+NOT\s+EXISTS\s+)?(\S+)\s+ON\s+TABLE\s+(\S+?);?\s*$""".r
   private val createFileFormatRe =
     """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?FILE\s+FORMAT\s+(?:IF\s+NOT\s+EXISTS\s+)?(\S+)\s+(.*?);?\s*$""".r
 
@@ -521,6 +593,18 @@ final class Executor(
       case createStageRe(name) =>
         stages.stageDir(name.toUpperCase(java.util.Locale.ROOT))
         status(queryId, s"Stage area ${name.toUpperCase} successfully created.")
+      case createStreamRe(name, tableName) =>
+        // stream baseline = the source's content at creation time
+        val ref = TableNaming.parse(name, ctx.database, ctx.schema)
+        val srcRef = TableNaming.parse(tableName, ctx.database, ctx.schema)
+        if (!catalog.tableExists(srcRef))
+          throw SnowflakeError.notFound(s"table $tableName does not exist")
+        val tmp = Files.createTempDirectory("graft_stream")
+        catalog.tableDf(srcRef).write.mode("overwrite").parquet(tmp.toString)
+        val old = streams.put(s"${ref.database}.${ref.schema}.${ref.table}",
+          StreamMeta(ref.table, srcRef, tmp))
+        if (old != null) deleteDir(old.baseline)
+        status(queryId, s"Stream ${ref.table} successfully created.")
       case createFileFormatRe(name, optionsText) =>
         val tpe = """(?is)TYPE\s*=\s*'?(\w+)'?""".r
           .findFirstMatchIn(optionsText).map(_.group(1)).getOrElse("CSV")
@@ -633,7 +717,7 @@ final class Executor(
     }
 
   private def ddlDrop(ctx: Context, sql: String, queryId: String): Result = {
-    val m = """(?is)DROP\s+(DATABASE|SCHEMA|TABLE|VIEW|WAREHOUSE|STAGE|FILE\s+FORMAT)\s+(IF\s+EXISTS\s+)?(\S+?);?\s*$""".r
+    val m = """(?is)DROP\s+(DATABASE|SCHEMA|TABLE|VIEW|WAREHOUSE|STAGE|STREAM|FILE\s+FORMAT)\s+(IF\s+EXISTS\s+)?(\S+?);?\s*$""".r
       .findFirstMatchIn(sql.trim)
       .getOrElse(throw SnowflakeError.compilation(s"unsupported DROP statement: $sql"))
     val ifExists = m.group(2) != null
@@ -663,6 +747,12 @@ final class Executor(
         }
         catalog.dropTable(ref, ifExists)
       case "WAREHOUSE" => warehouses.drop(name, ifExists)
+      case "STREAM" =>
+        val ref = TableNaming.parse(name, ctx.database, ctx.schema)
+        val removed = streams.remove(s"${ref.database}.${ref.schema}.${ref.table}")
+        if (removed == null && !ifExists)
+          throw SnowflakeError.notFound(s"stream $name does not exist")
+        if (removed != null) deleteDir(removed.baseline)
       case "STAGE" => stages.dropStage(name.toUpperCase(java.util.Locale.ROOT))
       case "FILE FORMAT" =>
         catalog.dropFileFormat(ctx.database, ctx.schema, name, ifExists)
@@ -796,22 +886,27 @@ final class Executor(
       case insertRe(name) =>
         val ref = TableNaming.parse(name, ctx.database, ctx.schema)
         beforeWrite(ctx, ref, created = false)
-        catalog.lockFor(ref).synchronized {
+        // a stream read inside INSERT .. SELECT resolves to its delta view
+        // and is consumed (baseline advanced) once the insert succeeds
+        val streamSql = rewriteStreams(ctx, sql)
+        val r = catalog.lockFor(ref).synchronized {
           // rows-affected without scanning the target (VERDICT r1 #3):
           // VALUES -> tuple count from the text, INSERT..SELECT -> count the
           // source plan once; count-delta full scans only as last resort
-          val n = insertedRowCount(ctx, sql)
+          val n = insertedRowCount(ctx, streamSql)
           n match {
             case Some(rows) =>
-              spark.sql(TableNaming.rewrite(sql, ctx.database, ctx.schema))
+              spark.sql(TableNaming.rewrite(streamSql, ctx.database, ctx.schema))
               dmlResult(queryId, "number of rows inserted", rows)
             case None =>
               val before = catalog.tableDf(ref).count()
-              spark.sql(TableNaming.rewrite(sql, ctx.database, ctx.schema))
+              spark.sql(TableNaming.rewrite(streamSql, ctx.database, ctx.schema))
               val after = catalog.tableDf(ref).count()
               dmlResult(queryId, "number of rows inserted", after - before)
           }
         }
+        if (streamSql ne sql) advanceConsumedStreams(ctx, sql)
+        r
       case updateRe(name, sets, where) =>
         val ref = TableNaming.parse(name, ctx.database, ctx.schema)
         beforeWrite(ctx, ref, created = false)

@@ -63,9 +63,10 @@ object TableNaming {
     localDefRe.findAllMatchIn(sql).map(m => norm(m.group(1))).toSet
 
   /** Internal temp-view names the emulator itself injects (query history,
-    * RESULT_SCAN views); never flattened. */
+    * RESULT_SCAN views, stream delta views); never flattened. */
   private def isInternalName(upper: String): Boolean =
-    upper == "GRAFT_QUERY_HISTORY" || upper.startsWith("GRAFT_RESULT_SCAN")
+    upper == "GRAFT_QUERY_HISTORY" || upper.startsWith("GRAFT_RESULT_SCAN") ||
+      upper.startsWith("GRAFT_STREAM_")
 
   /** Rewrite the table references of a SQL statement into flattened Spark
     * names, resolving 1- and 2-part names against the session's current

@@ -668,6 +668,39 @@ class ExecutorSpec extends AnyFunSuite {
     assert(d.rows.map(_.head.toString.toLowerCase) == Seq("x"), d.rows)
   }
 
+  test("47 streams on tables: delta tracking and DML consumption") {
+    exec("CREATE TABLE st_src (id INTEGER, v VARCHAR(10))")
+    exec("INSERT INTO st_src VALUES (1, 'a')")
+    exec("CREATE STREAM st_delta ON TABLE st_src")
+    // freshly created stream is empty
+    assert(exec("SELECT COUNT(*) AS n FROM st_delta").rows.head.head == 0L)
+    // inserts surface as INSERT actions
+    exec("INSERT INTO st_src VALUES (2, 'b'), (3, 'c')")
+    val ins = exec(
+      """SELECT id, "METADATA$ACTION" FROM st_delta ORDER BY id""")
+    assert(ins.rows.map(r => (r.head, r(1))) ==
+      Seq((2, "INSERT"), (3, "INSERT")), ins.rows)
+    // deletes surface as DELETE actions
+    exec("DELETE FROM st_src WHERE id = 1")
+    val del = exec(
+      """SELECT id, "METADATA$ACTION" AS act FROM st_delta ORDER BY act, id""")
+    assert(del.rows.map(r => (r.head, r(1))) ==
+      Seq((1, "DELETE"), (2, "INSERT"), (3, "INSERT")), del.rows)
+    // consuming the stream in a DML advances the baseline
+    exec("CREATE TABLE st_sink (id INTEGER, v VARCHAR(10))")
+    val consumed = exec(
+      """INSERT INTO st_sink SELECT id, v FROM st_delta
+         WHERE "METADATA$ACTION" = 'INSERT'""")
+    assert(consumed.rowsAffected.contains(2L) || consumed.rows.nonEmpty, consumed)
+    assert(exec("SELECT COUNT(*) AS n FROM st_sink").rows.head.head == 2L)
+    assert(exec("SELECT COUNT(*) AS n FROM st_delta").rows.head.head == 0L)
+    // SHOW STREAMS lists it; DROP STREAM removes it
+    val shown = exec("SHOW STREAMS")
+    assert(shown.rows.exists(_.head.toString.equalsIgnoreCase("st_delta")), shown.rows)
+    exec("DROP STREAM st_delta")
+    intercept[SnowflakeError] { exec("DROP STREAM st_delta") }
+  }
+
   test("31 PUT and GET move files between local paths and stages") {
     exec("CREATE STAGE pg_stage")
     val src = Files.createTempFile("put_src", ".csv")
