@@ -457,7 +457,7 @@ final class Executor(
   /** Run a query and get the DataFrame (internal; used by MERGE USING
     * subqueries and tests that want plans, not materialized rows). */
   def queryDf(ctx: Context, sql: String): DataFrame =
-    spark.sql(TableNaming.rewrite(sql, ctx.database, ctx.schema))
+    spark.sql(TableNaming.rewrite(rewriteStreams(ctx, sql), ctx.database, ctx.schema))
 
   private def show(ctx: Context, sql: String, queryId: String): Result = {
     val u = sql.trim.toUpperCase(java.util.Locale.ROOT).stripSuffix(";")
@@ -650,6 +650,10 @@ final class Executor(
         catalog.createSchema(ref.database, ref.schema, ifNotExists = true)
         catalog.overwriteTable(ref, df)
         catalog.registerExisting(ref)
+        // after the write materialized: a stream read by the CTAS is
+        // consumed (advancing earlier would delete the baseline the
+        // not-yet-executed plan still reads)
+        advanceConsumedStreams(ctx, select)
         status(queryId, s"Table ${ref.table} successfully created.")
       case createTableRe(orReplace, ifNotExists, name, colDefs) =>
         val ref = TableNaming.parse(name, ctx.database, ctx.schema)

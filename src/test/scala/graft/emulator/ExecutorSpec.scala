@@ -694,6 +694,12 @@ class ExecutorSpec extends AnyFunSuite {
     assert(consumed.rowsAffected.contains(2L) || consumed.rows.nonEmpty, consumed)
     assert(exec("SELECT COUNT(*) AS n FROM st_sink").rows.head.head == 2L)
     assert(exec("SELECT COUNT(*) AS n FROM st_delta").rows.head.head == 0L)
+    // CTAS reading a stream also consumes it, after the write lands
+    exec("INSERT INTO st_src VALUES (9, 'z')")
+    assert(exec("SELECT COUNT(*) AS n FROM st_delta").rows.head.head == 1L)
+    exec("""CREATE TABLE st_ctas AS SELECT id, v FROM st_delta""")
+    assert(exec("SELECT COUNT(*) AS n FROM st_ctas").rows.head.head == 1L)
+    assert(exec("SELECT COUNT(*) AS n FROM st_delta").rows.head.head == 0L)
     // SHOW STREAMS lists it; DROP STREAM removes it
     val shown = exec("SHOW STREAMS")
     assert(shown.rows.exists(_.head.toString.equalsIgnoreCase("st_delta")), shown.rows)
