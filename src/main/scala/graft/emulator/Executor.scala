@@ -59,6 +59,33 @@ final class Executor(
       @volatile var baseline: java.nio.file.Path)
   private val streams = new ConcurrentHashMap[String, StreamMeta]()
 
+  /** Time Travel: per-table ring of content versions, one recorded after
+    * each write statement (queryId, snapshot path, wall time). AT/BEFORE
+    * clauses resolve against this ring. Snowflake snapshots metadata
+    * zero-copy; the emulator copies parquet — a production port would
+    * record file manifests instead. Bounded at 8 versions per table. */
+  private final case class TableVersion(queryId: String,
+      path: java.nio.file.Path, atMillis: Long)
+  private val tableVersions =
+    new ConcurrentHashMap[String, java.util.ArrayDeque[TableVersion]]()
+  private val MaxVersionsPerTable = 8
+
+  private def tableKey(r: TableNaming.Ref) =
+    s"${r.database}.${r.schema}.${r.table}"
+
+  /** Snapshot a table's current content as the post-state of `queryId`. */
+  private def recordVersion(ref: TableNaming.Ref, queryId: String): Unit =
+    if (catalog.tableExists(ref)) {
+      val tmp = Files.createTempDirectory("graft_tt")
+      catalog.tableDf(ref).write.mode("overwrite").parquet(tmp.toString)
+      val ring = tableVersions.computeIfAbsent(tableKey(ref),
+        _ => new java.util.ArrayDeque[TableVersion]())
+      ring.synchronized {
+        ring.addLast(TableVersion(queryId, tmp, System.currentTimeMillis()))
+        while (ring.size() > MaxVersionsPerTable) deleteDir(ring.removeFirst().path)
+      }
+    }
+
   /** Drop-retention for UNDROP TABLE: the last 20 dropped tables' metadata
     * and a parquet snapshot of their content at drop time. */
   private val droppedTables =
@@ -127,7 +154,7 @@ final class Executor(
     if (u.startsWith("DESC")) return describe(ctx, bare, queryId)
     val withHistory = rewriteTopSample(
       rewriteQueryHistory(rewriteJsonPath(sessionContextFns(ctx,
-        rewriteStreams(ctx, rewriteGenerator(rewriteResultScan(ctx, bare)))))))
+        rewriteTimeTravel(ctx, rewriteStreams(ctx, rewriteGenerator(rewriteResultScan(ctx, bare))))))))
     val rewritten = TableNaming.rewrite(rewriteFlatten(rewriteSplitToTable(rewriteQualify(withHistory))),
       ctx.database, ctx.schema)
     val df = spark.sql(rewritten)
@@ -298,6 +325,52 @@ final class Executor(
           case "ROLE" => "'ACCOUNTADMIN'"
           case _ => "'GRAFT'"
         })
+
+  private val timeTravelRe =
+    ("""(?is)\b([A-Za-z_][\w.]*)\s+(AT|BEFORE)\s*\(\s*""" +
+      """(STATEMENT|OFFSET)\s*=>\s*('[^']*'|-?\d+)\s*\)""").r
+
+  /** Snowflake Time Travel: `t AT(STATEMENT => '<qid>')` serves the
+    * table's content as recorded after that statement; `BEFORE` the
+    * version immediately preceding it; `AT(OFFSET => -n)` the newest
+    * version at least n seconds old. Resolved against the bounded
+    * version ring and served through a temp view the name rewriter
+    * leaves alone. */
+  private def rewriteTimeTravel(ctx: Context, sql: String): String = {
+    val upper = sql.toUpperCase(java.util.Locale.ROOT)
+    if (!upper.contains(" AT") && !upper.contains("BEFORE")) return sql
+    var n = 0
+    timeTravelRe.replaceAllIn(sql, m => {
+      val ref = TableNaming.parse(m.group(1), ctx.database, ctx.schema)
+      val mode = m.group(2).toUpperCase(java.util.Locale.ROOT)
+      val kind = m.group(3).toUpperCase(java.util.Locale.ROOT)
+      val arg = m.group(4).stripPrefix("'").stripSuffix("'")
+      val ring = Option(tableVersions.get(tableKey(ref))).getOrElse(
+        throw SnowflakeError.compilation(
+          s"Time travel data is not available for table ${ref.table}"))
+      val versions = ring.synchronized {
+        scala.jdk.CollectionConverters.IteratorHasAsScala(ring.iterator).asScala.toVector
+      }
+      val chosen = (mode, kind) match {
+        case (_, "STATEMENT") =>
+          val idx = versions.indexWhere(_.queryId == arg)
+          if (idx < 0) throw SnowflakeError.compilation(
+            s"Time travel data is not available for statement $arg")
+          if (mode == "AT") Some(versions(idx))
+          else if (idx == 0) None else Some(versions(idx - 1))
+        case (_, "OFFSET") =>
+          val cutoff = System.currentTimeMillis() + arg.toLong * 1000L
+          versions.reverseIterator.find(_.atMillis <= cutoff)
+        case _ => None
+      }
+      val v = chosen.getOrElse(throw SnowflakeError.compilation(
+        s"Time travel data is not available for table ${ref.table} at the requested point"))
+      n += 1
+      val view = s"graft_tt_$n"
+      spark.read.parquet(v.path.toString).createOrReplaceTempView(view)
+      java.util.regex.Matcher.quoteReplacement(s"`$view`")
+    })
+  }
 
   /** Replace registered stream names in FROM position with a temp view of
     * the stream's current delta: rows in the source but not the baseline
@@ -626,6 +699,7 @@ final class Executor(
         catalog.createTable(ref, src.columns, orReplace = true,
           clusterKey = src.clusterKey)
         catalog.overwriteTable(ref, catalog.tableDf(srcRef))
+        recordVersion(ref, queryId)
         status(queryId, s"Table ${ref.table} successfully created.")
       case createLikeRe(name, srcName) =>
         // CREATE TABLE ... LIKE: clone columns + cluster key, no data
@@ -650,6 +724,7 @@ final class Executor(
         catalog.createSchema(ref.database, ref.schema, ifNotExists = true)
         catalog.overwriteTable(ref, df)
         catalog.registerExisting(ref)
+        recordVersion(ref, queryId)
         // after the write materialized: a stream read by the CTAS is
         // consumed (advancing earlier would delete the baseline the
         // not-yet-executed plan still reads)
@@ -663,6 +738,7 @@ final class Executor(
         catalog.createTable(ref, parseColumnDefs(colDefs),
           orReplace = orReplace != null, ifNotExists = ifNotExists != null,
           clusterKey = clusterKey)
+        recordVersion(ref, queryId)
         status(queryId, s"Table ${ref.table} successfully created.")
       case other =>
         throw SnowflakeError.compilation(s"unsupported CREATE statement: $other")
@@ -909,6 +985,7 @@ final class Executor(
               dmlResult(queryId, "number of rows inserted", after - before)
           }
         }
+        recordVersion(ref, queryId)
         if (streamSql ne sql) advanceConsumedStreams(ctx, sql)
         r
       case updateRe(name, sets, where) =>
@@ -928,6 +1005,7 @@ final class Executor(
         }.toMap
         val affected = MutableOps.affectedCount(df, cond)
         catalog.overwriteTable(ref, MutableOps.update(df, cond, setMap))
+        recordVersion(ref, queryId)
         dmlResult(queryId, "number of rows updated", affected)
       case deleteRe(name, where) =>
         val ref = TableNaming.parse(name, ctx.database, ctx.schema)
@@ -936,6 +1014,7 @@ final class Executor(
         val cond = Option(where).map(expr).getOrElse(lit(true))
         val affected = MutableOps.affectedCount(df, cond)
         catalog.overwriteTable(ref, MutableOps.delete(df, cond))
+        recordVersion(ref, queryId)
         dmlResult(queryId, "number of rows deleted", affected)
       case truncateRe(name) =>
         val ref = TableNaming.parse(name, ctx.database, ctx.schema)
@@ -943,6 +1022,7 @@ final class Executor(
         val df = catalog.tableDf(ref)
         val affected = df.count()
         catalog.overwriteTable(ref, df.limit(0))
+        recordVersion(ref, queryId)
         status(queryId, "Statement executed successfully.")
       case other =>
         // unknown statements pass through, the reference's contract
@@ -996,6 +1076,7 @@ final class Executor(
         Seq(Seq[Any](res.rowsLoaded, res.filesLoaded)), Classifier.StatementTypeDml)
     beforeWrite(ctx, stmt.target, created = false)
     catalog.appendToTable(stmt.target, df)
+    recordVersion(stmt.target, queryId)
     localResult(queryId,
       Seq("file", "status", "rows_parsed", "rows_loaded", "errors_seen"),
       Seq(Seq[Any](s"@${stmt.stageName}/${stmt.stagePath}",
@@ -1072,6 +1153,7 @@ final class Executor(
           throw SnowflakeError.execution(e.getMessage)
       }
 
+    recordVersion(targetRef, queryId)
     // Snowflake MERGE result shape: one row of per-action counts
     val cols = Seq("number of rows inserted", "number of rows updated",
       "number of rows deleted")

@@ -707,6 +707,39 @@ class ExecutorSpec extends AnyFunSuite {
     intercept[SnowflakeError] { exec("DROP STREAM st_delta") }
   }
 
+  test("48 time travel: AT/BEFORE STATEMENT and AT OFFSET") {
+    exec("CREATE TABLE tt_t (id INTEGER, v VARCHAR(10))")
+    val ins1 = exec("INSERT INTO tt_t VALUES (1, 'a'), (2, 'b')")
+    val upd = exec("UPDATE tt_t SET v = 'z' WHERE id = 2")
+    exec("DELETE FROM tt_t WHERE id = 1")
+    // current state: one row (2, 'z')
+    assert(exec("SELECT COUNT(*) AS n FROM tt_t").rows.head.head == 1L)
+    // AT the insert statement: both original rows
+    val atIns = exec(
+      s"SELECT id, v FROM tt_t AT(STATEMENT => '${ins1.queryId}') ORDER BY id")
+    assert(atIns.rows == Seq(Seq(1, "a"), Seq(2, "b")), atIns.rows)
+    // AT the update: both rows, v updated
+    val atUpd = exec(
+      s"SELECT v FROM tt_t AT(STATEMENT => '${upd.queryId}') WHERE id = 2")
+    assert(atUpd.rows.head.head == "z", atUpd.rows)
+    // BEFORE the update = the insert's post-state
+    val before = exec(
+      s"SELECT v FROM tt_t BEFORE(STATEMENT => '${upd.queryId}') WHERE id = 2")
+    assert(before.rows.head.head == "b", before.rows)
+    // time-travel relation joins with the current table
+    val joined = exec(
+      s"""SELECT COUNT(*) AS n FROM tt_t cur
+          JOIN tt_t AT(STATEMENT => '${ins1.queryId}') old ON cur.id = old.id""")
+    assert(joined.rows.head.head == 1L, joined.rows)
+    // AT(OFFSET => 0) = newest version (now-cutoff includes everything)
+    val off = exec("SELECT COUNT(*) AS n FROM tt_t AT(OFFSET => 0)")
+    assert(off.rows.head.head == 1L, off.rows)
+    // unknown statement id is a compilation error
+    intercept[SnowflakeError] {
+      exec("SELECT * FROM tt_t AT(STATEMENT => '01deadbeef')")
+    }
+  }
+
   test("31 PUT and GET move files between local paths and stages") {
     exec("CREATE STAGE pg_stage")
     val src = Files.createTempFile("put_src", ".csv")
