@@ -73,16 +73,29 @@ final class Executor(
   private def tableKey(r: TableNaming.Ref) =
     s"${r.database}.${r.schema}.${r.table}"
 
+  /** Tables above this on-disk size are not versioned (the snapshot would
+    * double every DML's write cost); AT/BEFORE then reports time travel
+    * unavailable — the honest trade-off for a copying emulator. */
+  private val TimeTravelMaxBytes: Long =
+    sys.props.get("graft.timeTravelMaxBytes").map(_.toLong)
+      .getOrElse(1024L * 1024 * 1024)
+
   /** Snapshot a table's current content as the post-state of `queryId`. */
   private def recordVersion(ref: TableNaming.Ref, queryId: String): Unit =
     if (catalog.tableExists(ref)) {
-      val tmp = Files.createTempDirectory("graft_tt")
-      catalog.tableDf(ref).write.mode("overwrite").parquet(tmp.toString)
-      val ring = tableVersions.computeIfAbsent(tableKey(ref),
-        _ => new java.util.ArrayDeque[TableVersion]())
-      ring.synchronized {
-        ring.addLast(TableVersion(queryId, tmp, System.currentTimeMillis()))
-        while (ring.size() > MaxVersionsPerTable) deleteDir(ring.removeFirst().path)
+      val df = catalog.tableDf(ref)
+      // fs-metadata-only size check, no data scan
+      val bytes = df.inputFiles.map(f =>
+        new java.io.File(new java.net.URI(f).getPath).length()).sum
+      if (bytes <= TimeTravelMaxBytes) {
+        val tmp = Files.createTempDirectory("graft_tt")
+        df.write.mode("overwrite").parquet(tmp.toString)
+        val ring = tableVersions.computeIfAbsent(tableKey(ref),
+          _ => new java.util.ArrayDeque[TableVersion]())
+        ring.synchronized {
+          ring.addLast(TableVersion(queryId, tmp, System.currentTimeMillis()))
+          while (ring.size() > MaxVersionsPerTable) deleteDir(ring.removeFirst().path)
+        }
       }
     }
 
