@@ -341,7 +341,7 @@ final class Executor(
 
   private val timeTravelRe =
     ("""(?is)\b([A-Za-z_][\w.]*)\s+(AT|BEFORE)\s*\(\s*""" +
-      """(STATEMENT|OFFSET)\s*=>\s*('[^']*'|-?\d+)\s*\)""").r
+      """(STATEMENT|OFFSET|TIMESTAMP)\s*=>\s*('[^']*'|-?\d+)\s*(?:::\s*TIMESTAMP\w*\s*)?\)""").r
 
   /** Snowflake Time Travel: `t AT(STATEMENT => '<qid>')` serves the
     * table's content as recorded after that statement; `BEFORE` the
@@ -373,6 +373,11 @@ final class Executor(
           else if (idx == 0) None else Some(versions(idx - 1))
         case (_, "OFFSET") =>
           val cutoff = System.currentTimeMillis() + arg.toLong * 1000L
+          versions.reverseIterator.find(_.atMillis <= cutoff)
+        case (_, "TIMESTAMP") =>
+          // ISO-ish 'YYYY-MM-DD HH:MM:SS[.fff]' in the session's UTC zone
+          val ldt = java.time.LocalDateTime.parse(arg.trim.replace(" ", "T"))
+          val cutoff = ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
           versions.reverseIterator.find(_.atMillis <= cutoff)
         case _ => None
       }

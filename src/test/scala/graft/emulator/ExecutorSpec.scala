@@ -738,6 +738,13 @@ class ExecutorSpec extends AnyFunSuite {
     intercept[SnowflakeError] {
       exec("SELECT * FROM tt_t AT(STATEMENT => '01deadbeef')")
     }
+    // AT(TIMESTAMP => future) = newest version; far past = unavailable
+    val fut = exec(
+      "SELECT COUNT(*) AS n FROM tt_t AT(TIMESTAMP => '2099-01-01 00:00:00'::TIMESTAMP_NTZ)")
+    assert(fut.rows.head.head == 1L, fut.rows)
+    intercept[SnowflakeError] {
+      exec("SELECT * FROM tt_t AT(TIMESTAMP => '2000-01-01 00:00:00')")
+    }
   }
 
   test("31 PUT and GET move files between local paths and stages") {
