@@ -142,6 +142,11 @@ final class Executor(
     if (u.startsWith("PUT ")) return putStage(sql, queryId)
     if (u.startsWith("GET ")) return getStage(sql, queryId)
     if (u.startsWith("UNDROP ")) return undrop(ctx, sql, queryId)
+    // ACL statements: acknowledged without an ACL model (single-user
+    // emulator; dbt and friends issue these unconditionally)
+    if (u.startsWith("GRANT ") || u.startsWith("REVOKE "))
+      return status(queryId, "Statement executed successfully.")
+    if (u.startsWith("COMMENT ")) return commentOn(ctx, sql, queryId)
     val cls = Classifier.classify(sql)
     cls.tpe match {
       case Classifier.Query => query(ctx, sql, queryId)
@@ -787,6 +792,26 @@ final class Executor(
           default = default,
           primaryKey = rest.contains("PRIMARY KEY")))
       }
+    }
+
+  private val commentRe =
+    """(?is)COMMENT\s+(?:IF\s+EXISTS\s+)?ON\s+(TABLE|VIEW|COLUMN)\s+(\S+)\s+IS\s+'((?:[^']|'')*)'\s*;?\s*$""".r
+
+  /** COMMENT ON TABLE/VIEW stores the comment in catalog metadata (shown
+    * by SHOW TABLES); COLUMN comments are acknowledged (column-level
+    * comment storage is not modeled, like the reference). */
+  private def commentOn(ctx: Context, sql: String, queryId: String): Result =
+    sql.trim match {
+      case commentRe(kind, name, text) =>
+        if (!kind.equalsIgnoreCase("COLUMN")) {
+          val ref = TableNaming.parse(name, ctx.database, ctx.schema)
+          if (!catalog.tableExists(ref))
+            throw SnowflakeError.notFound(s"table $name does not exist")
+          catalog.setTableComment(ref, text.replace("''", "'"))
+        }
+        status(queryId, "Statement executed successfully.")
+      case _ =>
+        throw SnowflakeError.compilation(s"unsupported COMMENT statement: $sql")
     }
 
   private val undropRe = """(?is)UNDROP\s+TABLE\s+(\S+?);?\s*$""".r

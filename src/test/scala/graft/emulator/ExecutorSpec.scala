@@ -747,6 +747,19 @@ class ExecutorSpec extends AnyFunSuite {
     }
   }
 
+  test("49 GRANT/REVOKE acknowledged; COMMENT ON TABLE stored") {
+    exec("CREATE TABLE gr_t (id INTEGER)")
+    val g = exec("GRANT SELECT ON TABLE gr_t TO ROLE analyst")
+    assert(g.rows.head.head.toString.contains("success"), g.rows)
+    exec("REVOKE SELECT ON TABLE gr_t FROM ROLE analyst")
+    exec("COMMENT ON TABLE gr_t IS 'it''s a table'")
+    val shown = exec("SHOW TABLES")
+    val row = shown.rows.find(_.head.toString.equalsIgnoreCase("gr_t")).get
+    assert(row.last == "it's a table", row)
+    exec("COMMENT ON COLUMN gr_t.id IS 'pk'") // ack'd, not stored
+    intercept[SnowflakeError] { exec("COMMENT ON TABLE nope_t IS 'x'") }
+  }
+
   test("31 PUT and GET move files between local paths and stages") {
     exec("CREATE STAGE pg_stage")
     val src = Files.createTempFile("put_src", ".csv")

@@ -323,4 +323,18 @@ class EmulatorServerSpec extends AnyFunSuite {
     assert(req("DELETE", "/api/v2/databases/crud_db")._1 == 200)
     assert(req("GET", "/api/v2/databases/crud_db")._1 == 404)
   }
+
+  test("RESULT_SCAN over the gosnowflake protocol") {
+    val (_, c) = query("CREATE TABLE rsp_t (id INTEGER, v VARCHAR(10))")
+    assert(c.get("success").asBoolean())
+    query("INSERT INTO rsp_t VALUES (1, 'a'), (2, 'b')")
+    val (_, s) = query("SELECT id, v FROM rsp_t ORDER BY id")
+    assert(s.get("success").asBoolean())
+    val qid = s.get("data").get("queryId").asText()
+    assert(qid.nonEmpty)
+    val (_, scan) = query(
+      s"SELECT COUNT(*) AS n FROM TABLE(RESULT_SCAN('$qid'))")
+    assert(scan.get("success").asBoolean(), scan)
+    assert(scan.get("data").get("rowset").get(0).get(0).asText() == "2")
+  }
 }
