@@ -56,7 +56,7 @@ final class Executor(
     * stream contract, computed with Spark set operations instead of
     * offset bookkeeping. */
   private final case class StreamMeta(name: String, table: TableNaming.Ref,
-      @volatile var baseline: java.nio.file.Path)
+      @volatile var baseline: java.nio.file.Path, appendOnly: Boolean = false)
   private val streams = new ConcurrentHashMap[String, StreamMeta]()
 
   /** Time Travel: per-table ring of content versions, one recorded after
@@ -409,10 +409,13 @@ final class Executor(
         if (re.findFirstIn(out).isDefined) {
           val cur = catalog.tableDf(sm.table)
           val base = spark.read.parquet(sm.baseline.toString)
-          val delta = cur.exceptAll(base)
+          val inserted = cur.exceptAll(base)
             .withColumn("METADATA$ACTION", org.apache.spark.sql.functions.lit("INSERT"))
-            .union(base.exceptAll(cur)
-              .withColumn("METADATA$ACTION", org.apache.spark.sql.functions.lit("DELETE")))
+          // APPEND_ONLY streams surface inserts only (cheaper: one
+          // exceptAll instead of two — Snowflake's append-only contract)
+          val delta = (if (sm.appendOnly) inserted
+            else inserted.union(base.exceptAll(cur)
+              .withColumn("METADATA$ACTION", org.apache.spark.sql.functions.lit("DELETE"))))
             .withColumn("METADATA$ISUPDATE", org.apache.spark.sql.functions.lit(false))
           val view = s"graft_stream_${sm.name.toLowerCase(java.util.Locale.ROOT)}"
           delta.createOrReplaceTempView(view)
@@ -646,7 +649,7 @@ final class Executor(
   private val createStageRe =
     """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?STAGE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\S+?);?\s*$""".r
   private val createStreamRe =
-    """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?STREAM\s+(?:IF\s+NOT\s+EXISTS\s+)?(\S+)\s+ON\s+TABLE\s+(\S+?);?\s*$""".r
+    """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?STREAM\s+(?:IF\s+NOT\s+EXISTS\s+)?(\S+)\s+ON\s+TABLE\s+([^\s;]+)(\s+APPEND_ONLY\s*=\s*(?:TRUE|FALSE))?\s*;?\s*$""".r
   private val createFileFormatRe =
     """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?FILE\s+FORMAT\s+(?:IF\s+NOT\s+EXISTS\s+)?(\S+)\s+(.*?);?\s*$""".r
 
@@ -689,16 +692,18 @@ final class Executor(
       case createStageRe(name) =>
         stages.stageDir(name.toUpperCase(java.util.Locale.ROOT))
         status(queryId, s"Stage area ${name.toUpperCase} successfully created.")
-      case createStreamRe(name, tableName) =>
+      case createStreamRe(name, tableName, appendOpt) =>
         // stream baseline = the source's content at creation time
         val ref = TableNaming.parse(name, ctx.database, ctx.schema)
         val srcRef = TableNaming.parse(tableName, ctx.database, ctx.schema)
         if (!catalog.tableExists(srcRef))
           throw SnowflakeError.notFound(s"table $tableName does not exist")
+        val appendOnly = appendOpt != null &&
+          appendOpt.toUpperCase(java.util.Locale.ROOT).contains("TRUE")
         val tmp = Files.createTempDirectory("graft_stream")
         catalog.tableDf(srcRef).write.mode("overwrite").parquet(tmp.toString)
         val old = streams.put(s"${ref.database}.${ref.schema}.${ref.table}",
-          StreamMeta(ref.table, srcRef, tmp))
+          StreamMeta(ref.table, srcRef, tmp, appendOnly))
         if (old != null) deleteDir(old.baseline)
         status(queryId, s"Stream ${ref.table} successfully created.")
       case createFileFormatRe(name, optionsText) =>

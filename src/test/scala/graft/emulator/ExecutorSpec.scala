@@ -705,6 +705,13 @@ class ExecutorSpec extends AnyFunSuite {
     assert(shown.rows.exists(_.head.toString.equalsIgnoreCase("st_delta")), shown.rows)
     exec("DROP STREAM st_delta")
     intercept[SnowflakeError] { exec("DROP STREAM st_delta") }
+    // APPEND_ONLY stream surfaces inserts only
+    exec("CREATE STREAM st_ao ON TABLE st_src APPEND_ONLY = TRUE")
+    exec("INSERT INTO st_src VALUES (7, 'g')")
+    exec("DELETE FROM st_src WHERE id = 2")
+    val ao = exec("""SELECT id, "METADATA$ACTION" AS act FROM st_ao ORDER BY id""")
+    assert(ao.rows.map(r => (r.head, r(1))) == Seq((7, "INSERT")), ao.rows)
+    exec("DROP STREAM st_ao")
   }
 
   test("48 time travel: AT/BEFORE STATEMENT and AT OFFSET") {
