@@ -55,8 +55,10 @@ final class Executor(
     * statement advances the baseline to the current state — Snowflake's
     * stream contract, computed with Spark set operations instead of
     * offset bookkeeping. */
-  private final case class StreamMeta(name: String, table: TableNaming.Ref,
-      @volatile var baseline: java.nio.file.Path, appendOnly: Boolean = false)
+  private final case class StreamMeta(name: String,
+      @volatile var table: TableNaming.Ref,
+      @volatile var baseline: java.nio.file.Path, appendOnly: Boolean = false,
+      @volatile var stale: Boolean = false)
   private val streams = new ConcurrentHashMap[String, StreamMeta]()
 
   /** Time Travel: per-table ring of content versions, one recorded after
@@ -98,6 +100,29 @@ final class Executor(
         }
       }
     }
+
+  /** Identity bookkeeping when a table is dropped or replaced: streams on
+    * it go stale (Snowflake: the stream can no longer resolve its source's
+    * change offsets) and its time-travel history is discarded — a table
+    * later created under the same name is a NEW table and must not serve
+    * the old table's versions through AT/BEFORE. */
+  private def invalidateTableIdentity(ref: TableNaming.Ref): Unit = {
+    streams.asScala.values.foreach(sm => if (sm.table == ref) sm.stale = true)
+    Option(tableVersions.remove(tableKey(ref))).foreach { ring =>
+      ring.synchronized {
+        while (!ring.isEmpty) deleteDir(ring.removeFirst().path)
+      }
+    }
+  }
+
+  /** Snowflake tracks tables by id, not name: ALTER TABLE RENAME carries
+    * streams and time-travel history along to the new name. */
+  private def retargetTableIdentity(from: TableNaming.Ref,
+      to: TableNaming.Ref): Unit = {
+    streams.asScala.values.foreach(sm => if (sm.table == from) sm.table = to)
+    Option(tableVersions.remove(tableKey(from)))
+      .foreach(ring => tableVersions.put(tableKey(to), ring))
+  }
 
   /** Drop-retention for UNDROP TABLE: the last 20 dropped tables' metadata
     * and a parquet snapshot of their content at drop time. */
@@ -407,6 +432,10 @@ final class Executor(
       if (key.startsWith(s"${norm(ctx.database)}.${norm(ctx.schema)}.")) {
         val re = ("""(?i)\b""" + java.util.regex.Pattern.quote(sm.name) + """\b""").r
         if (re.findFirstIn(out).isDefined) {
+          if (sm.stale || !catalog.tableExists(sm.table))
+            throw SnowflakeError.compilation(
+              s"Stream ${sm.name} is stale: source table " +
+                s"${sm.table.table} was dropped or replaced")
           val cur = catalog.tableDf(sm.table)
           val base = spark.read.parquet(sm.baseline.toString)
           val inserted = cur.exceptAll(base)
@@ -440,6 +469,7 @@ final class Executor(
   private def advanceConsumedStreams(ctx: Context, sql: String): Unit =
     streams.asScala.foreach { case (key, sm) =>
       if (key.startsWith(s"${norm(ctx.database)}.${norm(ctx.schema)}.") &&
+        !sm.stale && catalog.tableExists(sm.table) &&
         ("""(?i)\b""" + java.util.regex.Pattern.quote(sm.name) + """\b""").r
           .findFirstIn(sql).isDefined) {
         val tmp = Files.createTempDirectory("graft_stream")
@@ -587,10 +617,11 @@ final class Executor(
         stages.listStages().map(n =>
           Seq[Any](n, ctx.database, ctx.schema, "INTERNAL")))
     else if (u.startsWith("SHOW STREAMS"))
-      result(Seq("name", "database_name", "schema_name", "table_name"),
+      result(Seq("name", "database_name", "schema_name", "table_name", "stale"),
         streams.asScala.toSeq.sortBy(_._1).collect {
           case (key, sm) if key.startsWith(s"${norm(ctx.database)}.") =>
-            Seq[Any](sm.name, sm.table.database, sm.table.schema, sm.table.table)
+            Seq[Any](sm.name, sm.table.database, sm.table.schema,
+              sm.table.table, String.valueOf(sm.stale))
         })
     else if (u.startsWith("SHOW FILE FORMATS"))
       result(Seq("name", "database_name", "schema_name", "type"),
@@ -724,6 +755,7 @@ final class Executor(
         if (catalog.tableExists(ref) && orReplace == null)
           throw SnowflakeError.alreadyExists(s"table ${ref.table} already exists")
         beforeWrite(ctx, ref, created = !catalog.tableExists(ref))
+        if (catalog.tableExists(ref)) invalidateTableIdentity(ref)
         catalog.createTable(ref, src.columns, orReplace = true,
           clusterKey = src.clusterKey)
         catalog.overwriteTable(ref, catalog.tableDf(srcRef))
@@ -747,6 +779,7 @@ final class Executor(
         if (catalog.tableExists(ref) && orReplace == null)
           throw SnowflakeError.alreadyExists(s"table ${ref.table} already exists")
         beforeWrite(ctx, ref, created = !catalog.tableExists(ref))
+        if (catalog.tableExists(ref)) invalidateTableIdentity(ref)
         val df = queryDf(ctx, select)
         catalog.createDatabase(ref.database)
         catalog.createSchema(ref.database, ref.schema, ifNotExists = true)
@@ -763,6 +796,8 @@ final class Executor(
         if (catalog.tableExists(ref) && ifNotExists != null)
           return status(queryId, s"${ref.table} already exists, statement skipped.")
         beforeWrite(ctx, ref, created = !catalog.tableExists(ref))
+        if (catalog.tableExists(ref) && orReplace != null)
+          invalidateTableIdentity(ref)
         catalog.createTable(ref, parseColumnDefs(colDefs),
           orReplace = orReplace != null, ifNotExists = ifNotExists != null,
           clusterKey = clusterKey)
@@ -872,6 +907,7 @@ final class Executor(
             droppedTables.put(s"${ref.database}.${ref.schema}.${ref.table}",
               (meta, tmp))
           }
+          invalidateTableIdentity(ref)
         }
         catalog.dropTable(ref, ifExists)
       case "WAREHOUSE" => warehouses.drop(name, ifExists)
@@ -954,6 +990,7 @@ final class Executor(
           spark.sql(s"ALTER TABLE ${catalog.sparkTableName(rf)} " +
             s"RENAME TO ${catalog.sparkTableName(rt)}")
           catalog.renameTable(rf, rt)
+          retargetTableIdentity(rf, rt)
         }
         status(queryId, s"Table ${rf.table} successfully renamed to ${rt.table}.")
       case alterRenameColRe(name, from0, to0) =>

@@ -767,6 +767,55 @@ class ExecutorSpec extends AnyFunSuite {
     intercept[SnowflakeError] { exec("COMMENT ON TABLE nope_t IS 'x'") }
   }
 
+  test("50 table identity: streams and time travel across DROP/REPLACE/RENAME") {
+    // -- stream goes stale when its source is dropped
+    exec("CREATE TABLE id_src (id INTEGER)")
+    exec("INSERT INTO id_src VALUES (1)")
+    exec("CREATE STREAM id_st ON TABLE id_src")
+    exec("DROP TABLE id_src")
+    val e1 = intercept[SnowflakeError] { exec("SELECT * FROM id_st") }
+    assert(e1.getMessage.toLowerCase.contains("stale"), e1.getMessage)
+    val shown = exec("SHOW STREAMS")
+    val row = shown.rows.find(_.head.toString.equalsIgnoreCase("id_st")).get
+    assert(shown.columns.exists(_.name == "stale") && row.last == "true", row)
+    // recreating the source under the same name does NOT revive the stream
+    exec("CREATE TABLE id_src (id INTEGER)")
+    intercept[SnowflakeError] { exec("SELECT * FROM id_st") }
+    exec("DROP STREAM id_st")
+    // -- a recreated table must not inherit the old table's history
+    exec("INSERT INTO id_src VALUES (1), (2)")
+    assert(exec("SELECT COUNT(*) AS n FROM id_src AT(OFFSET => 0)")
+      .rows.head.head == 2L)
+    exec("DROP TABLE id_src")
+    exec("CREATE TABLE id_src (id INTEGER)")
+    // fresh table: history starts at its (empty) creation version,
+    // NOT the dropped table's two rows
+    assert(exec("SELECT COUNT(*) AS n FROM id_src AT(OFFSET => 0)")
+      .rows.head.head == 0L)
+    // -- CREATE OR REPLACE resets history the same way
+    val ins = exec("INSERT INTO id_src VALUES (7)")
+    exec("CREATE OR REPLACE TABLE id_src (id INTEGER, v VARCHAR(5))")
+    intercept[SnowflakeError] {
+      exec(s"SELECT * FROM id_src AT(STATEMENT => '${ins.queryId}')")
+    }
+    // -- RENAME carries streams and history to the new name
+    exec("INSERT INTO id_src VALUES (1, 'a')")
+    exec("CREATE STREAM id_st2 ON TABLE id_src")
+    val ins2 = exec("INSERT INTO id_src VALUES (2, 'b')")
+    exec("ALTER TABLE id_src RENAME TO id_dst")
+    // the stream keeps tracking the renamed table: prior insert visible,
+    // new inserts under the new name accumulate
+    exec("INSERT INTO id_dst VALUES (3, 'c')")
+    val delta = exec("SELECT id FROM id_st2 ORDER BY id")
+    assert(delta.rows.map(_.head) == Seq(2, 3), delta.rows)
+    // time travel resolves under the new name, including pre-rename versions
+    val atOld = exec(
+      s"SELECT COUNT(*) AS n FROM id_dst AT(STATEMENT => '${ins2.queryId}')")
+    assert(atOld.rows.head.head == 2L, atOld.rows)
+    exec("DROP STREAM id_st2")
+    exec("DROP TABLE id_dst")
+  }
+
   test("31 PUT and GET move files between local paths and stages") {
     exec("CREATE STAGE pg_stage")
     val src = Files.createTempFile("put_src", ".csv")
