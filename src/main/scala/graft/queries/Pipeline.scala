@@ -955,6 +955,61 @@ object Pipeline {
         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
           COUNT(*) AS n_events,
           CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
-        FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id"""))
+        FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""")),
+
+    // ---- cross-document span dedup (Lee et al., "Deduplicating Training
+    // Data Makes Language Models Better"; C4's line-level analog): chunk
+    // each document into 10-token spans, drop any span whose exact text
+    // occurs in >= 2 distinct documents, reassemble the survivors in
+    // order. One shuffle keyed on the span for the document-frequency
+    // count, one left-anti join back, one groupBy(doc_id) to rebuild —
+    // all partial-aggregated. At 100 TB the span key would be
+    // xxhash64(seg) (8 bytes on the wire instead of the text); the
+    // oracle-visible version groups on the text so DuckDB can mirror it.
+    QDef("p28_span_dedup",
+      (s, dir) => {
+        val segs = docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("a"))
+          .select(col("doc_id"), posexplode(expr(
+            "transform(sequence(0, cast(ceil(size(a)/10.0) as int) - 1)," +
+              " i -> concat_ws(' ', slice(a, i*10+1, 10)))"))
+            .as(Seq("pos", "seg")))
+        val boiler = segs.groupBy(col("seg"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") >= 2).select(col("seg"))
+        val kept = segs.join(boiler, Seq("seg"), "left_anti")
+        val rebuilt = kept.groupBy(col("doc_id")).agg(
+          count(lit(1)).as("n_kept"),
+          array_join(expr(
+            "transform(array_sort(collect_list(struct(pos, seg))), x -> x.seg)"),
+            " ").as("clean_text"))
+        segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+          .join(rebuilt, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_chunks"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("clean_text"), lit("")).as("clean_text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH arr AS (
+          SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        segs AS (
+          SELECT doc_id,
+            unnest(range(0, CAST(ceil(len(a)/10.0) AS BIGINT))) AS pos,
+            unnest([array_to_string(a[(i*10)+1:(i*10)+10], ' ')
+              FOR i IN range(0, CAST(ceil(len(a)/10.0) AS BIGINT))]) AS seg
+          FROM arr),
+        boiler AS (
+          SELECT seg FROM segs GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 2),
+        kept AS (SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM boiler)),
+        rebuilt AS (
+          SELECT doc_id, COUNT(*) AS n_kept,
+            string_agg(seg, ' ' ORDER BY pos) AS clean_text
+          FROM kept GROUP BY doc_id),
+        counts AS (SELECT doc_id, COUNT(*) AS n_chunks FROM segs GROUP BY doc_id)
+        SELECT counts.doc_id, counts.n_chunks,
+          CAST(COALESCE(rebuilt.n_kept, 0) AS BIGINT) AS n_kept,
+          COALESCE(rebuilt.clean_text, '') AS clean_text
+        FROM counts LEFT JOIN rebuilt ON counts.doc_id = rebuilt.doc_id
+        ORDER BY counts.doc_id"""))
   )
 }
