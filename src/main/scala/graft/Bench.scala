@@ -37,13 +37,31 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc(); Thread.sleep(200)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // A failed query must be distinguishable from a slow success: record
+      // the error alongside the wall time instead of swallowing it (r4's
+      // one broadcast-timeout failure was recorded as a plausible 300 s
+      // timing and only forensics on the exact value exposed it).
+      val (rows, err) = try { (fn(spark, sfDir).count(), None: Option[String]) }
+        catch { case e: Throwable =>
+          (-1L, Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")) }
+      (name, (System.nanoTime() - t0) / 1e9, rows, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val details = results.map { case (k, v, rows, err) =>
+      "\"" + k + "\":{\"sec\":" + v + ",\"rows\":" + rows +
+        ",\"err\":" + err.map(jstr).getOrElse("null") + "}"
+    }.mkString("{", ",", "}")
+    val nErr = results.count(_._4.isDefined)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"details":$details,"errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

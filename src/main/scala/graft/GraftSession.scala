@@ -35,6 +35,12 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // Default is 300 s; under memory/GC pressure a broadcast future can
+      // legitimately take longer, and a timeout fails the whole query. A
+      // generous ceiling turns "environment-sensitive tail failure" into
+      // "slow but correct" — iterative queries additionally disable
+      // broadcasts inside their loops (see Pipeline p20).
+      .config("spark.sql.broadcastTimeout", "1200")
       // Snowflake/DuckDB-style implicit casts on INSERT (string literals
       // into timestamp/number columns); Spark 4's ANSI default refuses them.
       .config("spark.sql.ansi.enabled", "false")
