@@ -233,22 +233,24 @@ object Pipeline {
         ORDER BY a_id, b_id""")),
 
     // ---- MinHash + LSH banding: candidate pairs then exact verify -----
-    // (hash functions are engine-internal -> rows-only check, but the
-    // final jaccard is the exact shingle jaccard, so candidates are a
-    // subset of p02's >=0.5 pairs with high probability.)
+    // The hash family is the engine-portable md560 (salted with "#i"), so
+    // the oracle reproduces the identical signatures, bands, candidate set
+    // and final pairs — a full hash-matched check, not rows-only. The band
+    // key is the raw 4-tuple of signature values (a struct, not a re-hash):
+    // equality is exactly band-signature equality in both engines.
     QDef("p03_dedup_minhash_lsh",
       (s, dir) => {
         val numHashes = 32
         val bands = 8 // 8 bands x 4 rows
         val rowsPerBand = numHashes / bands
         val sh = shingles(s, dir)
-        // signature[i] = min over shingles of xxhash64(shingle, salt_i)
+        // signature[i] = min over shingles of md560(shingle || "#i")
         val sigCols = (0 until numHashes).map(i =>
-          min(xxhash64(concat(col("shingle"), lit(s"#$i")))).as(s"h$i"))
+          min(md560(concat(col("shingle"), lit(s"#$i")))).as(s"h$i"))
         val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
         val bandCols = (0 until bands).map { b =>
           val parts = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-          struct(lit(b).as("band"), xxhash64(parts: _*).as("sig")).as(s"b$b")
+          struct(lit(b).as("band"), struct(parts: _*).as("sig")).as(s"b$b")
         }
         val banded = sigs.select(col("doc_id") +: bandCols: _*)
           .select(col("doc_id"), explode(array((0 until bands).map(b => col(s"b$b")): _*)).as("bk"))
@@ -263,9 +265,9 @@ object Pipeline {
         // shingle) to count the intersection. Cost is O(candidates x
         // shingles-per-doc), not the full quadratic shingle self-join —
         // that asymmetry is the whole point of the LSH pass. The join key
-        // is the 64-bit shingle hash, not the string: at 100 TB the
+        // is the 60-bit shingle hash, not the string: at 100 TB the
         // shuffle moves 8 bytes per shingle instead of ~30.
-        val shh = sh.select(col("doc_id"), xxhash64(col("shingle")).as("hs"))
+        val shh = sh.select(col("doc_id"), md560(col("shingle")).as("hs"))
         val sz = shh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
         val inter = candidates
           .join(shh.select(col("doc_id").as("a_id"), col("hs")), "a_id")
