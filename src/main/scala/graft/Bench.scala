@@ -25,7 +25,16 @@ object Bench {
     // engine, not first-query classloading.
     SparkEntry.queries.get("q01_pricing_summary")
       .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => () })
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // The shared shingle front (p02/p03/p20/p21) stages once per JVM;
+    // time it as its OWN entry (sorts first as p00_*) so the first
+    // consumer's number is self-contained and per-query timings stay
+    // comparable across rounds instead of order-dependent.
+    val stageT0 = System.nanoTime()
+    val stageErr = try { queries.Pipeline.ShingleStage.load(spark, sfDir); None: Option[String] }
+      catch { case e: Throwable =>
+        Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}") }
+    val stageEntry = ("p00_shingle_stage", (System.nanoTime() - stageT0) / 1e9, 0L, stageErr)
+    val results = stageEntry +: SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Isolation between timed queries, regardless of heap state:
       // drop every block a predecessor pinned (cached tables, persisted
       // or locally-checkpointed RDDs left behind by iterative queries),

@@ -26,8 +26,26 @@ object GraftSession {
     sys.props.getOrElse("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
 
+  /** Shuffle/spill scratch directory. An explicit `-Dspark.local.dir` always
+    * wins; otherwise prefer RAM-backed /dev/shm when it is writable —
+    * single-node local mode on a RAM-rich box can sit behind very slow
+    * block storage, and shuffle scratch is transient by definition. On a
+    * real cluster this never fires from props: spark.local.dir comes from
+    * the node/cluster-manager config (SPARK_LOCAL_DIRS), which Spark
+    * prefers over this conf anyway. */
+  lazy val scratchDir: Option[String] =
+    sys.props.get("spark.local.dir").orElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) {
+        val d = new java.io.File(shm, "graft-local")
+        d.mkdirs()
+        Some(d.getAbsolutePath)
+      } else None
+    }
+
   /** Configure an existing builder with graft defaults (shared by every main). */
-  def configure(b: SparkSession.Builder, cores: Int): SparkSession.Builder =
+  def configure(b: SparkSession.Builder, cores: Int): SparkSession.Builder = {
+    scratchDir.foreach(d => b.config("spark.local.dir", d))
     b.config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.sql.session.timeZone", "UTC")
@@ -51,6 +69,7 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
       .withExtensions(functions.SnowflakeExtensions.inject)
+  }
 
   /** Local session for tests / ad-hoc use. */
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

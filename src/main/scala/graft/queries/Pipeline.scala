@@ -39,25 +39,47 @@ object Pipeline {
     * a production deployment points this at an explicit staged table with
     * its own retention policy.
     */
-  private object ShingleStage {
+  private[graft] object ShingleStage {
     private val staged = scala.collection.mutable.HashMap[String, String]()
+    /** Staging root. `-Dgraft.shingleStageDir` points production at an
+      * explicit shared location (object store / shared filesystem) with its
+      * own retention — nothing is deleted on exit there. The local-mode
+      * default is a JVM-lifetime temp dir, preferring RAM-backed /dev/shm
+      * (the staged table is written once and re-read by four queries; on a
+      * box with slow block storage the re-reads should not pay disk). */
     private lazy val root: java.nio.file.Path = {
-      val d = java.nio.file.Files.createTempDirectory("graft_shingle_stage")
-      sys.addShutdownHook {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(d.toFile)
+      sys.props.get("graft.shingleStageDir") match {
+        case Some(p) =>
+          val d = java.nio.file.Paths.get(p)
+          java.nio.file.Files.createDirectories(d)
+          d
+        case None =>
+          val shm = new java.io.File("/dev/shm")
+          val base = if (shm.isDirectory && shm.canWrite) shm.toPath
+                     else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+          val d = java.nio.file.Files.createTempDirectory(base, "graft_shingle_stage")
+          sys.addShutdownHook {
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+            }
+            rm(d.toFile)
+          }
+          d
       }
-      d
     }
     /** (doc_id, shingle, df) — distinct 3-token shingles per document plus
       * each shingle's document frequency (a window count over the same
       * hash-partitioning the downstream joins need). */
     def load(s: SparkSession, dir: String): DataFrame = {
       val path = synchronized {
-        staged.getOrElseUpdate(new java.io.File(dir).getCanonicalPath, {
-          val out = root.resolve(s"sh_${staged.size}").toString
+        val canonical = new java.io.File(dir).getCanonicalPath
+        staged.getOrElseUpdate(canonical, {
+          // name derives from the input path, not an in-JVM counter, so an
+          // explicit (cross-JVM) staging dir maps each input to a stable
+          // location instead of colliding on sh_0
+          val key = java.security.MessageDigest.getInstance("MD5")
+            .digest(canonical.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+          val out = root.resolve(s"sh_$key").toString
           docs(s, dir)
             .select(col("doc_id"), split(col("text"), " ").as("arr"))
             .filter(size(col("arr")) >= 3)
@@ -66,6 +88,13 @@ object Pipeline {
               .as("shingle"))
             .withColumn("df",
               count(lit(1)).over(Window.partitionBy(col("shingle"))))
+            // hash-repartition on doc_id before the write: the window's
+            // shuffle output is size-coalesced by AQE into a handful of
+            // skewed files, and every consumer's first (map-side-heaviest)
+            // stage inherits that scan parallelism. Uniform doc_id files
+            // keep the staged scan embarrassingly parallel at any scale.
+            .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+              col("doc_id"))
             .write.mode("overwrite").parquet(out)
           out
         })
@@ -105,10 +134,34 @@ object Pipeline {
   private def md560(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** The same 60-bit hash as DuckDB SQL over expression `x`. */
-  private def duckMd560(x: String): String =
-    (1 to 15).map(i => s"(instr('0123456789abcdef', substr(md5($x), $i, 1)) - 1)")
+  /** Horner parse of the first 15 hex chars of expression `h` (an md5 hex
+    * string) as DuckDB SQL — the oracle half of [[md560]]. Split out so an
+    * oracle can compute the md5 once in a CTE and chain over the column. */
+  private def duckHex60(h: String): String =
+    (1 to 15).map(i => s"(instr('0123456789abcdef', substr($h, $i, 1)) - 1)")
       .reduce((acc, d) => s"($acc * 16 + $d)")
+
+  /** The same 60-bit hash as DuckDB SQL over expression `x`. */
+  private def duckMd560(x: String): String = duckHex60(s"md5($x)")
+
+  /** MinHash permutation family: h_i(x) = (a_i·x + b_i) mod (2³¹−1) over
+    * the 31-bit reduction of one md560 per shingle. One strong hash per
+    * shingle plus k cheap codegen'd multiply-mods replaces k independent
+    * md5 invocations (the textbook universal-hash construction) — ~30×
+    * less per-row work in the signature stage, and every operand stays
+    * < 2⁶² so the arithmetic is overflow-free (hence engine-portable) in
+    * both Spark and DuckDB. Coefficients are deterministic LCG draws,
+    * interpolated as the same literals into the oracle SQL. */
+  private val minhashP = 2147483647L // 2^31 − 1 (Mersenne prime)
+  private val minhashCoef: IndexedSeq[(Long, Long)] = {
+    var state = 0x5DEECE66DL
+    def next(): Long = { state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 33) % minhashP }
+    (0 until 32).map { _ =>
+      val a = { val v = next(); if (v == 0) 1L else v }
+      (a, next())
+    }
+  }
 
   /** Near-dup pairs (a_id < b_id) with exact shingle-Jaccard >= 0.5 —
     * p02's result and p20's edge set.
@@ -233,23 +286,33 @@ object Pipeline {
         ORDER BY a_id, b_id""")),
 
     // ---- MinHash + LSH banding: candidate pairs then exact verify -----
-    // The hash family is the engine-portable md560 (salted with "#i"), so
-    // the oracle reproduces the identical signatures, bands, candidate set
-    // and final pairs — a full hash-matched check, not rows-only. The band
-    // key is the raw 4-tuple of signature values (a struct, not a re-hash):
-    // equality is exactly band-signature equality in both engines.
+    // The hash family is one engine-portable md560 per shingle permuted by
+    // the universal-hash coefficients above, so the oracle reproduces the
+    // identical signatures, bands, candidate set and final pairs — a full
+    // hash-matched check, not rows-only. The band key is the raw 4-tuple
+    // of signature values (a struct, not a re-hash): equality is exactly
+    // band-signature equality in both engines.
     QDef("p03_dedup_minhash_lsh",
       (s, dir) => {
         val numHashes = 32
         val bands = 8 // 8 bands x 4 rows
         val rowsPerBand = numHashes / bands
         val sh = shingles(s, dir)
-        // signature[i] = min over shingles of md560(shingle || "#i")
-        val sigCols = (0 until numHashes).map(i =>
-          min(md560(concat(col("shingle"), lit(s"#$i")))).as(s"h$i"))
-        val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+        // signature[i] = min over shingles of (a_i·h31 + b_i) mod p, where
+        // h31 is the 31-bit reduction of the shingle's single md560
+        val sh31 = sh.select(col("doc_id"),
+          (md560(col("shingle")) % lit(minhashP)).as("h31"))
+        val sigCols = minhashCoef.take(numHashes).zipWithIndex.map {
+          case ((a, b), i) =>
+            min((col("h31") * lit(a) + lit(b)) % lit(minhashP)).as(s"h$i")
+        }
+        val sigs = sh31.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
         val bandCols = (0 until bands).map { b =>
-          val parts = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+          // uniform inner field names (r0..r3): array(b0..b7) requires every
+          // band struct to have the identical type, so the signature fields
+          // are positional, not named after their source column
+          val parts = (0 until rowsPerBand).map(r =>
+            col(s"h${b * rowsPerBand + r}").as(s"r$r"))
           struct(lit(b).as("band"), struct(parts: _*).as("sig")).as(s"b$b")
         }
         val banded = sigs.select(col("doc_id") +: bandCols: _*)
@@ -283,7 +346,43 @@ object Pipeline {
           .select(col("a_id"), col("b_id"), col("jaccard"))
           .orderBy(col("a_id"), col("b_id"))
       },
-      None),
+      Some(s"""WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+        sh0 AS (
+          SELECT doc_id, unnest(list_distinct(
+            [arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] FOR i IN range(1, len(arr) - 1)])) AS shingle
+          FROM toks),
+        nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        hot AS (SELECT shingle FROM (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle) d, nd
+                WHERE CAST(d.df AS DOUBLE) > greatest(5.0, CAST(nd.n_docs AS DOUBLE) * 0.01)),
+        sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        hs31 AS (
+          SELECT doc_id, (${duckMd560("shingle")}) % 2147483647 AS h31 FROM sh),
+        coefs(i, a, b) AS (VALUES ${minhashCoef.zipWithIndex
+            .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")}),
+        sig AS (
+          SELECT doc_id, i, MIN((h31 * a + b) % 2147483647) AS h
+          FROM hs31 CROSS JOIN coefs GROUP BY doc_id, i),
+        band AS (
+          SELECT doc_id, CAST(i // 4 AS INTEGER) AS band, list(h ORDER BY i) AS sig
+          FROM sig GROUP BY doc_id, CAST(i // 4 AS INTEGER)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM band a JOIN band b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        shh AS (SELECT doc_id, ${duckMd560("shingle")} AS hs FROM sh),
+        sz AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY doc_id),
+        inter AS (
+          SELECT c.a_id, c.b_id, COUNT(*) AS inter
+          FROM cand c
+          JOIN shh a ON a.doc_id = c.a_id
+          JOIN shh b ON b.doc_id = c.b_id AND b.hs = a.hs
+          GROUP BY 1, 2)
+        SELECT i.a_id, i.b_id,
+          CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
+        FROM inter i JOIN sz sa ON sa.doc_id = i.a_id JOIN sz sb ON sb.doc_id = i.b_id
+        WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.5
+        ORDER BY a_id, b_id""")),
 
     // ---- SimHash near-dup: 64-bit fingerprint + banded hamming join ---
     QDef("p04_dedup_simhash",

@@ -56,10 +56,15 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("p02: guarded self-join — window DF guard present, single shuffle on shingle") {
+  test("p02: staged shingle front — df-guard filter over the staged parquet, no cartesian") {
     val df = SparkEntry.queries("p02_dedup_ngram_jaccard")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("Window"), s"DF guard window missing:\n$p")
+    // the DF-guard window runs once at staging time; the query plan itself
+    // reads the staged parquet and applies the guard as a plain filter on
+    // the precomputed `df` column (pushed to the scan)
+    assert(p.contains("Parquet"), s"staged parquet scan missing:\n$p")
+    assert(p.contains("df#"), s"df-guard filter missing:\n$p")
+    assert(!p.contains("Window"), s"window should be staged, not inline:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
 
