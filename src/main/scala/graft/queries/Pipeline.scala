@@ -163,6 +163,94 @@ object Pipeline {
     }
   }
 
+  /** Connected components over an undirected pair graph via Pregel-style
+    * min-label propagation, restricted to the edge-connected vertex set.
+    * Returns (doc_id, comp) for every vertex that appears in `pairs`.
+    *
+    * Runs until the fixpoint, not to a fixed iteration count: min-label
+    * propagation needs O(graph diameter) rounds, and a chain-shaped
+    * near-dup family can have arbitrary diameter — a silent cap would
+    * return split components with no error. `maxIter` is a safety valve
+    * for genuinely pathological inputs and THROWS when hit, because a
+    * wrong clustering is worse than a failed query.
+    *
+    * Eager localCheckpoint per iteration, NOT persist: the checkpoint
+    * truncates lineage so iteration k analyzes a flat LogicalRDD plan
+    * instead of a depth-O(k) tree that AQE re-plans (and re-broadcasts)
+    * each round. The id diff releases exactly the previous iteration's
+    * blocks without touching anything a caller may have pinned. */
+  private[graft] def minLabelComponents(
+      s: SparkSession, pairs: DataFrame, maxIter: Int = 200): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sc = s.sparkContext
+    val p2 = pairs.toDF("a_id", "b_id")
+    val edges = p2
+      .union(p2.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .toDF("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = edges.count()
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val ck = df.localCheckpoint(eager = true)
+      (ck, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def release(ids: Set[Int]): Unit = ids.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    // only vertices that appear in the edge set can change label
+    var (labels, labelIds) = checkpointTracked(
+      edges.select(col("src").as("doc_id"))
+        .distinct()
+        .withColumn("comp", col("doc_id")))
+    var prevTotal = Long.MaxValue
+    var iter = 0
+    var converged = nEdges == 0
+    // No broadcasts INSIDE the loop: a per-iteration broadcast future is
+    // the one thing that can time out under memory/GC pressure (r4's
+    // driver bench recorded exactly spark.sql.broadcastTimeout for this
+    // query); shuffle joins on the tiny label set are cheap and bounded.
+    val savedThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqe = s.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      while (!converged && iter < maxIter) {
+        // labels is a flat checkpointed plan, so its attributes no
+        // longer share lineage with edges — plain column refs resolve
+        val prop = labels.join(edges, col("doc_id") === col("src"))
+          .select(col("dst").as("doc_id"), col("comp"))
+        val (next, nextIds) = checkpointTracked(
+          labels.union(prop)
+            .groupBy(col("doc_id")).agg(min(col("comp")).as("comp")))
+        // convergence metric over the already-materialized checkpoint
+        // (sum of min-labels is monotone decreasing)
+        val total = Option(next.agg(sum(col("comp"))).collect()(0).get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        release(labelIds)
+        converged = total == prevTotal
+        prevTotal = total
+        labels = next
+        labelIds = nextIds
+        iter += 1
+      }
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThresh)
+      savedAqe match {
+        case Some(v) => s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => s.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+    if (!converged) {
+      release(labelIds)
+      edges.unpersist()
+      throw new IllegalStateException(
+        s"minLabelComponents did not converge in $maxIter iterations " +
+          "(graph diameter exceeds the safety cap); raise maxIter")
+    }
+    // pin ONLY the tiny fixpoint (edge-connected vertices), then free the
+    // edge cache — successors inherit at most O(near-dups) of state
+    edges.unpersist()
+    labels
+  }
+
   /** Near-dup pairs (a_id < b_id) with exact shingle-Jaccard >= 0.5 —
     * p02's result and p20's edge set.
     *
@@ -385,11 +473,17 @@ object Pipeline {
         ORDER BY a_id, b_id""")),
 
     // ---- SimHash near-dup: 64-bit fingerprint + banded hamming join ---
+    // Token hashes are the engine-portable md560 (not xxhash64), and the
+    // SimHash64 expression's strict-majority rule (votes > 0 over ±1 per
+    // token, duplicates counted) is mirrored bit-for-bit in the oracle's
+    // per-position sign sums — a full hash-matched check. md560 < 2⁶⁰, so
+    // fingerprint bits 60–63 vote all-negative and are 0 in both engines.
     QDef("p04_dedup_simhash",
       (s, dir) => {
         val hashed = docs(s, dir)
           .select(col("doc_id"),
-            expr("simhash64(transform(split(text, ' '), t -> xxhash64(t)))").as("sh"))
+            expr("simhash64(transform(split(text, ' '), " +
+              "t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)))").as("sh"))
         // 4 bands of 16 bits: near-dups (hamming <= 3) must collide on
         // at least one full band.
         val banded = hashed.select(col("doc_id"), col("sh"),
@@ -408,7 +502,27 @@ object Pipeline {
           .filter(col("hamming") <= 3)
           .orderBy(col("a_id"), col("b_id"))
       },
-      None),
+      Some(s"""WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        th AS (SELECT doc_id, md5(t) AS m FROM tok),
+        hb AS (SELECT doc_id, ${duckHex60("m")} AS h FROM th),
+        bits AS (
+          SELECT doc_id, j,
+            CASE WHEN SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END AS bv
+          FROM hb CROSS JOIN range(0, 60) r(j)
+          GROUP BY doc_id, j),
+        fp AS (SELECT doc_id, CAST(SUM(bv) AS BIGINT) AS sh FROM bits GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, sh, b.band, (sh >> CAST(b.band * 16 AS INTEGER)) & 65535 AS chunk
+          FROM fp CROSS JOIN range(0, 4) b(band)),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+            CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+        SELECT a_id, b_id, hamming FROM pairs
+        WHERE hamming <= 3 ORDER BY a_id, b_id""")),
 
     // ---- brute-force cosine KNN (exact baseline) ----------------------
     QDef("p05_knn_exact",
@@ -804,73 +918,8 @@ object Pipeline {
     // is what a dedup pipeline keeps. -----------------------------------
     QDef("p20_dedup_clusters",
       (s, dir) => {
-        import org.apache.spark.storage.StorageLevel
-        val sc = s.sparkContext
-        val pairs = jaccardPairs(s, dir).select(col("a_id"), col("b_id"))
-        val edges = pairs
-          .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-          .toDF("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
-        val nEdges = edges.count()
-        // Eager localCheckpoint per iteration, NOT persist: the checkpoint
-        // truncates lineage so iteration k analyzes a flat LogicalRDD plan
-        // instead of a depth-O(k) tree that AQE re-plans (and re-broadcasts)
-        // each round. The id diff lets us release exactly the previous
-        // iteration's blocks, deterministically, without touching anything
-        // else a caller may have pinned.
-        def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-          val before = sc.getPersistentRDDs.keySet.toSet
-          val ck = df.localCheckpoint(eager = true)
-          (ck, sc.getPersistentRDDs.keySet.toSet -- before)
-        }
-        def release(ids: Set[Int]): Unit = ids.foreach(id =>
-          sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-        // only vertices that appear in the edge set can change label
-        var (labels, labelIds) = checkpointTracked(
-          edges.select(col("src").as("doc_id"))
-            .distinct()
-            .withColumn("comp", col("doc_id")))
-        var prevTotal = Long.MaxValue
-        var iter = 0
-        var converged = nEdges == 0
-        // No broadcasts INSIDE the loop: a per-iteration broadcast future is
-        // the one thing that can time out under memory/GC pressure (r4's
-        // driver bench recorded exactly spark.sql.broadcastTimeout for this
-        // query); shuffle joins on the tiny label set are cheap and bounded.
-        val savedThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        val savedAqe = s.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
-        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-        try {
-          while (!converged && iter < 20) {
-            // labels is a flat checkpointed plan, so its attributes no
-            // longer share lineage with edges — plain column refs resolve
-            val prop = labels.join(edges, col("doc_id") === col("src"))
-              .select(col("dst").as("doc_id"), col("comp"))
-            val (next, nextIds) = checkpointTracked(
-              labels.union(prop)
-                .groupBy(col("doc_id")).agg(min(col("comp")).as("comp")))
-            // convergence metric over the already-materialized checkpoint
-            // (sum of min-labels is monotone decreasing)
-            val total = Option(next.agg(sum(col("comp"))).collect()(0).get(0))
-              .map(_.asInstanceOf[Long]).getOrElse(0L)
-            release(labelIds)
-            converged = total == prevTotal
-            prevTotal = total
-            labels = next
-            labelIds = nextIds
-            iter += 1
-          }
-        } finally {
-          s.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThresh)
-          savedAqe match {
-            case Some(v) => s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
-            case None => s.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
-          }
-        }
-        // pin ONLY the tiny fixpoint (near-dup vertices), then free the
-        // edge cache — successors inherit at most O(near-dups) of state
-        val fix = labels
-        edges.unpersist()
+        val fix = minLabelComponents(s,
+          jaccardPairs(s, dir).select(col("a_id"), col("b_id")))
         docs(s, dir)
           .select(col("doc_id"))
           .join(fix.withColumnRenamed("comp", "edge_comp"), Seq("doc_id"), "left")
