@@ -82,13 +82,24 @@ final class Executor(
     sys.props.get("graft.timeTravelMaxBytes").map(_.toLong)
       .getOrElse(1024L * 1024 * 1024)
 
+  /** Streams must snapshot their source as the CDC baseline; above this
+    * size the copy is refused (CREATE STREAM errors; a later advance past
+    * the cap marks the stream stale) instead of silently doubling storage
+    * per consumed DML — the same honest trade-off as time travel. */
+  private val StreamSnapshotMaxBytes: Long =
+    sys.props.get("graft.streamSnapshotMaxBytes").map(_.toLong)
+      .getOrElse(8L * 1024 * 1024 * 1024)
+
+  /** On-disk bytes of a table — fs-metadata only, no data scan. */
+  private def tableBytes(ref: TableNaming.Ref): Long =
+    catalog.tableDf(ref).inputFiles.map(f =>
+      new java.io.File(new java.net.URI(f).getPath).length()).sum
+
   /** Snapshot a table's current content as the post-state of `queryId`. */
   private def recordVersion(ref: TableNaming.Ref, queryId: String): Unit =
     if (catalog.tableExists(ref)) {
       val df = catalog.tableDf(ref)
-      // fs-metadata-only size check, no data scan
-      val bytes = df.inputFiles.map(f =>
-        new java.io.File(new java.net.URI(f).getPath).length()).sum
+      val bytes = tableBytes(ref)
       if (bytes <= TimeTravelMaxBytes) {
         val tmp = Files.createTempDirectory("graft_tt")
         df.write.mode("overwrite").parquet(tmp.toString)
@@ -405,9 +416,25 @@ final class Executor(
           val cutoff = System.currentTimeMillis() + arg.toLong * 1000L
           versions.reverseIterator.find(_.atMillis <= cutoff)
         case (_, "TIMESTAMP") =>
-          // ISO-ish 'YYYY-MM-DD HH:MM:SS[.fff]' in the session's UTC zone
-          val ldt = java.time.LocalDateTime.parse(arg.trim.replace(" ", "T"))
-          val cutoff = ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          // Lenient ISO-ish parse: 'YYYY-MM-DD[ HH:MM:SS[.fff]][offset]'.
+          // Offset forms keep their zone; zone-less forms are session-UTC;
+          // date-only means midnight UTC. A malformed value is a
+          // compilation error, not a raw DateTimeParseException.
+          val t = arg.trim.replace(" ", "T")
+          val cutoff =
+            try java.time.OffsetDateTime.parse(t).toInstant.toEpochMilli
+            catch { case _: java.time.format.DateTimeParseException =>
+              try java.time.LocalDateTime.parse(t)
+                .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+              catch { case _: java.time.format.DateTimeParseException =>
+                try java.time.LocalDate.parse(t).atStartOfDay
+                  .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+                catch { case _: java.time.format.DateTimeParseException =>
+                  throw SnowflakeError.compilation(
+                    s"Invalid timestamp '$arg' in AT/BEFORE clause")
+                }
+              }
+            }
           versions.reverseIterator.find(_.atMillis <= cutoff)
         case _ => None
       }
@@ -420,18 +447,50 @@ final class Executor(
     })
   }
 
+  /** Character spans of '...' literals and "..." quoted identifiers, so
+    * name rewrites can skip text the parser would treat as data. Doubled
+    * quotes ('' / "") scan as two adjacent literals, which still lands
+    * every quoted character inside some span. */
+  private def quotedSpans(sql: String): IndexedSeq[(Int, Int)] = {
+    val spans = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"') {
+        val start = i; i += 1
+        while (i < sql.length && sql.charAt(i) != c) i += 1
+        spans += ((start, math.min(i, sql.length - 1)))
+        i += 1
+      } else i += 1
+    }
+    spans.toIndexedSeq
+  }
+
+  /** True when `re` matches somewhere OUTSIDE every quoted span — a stream
+    * name inside a string literal is data, not a table reference, and must
+    * be neither rewritten nor consumed. */
+  private def mentionsOutsideQuotes(sql: String, re: scala.util.matching.Regex): Boolean = {
+    val spans = quotedSpans(sql)
+    re.findAllMatchIn(sql).exists(m =>
+      !spans.exists(s => m.start >= s._1 && m.start <= s._2))
+  }
+
+  private def streamNameRe(name: String): scala.util.matching.Regex =
+    ("""(?i)\b""" + java.util.regex.Pattern.quote(name) + """\b""").r
+
   /** Replace registered stream names in FROM position with a temp view of
     * the stream's current delta: rows in the source but not the baseline
     * (METADATA$ACTION = INSERT) plus rows in the baseline but not the
     * source (DELETE), via exceptAll in both directions. Runs before table
-    * naming so the stream name is never flattened. */
+    * naming so the stream name is never flattened. Quoted spans are left
+    * untouched: a stream name inside a string literal is data. */
   private def rewriteStreams(ctx: Context, sql: String): String = {
     if (streams.isEmpty) return sql
     var out = sql
     streams.asScala.foreach { case (key, sm) =>
       if (key.startsWith(s"${norm(ctx.database)}.${norm(ctx.schema)}.")) {
-        val re = ("""(?i)\b""" + java.util.regex.Pattern.quote(sm.name) + """\b""").r
-        if (re.findFirstIn(out).isDefined) {
+        val re = streamNameRe(sm.name)
+        if (mentionsOutsideQuotes(out, re)) {
           if (sm.stale || !catalog.tableExists(sm.table))
             throw SnowflakeError.compilation(
               s"Stream ${sm.name} is stale: source table " +
@@ -448,7 +507,11 @@ final class Executor(
             .withColumn("METADATA$ISUPDATE", org.apache.spark.sql.functions.lit(false))
           val view = s"graft_stream_${sm.name.toLowerCase(java.util.Locale.ROOT)}"
           delta.createOrReplaceTempView(view)
-          out = re.replaceAllIn(out, s"`$view`")
+          val spans = quotedSpans(out)
+          out = re.replaceAllIn(out, m =>
+            if (spans.exists(s => m.start >= s._1 && m.start <= s._2))
+              java.util.regex.Matcher.quoteReplacement(m.matched)
+            else s"`$view`")
         }
       }
     }
@@ -470,13 +533,19 @@ final class Executor(
     streams.asScala.foreach { case (key, sm) =>
       if (key.startsWith(s"${norm(ctx.database)}.${norm(ctx.schema)}.") &&
         !sm.stale && catalog.tableExists(sm.table) &&
-        ("""(?i)\b""" + java.util.regex.Pattern.quote(sm.name) + """\b""").r
-          .findFirstIn(sql).isDefined) {
-        val tmp = Files.createTempDirectory("graft_stream")
-        catalog.tableDf(sm.table).write.mode("overwrite").parquet(tmp.toString)
-        val old = sm.baseline
-        sm.baseline = tmp
-        deleteDir(old)
+        mentionsOutsideQuotes(sql, streamNameRe(sm.name))) {
+        if (tableBytes(sm.table) > StreamSnapshotMaxBytes) {
+          // the DML already succeeded; refusing the copy must not fail it.
+          // The stream can no longer track its source within the cap, so
+          // it goes stale (subsequent reads raise the stale error).
+          sm.stale = true
+        } else {
+          val tmp = Files.createTempDirectory("graft_stream")
+          catalog.tableDf(sm.table).write.mode("overwrite").parquet(tmp.toString)
+          val old = sm.baseline
+          sm.baseline = tmp
+          deleteDir(old)
+        }
       }
     }
 
@@ -555,14 +624,35 @@ final class Executor(
     * value`, so `f.value` / `f.index` references keep working. The
     * reference renames FLATTEN to UNNEST and leans on DuckDB
     * (`translator.go:38`); Spark's generator needs the LATERAL VIEW form. */
+  /** Words that can legally FOLLOW a generator clause and therefore must
+    * not be captured as its alias when no explicit AS is present. */
+  private val generatorAliasStopWords = Set(
+    "WHERE", "ON", "GROUP", "ORDER", "LIMIT", "HAVING", "QUALIFY",
+    "JOIN", "LEFT", "RIGHT", "INNER", "CROSS", "FULL", "LATERAL",
+    "UNION", "INTERSECT", "EXCEPT", "AND", "OR", "SELECT", "FROM",
+    "WHEN", "SET", "USING", "TABLE", "SAMPLE")
+
+  /** Resolve the optional trailing alias of a rewritten generator: with an
+    * explicit AS the captured word always wins; without one a reserved
+    * keyword is NOT an alias and is re-emitted after the clause. Returns
+    * (alias, trailing-text-to-restore). */
+  private def generatorAlias(asKw: String, cand: String): (String, String) = {
+    val c = Option(cand)
+    val isKw = c.exists(w =>
+      generatorAliasStopWords.contains(w.toUpperCase(java.util.Locale.ROOT)))
+    if (asKw != null) (c.getOrElse("f"), "")
+    else if (isKw) ("f", c.map(w => s" $w ").getOrElse(""))
+    else (c.getOrElse("f"), "")
+  }
+
   private[emulator] def rewriteFlatten(sql: String): String = {
     val re = ("""(?is),?\s*(?:LATERAL\s+FLATTEN|TABLE\s*\(\s*FLATTEN)\s*\(?\s*""" +
       """(?:INPUT\s*=>\s*)?([^()]+(?:\([^()]*\))?[^()]*)\)\s*\)?\s*""" +
-      """(?:AS\s+)?([A-Za-z_]\w*)?""").r
+      """(?:(AS)\s+)?([A-Za-z_]\w*)?""").r
     re.replaceAllIn(sql, m => {
-      val alias = Option(m.group(2)).getOrElse("f")
+      val (alias, trail) = generatorAlias(m.group(2), m.group(3))
       java.util.regex.Matcher.quoteReplacement(
-        s" LATERAL VIEW posexplode(${m.group(1).trim}) $alias AS index, value ")
+        s" LATERAL VIEW posexplode(${m.group(1).trim}) $alias AS index, value $trail")
     })
   }
 
@@ -574,12 +664,12 @@ final class Executor(
   private[emulator] def rewriteSplitToTable(sql: String): String = {
     val re = ("""(?is),?\s*TABLE\s*\(\s*SPLIT_TO_TABLE\s*\(\s*""" +
       """([^,()]+(?:\([^()]*\))?[^,()]*)\s*,\s*('[^']*'|[^()]+?)\s*\)\s*\)\s*""" +
-      """(?:AS\s+)?([A-Za-z_]\w*)?""").r
+      """(?:(AS)\s+)?([A-Za-z_]\w*)?""").r
     re.replaceAllIn(sql, m => {
-      val alias = Option(m.group(3)).getOrElse("f")
+      val (alias, trail) = generatorAlias(m.group(3), m.group(4))
       java.util.regex.Matcher.quoteReplacement(
         s" LATERAL VIEW posexplode(split(${m.group(1).trim}, ${m.group(2).trim})) " +
-          s"$alias AS index, value ")
+          s"$alias AS index, value $trail")
     })
   }
 
@@ -731,6 +821,11 @@ final class Executor(
           throw SnowflakeError.notFound(s"table $tableName does not exist")
         val appendOnly = appendOpt != null &&
           appendOpt.toUpperCase(java.util.Locale.ROOT).contains("TRUE")
+        if (tableBytes(srcRef) > StreamSnapshotMaxBytes)
+          throw SnowflakeError.compilation(
+            s"Cannot create stream on $tableName: source exceeds the " +
+              s"$StreamSnapshotMaxBytes-byte baseline snapshot cap " +
+              "(-Dgraft.streamSnapshotMaxBytes to raise)")
         val tmp = Files.createTempDirectory("graft_stream")
         catalog.tableDf(srcRef).write.mode("overwrite").parquet(tmp.toString)
         val old = streams.put(s"${ref.database}.${ref.schema}.${ref.table}",
@@ -900,12 +995,17 @@ final class Executor(
           // drop retention for UNDROP: snapshot content + metadata before
           // the physical drop (Snowflake Time Travel's drop window; the
           // emulator keeps the last few drops instead of a 24 h clock)
-          val meta = catalog.getTable(ref).get
-          val tmp = Files.createTempDirectory("graft_undrop")
-          catalog.tableDf(ref).write.mode("overwrite").parquet(tmp.toString)
-          droppedTables.synchronized {
-            droppedTables.put(s"${ref.database}.${ref.schema}.${ref.table}",
-              (meta, tmp))
+          // same cap as time travel: an over-sized table is dropped
+          // without an UNDROP snapshot (UNDROP then reports not-found)
+          // rather than silently duplicating it on disk
+          if (tableBytes(ref) <= TimeTravelMaxBytes) {
+            val meta = catalog.getTable(ref).get
+            val tmp = Files.createTempDirectory("graft_undrop")
+            catalog.tableDf(ref).write.mode("overwrite").parquet(tmp.toString)
+            droppedTables.synchronized {
+              droppedTables.put(s"${ref.database}.${ref.schema}.${ref.table}",
+                (meta, tmp))
+            }
           }
           invalidateTableIdentity(ref)
         }
@@ -1185,10 +1285,17 @@ final class Executor(
       if (stmt.source.startsWith("("))
         (queryDf(ctx, stmt.source.stripPrefix("(").stripSuffix(")")), "src")
       else {
+        // a bare `USING <stream>` resolves through the streams map first —
+        // the canonical incremental-CDC MERGE pattern; rewriteStreams
+        // returns the input unchanged when no stream name matches
+        val streamed = rewriteStreams(ctx, stmt.source)
         val sRef = TableNaming.parse(stmt.source, ctx.database, ctx.schema)
-        // unaliased `USING t ON t.x = ...` must keep resolving via the
-        // bare table name, same as the target side
-        (catalog.tableDf(sRef), sRef.table.toLowerCase)
+        if (streamed ne stmt.source)
+          (spark.sql(s"SELECT * FROM $streamed"), sRef.table.toLowerCase)
+        else
+          // unaliased `USING t ON t.x = ...` must keep resolving via the
+          // bare table name, same as the target side
+          (catalog.tableDf(sRef), sRef.table.toLowerCase)
       }
     val sAlias = stmt.sourceAlias.getOrElse(sDefault)
     val source = source0.alias(sAlias)
@@ -1239,6 +1346,10 @@ final class Executor(
       }
 
     recordVersion(targetRef, queryId)
+    // a MERGE that read from streams consumes them, exactly like other
+    // stream-reading DML (Snowflake advances the offset transactionally
+    // on DML success; the emulator advances after the successful write)
+    advanceConsumedStreams(ctx, stmt.source)
     // Snowflake MERGE result shape: one row of per-action counts
     val cols = Seq("number of rows inserted", "number of rows updated",
       "number of rows deleted")

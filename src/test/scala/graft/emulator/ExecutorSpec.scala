@@ -925,4 +925,71 @@ class ExecutorSpec extends AnyFunSuite {
     assert(e.code == SnowflakeError.CodeSQLExecutionError)
     assert(e.getMessage.contains("Duplicate row detected"), e.getMessage)
   }
+
+  test("51 MERGE consumes streams; bare stream as the USING source") {
+    exec("CREATE TABLE ms_src (id INTEGER, v VARCHAR(10))")
+    exec("INSERT INTO ms_src VALUES (1, 'a')")
+    exec("CREATE TABLE ms_tgt (id INTEGER, v VARCHAR(10))")
+    exec("INSERT INTO ms_tgt VALUES (1, 'old')")
+    exec("CREATE STREAM ms_st ON TABLE ms_src")
+    exec("INSERT INTO ms_src VALUES (3, 'c')")
+    // bare (non-parenthesized) stream name as the USING source — the
+    // canonical incremental-CDC MERGE shape
+    val m = exec("""MERGE INTO ms_tgt t USING ms_st s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+    assert(m.rowsAffected.contains(1L), m.rowsAffected)
+    assert(exec("SELECT v FROM ms_tgt WHERE id = 3").rows.head.head == "c")
+    // the MERGE consumed the stream: re-running must be a no-op, not a
+    // silent re-application of the same CDC rows
+    assert(exec("SELECT COUNT(*) AS n FROM ms_st").rows.head.head == 0L)
+    // subquery USING form consumes too
+    exec("INSERT INTO ms_src VALUES (4, 'd')")
+    val m2 = exec("""MERGE INTO ms_tgt t USING (
+          SELECT id, v FROM ms_st WHERE "METADATA$ACTION" = 'INSERT') s
+        ON t.id = s.id
+        WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+    assert(m2.rowsAffected.contains(1L), m2.rowsAffected)
+    assert(exec("SELECT COUNT(*) AS n FROM ms_st").rows.head.head == 0L)
+  }
+
+  test("52 stream name inside a string literal is neither rewritten nor consumed") {
+    exec("CREATE TABLE lit_src (id INTEGER)")
+    exec("CREATE STREAM lit_st ON TABLE lit_src")
+    exec("INSERT INTO lit_src VALUES (1)")
+    assert(exec("SELECT COUNT(*) AS n FROM lit_st").rows.head.head == 1L)
+    // a DML whose text mentions the stream name only inside a literal:
+    // the value must arrive intact and the pending CDC row must survive
+    exec("CREATE TABLE lit_sink (note VARCHAR(50))")
+    exec("INSERT INTO lit_sink SELECT 'lit_st pending' FROM lit_src")
+    assert(exec("SELECT note FROM lit_sink").rows.head.head == "lit_st pending")
+    assert(exec("SELECT COUNT(*) AS n FROM lit_st").rows.head.head == 1L)
+  }
+
+  test("53 SPLIT_TO_TABLE with a trailing keyword instead of an alias") {
+    exec("CREATE TABLE stt_kw (id INTEGER, csv VARCHAR(50))")
+    exec("INSERT INTO stt_kw VALUES (1, 'a b c'), (2, 'd e')")
+    // no alias: the following WHERE must not be captured as one
+    val r = exec("""SELECT id, f.value AS part FROM stt_kw,
+        TABLE(SPLIT_TO_TABLE(csv, ' ')) WHERE id = 1 ORDER BY part""")
+    assert(r.rows.map(_(1)) == Seq("a", "b", "c"), r.rows)
+    // explicit alias still wins
+    val r2 = exec("""SELECT id, g.value AS part FROM stt_kw,
+        TABLE(SPLIT_TO_TABLE(csv, ' ')) g WHERE id = 2 ORDER BY part""")
+    assert(r2.rows.map(_(1)) == Seq("d", "e"), r2.rows)
+  }
+
+  test("54 AT(TIMESTAMP) accepts date-only and offset forms; rejects junk cleanly") {
+    exec("CREATE TABLE ttl_t (id INTEGER)")
+    exec("INSERT INTO ttl_t VALUES (1)")
+    val r = exec("SELECT COUNT(*) AS n FROM ttl_t AT(TIMESTAMP => '2099-01-01')")
+    assert(r.rows.head.head == 1L)
+    val r2 = exec(
+      "SELECT COUNT(*) AS n FROM ttl_t AT(TIMESTAMP => '2099-01-01 00:00:00+00:00')")
+    assert(r2.rows.head.head == 1L)
+    val e = intercept[SnowflakeError] {
+      exec("SELECT * FROM ttl_t AT(TIMESTAMP => 'not-a-time')")
+    }
+    assert(e.getMessage.contains("Invalid timestamp"), e.getMessage)
+  }
 }
