@@ -150,9 +150,13 @@ final class Executor(
   // entry point
   // ------------------------------------------------------------------
 
+  /** `queryId`: an externally-assigned statement id (REST v2 passes its
+    * statementHandle so the handle IS the query id, like Snowflake —
+    * RESULT_SCAN and AT(STATEMENT =>) then work against wire handles). */
   def execute(ctx: Context, sql: String,
-      bindings: Map[String, Bindings.Binding] = Map.empty): Result = {
-    val queryId = newQueryId()
+      bindings: Map[String, Bindings.Binding] = Map.empty,
+      queryId0: Option[String] = None): Result = {
+    val queryId = queryId0.getOrElse(newQueryId())
     val bound = Bindings.apply(sql, bindings)
     val t0 = history.start(queryId, bound)
     try {

@@ -255,7 +255,10 @@ final class EmulatorServer(
     try {
       spark.sparkContext.setJobGroup(st.handle, statement,
         interruptOnCancel = true)
-      val r = executor.execute(ctx, statement, bindings)
+      // the wire handle doubles as the executor query id, so the handle a
+      // client got back works in RESULT_SCAN / AT(STATEMENT =>) like a
+      // Snowflake statement handle does
+      val r = executor.execute(ctx, statement, bindings, queryId0 = Some(st.handle))
       statements.complete(st, r)
       respond(exchange, 200, statementResponse(st, Some(r), None))
     } catch {

@@ -337,4 +337,66 @@ class EmulatorServerSpec extends AnyFunSuite {
     assert(scan.get("success").asBoolean(), scan)
     assert(scan.get("data").get("rowset").get(0).get(0).asText() == "2")
   }
+
+  // --- wire-level pinning for the surface the reference lacks: streams,
+  // time travel, CLONE, UNDROP each get one REST-v2 round-trip over a
+  // real socket (the reference pins its whole surface the same way,
+  // tests/e2e/rest_api_v2_test.go:93-1194) -----------------------------
+
+  private def v2(sql: String) = {
+    val esc = sql.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ")
+    post("/api/v2/statements",
+      s"""{"statement":"$esc","database":"TEST_DB","schema":"PUBLIC"}""")._2
+  }
+
+  test("REST v2 e2e: stream delta and DML consumption over the wire") {
+    assert(v2("CREATE TABLE v2s_src (id INTEGER, v VARCHAR(10))")
+      .get("code").asText() == "090001")
+    v2("CREATE STREAM v2s_st ON TABLE v2s_src")
+    v2("INSERT INTO v2s_src VALUES (1, 'a')")
+    val d = v2("""SELECT id, "METADATA$ACTION" AS act FROM v2s_st ORDER BY id""")
+    assert(d.get("resultSetMetaData").get("numRows").asLong() == 1L, d)
+    assert(d.get("data").get(0).get(0).asLong() == 1L)
+    assert(d.get("data").get(0).get(1).asText() == "INSERT")
+    v2("CREATE TABLE v2s_sink (id INTEGER)")
+    v2("INSERT INTO v2s_sink SELECT id FROM v2s_st")
+    val after = v2("SELECT COUNT(*) AS n FROM v2s_st")
+    assert(after.get("data").get(0).get(0).asLong() == 0L, after)
+  }
+
+  test("REST v2 e2e: time travel AT OFFSET and AT STATEMENT by handle") {
+    v2("CREATE TABLE v2tt (id INTEGER)")
+    val ins1 = v2("INSERT INTO v2tt VALUES (1)")
+    val h1 = ins1.get("statementHandle").asText()
+    v2("INSERT INTO v2tt VALUES (2)")
+    val now = v2("SELECT COUNT(*) AS n FROM v2tt AT(OFFSET => 0)")
+    assert(now.has("data"), now.toString)
+    assert(now.get("data").get(0).get(0).asLong() == 2L, now)
+    // the v2 statement handle IS the query id time travel resolves
+    val at1 = v2(s"SELECT COUNT(*) AS n FROM v2tt AT(STATEMENT => '$h1')")
+    assert(at1.get("data").get(0).get(0).asLong() == 1L, at1)
+  }
+
+  test("REST v2 e2e: CLONE is an independent copy") {
+    v2("CREATE TABLE v2c_src (id INTEGER)")
+    v2("INSERT INTO v2c_src VALUES (1), (2)")
+    v2("CREATE TABLE v2c_dst CLONE v2c_src")
+    v2("INSERT INTO v2c_src VALUES (3)")
+    val src = v2("SELECT COUNT(*) AS n FROM v2c_src")
+    val dst = v2("SELECT COUNT(*) AS n FROM v2c_dst")
+    assert(src.get("data").get(0).get(0).asLong() == 3L, src)
+    assert(dst.get("data").get(0).get(0).asLong() == 2L, dst)
+  }
+
+  test("REST v2 e2e: DROP then UNDROP restores content") {
+    v2("CREATE TABLE v2u_t (id INTEGER)")
+    v2("INSERT INTO v2u_t VALUES (1)")
+    v2("DROP TABLE v2u_t")
+    val gone = v2("SELECT COUNT(*) AS n FROM v2u_t")
+    assert(gone.get("code").asText() != "090001", gone)
+    val und = v2("UNDROP TABLE v2u_t")
+    assert(und.get("code").asText() == "090001", und)
+    val back = v2("SELECT COUNT(*) AS n FROM v2u_t")
+    assert(back.get("data").get(0).get(0).asLong() == 1L, back)
+  }
 }
