@@ -34,7 +34,14 @@ object Bench {
       catch { case e: Throwable =>
         Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}") }
     val stageEntry = ("p00_shingle_stage", (System.nanoTime() - stageT0) / 1e9, 0L, stageErr)
-    val results = stageEntry +: SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated allowlist (SPARK_GRAFT_ONLY=p05,p20) for
+    // profiling individual queries / interaction effects; production runs
+    // leave it unset and time everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = stageEntry +: selected.map { case (name, fn) =>
       // Isolation between timed queries, regardless of heap state:
       // drop every block a predecessor pinned (cached tables, persisted
       // or locally-checkpointed RDDs left behind by iterative queries),

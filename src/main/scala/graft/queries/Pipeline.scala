@@ -47,45 +47,56 @@ object Pipeline {
       * default is a JVM-lifetime temp dir, preferring RAM-backed /dev/shm
       * (the staged table is written once and re-read by four queries; on a
       * box with slow block storage the re-reads should not pay disk). */
-    private lazy val root: java.nio.file.Path = {
+    private lazy val defaultRoot: java.nio.file.Path = {
+      val shm = new java.io.File("/dev/shm")
+      val base = if (shm.isDirectory && shm.canWrite) shm.toPath
+                 else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+      val d = java.nio.file.Files.createTempDirectory(base, "graft_shingle_stage")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(d.toFile)
+      }
+      d
+    }
+
+    /** Resolved per call (not once-per-JVM) so a deployment can point
+      * different runs at different staged locations; the explicit dir is
+      * never deleted on exit. */
+    private def root: java.nio.file.Path =
       sys.props.get("graft.shingleStageDir") match {
         case Some(p) =>
           val d = java.nio.file.Paths.get(p)
           java.nio.file.Files.createDirectories(d)
           d
-        case None =>
-          val shm = new java.io.File("/dev/shm")
-          val base = if (shm.isDirectory && shm.canWrite) shm.toPath
-                     else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
-          val d = java.nio.file.Files.createTempDirectory(base, "graft_shingle_stage")
-          sys.addShutdownHook {
-            def rm(f: java.io.File): Unit = {
-              Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-            }
-            rm(d.toFile)
-          }
-          d
+        case None => defaultRoot
       }
-    }
     /** (doc_id, shingle, df) — distinct 3-token shingles per document plus
       * each shingle's document frequency (a window count over the same
       * hash-partitioning the downstream joins need). */
     def load(s: SparkSession, dir: String): DataFrame = {
       val path = synchronized {
         val canonical = new java.io.File(dir).getCanonicalPath
-        staged.getOrElseUpdate(canonical, {
+        val r = root
+        staged.getOrElseUpdate(s"$r|$canonical", {
           // name derives from the input path, not an in-JVM counter, so an
           // explicit (cross-JVM) staging dir maps each input to a stable
           // location instead of colliding on sh_0
           val key = java.security.MessageDigest.getInstance("MD5")
             .digest(canonical.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-          val out = root.resolve(s"sh_$key").toString
+          val out = r.resolve(s"sh_$key").toString
           docs(s, dir)
             .select(col("doc_id"), split(col("text"), " ").as("arr"))
             .filter(size(col("arr")) >= 3)
             .select(col("doc_id"), explode(array_distinct(expr(
               "transform(sequence(0, size(arr)-3), i -> concat_ws(' ', arr[i], arr[i+1], arr[i+2]))")))
               .as("shingle"))
+            // the engine-portable 60-bit hash is precomputed once here:
+            // consumers join/aggregate on the 8-byte `h` instead of the
+            // ~30-byte string, and p03 derives its whole signature family
+            // from it without touching md5 again
+            .withColumn("h", md560(col("shingle")))
             .withColumn("df",
               count(lit(1)).over(Window.partitionBy(col("shingle"))))
             // hash-repartition on doc_id before the write: the window's
@@ -120,7 +131,7 @@ object Pipeline {
     val nDocs = docs(s, dir).count()
     ShingleStage.load(s, dir)
       .filter(col("df").cast("double") <= lit(math.max(5.0, nDocs * 0.01)))
-      .select(col("doc_id"), col("shingle"))
+      .select(col("doc_id"), col("shingle"), col("h"))
   }
 
   /** Engine-portable 60-bit hash: the first 15 hex chars of md5, parsed
@@ -209,16 +220,33 @@ object Pipeline {
     // query); shuffle joins on the tiny label set are cheap and bounded.
     val savedThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val savedAqe = s.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    // loop parallelism follows the edge count, not the session default:
+    // the working set is the edge-connected subgraph (typically orders of
+    // magnitude smaller than the corpus), and a dozen iterations of
+    // near-empty 32-partition stages is pure task-launch overhead. At
+    // scale the same formula grows the partition count with the graph.
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.max(4L, math.min(savedParts.toLong, nEdges / 10000L)).toString)
     try {
       while (!converged && iter < maxIter) {
+        val itT0 = System.nanoTime()
         // labels is a flat checkpointed plan, so its attributes no
         // longer share lineage with edges — plain column refs resolve
         val prop = labels.join(edges, col("doc_id") === col("src"))
           .select(col("dst").as("doc_id"), col("comp"))
+        // pointer jump: adopt the label of one's current representative
+        // (comp is always itself an edge-vertex id, so the self-join
+        // resolves). Neighbor propagation alone needs O(diameter) rounds;
+        // with jumping the reach doubles per round — O(log d) — which is
+        // what makes chain-shaped components tractable at 100×.
+        val jump = labels.select(col("doc_id"), col("comp").as("via"))
+          .join(labels.select(col("doc_id").as("via"), col("comp").as("jcomp")), "via")
+          .select(col("doc_id"), col("jcomp").as("comp"))
         val (next, nextIds) = checkpointTracked(
-          labels.union(prop)
+          labels.union(prop).union(jump)
             .groupBy(col("doc_id")).agg(min(col("comp")).as("comp")))
         // convergence metric over the already-materialized checkpoint
         // (sum of min-labels is monotone decreasing)
@@ -230,9 +258,15 @@ object Pipeline {
         labels = next
         labelIds = nextIds
         iter += 1
+        // an iteration of this loop is sub-second on healthy state; a slow
+        // one indicates external pressure (GC, cleaner backlog) — log it
+        val itSec = (System.nanoTime() - itT0) / 1e9
+        if (itSec > 2.0)
+          System.err.println(f"[minLabelComponents] slow iteration $iter%d: $itSec%.2f s")
       }
     } finally {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThresh)
+      s.conf.set("spark.sql.shuffle.partitions", savedParts)
       savedAqe match {
         case Some(v) => s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
         case None => s.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
@@ -387,9 +421,10 @@ object Pipeline {
         val rowsPerBand = numHashes / bands
         val sh = shingles(s, dir)
         // signature[i] = min over shingles of (a_i·h31 + b_i) mod p, where
-        // h31 is the 31-bit reduction of the shingle's single md560
+        // h31 is the 31-bit reduction of the staged md560 column — no
+        // hashing happens at query time at all
         val sh31 = sh.select(col("doc_id"),
-          (md560(col("shingle")) % lit(minhashP)).as("h31"))
+          (col("h") % lit(minhashP)).as("h31"))
         val sigCols = minhashCoef.take(numHashes).zipWithIndex.map {
           case ((a, b), i) =>
             min((col("h31") * lit(a) + lit(b)) % lit(minhashP)).as(s"h$i")
@@ -418,7 +453,7 @@ object Pipeline {
         // that asymmetry is the whole point of the LSH pass. The join key
         // is the 60-bit shingle hash, not the string: at 100 TB the
         // shuffle moves 8 bytes per shingle instead of ~30.
-        val shh = sh.select(col("doc_id"), md560(col("shingle")).as("hs"))
+        val shh = sh.select(col("doc_id"), col("h").as("hs"))
         val sz = shh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
         val inter = candidates
           .join(shh.select(col("doc_id").as("a_id"), col("hs")), "a_id")
