@@ -297,7 +297,11 @@ object Pipeline {
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val pairs = sh.groupBy(col("shingle"))
+    // the posting-list shuffle keys on the staged 60-bit hash, not the
+    // shingle string: at 100 TB the one big shuffle of this query moves
+    // 8 bytes per row instead of ~30. The oracle mirrors the same hash
+    // join, so the check still verifies the exact computation.
+    val pairs = sh.groupBy(col("h"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .select(explode(expr(
         """filter(
@@ -371,22 +375,39 @@ object Pipeline {
          |  FOR i IN range(1, len($vec) + 1)]) > 0 THEN ${1L << p} ELSE 0 END)""".stripMargin
     }.mkString(" + ")
 
+  /** p29's query terms — fixed vocabulary of the synthetic corpus with a
+    * spread of document frequencies (rare -> common). Declared BEFORE
+    * `defs`: the oracle strings interpolate these eagerly at object init. */
+  private val bm25Terms = Seq("spark", "vector", "merge")
+
+  /** One BM25 term contribution, k1=1.2 b=0.75, as SQL text shared
+    * verbatim by the Spark plan and the DuckDB oracle — identical
+    * parenthesization means identical IEEE double evaluation order. */
+  private def bm25Term(tf: String, df: String): String =
+    s"""(CASE WHEN $tf > 0 THEN
+       |  ln(1.0 + (n_docs - $df + 0.5) / ($df + 0.5))
+       |    * ($tf * (1.0 + 1.2))
+       |    / ($tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+       |  ELSE 0.0 END)""".stripMargin
+
   val defs: Seq[QDef] = Seq(
 
-    // ---- exact dedup: hash-groupBy, keep lowest doc_id ----------------
+    // ---- exact dedup: hash-groupBy, keep lowest doc_id. The group key
+    // is the 128-bit md5 fingerprint, not the document text: at 100 TB
+    // the dedup shuffle moves 32 bytes per document instead of the whole
+    // body. The oracle groups on the same fingerprint. ------------------
     QDef("p01_dedup_exact",
       (s, dir) => docs(s, dir)
-        .groupBy(col("text"))
+        .groupBy(md5(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-        .select(md5(col("text")).as("fp"), col("keep_id"), col("n_copies"))
         .orderBy(col("keep_id")),
       Some("""SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-        FROM documents GROUP BY text ORDER BY keep_id""")),
+        FROM documents GROUP BY md5(text) ORDER BY keep_id""")),
 
     // ---- n-gram Jaccard near-dup: inverted index self-join ------------
     QDef("p02_dedup_ngram_jaccard",
       (s, dir) => jaccardPairs(s, dir).orderBy(col("a_id"), col("b_id")),
-      Some("""WITH toks AS (
+      Some(s"""WITH toks AS (
           SELECT doc_id, string_split(text, ' ') AS arr FROM documents
           WHERE len(string_split(text, ' ')) >= 3),
         sh0 AS (
@@ -396,10 +417,11 @@ object Pipeline {
         nd AS (SELECT COUNT(*) AS n_docs FROM documents),
         hot AS (SELECT shingle FROM (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle) d, nd
                 WHERE CAST(d.df AS DOUBLE) > greatest(5.0, CAST(nd.n_docs AS DOUBLE) * 0.01)),
-        sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        sh AS (SELECT doc_id, ${duckMd560("shingle")} AS h FROM sh0
+               WHERE shingle NOT IN (SELECT shingle FROM hot)),
         sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
         pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
-               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
                GROUP BY 1, 2)
         SELECT a_id, b_id,
           CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
@@ -964,7 +986,7 @@ object Pipeline {
             when(col("doc_id") === col("comp"), 1).otherwise(0).as("is_kept"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH RECURSIVE toks AS (
+      Some(s"""WITH RECURSIVE toks AS (
           SELECT doc_id, string_split(text, ' ') AS arr FROM documents
           WHERE len(string_split(text, ' ')) >= 3),
         sh0 AS (
@@ -974,10 +996,11 @@ object Pipeline {
         nd AS (SELECT COUNT(*) AS n_docs FROM documents),
         hot AS (SELECT shingle FROM (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle) d, nd
                 WHERE CAST(d.df AS DOUBLE) > greatest(5.0, CAST(nd.n_docs AS DOUBLE) * 0.01)),
-        sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        sh AS (SELECT doc_id, ${duckMd560("shingle")} AS h FROM sh0
+               WHERE shingle NOT IN (SELECT shingle FROM hot)),
         sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
         pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
-               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
                GROUP BY 1, 2),
         pairs AS (
           SELECT a_id, b_id
@@ -1017,17 +1040,18 @@ object Pipeline {
     // small side and broadcasts at any realistic eval-set size. ----------
     QDef("p21_contamination",
       (s, dir) => {
-        val grams = docs(s, dir)
-          .select(col("doc_id"), split(col("text"), " ").as("arr"))
-          .filter(size(col("arr")) >= 3)
-          .select(col("doc_id"), explode(array_distinct(expr(
-            "transform(sequence(0, size(arr)-3), i -> concat_ws(' ', arr[i], arr[i+1], arr[i+2]))")))
-            .as("shingle"))
+        // contamination needs ALL distinct shingles per doc (no DF guard),
+        // which is exactly what the staged front stores before `shingles()`
+        // applies its filter — so this query re-reads the staged parquet
+        // instead of exploding the corpus a second time, and its joins key
+        // on the staged 8-byte hash (mirrored in the oracle) rather than
+        // the shingle string.
+        val grams = ShingleStage.load(s, dir).select(col("doc_id"), col("h"))
         val bench = grams.filter(col("doc_id") % 20 === 0)
-          .select(col("shingle")).distinct()
+          .select(col("h")).distinct()
         val cand = grams.filter(col("doc_id") % 20 =!= 0)
         val sz = cand.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-        val hits = cand.join(bench, "shingle")
+        val hits = cand.join(bench, "h")
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
         sz.join(hits, Seq("doc_id"), "left")
           .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
@@ -1037,18 +1061,19 @@ object Pipeline {
           .select(col("doc_id"), col("n_shingles"), col("n_hit"), col("contamination"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH toks AS (
+      Some(s"""WITH toks AS (
           SELECT doc_id, string_split(text, ' ') AS arr FROM documents
           WHERE len(string_split(text, ' ')) >= 3),
-        sh AS (
+        sh0 AS (
           SELECT doc_id, unnest(list_distinct(
             [arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] FOR i IN range(1, len(arr) - 1)])) AS shingle
           FROM toks),
-        bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+        sh AS (SELECT doc_id, ${duckMd560("shingle")} AS h FROM sh0),
+        bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 20 = 0),
         cand AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
         sz AS (SELECT doc_id, COUNT(*) AS n_shingles FROM cand GROUP BY 1),
         hits AS (SELECT doc_id, COUNT(*) AS n_hit FROM cand
-                 WHERE shingle IN (SELECT shingle FROM bench) GROUP BY 1)
+                 WHERE h IN (SELECT h FROM bench) GROUP BY 1)
         SELECT sz.doc_id, sz.n_shingles,
           CAST(COALESCE(hits.n_hit, 0) AS BIGINT) AS n_hit,
           CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / sz.n_shingles AS contamination
@@ -1235,9 +1260,9 @@ object Pipeline {
     // occurs in >= 2 distinct documents, reassemble the survivors in
     // order. One shuffle keyed on the span for the document-frequency
     // count, one left-anti join back, one groupBy(doc_id) to rebuild —
-    // all partial-aggregated. At 100 TB the span key would be
-    // xxhash64(seg) (8 bytes on the wire instead of the text); the
-    // oracle-visible version groups on the text so DuckDB can mirror it.
+    // all partial-aggregated. The span key on the wire is the
+    // engine-portable 60-bit md5 hash (8 bytes instead of the span text),
+    // mirrored in the oracle so the check stays hash-matched.
     QDef("p28_span_dedup",
       (s, dir) => {
         val segs = docs(s, dir)
@@ -1246,10 +1271,11 @@ object Pipeline {
             "transform(sequence(0, cast(ceil(size(a)/10.0) as int) - 1)," +
               " i -> concat_ws(' ', slice(a, i*10+1, 10)))"))
             .as(Seq("pos", "seg")))
-        val boiler = segs.groupBy(col("seg"))
+          .withColumn("hseg", md560(col("seg")))
+        val boiler = segs.groupBy(col("hseg"))
           .agg(countDistinct(col("doc_id")).as("df"))
-          .filter(col("df") >= 2).select(col("seg"))
-        val kept = segs.join(boiler, Seq("seg"), "left_anti")
+          .filter(col("df") >= 2).select(col("hseg"))
+        val kept = segs.join(boiler, Seq("hseg"), "left_anti")
         val rebuilt = kept.groupBy(col("doc_id")).agg(
           count(lit(1)).as("n_kept"),
           array_join(expr(
@@ -1262,17 +1288,18 @@ object Pipeline {
             coalesce(col("clean_text"), lit("")).as("clean_text"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH arr AS (
+      Some(s"""WITH arr AS (
           SELECT doc_id, string_split(text, ' ') AS a FROM documents),
-        segs AS (
+        segs0 AS (
           SELECT doc_id,
             unnest(range(0, CAST(ceil(len(a)/10.0) AS BIGINT))) AS pos,
             unnest([array_to_string(a[(i*10)+1:(i*10)+10], ' ')
               FOR i IN range(0, CAST(ceil(len(a)/10.0) AS BIGINT))]) AS seg
           FROM arr),
+        segs AS (SELECT doc_id, pos, seg, ${duckMd560("seg")} AS hseg FROM segs0),
         boiler AS (
-          SELECT seg FROM segs GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 2),
-        kept AS (SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM boiler)),
+          SELECT hseg FROM segs GROUP BY hseg HAVING COUNT(DISTINCT doc_id) >= 2),
+        kept AS (SELECT * FROM segs WHERE hseg NOT IN (SELECT hseg FROM boiler)),
         rebuilt AS (
           SELECT doc_id, COUNT(*) AS n_kept,
             string_agg(seg, ' ' ORDER BY pos) AS clean_text
@@ -1282,6 +1309,97 @@ object Pipeline {
           CAST(COALESCE(rebuilt.n_kept, 0) AS BIGINT) AS n_kept,
           COALESCE(rebuilt.clean_text, '') AS clean_text
         FROM counts LEFT JOIN rebuilt ON counts.doc_id = rebuilt.doc_id
-        ORDER BY counts.doc_id"""))
+        ORDER BY counts.doc_id""")),
+
+    // ---- BM25 relevance top-k (retrieval scoring for RAG / data
+    // selection). Scale shape: tf and dl are per-row array ops (no
+    // explode, no shuffle); N / avgdl / df all come from ONE tiny scalar
+    // aggregation that is broadcast back; the top-k is
+    // TakeOrderedAndProject (per-partition heap + driver merge), never a
+    // full sort. So the whole query is one corpus scan + one scalar
+    // reduction — the optimal 100 TB plan for this shape. Scores are
+    // computed in double with an expression mirrored TEXTUALLY in the
+    // oracle (same parenthesization -> same IEEE evaluation order), term
+    // contributions added in fixed order, and rounded to 6 dp; ordering is
+    // on the ROUNDED score so rank agrees across engines. ----------------
+    QDef("p29_bm25_topk",
+      (s, dir) => {
+        val terms = bm25Terms
+        val base = docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("arr"))
+          .withColumn("dl", size(col("arr")).cast("double"))
+        val tf = terms.map(t =>
+          expr(s"CAST(size(filter(arr, x -> x = '$t')) AS DOUBLE)").as(s"tf_$t"))
+        val withTf = base.select(col("doc_id") +: col("dl") +: tf: _*)
+        // dl and the tf/df counts are whole numbers: double sums over
+        // integers < 2^53 are exact, hence accumulation-order-independent
+        val stats = withTf.agg(
+          count(lit(1)).cast("double").as("n_docs"),
+          (sum(col("dl")) / count(lit(1))).as("avgdl") +:
+            terms.map(t =>
+              sum(when(col(s"tf_$t") > 0, 1.0).otherwise(0.0)).as(s"df_$t")): _*)
+        val scoreExpr = terms.map(t => bm25Term(s"tf_$t", s"df_$t")).mkString(" + ")
+        withTf.crossJoin(broadcast(stats))
+          .withColumn("score_r", round(expr(scoreExpr), 6))
+          .select(col("doc_id"), col("dl").cast("bigint").as("n_tokens"),
+            col("score_r"))
+          .orderBy(col("score_r").desc, col("doc_id"))
+          .limit(50)
+      },
+      Some(s"""WITH t AS (
+          SELECT doc_id, CAST(len(arr) AS DOUBLE) AS dl,
+            ${bm25Terms.map(t =>
+              s"CAST(len(list_filter(arr, x -> x = '$t')) AS DOUBLE) AS tf_$t")
+              .mkString(", ")}
+          FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)),
+        st AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) / COUNT(*) AS avgdl,
+            ${bm25Terms.map(t =>
+              s"SUM(CASE WHEN tf_$t > 0 THEN 1.0 ELSE 0.0 END) AS df_$t")
+              .mkString(", ")}
+          FROM t)
+        SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
+          round(${bm25Terms.map(t => bm25Term(s"tf_$t", s"df_$t")).mkString(" + ")}, 6) AS score_r
+        FROM t, st
+        ORDER BY score_r DESC, doc_id LIMIT 50""")),
+
+    // ---- int8 embedding quantization (symmetric, per-vector scale) —
+    // the standard compression step before ANN index build at scale;
+    // entirely per-row array math (no shuffle, embarrassingly parallel).
+    // Quantization uses floor(x/scale + 0.5) — explicit round-half-up —
+    // because round() semantics differ across engines; the dequantization
+    // RMSE folds in index order on both sides (sequential aggregate() in
+    // Spark, list_sum over an index comprehension in DuckDB). ------------
+    QDef("p30_embed_quantize",
+      (s, dir) => emb(s, dir)
+        .withColumn("scale", expr(
+          "aggregate(embedding, 0D, (m, x) -> greatest(m, abs(CAST(x AS DOUBLE)))) / 127.0"))
+        .withColumn("qv", expr(
+          """transform(embedding, x -> CASE WHEN scale = 0.0 THEN 0L
+             ELSE CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT) END)"""))
+        .withColumn("rmse_r", round(expr(
+          """sqrt(aggregate(sequence(0, size(embedding) - 1), 0D,
+               (acc, i) -> acc + pow(CAST(embedding[i] AS DOUBLE) - qv[i] * scale, 2))
+             / size(embedding))"""), 6))
+        .select(col("vec_id"), round(col("scale"), 6).as("scale_r"),
+          expr("array_join(transform(qv, x -> CAST(x AS STRING)), ',')").as("q_str"),
+          col("rmse_r"))
+        .orderBy(col("vec_id")),
+      Some("""WITH q AS (
+          SELECT vec_id, embedding,
+            list_max([abs(CAST(embedding[i] AS DOUBLE))
+              FOR i IN range(1, len(embedding) + 1)]) / 127.0 AS scale
+          FROM embeddings),
+        qq AS (
+          SELECT vec_id, embedding, scale,
+            [CASE WHEN scale = 0.0 THEN 0
+              ELSE CAST(floor(CAST(embedding[i] AS DOUBLE) / scale + 0.5) AS BIGINT) END
+              FOR i IN range(1, len(embedding) + 1)] AS qv
+          FROM q)
+        SELECT vec_id, round(scale, 6) AS scale_r,
+          array_to_string(qv, ',') AS q_str,
+          round(sqrt(list_sum([pow(CAST(embedding[i] AS DOUBLE) - qv[i] * scale, 2)
+            FOR i IN range(1, len(embedding) + 1)]) / len(embedding)), 6) AS rmse_r
+        FROM qq ORDER BY vec_id"""))
   )
 }

@@ -110,4 +110,22 @@ class PlanAssertionsSpec extends AnyFunSuite {
     val p = plan("p21_contamination")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("p29: BM25 is one scan + broadcast scalar stats + top-k, no full sort") {
+    val p = plan("p29_bm25_topk")
+    // the corpus-wide stats (N, avgdl, df) join back as a broadcast of a
+    // single row — never a shuffle join keyed on the corpus
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"stats must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for a join:\n$p")
+  }
+
+  test("p30: quantization is pure per-row math — no join, no aggregate shuffle") {
+    val p = plan("p30_embed_quantize")
+    assert(!p.contains("Join"), s"p30 must not join:\n$p")
+    assert(!p.contains("HashAggregate"), s"p30 must not aggregate:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"p30 expected at most the sort exchange, got $exchanges:\n$p")
+  }
 }
