@@ -27,4 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Catalyst generates one class set per (plan, exprIds); a long session
+  // (65+ bench queries, iterative loops) accumulates thousands of JIT'd
+  // generated classes. With the default 240m reserved code cache the JIT
+  // intermittently disables itself ("CodeCache is full") and hot task
+  // code runs INTERPRETED — observed as a bimodal bench where the same
+  // 418-task query burns 8x the CPU with 30x the GC. Reserve enough that
+  // flushing never races compilation.
+  "-XX:ReservedCodeCacheSize=512m",
 )

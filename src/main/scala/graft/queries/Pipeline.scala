@@ -174,27 +174,73 @@ object Pipeline {
     }
   }
 
-  /** Connected components over an undirected pair graph via Pregel-style
-    * min-label propagation, restricted to the edge-connected vertex set.
-    * Returns (doc_id, comp) for every vertex that appears in `pairs`.
+  /** Above this edge count the connected-components solve stays fully
+    * distributed; at or below it, the edge list is collected and solved
+    * with union-find on the driver. Near-dup pair graphs are tiny BY
+    * CONSTRUCTION (pairs already passed a similarity threshold), so the
+    * driver path is the common case even at corpus scale — 5M edges is
+    * ~80 MB driver RAM, while the distributed loop pays O(log diameter)
+    * full scheduling rounds. Override: -Dgraft.ccDriverMaxEdges. */
+  private def ccDriverMaxEdges: Long =
+    sys.props.get("graft.ccDriverMaxEdges").map(_.toLong).getOrElse(5000000L)
+
+  /** Connected components over an undirected pair graph, restricted to
+    * the edge-connected vertex set. Returns (doc_id, comp) for every
+    * vertex that appears in `pairs`, comp = min vertex id in the
+    * component.
     *
-    * Runs until the fixpoint, not to a fixed iteration count: min-label
-    * propagation needs O(graph diameter) rounds, and a chain-shaped
-    * near-dup family can have arbitrary diameter — a silent cap would
-    * return split components with no error. `maxIter` is a safety valve
-    * for genuinely pathological inputs and THROWS when hit, because a
-    * wrong clustering is worse than a failed query.
+    * Two physical strategies behind one contract:
+    *  - edge list <= `driverMaxEdges`: collect the pairs and run
+    *    union-find (path-halving) on the driver. One job, no iteration,
+    *    immune to scheduler/codegen variance — the right plan whenever
+    *    the thresholded pair graph fits in driver memory.
+    *  - larger graphs: Pregel-style min-label propagation + pointer
+    *    jumping, O(log diameter) rounds. Runs until the fixpoint, not to
+    *    a fixed iteration count — a silent cap would return split
+    *    components with no error; `maxIter` is a safety valve that
+    *    THROWS when hit, because a wrong clustering is worse than a
+    *    failed query.
     *
-    * Eager localCheckpoint per iteration, NOT persist: the checkpoint
-    * truncates lineage so iteration k analyzes a flat LogicalRDD plan
-    * instead of a depth-O(k) tree that AQE re-plans (and re-broadcasts)
-    * each round. The id diff releases exactly the previous iteration's
-    * blocks without touching anything a caller may have pinned. */
+    * Distributed path: eager localCheckpoint per iteration, NOT persist:
+    * the checkpoint truncates lineage so iteration k analyzes a flat
+    * LogicalRDD plan instead of a depth-O(k) tree that AQE re-plans
+    * (and re-broadcasts) each round. The id diff releases exactly the
+    * previous iteration's blocks without touching anything a caller may
+    * have pinned. */
   private[graft] def minLabelComponents(
-      s: SparkSession, pairs: DataFrame, maxIter: Int = 200): DataFrame = {
+      s: SparkSession, pairs: DataFrame, maxIter: Int = 200,
+      driverMaxEdges: Long = ccDriverMaxEdges): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val sc = s.sparkContext
     val p2 = pairs.toDF("a_id", "b_id")
+    val nPairs = p2.count()
+    if (nPairs <= driverMaxEdges) {
+      val rows = p2.collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) {
+          // path halving: point r at its grandparent as we walk
+          parent.put(r, parent.get(parent.get(r)))
+          r = parent.get(r)
+        }
+        r
+      }
+      rows.foreach { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          // union by min id keeps the root the component minimum, which
+          // is the same label the distributed fixpoint converges to
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+      parent.keySet().forEach(v => out += ((v, find(v))))
+      import s.implicits._
+      return out.toSeq.toDF("doc_id", "comp")
+    }
     val edges = p2
       .union(p2.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
@@ -585,7 +631,11 @@ object Pipeline {
     QDef("p05_knn_exact",
       (s, dir) => {
         guardExactBaseline(s, dir, "p05_knn_exact", "p06_knn_lsh / p16_knn_ivf")
+        // the candidate side broadcasts; parallelism comes from the
+        // streamed side's partitioning, and a single parquet file gives
+        // too few partitions to use the machine — spread the O(n^2) work
         val q = emb(s, dir).select(col("vec_id").as("qid"), col("embedding").as("qv"))
+          .repartition(s.sparkContext.defaultParallelism)
         val c = emb(s, dir).select(col("vec_id").as("cid"), col("embedding").as("cv"))
         val rn = Window.partitionBy(col("qid"))
           .orderBy(col("sim").desc, col("cid"))
@@ -818,7 +868,9 @@ object Pipeline {
     QDef("p14_embedding_neardup",
       (s, dir) => {
         guardExactBaseline(s, dir, "p14_embedding_neardup", "p06_knn_lsh")
+        // same parallelism spread as p05: the streamed side drives task count
         val a = emb(s, dir).select(col("vec_id").as("a_id"), col("embedding").as("av"))
+          .repartition(s.sparkContext.defaultParallelism)
         val b = emb(s, dir).select(col("vec_id").as("b_id"), col("embedding").as("bv"))
         a.crossJoin(b).filter(col("a_id") < col("b_id"))
           .withColumn("sim", expr("cosine_sim(av, bv)"))
@@ -1400,6 +1452,64 @@ object Pipeline {
           array_to_string(qv, ',') AS q_str,
           round(sqrt(list_sum([pow(CAST(embedding[i] AS DOUBLE) - qv[i] * scale, 2)
             FOR i IN range(1, len(embedding) + 1)]) / len(embedding)), 6) AS rmse_r
-        FROM qq ORDER BY vec_id"""))
+        FROM qq ORDER BY vec_id""")),
+
+    // ---- leakage-safe train/val split: the split key is the NEAR-DUP
+    // COMPONENT (p20's connected components), not the document, so a
+    // near-copy of a training document can never land in validation —
+    // the standard guard against eval contamination when training on a
+    // deduplicated-but-not-fully-pruned corpus. The side is decided by an
+    // engine-portable md5 byte of the component id (p24's trick), so any
+    // engine reproduces the identical split. Scale shape: everything is
+    // p20's machinery plus one per-row hash — no extra shuffle. ----------
+    QDef("p31_leakage_split",
+      (s, dir) => {
+        val fix = minLabelComponents(s,
+          jaccardPairs(s, dir).select(col("a_id"), col("b_id")))
+        docs(s, dir)
+          .select(col("doc_id"))
+          .join(fix.withColumnRenamed("comp", "edge_comp"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("edge_comp"), col("doc_id")).as("comp"))
+          .withColumn("u", (
+            (expr("instr('0123456789abcdef', substring(md5(cast(comp AS string)), 1, 1))") - 1) * 16 +
+              expr("instr('0123456789abcdef', substring(md5(cast(comp AS string)), 2, 1))") - 1) % 100)
+          .withColumn("split", when(col("u") < 10, lit("val")).otherwise(lit("train")))
+          .select(col("doc_id"), col("comp"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE toks AS (
+          SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+        sh0 AS (
+          SELECT doc_id, unnest(list_distinct(
+            [arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] FOR i IN range(1, len(arr) - 1)])) AS shingle
+          FROM toks),
+        nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        hot AS (SELECT shingle FROM (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle) d, nd
+                WHERE CAST(d.df AS DOUBLE) > greatest(5.0, CAST(nd.n_docs AS DOUBLE) * 0.01)),
+        sh AS (SELECT doc_id, ${duckMd560("shingle")} AS h FROM sh0
+               WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+               FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+        pairs AS (
+          SELECT a_id, b_id
+          FROM pr JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+        edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+                  UNION SELECT b_id, a_id FROM pairs),
+        reach(id, comp) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id),
+        comps AS (
+          SELECT id AS doc_id, CAST(MIN(comp) AS BIGINT) AS comp FROM reach GROUP BY id)
+        SELECT doc_id, comp,
+          CASE WHEN ((instr('0123456789abcdef', substr(md5(CAST(comp AS VARCHAR)), 1, 1)) - 1) * 16
+              + instr('0123456789abcdef', substr(md5(CAST(comp AS VARCHAR)), 2, 1)) - 1) % 100 < 10
+            THEN 'val' ELSE 'train' END AS split
+        FROM comps ORDER BY doc_id"""))
   )
 }
