@@ -72,9 +72,11 @@ object Pipeline {
           d
         case None => defaultRoot
       }
-    /** (doc_id, shingle, df) — distinct 3-token shingles per document plus
-      * each shingle's document frequency (a window count over the same
-      * hash-partitioning the downstream joins need). */
+    /** Distinct 3-token shingles per document plus each shingle's
+      * document frequency (a window count over the same hash-partitioning
+      * the downstream joins need). Schema: (doc_id, h, df) — h is the
+      * engine-portable 60-bit md5 of the shingle text; the text itself is
+      * dropped at staging. */
     def load(s: SparkSession, dir: String): DataFrame = {
       val path = synchronized {
         val canonical = new java.io.File(dir).getCanonicalPath
@@ -92,13 +94,14 @@ object Pipeline {
             .select(col("doc_id"), explode(array_distinct(expr(
               "transform(sequence(0, size(arr)-3), i -> concat_ws(' ', arr[i], arr[i+1], arr[i+2]))")))
               .as("shingle"))
-            // the engine-portable 60-bit hash is precomputed once here:
-            // consumers join/aggregate on the 8-byte `h` instead of the
-            // ~30-byte string, and p03 derives its whole signature family
-            // from it without touching md5 again
-            .withColumn("h", md560(col("shingle")))
+            // the shingle TEXT dies here: every consumer joins, groups and
+            // verifies on the engine-portable 60-bit hash (p03 derives its
+            // whole signature family from it), so the staged table carries
+            // 8 bytes per shingle instead of ~30 — the DF window's shuffle,
+            // the parquet files and every downstream scan shrink ~4x
+            .select(col("doc_id"), md560(col("shingle")).as("h"))
             .withColumn("df",
-              count(lit(1)).over(Window.partitionBy(col("shingle"))))
+              count(lit(1)).over(Window.partitionBy(col("h"))))
             // hash-repartition on doc_id before the write: the window's
             // shuffle output is size-coalesced by AQE into a handful of
             // skewed files, and every consumer's first (map-side-heaviest)
@@ -114,11 +117,6 @@ object Pipeline {
     }
   }
 
-  /** doc_id -> distinct 3-token shingles, the shared front of the n-gram /
-    * MinHash / contamination paths (staged once per input dir). */
-  private def rawShingles(s: SparkSession, dir: String): DataFrame =
-    ShingleStage.load(s, dir).select(col("doc_id"), col("shingle"))
-
   /** Shingles with a document-frequency guard: shingles present in more
     * than max(5, 1%) of documents are dropped before any self-join. A
     * shingle shared by k documents produces k² join rows — one viral
@@ -131,7 +129,7 @@ object Pipeline {
     val nDocs = docs(s, dir).count()
     ShingleStage.load(s, dir)
       .filter(col("df").cast("double") <= lit(math.max(5.0, nDocs * 0.01)))
-      .select(col("doc_id"), col("shingle"), col("h"))
+      .select(col("doc_id"), col("h"))
   }
 
   /** Engine-portable 60-bit hash: the first 15 hex chars of md5, parsed
@@ -461,10 +459,11 @@ object Pipeline {
             [arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] FOR i IN range(1, len(arr) - 1)])) AS shingle
           FROM toks),
         nd AS (SELECT COUNT(*) AS n_docs FROM documents),
-        hot AS (SELECT shingle FROM (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle) d, nd
+        sh1 AS (SELECT doc_id, ${duckMd560("shingle")} AS h FROM sh0),
+        hot AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM sh1 GROUP BY h) d, nd
                 WHERE CAST(d.df AS DOUBLE) > greatest(5.0, CAST(nd.n_docs AS DOUBLE) * 0.01)),
-        sh AS (SELECT doc_id, ${duckMd560("shingle")} AS h FROM sh0
-               WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        sh AS (SELECT doc_id, h FROM sh1
+               WHERE h NOT IN (SELECT h FROM hot)),
         sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
         pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
                FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
@@ -545,11 +544,12 @@ object Pipeline {
             [arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] FOR i IN range(1, len(arr) - 1)])) AS shingle
           FROM toks),
         nd AS (SELECT COUNT(*) AS n_docs FROM documents),
-        hot AS (SELECT shingle FROM (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle) d, nd
+        sh1 AS (SELECT doc_id, ${duckMd560("shingle")} AS h FROM sh0),
+        hot AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM sh1 GROUP BY h) d, nd
                 WHERE CAST(d.df AS DOUBLE) > greatest(5.0, CAST(nd.n_docs AS DOUBLE) * 0.01)),
-        sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        sh AS (SELECT doc_id, h FROM sh1 WHERE h NOT IN (SELECT h FROM hot)),
         hs31 AS (
-          SELECT doc_id, (${duckMd560("shingle")}) % 2147483647 AS h31 FROM sh),
+          SELECT doc_id, h % 2147483647 AS h31 FROM sh),
         coefs(i, a, b) AS (VALUES ${minhashCoef.zipWithIndex
             .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")}),
         sig AS (
@@ -561,7 +561,7 @@ object Pipeline {
         cand AS (
           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
           FROM band a JOIN band b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-        shh AS (SELECT doc_id, ${duckMd560("shingle")} AS hs FROM sh),
+        shh AS (SELECT doc_id, h AS hs FROM sh),
         sz AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY doc_id),
         inter AS (
           SELECT c.a_id, c.b_id, COUNT(*) AS inter
@@ -1046,10 +1046,11 @@ object Pipeline {
             [arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] FOR i IN range(1, len(arr) - 1)])) AS shingle
           FROM toks),
         nd AS (SELECT COUNT(*) AS n_docs FROM documents),
-        hot AS (SELECT shingle FROM (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle) d, nd
+        sh1 AS (SELECT doc_id, ${duckMd560("shingle")} AS h FROM sh0),
+        hot AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM sh1 GROUP BY h) d, nd
                 WHERE CAST(d.df AS DOUBLE) > greatest(5.0, CAST(nd.n_docs AS DOUBLE) * 0.01)),
-        sh AS (SELECT doc_id, ${duckMd560("shingle")} AS h FROM sh0
-               WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        sh AS (SELECT doc_id, h FROM sh1
+               WHERE h NOT IN (SELECT h FROM hot)),
         sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
         pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
                FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
@@ -1486,10 +1487,11 @@ object Pipeline {
             [arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] FOR i IN range(1, len(arr) - 1)])) AS shingle
           FROM toks),
         nd AS (SELECT COUNT(*) AS n_docs FROM documents),
-        hot AS (SELECT shingle FROM (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle) d, nd
+        sh1 AS (SELECT doc_id, ${duckMd560("shingle")} AS h FROM sh0),
+        hot AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM sh1 GROUP BY h) d, nd
                 WHERE CAST(d.df AS DOUBLE) > greatest(5.0, CAST(nd.n_docs AS DOUBLE) * 0.01)),
-        sh AS (SELECT doc_id, ${duckMd560("shingle")} AS h FROM sh0
-               WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        sh AS (SELECT doc_id, h FROM sh1
+               WHERE h NOT IN (SELECT h FROM hot)),
         sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
         pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
                FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id

@@ -11,7 +11,7 @@ class ShingleStageSpec extends SparkSpecBase {
     sys.props("graft.shingleStageDir") = dir.toString
     try {
       val df = queries.Pipeline.ShingleStage.load(spark, sf0001)
-      assert(df.columns.toSet == Set("doc_id", "shingle", "h", "df"))
+      assert(df.columns.toSet == Set("doc_id", "h", "df"))
       assert(df.count() > 0)
       val staged = dir.toFile.listFiles()
       assert(staged != null && staged.exists(_.getName.startsWith("sh_")),
