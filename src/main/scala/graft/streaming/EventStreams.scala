@@ -88,6 +88,21 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming NEAR-dup guard — the streaming form of the p04 SimHash
+    * batch operator: fingerprint = 64-bit SimHash over the token bag
+    * (order-independent, so shuffled/reordered near-copies collide where
+    * md5 would not), dedup state bounded by the watermark exactly like
+    * [[dedupStream]]. One 8-byte key per doc per watermark window in the
+    * state store; the fingerprint computation is a codegen'd per-row
+    * expression, so the stream pays no shuffle before the stateful op. */
+  def nearDedupStream(docs: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("simhash", expr(
+        "simhash64(transform(split(text, ' '), " +
+          "t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)))"))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("simhash")
+
   /** Stream-static enrichment join: each micro-batch of events joins a
     * static dimension table (e.g. a user/account dim re-read per batch at
     * its current snapshot). The static side is broadcast — no shuffle of

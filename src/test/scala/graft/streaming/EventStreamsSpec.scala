@@ -100,6 +100,30 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup drops token-reordered copies, keeps distinct docs") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // simhash64 comes from the session extensions; register for this spark
+    graft.functions.SnowflakeExtensions.register(spark)
+    val input = MemoryStream[(Timestamp, String)]
+    val docs = input.toDF().toDF("ts", "text")
+    val q = EventStreams.nearDedupStream(docs)
+      .writeStream.format("memory").queryName("neardedup")
+      .outputMode("append").start()
+    try {
+      // same token bag, different order: md5 differs, SimHash collides
+      input.addData(
+        (ts(0), "spark shuffles the hash join build side"),
+        (ts(1), "the hash join build side spark shuffles"),
+        (ts(2), "an entirely different document about vectors"))
+      q.processAllAvailable()
+      val texts = spark.sql("SELECT text FROM neardedup ORDER BY text")
+        .collect().map(_.getString(0)).toSeq
+      assert(texts.size == 2, texts)
+      assert(texts.contains("an entirely different document about vectors"), texts)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins a broadcast dimension per batch") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
