@@ -74,13 +74,23 @@ object Bench {
     // time it as its OWN entry (sorts first as p00_*) so the first
     // consumer's number is self-contained and per-query timings stay
     // comparable across rounds instead of order-dependent.
-    metrics.reset()
-    val stageT0 = System.nanoTime()
-    val stageErr = try { queries.Pipeline.ShingleStage.load(spark, sfDir); None: Option[String] }
-      catch { case e: Throwable =>
-        Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}") }
-    val stageEntry = ("p00_shingle_stage", (System.nanoTime() - stageT0) / 1e9, 0L,
-      stageErr, snapshotMetrics())
+    def stageEntry(name: String)(run: => Unit): (String, Double, Long, Option[String], String) = {
+      metrics.reset()
+      val t0 = System.nanoTime()
+      val err = try { run; None: Option[String] }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}") }
+      (name, (System.nanoTime() - t0) / 1e9, 0L, err, snapshotMetrics())
+    }
+    val stageEntries = Seq(
+      stageEntry("p00_shingle_stage") {
+        queries.Pipeline.ShingleStage.load(spark, sfDir); ()
+      },
+      // the near-dup pair table (p02's result, p20's edges, p31's basis)
+      // is likewise staged once; its cost is its own line
+      stageEntry("p00b_pair_stage") {
+        queries.Pipeline.PairStage.load(spark, sfDir); ()
+      })
     // Optional comma-separated allowlist (SPARK_GRAFT_ONLY=p05,p20) for
     // profiling individual queries / interaction effects; production runs
     // leave it unset and time everything.
@@ -119,7 +129,7 @@ object Bench {
           (-1L, Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")) }
       ((System.nanoTime() - t0) / 1e9, rows, err, snapshotMetrics())
     }
-    val results = stageEntry +: selected.map { case (name, fn) =>
+    val results = stageEntries ++ selected.map { case (name, fn) =>
       // This VM intermittently inflates OS-accounted task CPU time ~8-16x
       // for a minute at a time (identical plan/tasks/shuffle bytes, no GC
       // or code-cache anomaly — diagnosed as host-level contention, see

@@ -72,23 +72,36 @@ object Pipeline {
           d
         case None => defaultRoot
       }
-    /** Distinct 3-token shingles per document plus each shingle's
-      * document frequency (a window count over the same hash-partitioning
-      * the downstream joins need). Schema: (doc_id, h, df) — h is the
-      * engine-portable 60-bit md5 of the shingle text; the text itself is
-      * dropped at staging. */
-    def load(s: SparkSession, dir: String): DataFrame = {
+    /** Generic stage-once: build `df` lazily, write it as parquet under
+      * the staging root, hand every caller the columnar read. One staged
+      * copy per (tag, root, canonical input dir) per JVM. */
+    private[Pipeline] def stage(s: SparkSession, dir: String, tag: String)(
+        build: => DataFrame): DataFrame = {
       val path = synchronized {
         val canonical = new java.io.File(dir).getCanonicalPath
         val r = root
-        staged.getOrElseUpdate(s"$r|$canonical", {
+        staged.getOrElseUpdate(s"$tag|$r|$canonical", {
           // name derives from the input path, not an in-JVM counter, so an
           // explicit (cross-JVM) staging dir maps each input to a stable
           // location instead of colliding on sh_0
           val key = java.security.MessageDigest.getInstance("MD5")
             .digest(canonical.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-          val out = r.resolve(s"sh_$key").toString
-          docs(s, dir)
+          val out = r.resolve(s"${tag}_$key").toString
+          build.write.mode("overwrite").parquet(out)
+          out
+        })
+      }
+      s.read.parquet(path)
+    }
+
+    /** Distinct 3-token shingles per document plus each shingle's
+      * document frequency (a window count over the same hash-partitioning
+      * the downstream joins need). Schema: (doc_id, h, df) — h is the
+      * engine-portable 60-bit md5 of the shingle text; the text itself is
+      * dropped at staging. */
+    def load(s: SparkSession, dir: String): DataFrame =
+      stage(s, dir, "sh") {
+        docs(s, dir)
             .select(col("doc_id"), split(col("text"), " ").as("arr"))
             .filter(size(col("arr")) >= 3)
             .select(col("doc_id"), explode(array_distinct(expr(
@@ -109,12 +122,17 @@ object Pipeline {
             // keep the staged scan embarrassingly parallel at any scale.
             .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
               col("doc_id"))
-            .write.mode("overwrite").parquet(out)
-          out
-        })
       }
-      s.read.parquet(path)
-    }
+  }
+
+  /** Near-dup pair table (a_id < b_id, exact Jaccard >= 0.5) staged once
+    * per input dir — p02's result IS p20's edge set and p31's split basis,
+    * and the posting-list expansion behind it is the most expensive join
+    * in the suite; three consumers re-deriving it at 100 TB would triple
+    * the pipeline's dominant cost. Same lifecycle/root as [[ShingleStage]]. */
+  private[graft] object PairStage {
+    def load(s: SparkSession, dir: String): DataFrame =
+      ShingleStage.stage(s, dir, "pr")(buildJaccardPairs(s, dir))
   }
 
   /** Shingles with a document-frequency guard: shingles present in more
@@ -338,7 +356,10 @@ object Pipeline {
     * max(5, 1%·docs) entries, so the per-shingle expansion is O(cap²)
     * constant work — one shuffle on `shingle` total, versus the self-join's
     * two full shuffles of the exploded index plus the join itself. */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    PairStage.load(s, dir)
+
+  private def buildJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // the posting-list shuffle keys on the staged 60-bit hash, not the

@@ -56,15 +56,25 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("p02: staged shingle front — df-guard filter over the staged parquet, no cartesian") {
+  test("p02: reads the staged pair table — no explode, no window, no cartesian") {
+    // the shingle explode + DF guard + posting-list expansion all run ONCE
+    // at staging time; the query plan itself is a scan of the staged pair
+    // parquet plus the presentation sort
     val df = SparkEntry.queries("p02_dedup_ngram_jaccard")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
-    // the DF-guard window runs once at staging time; the query plan itself
-    // reads the staged parquet and applies the guard as a plain filter on
-    // the precomputed `df` column (pushed to the scan)
     assert(p.contains("Parquet"), s"staged parquet scan missing:\n$p")
-    assert(p.contains("df#"), s"df-guard filter missing:\n$p")
     assert(!p.contains("Window"), s"window should be staged, not inline:\n$p")
+    assert(!p.contains("Generate"), s"explode should be staged, not inline:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("pair staging build: df-guard filter over the staged shingle parquet, no cartesian") {
+    // the staging build itself must keep the guarded posting-list shape:
+    // a plain filter on the precomputed df column over the shingle
+    // parquet, pair expansion via grouped posting lists (never a
+    // cartesian or unguarded self-join)
+    val build = queries.Pipeline.PairStage.load(spark, dir)
+    val p = build.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p)
   }
 
