@@ -74,7 +74,14 @@ object Pipeline {
       }
     /** Generic stage-once: build `df` lazily, write it as parquet under
       * the staging root, hand every caller the columnar read. One staged
-      * copy per (tag, root, canonical input dir) per JVM. */
+      * copy per (tag, root, canonical input dir) per JVM — and, under an
+      * EXPLICIT `-Dgraft.shingleStageDir`, per root across JVMs: a staged
+      * table that already exists there (committed `_SUCCESS`) is reused
+      * rather than rebuilt, which is what makes the shared-filesystem
+      * deployment real — each pipeline stage of a multi-job run pays the
+      * explode/join once, not once per JVM. (Inputs are immutable parquet
+      * for the life of a run; an explicit staging dir carries its own
+      * retention policy, so deleting it is how you invalidate.) */
     private[Pipeline] def stage(s: SparkSession, dir: String, tag: String)(
         build: => DataFrame): DataFrame = {
       val path = synchronized {
@@ -86,13 +93,19 @@ object Pipeline {
           // location instead of colliding on sh_0
           val key = java.security.MessageDigest.getInstance("MD5")
             .digest(canonical.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-          val out = r.resolve(s"${tag}_$key").toString
-          build.write.mode("overwrite").parquet(out)
-          out
+          val out = r.resolve(s"${tag}_$key")
+          val committed = sys.props.contains("graft.shingleStageDir") &&
+            java.nio.file.Files.exists(out.resolve("_SUCCESS"))
+          if (!committed) build.write.mode("overwrite").parquet(out.toString)
+          out.toString
         })
       }
       s.read.parquet(path)
     }
+
+    /** Test hook: forget the in-JVM staging map (simulates a fresh JVM
+      * against the same staging root). */
+    private[graft] def resetForTest(): Unit = synchronized { staged.clear() }
 
     /** Distinct 3-token shingles per document plus each shingle's
       * document frequency (a window count over the same hash-partitioning

@@ -24,4 +24,27 @@ class ShingleStageSpec extends SparkSpecBase {
       rm(dir.toFile)
     }
   }
+
+  test("explicit staging dir is reused across JVMs, not rebuilt") {
+    val dir = java.nio.file.Files.createTempDirectory("shingle_reuse")
+    sys.props("graft.shingleStageDir") = dir.toString
+    try {
+      queries.Pipeline.ShingleStage.load(spark, sf0001).count()
+      val staged = dir.toFile.listFiles().filter(_.getName.startsWith("sh_"))
+      assert(staged.nonEmpty)
+      val before = staged.head.listFiles().map(f => f.getName -> f.lastModified()).toMap
+      // a fresh JVM has an empty staging map but sees the committed table
+      queries.Pipeline.ShingleStage.resetForTest()
+      queries.Pipeline.ShingleStage.load(spark, sf0001).count()
+      val after = staged.head.listFiles().map(f => f.getName -> f.lastModified()).toMap
+      assert(after == before, "staged table was rebuilt instead of reused")
+    } finally {
+      queries.Pipeline.ShingleStage.resetForTest()
+      sys.props -= "graft.shingleStageDir"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+  }
 }
