@@ -1546,6 +1546,69 @@ object Pipeline {
           CASE WHEN ((instr('0123456789abcdef', substr(md5(CAST(comp AS VARCHAR)), 1, 1)) - 1) * 16
               + instr('0123456789abcdef', substr(md5(CAST(comp AS VARCHAR)), 2, 1)) - 1) % 100 < 10
             THEN 'val' ELSE 'train' END AS split
-        FROM comps ORDER BY doc_id"""))
+        FROM comps ORDER BY doc_id""")),
+
+    // ---- SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    // at web-scale through semantic deduplication"): cluster the embedding
+    // space, then inside each cluster drop every vector that has a
+    // semantic near-copy (cosine >= 0.4, the p14 near-dup threshold) with a lower id. Scale shape:
+    // cluster assignment is one broadcast of k tiny centroids (p16's
+    // decimal-exact means, so the oracle reproduces them bit-for-bit) and
+    // the pair scan is quadratic ONLY within a cell — n²/k per cell by
+    // design, never a global self-join; that within-cluster restriction
+    // is the whole point of the method at web scale. ---------------------
+    QDef("p32_semdedup",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val cells = e
+          .select(col("label").as("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("cell"), col("pos"))
+          .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(16, 8)))
+            .cast("double") / count(lit(1))).as("c"))
+          .groupBy(col("cell"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> CAST(x.c AS FLOAT))")
+            .as("cv"))
+        val byVec = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
+        val assigned = e.select(col("vec_id"), col("embedding"))
+          .crossJoin(broadcast(cells))
+          .withColumn("csim", expr("cosine_sim(embedding, cv)"))
+          .withColumn("crank", row_number().over(byVec))
+          .filter(col("crank") === 1)
+          .select(col("vec_id"), col("cell"), col("embedding"))
+        val dropped = assigned.select(col("cell"), col("vec_id").as("a_id"), col("embedding").as("av"))
+          .join(assigned.select(col("cell"), col("vec_id").as("b_id"), col("embedding").as("bv")), "cell")
+          .filter(col("a_id") < col("b_id"))
+          .filter(expr("cosine_sim(av, bv)") >= 0.4)
+          .select(col("b_id").as("vec_id")).distinct()
+        assigned
+          .join(dropped.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell"),
+            when(col("hit").isNull, 1).otherwise(0).as("is_kept"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH cmeans AS (
+          SELECT label AS cell, CAST(i - 1 AS INTEGER) AS pos,
+            CAST(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(16,8))) AS DOUBLE) / COUNT(*) AS FLOAT) AS c
+          FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+          GROUP BY 1, 2),
+        cells AS (SELECT cell, list(c ORDER BY pos) AS cv FROM cmeans GROUP BY cell),
+        scored AS (
+          SELECT e.vec_id, e.embedding, c.cell,
+            ${duckCosine("e.embedding", "c.cv")} AS csim
+          FROM embeddings e CROSS JOIN cells c),
+        assigned AS (
+          SELECT vec_id, cell, embedding FROM (
+            SELECT vec_id, embedding, cell,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS crank
+            FROM scored) WHERE crank = 1),
+        dropped AS (
+          SELECT DISTINCT b.vec_id
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.4)
+        SELECT s.vec_id, s.cell,
+          CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_kept
+        FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+        ORDER BY s.vec_id"""))
   )
 }
