@@ -1609,6 +1609,62 @@ object Pipeline {
         SELECT s.vec_id, s.cell,
           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_kept
         FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
-        ORDER BY s.vec_id"""))
+        ORDER BY s.vec_id""")),
+
+    // ---- ordered funnel per user (MATCH_RECOGNIZE-lite): did the user's
+    // event history contain view -> click-after-view ->
+    // purchase-after-click, in that order? Each stage is a conditional
+    // MIN over the previous stage's timestamp (event_id tiebreak via the
+    // timestamp ordering), so the whole query is three partial-aggregated
+    // MINs + joins all keyed on user_id — ONE shuffle key end to end, no
+    // per-row state machine, no collect. ---------------------------------
+    QDef("p33_funnel",
+      (s, dir) => {
+        val se = t(s, dir, "events")
+          .withColumn("us", unix_micros(col("ts")))
+          .select(col("user_id"), col("event_type"), col("us"))
+        val v = se.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("us")).as("t_view"))
+        val c = se.join(v, "user_id")
+          .filter(col("event_type") === "click" && col("us") >= col("t_view"))
+          .groupBy(col("user_id")).agg(min(col("us")).as("t_click"))
+        val p = se.join(c, "user_id")
+          .filter(col("event_type") === "purchase" && col("us") >= col("t_click"))
+          .groupBy(col("user_id")).agg(min(col("us")).as("t_purchase"))
+        se.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+          .join(v, Seq("user_id"), "left")
+          .join(c, Seq("user_id"), "left")
+          .join(p, Seq("user_id"), "left")
+          .select(col("user_id"), col("n_events"),
+            // the stage timestamps are part of the output contract: they
+            // pin the conditional-MIN chain itself in the hash check, not
+            // just the (saturating) reached flags
+            col("t_view"), col("t_click"), col("t_purchase"),
+            (when(col("t_view").isNotNull, 1).otherwise(0) +
+              when(col("t_click").isNotNull, 1).otherwise(0) +
+              when(col("t_purchase").isNotNull, 1).otherwise(0)).as("funnel_depth"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH se AS (
+          SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        v AS (SELECT user_id, MIN(us) AS t_view FROM se
+              WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT se.user_id, MIN(se.us) AS t_click
+              FROM se JOIN v ON se.user_id = v.user_id
+              WHERE se.event_type = 'click' AND se.us >= v.t_view GROUP BY 1),
+        p AS (SELECT se.user_id, MIN(se.us) AS t_purchase
+              FROM se JOIN c ON se.user_id = c.user_id
+              WHERE se.event_type = 'purchase' AND se.us >= c.t_click GROUP BY 1),
+        base AS (SELECT user_id, COUNT(*) AS n_events FROM se GROUP BY 1)
+        SELECT base.user_id, base.n_events,
+          v.t_view, c.t_click, p.t_purchase,
+          CAST(CASE WHEN v.t_view IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS funnel_depth
+        FROM base
+        LEFT JOIN v ON base.user_id = v.user_id
+        LEFT JOIN c ON base.user_id = c.user_id
+        LEFT JOIN p ON base.user_id = p.user_id
+        ORDER BY base.user_id"""))
   )
 }
