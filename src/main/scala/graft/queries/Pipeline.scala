@@ -1665,6 +1665,73 @@ object Pipeline {
         LEFT JOIN v ON base.user_id = v.user_id
         LEFT JOIN c ON base.user_id = c.user_id
         LEFT JOIN p ON base.user_id = p.user_id
-        ORDER BY base.user_id"""))
+        ORDER BY base.user_id""")),
+
+    // ---- hard-negative mining (contrastive training data): for every
+    // vector, the top-3 most-similar vectors with a DIFFERENT label —
+    // the embeddings a contrastive loss most needs to push apart. Same
+    // scale shape as p16 (broadcast decimal-exact centroid cells, nprobe
+    // probing, no global pair shuffle); the label-differ filter rides
+    // the probe join, so negatives cost no more than neighbors. ----------
+    QDef("p34_hard_negatives",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val nprobe = 3
+        val cells = e
+          .select(col("label").as("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("cell"), col("pos"))
+          .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(16, 8)))
+            .cast("double") / count(lit(1))).as("c"))
+          .groupBy(col("cell"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> CAST(x.c AS FLOAT))")
+            .as("cv"))
+        val scored = e.select(col("vec_id"), col("label"), col("embedding"))
+          .crossJoin(broadcast(cells))
+          .withColumn("csim", expr("cosine_sim(embedding, cv)"))
+        val byCell = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
+        val ranked = scored.withColumn("crank", row_number().over(byCell))
+        val assigned = ranked.filter(col("crank") === 1)
+          .select(col("vec_id").as("cid"), col("label").as("clabel"),
+            col("cell"), col("embedding").as("cv2"))
+        val probes = ranked.filter(col("crank") <= nprobe)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("cell"), col("embedding").as("qv"))
+        val rn = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+        probes.join(assigned, "cell")
+          .filter(col("qlabel") =!= col("clabel"))
+          .withColumn("sim", expr("cosine_sim(qv, cv2)"))
+          .withColumn("rank", row_number().over(rn))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("cid").as("negative_id"), col("rank"),
+            round(col("sim"), 6).as("sim_r"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""WITH cmeans AS (
+          SELECT label AS cell, CAST(i - 1 AS INTEGER) AS pos,
+            CAST(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(16,8))) AS DOUBLE) / COUNT(*) AS FLOAT) AS c
+          FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+          GROUP BY 1, 2),
+        cells AS (SELECT cell, list(c ORDER BY pos) AS cv FROM cmeans GROUP BY cell),
+        scored AS (
+          SELECT e.vec_id, e.label, e.embedding, c.cell,
+            ${duckCosine("e.embedding", "c.cv")} AS csim
+          FROM embeddings e CROSS JOIN cells c),
+        cranked AS (
+          SELECT vec_id, label, embedding, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS crank
+          FROM scored),
+        assigned AS (SELECT vec_id AS cid, label AS clabel, cell, embedding AS cv2
+                     FROM cranked WHERE crank = 1),
+        probes AS (SELECT vec_id AS qid, label AS qlabel, cell, embedding AS qv
+                   FROM cranked WHERE crank <= 3),
+        sims AS (
+          SELECT p.qid, a.cid, ${duckCosine("p.qv", "a.cv2")} AS sim
+          FROM probes p JOIN assigned a ON p.cell = a.cell AND p.qlabel <> a.clabel),
+        ranked AS (
+          SELECT qid, cid, sim,
+            CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rank
+          FROM sims)
+        SELECT qid, cid AS negative_id, rank, round(sim, 6) AS sim_r
+        FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""))
   )
 }
