@@ -131,6 +131,15 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for a join:\n$p")
   }
 
+  test("p32/p34: centroid index broadcasts; no unbounded cartesian") {
+    Seq("p32_semdedup", "p34_hard_negatives").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        s"$q centroid index must broadcast:\n$p")
+    }
+  }
+
   test("p30: quantization is pure per-row math — no join, no aggregate shuffle") {
     val p = plan("p30_embed_quantize")
     assert(!p.contains("Join"), s"p30 must not join:\n$p")
