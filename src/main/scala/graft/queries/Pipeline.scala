@@ -82,7 +82,7 @@ object Pipeline {
       * explode/join once, not once per JVM. (Inputs are immutable parquet
       * for the life of a run; an explicit staging dir carries its own
       * retention policy, so deleting it is how you invalidate.) */
-    private[Pipeline] def stage(s: SparkSession, dir: String, tag: String)(
+    private[graft] def stage(s: SparkSession, dir: String, tag: String)(
         build: => DataFrame): DataFrame = {
       val path = synchronized {
         val canonical = new java.io.File(dir).getCanonicalPath
@@ -94,9 +94,31 @@ object Pipeline {
           val key = java.security.MessageDigest.getInstance("MD5")
             .digest(canonical.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
           val out = r.resolve(s"${tag}_$key")
-          val committed = sys.props.contains("graft.shingleStageDir") &&
-            java.nio.file.Files.exists(out.resolve("_SUCCESS"))
-          if (!committed) build.write.mode("overwrite").parquet(out.toString)
+          if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
+            // Concurrency-safe commit across JVMs sharing one staging root:
+            // build into a unique temp sibling, then atomically rename onto
+            // the final path (rename(2) — same filesystem by construction).
+            // Two racing builders each write their own temp dir; the first
+            // rename wins, the loser deletes its copy and reads the
+            // winner's. Readers only ever see a fully-committed table —
+            // never the torn state a concurrent write.mode(overwrite) into
+            // a shared path could expose.
+            val tmp = r.resolve(
+              s"$tag-$key.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+            build.write.mode("overwrite").parquet(tmp.toString)
+            try java.nio.file.Files.move(tmp, out,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            catch {
+              case _: java.nio.file.FileSystemException
+                  if java.nio.file.Files.exists(out.resolve("_SUCCESS")) =>
+                // lost the race: another builder committed first — its
+                // table is the one all readers share; discard ours
+                def rm(f: java.io.File): Unit = {
+                  Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+                }
+                rm(tmp.toFile)
+            }
+          }
           out.toString
         })
       }

@@ -25,6 +25,40 @@ class ShingleStageSpec extends SparkSpecBase {
     }
   }
 
+  test("commit is atomic: a builder that loses the cross-JVM race adopts the winner") {
+    // Simulates two JVMs that both miss the _SUCCESS check: while our
+    // build is in flight, the "other JVM" commits the final path. The
+    // loser must not clobber the committed table (the old
+    // write.mode(overwrite) bug) — it discards its temp copy and reads
+    // the winner's.
+    val dir = java.nio.file.Files.createTempDirectory("shingle_race")
+    sys.props("graft.shingleStageDir") = dir.toString
+    try {
+      import spark.implicits._
+      val canonical = new java.io.File(sf0001).getCanonicalPath
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(canonical.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val finalPath = dir.resolve(s"rc_$key")
+      val df = queries.Pipeline.ShingleStage.stage(spark, sf0001, "rc") {
+        // the racing JVM wins while we are still building
+        Seq((1L, "winner")).toDF("id", "who")
+          .write.mode("overwrite").parquet(finalPath.toString)
+        Seq((2L, "loser")).toDF("id", "who")
+      }
+      assert(df.select("who").as[String].collect().toSeq == Seq("winner"),
+        "loser overwrote the committed table")
+      val leftovers = dir.toFile.listFiles().filter(_.getName.contains(".tmp."))
+      assert(leftovers.isEmpty, s"temp build dirs not cleaned: ${leftovers.toSeq}")
+    } finally {
+      queries.Pipeline.ShingleStage.resetForTest()
+      sys.props -= "graft.shingleStageDir"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+  }
+
   test("explicit staging dir is reused across JVMs, not rebuilt") {
     val dir = java.nio.file.Files.createTempDirectory("shingle_reuse")
     sys.props("graft.shingleStageDir") = dir.toString
