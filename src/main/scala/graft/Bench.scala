@@ -90,6 +90,11 @@ object Bench {
       // is likewise staged once; its cost is its own line
       stageEntry("p00b_pair_stage") {
         queries.Pipeline.PairStage.load(spark, sfDir); ()
+      },
+      // the fitted k-means quantizer (p16/p32/p34's shared index) is
+      // likewise staged once; its fit cost is its own line
+      stageEntry("p00c_cell_stage") {
+        queries.Pipeline.CellStage.load(spark, sfDir); ()
       })
     // Optional comma-separated allowlist (SPARK_GRAFT_ONLY=p05,p20) for
     // profiling individual queries / interaction effects; production runs

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The staged k-means coarse quantizer (Pipeline.CellStage) — the scale
+  * properties the r6 verdict demanded of the similarity family:
+  *
+  *  1. the cell count is a FUNCTION OF n (max(16, ceil(sqrt(n))) by
+  *     default, `-Dgraft.ivfCells` to pin), not a constant derived from a
+  *     data column — so per-cell population shrinks relative to the corpus
+  *     as it grows instead of scaling linearly with it;
+  *  2. populations stay near-balanced (max <= 4 * n/k), which is what
+  *     bounds the within-cell quadratic work of p32 and the probe-join
+  *     fan-out of p16/p34;
+  *  3. the fit is deterministic — two independent fits produce the
+  *     identical index (the property the DuckDB oracle hash-match of
+  *     p36_kmeans_index certifies cross-engine).
+  */
+class KMeansCellsSpec extends SparkSpecBase {
+
+  private def pop(dir: String) = {
+    // p32's output carries each vector's assigned cell — the population
+    // view of the fitted index, via the public query surface
+    SparkEntry.queries("p32_semdedup")(spark, dir)
+      .groupBy(col("cell")).count()
+  }
+
+  test("cell count grows with n: k = max(16, ceil(sqrt(n)))") {
+    val n001 = Tables.load(spark, sf0001, "embeddings").count()
+    val n01 = Tables.load(spark, sf001, "embeddings").count()
+    val k001 = math.max(16, math.ceil(math.sqrt(n001.toDouble)).toInt)
+    val k01 = math.max(16, math.ceil(math.sqrt(n01.toDouble)).toInt)
+    val cells001 = queries.Pipeline.CellStage.load(spark, sf0001).count()
+    val cells01 = queries.Pipeline.CellStage.load(spark, sf001).count()
+    // every cell is seeded; a cell only drops if no vector chose it
+    assert(cells001 <= k001 && cells001 >= k001 / 2,
+      s"sf0.001: $cells001 cells for k=$k001")
+    assert(cells01 <= k01 && cells01 >= k01 / 2,
+      s"sf0.01: $cells01 cells for k=$k01")
+    assert(cells01 >= cells001,
+      s"cell count must not shrink as n grows: $cells001 -> $cells01")
+  }
+
+  test("per-cell population is bounded: max <= 4 * n/k") {
+    val n = Tables.load(spark, sf001, "embeddings").count()
+    val k = queries.Pipeline.CellStage.load(spark, sf001).count()
+    val maxPop = pop(sf001).agg(max(col("count"))).collect()(0).getLong(0)
+    assert(maxPop <= 4.0 * n / k,
+      s"unbalanced quantizer: max cell $maxPop vs bound ${4.0 * n / k} (n=$n k=$k)")
+  }
+
+  test("fit is deterministic: a re-fit reproduces the staged index exactly") {
+    val first = queries.Pipeline.CellStage.load(spark, sf0001)
+      .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "c")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getFloat(2))).toSet
+    // a fresh "JVM" (cleared staging map) against a fresh staging root
+    // re-runs the whole fit from scratch
+    val dir = java.nio.file.Files.createTempDirectory("kmeans_refit")
+    sys.props("graft.shingleStageDir") = dir.toString
+    try {
+      queries.Pipeline.ShingleStage.resetForTest()
+      val second = queries.Pipeline.CellStage.load(spark, sf0001)
+        .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "c")))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getFloat(2))).toSet
+      assert(first == second, "k-means fit is not deterministic")
+    } finally {
+      queries.Pipeline.ShingleStage.resetForTest()
+      sys.props -= "graft.shingleStageDir"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+  }
+
+  test("-Dgraft.ivfCells pins the cell count") {
+    val dir = java.nio.file.Files.createTempDirectory("kmeans_k8")
+    sys.props("graft.shingleStageDir") = dir.toString
+    sys.props("graft.ivfCells") = "8"
+    try {
+      queries.Pipeline.ShingleStage.resetForTest()
+      val cells = queries.Pipeline.CellStage.load(spark, sf0001).count()
+      assert(cells <= 8 && cells >= 4, s"expected ~8 pinned cells, got $cells")
+    } finally {
+      queries.Pipeline.ShingleStage.resetForTest()
+      sys.props -= "graft.ivfCells"
+      sys.props -= "graft.shingleStageDir"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+  }
+}
