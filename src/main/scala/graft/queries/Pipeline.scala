@@ -574,11 +574,35 @@ object Pipeline {
     * detail, the planes themselves are the contract, so the oracle can
     * hash-match instead of rows-only. */
   private val lshDim = 64
-  private val lshNumPlanes = 8
+  private val lshMaxPlanes = 24
+  private val lshTargetBucket = 64L
   private val lshPlanes: Array[Array[Float]] = {
     val rnd = new scala.util.Random(42)
-    Array.fill(lshNumPlanes)(Array.fill(lshDim)(if (rnd.nextBoolean()) 1.0f else -1.0f))
+    // sequential draws: the first 8 planes are bit-identical to the r6
+    // 8-plane family, so growing the pool only ADDS buckets at larger n
+    Array.fill(lshMaxPlanes)(Array.fill(lshDim)(if (rnd.nextBoolean()) 1.0f else -1.0f))
   }
+
+  /** Plane count for a corpus of n vectors — the r6 fix for the constant
+    * 256-bucket problem: enough hyperplanes that the expected bucket
+    * population n/2^np stays near [[lshTargetBucket]], i.e. np =
+    * ceil(log2(ceil(n/target))), floor 8, cap [[lshMaxPlanes]] (2^24 = 16M
+    * buckets at n = 1e9). Computed with INTEGER arithmetic only (count of
+    * p with 2^p < ceil-div(n, target)) so the JVM and the oracle SQL can
+    * never disagree the way float log2 around a power-of-two boundary
+    * could. `-Dgraft.lshPlanes` pins it. */
+  private[graft] def lshNumPlanes(n: Long): Int =
+    sys.props.get("graft.lshPlanes").map(_.toInt).getOrElse {
+      val m = (n + lshTargetBucket - 1) / lshTargetBucket
+      math.max(8, (0 until lshMaxPlanes).count(p => (1L << p) < m))
+    }
+
+  /** The same plane count as DuckDB SQL (a literal under -Dgraft.lshPlanes). */
+  private def duckLshNp: String =
+    sys.props.get("graft.lshPlanes").map(_.toInt.toString).getOrElse(
+      s"""greatest(8, CAST((SELECT COUNT(*) FROM range(0, $lshMaxPlanes) r(p)
+         |  WHERE (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
+         |    < ((SELECT COUNT(*) FROM embeddings) + ${lshTargetBucket - 1}) // $lshTargetBucket) AS INTEGER))""".stripMargin)
 
   /** DuckDB double-accumulation cosine over two float-list columns —
     * mirrors the CosineSimilarity kernel's index-order double loop. */
@@ -590,11 +614,14 @@ object Pipeline {
   /** The p06 bucket id as DuckDB SQL: sum over planes of 2^p when
     * dot(embedding, plane_p) > 0, with the plane rendered as a literal
     * double list — bit-identical to the Spark side's codegen'd
-    * dot_product > 0 test (both accumulate in double, index order). */
+    * dot_product > 0 test (both accumulate in double, index order). All
+    * [[lshMaxPlanes]] planes are rendered; each term is gated on
+    * `p < np.np` so the SQL adapts to the same n-derived plane count the
+    * Spark plan compiled in (the query must expose a one-row CTE `np`). */
   private def duckLshBucket(vec: String): String =
     lshPlanes.zipWithIndex.map { case (plane, p) =>
       val planeLit = plane.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
-      s"""(CASE WHEN list_sum([CAST($vec[i] AS DOUBLE) * ($planeLit)[i]
+      s"""(CASE WHEN $p < np.np AND list_sum([CAST($vec[i] AS DOUBLE) * ($planeLit)[i]
          |  FOR i IN range(1, len($vec) + 1)]) > 0 THEN ${1L << p} ELSE 0 END)""".stripMargin
     }.mkString(" + ")
 
@@ -843,10 +870,14 @@ object Pipeline {
     QDef("p06_knn_lsh",
       (s, dir) => {
         val e = emb(s, dir)
+        // plane count follows the corpus (np = ceil(log2(n/64)), floor 8):
+        // the count is one aggregate-pushdown scan, and the bucket space
+        // 2^np grows with n so expected bucket population stays ~64
+        val np = lshNumPlanes(e.count())
         // hyperplanes shipped as literal arrays -> dot products stay
         // codegen'd, no shuffle to compute buckets
         def bucketOf(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-          (0 until lshNumPlanes).map { p =>
+          (0 until np).map { p =>
             val plane = array(lshPlanes(p).toSeq.map(x => lit(x)): _*)
             when(call_function("dot_product", v, plane) > 0, lit(1L << p))
               .otherwise(lit(0L))
@@ -864,9 +895,10 @@ object Pipeline {
             round(col("sim"), 6).as("sim_r"))
           .orderBy(col("qid"), col("rank"))
       },
-      Some(s"""WITH buck AS (
+      Some(s"""WITH np AS (SELECT $duckLshNp AS np),
+        buck AS (
           SELECT vec_id, embedding, ${duckLshBucket("embedding")} AS bucket
-          FROM embeddings),
+          FROM embeddings, np),
         sims AS (
           SELECT a.vec_id AS qid, b.vec_id AS cid,
             ${duckCosine("a.embedding", "b.embedding")} AS sim
