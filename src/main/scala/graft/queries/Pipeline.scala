@@ -530,6 +530,15 @@ object Pipeline {
         col("pc.cell").as("cell"), col("pc.csim").as("csim")): _*)
   }
 
+  /** IVF probe width: how many nearest cells each query scores. Grows
+    * with the index (k/16, floor 3) so recall does not silently collapse
+    * as k follows the corpus — at k=23 (sf0.01) this is the r6 constant 3;
+    * at k=30k (n=1e9) it probes 1875 of 30k cells ≈ 6% of the corpus. */
+  private def ivfNprobe(k: Int): Int = math.max(3, k / 16)
+
+  /** The same probe width as DuckDB SQL over the kmeans `kk` CTE. */
+  private val duckNprobe = "greatest(3, kk.k // 16)"
+
   /** The k expression as DuckDB SQL — a literal when `-Dgraft.ivfCells`
     * pins it, else the same max(16, ceil(sqrt(n))) the Spark side uses. */
   private def duckKmeansK: String =
@@ -918,8 +927,8 @@ object Pipeline {
     QDef("p16_knn_ivf",
       (s, dir) => {
         val e = emb(s, dir)
-        val nprobe = 3
         val cells = CellStage.load(s, dir)
+        val nprobe = ivfNprobe(ivfK(e.count()))
         val top = nearestCells(e.select(col("vec_id"), col("embedding")), cells, nprobe)
         // membership = nearest cell; probe list = nprobe nearest cells
         val assigned = top.filter(col("crank") === 1)
@@ -946,7 +955,8 @@ object Pipeline {
             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS crank
           FROM scored),
         assigned AS (SELECT vec_id AS cid, cell, embedding AS cv2 FROM cranked WHERE crank = 1),
-        probes AS (SELECT vec_id AS qid, cell, embedding AS qv FROM cranked WHERE crank <= 3),
+        probes AS (SELECT vec_id AS qid, cell, embedding AS qv
+                   FROM cranked, kk WHERE crank <= $duckNprobe),
         sims AS (
           SELECT p.qid, a.cid, ${duckCosine("p.qv", "a.cv2")} AS sim
           FROM probes p JOIN assigned a ON p.cell = a.cell AND p.qid <> a.cid),
@@ -1818,8 +1828,8 @@ object Pipeline {
     QDef("p34_hard_negatives",
       (s, dir) => {
         val e = emb(s, dir)
-        val nprobe = 3
         val cells = CellStage.load(s, dir)
+        val nprobe = ivfNprobe(ivfK(e.count()))
         val top = nearestCells(
           e.select(col("vec_id"), col("label"), col("embedding")), cells, nprobe)
         val assigned = top.filter(col("crank") === 1)
@@ -1850,7 +1860,7 @@ object Pipeline {
         assigned AS (SELECT vec_id AS cid, label AS clabel, cell, embedding AS cv2
                      FROM cranked WHERE crank = 1),
         probes AS (SELECT vec_id AS qid, label AS qlabel, cell, embedding AS qv
-                   FROM cranked WHERE crank <= 3),
+                   FROM cranked, kk WHERE crank <= $duckNprobe),
         sims AS (
           SELECT p.qid, a.cid, ${duckCosine("p.qv", "a.cv2")} AS sim
           FROM probes p JOIN assigned a ON p.cell = a.cell AND p.qlabel <> a.clabel),
@@ -1860,6 +1870,86 @@ object Pipeline {
           FROM sims)
         SELECT qid, cid AS negative_id, rank, round(sim, 6) AS sim_r
         FROM ranked WHERE rank <= 3 ORDER BY qid, rank""")),
+
+    // ---- ANN recall@5: how many of the TRUE top-5 neighbors (p05 exact)
+    // each approximate index recovers — the quality number that separates
+    // "deterministic and oracle-exact" from "actually finds neighbors".
+    // One row per method. Runs the exact baseline, so it carries p05's
+    // scale guard: recall is measured at validation scale (sf0.01/sf0.1)
+    // and quoted in SCALE.md, never computed over the full corpus. All
+    // arithmetic is integer counts + one final double division. ----------
+    QDef("p35_ann_recall",
+      (s, dir) => {
+        def res(name: String) = defs.find(_.name == name).get.fn(s, dir)
+        val exact = res("p05_knn_exact").select(col("qid"), col("neighbor_id"))
+        val nq = exact.agg(countDistinct(col("qid")).as("n_queries"))
+        def row(method: String, name: String): DataFrame =
+          res(name).select(col("qid"), col("neighbor_id"))
+            .join(exact, Seq("qid", "neighbor_id"))
+            .agg(count(lit(1)).as("n_hits"))
+            .crossJoin(broadcast(nq))
+            .select(lit(method).as("method"), col("n_queries"), col("n_hits"),
+              round(col("n_hits").cast("double") / (col("n_queries") * 5.0), 6)
+                .as("recall_r"))
+        row("p06_lsh", "p06_knn_lsh")
+          .unionAll(row("p16_ivf", "p16_knn_ivf"))
+          .orderBy(col("method"))
+      },
+      Some(s"""WITH $duckKmeansCells,
+        esims AS (
+          SELECT a.vec_id AS qid, b.vec_id AS cid,
+            ${duckCosine("a.embedding", "b.embedding")} AS sim
+          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        eranked AS (
+          SELECT qid, cid,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+          FROM esims),
+        exact AS (SELECT qid, cid FROM eranked WHERE rank <= 5),
+        np AS (SELECT $duckLshNp AS np),
+        buck AS (
+          SELECT vec_id, embedding, ${duckLshBucket("embedding")} AS bucket
+          FROM embeddings, np),
+        lsims AS (
+          SELECT a.vec_id AS qid, b.vec_id AS cid,
+            ${duckCosine("a.embedding", "b.embedding")} AS sim
+          FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        lranked AS (
+          SELECT qid, cid,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+          FROM lsims),
+        lsh AS (SELECT qid, cid FROM lranked WHERE rank <= 5),
+        iscored AS (
+          SELECT e.vec_id, e.embedding, c.cell,
+            ${duckCosine("e.embedding", "c.cv")} AS csim
+          FROM embeddings e CROSS JOIN cells c),
+        icranked AS (
+          SELECT vec_id, embedding, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS crank
+          FROM iscored),
+        iassigned AS (SELECT vec_id AS cid, cell, embedding AS cv2 FROM icranked WHERE crank = 1),
+        iprobes AS (SELECT vec_id AS qid, cell, embedding AS qv
+                    FROM icranked, kk WHERE crank <= $duckNprobe),
+        isims AS (
+          SELECT p.qid, a.cid, ${duckCosine("p.qv", "a.cv2")} AS sim
+          FROM iprobes p JOIN iassigned a ON p.cell = a.cell AND p.qid <> a.cid),
+        iranked AS (
+          SELECT qid, cid,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+          FROM isims),
+        ivf AS (SELECT qid, cid FROM iranked WHERE rank <= 5),
+        nq AS (SELECT COUNT(DISTINCT qid) AS n_queries FROM exact)
+        SELECT 'p06_lsh' AS method, nq.n_queries,
+          (SELECT COUNT(*) FROM lsh l JOIN exact e ON l.qid = e.qid AND l.cid = e.cid) AS n_hits,
+          round((SELECT COUNT(*) FROM lsh l JOIN exact e ON l.qid = e.qid AND l.cid = e.cid)
+            / (nq.n_queries * 5.0), 6) AS recall_r
+        FROM nq
+        UNION ALL
+        SELECT 'p16_ivf' AS method, nq.n_queries,
+          (SELECT COUNT(*) FROM ivf l JOIN exact e ON l.qid = e.qid AND l.cid = e.cid) AS n_hits,
+          round((SELECT COUNT(*) FROM ivf l JOIN exact e ON l.qid = e.qid AND l.cid = e.cid)
+            / (nq.n_queries * 5.0), 6) AS recall_r
+        FROM nq
+        ORDER BY method""")),
 
     // ---- the fitted k-means coarse quantizer itself (CellStage), pinned
     // as a first-class verifiable artifact: one row per (cell, dimension)
