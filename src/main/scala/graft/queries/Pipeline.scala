@@ -1106,6 +1106,34 @@ object Pipeline {
       },
       None),
 
+    // ---- the deterministic half of the multimodal contract, promoted to
+    // a full hash-matched check: the stub codec's metadata (decodeStub —
+    // width/height from the first two payload bytes, frames from size) is
+    // a pure function of the bytes, so DuckDB reproduces it exactly. This
+    // pins the ENTIRE mapPartitions plumbing — schema, batch iteration,
+    // row shape — end to end; only real-codec output (p15) and the
+    // float32 feature accumulation stay rows-only, because those are
+    // genuinely engine-internal. -----------------------------------------
+    QDef("p15b_multimodal_stub",
+      (s, dir) => {
+        val media = docs(s, dir).select(
+          col("doc_id").as("media_id"),
+          col("text").cast("binary").as("payload"),
+          lit("text").as("media_type"))
+        graft.operators.Multimodal.decodeAndFeaturize(media)
+          .select(col("media_id"), col("n_bytes"), col("width"), col("height"),
+            col("n_frames"))
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id,
+        CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+        CAST(1 + CASE WHEN octet_length(CAST(text AS BLOB)) >= 1
+          THEN ascii(substr(text, 1, 1)) % 64 ELSE 0 END AS INTEGER) AS width,
+        CAST(1 + CASE WHEN octet_length(CAST(text AS BLOB)) >= 2
+          THEN ascii(substr(text, 2, 1)) % 64 ELSE 0 END AS INTEGER) AS height,
+        CAST(1 + octet_length(CAST(text AS BLOB)) // 4096 AS INTEGER) AS n_frames
+        FROM documents ORDER BY media_id""")),
+
     // ---- corpus filtering (C4-style): language whitelist + length band
     // + quality threshold, reported as per-source keep rates -------------
     QDef("p17_corpus_filter",
