@@ -76,6 +76,30 @@ object EventStreams {
       }
   }
 
+  /** EVENT-time gap sessionization — the streaming form of the batch p27
+    * operator (idle-gap boundary), via Spark's native `session_window`:
+    * a session extends while the next event's EVENT time falls within
+    * `gap` of the last, so replaying the same stream — any arrival order,
+    * any batching — yields the identical sessions. That determinism is
+    * exactly what [[sessionize]]'s processing-time timeout cannot promise
+    * in a production replay. The watermark bounds session state and
+    * closes sessions (append mode emits each session once, on close).
+    *
+    * Boundary note: `session_window` starts a NEW session when the gap is
+    * reached (diff >= gap); batch p27 breaks strictly after it
+    * (diff > gap). With microsecond timestamps, `gap + 1 microsecond`
+    * makes the two contracts identical — see the parity spec. */
+  def sessionizeByGap(events: DataFrame, gap: String = "30 minutes",
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("duration_us"))
+      .select(col("user_id"), col("session_window.start").as("w_start"),
+        col("n_events"), col("duration_us"))
+
   /** Streaming exact dedup for a document/event feed: drop rows whose
     * fingerprint was already seen, with state bounded by the watermark
     * (`dropDuplicatesWithinWatermark` evicts fingerprints older than the

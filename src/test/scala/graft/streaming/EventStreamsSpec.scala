@@ -79,6 +79,46 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("event-time gap sessions reproduce batch p27 exactly on the same data") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // the batch truth: p27's gap sessions over sf0.001 events
+    val batch = graft.SparkEntry.queries("p27_sessionize")(spark, "/root/testdata/sf0.001")
+      .select("user_id", "n_events", "duration_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    val events = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Event].collect().toSeq
+    val maxTs = events.map(_.ts.getTime).max
+    val input = MemoryStream[EventStreams.Event]
+    // gap + 1 microsecond: session_window breaks AT the gap, p27 strictly
+    // AFTER it; micro-resolution timestamps make these identical
+    val q = EventStreams.sessionizeByGap(input.toDF(),
+        gap = "1800000001 microseconds")
+      .writeStream.format("memory").queryName("gap_sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(events)
+      q.processAllAvailable()
+      // two sentinel batches push the watermark past every real session's
+      // end (watermark computed at batch N applies at batch N+1)
+      input.addData(EventStreams.Event(-1,
+        new Timestamp(maxTs + 3L * 3600 * 1000), -1, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(EventStreams.Event(-2,
+        new Timestamp(maxTs + 6L * 3600 * 1000), -1, "view", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT user_id, n_events, duration_us FROM gap_sessions WHERE user_id >= 0")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+      assert(streamed == batch,
+        s"stream/batch divergence: ${streamed.size} vs ${batch.size} sessions; " +
+          s"first diff: ${streamed.zip(batch).find(p => p._1 != p._2)}")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops repeated fingerprints within watermark") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
