@@ -169,7 +169,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val nErr = results.count(_._4.isDefined)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"details":$details,"errors":$nErr,"sf":"$sfDir"}""")
+    // the retry policy is part of the number's meaning: best-of-2 is a
+    // downward-biased estimator conditioned on a slow first draw, so any
+    // comparison against a single-shot baseline must know it was applied
+    // (discarded timings stay visible per query as secOther)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","policy":"best_of_2_when_first_errored_or_gt_2s","queries":$qs,"details":$details,"errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,9 +37,14 @@ object GraftSession {
     sys.props.get("spark.local.dir").orElse {
       val shm = new java.io.File("/dev/shm")
       if (shm.isDirectory && shm.canWrite) {
-        val d = new java.io.File(shm, "graft-local")
+        // per-user path: on a multi-user host a fixed name can be owned by
+        // someone else; and verify writability AFTER mkdirs — an
+        // unwritable scratch dir must fall back to Spark's java.io.tmpdir
+        // default, not fail the session at startup
+        val d = new java.io.File(shm,
+          s"graft-local-${sys.props.getOrElse("user.name", "anon")}")
         d.mkdirs()
-        Some(d.getAbsolutePath)
+        if (d.isDirectory && d.canWrite) Some(d.getAbsolutePath) else None
       } else None
     }
 

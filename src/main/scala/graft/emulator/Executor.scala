@@ -454,7 +454,11 @@ final class Executor(
   /** Character spans of '...' literals and "..." quoted identifiers, so
     * name rewrites can skip text the parser would treat as data. Doubled
     * quotes ('' / "") scan as two adjacent literals, which still lands
-    * every quoted character inside some span. */
+    * every quoted character inside some span. Inside single-quoted
+    * literals a backslash escapes the next character (Snowflake supports
+    * \\' — without the skip, 'it\'s x' would end the span at the escaped
+    * quote and flip quoted/unquoted classification for the rest of the
+    * statement); quoted identifiers have no backslash escapes. */
   private def quotedSpans(sql: String): IndexedSeq[(Int, Int)] = {
     val spans = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
     var i = 0
@@ -462,7 +466,10 @@ final class Executor(
       val c = sql.charAt(i)
       if (c == '\'' || c == '"') {
         val start = i; i += 1
-        while (i < sql.length && sql.charAt(i) != c) i += 1
+        while (i < sql.length && sql.charAt(i) != c) {
+          if (c == '\'' && sql.charAt(i) == '\\' && i + 1 < sql.length) i += 2
+          else i += 1
+        }
         spans += ((start, math.min(i, sql.length - 1)))
         i += 1
       } else i += 1

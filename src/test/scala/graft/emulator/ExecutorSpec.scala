@@ -966,6 +966,20 @@ class ExecutorSpec extends AnyFunSuite {
     assert(exec("SELECT COUNT(*) AS n FROM lit_st").rows.head.head == 1L)
   }
 
+  test("52b backslash-escaped quote does not end the literal span early") {
+    exec("CREATE TABLE esc_src (id INTEGER)")
+    exec("CREATE STREAM esc_st ON TABLE esc_src")
+    exec("INSERT INTO esc_src VALUES (1)")
+    assert(exec("SELECT COUNT(*) AS n FROM esc_st").rows.head.head == 1L)
+    // the \' must not end the span: esc_st here is still INSIDE the
+    // literal — before the fix the scanner closed the span at the escaped
+    // quote and the stream was wrongly rewritten and consumed
+    exec("CREATE TABLE esc_sink (note VARCHAR(50))")
+    exec("""INSERT INTO esc_sink SELECT 'don\'t touch esc_st' FROM esc_src""")
+    assert(exec("SELECT note FROM esc_sink").rows.head.head == "don't touch esc_st")
+    assert(exec("SELECT COUNT(*) AS n FROM esc_st").rows.head.head == 1L)
+  }
+
   test("53 SPLIT_TO_TABLE with a trailing keyword instead of an alias") {
     exec("CREATE TABLE stt_kw (id INTEGER, csv VARCHAR(50))")
     exec("INSERT INTO stt_kw VALUES (1, 'a b c'), (2, 'd e')")
