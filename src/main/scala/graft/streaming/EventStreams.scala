@@ -127,6 +127,32 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("simhash")
 
+  /** Stream-stream interval join (attribution): each purchase event
+    * joins the click(s) by the same user within the preceding
+    * `window` — the canonical conversion-attribution shape. Both sides
+    * carry watermarks and the join condition is a bounded event-time
+    * interval, so each side's join state is evicted once the other
+    * side's watermark passes the interval: the job runs indefinitely at
+    * constant memory. Inner matches emit as they arrive (no watermark
+    * wait); the shuffle keys on user_id on both sides. */
+  def attribute(clicks: DataFrame, purchases: DataFrame,
+      window: String = "30 minutes",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+        col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermarkDelay)
+    val p = purchases.select(col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("event_id").as("purchase_id"),
+        col("value"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    p.join(c, expr(
+        s"""c_user = p_user AND
+            click_ts <= purchase_ts AND
+            click_ts >= purchase_ts - INTERVAL $window"""))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("click_id"), col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   /** Stream-static enrichment join: each micro-batch of events joins a
     * static dimension table (e.g. a user/account dim re-read per batch at
     * its current snapshot). The static side is broadcast — no shuffle of

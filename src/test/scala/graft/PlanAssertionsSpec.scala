@@ -140,6 +140,21 @@ class PlanAssertionsSpec extends AnyFunSuite {
     }
   }
 
+  test("p16/p32/p34 read the STAGED k-means index; assignment has no window shuffle") {
+    // the fitted quantizer must come from CellStage's parquet (path
+    // contains the cl_ staging key), never be re-fit inline — and cell
+    // assignment is the zero-shuffle broadcast top-k: p32 (assignment
+    // only) must plan without ANY Window; the old explode+row_number
+    // shape would shuffle n*k rows (n^1.5 at k=sqrt(n))
+    Seq("p16_knn_ivf", "p32_semdedup", "p34_hard_negatives").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("cl_"), s"$q must scan the staged cl_ index:\n$p")
+    }
+    val p32 = plan("p32_semdedup")
+    assert(!p32.contains("Window"),
+      s"p32 assignment must not use a window (n*k shuffle):\n$p32")
+  }
+
   test("p30: quantization is pure per-row math — no join, no aggregate shuffle") {
     val p = plan("p30_embed_quantize")
     assert(!p.contains("Join"), s"p30 must not join:\n$p")

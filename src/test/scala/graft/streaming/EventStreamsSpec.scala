@@ -164,6 +164,31 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to in-window clicks") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[EventStreams.Event]
+    val purchases = MemoryStream[EventStreams.Event]
+    val q = EventStreams.attribute(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        EventStreams.Event(10, ts(0), 1, "click", 0.0),   // in window for p1
+        EventStreams.Event(11, Timestamp.valueOf("2024-01-01 09:00:00"),
+          3, "click", 0.0))                               // 70 min before p3: out
+      purchases.addData(
+        EventStreams.Event(20, ts(10), 1, "purchase", 9.99), // attributed to 10
+        EventStreams.Event(21, ts(10), 2, "purchase", 5.0),  // no click: dropped
+        EventStreams.Event(22, ts(10), 3, "purchase", 7.0))  // click too old
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, purchase_id, click_id, value FROM attrib").collect()
+      assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq == Seq((1L, 20L, 10L, 9.99)), rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins a broadcast dimension per batch") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
