@@ -482,14 +482,39 @@ object Pipeline {
       ShingleStage.stage(s, dir, "cl")(buildKmeansCells(s, dir))
   }
 
+  /** Fit-sample size: the k-means iterations train on at most
+    * max(p·k, 64·p) vectors, p = points-per-centroid (the FAISS-style
+    * training rule; default 256, `-Dgraft.kmeansFitPoints` — a JVM-start
+    * knob like the others, since the oracle SQL interpolates it at
+    * init). Below that corpus size the full corpus trains (so nothing
+    * changes at validation scale); above it, fitting costs k·m per round
+    * instead of k·n — at n = 1e9, k ≈ 32k that is a 123× cheaper fit,
+    * and the quantizer a sample that size trains is statistically the
+    * same index. Selection is a per-row hash-threshold filter
+    * (md560(vec_id) < (2⁶⁰ div n)·m) — fully parallel, no global sort,
+    * and integer-exact in both engines. */
+  private def kmeansFitPoints: Long =
+    sys.props.get("graft.kmeansFitPoints").map(_.toLong).getOrElse(256L)
+
+  private[graft] def kmeansFitSample(n: Long, k: Int): Long = {
+    val p = kmeansFitPoints
+    math.min(n, math.max(p * k, 64L * p))
+  }
+
   private def buildKmeansCells(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val k = ivfK(e.count())
+    val n = e.count()
+    val k = ivfK(n)
+    val m = kmeansFitSample(n, k)
+    val fit =
+      if (m >= n) e.select(col("vec_id"), col("embedding"))
+      else e.select(col("vec_id"), col("embedding"))
+        .filter(md560(col("vec_id").cast("string")) < lit((1L << 60) / n * m))
     var cent = e.select(col("vec_id").as("cell"), col("embedding").as("cv"))
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(k)
     for (_ <- 1 to kmeansIters) {
-      val assigned = nearestCells(e.select(col("vec_id"), col("embedding")), cent, 1)
+      val assigned = nearestCells(fit, cent, 1)
       cent = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
@@ -555,11 +580,21 @@ object Pipeline {
          |    SELECT vec_id AS cell, embedding AS cv,
          |      ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
          |    FROM embeddings),
-         |  cent0 AS (SELECT cell, cv FROM seedr, kk WHERE rn <= kk.k)""".stripMargin
+         |  cent0 AS (SELECT cell, cv FROM seedr, kk WHERE rn <= kk.k),
+         |  knn AS (SELECT COUNT(*) AS n FROM embeddings),
+         |  kmm AS (SELECT least(knn.n,
+         |            greatest(CAST($kmeansFitPoints AS BIGINT) * kk.k,
+         |                     ${64L * kmeansFitPoints})) AS m
+         |          FROM knn, kk),
+         |  kfit AS (
+         |    SELECT vec_id, embedding FROM embeddings, knn, kmm
+         |    WHERE kmm.m >= knn.n
+         |       OR ${duckMd560("CAST(vec_id AS VARCHAR)")}
+         |            < ((CAST(1 AS BIGINT) << 60) // knn.n) * kmm.m)""".stripMargin
     val iters = (1 to kmeansIters).map { it =>
       s"""  kscored$it AS (
          |    SELECT e.vec_id, e.embedding, c.cell, ${duckCosine("e.embedding", "c.cv")} AS csim
-         |    FROM embeddings e CROSS JOIN cent${it - 1} c),
+         |    FROM kfit e CROSS JOIN cent${it - 1} c),
          |  kasg$it AS (
          |    SELECT vec_id, embedding, cell FROM (
          |      SELECT vec_id, embedding, cell,

@@ -84,6 +84,41 @@ class KMeansCellsSpec extends SparkSpecBase {
     assert(np(64L * 1024 + 1) == 11)
   }
 
+  test("fit-sample rule: full corpus below max(p*k, 64p), bounded above it") {
+    val fs = queries.Pipeline.kmeansFitSample _
+    assert(fs(500L, 23) == 500L)          // validation scale: full corpus
+    assert(fs(5000L, 71) == 5000L)
+    assert(fs(100000L, 317) == 81152L)    // 256*317
+    assert(fs(1000000000L, 31623) == 256L * 31623) // 123x cheaper than n
+  }
+
+  test("sampled fit path (forced via kmeansFitPoints) still yields a full index") {
+    val dir = java.nio.file.Files.createTempDirectory("kmeans_sampled")
+    sys.props("graft.shingleStageDir") = dir.toString
+    sys.props("graft.ivfCells") = "8"
+    sys.props("graft.kmeansFitPoints") = "4" // m = max(32, 256) = 256 < n
+    try {
+      queries.Pipeline.ShingleStage.resetForTest()
+      val n = Tables.load(spark, sf001, "embeddings").count()
+      assert(queries.Pipeline.kmeansFitSample(n, 8) < n,
+        "test setup: sample must engage")
+      val cells = queries.Pipeline.CellStage.load(spark, sf001)
+      assert(cells.count() >= 4, "sampled fit lost most cells")
+      // the index fitted on a sample must still assign EVERY vector
+      val assigned = SparkEntry.queries("p32_semdedup")(spark, sf001)
+      assert(assigned.count() == n, "assignment must cover the full corpus")
+    } finally {
+      queries.Pipeline.ShingleStage.resetForTest()
+      sys.props -= "graft.kmeansFitPoints"
+      sys.props -= "graft.ivfCells"
+      sys.props -= "graft.shingleStageDir"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+  }
+
   test("-Dgraft.ivfCells pins the cell count") {
     val dir = java.nio.file.Files.createTempDirectory("kmeans_k8")
     sys.props("graft.shingleStageDir") = dir.toString
