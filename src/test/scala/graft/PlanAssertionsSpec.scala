@@ -155,6 +155,18 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"p32 assignment must not use a window (n*k shuffle):\n$p32")
   }
 
+  test("blanket invariant: NO query plans a CartesianProduct — not even the exact baselines") {
+    // the declared all-pairs baselines (p05/p14) cross-join, but with a
+    // broadcast side they plan as BroadcastNestedLoopJoin; an actual
+    // CartesianProduct (both sides shuffled full-cross) appearing in ANY
+    // of the 74 entries means a broadcast hint or size estimate
+    // regressed — the single worst plan shape at 100 TB
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val p = fn(spark, dir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct:\n$p")
+    }
+  }
+
   test("p30: quantization is pure per-row math — no join, no aggregate shuffle") {
     val p = plan("p30_embed_quantize")
     assert(!p.contains("Join"), s"p30 must not join:\n$p")
