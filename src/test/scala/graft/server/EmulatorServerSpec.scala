@@ -338,6 +338,55 @@ class EmulatorServerSpec extends AnyFunSuite {
     assert(scan.get("data").get("rowset").get(0).get(0).asText() == "2")
   }
 
+  test("concurrent sessions over real sockets: isolated DDL/DML + serialized shared-table writes") {
+    // the emulator's purpose is backing PARALLEL CI test suites: N
+    // clients with their own sessions must not corrupt each other
+    // (per-table locks serialize shared-table writers — the role the
+    // reference's connection manager plays, connection/manager.go:39-43)
+    def loginToken(): String = {
+      val (_, body) = post(
+        "/session/v1/login-request?databaseName=TEST_DB&schemaName=PUBLIC",
+        """{"data":{"LOGIN_NAME":"ccr","PASSWORD":"p"}}""")
+      body.get("data").get("token").asText()
+    }
+    def q(tok: String, sql: String) = {
+      val esc = sql.replace("\\", "\\\\").replace("\"", "\\\"")
+      val (_, body) = post("/queries/v1/query-request",
+        s"""{"sqlText":"$esc"}""",
+        Seq("Authorization" -> s"""Snowflake Token="$tok""""))
+      body
+    }
+    assert(q(token, "CREATE TABLE ccr_shared (id INTEGER)")
+      .get("success").asBoolean())
+    val nThreads = 6
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    val futures = (0 until nThreads).map { i =>
+      pool.submit(new Runnable {
+        def run(): Unit = try {
+          val tok = loginToken() // each worker is its own session
+          require(q(tok, s"CREATE TABLE ccr_t$i (id INTEGER)")
+            .get("success").asBoolean(), s"create ccr_t$i failed")
+          for (j <- 0 until 4) {
+            require(q(tok, s"INSERT INTO ccr_t$i VALUES ($j), (${j + 100})")
+              .get("success").asBoolean(), s"own insert $i/$j failed")
+            require(q(tok, s"INSERT INTO ccr_shared VALUES (${i * 100 + j})")
+              .get("success").asBoolean(), s"shared insert $i/$j failed")
+          }
+          val own = q(tok, s"SELECT COUNT(*) AS n FROM ccr_t$i")
+          val n = own.get("data").get("rowset").get(0).get(0).asText()
+          require(n == "8", s"ccr_t$i expected 8 rows, got $n")
+        } catch { case e: Throwable => errs.add(s"worker $i: ${e.getMessage}"); () }
+      })
+    }
+    futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(errs.isEmpty, errs.toArray.mkString("; "))
+    val total = q(token, "SELECT COUNT(*) AS n FROM ccr_shared")
+    assert(total.get("data").get("rowset").get(0).get(0).asText() ==
+      (nThreads * 4).toString, total)
+  }
+
   // --- wire-level pinning for the surface the reference lacks: streams,
   // time travel, CLONE, UNDROP each get one REST-v2 round-trip over a
   // real socket (the reference pins its whole surface the same way,
