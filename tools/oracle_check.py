@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Driver-style oracle compare: run each oracle_sql.json entry in DuckDB
+over the sf0.01 parquet tables, sort columns by name, compare values
+exactly against the Spark parquet dump in /tmp/verify_out/<name>/."""
+import duckdb, glob, json, os, sys
+import pandas as pd
+
+SF = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+OUT = os.environ.get("VERIFY_OUT", "/tmp/verify_out")
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    p = f"{SF}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+with open(f"{OUT}/oracle_sql.json") as f:
+    oracles = json.load(f)
+
+def canon(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+results = {}
+names = sorted(os.listdir(OUT))
+for name in names:
+    d = os.path.join(OUT, name)
+    if not os.path.isdir(d):
+        continue
+    files = glob.glob(f"{d}/*.parquet")
+    spark_df = pd.concat([pd.read_parquet(f) for f in files]) if files \
+        else pd.DataFrame()
+    sql = oracles.get(name)
+    if not sql:
+        results[name] = {"rows": len(spark_df), "oracle": None, "err": "no_oracle"}
+        continue
+    try:
+        odf = con.execute(sql).df()
+    except Exception as e:
+        results[name] = {"rows": len(spark_df), "oracle": None,
+                         "err": f"oracle_fail: {e}"}
+        continue
+    rows_match = len(spark_df) == len(odf)
+    schema_match = sorted(spark_df.columns) == sorted(odf.columns)
+    hash_match = False
+    if rows_match and schema_match:
+        a, b = canon(spark_df), canon(odf)
+        try:
+            # numeric tolerance-free compare like the driver: exact values
+            hash_match = a.equals(b)
+            if not hash_match:
+                # fall back to string-canonical compare (dtype mismatches
+                # like int32 vs int64 shouldn't fail the check)
+                hash_match = a.astype(str).equals(b.astype(str))
+        except Exception:
+            hash_match = False
+    results[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                     "hash_match": hash_match, "spark_rows": len(spark_df),
+                     "oracle_rows": len(odf)}
+
+bad = {k: v for k, v in results.items()
+       if v.get("err") not in (None, "no_oracle") or
+          (v.get("err") is None and not (v.get("rows_match") and
+           v.get("schema_match") and v.get("hash_match")))}
+print(json.dumps(results, indent=1))
+print(f"\n{len(results)} checked, {len(bad)} BAD", file=sys.stderr)
+if bad:
+    print(json.dumps(bad, indent=1), file=sys.stderr)
+    sys.exit(1)
