@@ -482,8 +482,17 @@ object Pipeline {
     * p00c line read the fitted index instead of re-fitting it — at 100 TB
     * re-fitting per query would triple the family's dominant cost. */
   private[graft] object CellStage {
-    def load(s: SparkSession, dir: String): DataFrame =
-      ShingleStage.stage(s, dir, "cl")(buildKmeansCells(s, dir))
+    def load(s: SparkSession, dir: String): DataFrame = {
+      // the fitted index depends on the index knobs, not just the
+      // corpus: bake them into the staging key so two runs sharing one
+      // staging root with different k / iteration / sample settings can
+      // never silently read each other's index
+      val params = s"${sys.props.getOrElse("graft.ivfCells", "auto")}" +
+        s"-$kmeansIters-$kmeansFitPoints"
+      val ph = java.security.MessageDigest.getInstance("MD5")
+        .digest(params.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      ShingleStage.stage(s, dir, s"cl$ph")(buildKmeansCells(s, dir))
+    }
   }
 
   /** Fit-sample size: the k-means iterations train on at most

@@ -119,6 +119,31 @@ class KMeansCellsSpec extends SparkSpecBase {
     }
   }
 
+  test("index knobs partition the staging key: pinned-k and default coexist in one root") {
+    val dir = java.nio.file.Files.createTempDirectory("kmeans_keys")
+    sys.props("graft.shingleStageDir") = dir.toString
+    try {
+      queries.Pipeline.ShingleStage.resetForTest()
+      val kDefault = queries.Pipeline.CellStage.load(spark, sf0001).count()
+      sys.props("graft.ivfCells") = "8"
+      // NO resetForTest: the changed knob alone must select a different
+      // staged table — a run must never read an index fitted with other
+      // parameters
+      val k8 = queries.Pipeline.CellStage.load(spark, sf0001).count()
+      assert(kDefault >= 16 && k8 <= 8, s"$kDefault / $k8")
+      val staged = dir.toFile.listFiles().count(_.getName.startsWith("cl"))
+      assert(staged == 2, s"expected 2 distinct staged indexes, got $staged")
+    } finally {
+      queries.Pipeline.ShingleStage.resetForTest()
+      sys.props -= "graft.ivfCells"
+      sys.props -= "graft.shingleStageDir"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+  }
+
   test("-Dgraft.ivfCells pins the cell count") {
     val dir = java.nio.file.Files.createTempDirectory("kmeans_k8")
     sys.props("graft.shingleStageDir") = dir.toString

@@ -148,7 +148,9 @@ class PlanAssertionsSpec extends AnyFunSuite {
     // shape would shuffle n*k rows (n^1.5 at k=sqrt(n))
     Seq("p16_knn_ivf", "p32_semdedup", "p34_hard_negatives").foreach { q =>
       val p = plan(q)
-      assert(p.contains("cl_"), s"$q must scan the staged cl_ index:\n$p")
+      // staged path is cl<param-hash>_<corpus-hash>
+      assert("cl[0-9a-f]{6}_".r.findFirstIn(p).isDefined,
+        s"$q must scan the staged cl index:\n$p")
     }
     val p32 = plan("p32_semdedup")
     assert(!p32.contains("Window"),
