@@ -603,7 +603,7 @@ object Pipeline {
          |    SELECT vec_id, embedding FROM embeddings, knn, kmm
          |    WHERE kmm.m >= knn.n
          |       OR ${duckMd560("CAST(vec_id AS VARCHAR)")}
-         |            < ((CAST(1 AS BIGINT) << 60) // knn.n) * kmm.m)""".stripMargin
+         |            < ((CAST(1 AS BIGINT) << 60) // greatest(knn.n, 1)) * kmm.m)""".stripMargin
     val iters = (1 to kmeansIters).map { it =>
       s"""  kscored$it AS (
          |    SELECT e.vec_id, e.embedding, c.cell, ${duckCosine("e.embedding", "c.cv")} AS csim
