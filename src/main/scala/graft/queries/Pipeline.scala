@@ -649,10 +649,15 @@ object Pipeline {
     * never disagree the way float log2 around a power-of-two boundary
     * could. `-Dgraft.lshPlanes` pins it. */
   private[graft] def lshNumPlanes(n: Long): Int =
-    sys.props.get("graft.lshPlanes").map(_.toInt).getOrElse {
-      val m = (n + lshTargetBucket - 1) / lshTargetBucket
-      math.max(8, (0 until lshMaxPlanes).count(p => (1L << p) < m))
-    }
+    sys.props.get("graft.lshPlanes")
+      // clamp to the rendered plane pool: the oracle gates exactly
+      // lshMaxPlanes literal terms, so a larger override must not send
+      // the Spark side past the array while the SQL silently ignores it
+      .map(v => math.min(lshMaxPlanes, math.max(1, v.toInt)))
+      .getOrElse {
+        val m = (n + lshTargetBucket - 1) / lshTargetBucket
+        math.max(8, (0 until lshMaxPlanes).count(p => (1L << p) < m))
+      }
 
   /** The signed-random-projection bucket id over the first `np` planes —
     * hyperplanes shipped as literal arrays so the dot products stay
@@ -665,9 +670,12 @@ object Pipeline {
         .otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** The same plane count as DuckDB SQL (a literal under -Dgraft.lshPlanes). */
+  /** The same plane count as DuckDB SQL (a literal under -Dgraft.lshPlanes,
+    * clamped identically to the Spark side). */
   private def duckLshNp: String =
-    sys.props.get("graft.lshPlanes").map(_.toInt.toString).getOrElse(
+    sys.props.get("graft.lshPlanes")
+      .map(v => math.min(lshMaxPlanes, math.max(1, v.toInt)).toString)
+      .getOrElse(
       s"""greatest(8, CAST((SELECT COUNT(*) FROM range(0, $lshMaxPlanes) r(p)
          |  WHERE (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
          |    < ((SELECT COUNT(*) FROM embeddings) + ${lshTargetBucket - 1}) // $lshTargetBucket) AS INTEGER))""".stripMargin)
