@@ -451,7 +451,7 @@ object Pipeline {
     * correctly-rounded IEEE ops, so the JVM and DuckDB compute the
     * identical k from the identical n. */
   private def ivfK(n: Long): Int =
-    sys.props.get("graft.ivfCells").map(_.toInt)
+    sys.props.get("graft.ivfCells").map(v => math.max(1, v.toInt))
       .getOrElse(math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
 
   /** Fixed k-means iteration count — part of the cross-engine contract
@@ -507,7 +507,8 @@ object Pipeline {
     * (md560(vec_id) < (2⁶⁰ div n)·m) — fully parallel, no global sort,
     * and integer-exact in both engines. */
   private def kmeansFitPoints: Long =
-    sys.props.get("graft.kmeansFitPoints").map(_.toLong).getOrElse(256L)
+    sys.props.get("graft.kmeansFitPoints")
+      .map(v => math.max(1L, v.toLong)).getOrElse(256L)
 
   private[graft] def kmeansFitSample(n: Long, k: Int): Long = {
     val p = kmeansFitPoints
@@ -580,7 +581,8 @@ object Pipeline {
   /** The k expression as DuckDB SQL — a literal when `-Dgraft.ivfCells`
     * pins it, else the same max(16, ceil(sqrt(n))) the Spark side uses. */
   private def duckKmeansK: String =
-    sys.props.get("graft.ivfCells").map(_.toInt.toString).getOrElse(
+    sys.props.get("graft.ivfCells")
+      .map(v => math.max(1, v.toInt).toString).getOrElse(
       "greatest(16, CAST(ceil(sqrt(CAST((SELECT COUNT(*) FROM embeddings) AS DOUBLE))) AS INTEGER))")
 
   /** The fitted k-means index as a DuckDB CTE chain mirroring
