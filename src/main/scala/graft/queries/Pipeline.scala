@@ -529,6 +529,10 @@ object Pipeline {
       .limit(k)
     for (_ <- 1 to kmeansIters) {
       val assigned = nearestCells(fit, cent, 1)
+      // eager localCheckpoint per round (the p20 trick): round i+1
+      // analyzes a flat k-row plan instead of a depth-i nested tree that
+      // Catalyst re-analyzes and re-broadcasts per level. State is k
+      // centroid rows — a few hundred KB at any k this engine fits.
       cent = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
@@ -537,6 +541,7 @@ object Pipeline {
         .groupBy(col("cell"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> CAST(x.c AS FLOAT))")
           .as("cv"))
+        .localCheckpoint(eager = true)
     }
     cent
   }
