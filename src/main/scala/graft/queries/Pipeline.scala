@@ -574,14 +574,22 @@ object Pipeline {
         col("pc.cell").as("cell"), col("pc.csim").as("csim")): _*)
   }
 
-  /** IVF probe width: how many nearest cells each query scores. Grows
-    * with the index (k/16, floor 3) so recall does not silently collapse
-    * as k follows the corpus — at k=23 (sf0.01) this is the r6 constant 3;
-    * at k=30k (n=1e9) it probes 1875 of 30k cells ≈ 6% of the corpus. */
-  private def ivfNprobe(k: Int): Int = math.max(3, k / 16)
+  /** IVF probe width: how many nearest cells each query scores — the
+    * recall/cost dial. Default grows with the index (k/16, floor 3) so
+    * recall does not silently collapse as k follows the corpus — at k=23
+    * (sf0.01) this is the r6 constant 3; at k=30k (n=1e9) it probes 1875
+    * of 30k cells ≈ 6% of the corpus. `-Dgraft.ivfNprobe` (JVM-start,
+    * mirrored into the oracle) pins it; the measured recall curve is in
+    * SCALE.md. */
+  private def ivfNprobe(k: Int): Int =
+    sys.props.get("graft.ivfNprobe").map(v => math.max(1, v.toInt))
+      .getOrElse(math.max(3, k / 16))
 
   /** The same probe width as DuckDB SQL over the kmeans `kk` CTE. */
-  private val duckNprobe = "greatest(3, kk.k // 16)"
+  private val duckNprobe: String =
+    sys.props.get("graft.ivfNprobe")
+      .map(v => math.max(1, v.toInt).toString)
+      .getOrElse("greatest(3, kk.k // 16)")
 
   /** The k expression as DuckDB SQL — a literal when `-Dgraft.ivfCells`
     * pins it, else the same max(16, ceil(sqrt(n))) the Spark side uses. */
