@@ -657,12 +657,17 @@ object Pipeline {
 
   /** Plane count for a corpus of n vectors — the r6 fix for the constant
     * 256-bucket problem: enough hyperplanes that the expected bucket
-    * population n/2^np stays near [[lshTargetBucket]], i.e. np =
-    * ceil(log2(ceil(n/target))), floor 8, cap [[lshMaxPlanes]] (2^24 = 16M
-    * buckets at n = 1e9). Computed with INTEGER arithmetic only (count of
-    * p with 2^p < ceil-div(n, target)) so the JVM and the oracle SQL can
-    * never disagree the way float log2 around a power-of-two boundary
-    * could. `-Dgraft.lshPlanes` pins it. */
+    * population n/2^np stays near [[lshTargetBucket]] at EVERY n, i.e.
+    * np = ceil(log2(ceil(n/target))), floor 2, cap [[lshMaxPlanes]]
+    * (2^24 = 16M buckets at n = 1e9). The floor is 2, not the r6
+    * constant 8: an 8-plane floor forces 256 buckets onto a 500-vector
+    * corpus (population ~2 — candidate generation starves, measured
+    * recall@5 of 0.018), contradicting the rule's own ~64 target; with
+    * the population held at ~64 the candidate budget is ~64·n pairs at
+    * any scale. Computed with INTEGER arithmetic only (count of p with
+    * 2^p < ceil-div(n, target)) so the JVM and the oracle SQL can never
+    * disagree the way float log2 around a power-of-two boundary could.
+    * `-Dgraft.lshPlanes` pins it. */
   private[graft] def lshNumPlanes(n: Long): Int =
     sys.props.get("graft.lshPlanes")
       // clamp to the rendered plane pool: the oracle gates exactly
@@ -671,7 +676,7 @@ object Pipeline {
       .map(v => math.min(lshMaxPlanes, math.max(1, v.toInt)))
       .getOrElse {
         val m = (n + lshTargetBucket - 1) / lshTargetBucket
-        math.max(8, (0 until lshMaxPlanes).count(p => (1L << p) < m))
+        math.max(2, (0 until lshMaxPlanes).count(p => (1L << p) < m))
       }
 
   /** The signed-random-projection bucket id over the first `np` planes —
@@ -691,7 +696,7 @@ object Pipeline {
     sys.props.get("graft.lshPlanes")
       .map(v => math.min(lshMaxPlanes, math.max(1, v.toInt)).toString)
       .getOrElse(
-      s"""greatest(8, CAST((SELECT COUNT(*) FROM range(0, $lshMaxPlanes) r(p)
+      s"""greatest(2, CAST((SELECT COUNT(*) FROM range(0, $lshMaxPlanes) r(p)
          |  WHERE (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
          |    < ((SELECT COUNT(*) FROM embeddings) + ${lshTargetBucket - 1}) // $lshTargetBucket) AS INTEGER))""".stripMargin)
 

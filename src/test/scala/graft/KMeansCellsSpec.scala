@@ -73,10 +73,10 @@ class KMeansCellsSpec extends SparkSpecBase {
     }
   }
 
-  test("p06 plane count grows with n: np = max(8, ceil(log2(ceil(n/64))))") {
+  test("p06 plane count tracks ~64 per bucket: np = max(2, ceil(log2(ceil(n/64))))") {
     val np = queries.Pipeline.lshNumPlanes _
-    assert(np(500L) == 8)      // test scales keep the r6 8-plane family
-    assert(np(5000L) == 8)
+    assert(np(500L) == 3)      // 8 buckets, population ~62
+    assert(np(2000L) == 5)     // 32 buckets
     assert(np(100000L) == 11)  // ceil(log2(ceil(1e5/64))) = ceil(log2(1563))
     assert(np(1000000000L) == 24) // capped at 16M buckets
     // exact power-of-two boundary: n/64 = 2^10 needs exactly 10 planes
