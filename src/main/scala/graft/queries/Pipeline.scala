@@ -966,9 +966,10 @@ object Pipeline {
     QDef("p06_knn_lsh",
       (s, dir) => {
         val e = emb(s, dir)
-        // plane count follows the corpus (np = ceil(log2(n/64)), floor 8):
+        // plane count follows the corpus (np = ceil(log2(n/64)), floor 2):
         // the count is one aggregate-pushdown scan, and the bucket space
-        // 2^np grows with n so expected bucket population stays ~64
+        // 2^np tracks n so expected bucket population stays ~64 at any
+        // scale — the candidate budget is ~64 per query by construction
         val np = lshNumPlanes(e.count())
         val q = e.select(col("vec_id").as("qid"), col("embedding").as("qv"),
           lshBucketCol(np, col("embedding")).as("bucket"))
