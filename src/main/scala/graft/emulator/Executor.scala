@@ -451,41 +451,6 @@ final class Executor(
     })
   }
 
-  /** Character spans of '...' literals and "..." quoted identifiers, so
-    * name rewrites can skip text the parser would treat as data. Doubled
-    * quotes ('' / "") scan as two adjacent literals, which still lands
-    * every quoted character inside some span. Inside single-quoted
-    * literals a backslash escapes the next character (Snowflake supports
-    * \\' — without the skip, 'it\'s x' would end the span at the escaped
-    * quote and flip quoted/unquoted classification for the rest of the
-    * statement); quoted identifiers have no backslash escapes. */
-  private def quotedSpans(sql: String): IndexedSeq[(Int, Int)] = {
-    val spans = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
-    var i = 0
-    while (i < sql.length) {
-      val c = sql.charAt(i)
-      if (c == '\'' || c == '"') {
-        val start = i; i += 1
-        while (i < sql.length && sql.charAt(i) != c) {
-          if (c == '\'' && sql.charAt(i) == '\\' && i + 1 < sql.length) i += 2
-          else i += 1
-        }
-        spans += ((start, math.min(i, sql.length - 1)))
-        i += 1
-      } else i += 1
-    }
-    spans.toIndexedSeq
-  }
-
-  /** True when `re` matches somewhere OUTSIDE every quoted span — a stream
-    * name inside a string literal is data, not a table reference, and must
-    * be neither rewritten nor consumed. */
-  private def mentionsOutsideQuotes(sql: String, re: scala.util.matching.Regex): Boolean = {
-    val spans = quotedSpans(sql)
-    re.findAllMatchIn(sql).exists(m =>
-      !spans.exists(s => m.start >= s._1 && m.start <= s._2))
-  }
-
   private def streamNameRe(name: String): scala.util.matching.Regex =
     ("""(?i)\b""" + java.util.regex.Pattern.quote(name) + """\b""").r
 
@@ -1573,6 +1538,42 @@ final class Executor(
 }
 
 object Executor {
+  /** Character spans of '...' literals and "..." quoted identifiers, so
+    * name rewrites can skip text the parser would treat as data. Doubled
+    * quotes ('' / "") scan as two adjacent literals, which still lands
+    * every quoted character inside some span. Inside single-quoted
+    * literals a backslash escapes the next character (Snowflake supports
+    * \\' — without the skip, 'it\'s x' would end the span at the escaped
+    * quote and flip quoted/unquoted classification for the rest of the
+    * statement); quoted identifiers have no backslash escapes. */
+  private[emulator] def quotedSpans(sql: String): IndexedSeq[(Int, Int)] = {
+    val spans = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"') {
+        val start = i; i += 1
+        while (i < sql.length && sql.charAt(i) != c) {
+          if (c == '\'' && sql.charAt(i) == '\\' && i + 1 < sql.length) i += 2
+          else i += 1
+        }
+        spans += ((start, math.min(i, sql.length - 1)))
+        i += 1
+      } else i += 1
+    }
+    spans.toIndexedSeq
+  }
+
+  /** True when `re` matches somewhere OUTSIDE every quoted span — a stream
+    * name inside a string literal is data, not a table reference, and must
+    * be neither rewritten nor consumed. */
+  private[emulator] def mentionsOutsideQuotes(sql: String, re: scala.util.matching.Regex): Boolean = {
+    val spans = Executor.quotedSpans(sql)
+    re.findAllMatchIn(sql).exists(m =>
+      !spans.exists(s => m.start >= s._1 && m.start <= s._2))
+  }
+
+
   /** Per-statement execution context: the session's identity and current
     * database/schema drive name resolution; `onUse` lets USE statements
     * update the owning session. */

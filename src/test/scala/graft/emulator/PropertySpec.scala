@@ -106,6 +106,30 @@ class PropertySpec extends AnyFunSuite {
 
   // ---- type mapper ---------------------------------------------------
 
+  test("quoted spans: a marker inside any well-formed literal is never seen as code") {
+    // literal interiors built from atomic units — plain chars, escaped
+    // quote \', escaped backslash \\, doubled quote '' — so the scanner
+    // faces every escape shape; the marker must always land inside a
+    // span, and the same marker appended OUTSIDE must always be found
+    val unit = Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString), Gen.const(" "),
+      Gen.const("\\'"), Gen.const("\\\\"), Gen.const("''"))
+    val content = Gen.listOf(unit).map(_.mkString)
+    val plain = Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const(' ')))
+      .map(_.mkString.replaceAll("(?i)streamx", "x"))
+    val gen = for {
+      n <- Gen.choose(1, 4)
+      parts <- Gen.listOfN(n, Gen.zip(plain, content))
+    } yield parts.map { case (p, c) => s"$p 'STREAMX $c' " }
+      .mkString("SELECT ", "", "FROM t")
+    val re = """(?i)\bSTREAMX\b""".r
+    check(Prop.forAll(gen) { sql =>
+      val inside = !Executor.mentionsOutsideQuotes(sql, re)
+      val outside = Executor.mentionsOutsideQuotes(sql + " JOIN STREAMX", re)
+      inside && outside
+    })
+  }
+
   test("type mapper: every snowflake type round-trips to a snowflake name") {
     val types = Gen.oneOf("NUMBER(10,2)", "DECIMAL(5,1)", "INT", "BIGINT",
       "FLOAT", "DOUBLE", "VARCHAR(100)", "TEXT", "BOOLEAN", "DATE",
