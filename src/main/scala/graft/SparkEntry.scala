@@ -10,7 +10,9 @@ import graft.{queries => gq}
   */
 object SparkEntry {
 
-  private val allDefs: Seq[gq.QDef] =
+  // def, not val: Pipeline.defs re-reads the index knobs per access so the
+  // Spark closures and the oracle strings always observe the same values
+  private def allDefs: Seq[gq.QDef] =
     Relational.defs ++ Dml.defs ++ Pipeline.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

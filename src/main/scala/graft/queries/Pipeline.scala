@@ -94,7 +94,23 @@ object Pipeline {
           val key = java.security.MessageDigest.getInstance("MD5")
             .digest(canonical.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
           val out = r.resolve(s"${tag}_$key")
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
           if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
+            // Repair paths before building: a final dir WITHOUT _SUCCESS is
+            // torn state (a crash mid-commit, or a pre-atomic-commit
+            // leftover) — the rename below would refuse to replace it, so
+            // delete it now. Orphan temp siblings from builders that died
+            // after writing are likewise swept, but only when old enough
+            // (>10 min) that they cannot be a LIVE concurrent builder's
+            // in-progress copy — deleting a racing builder's tmp mid-write
+            // would fail its build for no gain.
+            if (java.nio.file.Files.exists(out)) rm(out.toFile)
+            val cutoff = System.currentTimeMillis() - 10L * 60 * 1000
+            Option(r.toFile.listFiles()).foreach(_.filter(f =>
+              f.getName.startsWith(s"$tag-$key.tmp.") &&
+                f.lastModified() < cutoff).foreach(rm))
             // Concurrency-safe commit across JVMs sharing one staging root:
             // build into a unique temp sibling, then atomically rename onto
             // the final path (rename(2) — same filesystem by construction).
@@ -113,10 +129,21 @@ object Pipeline {
                   if java.nio.file.Files.exists(out.resolve("_SUCCESS")) =>
                 // lost the race: another builder committed first — its
                 // table is the one all readers share; discard ours
-                def rm(f: java.io.File): Unit = {
-                  Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-                }
                 rm(tmp.toFile)
+              case _: java.nio.file.FileSystemException
+                  if !java.nio.file.Files.exists(out.resolve("_SUCCESS")) =>
+                // a racing builder re-created torn state (or the repair
+                // above raced a crash): clear the stale target and retry
+                // the rename once; if THAT loses to a real commit, read
+                // the winner's table
+                if (java.nio.file.Files.exists(out)) rm(out.toFile)
+                try java.nio.file.Files.move(tmp, out,
+                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                catch {
+                  case _: java.nio.file.FileSystemException
+                      if java.nio.file.Files.exists(out.resolve("_SUCCESS")) =>
+                    rm(tmp.toFile)
+                }
             }
           }
           out.toString
@@ -461,7 +488,7 @@ object Pipeline {
     * rounds beyond 4 changed recall by <0.2 pt (converged), while 4 vs 2
     * bought +1.4 pt IVF recall@5 and +3.4 pt near-dup cell colocation —
     * and the fit is a bounded-sample, staged, once-per-corpus cost. */
-  private val kmeansIters: Int =
+  private def kmeansIters: Int =
     sys.props.get("graft.kmeansIters").map(_.toInt).getOrElse(4)
 
   /** The fitted coarse quantizer shared by p16 (IVF ANN), p32 (SemDeDup)
@@ -546,6 +573,22 @@ object Pipeline {
     cent
   }
 
+  /** Array-sort comparator `(sim desc, id asc)` with EXPLICIT NaN
+    * handling: NaN ranks as the GREATEST similarity, exactly like the
+    * oracle's `ORDER BY sim DESC` (DuckDB orders NaN above +inf). Without
+    * the isnan branches both `>` and `<` are false for NaN and the
+    * comparator would fall through to the id tiebreak — a zero-norm
+    * vector (cosine 0/0 = NaN) would silently diverge the two engines.
+    * Explicit comparator rather than a sort on negated doubles, so
+    * -0.0/0.0 ordering can never diverge from ROW_NUMBER's either. */
+  private def simDescCmp(sim: String, id: String): String =
+    s"""(l, r) -> CASE WHEN isnan(l.$sim) AND NOT isnan(r.$sim) THEN -1
+                       WHEN isnan(r.$sim) AND NOT isnan(l.$sim) THEN 1
+                       WHEN l.$sim > r.$sim THEN -1
+                       WHEN l.$sim < r.$sim THEN 1
+                       WHEN l.$id < r.$id THEN -1
+                       WHEN l.$id > r.$id THEN 1 ELSE 0 END"""
+
   /** For every row of `e` (any columns + `embedding`), its `kTop` nearest
     * cells of the fitted index, as extra columns (crank 1..kTop, cell,
     * csim) — computed with ZERO shuffle: the whole index collapses to ONE
@@ -553,9 +596,7 @@ object Pipeline {
     * per-row top-k is a bounded sort of a k-element array. The previous
     * shape (explode to n*k rows + row_number window) shuffled n*k rows —
     * with k = sqrt(n) that is an n^1.5 shuffle, the thing that would
-    * actually die at 100 TB. The comparator is explicit (csim desc, cell
-    * asc) rather than a sort on negated doubles, so -0.0/0.0 ordering
-    * can never diverge from the oracle's ROW_NUMBER tie-break. */
+    * actually die at 100 TB. */
   private def nearestCells(e: DataFrame, cells: DataFrame, kTop: Int): DataFrame = {
     val idx = cells.groupBy().agg(collect_list(struct(col("cell"), col("cv"))).as("idx"))
     val keep = e.columns.map(col).toSeq
@@ -565,10 +606,7 @@ object Pipeline {
               array_sort(
                 transform(idx, c -> named_struct(
                   'csim', cosine_sim(embedding, c.cv), 'cell', c.cell)),
-                (l, r) -> CASE WHEN l.csim > r.csim THEN -1
-                               WHEN l.csim < r.csim THEN 1
-                               WHEN l.cell < r.cell THEN -1
-                               WHEN l.cell > r.cell THEN 1 ELSE 0 END),
+                ${simDescCmp("csim", "cell")}),
               1, $kTop)""")).as(Seq("crank0", "pc")): _*)
       .select(keep ++ Seq((col("crank0") + 1).cast("int").as("crank"),
         col("pc.cell").as("cell"), col("pc.csim").as("csim")): _*)
@@ -586,7 +624,7 @@ object Pipeline {
       .getOrElse(math.max(3, k / 16))
 
   /** The same probe width as DuckDB SQL over the kmeans `kk` CTE. */
-  private val duckNprobe: String =
+  private def duckNprobe: String =
     sys.props.get("graft.ivfNprobe")
       .map(v => math.max(1, v.toInt).toString)
       .getOrElse("greatest(3, kk.k // 16)")
@@ -736,7 +774,13 @@ object Pipeline {
        |    / ($tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
        |  ELSE 0.0 END)""".stripMargin
 
-  val defs: Seq[QDef] = Seq(
+  /** A `def`, not a `val`: the oracle strings interpolate the index knobs
+    * (graft.ivfCells / ivfNprobe / kmeansIters / lshPlanes / ...) when the
+    * Seq is BUILT, while the Spark closures read the same sys.props when
+    * they RUN. Rebuilding the Seq per access keeps the two reads at the
+    * same instant, so a knob set programmatically after Pipeline
+    * class-init can never diverge the Spark plan from the oracle SQL. */
+  def defs: Seq[QDef] = Seq(
 
     // ---- exact dedup: hash-groupBy, keep lowest doc_id. The group key
     // is the 128-bit md5 fingerprint, not the document text: at 100 TB
@@ -1205,14 +1249,23 @@ object Pipeline {
             col("n_frames"))
           .orderBy(col("media_id"))
       },
-      Some("""SELECT doc_id AS media_id,
-        CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
-        CAST(1 + CASE WHEN octet_length(CAST(text AS BLOB)) >= 1
-          THEN ascii(substr(text, 1, 1)) % 64 ELSE 0 END AS INTEGER) AS width,
-        CAST(1 + CASE WHEN octet_length(CAST(text AS BLOB)) >= 2
-          THEN ascii(substr(text, 2, 1)) % 64 ELSE 0 END AS INTEGER) AS height,
-        CAST(1 + octet_length(CAST(text AS BLOB)) // 4096 AS INTEGER) AS n_frames
-        FROM documents ORDER BY media_id""")),
+      // encode() is DuckDB's VARCHAR -> UTF-8 BLOB (CAST errors on
+      // non-ASCII); hex() + '0x' cast extracts the first two RAW BYTES,
+      // matching decodeStub's payload(0)/payload(1) & 0x3F exactly even
+      // when the first character is multi-byte. NULL text maps to the
+      // stub's empty payload (n_bytes 0, width/height/frames 1).
+      Some("""WITH hx AS (
+          SELECT doc_id, hex(encode(text)) AS h,
+            COALESCE(octet_length(encode(text)), 0) AS nb
+          FROM documents)
+        SELECT doc_id AS media_id,
+          CAST(nb AS INTEGER) AS n_bytes,
+          CAST(1 + COALESCE(('0x' || NULLIF(substr(h, 1, 2), ''))::INTEGER % 64, 0)
+            AS INTEGER) AS width,
+          CAST(1 + COALESCE(('0x' || NULLIF(substr(h, 3, 2), ''))::INTEGER % 64, 0)
+            AS INTEGER) AS height,
+          CAST(1 + nb // 4096 AS INTEGER) AS n_frames
+        FROM hx ORDER BY media_id""")),
 
     // ---- corpus filtering (C4-style): language whitelist + length band
     // + quality threshold, reported as per-source keep rates -------------
@@ -1998,8 +2051,10 @@ object Pipeline {
         // the two exact truth sets are each referenced by several output
         // rows; without a persist each reference re-executes the guarded
         // all-pairs cross join (the most expensive subtree here) — pin
-        // them once. Both are tiny (5 rows/query, <=n pairs); the bench
-        // harness clears persisted blocks between queries.
+        // them once. Both are tiny (5 rows/query, <=n pairs), and both
+        // are RELEASED in the finally below: the output is materialized
+        // eagerly (it is 4 rows by construction), so a library caller
+        // invoking p35 directly leaks no pinned blocks into the session.
         val exact = res("p05_knn_exact").select(col("qid"), col("neighbor_id"))
           .persist()
         val nq = exact.agg(countDistinct(col("qid")).as("n_queries"))
@@ -2016,6 +2071,7 @@ object Pipeline {
           lshBucketCol(lshNumPlanes(e.count()), col("embedding")).as("bucket"))
         val pairs = res("p14_embedding_neardup").select(col("a_id"), col("b_id"))
           .persist()
+        try {
         val nearDup = pairs
           .join(b.select(col("vec_id").as("a_id"), col("bucket").as("ba")), "a_id")
           .join(b.select(col("vec_id").as("b_id"), col("bucket").as("bb")), "b_id")
@@ -2039,11 +2095,23 @@ object Pipeline {
             col("n_hits"),
             round(col("n_hits").cast("double") / col("n_queries"), 6)
               .as("recall_r"))
-        row("p06_lsh", "p06_knn_lsh")
+        val out = row("p06_lsh", "p06_knn_lsh")
           .unionAll(nearDup)
           .unionAll(row("p16_ivf", "p16_knn_ivf"))
           .unionAll(colocated)
           .orderBy(col("method"))
+        // materialize the 4 measurement rows NOW so the persisted truth
+        // sets above can be unpersisted deterministically (a lazy return
+        // would recompute the guarded exact baselines once per reference
+        // after the finally releases them)
+        val rows = out.collect().toIndexedSeq
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, out.schema)
+        } finally {
+          exact.unpersist(blocking = true)
+          pairs.unpersist(blocking = true)
+          ()
+        }
       },
       Some(s"""WITH $duckKmeansCells,
         esims AS (

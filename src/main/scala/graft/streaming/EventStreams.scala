@@ -88,13 +88,18 @@ object EventStreams {
     * Boundary note: `session_window` starts a NEW session when the gap is
     * reached (diff >= gap); batch p27 breaks strictly after it
     * (diff > gap). With microsecond timestamps, `gap + 1 microsecond`
-    * makes the two contracts identical — see the parity spec. */
+    * makes the two contracts identical, so that adjustment is applied
+    * INTERNALLY: callers pass the p27 gap ("30 minutes") and get
+    * p27-identical session boundaries — the parity spec proves it. */
   def sessionizeByGap(events: DataFrame, gap: String = "30 minutes",
       watermarkDelay: String = "1 hour"): DataFrame =
     events
       .withColumn("us", unix_micros(col("ts")))
       .withWatermark("ts", watermarkDelay)
-      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      // "<gap> 1 microsecond" is one multi-unit interval string: the
+      // session extends while diff <= gap, i.e. breaks strictly AFTER the
+      // gap — the batch p27 contract
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gap 1 microsecond"))
       .agg(count(lit(1)).as("n_events"),
         (max(col("us")) - min(col("us"))).as("duration_us"))
       .select(col("user_id"), col("session_window.start").as("w_start"),

@@ -23,6 +23,17 @@ class QueriesSmokeSpec extends SparkSpecBase {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("p35 releases its persisted truth sets (no pinned blocks leak)") {
+    // p35 persists the two exact truth sets internally; a library caller
+    // invoking it directly must not inherit pinned tables in the session
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = SparkEntry.queries("p35_ann_recall")(spark, sf0001)
+    assert(df.count() == 4)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"p35 leaked persisted RDDs: ${after -- before}")
+  }
+
   test("exact all-pairs baselines refuse to run above the size guard") {
     sys.props("graft.exactBaselineMaxRows") = "10"
     try {

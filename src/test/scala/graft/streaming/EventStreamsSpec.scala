@@ -92,10 +92,11 @@ class EventStreamsSpec extends AnyFunSuite {
       .as[EventStreams.Event].collect().toSeq
     val maxTs = events.map(_.ts.getTime).max
     val input = MemoryStream[EventStreams.Event]
-    // gap + 1 microsecond: session_window breaks AT the gap, p27 strictly
-    // AFTER it; micro-resolution timestamps make these identical
+    // the PLAIN p27 gap: sessionizeByGap applies the +1-microsecond
+    // boundary adjustment internally, so default-arg callers get
+    // p27-identical sessions without knowing about it
     val q = EventStreams.sessionizeByGap(input.toDF(),
-        gap = "1800000001 microseconds")
+        gap = "30 minutes")
       .writeStream.format("memory").queryName("gap_sessions")
       .outputMode("append").start()
     try {
