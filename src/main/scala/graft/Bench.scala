@@ -95,6 +95,11 @@ object Bench {
       // likewise staged once; its fit cost is its own line
       stageEntry("p00c_cell_stage") {
         queries.Pipeline.CellStage.load(spark, sfDir); ()
+      },
+      // the two-level layer (super-centroids + cell->super map) stages
+      // over the fitted cells; its (k-row) fit cost is its own line
+      stageEntry("p00d_super_stage") {
+        queries.Pipeline.SuperStage.load(spark, sfDir); ()
       })
     // Optional comma-separated allowlist (SPARK_GRAFT_ONLY=p05,p20) for
     // profiling individual queries / interaction effects; production runs

@@ -1507,8 +1507,18 @@ final class Executor(
   private def collectResult(df: DataFrame, queryId: String,
       statementTypeId: Long): Result = {
     // full materialization at the protocol edge, like the reference's
-    // fetch loop (`executor.go:99-119`)
-    val rows = df.collect().toSeq.map(_.toSeq)
+    // fetch loop (`executor.go:99-119`) — but conf-gated: a stray
+    // SELECT * over a 100 TB table must fail with a clean Snowflake-shaped
+    // error instead of OOMing the shared server JVM. Fetching cap+1 rows
+    // detects overflow without counting the full result.
+    val cap = Executor.maxResultRows
+    val fetched = df.limit(
+      if (cap < Int.MaxValue) cap + 1 else Int.MaxValue).collect()
+    if (fetched.length > cap)
+      throw SnowflakeError.execution(
+        s"Result set exceeds the maximum of $cap rows supported at the " +
+          "protocol edge; add a LIMIT, or raise -Dgraft.maxResultRows")
+    val rows = fetched.toSeq.map(_.toSeq)
     if (rows.size <= RetainMaxRows)
       retainedResults.synchronized { retainedResults.put(queryId, (df.schema, rows)) }
     Result(TypeMapper.inferRowType(df.schema), rows, statementTypeId, None, queryId)
@@ -1538,6 +1548,14 @@ final class Executor(
 }
 
 object Executor {
+  /** Protocol-edge result cap (rows), read per query so tests and live
+    * reconfiguration work: the reference materializes results unbounded
+    * (`pkg/query/executor.go:99-119`), but a shared server JVM needs the
+    * escape hatch SURVEY §4 calls for. Default 1M rows — generous for an
+    * emulator protocol edge, far below heap death. */
+  private[emulator] def maxResultRows: Int =
+    sys.props.get("graft.maxResultRows").map(_.toInt).getOrElse(1000000)
+
   /** Character spans of '...' literals and "..." quoted identifiers, so
     * name rewrites can skip text the parser would treat as data. Doubled
     * quotes ('' / "") scan as two adjacent literals, which still lands

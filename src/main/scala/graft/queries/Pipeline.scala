@@ -542,19 +542,15 @@ object Pipeline {
     math.min(n, math.max(p * k, 64L * p))
   }
 
-  private def buildKmeansCells(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    val n = e.count()
-    val k = ivfK(n)
-    val m = kmeansFitSample(n, k)
-    val fit =
-      if (m >= n) e.select(col("vec_id"), col("embedding"))
-      else e.select(col("vec_id"), col("embedding"))
-        .filter(md560(col("vec_id").cast("string")) < lit((1L << 60) / n * m))
-    var cent = e.select(col("vec_id").as("cell"), col("embedding").as("cv"))
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(k)
-    for (_ <- 1 to kmeansIters) {
+  /** The k-means assign/recompute loop shared by the corpus fit
+    * (buildKmeansCells) and the super-centroid fit over the fitted cells
+    * (buildSuperCells). `fit` carries any id column + `embedding`; `seed`
+    * is the initial (cell, cv) index; the result is the converged index
+    * in the same shape. Means are decimal-exact (the p07 trick) so the
+    * DuckDB oracle reproduces every round bit-for-bit. */
+  private def kmeansRounds(fit: DataFrame, seed: DataFrame, iters: Int): DataFrame = {
+    var cent = seed
+    for (_ <- 1 to iters) {
       val assigned = nearestCells(fit, cent, 1)
       // eager localCheckpoint per round (the p20 trick): round i+1
       // analyzes a flat k-row plan instead of a depth-i nested tree that
@@ -571,6 +567,172 @@ object Pipeline {
         .localCheckpoint(eager = true)
     }
     cent
+  }
+
+  private def buildKmeansCells(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val n = e.count()
+    val k = ivfK(n)
+    val m = kmeansFitSample(n, k)
+    val fit =
+      if (m >= n) e.select(col("vec_id"), col("embedding"))
+      else e.select(col("vec_id"), col("embedding"))
+        .filter(md560(col("vec_id").cast("string")) < lit((1L << 60) / n * m))
+    val seed = e.select(col("vec_id").as("cell"), col("embedding").as("cv"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k)
+    kmeansRounds(fit, seed, kmeansIters)
+  }
+
+  /** Super-cell count over a fitted index of `k` cells: max(2, ceil(
+    * sqrt(k))) by default (`-Dgraft.ivfSuperCells` pins it) — the
+    * FAISS-style two-level rule. With k = sqrt(n) cells grouped under
+    * sqrt(k) super-cells, per-vector assignment scores ~sqrt(k) super-
+    * centroids plus the members of the probed super-cells (~sqrt(k)
+    * each) instead of all k — at n = 1e9, k ≈ 32k that cuts the
+    * dominant cost of p16/p32/p34 ~8-90x depending on probe width. */
+  private[graft] def superKFor(k: Long): Int =
+    sys.props.get("graft.ivfSuperCells").map(v => math.max(1, v.toInt))
+      .getOrElse(math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt))
+
+  /** Coarse probe width: how many super-cells each vector descends into.
+    * Sized so the EXPECTED candidate-cell count (sprobe * k/ks) is at
+    * least twice the fine probe width the consumer needs — integer-exact
+    * ceil-div, floor 2, capped at ks, so both engines compute the same
+    * width from the same counts. */
+  private[graft] def superProbe(ks: Int, k: Long, nprobe: Int): Int =
+    math.max(2, math.min(ks, ((2L * nprobe * ks + k - 1) / k).toInt))
+
+  /** The two-level index over CellStage, staged once per input dir like
+    * the index itself: the fitted super-centroids (scell, scv) and the
+    * once-per-cell assignment map (cell, scell). Both are k-row tables —
+    * the fit input is the k centroids, not the corpus — so building them
+    * is trivially cheap; staging just spares every consumer the
+    * per-query re-fit jobs. */
+  private[graft] object SuperStage {
+    def load(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+      val params = s"${sys.props.getOrElse("graft.ivfCells", "auto")}" +
+        s"-$kmeansIters-$kmeansFitPoints" +
+        s"-${sys.props.getOrElse("graft.ivfSuperCells", "auto")}"
+      val ph = java.security.MessageDigest.getInstance("MD5")
+        .digest(params.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      val sc = ShingleStage.stage(s, dir, s"sx$ph")(buildSuperCells(s, dir))
+      val cm = ShingleStage.stage(s, dir, s"sm$ph")(buildCellMap(s, dir, sc))
+      (sc, cm)
+    }
+  }
+
+  /** Fit sqrt(k) super-centroids over the k fitted cell centroids — the
+    * same deterministic machinery as the corpus fit (md5-ordered seeds,
+    * [[kmeansRounds]]), with the CELLS as the training points. */
+  private def buildSuperCells(s: SparkSession, dir: String): DataFrame = {
+    val cells = CellStage.load(s, dir)
+    val ks = superKFor(cells.count())
+    val fit = cells.select(col("cell").as("cid0"), col("cv").as("embedding"))
+    val seed = cells.select(col("cell"), col("cv"))
+      .orderBy(md5(col("cell").cast("string")), col("cell"))
+      .limit(ks)
+    kmeansRounds(fit, seed, kmeansIters)
+      .select(col("cell").as("scell"), col("cv").as("scv"))
+  }
+
+  /** Each cell's nearest super-centroid, assigned ONCE at index-build
+    * time (k rows) — per-vector assignment then only consults this map. */
+  private def buildCellMap(s: SparkSession, dir: String,
+      supers: DataFrame): DataFrame =
+    nearestCells(
+      CellStage.load(s, dir).select(col("cell").as("mcell"), col("cv").as("embedding")),
+      supers.select(col("scell").as("cell"), col("scv").as("cv")), 1)
+      .select(col("mcell").as("cell"), col("cell").as("scell"))
+
+  /** Two-level (coarse -> fine) variant of [[nearestCells]]: score the
+    * ~sqrt(k) super-centroids, descend into the top `sprobe` super-cells,
+    * score ONLY their member cells — per-vector work drops from k to
+    * ~sqrt(k) + sprobe * k/ks similarity evaluations while keeping the
+    * zero-shuffle broadcast shape (the whole two-level index is ONE
+    * broadcast row: the super index array + a scell -> members map).
+    * Same output contract as [[nearestCells]] (crank 1..kTop, cell,
+    * csim); a vector whose probed super-cells are all empty yields no
+    * rows, mirrored by the oracle's join. */
+  /** The one-row broadcast form of the two-level index: the super index
+    * array and the scell -> member-(cell, cv) map. */
+  private def twoLevelIndex(cells: DataFrame, supers: DataFrame,
+      cellmap: DataFrame): (DataFrame, DataFrame) = {
+    val sidx = supers.groupBy()
+      .agg(collect_list(struct(col("scell"), col("scv"))).as("sidx"))
+    val midx = cells.join(cellmap, "cell")
+      .groupBy(col("scell"))
+      .agg(collect_list(struct(col("cell"), col("cv"))).as("members"))
+      .groupBy()
+      .agg(map_from_entries(collect_list(struct(col("scell"), col("members"))))
+        .as("midx"))
+    (sidx, midx)
+  }
+
+  /** SQL for the per-row candidate-cell array: rank the super index,
+    * keep the top `sprobe` super-cells, concatenate their member lists
+    * (empty super-cells — possible when no cell chose a super-centroid —
+    * contribute nothing, mirroring the oracle's join). */
+  private def twoLevelCandidateArr(sprobe: Int): String =
+    s"""flatten(filter(
+          transform(
+            slice(
+              array_sort(
+                transform(sidx, sc -> named_struct(
+                  'ssim', cosine_sim(embedding, sc.scv), 'scell', sc.scell)),
+                ${simDescCmp("ssim", "scell")}),
+              1, $sprobe),
+            ps -> try_element_at(midx, ps.scell)),
+          ms -> ms IS NOT NULL))"""
+
+  private def nearestCellsTwoLevel(e: DataFrame, cells: DataFrame,
+      supers: DataFrame, cellmap: DataFrame, kTop: Int, sprobe: Int): DataFrame = {
+    val (sidx, midx) = twoLevelIndex(cells, supers, cellmap)
+    val keep = e.columns.map(col).toSeq
+    e.crossJoin(broadcast(sidx)).crossJoin(broadcast(midx))
+      .select(keep :+ posexplode(expr(
+        s"""slice(
+              array_sort(
+                transform(
+                  ${twoLevelCandidateArr(sprobe)},
+                  c -> named_struct(
+                    'csim', cosine_sim(embedding, c.cv), 'cell', c.cell)),
+                ${simDescCmp("csim", "cell")}),
+              1, $kTop)""")).as(Seq("crank0", "pc")): _*)
+      .select(keep ++ Seq((col("crank0") + 1).cast("int").as("crank"),
+        col("pc.cell").as("cell"), col("pc.csim").as("csim")): _*)
+  }
+
+  /** Diagnostic for the scale bound the two-level descent exists to
+    * provide: per vector, how many similarity evaluations assignment
+    * costs (the ks super-centroid scores + every candidate member
+    * scored) — the number KMeansCellsSpec asserts stays O(sqrt(k))
+    * instead of k. */
+  private[graft] def twoLevelScoredCounts(s: SparkSession, dir: String,
+      kTop: Int): DataFrame = {
+    val cells = CellStage.load(s, dir)
+    val (sc, cm) = SuperStage.load(s, dir)
+    val kAct = cells.count()
+    val sprobe = superProbe(superKFor(kAct), kAct, kTop)
+    val (sidx, midx) = twoLevelIndex(cells, sc, cm)
+    emb(s, dir).select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(sidx)).crossJoin(broadcast(midx))
+      .select(col("vec_id"),
+        (size(col("sidx")) + size(expr(twoLevelCandidateArr(sprobe))))
+          .as("n_scored"))
+  }
+
+  /** Load the staged two-level index for `dir` and rank each row of `e`
+    * against it: the per-consumer entry point (p16/p32/p34/p35). kTop is
+    * the fine probe width the consumer needs; the coarse width follows
+    * via [[superProbe]]. */
+  private def nearestCellsStaged(s: SparkSession, dir: String, e: DataFrame,
+      kTop: Int): DataFrame = {
+    val cells = CellStage.load(s, dir)
+    val (sc, cm) = SuperStage.load(s, dir)
+    val kAct = cells.count()
+    val ks = superKFor(kAct)
+    nearestCellsTwoLevel(e, cells, sc, cm, kTop, superProbe(ks, kAct, kTop))
   }
 
   /** Array-sort comparator `(sim desc, id asc)` with EXPLICIT NaN
@@ -674,7 +836,97 @@ object Pipeline {
          |  cent$it AS (SELECT cell, list(c ORDER BY pos) AS cv FROM kcm$it GROUP BY cell)""".stripMargin
     }
     (seed +: iters).mkString(",\n") +
-      s",\n  cells AS (SELECT cell, cv FROM cent$kmeansIters)"
+      // MATERIALIZED: the fitted index is referenced by the super layer
+      // and every consumer CTE; DuckDB would otherwise inline (re-run)
+      // the whole training chain per reference — measured 66x slower
+      s",\n  cells AS MATERIALIZED (SELECT cell, cv FROM cent$kmeansIters)"
+  }
+
+  /** The super-cell count as DuckDB SQL over the `ck` CTE (a literal when
+    * `-Dgraft.ivfSuperCells` pins it) — mirrors [[superKFor]]. */
+  private def duckSuperKs: String =
+    sys.props.get("graft.ivfSuperCells")
+      .map(v => math.max(1, v.toInt).toString)
+      .getOrElse("greatest(2, CAST(ceil(sqrt(CAST(ck.k AS DOUBLE))) AS INTEGER))")
+
+  /** The two-level index layer as DuckDB CTEs over `cells`, mirroring
+    * [[buildSuperCells]] (same md5-ordered seeds, same decimal-exact
+    * assign/recompute rounds — the training points are the k centroids)
+    * and [[buildCellMap]]. Final CTEs: `supercells` (scell, scv) and
+    * `cellmap` (cell, scell). */
+  private def duckSuperLayer: String = {
+    val seed =
+      s"""  ck AS (SELECT COUNT(*) AS k FROM cells),
+         |  sks AS (SELECT $duckSuperKs AS ks FROM ck),
+         |  ssr AS (
+         |    SELECT cell, cv,
+         |      ROW_NUMBER() OVER (ORDER BY md5(CAST(cell AS VARCHAR)), cell) AS rn
+         |    FROM cells),
+         |  scent0 AS (SELECT cell AS scell, cv AS scv FROM ssr, sks WHERE rn <= sks.ks)""".stripMargin
+    val iters = (1 to kmeansIters).map { it =>
+      s"""  sscored$it AS (
+         |    SELECT e.cell, e.cv, c.scell, ${duckCosine("e.cv", "c.scv")} AS csim
+         |    FROM cells e CROSS JOIN scent${it - 1} c),
+         |  sasg$it AS (
+         |    SELECT cell, cv, scell FROM (
+         |      SELECT cell, cv, scell,
+         |        ROW_NUMBER() OVER (PARTITION BY cell ORDER BY csim DESC, scell) AS crank
+         |      FROM sscored$it) WHERE crank = 1),
+         |  scm$it AS (
+         |    SELECT scell, CAST(idx - 1 AS INTEGER) AS pos,
+         |      CAST(CAST(SUM(CAST(CAST(cv[idx] AS DOUBLE) AS DECIMAL(16,8))) AS DOUBLE) / COUNT(*) AS FLOAT) AS c
+         |    FROM sasg$it, unnest(range(1, len(cv) + 1)) AS u(idx)
+         |    GROUP BY 1, 2),
+         |  scent$it AS (SELECT scell, list(c ORDER BY pos) AS scv FROM scm$it GROUP BY scell)""".stripMargin
+    }
+    val map =
+      s"""  supercells AS MATERIALIZED (SELECT scell, scv FROM scent$kmeansIters),
+         |  cellmap AS MATERIALIZED (
+         |    SELECT cell, scell FROM (
+         |      SELECT m.cell, s.scell,
+         |        ROW_NUMBER() OVER (PARTITION BY m.cell
+         |          ORDER BY ${duckCosine("m.cv", "s.scv")} DESC, s.scell) AS r
+         |      FROM cells m CROSS JOIN supercells s) WHERE r = 1)""".stripMargin
+    (seed +: iters :+ map).mkString(",\n")
+  }
+
+  /** [[duckKmeansCells]] plus the two-level layer — the index prefix for
+    * every two-level consumer's oracle (p16/p32/p34/p35). */
+  private def duckSuperCells: String =
+    duckKmeansCells + ",\n" + duckSuperLayer
+
+  /** The per-vector two-level candidate ranking as DuckDB CTEs, mirroring
+    * [[nearestCellsTwoLevel]]: `<p>sp` (coarse probe width via
+    * [[superProbe]]'s integer formula), `<p>ss` (super-centroid ranks),
+    * `<p>cand` (member cells of the probed super-cells), `<p>cranked`
+    * (fine rank over candidates). `extra` columns ride along (e.g.
+    * label); `nprobeSql` is the consumer's fine probe width. */
+  private def duckTwoLevel(p: String, src: String, extra: Seq[String],
+      nprobeSql: String): String = {
+    val exE = extra.map(c => s", e.$c").mkString
+    val exQ = extra.map(c => s", q.$c").mkString
+    val ex = extra.map(c => s", $c").mkString
+    s"""  ${p}sp AS (
+       |    SELECT greatest(2, least(sks.ks,
+       |      (2 * CAST(($nprobeSql) AS BIGINT) * sks.ks + ck.k - 1) // ck.k)) AS sp
+       |    FROM sks, ck, kk),
+       |  ${p}ss AS (
+       |    SELECT e.vec_id, e.embedding$exE, s.scell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckCosine("e.embedding", "s.scv")} DESC, s.scell) AS srank
+       |    FROM $src e CROSS JOIN supercells s),
+       |  ${p}cand AS (
+       |    SELECT q.vec_id, q.embedding$exQ, c.cell, c.cv
+       |    FROM ${p}ss q
+       |    JOIN cellmap m ON m.scell = q.scell
+       |    JOIN cells c ON c.cell = m.cell
+       |    CROSS JOIN ${p}sp
+       |    WHERE q.srank <= ${p}sp.sp),
+       |  ${p}cranked AS (
+       |    SELECT vec_id, embedding$ex, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |        ORDER BY ${duckCosine("embedding", "cv")} DESC, cell) AS crank
+       |    FROM ${p}cand)""".stripMargin
   }
 
   /** Deterministic pseudo-random +-1 hyperplanes for p06's LSH buckets.
@@ -1051,10 +1303,12 @@ object Pipeline {
     QDef("p16_knn_ivf",
       (s, dir) => {
         val e = emb(s, dir)
-        val cells = CellStage.load(s, dir)
         val nprobe = ivfNprobe(ivfK(e.count()))
-        val top = nearestCells(e.select(col("vec_id"), col("embedding")), cells, nprobe)
-        // membership = nearest cell; probe list = nprobe nearest cells
+        // two-level descent: ~sqrt(k) super-centroid scores, then only
+        // the probed super-cells' members — never all k cells per vector
+        val top = nearestCellsStaged(s, dir,
+          e.select(col("vec_id"), col("embedding")), nprobe)
+        // membership = nearest candidate cell; probe list = nprobe nearest
         val assigned = top.filter(col("crank") === 1)
           .select(col("vec_id").as("cid"), col("cell"), col("embedding").as("cv2"))
         val probes = top
@@ -1069,18 +1323,11 @@ object Pipeline {
             round(col("sim"), 6).as("sim_r"))
           .orderBy(col("qid"), col("rank"))
       },
-      Some(s"""WITH $duckKmeansCells,
-        scored AS (
-          SELECT e.vec_id, e.embedding, c.cell,
-            ${duckCosine("e.embedding", "c.cv")} AS csim
-          FROM embeddings e CROSS JOIN cells c),
-        cranked AS (
-          SELECT vec_id, embedding, cell,
-            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS crank
-          FROM scored),
-        assigned AS (SELECT vec_id AS cid, cell, embedding AS cv2 FROM cranked WHERE crank = 1),
+      Some(s"""WITH $duckSuperCells,
+${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
+        assigned AS (SELECT vec_id AS cid, cell, embedding AS cv2 FROM icranked WHERE crank = 1),
         probes AS (SELECT vec_id AS qid, cell, embedding AS qv
-                   FROM cranked, kk WHERE crank <= $duckNprobe),
+                   FROM icranked, kk WHERE crank <= $duckNprobe),
         sims AS (
           SELECT p.qid, a.cid, ${duckCosine("p.qv", "a.cv2")} AS sim
           FROM probes p JOIN assigned a ON p.cell = a.cell AND p.qid <> a.cid),
@@ -1890,8 +2137,8 @@ object Pipeline {
     QDef("p32_semdedup",
       (s, dir) => {
         val e = emb(s, dir)
-        val cells = CellStage.load(s, dir)
-        val assigned = nearestCells(e.select(col("vec_id"), col("embedding")), cells, 1)
+        val assigned = nearestCellsStaged(s, dir,
+          e.select(col("vec_id"), col("embedding")), 1)
           .select(col("vec_id"), col("cell"), col("embedding"))
         val dropped = assigned.select(col("cell"), col("vec_id").as("a_id"), col("embedding").as("av"))
           .join(assigned.select(col("cell"), col("vec_id").as("b_id"), col("embedding").as("bv")), "cell")
@@ -1904,16 +2151,10 @@ object Pipeline {
             when(col("hit").isNull, 1).otherwise(0).as("is_kept"))
           .orderBy(col("vec_id"))
       },
-      Some(s"""WITH $duckKmeansCells,
-        scored AS (
-          SELECT e.vec_id, e.embedding, c.cell,
-            ${duckCosine("e.embedding", "c.cv")} AS csim
-          FROM embeddings e CROSS JOIN cells c),
+      Some(s"""WITH $duckSuperCells,
+${duckTwoLevel("a", "embeddings", Nil, "1")},
         assigned AS (
-          SELECT vec_id, cell, embedding FROM (
-            SELECT vec_id, embedding, cell,
-              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS crank
-            FROM scored) WHERE crank = 1),
+          SELECT vec_id, cell, embedding FROM acranked WHERE crank = 1),
         dropped AS (
           SELECT DISTINCT b.vec_id
           FROM assigned a JOIN assigned b
@@ -1989,10 +2230,9 @@ object Pipeline {
     QDef("p34_hard_negatives",
       (s, dir) => {
         val e = emb(s, dir)
-        val cells = CellStage.load(s, dir)
         val nprobe = ivfNprobe(ivfK(e.count()))
-        val top = nearestCells(
-          e.select(col("vec_id"), col("label"), col("embedding")), cells, nprobe)
+        val top = nearestCellsStaged(s, dir,
+          e.select(col("vec_id"), col("label"), col("embedding")), nprobe)
         val assigned = top.filter(col("crank") === 1)
           .select(col("vec_id").as("cid"), col("label").as("clabel"),
             col("cell"), col("embedding").as("cv2"))
@@ -2009,19 +2249,12 @@ object Pipeline {
             round(col("sim"), 6).as("sim_r"))
           .orderBy(col("qid"), col("rank"))
       },
-      Some(s"""WITH $duckKmeansCells,
-        scored AS (
-          SELECT e.vec_id, e.label, e.embedding, c.cell,
-            ${duckCosine("e.embedding", "c.cv")} AS csim
-          FROM embeddings e CROSS JOIN cells c),
-        cranked AS (
-          SELECT vec_id, label, embedding, cell,
-            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS crank
-          FROM scored),
+      Some(s"""WITH $duckSuperCells,
+${duckTwoLevel("h", "embeddings", Seq("label"), duckNprobe)},
         assigned AS (SELECT vec_id AS cid, label AS clabel, cell, embedding AS cv2
-                     FROM cranked WHERE crank = 1),
+                     FROM hcranked WHERE crank = 1),
         probes AS (SELECT vec_id AS qid, label AS qlabel, cell, embedding AS qv
-                   FROM cranked, kk WHERE crank <= $duckNprobe),
+                   FROM hcranked, kk WHERE crank <= $duckNprobe),
         sims AS (
           SELECT p.qid, a.cid, ${duckCosine("p.qv", "a.cv2")} AS sim
           FROM probes p JOIN assigned a ON p.cell = a.cell AND p.qlabel <> a.clabel),
@@ -2083,8 +2316,8 @@ object Pipeline {
               .as("recall_r"))
         // SemDeDup's effective near-dup recall: it only compares within a
         // k-means cell, so a true pair it can ever see must co-locate
-        val assign1 = nearestCells(
-          e.select(col("vec_id"), col("embedding")), CellStage.load(s, dir), 1)
+        val assign1 = nearestCellsStaged(s, dir,
+          e.select(col("vec_id"), col("embedding")), 1)
           .select(col("vec_id"), col("cell"))
         val colocated = pairs
           .join(assign1.select(col("vec_id").as("a_id"), col("cell").as("ca")), "a_id")
@@ -2113,7 +2346,9 @@ object Pipeline {
           ()
         }
       },
-      Some(s"""WITH $duckKmeansCells,
+      Some(s"""WITH $duckSuperCells,
+${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
+${duckTwoLevel("a", "embeddings", Nil, "1")},
         esims AS (
           SELECT a.vec_id AS qid, b.vec_id AS cid,
             ${duckCosine("a.embedding", "b.embedding")} AS sim
@@ -2136,15 +2371,8 @@ object Pipeline {
             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
           FROM lsims),
         lsh AS (SELECT qid, cid FROM lranked WHERE rank <= 5),
-        iscored AS (
-          SELECT e.vec_id, e.embedding, c.cell,
-            ${duckCosine("e.embedding", "c.cv")} AS csim
-          FROM embeddings e CROSS JOIN cells c),
-        icranked AS (
-          SELECT vec_id, embedding, cell,
-            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS crank
-          FROM iscored),
         iassigned AS (SELECT vec_id AS cid, cell, embedding AS cv2 FROM icranked WHERE crank = 1),
+        aassigned AS (SELECT vec_id AS cid, cell FROM acranked WHERE crank = 1),
         iprobes AS (SELECT vec_id AS qid, cell, embedding AS qv
                     FROM icranked, kk WHERE crank <= $duckNprobe),
         isims AS (
@@ -2169,8 +2397,8 @@ object Pipeline {
           SELECT COUNT(*) AS n_queries,
             CAST(SUM(CASE WHEN ca.cell = cb.cell THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
           FROM ndpairs p
-          JOIN iassigned ca ON ca.cid = p.a_id
-          JOIN iassigned cb ON cb.cid = p.b_id),
+          JOIN aassigned ca ON ca.cid = p.a_id
+          JOIN aassigned cb ON cb.cid = p.b_id),
         nq AS (SELECT COUNT(DISTINCT qid) AS n_queries FROM exact)
         SELECT 'p06_lsh' AS method, nq.n_queries,
           (SELECT COUNT(*) FROM lsh l JOIN exact e ON l.qid = e.qid AND l.cid = e.cid) AS n_hits,

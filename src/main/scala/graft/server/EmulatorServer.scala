@@ -612,8 +612,14 @@ object EmulatorServer {
       stageRoot: java.nio.file.Path =
         java.nio.file.Files.createTempDirectory("graft_stages")): EmulatorServer = {
     val catalog = new Catalog(spark)
+    // history persists under the warehouse dir (the reference keeps its
+    // _metadata_query_history table in the same DuckDB file as the data),
+    // so a server restart over the same warehouse keeps QUERY_HISTORY
+    val historyFile = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "_graft_query_history.jsonl")
     val executor = new Executor(catalog, new graft.stage.StageManager(stageRoot),
-      new WarehouseManager(), new QueryHistory())
+      new WarehouseManager(), new QueryHistory(persistPath = Some(historyFile)))
     new EmulatorServer(executor, new SessionManager(), new StatementManager(), port)
   }
 }

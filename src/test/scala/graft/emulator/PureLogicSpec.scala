@@ -301,4 +301,58 @@ class PureLogicSpec extends AnyFunSuite {
     assert(r.size == 3)
     assert(r.head.queryId == "q5" && r.head.status == "SUCCESS" && r.head.rows == 5)
   }
+
+  test("query history survives a restart via the persisted file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_qh")
+    val file = dir.resolve("_graft_query_history.jsonl")
+    try {
+      // "process 1": completed + failed + still-running statements
+      val h1 = new QueryHistory(capacity = 100, persistPath = Some(file))
+      val t0 = h1.start("q1", "SELECT 1")
+      h1.success("q1", "SELECT 1", 7L, t0)
+      val t1 = h1.start("q2", "SELECT broken")
+      h1.failure("q2", "SELECT broken", "boom", t1)
+      h1.start("q3", "SELECT runs_forever")
+      // "process 2": a fresh instance over the same warehouse file
+      val h2 = new QueryHistory(capacity = 100, persistPath = Some(file))
+      val r = h2.recent()
+      // completed records survive (most recent first); the in-flight one
+      // died with the process and is not resurrected
+      assert(r.map(_.queryId) == Seq("q2", "q1"), r)
+      assert(r.head.status == "FAILED" && r.head.errorMessage == "boom")
+      assert(r(1).status == "SUCCESS" && r(1).rows == 7L)
+      // and the revived instance keeps appending to the same file
+      val t2 = h2.start("q4", "SELECT 4")
+      h2.success("q4", "SELECT 4", 1L, t2)
+      val h3 = new QueryHistory(capacity = 100, persistPath = Some(file))
+      assert(h3.recent().map(_.queryId) == Seq("q4", "q2", "q1"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+  }
+
+  test("query history persistence compacts: file stays bounded at ~ring size") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_qh_compact")
+    val file = dir.resolve("h.jsonl")
+    try {
+      val h = new QueryHistory(capacity = 10, persistPath = Some(file))
+      (1 to 35).foreach { i =>
+        val t0 = h.start(s"q$i", s"SELECT $i")
+        h.success(s"q$i", s"SELECT $i", i.toLong, t0)
+      }
+      val lines = java.nio.file.Files.readAllLines(file)
+      assert(lines.size() <= 20, s"history file grew unbounded: ${lines.size()}")
+      // a fresh instance still sees the most recent records
+      val h2 = new QueryHistory(capacity = 10, persistPath = Some(file))
+      assert(h2.recent().head.queryId == "q35")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+  }
 }

@@ -112,6 +112,21 @@ class EmulatorServerSpec extends AnyFunSuite {
     assert(body.get("data").get("sqlState").asText() == "42000")
   }
 
+  test("oversized result fails cleanly over the wire instead of OOMing the server") {
+    sys.props("graft.maxResultRows") = "50"
+    try {
+      val (code, body) = query("SELECT id FROM range(1000)")
+      assert(code == 200) // errors ride HTTP 200 in this protocol
+      assert(!body.get("success").asBoolean())
+      assert(body.get("code").asText() == "001007")
+      assert(body.get("message").asText().contains("maximum of 50 rows"))
+      // a capped query on the same session still succeeds afterwards
+      val (_, ok) = query("SELECT id FROM range(1000) LIMIT 50")
+      assert(ok.get("success").asBoolean())
+      assert(ok.get("data").get("rowset").size() == 50)
+    } finally sys.props.remove("graft.maxResultRows")
+  }
+
   test("unauthorized query rejected with session error") {
     val (_, body) = post("/queries/v1/query-request", """{"sqlText":"SELECT 1"}""")
     assert(!body.get("success").asBoolean())

@@ -229,4 +229,95 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(kept == Seq("the quick brown fox jumps over the lazy sleeping dog"), kept)
     } finally q.stop()
   }
+
+  private def rmdir(p: java.nio.file.Path): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(p.toFile)
+  }
+
+  test("checkpoint recovery: dedupStream state survives a restart (no loss, no re-emit)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_dedup")
+    val out = java.nio.file.Files.createTempDirectory("graft_out_dedup")
+    val input = MemoryStream[(Timestamp, String)]
+    val docs = input.toDF().toDF("ts", "text")
+    // the FILE sink, not memory: it is the sink that supports checkpoint
+    // recovery (and gives exactly-once output via its _spark_metadata
+    // commit log — the production shape for a dedup feed)
+    def start() = EventStreams.dedupStream(docs)
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try {
+      // incarnation 1: two distinct docs plus an in-batch duplicate
+      val q1 = start()
+      try {
+        input.addData((ts(0), "alpha"), (ts(1), "beta"), (ts(2), "alpha"))
+        q1.processAllAvailable()
+      } finally q1.stop() // the "crash": the query dies, the checkpoint stays
+      // data that arrived while the process was down: duplicates of
+      // PRE-restart docs (dropping them proves the fingerprint state was
+      // recovered from the state store, not rebuilt empty) + new docs
+      input.addData((ts(3), "alpha"), (ts(4), "gamma"),
+        (ts(5), "beta"), (ts(6), "gamma"))
+      // incarnation 2: same plan, same checkpoint, same sink
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      // across the restart: exactly the batch-dedup of the full feed —
+      // nothing lost, nothing emitted twice
+      val emitted = spark.read.parquet(out.toString)
+        .select("text").collect().map(_.getString(0)).toSeq
+      assert(emitted.sorted == Seq("alpha", "beta", "gamma"), emitted)
+    } finally { rmdir(ckpt); rmdir(out) }
+  }
+
+  test("checkpoint recovery: a gap session OPEN across the restart closes as ONE session") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_gap")
+    val out = java.nio.file.Files.createTempDirectory("graft_out_gap")
+    val input = MemoryStream[EventStreams.Event]
+    def start() = EventStreams.sessionizeByGap(input.toDF())
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try {
+      // incarnation 1: user 7's session is two events, 10 min apart —
+      // still open (append emits only on close) when the query dies
+      val q1 = start()
+      try {
+        input.addData(
+          EventStreams.Event(1, ts(0), 7, "click", 1.0),
+          EventStreams.Event(2, ts(10), 7, "click", 1.0))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      // incarnation 2: an event 10 min later EXTENDS the same session —
+      // only possible if the open-session state survived the restart
+      val q2 = start()
+      try {
+        input.addData(EventStreams.Event(3, ts(20), 7, "click", 1.0))
+        q2.processAllAvailable()
+        // sentinel batches push the watermark past the session's close
+        input.addData(EventStreams.Event(-1,
+          Timestamp.valueOf("2024-01-01 14:00:00"), 999, "view", 0.0))
+        q2.processAllAvailable()
+        input.addData(EventStreams.Event(-2,
+          Timestamp.valueOf("2024-01-01 15:00:00"), 999, "view", 0.0))
+        q2.processAllAvailable()
+        val rows = spark.read.parquet(out.toString)
+          .filter(org.apache.spark.sql.functions.col("user_id") === 7)
+          .select("n_events", "duration_us").collect()
+        // ONE 3-event session spanning the restart — a lost state store
+        // would have split it into two (2-event + 1-event) sessions
+        assert(rows.length == 1, s"expected one recovered session, got ${rows.length}")
+        assert(rows(0).getLong(0) == 3, s"events: ${rows(0).getLong(0)}")
+        assert(rows(0).getLong(1) == 20L * 60 * 1000000, s"duration: ${rows(0).getLong(1)}")
+      } finally q2.stop()
+    } finally { rmdir(ckpt); rmdir(out) }
+  }
 }
