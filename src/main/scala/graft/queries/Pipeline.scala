@@ -938,12 +938,18 @@ object Pipeline {
   private val lshDim = 64
   private val lshMaxPlanes = 24
   private val lshTargetBucket = 64L
-  private val lshPlanes: Array[Array[Float]] = {
-    val rnd = new scala.util.Random(42)
-    // sequential draws: the first 8 planes are bit-identical to the r6
-    // 8-plane family, so growing the pool only ADDS buckets at larger n
-    Array.fill(lshMaxPlanes)(Array.fill(lshDim)(if (rnd.nextBoolean()) 1.0f else -1.0f))
-  }
+  /** Independent hash tables for the banded OR-construction (p37): one
+    * plane family per table, seeded 42+t so table 0 is bit-identical to
+    * the single-table p06 family (its contract is frozen). */
+  private val lshNumTables = 4
+  private val lshPlaneTables: Array[Array[Array[Float]]] =
+    Array.tabulate(lshNumTables) { t =>
+      val rnd = new scala.util.Random(42 + t)
+      // sequential draws: the first 8 planes of table 0 are bit-identical
+      // to the r6 8-plane family, so growing the pool only ADDS buckets
+      Array.fill(lshMaxPlanes)(Array.fill(lshDim)(if (rnd.nextBoolean()) 1.0f else -1.0f))
+    }
+  private val lshPlanes: Array[Array[Float]] = lshPlaneTables(0)
 
   /** Plane count for a corpus of n vectors — the r6 fix for the constant
     * 256-bucket problem: enough hyperplanes that the expected bucket
@@ -969,16 +975,28 @@ object Pipeline {
         math.max(2, (0 until lshMaxPlanes).count(p => (1L << p) < m))
       }
 
-  /** The signed-random-projection bucket id over the first `np` planes —
-    * hyperplanes shipped as literal arrays so the dot products stay
-    * codegen'd and bucketing needs no shuffle. Shared by p06 and p35. */
-  private def lshBucketCol(np: Int,
+  /** The signed-random-projection bucket id over the first `np` planes
+    * of table `t` — hyperplanes shipped as literal arrays so the dot
+    * products stay codegen'd and bucketing needs no shuffle. Shared by
+    * p06 (table 0), p37 (all tables) and p35. */
+  private def lshBucketColT(t: Int, np: Int,
       v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (0 until np).map { p =>
-      val plane = array(lshPlanes(p).toSeq.map(x => lit(x)): _*)
+      val plane = array(lshPlaneTables(t)(p).toSeq.map(x => lit(x)): _*)
       when(call_function("dot_product", v, plane) > 0, lit(1L << p))
         .otherwise(lit(0L))
     }.reduce(_ + _)
+
+  private def lshBucketCol(np: Int,
+      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lshBucketColT(0, np, v)
+
+  /** (t, bucket) pairs for every table of the OR-construction, as one
+    * posexploded column pair — the banding shape p03 uses, with
+    * hyperplane buckets as the band keys. */
+  private def lshMultiBuckets(np: Int,
+      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    posexplode(array((0 until lshNumTables).map(t => lshBucketColT(t, np, v)): _*))
 
   /** The same plane count as DuckDB SQL (a literal under -Dgraft.lshPlanes,
     * clamped identically to the Spark side). */
@@ -997,19 +1015,29 @@ object Pipeline {
        | / (sqrt(list_sum([CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE) FOR i IN range(1, len($a) + 1)]))
        |  * sqrt(list_sum([CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) FOR i IN range(1, len($b) + 1)])))""".stripMargin
 
-  /** The p06 bucket id as DuckDB SQL: sum over planes of 2^p when
-    * dot(embedding, plane_p) > 0, with the plane rendered as a literal
-    * double list — bit-identical to the Spark side's codegen'd
+  /** The bucket id of plane-table `t` as DuckDB SQL: sum over planes of
+    * 2^p when dot(embedding, plane_p) > 0, with the plane rendered as a
+    * literal double list — bit-identical to the Spark side's codegen'd
     * dot_product > 0 test (both accumulate in double, index order). All
     * [[lshMaxPlanes]] planes are rendered; each term is gated on
     * `p < np.np` so the SQL adapts to the same n-derived plane count the
     * Spark plan compiled in (the query must expose a one-row CTE `np`). */
-  private def duckLshBucket(vec: String): String =
-    lshPlanes.zipWithIndex.map { case (plane, p) =>
+  private def duckLshBucketT(t: Int, vec: String): String =
+    lshPlaneTables(t).zipWithIndex.map { case (plane, p) =>
       val planeLit = plane.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
       s"""(CASE WHEN $p < np.np AND list_sum([CAST($vec[i] AS DOUBLE) * ($planeLit)[i]
          |  FOR i IN range(1, len($vec) + 1)]) > 0 THEN ${1L << p} ELSE 0 END)""".stripMargin
     }.mkString(" + ")
+
+  private def duckLshBucket(vec: String): String = duckLshBucketT(0, vec)
+
+  /** The OR-construction's (t, bucket) table as a DuckDB CTE body: one
+    * UNION ALL branch per plane table. */
+  private def duckLshMultiBuckets(vec: String): String =
+    (0 until lshNumTables).map { t =>
+      s"""SELECT vec_id, $t AS t, ${duckLshBucketT(t, vec)} AS bucket
+         |FROM embeddings, np""".stripMargin
+    }.mkString("\nUNION ALL\n")
 
   /** p29's query terms — fixed vocabulary of the synthetic corpus with a
     * spread of document frequencies (rare -> common). Declared BEFORE
@@ -1288,6 +1316,55 @@ object Pipeline {
           SELECT a.vec_id AS qid, b.vec_id AS cid,
             ${duckCosine("a.embedding", "b.embedding")} AS sim
           FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        ranked AS (
+          SELECT qid, cid, sim,
+            CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rank
+          FROM sims)
+        SELECT qid, cid AS neighbor_id, rank, round(sim, 6) AS sim_r
+        FROM ranked WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    // ---- multi-table LSH ANN (banded OR-construction): L=4 independent
+    // hyperplane tables; a candidate pair collides in ANY table. Lifts
+    // the single-table collision ceiling (≈ agree^np per pair) toward
+    // 1-(1-agree^np)^L at L× the candidate budget — the textbook remedy
+    // for exactly the recall p35 measures on p06. Candidate generation
+    // stays an equi-join on (t, bucket) band keys (the p03 shape); the
+    // pair set dedups on 8-byte ids BEFORE re-joining embeddings, so the
+    // distinct shuffle carries ids, never vectors. ------------------------
+    QDef("p37_knn_lsh_multi",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val np = lshNumPlanes(e.count())
+        val b = e.select(col("vec_id"),
+          lshMultiBuckets(np, col("embedding")).as(Seq("t", "bucket")))
+        val cand = b.select(col("vec_id").as("qid"), col("t"), col("bucket"))
+          .join(b.select(col("vec_id").as("cid"), col("t"), col("bucket")),
+            Seq("t", "bucket"))
+          .filter(col("qid") =!= col("cid"))
+          .select(col("qid"), col("cid")).distinct()
+        val rn = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+        cand
+          .join(e.select(col("vec_id").as("qid"), col("embedding").as("qv")), "qid")
+          .join(e.select(col("vec_id").as("cid"), col("embedding").as("cv")), "cid")
+          .withColumn("sim", expr("cosine_sim(qv, cv)"))
+          .withColumn("rank", row_number().over(rn))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("cid").as("neighbor_id"), col("rank"),
+            round(col("sim"), 6).as("sim_r"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""WITH np AS (SELECT $duckLshNp AS np),
+        mbuck AS MATERIALIZED (
+          ${duckLshMultiBuckets("embedding")}),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid
+          FROM mbuck a JOIN mbuck b
+            ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        sims AS (
+          SELECT c.qid, c.cid, ${duckCosine("ea.embedding", "eb.embedding")} AS sim
+          FROM cand c
+          JOIN embeddings ea ON ea.vec_id = c.qid
+          JOIN embeddings eb ON eb.vec_id = c.cid),
         ranked AS (
           SELECT qid, cid, sim,
             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rank
@@ -2300,8 +2377,9 @@ ${duckTwoLevel("h", "embeddings", Seq("label"), duckNprobe)},
               round(col("n_hits").cast("double") / (col("n_queries") * 5.0), 6)
                 .as("recall_r"))
         val e = emb(s, dir)
+        val np = lshNumPlanes(e.count())
         val b = e.select(col("vec_id"),
-          lshBucketCol(lshNumPlanes(e.count()), col("embedding")).as("bucket"))
+          lshBucketCol(np, col("embedding")).as("bucket"))
         val pairs = res("p14_embedding_neardup").select(col("a_id"), col("b_id"))
           .persist()
         try {
@@ -2311,6 +2389,21 @@ ${duckTwoLevel("h", "embeddings", Seq("label"), duckNprobe)},
           .agg(count(lit(1)).as("n_queries"),
             sum(when(col("ba") === col("bb"), 1L).otherwise(0L)).as("n_hits"))
           .select(lit("p06_lsh_neardup").as("method"), col("n_queries"),
+            col("n_hits"),
+            round(col("n_hits").cast("double") / col("n_queries"), 6)
+              .as("recall_r"))
+        // the OR-construction's near-dup candidate recall: a true pair
+        // counts if it co-buckets in ANY of the L tables
+        val bm = e.select(col("vec_id"),
+          lshMultiBuckets(np, col("embedding")).as(Seq("t", "bucket")))
+        val nearDupMulti = pairs
+          .join(bm.select(col("vec_id").as("a_id"), col("t"), col("bucket").as("ba")), "a_id")
+          .join(bm.select(col("vec_id").as("b_id"), col("t"), col("bucket").as("bb")),
+            Seq("b_id", "t"))
+          .groupBy(col("a_id"), col("b_id"))
+          .agg(max(when(col("ba") === col("bb"), 1L).otherwise(0L)).as("hit"))
+          .agg(count(lit(1)).as("n_queries"), sum(col("hit")).as("n_hits"))
+          .select(lit("p37_lsh_multi_neardup").as("method"), col("n_queries"),
             col("n_hits"),
             round(col("n_hits").cast("double") / col("n_queries"), 6)
               .as("recall_r"))
@@ -2332,6 +2425,8 @@ ${duckTwoLevel("h", "embeddings", Seq("label"), duckNprobe)},
           .unionAll(nearDup)
           .unionAll(row("p16_ivf", "p16_knn_ivf"))
           .unionAll(colocated)
+          .unionAll(row("p37_lsh_multi", "p37_knn_lsh_multi"))
+          .unionAll(nearDupMulti)
           .orderBy(col("method"))
         // materialize the 4 measurement rows NOW so the persisted truth
         // sets above can be unpersisted deterministically (a lazy return
@@ -2362,6 +2457,22 @@ ${duckTwoLevel("a", "embeddings", Nil, "1")},
         buck AS (
           SELECT vec_id, embedding, ${duckLshBucket("embedding")} AS bucket
           FROM embeddings, np),
+        mbuck AS MATERIALIZED (
+          ${duckLshMultiBuckets("embedding")}),
+        mcand AS (
+          SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid
+          FROM mbuck a JOIN mbuck b
+            ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        msims AS (
+          SELECT c.qid, c.cid, ${duckCosine("ea.embedding", "eb.embedding")} AS sim
+          FROM mcand c
+          JOIN embeddings ea ON ea.vec_id = c.qid
+          JOIN embeddings eb ON eb.vec_id = c.cid),
+        mranked AS (
+          SELECT qid, cid,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+          FROM msims),
+        mlsh AS (SELECT qid, cid FROM mranked WHERE rank <= 5),
         lsims AS (
           SELECT a.vec_id AS qid, b.vec_id AS cid,
             ${duckCosine("a.embedding", "b.embedding")} AS sim
@@ -2393,6 +2504,15 @@ ${duckTwoLevel("a", "embeddings", Nil, "1")},
           FROM ndpairs p
           JOIN buck ba ON ba.vec_id = p.a_id
           JOIN buck bb ON bb.vec_id = p.b_id),
+        ndmstat AS (
+          SELECT COUNT(*) AS n_queries, CAST(SUM(hit) AS BIGINT) AS n_hits
+          FROM (
+            SELECT p.a_id, p.b_id,
+              MAX(CASE WHEN ba.bucket = bb.bucket THEN 1 ELSE 0 END) AS hit
+            FROM ndpairs p
+            JOIN mbuck ba ON ba.vec_id = p.a_id
+            JOIN mbuck bb ON bb.vec_id = p.b_id AND bb.t = ba.t
+            GROUP BY p.a_id, p.b_id)),
         cellstat AS (
           SELECT COUNT(*) AS n_queries,
             CAST(SUM(CASE WHEN ca.cell = cb.cell THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
@@ -2419,6 +2539,16 @@ ${duckTwoLevel("a", "embeddings", Nil, "1")},
         SELECT 'p32_cell_colocation' AS method, n_queries, n_hits,
           round(n_hits / CAST(n_queries AS DOUBLE), 6) AS recall_r
         FROM cellstat
+        UNION ALL
+        SELECT 'p37_lsh_multi' AS method, nq.n_queries,
+          (SELECT COUNT(*) FROM mlsh l JOIN exact e ON l.qid = e.qid AND l.cid = e.cid) AS n_hits,
+          round((SELECT COUNT(*) FROM mlsh l JOIN exact e ON l.qid = e.qid AND l.cid = e.cid)
+            / (nq.n_queries * 5.0), 6) AS recall_r
+        FROM nq
+        UNION ALL
+        SELECT 'p37_lsh_multi_neardup' AS method, n_queries, n_hits,
+          round(n_hits / CAST(n_queries AS DOUBLE), 6) AS recall_r
+        FROM ndmstat
         ORDER BY method""")),
 
     // ---- the fitted k-means coarse quantizer itself (CellStage), pinned
