@@ -88,6 +88,21 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p16.contains("BroadcastNestedLoopJoin") || p16.contains("BroadcastExchange"), p16)
   }
 
+  test("p37: banded candidates dedup on ids before the vector re-join; top-k is group-limited") {
+    val p = plan("p37_knn_lsh_multi")
+    assert(!p.contains("CartesianProduct"), p)
+    // both sides band to (t, bucket) via one posexplode each
+    assert("Generate".r.findAllIn(p).size == 2, s"expected 2 Generates (one per side):\n$p")
+    // the candidate distinct is an aggregate whose shuffle carries only the
+    // two 8-byte ids — never embeddings
+    assert(p.contains("HashAggregate"), s"id-distinct missing:\n$p")
+    val exchange = "Exchange hashpartitioning\\(qid#\\d+L, cid#\\d+L".r
+    assert(exchange.findFirstIn(p).isDefined,
+      s"candidate distinct must shuffle on (qid, cid) ids only:\n$p")
+    // per-query top-5 via window group limit, not a global materialize+sort
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q34 CTE: aggregate pushed below the join (partial aggregation)") {
     val p = plan("q34_cte")
     assert(p.contains("HashAggregate"), p)
