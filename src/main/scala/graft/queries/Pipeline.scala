@@ -940,10 +940,17 @@ object Pipeline {
   private val lshTargetBucket = 64L
   /** Independent hash tables for the banded OR-construction (p37): one
     * plane family per table, seeded 42+t so table 0 is bit-identical to
-    * the single-table p06 family (its contract is frozen). */
-  private val lshNumTables = 4
+    * the single-table p06 family (its contract is frozen). The pool is
+    * rendered at its max size; `-Dgraft.lshTables` picks L within it —
+    * a def (like ivfNprobe) so the Spark plan and the oracle SQL, both
+    * built inside one `defs` call, always observe the same value. */
+  private[graft] val lshMaxTables = 8
+  private[graft] def lshNumTables: Int =
+    sys.props.get("graft.lshTables")
+      .map(v => math.min(lshMaxTables, math.max(1, v.toInt)))
+      .getOrElse(4)
   private val lshPlaneTables: Array[Array[Array[Float]]] =
-    Array.tabulate(lshNumTables) { t =>
+    Array.tabulate(lshMaxTables) { t =>
       val rnd = new scala.util.Random(42 + t)
       // sequential draws: the first 8 planes of table 0 are bit-identical
       // to the r6 8-plane family, so growing the pool only ADDS buckets

@@ -130,6 +130,18 @@ class KMeansCellsSpec extends SparkSpecBase {
     assert(np(64L * 1024 + 1) == 11)
   }
 
+  test("p37 table count: default 4, -Dgraft.lshTables clamped to the rendered pool") {
+    assert(queries.Pipeline.lshNumTables == 4)
+    try {
+      sys.props("graft.lshTables") = "2"
+      assert(queries.Pipeline.lshNumTables == 2)
+      sys.props("graft.lshTables") = "99" // capped: the oracle renders only lshMaxTables families
+      assert(queries.Pipeline.lshNumTables == queries.Pipeline.lshMaxTables)
+      sys.props("graft.lshTables") = "0"
+      assert(queries.Pipeline.lshNumTables == 1)
+    } finally sys.props.remove("graft.lshTables")
+  }
+
   test("fit-sample rule: full corpus below max(p*k, 64p), bounded above it") {
     val fs = queries.Pipeline.kmeansFitSample _
     assert(fs(500L, 23) == 500L)          // validation scale: full corpus
