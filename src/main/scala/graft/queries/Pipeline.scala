@@ -233,6 +233,75 @@ object Pipeline {
   /** The same 60-bit hash as DuckDB SQL over expression `x`. */
   private def duckMd560(x: String): String = duckHex60(s"md5($x)")
 
+  // ---- deterministic sketch family (p38/p39/p40): Bloom prescreen,
+  // HyperLogLog cardinality, count-min heavy hitters. Every position /
+  // register / rank derives from the engine-portable md560 with integer
+  // shifts and masks only — no float log, no engine-internal hash — so
+  // the sketch CONTENTS (not just the final answers) are reproducible
+  // cross-engine and can themselves be oracle-pinned (p38b).
+
+  /** Bloom probe positions: 16-bit slices of the 60-bit hash at these
+    * shifts (Kirsch-Mitzenmacher-style derivation of k probes from one
+    * strong hash; slice i uses bits [11i, 11i+16) ⊂ [0, 60)). The 2^16
+    * bits pack into 2048 words of 32 bits each, kept in signed longs so
+    * neither engine's `<<` ever touches the sign bit. */
+  private val bloomHashShifts = Seq(0, 11, 22, 33)
+  private def bloomPosSpark(h: String, s: Int) = s"(shiftright($h, $s) & 65535)"
+  private def bloomPosDuck(h: String, s: Int) = s"(($h >> $s) & 65535)"
+
+  /** Fold a set of 60-bit hashes into the (word, bits) Bloom bitset —
+    * ≤2048 rows, map-side-combined bit_or, broadcastable as one row. */
+  private def bloomBits(hashes: DataFrame): DataFrame = hashes
+    .select(explode(array(bloomHashShifts.map(sh =>
+      expr(bloomPosSpark("h", sh))): _*)).as("pos"))
+    .groupBy(expr("CAST(shiftright(pos, 5) AS INT)").as("word"))
+    .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos & 31 AS INT)))")
+      .as("bits"))
+
+  /** Integer bit-length of non-negative expression `w` (< 2^52) as a sum
+    * of literal threshold comparisons — the same no-float-log2 trick as
+    * [[lshNumPlanes]], rendered textually identically into Spark SQL and
+    * DuckDB so the HLL register ranks can never disagree. */
+  private def bitlenSql(w: String): String =
+    (0 until 52).map(p => s"(CASE WHEN $w >= ${1L << p} THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+
+  /** Count-min row positions: 13-bit slices of the hash (width 8192,
+    * depth 4; slice j uses bits [13j, 13j+13) ⊂ [0, 60)). Sketch state is
+    * 4 × 8192 × 8 B = 256 KiB per task — constant in the corpus size, and
+    * expected overcount ≈ N_instances/8192 per row before the min. */
+  private val cmsShifts = Seq(0, 13, 26, 39)
+  private def cmsPosSpark(h: String, j: Int) = s"(shiftright($h, ${cmsShifts(j)}) & 8191)"
+  private def cmsPosDuck(h: String, j: Int) = s"(($h >> ${cmsShifts(j)}) & 8191)"
+
+  /** The shingle → staged-hash CTE prefix shared by the contamination and
+    * vocabulary oracles (mirrors what [[ShingleStage]] stages). */
+  private def duckShingleCtes: String = s"""toks AS (
+          SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+        sh0 AS (
+          SELECT doc_id, unnest(list_distinct(
+            [arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] FOR i IN range(1, len(arr) - 1)])) AS shingle
+          FROM toks),
+        sh AS (SELECT doc_id, ${duckMd560("shingle")} AS h FROM sh0)"""
+
+  /** p21's oracle SQL — and p38's: the Bloom prescreen provably cannot
+    * change the result (no false negatives; false positives die in the
+    * exact verify join), and sharing the oracle is what pins exactly that
+    * invariance cross-engine. */
+  private def duckContaminationSql: String = s"""WITH $duckShingleCtes,
+        bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 20 = 0),
+        cand AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
+        sz AS (SELECT doc_id, COUNT(*) AS n_shingles FROM cand GROUP BY 1),
+        hits AS (SELECT doc_id, COUNT(*) AS n_hit FROM cand
+                 WHERE h IN (SELECT h FROM bench) GROUP BY 1)
+        SELECT sz.doc_id, sz.n_shingles,
+          CAST(COALESCE(hits.n_hit, 0) AS BIGINT) AS n_hit,
+          CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / sz.n_shingles AS contamination
+        FROM sz LEFT JOIN hits ON sz.doc_id = hits.doc_id
+        WHERE CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / sz.n_shingles >= 0.2
+        ORDER BY sz.doc_id"""
+
   /** MinHash permutation family: h_i(x) = (a_i·x + b_i) mod (2³¹−1) over
     * the 31-bit reduction of one md560 per shingle. One strong hash per
     * shingle plus k cheap codegen'd multiply-mods replaces k independent
@@ -1808,25 +1877,7 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
           .select(col("doc_id"), col("n_shingles"), col("n_hit"), col("contamination"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH toks AS (
-          SELECT doc_id, string_split(text, ' ') AS arr FROM documents
-          WHERE len(string_split(text, ' ')) >= 3),
-        sh0 AS (
-          SELECT doc_id, unnest(list_distinct(
-            [arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] FOR i IN range(1, len(arr) - 1)])) AS shingle
-          FROM toks),
-        sh AS (SELECT doc_id, ${duckMd560("shingle")} AS h FROM sh0),
-        bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 20 = 0),
-        cand AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
-        sz AS (SELECT doc_id, COUNT(*) AS n_shingles FROM cand GROUP BY 1),
-        hits AS (SELECT doc_id, COUNT(*) AS n_hit FROM cand
-                 WHERE h IN (SELECT h FROM bench) GROUP BY 1)
-        SELECT sz.doc_id, sz.n_shingles,
-          CAST(COALESCE(hits.n_hit, 0) AS BIGINT) AS n_hit,
-          CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / sz.n_shingles AS contamination
-        FROM sz LEFT JOIN hits ON sz.doc_id = hits.doc_id
-        WHERE CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / sz.n_shingles >= 0.2
-        ORDER BY sz.doc_id""")),
+      Some(duckContaminationSql)),
 
     // ---- intra-document repetition (Gopher-style repetition rule):
     // duplicate-3-gram ratio per document. Pure per-row array math — no
@@ -2573,6 +2624,199 @@ ${duckTwoLevel("a", "embeddings", Nil, "1")},
       Some(s"""WITH $duckKmeansCells
         SELECT cell, CAST(idx - 1 AS INTEGER) AS pos, CAST(cv[idx] AS DOUBLE) AS c
         FROM cells, unnest(range(1, len(cv) + 1)) AS u(idx)
-        ORDER BY cell, pos"""))
+        ORDER BY cell, pos""")),
+
+    // ---- Bloom-filter contamination prescreen: the 100 TB path for p21.
+    // The benchmark shingle set folds into a 2^16-bit Bloom filter (2048
+    // 32-bit-packed words; 4 probes = md560 slices) via one tiny bit_or
+    // aggregation, and the corpus side is filtered against the ONE-ROW
+    // broadcast bitset BEFORE the exact join — at scale the verify
+    // shuffle carries only probable hits (~the contamination rate of the
+    // corpus) instead of every shingle. Result-invariant by construction
+    // (Bloom filters have no false negatives; false positives die in the
+    // exact join), so the oracle is p21's own SQL and the hash match pins
+    // exactly that invariance. Spark's runtime bloom-join optimization is
+    // best-effort and engine-internal; this one is explicit,
+    // deterministic, and verified — and the bitset itself is pinned
+    // cross-engine as p38b. -----------------------------------------------
+    QDef("p38_contamination_bloom",
+      (s, dir) => {
+        val grams = ShingleStage.load(s, dir).select(col("doc_id"), col("h"))
+        val bench = grams.filter(col("doc_id") % 20 === 0)
+          .select(col("h")).distinct()
+        val cand = grams.filter(col("doc_id") % 20 =!= 0)
+        val bloomRow = bloomBits(bench).agg(
+          map_from_entries(collect_list(struct(col("word"), col("bits"))))
+            .as("bloom"))
+        val pass = bloomHashShifts.map { sh =>
+          val pos = bloomPosSpark("h", sh)
+          expr(s"""(coalesce(element_at(bloom, CAST(shiftright($pos, 5) AS INT)),
+                     CAST(0 AS BIGINT))
+                   & shiftleft(CAST(1 AS BIGINT), CAST($pos & 31 AS INT))) != 0""")
+        }.reduce(_ && _)
+        val candPass = cand.crossJoin(broadcast(bloomRow)).filter(pass)
+          .select(col("doc_id"), col("h"))
+        val sz = cand.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+        val hits = candPass.join(bench, "h")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+        sz.join(hits, Seq("doc_id"), "left")
+          .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+          .withColumn("contamination",
+            col("n_hit").cast("double") / col("n_shingles"))
+          .filter(col("contamination") >= 0.2)
+          .select(col("doc_id"), col("n_shingles"), col("n_hit"), col("contamination"))
+          .orderBy(col("doc_id"))
+      },
+      Some(duckContaminationSql)),
+
+    // ---- the Bloom bitset itself, pinned cross-engine (the p36 pattern:
+    // verifying the sketch's CONTENTS is what makes p38's shared-oracle
+    // check meaningful rather than vacuous). One row per non-empty word. --
+    QDef("p38b_bloom_index",
+      (s, dir) => {
+        val bench = ShingleStage.load(s, dir)
+          .filter(col("doc_id") % 20 === 0).select(col("h")).distinct()
+        bloomBits(bench).orderBy(col("word"))
+      },
+      Some(s"""WITH $duckShingleCtes,
+        bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 20 = 0),
+        pos AS (SELECT unnest([${bloomHashShifts
+          .map(sh => bloomPosDuck("h", sh)).mkString(", ")}]) AS pos FROM bench)
+        SELECT CAST(pos >> 5 AS INTEGER) AS word,
+          bit_or(CAST(1 AS BIGINT) << CAST(pos & 31 AS INTEGER)) AS bits
+        FROM pos GROUP BY 1 ORDER BY 1""")),
+
+    // ---- corpus vocabulary cardinality via HyperLogLog (m = 256
+    // registers): the scale path for "how many distinct shingles does the
+    // corpus have" — the question exact COUNT(DISTINCT) answers with a
+    // full shuffle of every key, answered here by a 256-row map-side-
+    // combined aggregate the driver could hold in one hand. Register =
+    // low 8 bits of the staged md560; rank = leading zeros of the
+    // remaining 52 bits + 1, computed by the integer threshold-count
+    // trick (no float log2, no bin()-string semantics); the harmonic sum
+    // folds as EXACT integers (Σ 2^(53−rho) ≤ 2^61 fits a long), so the
+    // only float ops are one division and the final rounding — identical
+    // IEEE in both engines. The exact count is computed alongside as the
+    // validation-scale error measurement (the p35 pattern); a 100 TB run
+    // drops that column and keeps the sketch. Raw HLL estimator, no
+    // small-range correction: ln() is libm-dependent, and the corpus
+    // vocabulary sits far above the 2.5m small-range regime at every SF
+    // (the rel_err_r column is the proof). ---------------------------------
+    QDef("p39_vocab_hll",
+      (s, dir) => {
+        val sh = ShingleStage.load(s, dir).select(col("h"))
+        val regs = sh
+          .select(expr("CAST(h & 255 AS INT)").as("idx"),
+            expr("shiftright(h, 8)").as("w"))
+          .select(col("idx"), expr(s"53 - (${bitlenSql("w")})").as("rho"))
+          .groupBy(col("idx")).agg(max(col("rho")).as("rho"))
+        val sStat = regs.agg(
+          count(lit(1)).as("m_present"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - rho AS INT))"))
+            .as("s_present"))
+          .select(expr(s"(256 - m_present) * ${1L << 53} + s_present")
+            .as("s_scaled"))
+        // floor(x·10^4 + 0.5), not round(x, 4): the p30 rule — round()
+        // half-way semantics differ between engines, and the estimate DID
+        // land on a .xxxx5 boundary at sf0.1
+        sh.agg(countDistinct(col("h")).as("n_exact"))
+          .crossJoin(broadcast(sStat))
+          .withColumn("n_est_r", expr(
+            """floor(((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+               * CAST(9007199254740992 AS DOUBLE) / CAST(s_scaled AS DOUBLE))
+               * 10000.0 + 0.5) / 10000.0"""))
+          .select(lit(256).as("m"), col("n_exact"), col("n_est_r"),
+            expr("""floor(((n_est_r - CAST(n_exact AS DOUBLE)) / n_exact)
+               * 10000.0 + 0.5) / 10000.0""").as("rel_err_r"))
+      },
+      Some(s"""WITH $duckShingleCtes,
+        regs AS (
+          SELECT CAST(h & 255 AS INTEGER) AS idx,
+            MAX(53 - (${bitlenSql("(h >> 8)")})) AS rho
+          FROM sh GROUP BY 1),
+        sstat AS (
+          SELECT (256 - COUNT(*)) * ${1L << 53}
+            + SUM(CAST(1 AS BIGINT) << CAST(53 - rho AS INTEGER)) AS s_scaled
+          FROM regs),
+        ex AS (SELECT COUNT(DISTINCT h) AS n_exact FROM sh),
+        est AS (
+          SELECT floor(((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+            * CAST(9007199254740992 AS DOUBLE) / CAST(s_scaled AS DOUBLE))
+            * 10000.0 + 0.5) / 10000.0 AS n_est_r
+          FROM sstat)
+        SELECT CAST(256 AS INTEGER) AS m, CAST(n_exact AS BIGINT) AS n_exact,
+          n_est_r,
+          floor(((n_est_r - CAST(n_exact AS DOUBLE)) / n_exact)
+            * 10000.0 + 0.5) / 10000.0 AS rel_err_r
+        FROM ex, est""")),
+
+    // ---- heavy-hitter bigrams via count-min sketch (depth 4 × width
+    // 8192): the bounded-memory path for p19's exact bigram counting. The
+    // sketch is ONE aggregation into ≤32768 cells (map-side combined —
+    // state is 256 KiB per task regardless of corpus size); estimates are
+    // a broadcast join of candidates against the cell table; the exact
+    // counts are computed ONLY for the 25 winners (one scan + broadcast
+    // semi-filter), so the overcount column — CMS is always ≥ exact — is
+    // measured without ever building the full exact count table the
+    // sketch exists to avoid. All-integer arithmetic end to end. -----------
+    QDef("p40_bigram_cms",
+      (s, dir) => {
+        val bg = docs(s, dir)
+          .select(split(col("text"), " ").as("arr"))
+          .filter(size(col("arr")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(arr)-2), i -> concat_ws(' ', arr[i], arr[i+1]))"))
+            .as("bigram"))
+          .withColumn("h", md560(col("bigram")))
+        def positions = array((0 until cmsShifts.size).map(j =>
+          expr(cmsPosSpark("h", j))): _*)
+        val cells = bg
+          .select(posexplode(positions).as(Seq("j", "pos")))
+          .groupBy(col("j"), col("pos")).agg(count(lit(1)).as("c"))
+        val est = bg.select(col("bigram"), col("h")).distinct()
+          .select(col("bigram"), posexplode(positions).as(Seq("j", "pos")))
+          .join(broadcast(cells), Seq("j", "pos"))
+          .groupBy(col("bigram")).agg(min(col("c")).as("est_count"))
+        val top = est
+          .orderBy(col("est_count").desc, col("bigram")).limit(25)
+        val exact = bg.join(broadcast(top.select(col("bigram"))), "bigram")
+          .groupBy(col("bigram")).agg(count(lit(1)).as("exact_count"))
+        top.join(broadcast(exact), "bigram")
+          .select(col("bigram"), col("est_count"), col("exact_count"),
+            (col("est_count") - col("exact_count")).as("overcount"))
+          .orderBy(col("est_count").desc, col("bigram"))
+      },
+      Some(s"""WITH toks AS (
+          SELECT string_split(text, ' ') AS arr FROM documents
+          WHERE len(string_split(text, ' ')) >= 2),
+        bg0 AS (
+          SELECT unnest([arr[i] || ' ' || arr[i+1] FOR i IN range(1, len(arr))]) AS bigram
+          FROM toks),
+        bg AS (SELECT bigram, ${duckMd560("bigram")} AS h FROM bg0),
+        cells AS (
+          SELECT j, pos, COUNT(*) AS c FROM (
+            SELECT unnest([0, 1, 2, 3]) AS j,
+              unnest([${(0 until 4).map(j => cmsPosDuck("h", j)).mkString(", ")}]) AS pos
+            FROM bg)
+          GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT bigram, h FROM bg),
+        candpos AS (
+          SELECT bigram, unnest([0, 1, 2, 3]) AS j,
+            unnest([${(0 until 4).map(j => cmsPosDuck("h", j)).mkString(", ")}]) AS pos
+          FROM cand),
+        est AS (
+          SELECT bigram, MIN(c) AS est_count
+          FROM candpos JOIN cells USING (j, pos) GROUP BY 1),
+        top AS (
+          SELECT bigram, est_count FROM est
+          ORDER BY est_count DESC, bigram LIMIT 25),
+        exact AS (
+          SELECT bigram, COUNT(*) AS exact_count FROM bg
+          WHERE bigram IN (SELECT bigram FROM top) GROUP BY 1)
+        SELECT t.bigram, CAST(t.est_count AS BIGINT) AS est_count,
+          CAST(e.exact_count AS BIGINT) AS exact_count,
+          CAST(t.est_count - e.exact_count AS BIGINT) AS overcount
+        FROM top t JOIN exact e USING (bigram)
+        ORDER BY est_count DESC, t.bigram"""))
   )
 }
