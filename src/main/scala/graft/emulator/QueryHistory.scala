@@ -68,8 +68,11 @@ final class QueryHistory(capacity: Int = 10000,
         records.remove(r)
         val done = r.copy(status = status, rows = rows, elapsedMs = elapsed,
           errorMessage = err)
-        push(done)
-        persist(done)
+        // push and persist under ONE lock (synchronized is reentrant into
+        // persist's own block): a compaction running between them would
+        // already include `done` from the ring, and the append would then
+        // duplicate the line — a later hydrate would yield the record twice
+        synchronized { push(done); persist(done) }
       case None => ()
     }
   }

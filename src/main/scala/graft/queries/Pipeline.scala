@@ -101,16 +101,26 @@ object Pipeline {
             // Repair paths before building: a final dir WITHOUT _SUCCESS is
             // torn state (a crash mid-commit, or a pre-atomic-commit
             // leftover) — the rename below would refuse to replace it, so
-            // delete it now. Orphan temp siblings from builders that died
-            // after writing are likewise swept, but only when old enough
-            // (>10 min) that they cannot be a LIVE concurrent builder's
-            // in-progress copy — deleting a racing builder's tmp mid-write
-            // would fail its build for no gain.
-            if (java.nio.file.Files.exists(out)) rm(out.toFile)
+            // delete it now. Re-check _SUCCESS immediately before the rm:
+            // between the outer check and here another JVM can COMMIT, and
+            // deleting the freshly committed table would fail its readers'
+            // in-flight scans mid-file. Orphan temp siblings from builders
+            // that died after writing are likewise swept, but only when
+            // their DEEPEST file is old enough (>10 min) that they cannot
+            // be a LIVE concurrent builder's in-progress copy — Spark
+            // writes land under _temporary/, so the tmp dir's own
+            // top-level mtime does not advance during a long build and
+            // would mis-flag a >10-min live build as orphaned.
+            if (java.nio.file.Files.exists(out) &&
+              !java.nio.file.Files.exists(out.resolve("_SUCCESS")))
+              rm(out.toFile)
+            def maxMtime(f: java.io.File): Long =
+              (f.lastModified() +: Option(f.listFiles()).toSeq.flatten
+                .map(maxMtime)).max
             val cutoff = System.currentTimeMillis() - 10L * 60 * 1000
             Option(r.toFile.listFiles()).foreach(_.filter(f =>
               f.getName.startsWith(s"$tag-$key.tmp.") &&
-                f.lastModified() < cutoff).foreach(rm))
+                maxMtime(f) < cutoff).foreach(rm))
             // Concurrency-safe commit across JVMs sharing one staging root:
             // build into a unique temp sibling, then atomically rename onto
             // the final path (rename(2) — same filesystem by construction).
@@ -265,6 +275,23 @@ object Pipeline {
   private def bitlenSql(w: String): String =
     (0 until 52).map(p => s"(CASE WHEN $w >= ${1L << p} THEN 1 ELSE 0 END)")
       .mkString(" + ")
+
+  /** The HLL estimator constant α₂₅₆·m²·2⁵³, folded to ONE IEEE double in
+    * Scala and rendered into both engines' SQL as the same shortest-round-
+    * trip literal (Double.toString round-trips exactly). It cannot be
+    * spelled as decimal literals inside the SQL: Spark types
+    * decimal÷decimal as a scale-capped DECIMAL (0.7213/(1+1.079/256)
+    * rounds at the 8th significant digit) while DuckDB promotes the same
+    * spelling to DOUBLE — a divergence of ~3 counts on a 3·10⁵ vocabulary,
+    * far above the 10⁻⁴ rounding guard. With the constant pre-folded, the
+    * only float ops left in the chain are one division by s_scaled and the
+    * floor(x·10⁴+0.5) rounding — identical IEEE in both engines. The
+    * string-cast (CAST('…' AS DOUBLE)) pins the literal's type on both
+    * sides regardless of engine literal-typing rules. */
+  private[graft] val hllEstConst: Double =
+    0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 9007199254740992.0
+  private def hllEstConstSql: String =
+    s"CAST('${java.lang.Double.toString(hllEstConst)}' AS DOUBLE)"
 
   /** Count-min row positions: 13-bit slices of the hash (width 8192,
     * depth 4; slice j uses bits [13j, 13j+13) ⊂ [0, 60)). Sketch state is
@@ -2415,13 +2442,18 @@ ${duckTwoLevel("h", "embeddings", Seq("label"), duckNprobe)},
     // integer counts + one final double division. ------------------------
     QDef("p35_ann_recall",
       (s, dir) => {
-        def res(name: String) = defs.find(_.name == name).get.fn(s, dir)
+        // bind the QDef Seq ONCE: defs is a def (knob-consistency rule),
+        // and each rebuild re-renders every oracle SQL string — multi-KB
+        // hyperplane literals per LSH table — so per-lookup calls are
+        // pure string-rendering overhead
+        val ds = defs
+        def res(name: String) = ds.find(_.name == name).get.fn(s, dir)
         // the two exact truth sets are each referenced by several output
         // rows; without a persist each reference re-executes the guarded
         // all-pairs cross join (the most expensive subtree here) — pin
         // them once. Both are tiny (5 rows/query, <=n pairs), and both
         // are RELEASED in the finally below: the output is materialized
-        // eagerly (it is 4 rows by construction), so a library caller
+        // eagerly (it is 6 rows by construction), so a library caller
         // invoking p35 directly leaks no pinned blocks into the session.
         val exact = res("p05_knn_exact").select(col("qid"), col("neighbor_id"))
           .persist()
@@ -2486,7 +2518,7 @@ ${duckTwoLevel("h", "embeddings", Seq("label"), duckNprobe)},
           .unionAll(row("p37_lsh_multi", "p37_knn_lsh_multi"))
           .unionAll(nearDupMulti)
           .orderBy(col("method"))
-        // materialize the 4 measurement rows NOW so the persisted truth
+        // materialize the 6 measurement rows NOW so the persisted truth
         // sets above can be unpersisted deterministically (a lazy return
         // would recompute the guarded exact baselines once per reference
         // after the finally releases them)
@@ -2721,13 +2753,16 @@ ${duckTwoLevel("a", "embeddings", Nil, "1")},
         // land on a .xxxx5 boundary at sf0.1
         sh.agg(countDistinct(col("h")).as("n_exact"))
           .crossJoin(broadcast(sStat))
+          // CAST(floor(…) AS DOUBLE) before the /10⁴: Spark's floor yields
+          // BIGINT and bigint÷decimal-literal is DECIMAL division (DuckDB's
+          // floor is already DOUBLE) — the cast pins the quotient to the
+          // same IEEE double on both engines
           .withColumn("n_est_r", expr(
-            """floor(((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
-               * CAST(9007199254740992 AS DOUBLE) / CAST(s_scaled AS DOUBLE))
-               * 10000.0 + 0.5) / 10000.0"""))
+            s"""CAST(floor(($hllEstConstSql / CAST(s_scaled AS DOUBLE))
+               * 10000.0 + 0.5) AS DOUBLE) / 10000.0"""))
           .select(lit(256).as("m"), col("n_exact"), col("n_est_r"),
-            expr("""floor(((n_est_r - CAST(n_exact AS DOUBLE)) / n_exact)
-               * 10000.0 + 0.5) / 10000.0""").as("rel_err_r"))
+            expr("""CAST(floor(((n_est_r - CAST(n_exact AS DOUBLE)) / n_exact)
+               * 10000.0 + 0.5) AS DOUBLE) / 10000.0""").as("rel_err_r"))
       },
       Some(s"""WITH $duckShingleCtes,
         regs AS (
@@ -2740,15 +2775,33 @@ ${duckTwoLevel("a", "embeddings", Nil, "1")},
           FROM regs),
         ex AS (SELECT COUNT(DISTINCT h) AS n_exact FROM sh),
         est AS (
-          SELECT floor(((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
-            * CAST(9007199254740992 AS DOUBLE) / CAST(s_scaled AS DOUBLE))
-            * 10000.0 + 0.5) / 10000.0 AS n_est_r
+          SELECT CAST(floor(($hllEstConstSql / CAST(s_scaled AS DOUBLE))
+            * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS n_est_r
           FROM sstat)
         SELECT CAST(256 AS INTEGER) AS m, CAST(n_exact AS BIGINT) AS n_exact,
           n_est_r,
-          floor(((n_est_r - CAST(n_exact AS DOUBLE)) / n_exact)
-            * 10000.0 + 0.5) / 10000.0 AS rel_err_r
+          CAST(floor(((n_est_r - CAST(n_exact AS DOUBLE)) / n_exact)
+            * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS rel_err_r
         FROM ex, est""")),
+
+    // ---- the HLL register table itself, pinned cross-engine (the
+    // p36/p38b family rule: every sketch's CONTENTS get their own
+    // oracle-pinned entry, not just its final answer — a register diff
+    // localizes a future estimator bug to one row in seconds where the
+    // one-row estimate only says "something diverged"). All-integer:
+    // register index = low 8 hash bits, rank = 53 − bitlen of the
+    // remaining bits, max-merged per register. ---------------------------
+    QDef("p39b_hll_registers",
+      (s, dir) => ShingleStage.load(s, dir)
+        .select(expr("CAST(h & 255 AS INT)").as("idx"),
+          expr("shiftright(h, 8)").as("w"))
+        .select(col("idx"), expr(s"53 - (${bitlenSql("w")})").as("rho"))
+        .groupBy(col("idx")).agg(max(col("rho")).as("rho"))
+        .orderBy(col("idx")),
+      Some(s"""WITH $duckShingleCtes
+        SELECT CAST(h & 255 AS INTEGER) AS idx,
+          CAST(MAX(53 - (${bitlenSql("(h >> 8)")})) AS INTEGER) AS rho
+        FROM sh GROUP BY 1 ORDER BY 1""")),
 
     // ---- heavy-hitter bigrams via count-min sketch (depth 4 × width
     // 8192): the bounded-memory path for p19's exact bigram counting. The

@@ -34,6 +34,22 @@ class QueriesSmokeSpec extends SparkSpecBase {
       s"p35 leaked persisted RDDs: ${after -- before}")
   }
 
+  test("p39 estimate is exactly the estimator applied to p39b's registers") {
+    // the sketch-contents entry (p39b) and the answer entry (p39) must be
+    // two views of ONE state: recomputing the raw-HLL estimate from the
+    // pinned register table reproduces n_est_r bit-for-bit
+    val regs = SparkEntry.queries("p39b_hll_registers")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(regs.map(_._1).distinct.length == regs.length)
+    assert(regs.forall { case (i, rho) => i >= 0 && i < 256 && rho >= 1 && rho <= 53 })
+    val sScaled = (256L - regs.length) * (1L << 53) +
+      regs.map { case (_, rho) => 1L << (53 - rho) }.sum
+    val est = queries.Pipeline.hllEstConst / sScaled.toDouble
+    val estR = math.floor(est * 10000.0 + 0.5) / 10000.0
+    val row = SparkEntry.queries("p39_vocab_hll")(spark, sf0001).collect().head
+    assert(row.getAs[Double]("n_est_r") == estR)
+  }
+
   test("exact all-pairs baselines refuse to run above the size guard") {
     sys.props("graft.exactBaselineMaxRows") = "10"
     try {
