@@ -180,14 +180,19 @@ object Bench {
     // (discarded timings stay visible per query as secOther)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","policy":"best_of_2_when_first_errored_or_gt_2s","queries":$qs,"details":$details,"errors":$nErr,"sf":"$sfDir"}"""
     println(line)
-    // The stdout capture has truncated this line to a tail two rounds
-    // running (r6/r7 artifacts both parsed:null); a well-known file makes
-    // the artifact self-sufficient regardless of how stdout is captured.
+    // The stdout capture has truncated the full line to a tail three
+    // rounds running (r6-r8 artifacts all parsed:null -- the details blob
+    // makes it tens of KB and tail-capture cuts its head off). Two
+    // mitigations: a well-known file carries the full artifact regardless
+    // of how stdout is captured, and a COMPACT line (per-query seconds,
+    // no details) is printed LAST so any tail window long enough for one
+    // line contains a complete, parseable JSON object.
     val outFile = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
     Option(outFile.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(outFile,
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","policy":"best_of_2_when_first_errored_or_gt_2s","queries":$qs,"errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

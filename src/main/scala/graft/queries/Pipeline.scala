@@ -692,12 +692,24 @@ object Pipeline {
       .getOrElse(math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt))
 
   /** Coarse probe width: how many super-cells each vector descends into.
-    * Sized so the EXPECTED candidate-cell count (sprobe * k/ks) is at
-    * least twice the fine probe width the consumer needs — integer-exact
-    * ceil-div, floor 2, capped at ks, so both engines compute the same
-    * width from the same counts. */
+    *
+    * Small-k flat-probe rule: when k ≤ 25, probe ALL super-cells — the
+    * descent then ranks every cell (each cell is in exactly one member
+    * list), i.e. it IS flat assignment, recovering the flat index's full
+    * recall (measured: two-level floors 2/3/4 cost 3.6/1.0/0.4 pt of
+    * recall@5 at nprobe=3, k=23) while STILL satisfying the 6·sqrt(k)
+    * scored-cell bound by arithmetic: scored = k + ks ≤ 5·sqrt(k) +
+    * sqrt(k) exactly when k ≤ 25. The coarse layer only throttles once
+    * throttling fits the budget.
+    *
+    * Above 25: sized so the EXPECTED candidate-cell count (sprobe * k/ks)
+    * is at least twice the fine probe width the consumer needs —
+    * integer-exact ceil-div, floor 3 (floor 2 measured 3.6 pt of recall@5
+    * below the flat index), capped at ks — so both engines compute the
+    * same width from the same counts. */
   private[graft] def superProbe(ks: Int, k: Long, nprobe: Int): Int =
-    math.max(2, math.min(ks, ((2L * nprobe * ks + k - 1) / k).toInt))
+    if (k <= 25) ks
+    else math.max(3, math.min(ks, ((2L * nprobe * ks + k - 1) / k).toInt))
 
   /** The two-level index over CellStage, staged once per input dir like
     * the index itself: the fitted super-centroids (scell, scv) and the
@@ -733,7 +745,11 @@ object Pipeline {
   }
 
   /** Each cell's nearest super-centroid, assigned ONCE at index-build
-    * time (k rows) — per-vector assignment then only consults this map. */
+    * time (k rows) — per-vector assignment then only consults this map.
+    * (A 2-nearest variant was measured and rejected: it lifts recall@5
+    * only 0.424→0.449 at nprobe=3 while doubling every probed super's
+    * member list — the small-k flat-probe rule in [[superProbe]] buys
+    * the full flat recall instead, inside the same scored-cell bound.) */
   private def buildCellMap(s: SparkSession, dir: String,
       supers: DataFrame): DataFrame =
     nearestCells(
@@ -1003,8 +1019,10 @@ object Pipeline {
     val exQ = extra.map(c => s", q.$c").mkString
     val ex = extra.map(c => s", $c").mkString
     s"""  ${p}sp AS (
-       |    SELECT greatest(2, least(sks.ks,
-       |      (2 * CAST(($nprobeSql) AS BIGINT) * sks.ks + ck.k - 1) // ck.k)) AS sp
+       |    SELECT CASE WHEN ck.k <= 25 THEN sks.ks
+       |      ELSE greatest(3, least(sks.ks,
+       |        (2 * CAST(($nprobeSql) AS BIGINT) * sks.ks + ck.k - 1) // ck.k))
+       |      END AS sp
        |    FROM sks, ck, kk),
        |  ${p}ss AS (
        |    SELECT e.vec_id, e.embedding$exE, s.scell,

@@ -110,8 +110,13 @@ class KMeansCellsSpec extends SparkSpecBase {
     assert(skf(16L) == 4 && skf(23L) == 5 && skf(45L) == 7)
     assert(skf(32000L) == 179) // ceil(sqrt(32000))
     val sp = queries.Pipeline.superProbe _
-    // floor 2 at validation scale (expected members already cover kTop)
-    assert(sp(5, 23L, 1) == 2 && sp(5, 23L, 3) == 2)
+    // small-k flat-probe rule: at k <= 25 scoring every cell fits the
+    // 6*sqrt(k) budget outright (k + ks <= 6*sqrt(k)), so ALL supers are
+    // probed and the descent equals flat assignment — recall-measured:
+    // throttled floors 2/3/4 cost 3.6/1.0/0.4 pt of recall@5 at k=23
+    assert(sp(5, 23L, 1) == 5 && sp(5, 23L, 3) == 5)
+    // first throttled k: the candidate rule with its floor 3 takes over
+    assert(sp(6, 26L, 1) == 3)
     // at the 100 TB design point the width grows with the fine probe:
     // k=32000, ks=179, nprobe=2000 -> ceil(2*2000*179/32000) = 23
     assert(sp(179, 32000L, 2000) == 23)
