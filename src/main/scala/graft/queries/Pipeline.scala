@@ -301,6 +301,46 @@ object Pipeline {
   private def cmsPosSpark(h: String, j: Int) = s"(shiftright($h, ${cmsShifts(j)}) & 8191)"
   private def cmsPosDuck(h: String, j: Int) = s"(($h >> ${cmsShifts(j)}) & 8191)"
 
+  /** Per-row text → distinct-3-gram-shingle → HLL register update
+    * projection: the same shingle front [[ShingleStage]] stages and the
+    * same register arithmetic batch p39/p39b apply to the staged hashes,
+    * as ONE stateless projection — the streaming counterpart's map side
+    * ([[graft.streaming.EventStreams.vocabRegistersStream]]). One
+    * (idx, rho) row per distinct shingle per document; max-merging rho
+    * per idx — batch agg or streaming stateful agg — yields the
+    * identical ≤256-row register table either way (spec-proven). */
+  private[graft] def hllRegisterUpdates(docs: DataFrame): DataFrame =
+    docs
+      .select(split(col("text"), " ").as("arr"))
+      .filter(size(col("arr")) >= 3)
+      .select(explode(array_distinct(expr(
+        "transform(sequence(0, size(arr)-3), i -> concat_ws(' ', arr[i], arr[i+1], arr[i+2]))")))
+        .as("shingle"))
+      .select(md560(col("shingle")).as("h"))
+      .select(expr("CAST(h & 255 AS INT)").as("idx"),
+        expr(s"53 - (${bitlenSql("shiftright(h, 8)")})").as("rho"))
+
+  /** Per-row text → bigram → 60-bit hash projection shared by batch p40
+    * and the streaming CMS ([[cmsCellUpdates]]): one (bigram, h) row per
+    * bigram INSTANCE (not distinct — the sketch counts occurrences). */
+  private[graft] def bigramHashes(docs: DataFrame): DataFrame =
+    docs
+      .select(split(col("text"), " ").as("arr"))
+      .filter(size(col("arr")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(arr)-2), i -> concat_ws(' ', arr[i], arr[i+1]))"))
+        .as("bigram"))
+      .withColumn("h", md560(col("bigram")))
+
+  /** Per-row CMS cell updates — one (j, pos) row per bigram instance per
+    * sketch row: count-merging per (j, pos) — batch agg or streaming
+    * stateful agg — yields the identical ≤ depth·width cell table
+    * ([[graft.streaming.EventStreams.bigramCellsStream]]). */
+  private[graft] def cmsCellUpdates(docs: DataFrame): DataFrame =
+    bigramHashes(docs)
+      .select(posexplode(array(cmsShifts.indices.map(j =>
+        expr(cmsPosSpark("h", j))): _*)).as(Seq("j", "pos")))
+
   /** The shingle → staged-hash CTE prefix shared by the contamination and
     * vocabulary oracles (mirrors what [[ShingleStage]] stages). */
   private def duckShingleCtes: String = s"""toks AS (
@@ -2832,17 +2872,10 @@ ${duckTwoLevel("a", "embeddings", Nil, "1")},
     // sketch exists to avoid. All-integer arithmetic end to end. -----------
     QDef("p40_bigram_cms",
       (s, dir) => {
-        val bg = docs(s, dir)
-          .select(split(col("text"), " ").as("arr"))
-          .filter(size(col("arr")) >= 2)
-          .select(explode(expr(
-            "transform(sequence(0, size(arr)-2), i -> concat_ws(' ', arr[i], arr[i+1]))"))
-            .as("bigram"))
-          .withColumn("h", md560(col("bigram")))
-        def positions = array((0 until cmsShifts.size).map(j =>
+        val bg = bigramHashes(docs(s, dir))
+        def positions = array(cmsShifts.indices.map(j =>
           expr(cmsPosSpark("h", j))): _*)
-        val cells = bg
-          .select(posexplode(positions).as(Seq("j", "pos")))
+        val cells = cmsCellUpdates(docs(s, dir))
           .groupBy(col("j"), col("pos")).agg(count(lit(1)).as("c"))
         val est = bg.select(col("bigram"), col("h")).distinct()
           .select(col("bigram"), posexplode(positions).as(Seq("j", "pos")))

@@ -182,6 +182,35 @@ object EventStreams {
             .otherwise(0.0)).cast("double"))
       .filter(col("quality") >= minQuality)
 
+  /** Streaming HyperLogLog vocabulary registers — the streaming form of
+    * the batch p39/p39b sketch, completing for the sketch family what
+    * [[nearDedupStream]] did for batch p04: per-row text → distinct
+    * shingles → (register, rank) updates (a stateless codegen'd
+    * projection shared verbatim with the batch side), then ONE streaming
+    * aggregation whose state is bounded BY CONSTRUCTION at 256 rows —
+    * the register index is 8 hash bits — regardless of stream length or
+    * cardinality. No watermark needed: bounded state is the sketch's own
+    * guarantee, which is exactly why HLL is the 100 TB shape for "how
+    * many distinct shingles has this stream carried so far". Run in
+    * Complete mode; applying the batch estimator constant to the sink's
+    * 256 rows yields the running cardinality estimate (the p39b → p39
+    * relationship, spec-proven equal to the batch registers on the same
+    * rows). Expects a `text` column. */
+  def vocabRegistersStream(docs: DataFrame): DataFrame =
+    graft.queries.Pipeline.hllRegisterUpdates(docs)
+      .groupBy(col("idx")).agg(max(col("rho")).as("rho"))
+
+  /** Streaming count-min cells for heavy-hitter bigrams — the streaming
+    * form of batch p40's sketch state: per-row bigram → (depth, position)
+    * cell updates (shared verbatim with the batch side), then ONE
+    * streaming aggregation bounded at depth·width = 32768 rows (256 KiB)
+    * regardless of stream length. Complete mode; ranking candidates
+    * against the sink's cell table (min over depths) is a batch step,
+    * exactly as in p40. Expects a `text` column. */
+  def bigramCellsStream(docs: DataFrame): DataFrame =
+    graft.queries.Pipeline.cmsCellUpdates(docs)
+      .groupBy(col("j"), col("pos")).agg(count(lit(1)).as("c"))
+
   /** Wire a streaming DataFrame to an in-memory sink (tests / demos). */
   def toMemorySink(df: DataFrame, name: String, complete: Boolean = true) =
     df.writeStream

@@ -120,6 +120,74 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming HLL registers equal batch p39b on the same documents") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // the batch truth: p39b's pinned register table over sf0.001
+    val batch = graft.SparkEntry.queries("p39b_hll_registers")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    val texts = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("text").collect().map(_.getString(0)).toSeq
+    val input = MemoryStream[String]
+    val q = EventStreams.vocabRegistersStream(input.toDF().toDF("text"))
+      .writeStream.format("memory").queryName("hll_regs")
+      .outputMode("complete").start()
+    try {
+      // two chunks: the register table must MERGE across micro-batches
+      // (max per register), not recompute per batch
+      val (a, b) = texts.splitAt(texts.size / 2)
+      input.addData(a)
+      q.processAllAvailable()
+      input.addData(b)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT idx, rho FROM hll_regs")
+        .collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+      assert(streamed == batch,
+        s"register divergence: ${streamed.size} vs ${batch.size} registers")
+      // bounded state, the sketch's whole point: never more than 256 rows
+      assert(streamed.size <= 256)
+      // the p39b -> p39 relationship holds over the STREAMED registers:
+      // applying the estimator reproduces batch p39's estimate exactly
+      val sScaled = (256L - streamed.size) * (1L << 53) +
+        streamed.map { case (_, rho) => 1L << (53 - rho) }.sum
+      val estR = math.floor(
+        graft.queries.Pipeline.hllEstConst / sScaled.toDouble * 10000.0 + 0.5) / 10000.0
+      val batchEst = graft.SparkEntry.queries("p39_vocab_hll")(
+          spark, "/root/testdata/sf0.001")
+        .collect().head.getAs[Double]("n_est_r")
+      assert(estR == batchEst)
+    } finally q.stop()
+  }
+
+  test("streaming CMS cells equal the batch p40 sketch state on the same documents") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    // the batch truth: the same shared projection, aggregated in batch
+    val batch = graft.queries.Pipeline.cmsCellUpdates(docs.select("text"))
+      .groupBy("j", "pos").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val texts = docs.select("text").collect().map(_.getString(0)).toSeq
+    val input = MemoryStream[String]
+    val q = EventStreams.bigramCellsStream(input.toDF().toDF("text"))
+      .writeStream.format("memory").queryName("cms_cells")
+      .outputMode("complete").start()
+    try {
+      val (a, b) = texts.splitAt(texts.size / 2)
+      input.addData(a)
+      q.processAllAvailable()
+      input.addData(b)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT j, pos, c FROM cms_cells")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(streamed == batch,
+        s"cell divergence: ${streamed.size} vs ${batch.size} cells")
+      // bounded state: depth * width cells max
+      assert(streamed.size <= 4 * 8192)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops repeated fingerprints within watermark") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
