@@ -269,8 +269,13 @@ final class EmulatorServer(
     } finally spark.sparkContext.clearJobGroup()
   }
 
-  /** GET /api/v2/statements/{handle} — replay by status
-    * (reference `rest_api_v2.go:125-170`). */
+  /** GET /api/v2/statements/{handle}[?partition=N] — replay by status
+    * (reference `rest_api_v2.go:125-170`; the reference returns data
+    * inline only). `partition=N` is Snowflake's large-result fetch: the
+    * submit response carries partition 0 plus `partitionInfo`, and each
+    * further partition is fetched here by index — the friendly path for
+    * results bigger than one response, with `-Dgraft.maxResultRows` kept
+    * as the absolute memory guard above it. */
   private def getStatement(exchange: HttpExchange, handle: String): Unit =
     statements.get(handle) match {
       case None => respond(exchange, 404, obj { o =>
@@ -278,7 +283,22 @@ final class EmulatorServer(
         o.put("sqlState", SnowflakeError.SQLStateNoData)
       })
       case Some(st) =>
-        respond(exchange, 200, statementResponse(st, st.result, st.error))
+        val partition = Option(exchange.getRequestURI.getQuery).toSeq
+          .flatMap(_.split('&')).collectFirst {
+            case kv if kv.startsWith("partition=") =>
+              kv.stripPrefix("partition=").toIntOption.getOrElse(-1)
+          }.getOrElse(0)
+        val nParts = st.result.map(r => math.max(1,
+          (r.rows.size + resultPartitionRows - 1) / resultPartitionRows))
+          .getOrElse(1)
+        if (partition < 0 || partition >= nParts)
+          respond(exchange, 422, obj { o =>
+            o.put("message",
+              s"partition $partition out of range (result has $nParts partitions)")
+            o.put("sqlState", SnowflakeError.SQLStateNoData)
+          })
+        else respond(exchange, 200,
+          statementResponse(st, st.result, st.error, partition))
     }
 
   /** POST /api/v2/statements/{handle}/cancel — fires the stored cancel
@@ -461,8 +481,17 @@ final class EmulatorServer(
     a
   }
 
+  /** Rows per REST v2 result partition. Results larger than this return
+    * partition 0 inline with `resultSetMetaData.partitionInfo` describing
+    * the rest, fetched via GET `?partition=N` — Snowflake's large-result
+    * shape. Read per request so tests and live reconfiguration work. */
+  private def resultPartitionRows: Int =
+    sys.props.get("graft.resultPartitionRows")
+      .map(v => math.max(1, v.toInt)).getOrElse(100000)
+
   private def statementResponse(st: statements.Statement,
-      result: Option[Executor.Result], error: Option[SnowflakeError]): ObjectNode =
+      result: Option[Executor.Result], error: Option[SnowflakeError],
+      partition: Int = 0): ObjectNode =
     obj { o =>
       o.put("statementHandle", st.handle)
       o.put("statementStatusUrl", "/api/v2/statements/" + st.handle)
@@ -481,8 +510,19 @@ final class EmulatorServer(
             md.put("numRows", r.rowsAffected.getOrElse(r.rows.size.toLong))
             md.put("format", "jsonv2")
             putRowType(md.putArray("rowType"), r)
+            // partitionInfo is always present (Snowflake's SQL API shape);
+            // data carries the REQUESTED partition — 0 on submit, any
+            // other via the GET ?partition=N fetch
+            val parts = r.rows.grouped(resultPartitionRows).toIndexedSeq
+            val pi = md.putArray("partitionInfo")
+            (if (parts.isEmpty) IndexedSeq(Seq.empty[Seq[Any]]) else parts)
+              .foreach { p =>
+                val e = pi.addObject()
+                e.put("rowCount", p.size.toLong)
+                ()
+              }
             val data = o.putArray("data")
-            r.rows.foreach { row =>
+            parts.lift(partition).getOrElse(Seq.empty).foreach { row =>
               val jr = data.addArray()
               row.foreach(v => addTyped(jr, v))
             }

@@ -247,6 +247,40 @@ class EmulatorServerSpec extends AnyFunSuite {
     assert(replay.get("data").get(1).get(1).asText() == "Ben")
   }
 
+  test("REST v2: large result pages by partition (partitionInfo + ?partition=N)") {
+    sys.props("graft.resultPartitionRows") = "10"
+    try {
+      val (_, sub) = post("/api/v2/statements",
+        """{"statement":"SELECT seq4() AS n FROM TABLE(GENERATOR(ROWCOUNT => 25)) ORDER BY n","database":"TEST_DB"}""")
+      assert(sub.get("code").asText() == "090001", sub)
+      val handle = sub.get("statementHandle").asText()
+      // partitionInfo: 25 rows at 10/partition -> 10, 10, 5
+      val pi = sub.get("resultSetMetaData").get("partitionInfo")
+      assert(pi.size() == 3, pi)
+      assert(pi.get(0).get("rowCount").asLong() == 10L)
+      assert(pi.get(2).get("rowCount").asLong() == 5L)
+      assert(sub.get("resultSetMetaData").get("numRows").asLong() == 25L)
+      // submit response carries partition 0 inline
+      assert(sub.get("data").size() == 10)
+      assert(sub.get("data").get(0).get(0).asLong() == 0L)
+      // each further partition fetched by index, same envelope
+      val (_, p1) = get(s"/api/v2/statements/$handle?partition=1")
+      assert(p1.get("data").size() == 10)
+      assert(p1.get("data").get(0).get(0).asLong() == 10L)
+      val (_, p2) = get(s"/api/v2/statements/$handle?partition=2")
+      assert(p2.get("data").size() == 5)
+      assert(p2.get("data").get(4).get(0).asLong() == 24L)
+      // out-of-range partition is a clean 422, not an empty success
+      val (code422, err) = get(s"/api/v2/statements/$handle?partition=3")
+      assert(code422 == 422, err)
+      assert(err.get("message").asText().contains("out of range"))
+      // a single-partition result still carries partitionInfo (one entry)
+      val (_, small) = post("/api/v2/statements",
+        """{"statement":"SELECT 1 AS one","database":"TEST_DB"}""")
+      assert(small.get("resultSetMetaData").get("partitionInfo").size() == 1)
+    } finally sys.props.remove("graft.resultPartitionRows")
+  }
+
   test("REST v2: DML returns rows-affected shape") {
     val (_, r) = post("/api/v2/statements",
       """{"statement":"UPDATE gs_users SET score = 99.0 WHERE id = 1","database":"TEST_DB"}""")
