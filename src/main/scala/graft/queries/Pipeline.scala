@@ -250,14 +250,40 @@ object Pipeline {
   // the sketch CONTENTS (not just the final answers) are reproducible
   // cross-engine and can themselves be oracle-pinned (p38b).
 
-  /** Bloom probe positions: 16-bit slices of the 60-bit hash at these
-    * shifts (Kirsch-Mitzenmacher-style derivation of k probes from one
-    * strong hash; slice i uses bits [11i, 11i+16) ⊂ [0, 60)). The 2^16
-    * bits pack into 2048 words of 32 bits each, kept in signed longs so
-    * neither engine's `<<` ever touches the sign bit. */
-  private val bloomHashShifts = Seq(0, 11, 22, 33)
-  private def bloomPosSpark(h: String, s: Int) = s"(shiftright($h, $s) & 65535)"
-  private def bloomPosDuck(h: String, s: Int) = s"(($h >> $s) & 65535)"
+  /** Bloom filter dials, JVM-start knobs mirrored into both engines the
+    * way `-Dgraft.lshTables` is (defs, read when the QDef Seq is built,
+    * so the Spark plan and the oracle SQL always observe one value):
+    * `-Dgraft.bloomBits` = bitset size, rounded DOWN to a power of two
+    * and clamped to [2^12, 2^24] (positions are mask-extracted hash
+    * slices, so the size must be a power of two); `-Dgraft.bloomProbes`
+    * = probe count k, clamped to [1, 8]. Defaults 2^16 / 4 — at those
+    * dials the derived shifts are the frozen r8 family (0, 11, 22, 33).
+    * Sizing rule for a 100 TB run: bits ≈ 16-20x the benchmark's
+    * distinct-shingle count keeps the false-positive rate ≤ ~0.2%
+    * (k=4), and the prescreen stays result-invariant at ANY dial — the
+    * verify join kills false positives; p21's shared oracle pins that. */
+  private[graft] def bloomLogBits: Int =
+    sys.props.get("graft.bloomBits")
+      .map(v => math.min(24, math.max(12,
+        63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, v.toLong)))))
+      .getOrElse(16)
+  private[graft] def bloomProbes: Int =
+    sys.props.get("graft.bloomProbes")
+      .map(v => math.min(8, math.max(1, v.toInt))).getOrElse(4)
+
+  /** Bloom probe positions: w-bit slices of the 60-bit hash at evenly
+    * spaced shifts (Kirsch-Mitzenmacher-style derivation of k probes
+    * from one strong hash; slice i uses bits [i·step, i·step+w) ⊂
+    * [0, 60), step = (60−w) div k — at the defaults, [11i, 11i+16)).
+    * The bits pack into 32-bit words kept in signed longs so neither
+    * engine's `<<` ever touches the sign bit. */
+  private def bloomHashShifts: Seq[Int] = {
+    val step = (60 - bloomLogBits) / bloomProbes
+    (0 until bloomProbes).map(_ * step)
+  }
+  private def bloomMask: Int = (1 << bloomLogBits) - 1
+  private def bloomPosSpark(h: String, s: Int) = s"(shiftright($h, $s) & $bloomMask)"
+  private def bloomPosDuck(h: String, s: Int) = s"(($h >> $s) & $bloomMask)"
 
   /** Fold a set of 60-bit hashes into the (word, bits) Bloom bitset —
     * ≤2048 rows, map-side-combined bit_or, broadcastable as one row. */
@@ -293,13 +319,35 @@ object Pipeline {
   private def hllEstConstSql: String =
     s"CAST('${java.lang.Double.toString(hllEstConst)}' AS DOUBLE)"
 
-  /** Count-min row positions: 13-bit slices of the hash (width 8192,
-    * depth 4; slice j uses bits [13j, 13j+13) ⊂ [0, 60)). Sketch state is
-    * 4 × 8192 × 8 B = 256 KiB per task — constant in the corpus size, and
-    * expected overcount ≈ N_instances/8192 per row before the min. */
-  private val cmsShifts = Seq(0, 13, 26, 39)
-  private def cmsPosSpark(h: String, j: Int) = s"(shiftright($h, ${cmsShifts(j)}) & 8191)"
-  private def cmsPosDuck(h: String, j: Int) = s"(($h >> ${cmsShifts(j)}) & 8191)"
+  /** Count-min dials, mirrored like the Bloom knobs above:
+    * `-Dgraft.cmsWidth` = cells per row, rounded DOWN to a power of two
+    * and clamped to [2^8, 2^20]; `-Dgraft.cmsDepth` = independent rows,
+    * clamped to [1, 8]. Defaults 8192 / 4 — the derived shifts are then
+    * the frozen r8 family (0, 13, 26, 39). Sketch state is
+    * depth × width × 8 B per task (256 KiB at the defaults) — constant
+    * in the corpus size; expected overcount ≈ N_instances/width per row
+    * before the min, so a 100 TB run dials width to the stream's
+    * instance count, not its cardinality. */
+  private[graft] def cmsLogWidth: Int =
+    sys.props.get("graft.cmsWidth")
+      .map(v => math.min(20, math.max(8,
+        63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, v.toLong)))))
+      .getOrElse(13)
+  private[graft] def cmsDepth: Int =
+    sys.props.get("graft.cmsDepth")
+      .map(v => math.min(8, math.max(1, v.toInt))).getOrElse(4)
+
+  /** Count-min row positions: w-bit slices of the hash at evenly spaced
+    * shifts (slice j uses bits [j·step, j·step+w) ⊂ [0, 60), step =
+    * min(w, (60−w) div max(1, d−1)) — at the defaults, [13j, 13j+13)). */
+  private def cmsShifts: Seq[Int] = {
+    val step = math.min(cmsLogWidth,
+      (60 - cmsLogWidth) / math.max(1, cmsDepth - 1))
+    (0 until cmsDepth).map(_ * step)
+  }
+  private def cmsMask: Int = (1 << cmsLogWidth) - 1
+  private def cmsPosSpark(h: String, j: Int) = s"(shiftright($h, ${cmsShifts(j)}) & $cmsMask)"
+  private def cmsPosDuck(h: String, j: Int) = s"(($h >> ${cmsShifts(j)}) & $cmsMask)"
 
   /** Per-row text → distinct-3-gram-shingle → HLL register update
     * projection: the same shingle front [[ShingleStage]] stages and the
@@ -2899,14 +2947,14 @@ ${duckTwoLevel("a", "embeddings", Nil, "1")},
         bg AS (SELECT bigram, ${duckMd560("bigram")} AS h FROM bg0),
         cells AS (
           SELECT j, pos, COUNT(*) AS c FROM (
-            SELECT unnest([0, 1, 2, 3]) AS j,
-              unnest([${(0 until 4).map(j => cmsPosDuck("h", j)).mkString(", ")}]) AS pos
+            SELECT unnest([${cmsShifts.indices.mkString(", ")}]) AS j,
+              unnest([${cmsShifts.indices.map(j => cmsPosDuck("h", j)).mkString(", ")}]) AS pos
             FROM bg)
           GROUP BY 1, 2),
         cand AS (SELECT DISTINCT bigram, h FROM bg),
         candpos AS (
-          SELECT bigram, unnest([0, 1, 2, 3]) AS j,
-            unnest([${(0 until 4).map(j => cmsPosDuck("h", j)).mkString(", ")}]) AS pos
+          SELECT bigram, unnest([${cmsShifts.indices.mkString(", ")}]) AS j,
+            unnest([${cmsShifts.indices.map(j => cmsPosDuck("h", j)).mkString(", ")}]) AS pos
           FROM cand),
         est AS (
           SELECT bigram, MIN(c) AS est_count

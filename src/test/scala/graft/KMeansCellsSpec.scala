@@ -147,6 +147,35 @@ class KMeansCellsSpec extends SparkSpecBase {
     } finally sys.props.remove("graft.lshTables")
   }
 
+  test("sketch dials: defaults reproduce the frozen r8 families, knobs clamp") {
+    // defaults: Bloom 2^16 bits / 4 probes, CMS 8192 wide / 4 deep
+    assert(queries.Pipeline.bloomLogBits == 16 && queries.Pipeline.bloomProbes == 4)
+    assert(queries.Pipeline.cmsLogWidth == 13 && queries.Pipeline.cmsDepth == 4)
+    try {
+      // sizes round DOWN to a power of two (positions are mask-extracted
+      // hash slices) and clamp to the documented ranges
+      sys.props("graft.bloomBits") = "100000" // 2^16 <= 100000 < 2^17
+      assert(queries.Pipeline.bloomLogBits == 16)
+      sys.props("graft.bloomBits") = "999999999999"
+      assert(queries.Pipeline.bloomLogBits == 24)
+      sys.props("graft.bloomBits") = "7"
+      assert(queries.Pipeline.bloomLogBits == 12)
+      sys.props("graft.bloomProbes") = "99"
+      assert(queries.Pipeline.bloomProbes == 8)
+      sys.props("graft.bloomProbes") = "0"
+      assert(queries.Pipeline.bloomProbes == 1)
+      sys.props("graft.cmsWidth") = "1048576000"
+      assert(queries.Pipeline.cmsLogWidth == 20)
+      sys.props("graft.cmsWidth") = "3"
+      assert(queries.Pipeline.cmsLogWidth == 8)
+      sys.props("graft.cmsDepth") = "99"
+      assert(queries.Pipeline.cmsDepth == 8)
+      sys.props("graft.cmsDepth") = "0"
+      assert(queries.Pipeline.cmsDepth == 1)
+    } finally Seq("graft.bloomBits", "graft.bloomProbes", "graft.cmsWidth",
+      "graft.cmsDepth").foreach(sys.props.remove)
+  }
+
   test("fit-sample rule: full corpus below max(p*k, 64p), bounded above it") {
     val fs = queries.Pipeline.kmeansFitSample _
     assert(fs(500L, 23) == 500L)          // validation scale: full corpus

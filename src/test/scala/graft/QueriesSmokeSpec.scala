@@ -50,6 +50,30 @@ class QueriesSmokeSpec extends SparkSpecBase {
     assert(row.getAs[Double]("n_est_r") == estR)
   }
 
+  test("sketch dials do not change answers: p38 result-invariant, CMS dominates") {
+    // the Bloom prescreen is result-invariant BY CONSTRUCTION (no false
+    // negatives; false positives die in the verify join) — so any dial,
+    // including a deliberately collision-heavy one, must reproduce the
+    // default-dial answer exactly
+    val base = SparkEntry.queries("p38_contamination_bloom")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    try {
+      sys.props("graft.bloomBits") = "4096" // 16x the false-positive mass
+      sys.props("graft.bloomProbes") = "2"
+      val coarse = SparkEntry.queries("p38_contamination_bloom")(spark, sf0001)
+        .collect().map(_.toSeq).toSeq
+      assert(coarse == base, "Bloom prescreen must be result-invariant at any dial")
+      // the CMS estimate must dominate the exact count at any dial (the
+      // sketch's one-sided error guarantee), including a narrow noisy one
+      sys.props("graft.cmsWidth") = "1024"
+      sys.props("graft.cmsDepth") = "2"
+      val cms = SparkEntry.queries("p40_bigram_cms")(spark, sf0001).collect()
+      assert(cms.nonEmpty && cms.forall(_.getAs[Long]("overcount") >= 0L),
+        "CMS estimate must be >= the exact count at any dial")
+    } finally Seq("graft.bloomBits", "graft.bloomProbes", "graft.cmsWidth",
+      "graft.cmsDepth").foreach(sys.props.remove)
+  }
+
   test("exact all-pairs baselines refuse to run above the size guard") {
     sys.props("graft.exactBaselineMaxRows") = "10"
     try {
