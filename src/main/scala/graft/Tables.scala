@@ -19,16 +19,27 @@ object Tables {
   val broadcastable: Set[String] = Set("region", "nation")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    // rejects; read nanos as long and rebuild the timestamp. `div` (integer
-    // division) is required: float division loses precision above 2^53 ns.
+    // events.ts has shipped as two physical types across testdata
+    // generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
+    // rejects — read nanos as long and rebuild; `div` integer division is
+    // required: float division loses precision above 2^53 ns) and plain
+    // TIMESTAMP(MICROS) isAdjustedToUTC=false (reads as TIMESTAMP_NTZ —
+    // cast to session-time timestamp; the session is pinned to UTC so the
+    // wall-clock values are the same instants either way). Dispatch on the
+    // observed schema so both generations load identically.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
+    } else df
   }
 
   private val registeredDir =
