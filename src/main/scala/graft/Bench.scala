@@ -100,6 +100,12 @@ object Bench {
       // over the fitted cells; its (k-row) fit cost is its own line
       stageEntry("p00d_super_stage") {
         queries.Pipeline.SuperStage.load(spark, sfDir); ()
+      },
+      // the PQ codebook fit + corpus encode (p41/p41b/p42's shared
+      // artifacts) stage once; their cost is its own line
+      stageEntry("p00e_pq_stage") {
+        queries.Pipeline.PqStage.load(spark, sfDir)
+        queries.Pipeline.PqCodesStage.load(spark, sfDir); ()
       })
     // Optional comma-separated allowlist (SPARK_GRAFT_ONLY=p05,p20) for
     // profiling individual queries / interaction effects; production runs

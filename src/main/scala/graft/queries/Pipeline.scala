@@ -845,6 +845,210 @@ object Pipeline {
       supers.select(col("scell").as("cell"), col("scv").as("cv")), 1)
       .select(col("mcell").as("cell"), col("cell").as("scell"))
 
+  // ====================================================================
+  //  Product quantization (PQ): per-subspace codebooks, corpus codes,
+  //  ADC-scored IVF-PQ ANN. The memory lever the similarity family was
+  //  missing at 100 TB: a d-dim float vector (4d bytes) compresses to M
+  //  small codes (M bytes at k' <= 256), so the candidate-scoring side
+  //  of ANN reads codes + a per-query lookup table instead of re-reading
+  //  full embeddings. Jegou et al., "Product Quantization for Nearest
+  //  Neighbor Search" (TPAMI 2011) — public provenance.
+  // ====================================================================
+
+  /** PQ dials, JVM-start knobs mirrored into both engines like the index
+    * knobs (read when the QDef Seq is built, so the Spark plan and the
+    * oracle SQL always observe one value): `-Dgraft.pqSubspaces` = M,
+    * clamped [1, 16] (each subspace quantizes dim/M floats; the last
+    * subspace absorbs nothing — dims not divisible by M drop the
+    * remainder tail on BOTH engines identically via integer division);
+    * `-Dgraft.pqCodes` = codes per subspace k', clamped [2, 256] (one
+    * byte per subspace at the cap). Defaults 8 / 16: a 64-dim float
+    * vector (256 B) compresses 32x to 8 one-byte codes. Measured at
+    * sf0.01 (p35): ADC-only recall@5 0.161 / 0.215 / 0.252 / 0.385 at
+    * M,k' = 4,16 / 8,16 / 8,32 / 16,64 — the 8/16 default plus the p43
+    * exact re-rank recovers 0.416 of the 0.460 candidate-set ceiling. */
+  private[graft] def pqM: Int =
+    sys.props.get("graft.pqSubspaces")
+      .map(v => math.min(16, math.max(1, v.toInt))).getOrElse(8)
+  private[graft] def pqK: Int =
+    sys.props.get("graft.pqCodes")
+      .map(v => math.min(256, math.max(2, v.toInt))).getOrElse(16)
+
+  /** (sub, sv) generator: the M subvectors of `embedding`, dim/M floats
+    * each, sliced by expression (no driver-side dim probe — the plan
+    * works for any dim). */
+  private def pqSubvecsCol =
+    posexplode(expr(
+      s"""transform(sequence(0, ${pqM - 1}),
+            m -> slice(embedding, m * (size(embedding) div $pqM) + 1,
+                       size(embedding) div $pqM))"""))
+
+  /** Squared L2 distance as the three-dot composition — each dot is an
+    * index-order double accumulation (the codegen'd [[graft.functions]]
+    * DotProduct kernel / DuckDB's list comprehension), and the explicit
+    * parenthesization is shared verbatim by both engines, so the
+    * resulting doubles are bit-identical. PQ fits on L2 (the codebook
+    * approximates the subvector itself; cosine of a subvector is
+    * meaningless), while ADC scoring recombines dots into cosine. */
+  private def sparkL2Sq(a: String, b: String): String =
+    s"((dot_product($a, $a) - (CAST(2 AS DOUBLE) * dot_product($a, $b))) + dot_product($b, $b))"
+
+  /** Array-sort comparator `(dist asc, id asc)` — the L2 mirror of
+    * [[simDescCmp]]: NaN ranks as the GREATEST distance (last), exactly
+    * like the oracle's `ORDER BY d ASC` (DuckDB orders NaN above +inf). */
+  private def distAscCmp(d: String, id: String): String =
+    s"""(l, r) -> CASE WHEN isnan(l.$d) AND NOT isnan(r.$d) THEN 1
+                       WHEN isnan(r.$d) AND NOT isnan(l.$d) THEN -1
+                       WHEN l.$d < r.$d THEN -1
+                       WHEN l.$d > r.$d THEN 1
+                       WHEN l.$id < r.$id THEN -1
+                       WHEN l.$id > r.$id THEN 1 ELSE 0 END"""
+
+  /** For every row of `e` (any cols + `sub` + `sv`), the nearest
+    * codebook centroid OF THAT SUBSPACE by squared L2 — the zero-shuffle
+    * broadcast argmin shape of [[nearestCells]]: the whole codebook
+    * (M·k' rows) collapses to ONE broadcast row and each input row
+    * filters it to its own subspace. Adds (cell, d). */
+  private def nearestPqCell(e: DataFrame, cb: DataFrame): DataFrame = {
+    val idx = cb.groupBy()
+      .agg(collect_list(struct(col("sub"), col("cell"), col("cv"))).as("pidx"))
+    val keep = e.columns.map(col).toSeq
+    e.crossJoin(broadcast(idx))
+      .select(keep :+ expr(
+        s"""element_at(
+              array_sort(
+                transform(filter(pidx, c -> c.sub = sub), c -> named_struct(
+                  'd', ${sparkL2Sq("sv", "c.cv")}, 'cell', c.cell)),
+                ${distAscCmp("d", "cell")}),
+              1)""").as("pc"): _*)
+      .select(keep ++ Seq(col("pc.cell").as("cell"), col("pc.d").as("d")): _*)
+  }
+
+  /** Fit the M per-subspace codebooks in ONE chain (`sub` is a column,
+    * not a loop): the same deterministic recipe as [[buildKmeansCells]]
+    * — md5-ordered seed sample, [[kmeansIters]] rounds of zero-shuffle
+    * broadcast argmin + decimal-exact mean recompute — per subspace,
+    * under L2. Codes are densely renumbered 0..k'-1 per subspace (stable
+    * ROW_NUMBER over the surviving centroids' seed ids) so a code fits
+    * one byte regardless of which seeds survived. */
+  private def buildPqCodebook(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val n = e.count()
+    val m = kmeansFitSample(n, pqK)
+    val fitRows =
+      if (m >= n) e.select(col("vec_id"), col("embedding"))
+      else e.select(col("vec_id"), col("embedding"))
+        .filter(md560(col("vec_id").cast("string")) < lit((1L << 60) / n * m))
+    val fit = fitRows.select(col("vec_id"), pqSubvecsCol.as(Seq("sub", "sv")))
+    var cent = e.select(col("vec_id"), col("embedding"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(pqK)
+      .select(col("vec_id").as("cell"), pqSubvecsCol.as(Seq("sub", "cv")))
+      .select(col("sub"), col("cell"), col("cv"))
+    for (_ <- 1 to kmeansIters) {
+      val assigned = nearestPqCell(fit, cent)
+      // eager localCheckpoint per round (the kmeansRounds trick): round
+      // i+1 analyzes a flat M*k'-row plan, not a depth-i nested tree
+      cent = assigned
+        .select(col("sub"), col("cell"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("cell"), col("pos"))
+        .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(16, 8)))
+          .cast("double") / count(lit(1))).as("c"))
+        .groupBy(col("sub"), col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> CAST(x.c AS FLOAT))")
+          .as("cv"))
+        .localCheckpoint(eager = true)
+    }
+    cent.withColumn("code",
+      (row_number().over(Window.partitionBy(col("sub")).orderBy(col("cell"))) - 1)
+        .cast("int"))
+      .select(col("sub"), col("code"), col("cell"), col("cv"))
+  }
+
+  /** The corpus PQ codes — every vector's M argmin codes, assigned by
+    * the broadcast codebook with ZERO shuffle (the encode is a pure map
+    * over the corpus scan; at 100 TB this is the compressed
+    * representation the scoring side reads instead of embeddings).
+    * Tie-break is on `code`, which is monotone in the seed id per
+    * subspace, so it equals the fit's own seed-id tie-break. */
+  private def buildPqCodes(s: SparkSession, dir: String): DataFrame = {
+    val cb = PqStage.load(s, dir)
+    val sv = emb(s, dir).select(col("vec_id"), pqSubvecsCol.as(Seq("sub", "sv")))
+    nearestPqCell(sv, cb.select(col("sub"), col("code").as("cell"), col("cv")))
+      .select(col("vec_id"), col("sub"), col("cell").cast("int").as("code"))
+  }
+
+  /** The fitted PQ codebook (sub, code, cell, cv), staged once per input
+    * dir like CellStage — knobs baked into the staging key. */
+  private[graft] object PqStage {
+    def load(s: SparkSession, dir: String): DataFrame = {
+      val params = s"$pqM-$pqK-$kmeansIters-$kmeansFitPoints"
+      val ph = java.security.MessageDigest.getInstance("MD5")
+        .digest(params.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      ShingleStage.stage(s, dir, s"pq$ph")(buildPqCodebook(s, dir))
+    }
+  }
+
+  /** The encoded corpus (vec_id, sub, code), staged once — the
+    * compressed vectors every ADC consumer reads. */
+  private[graft] object PqCodesStage {
+    def load(s: SparkSession, dir: String): DataFrame = {
+      val params = s"$pqM-$pqK-$kmeansIters-$kmeansFitPoints"
+      val ph = java.security.MessageDigest.getInstance("MD5")
+        .digest(params.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      ShingleStage.stage(s, dir, s"pv$ph")(buildPqCodes(s, dir))
+    }
+  }
+
+  /** Refine shortlist width for p43 (ADC top-C, then exact re-rank):
+    * `-Dgraft.pqRerank`, clamped [5, 500], default 25 — 5x the output
+    * top-k, the FAISS refine convention. */
+  private[graft] def pqRerank: Int =
+    sys.props.get("graft.pqRerank")
+      .map(v => math.min(500, math.max(5, v.toInt))).getOrElse(25)
+
+  /** The shared ADC scoring plan (p42 ranks it; p43 shortlists + exact
+    * re-ranks): candidates from the two-level descent at p16's probe
+    * width, scored against the PQ codes via integer-scaled per-query
+    * lookup tables. Every shuffle in this plan carries ids and small
+    * integers — embeddings appear only in the broadcast-side LUT build
+    * and are projected away before any exchange. Output: (qid, cid,
+    * ascore). */
+  private def adcScored(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val nprobe = ivfNprobe(ivfK(e.count()))
+    val top = nearestCellsStaged(s, dir,
+      e.select(col("vec_id"), col("embedding")), nprobe)
+    val assigned = top.filter(col("crank") === 1)
+      .select(col("vec_id").as("cid"), col("cell"))
+    val probes = top.select(col("vec_id").as("qid"), col("cell"))
+    // id-only candidate pairs: the shuffle carries 16-byte rows
+    val cand = probes.join(assigned, "cell")
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"))
+    val cb = PqStage.load(s, dir)
+    val qlut = e.select(col("vec_id").as("qid"), pqSubvecsCol.as(Seq("sub", "sv")))
+      .join(broadcast(cb.select(col("sub"), col("code"), col("cv"))), Seq("sub"))
+      .select(col("qid"), col("sub"), col("code"),
+        expr("CAST(floor(dot_product(sv, cv) * 100000000.0 + 0.5) AS BIGINT)")
+          .as("dq_s"))
+    val cnorm = cb.select(col("sub"), col("code"),
+      expr("CAST(floor(dot_product(cv, cv) * 100000000.0 + 0.5) AS BIGINT)")
+        .as("cn_s"))
+    val qn = e.select(col("vec_id").as("qid"),
+      expr("dot_product(embedding, embedding)").as("qn"))
+    val codes = PqCodesStage.load(s, dir).withColumnRenamed("vec_id", "cid")
+    cand.join(codes, "cid")
+      .join(qlut, Seq("qid", "sub", "code"))
+      .join(broadcast(cnorm), Seq("sub", "code"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("dq_s")).as("s_s"), sum(col("cn_s")).as("r_s"))
+      .join(qn, "qid")
+      .withColumn("ascore", expr(
+        "CAST(s_s AS DOUBLE) / (sqrt(qn) * sqrt(CAST(r_s AS DOUBLE) / 100000000.0) * 100000000.0)"))
+      .select(col("qid"), col("cid"), col("ascore"))
+  }
+
   /** Two-level (coarse -> fine) variant of [[nearestCells]]: score the
     * ~sqrt(k) super-centroids, descend into the top `sprobe` super-cells,
     * score ONLY their member cells — per-vector work drops from k to
@@ -1223,6 +1427,128 @@ object Pipeline {
     s"""list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) FOR i IN range(1, len($a) + 1)])
        | / (sqrt(list_sum([CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE) FOR i IN range(1, len($a) + 1)]))
        |  * sqrt(list_sum([CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) FOR i IN range(1, len($b) + 1)])))""".stripMargin
+
+  /** DuckDB double-accumulation dot product — mirrors the DotProduct
+    * kernel's index-order double loop (the numerator of [[duckCosine]]). */
+  private def duckDot(a: String, b: String): String =
+    s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) FOR i IN range(1, len($a) + 1)])"
+
+  /** Squared L2 as the same three-dot composition as [[sparkL2Sq]] —
+    * identical parenthesization, identical IEEE evaluation order. */
+  private def duckL2Sq(a: String, b: String): String =
+    s"((${duckDot(a, a)} - (CAST(2 AS DOUBLE) * ${duckDot(a, b)})) + ${duckDot(b, b)})"
+
+  /** The PQ codebook fit as DuckDB CTEs mirroring [[buildPqCodebook]]
+    * round for round — one chain with `sub` as a column (same fit-sample
+    * rule with k', same md5-ordered seeds, same decimal-exact means,
+    * argmin ties on the seed id). Final CTE: `pqcb` (sub, cell, cv,
+    * code) with codes densely renumbered per subspace. */
+  private def duckPqCodebook: String = {
+    val m = pqM
+    val seed =
+      s"""pqn AS (SELECT COUNT(*) AS n FROM embeddings),
+         |  pqd AS (SELECT len(embedding) // $m AS ds FROM embeddings LIMIT 1),
+         |  pqmm AS (SELECT least(pqn.n,
+         |             greatest(CAST($kmeansFitPoints AS BIGINT) * $pqK,
+         |                      ${64L * kmeansFitPoints})) AS m FROM pqn),
+         |  pqfit AS (
+         |    SELECT vec_id, embedding FROM embeddings, pqn, pqmm
+         |    WHERE pqmm.m >= pqn.n
+         |       OR ${duckMd560("CAST(vec_id AS VARCHAR)")}
+         |            < ((CAST(1 AS BIGINT) << 60) // greatest(pqn.n, 1)) * pqmm.m),
+         |  pqsv AS (
+         |    SELECT vec_id, r.sub,
+         |      [embedding[i] FOR i IN range(r.sub * pqd.ds + 1, (r.sub + 1) * pqd.ds + 1)] AS sv
+         |    FROM pqfit, pqd, range(0, $m) r(sub)),
+         |  pqseedr AS (
+         |    SELECT vec_id, embedding,
+         |      ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |    FROM embeddings),
+         |  pqcent0 AS (
+         |    SELECT r.sub, vec_id AS cell,
+         |      [embedding[i] FOR i IN range(r.sub * pqd.ds + 1, (r.sub + 1) * pqd.ds + 1)] AS cv
+         |    FROM pqseedr, pqd, range(0, $m) r(sub) WHERE rn <= $pqK)""".stripMargin
+    val iters = (1 to kmeansIters).map { it =>
+      s"""  pqsc$it AS (
+         |    SELECT f.vec_id, f.sub, f.sv, c.cell, ${duckL2Sq("f.sv", "c.cv")} AS d
+         |    FROM pqsv f JOIN pqcent${it - 1} c ON f.sub = c.sub),
+         |  pqas$it AS (
+         |    SELECT vec_id, sub, sv, cell FROM (
+         |      SELECT vec_id, sub, sv, cell,
+         |        ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, cell) AS rr
+         |      FROM pqsc$it) WHERE rr = 1),
+         |  pqcm$it AS (
+         |    SELECT sub, cell, CAST(idx - 1 AS INTEGER) AS pos,
+         |      CAST(CAST(SUM(CAST(CAST(sv[idx] AS DOUBLE) AS DECIMAL(16,8))) AS DOUBLE) / COUNT(*) AS FLOAT) AS c
+         |    FROM pqas$it, unnest(range(1, len(sv) + 1)) AS u(idx)
+         |    GROUP BY 1, 2, 3),
+         |  pqcent$it AS (SELECT sub, cell, list(c ORDER BY pos) AS cv FROM pqcm$it GROUP BY 1, 2)""".stripMargin
+    }
+    val fin =
+      s"""  pqcb AS MATERIALIZED (
+         |    SELECT sub, cell, cv,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY sub ORDER BY cell) - 1 AS INTEGER) AS code
+         |    FROM pqcent$kmeansIters)""".stripMargin
+    (seed +: iters :+ fin).mkString(",\n")
+  }
+
+  /** The corpus encode as DuckDB CTEs over `pqcb`, mirroring
+    * [[buildPqCodes]] (argmin per (vec_id, sub), ties on code). CTEs:
+    * `pqall` (corpus subvectors — also the query subvectors for ADC)
+    * and `pqcodes` (vec_id, sub, code). */
+  private def duckPqCodes: String =
+    s"""  pqall AS (
+       |    SELECT vec_id, r.sub,
+       |      [embedding[i] FOR i IN range(r.sub * pqd.ds + 1, (r.sub + 1) * pqd.ds + 1)] AS sv
+       |    FROM embeddings, pqd, range(0, $pqM) r(sub)),
+       |  pqesc AS (
+       |    SELECT a.vec_id, a.sub, c.code, ${duckL2Sq("a.sv", "c.cv")} AS d
+       |    FROM pqall a JOIN pqcb c ON a.sub = c.sub),
+       |  pqcodes AS MATERIALIZED (
+       |    SELECT vec_id, sub, code FROM (
+       |      SELECT vec_id, sub, code,
+       |        ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, code) AS rr
+       |      FROM pqesc) WHERE rr = 1)""".stripMargin
+
+  /** The ADC scoring chain as DuckDB CTEs, mirroring p42's Spark plan:
+    * candidates from the `${cr}cranked` descent (same probe width as
+    * p16), integer-scaled lookup tables (floor(dot·10⁸+0.5) — BIGINT
+    * sums are order-independent, so the per-candidate Σ over subspaces
+    * can never diverge on aggregation order), approximate cosine
+    * recombined from the exact integer sums. Prefix `p` namespaces the
+    * CTEs; requires `pqcb`/`pqcodes`/`pqall` and `kk` upstream. Final
+    * CTE: `${p}rk` (qid, cid, ascore, rank). */
+  private def duckAdcCtes(p: String, cr: String): String =
+    s"""  ${p}assigned AS (SELECT vec_id AS cid, cell FROM ${cr}cranked WHERE crank = 1),
+       |  ${p}probes AS (SELECT vec_id AS qid, cell FROM ${cr}cranked, kk WHERE crank <= $duckNprobe),
+       |  ${p}cand AS (
+       |    SELECT p.qid, a.cid FROM ${p}probes p
+       |    JOIN ${p}assigned a ON p.cell = a.cell AND p.qid <> a.cid),
+       |  ${p}qlut AS (
+       |    SELECT q.vec_id AS qid, c.sub, c.code,
+       |      CAST(floor(${duckDot("q.sv", "c.cv")} * 100000000.0 + 0.5) AS BIGINT) AS dq_s
+       |    FROM pqall q JOIN pqcb c ON q.sub = c.sub),
+       |  ${p}cn AS (
+       |    SELECT sub, code,
+       |      CAST(floor(${duckDot("cv", "cv")} * 100000000.0 + 0.5) AS BIGINT) AS cn_s
+       |    FROM pqcb),
+       |  ${p}qn AS (SELECT vec_id AS qid, ${duckDot("embedding", "embedding")} AS qn FROM embeddings),
+       |  ${p}adc AS (
+       |    SELECT d.qid, d.cid, SUM(l.dq_s) AS s_s, SUM(n.cn_s) AS r_s
+       |    FROM ${p}cand d
+       |    JOIN pqcodes k ON d.cid = k.vec_id
+       |    JOIN ${p}qlut l ON l.qid = d.qid AND l.sub = k.sub AND l.code = k.code
+       |    JOIN ${p}cn n ON n.sub = k.sub AND n.code = k.code
+       |    GROUP BY 1, 2),
+       |  ${p}sc AS (
+       |    SELECT a.qid, a.cid,
+       |      CAST(s_s AS DOUBLE)
+       |        / (sqrt(qn) * sqrt(CAST(r_s AS DOUBLE) / 100000000.0) * 100000000.0) AS ascore
+       |    FROM ${p}adc a JOIN ${p}qn q ON a.qid = q.qid),
+       |  ${p}rk AS (
+       |    SELECT qid, cid, ascore,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ascore DESC, cid) AS INTEGER) AS rank
+       |    FROM ${p}sc)""".stripMargin
 
   /** The bucket id of plane-table `t` as DuckDB SQL: sum over planes of
     * 2^p when dot(embedding, plane_p) > 0, with the plane rendered as a
@@ -2559,7 +2885,7 @@ ${duckTwoLevel("h", "embeddings", Seq("label"), duckNprobe)},
         // all-pairs cross join (the most expensive subtree here) — pin
         // them once. Both are tiny (5 rows/query, <=n pairs), and both
         // are RELEASED in the finally below: the output is materialized
-        // eagerly (it is 6 rows by construction), so a library caller
+        // eagerly (it is 8 rows by construction), so a library caller
         // invoking p35 directly leaks no pinned blocks into the session.
         val exact = res("p05_knn_exact").select(col("qid"), col("neighbor_id"))
           .persist()
@@ -2623,8 +2949,10 @@ ${duckTwoLevel("h", "embeddings", Seq("label"), duckNprobe)},
           .unionAll(colocated)
           .unionAll(row("p37_lsh_multi", "p37_knn_lsh_multi"))
           .unionAll(nearDupMulti)
+          .unionAll(row("p42_ivfpq", "p42_knn_ivfpq"))
+          .unionAll(row("p43_ivfpq_rerank", "p43_knn_ivfpq_rerank"))
           .orderBy(col("method"))
-        // materialize the 6 measurement rows NOW so the persisted truth
+        // materialize the 8 measurement rows NOW so the persisted truth
         // sets above can be unpersisted deterministically (a lazy return
         // would recompute the guarded exact baselines once per reference
         // after the finally releases them)
@@ -2640,6 +2968,21 @@ ${duckTwoLevel("h", "embeddings", Seq("label"), duckNprobe)},
       Some(s"""WITH $duckSuperCells,
 ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
 ${duckTwoLevel("a", "embeddings", Nil, "1")},
+$duckPqCodebook,
+$duckPqCodes,
+${duckAdcCtes("z", "i")},
+        ivfpq AS (SELECT qid, cid FROM zrk WHERE rank <= 5),
+        zsh AS (SELECT qid, cid FROM zrk WHERE rank <= $pqRerank),
+        zxs AS (
+          SELECT s.qid, s.cid, ${duckCosine("qa.embedding", "qb.embedding")} AS sim
+          FROM zsh s
+          JOIN embeddings qa ON qa.vec_id = s.qid
+          JOIN embeddings qb ON qb.vec_id = s.cid),
+        ivfpqr AS (
+          SELECT qid, cid FROM (
+            SELECT qid, cid,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+            FROM zxs) WHERE rank <= 5),
         esims AS (
           SELECT a.vec_id AS qid, b.vec_id AS cid,
             ${duckCosine("a.embedding", "b.embedding")} AS sim
@@ -2745,6 +3088,18 @@ ${duckTwoLevel("a", "embeddings", Nil, "1")},
         SELECT 'p37_lsh_multi_neardup' AS method, n_queries, n_hits,
           round(n_hits / CAST(n_queries AS DOUBLE), 6) AS recall_r
         FROM ndmstat
+        UNION ALL
+        SELECT 'p42_ivfpq' AS method, nq.n_queries,
+          (SELECT COUNT(*) FROM ivfpq l JOIN exact e ON l.qid = e.qid AND l.cid = e.cid) AS n_hits,
+          round((SELECT COUNT(*) FROM ivfpq l JOIN exact e ON l.qid = e.qid AND l.cid = e.cid)
+            / (nq.n_queries * 5.0), 6) AS recall_r
+        FROM nq
+        UNION ALL
+        SELECT 'p43_ivfpq_rerank' AS method, nq.n_queries,
+          (SELECT COUNT(*) FROM ivfpqr l JOIN exact e ON l.qid = e.qid AND l.cid = e.cid) AS n_hits,
+          round((SELECT COUNT(*) FROM ivfpqr l JOIN exact e ON l.qid = e.qid AND l.cid = e.cid)
+            / (nq.n_queries * 5.0), 6) AS recall_r
+        FROM nq
         ORDER BY method""")),
 
     // ---- the fitted k-means coarse quantizer itself (CellStage), pinned
@@ -2969,6 +3324,108 @@ ${duckTwoLevel("a", "embeddings", Nil, "1")},
           CAST(e.exact_count AS BIGINT) AS exact_count,
           CAST(t.est_count - e.exact_count AS BIGINT) AS overcount
         FROM top t JOIN exact e USING (bigram)
-        ORDER BY est_count DESC, t.bigram"""))
+        ORDER BY est_count DESC, t.bigram""")),
+
+    // ---- the fitted PQ codebook itself, pinned cross-engine (the
+    // p36/p38b/p39b family rule: every index/sketch's CONTENTS get
+    // their own oracle-pinned entry). One row per (subspace, code,
+    // dimension) of the staged codebook — a hash match proves both
+    // engines fit the identical M per-subspace quantizers. ---------------
+    QDef("p41_pq_codebook",
+      (s, dir) => PqStage.load(s, dir)
+        .select(col("sub"), col("code"), posexplode(col("cv")).as(Seq("pos", "c")))
+        .select(col("sub"), col("code"), col("pos"), col("c").cast("double").as("c"))
+        .orderBy(col("sub"), col("code"), col("pos")),
+      Some(s"""WITH $duckPqCodebook
+        SELECT CAST(sub AS INTEGER) AS sub, code, CAST(idx - 1 AS INTEGER) AS pos,
+          CAST(CAST(cv[idx] AS FLOAT) AS DOUBLE) AS c
+        FROM pqcb, unnest(range(1, len(cv) + 1)) AS u(idx)
+        ORDER BY sub, code, pos""")),
+
+    // ---- the encoded corpus: every vector compressed to M one-byte
+    // codes (vec_id, sub, code). The encode is a ZERO-shuffle broadcast
+    // argmin map over the corpus scan — at 100 TB this table IS the
+    // vector store the ADC scorer reads: M bytes per vector instead of
+    // 4·d, a 64x reduction at the defaults. -----------------------------
+    QDef("p41b_pq_codes",
+      (s, dir) => PqCodesStage.load(s, dir)
+        .orderBy(col("vec_id"), col("sub")),
+      Some(s"""WITH $duckPqCodebook,
+$duckPqCodes
+        SELECT vec_id, CAST(sub AS INTEGER) AS sub, code
+        FROM pqcodes ORDER BY vec_id, sub""")),
+
+    // ---- IVF-PQ ANN: p16's two-level descent generates candidates; PQ
+    // codes + per-query lookup tables score them (asymmetric distance
+    // computation). The scoring join moves (qid, cid, sub, code) integer
+    // rows — never embeddings — and the per-candidate sums are BIGINT
+    // (each LUT entry is floor(dot·10⁸+0.5)), so aggregation order
+    // cannot perturb the result: the one float op per candidate is the
+    // final cosine recombination from exact integer sums. Approximate
+    // cosine = Σ_m dot(q_m, c_m) / (|q|·|x̂|) with |x̂|² = Σ_m |c_m|² —
+    // exact for the reconstructed vector since subspaces are disjoint
+    // coordinate blocks. ------------------------------------------------
+    QDef("p42_knn_ivfpq",
+      (s, dir) => {
+        val rn = Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("cid"))
+        adcScored(s, dir)
+          .withColumn("rank", row_number().over(rn))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("cid").as("neighbor_id"), col("rank"),
+            round(col("ascore"), 6).as("ascore_r"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""WITH $duckSuperCells,
+${duckTwoLevel("v", "embeddings", Nil, duckNprobe)},
+$duckPqCodebook,
+$duckPqCodes,
+${duckAdcCtes("w", "v")}
+        SELECT qid, cid AS neighbor_id, rank, round(ascore, 6) AS ascore_r
+        FROM wrk WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    // ---- IVF-PQ with exact refine (the FAISS IVFPQ+refine shape, and
+    // the production default): the ADC pass shortlists the top-C
+    // candidates per query from CODES ALONE (C = -Dgraft.pqRerank,
+    // default 25), then the exact pass fetches just those C full vectors
+    // by id — bounded IO per query at any corpus size — and re-ranks
+    // with true cosine. Quantization error then only costs recall when
+    // a true neighbor falls outside the top-C shortlist, not the top-5:
+    // measured in p35 as p43_ivfpq_rerank. ------------------------------
+    QDef("p43_knn_ivfpq_rerank",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val rnA = Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("cid"))
+        val short = adcScored(s, dir)
+          .withColumn("arank", row_number().over(rnA))
+          .filter(col("arank") <= pqRerank)
+          .select(col("qid"), col("cid"))
+        val qv = e.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val cv = e.select(col("vec_id").as("cid"), col("embedding").as("cv2"))
+        val rn = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+        short.join(qv, "qid").join(cv, "cid")
+          .withColumn("sim", expr("cosine_sim(qv, cv2)"))
+          .withColumn("rank", row_number().over(rn))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("cid").as("neighbor_id"), col("rank"),
+            round(col("sim"), 6).as("sim_r"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""WITH $duckSuperCells,
+${duckTwoLevel("v", "embeddings", Nil, duckNprobe)},
+$duckPqCodebook,
+$duckPqCodes,
+${duckAdcCtes("w", "v")},
+        wsh AS (SELECT qid, cid FROM wrk WHERE rank <= $pqRerank),
+        wxs AS (
+          SELECT s.qid, s.cid, ${duckCosine("qa.embedding", "qb.embedding")} AS sim
+          FROM wsh s
+          JOIN embeddings qa ON qa.vec_id = s.qid
+          JOIN embeddings qb ON qb.vec_id = s.cid),
+        wxr AS (
+          SELECT qid, cid, sim,
+            CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rank
+          FROM wxs)
+        SELECT qid, cid AS neighbor_id, rank, round(sim, 6) AS sim_r
+        FROM wxr WHERE rank <= 5 ORDER BY qid, rank"""))
   )
 }

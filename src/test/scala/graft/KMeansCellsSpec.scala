@@ -176,6 +176,26 @@ class KMeansCellsSpec extends SparkSpecBase {
       "graft.cmsDepth").foreach(sys.props.remove)
   }
 
+  test("PQ dials: defaults 8 subspaces / 16 codes, knobs clamp") {
+    assert(queries.Pipeline.pqM == 8 && queries.Pipeline.pqK == 16)
+    try {
+      sys.props("graft.pqSubspaces") = "99"
+      assert(queries.Pipeline.pqM == 16)
+      sys.props("graft.pqSubspaces") = "0"
+      assert(queries.Pipeline.pqM == 1)
+      sys.props("graft.pqCodes") = "9999"
+      assert(queries.Pipeline.pqK == 256)
+      sys.props("graft.pqCodes") = "1"
+      assert(queries.Pipeline.pqK == 2)
+      assert(queries.Pipeline.pqRerank == 25)
+      sys.props("graft.pqRerank") = "1"
+      assert(queries.Pipeline.pqRerank == 5)
+      sys.props("graft.pqRerank") = "9999"
+      assert(queries.Pipeline.pqRerank == 500)
+    } finally Seq("graft.pqSubspaces", "graft.pqCodes", "graft.pqRerank")
+      .foreach(sys.props.remove)
+  }
+
   test("fit-sample rule: full corpus below max(p*k, 64p), bounded above it") {
     val fs = queries.Pipeline.kmeansFitSample _
     assert(fs(500L, 23) == 500L)          // validation scale: full corpus

@@ -103,6 +103,23 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("p42: ADC scoring joins move integer codes, never embeddings; " +
+      "codebook and cnorm broadcast") {
+    val p = plan("p42_knn_ivfpq")
+    assert(!p.contains("CartesianProduct"), p)
+    // the codebook-derived sides (query LUT build, cnorm) broadcast —
+    // M*k' rows can never justify a shuffle
+    assert(p.contains("BroadcastHashJoin"), s"codebook joins must broadcast:\n$p")
+    // the candidate-pair shuffle carries ids only: there must be NO
+    // exchange whose partitioning includes an embedding-typed column
+    val badExchange = "Exchange hashpartitioning\\([^)]*(embedding|qv|cv2?)#"
+      .r.findFirstIn(p)
+    assert(badExchange.isEmpty,
+      s"ADC path must never shuffle embedding columns:\n$p")
+    // per-query top-5 rides the window group limit like the other ANN paths
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q34 CTE: aggregate pushed below the join (partial aggregation)") {
     val p = plan("q34_cte")
     assert(p.contains("HashAggregate"), p)

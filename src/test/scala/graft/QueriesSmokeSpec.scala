@@ -28,7 +28,7 @@ class QueriesSmokeSpec extends SparkSpecBase {
     // invoking it directly must not inherit pinned tables in the session
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val df = SparkEntry.queries("p35_ann_recall")(spark, sf0001)
-    assert(df.count() == 6)
+    assert(df.count() == 8)
     val after = spark.sparkContext.getPersistentRDDs.keySet
     assert((after -- before).isEmpty,
       s"p35 leaked persisted RDDs: ${after -- before}")
@@ -48,6 +48,61 @@ class QueriesSmokeSpec extends SparkSpecBase {
     val estR = math.floor(est * 10000.0 + 0.5) / 10000.0
     val row = SparkEntry.queries("p39_vocab_hll")(spark, sf0001).collect().head
     assert(row.getAs[Double]("n_est_r") == estR)
+  }
+
+  test("p41/p41b/p42 are three views of ONE PQ state: codes are dense, " +
+      "complete, and p42's scores recompute from the pinned artifacts") {
+    val m = queries.Pipeline.pqM
+    val kp = queries.Pipeline.pqK
+    val cb = SparkEntry.queries("p41_pq_codebook")(spark, sf0001).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getInt(2), r.getDouble(3))))
+    // codebook codes are dense 0..<k' per subspace, every code has the
+    // same dimensionality
+    val bySub = cb.groupBy(_._1._1)
+    assert(bySub.keySet == (0 until m).toSet)
+    bySub.foreach { case (_, rows) =>
+      val codes = rows.map(_._1._2).distinct.sorted
+      assert(codes.head == 0 && codes.last == codes.length - 1 && codes.length <= kp)
+    }
+    // every vector carries exactly M codes, each within the codebook
+    val codes = SparkEntry.queries("p41b_pq_codes")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val byVec = codes.groupBy(_._1)
+    assert(byVec.values.forall(v => v.map(_._2).sorted.toSeq == (0 until m).toSeq))
+    val cbSet = cb.map(_._1).toSet
+    assert(codes.forall(c => cbSet.contains((c._2, c._3))))
+    // recompute a handful of p42 scores from the pinned artifacts: the
+    // integer-scaled LUT sums + one cosine recombination must reproduce
+    // ascore_r bit-for-bit (the p39=estimator(p39b) rule for ADC)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray)).toMap
+    val cvBy = SparkEntry.queries("p41_pq_codebook")(spark, sf0001).collect()
+      .groupBy(r => (r.getInt(0), r.getInt(1)))
+      .map { case (k, rows) =>
+        k -> rows.sortBy(_.getInt(2)).map(_.getDouble(3).toFloat) }
+    val codeBy = codes.groupBy(_._1)
+      .map { case (v, rs) => v -> rs.sortBy(_._2).map(_._3) }
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val out = SparkEntry.queries("p42_knn_ivfpq")(spark, sf0001).collect().take(20)
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (qid, cid) = (r.getLong(0), r.getLong(1))
+      val qv = emb(qid); val ds = qv.length / m
+      def sub(v: Array[Float], i: Int) = v.slice(i * ds, (i + 1) * ds)
+      val (sS, rS) = (0 until m).map { i =>
+        val cv = cvBy((i, codeBy(cid)(i)))
+        (math.floor(dot(sub(qv, i), cv) * 1e8 + 0.5).toLong,
+         math.floor(dot(cv, cv) * 1e8 + 0.5).toLong)
+      }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+      val ascore = sS.toDouble / (math.sqrt(dot(qv, qv)) * math.sqrt(rS.toDouble / 1e8) * 1e8)
+      val expect = BigDecimal(ascore).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == expect, s"qid=$qid cid=$cid")
+    }
   }
 
   test("sketch dials do not change answers: p38 result-invariant, CMS dominates") {
