@@ -49,6 +49,23 @@ final class Executor(
   /** Per-session last completed statement id, for LAST_QUERY_ID(). */
   private val lastQueryIds = new ConcurrentHashMap[String, String]()
 
+  /** Session variables (SET x = expr; referenced as $x): per-session
+    * name -> (spliceable SQL literal, display value, Snowflake type).
+    * Bounded LRU over sessions (like the RESULT_SCAN retention) so dead
+    * sessions can't accumulate state forever. */
+  private final case class SessionVar(lit: String, display: String, tpe: String)
+  private val sessionVars =
+    new java.util.LinkedHashMap[String, scala.collection.mutable.LinkedHashMap[String, SessionVar]](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, scala.collection.mutable.LinkedHashMap[String, SessionVar]]) =
+        size() > 1000
+    }
+  private def varsOf(sessionId: String) = sessionVars.synchronized {
+    sessionVars.computeIfAbsent(sessionId,
+      _ => scala.collection.mutable.LinkedHashMap.empty[String, SessionVar])
+  }
+
   /** Streams on tables (CDC): name -> (source table, baseline snapshot).
     * A stream's content is the row-level delta between the source's
     * current state and the baseline; consuming the stream in a DML
@@ -160,7 +177,7 @@ final class Executor(
     val bound = Bindings.apply(sql, bindings)
     val t0 = history.start(queryId, bound)
     try {
-      val r = route(ctx, bound, queryId)
+      val r = route(ctx, substituteVariables(ctx, bound), queryId)
       history.success(queryId, bound, r.rows.size.toLong max r.rowsAffected.getOrElse(0L), t0)
       lastQueryIds.put(ctx.sessionId, queryId)
       r
@@ -187,6 +204,10 @@ final class Executor(
     if (u.startsWith("GRANT ") || u.startsWith("REVOKE "))
       return status(queryId, "Statement executed successfully.")
     if (u.startsWith("COMMENT ")) return commentOn(ctx, sql, queryId)
+    if (u.startsWith("SET ") || u.startsWith("SET("))
+      return setVariable(ctx, sql, queryId)
+    if (u.startsWith("UNSET ") || u.startsWith("UNSET("))
+      return unsetVariable(ctx, sql, queryId)
     val cls = Classifier.classify(sql)
     cls.tpe match {
       case Classifier.Query => query(ctx, sql, queryId)
@@ -210,13 +231,21 @@ final class Executor(
     val u = bare.trim.toUpperCase(java.util.Locale.ROOT)
     if (u.startsWith("SHOW")) return show(ctx, bare, queryId)
     if (u.startsWith("DESC")) return describe(ctx, bare, queryId)
+    collectResult(fullQueryDf(ctx, bare), queryId, Classifier.StatementTypeSelect)
+  }
+
+  /** The full SELECT rewrite chain ending in a DataFrame — shared by
+    * query() and session-variable SET evaluation (SET runs an arbitrary
+    * scalar expression, including subqueries, through the same path a
+    * SELECT takes). [[queryDf]] below is the lighter streams+naming-only
+    * chain used by MERGE USING subqueries. */
+  private def fullQueryDf(ctx: Context, bare: String): DataFrame = {
     val withHistory = rewriteTopSample(
       rewriteQueryHistory(rewriteJsonPath(sessionContextFns(ctx,
         rewriteTimeTravel(ctx, rewriteStreams(ctx, rewriteGenerator(rewriteResultScan(ctx, bare))))))))
     val rewritten = TableNaming.rewrite(rewriteFlatten(rewriteSplitToTable(rewriteQualify(withHistory))),
       ctx.database, ctx.schema)
-    val df = spark.sql(rewritten)
-    collectResult(df, queryId, Classifier.StatementTypeSelect)
+    spark.sql(rewritten)
   }
 
   /** Snowflake `SELECT TOP n ...` -> trailing LIMIT (Snowflake forbids
@@ -689,7 +718,12 @@ final class Executor(
             Seq[Any](sm.name, sm.table.database, sm.table.schema,
               sm.table.table, String.valueOf(sm.stale))
         })
-    else if (u.startsWith("SHOW FILE FORMATS"))
+    else if (u.startsWith("SHOW VARIABLES")) {
+      val vars = varsOf(ctx.sessionId)
+      result(Seq("name", "value", "type"),
+        vars.synchronized(vars.toSeq).map { case (n, v) =>
+          Seq[Any](n, v.display, v.tpe) }.sortBy(_.head.toString))
+    } else if (u.startsWith("SHOW FILE FORMATS"))
       result(Seq("name", "database_name", "schema_name", "type"),
         catalog.listFileFormats(ctx.database).map(f =>
           Seq[Any](f.name, f.database, f.schema, f.formatType)))
@@ -721,6 +755,119 @@ final class Executor(
         c.name, c.snowflakeType, "COLUMN",
         if (c.nullable) "Y" else "N", c.default.orNull,
         if (c.primaryKey) "Y" else "N")))
+  }
+
+  // ------------------------------------------------------------------
+  // session variables (SET x = expr; $x references; UNSET; SHOW VARIABLES)
+  // ------------------------------------------------------------------
+
+  private val setMultiRe =
+    """(?is)^\s*SET\s*\(\s*([^)]+?)\s*\)\s*=\s*\((.*)\)\s*;?\s*$""".r
+  private val setSingleRe =
+    """(?is)^\s*SET\s+([A-Za-z_][A-Za-z0-9_$]*)\s*=\s*(.+?);?\s*$""".r
+  private val unsetMultiRe =
+    """(?is)^\s*UNSET\s*\(\s*([^)]+?)\s*\)\s*;?\s*$""".r
+  private val unsetSingleRe =
+    """(?is)^\s*UNSET\s+([A-Za-z_][A-Za-z0-9_$]*)\s*;?\s*$""".r
+
+  /** `SET v = expr` / `SET (a, b) = (e1, e2)`: the right side is an
+    * arbitrary scalar expression — including subqueries — evaluated
+    * through the same rewrite chain as a SELECT ($refs to OTHER
+    * variables were already substituted at the execute() edge). The
+    * typed result is stored per session and spliced back as a literal
+    * of the same Snowflake type wherever `$v` appears. */
+  private def setVariable(ctx: Context, sql: String, queryId: String): Result = {
+    val (names, exprs) = sql match {
+      case setMultiRe(ns, es) =>
+        (ns.split(",").map(_.trim).toSeq,
+          MergeParser.splitTopLevel(es).map(_.trim))
+      case setSingleRe(n, e) => (Seq(n.trim), Seq(e.trim))
+      case _ => throw SnowflakeError.compilation(s"invalid SET statement: $sql")
+    }
+    if (names.length != exprs.length)
+      throw SnowflakeError.compilation(
+        s"SET: ${names.length} variables but ${exprs.length} expressions")
+    names.find(!_.matches("[A-Za-z_][A-Za-z0-9_$]*")).foreach(n =>
+      throw SnowflakeError.compilation(s"invalid session variable name: $n"))
+    val sel = exprs.zipWithIndex
+      .map { case (e, i) => s"($e) AS __graft_v$i" }
+      .mkString("SELECT ", ", ", "")
+    val df = fullQueryDf(ctx, sel)
+    val row = df.collect().headOption.getOrElse(
+      throw SnowflakeError.compilation("SET expression produced no row"))
+    val vars = varsOf(ctx.sessionId)
+    vars.synchronized {
+      names.indices.foreach { i =>
+        vars.update(names(i).toUpperCase(java.util.Locale.ROOT),
+          toSessionVar(row.get(i), df.schema.fields(i).dataType))
+      }
+    }
+    status(queryId, "Statement executed successfully.")
+  }
+
+  private def toSessionVar(v: Any,
+      dt: org.apache.spark.sql.types.DataType): SessionVar = {
+    import org.apache.spark.sql.types._
+    val tpe = TypeMapper.toSnowflakeTypeName(dt)
+    if (v == null) return SessionVar("NULL", "NULL", tpe)
+    val s = String.valueOf(v)
+    dt match {
+      case StringType => SessionVar("'" + s.replace("'", "''") + "'", s, tpe)
+      case DateType => SessionVar(s"'$s'::DATE", s, tpe)
+      case TimestampType => SessionVar(s"'$s'::TIMESTAMP", s, tpe)
+      case TimestampNTZType => SessionVar(s"'$s'::TIMESTAMP_NTZ", s, tpe)
+      case BooleanType | _: NumericType => SessionVar(s, s, tpe)
+      // arrays/structs/variants splice as their JSON-ish repr in quotes
+      case _ => SessionVar("'" + s.replace("'", "''") + "'", s, tpe)
+    }
+  }
+
+  private def unsetVariable(ctx: Context, sql: String, queryId: String): Result = {
+    val names = sql match {
+      case unsetMultiRe(ns) => ns.split(",").map(_.trim).toSeq
+      case unsetSingleRe(n) => Seq(n.trim)
+      case _ => throw SnowflakeError.compilation(s"invalid UNSET statement: $sql")
+    }
+    val vars = varsOf(ctx.sessionId)
+    vars.synchronized {
+      names.foreach(n => vars.remove(n.toUpperCase(java.util.Locale.ROOT)))
+    }
+    status(queryId, "Statement executed successfully.")
+  }
+
+  /** Splice `$name` references (quote-aware, outside string literals
+    * only) with the session's stored literals. `$` inside an identifier
+    * (Snowflake allows ABC$DEF), `$1` stage-file column refs and `$$`
+    * are left untouched. An undefined `$name` is the Snowflake
+    * compilation error, not a pass-through. */
+  private[emulator] def substituteVariables(ctx: Context, sql: String): String = {
+    if (!sql.contains("$")) return sql
+    val vars = varsOf(ctx.sessionId)
+    def identTail(c: Char) = c.isLetterOrDigit || c == '_' || c == '$'
+    val out = new StringBuilder(sql.length + 16)
+    var i = 0; var inQ = false; var inDq = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inQ) { out.append(c); if (c == '\'') inQ = false; i += 1 }
+      else if (inDq) { out.append(c); if (c == '"') inDq = false; i += 1 }
+      else c match {
+        case '\'' => inQ = true; out.append(c); i += 1
+        case '"' => inDq = true; out.append(c); i += 1
+        case '$' if i + 1 < sql.length &&
+            (sql.charAt(i + 1).isLetter || sql.charAt(i + 1) == '_') &&
+            (out.isEmpty || !identTail(out.charAt(out.length - 1))) =>
+          var k = i + 1
+          while (k < sql.length &&
+            (sql.charAt(k).isLetterOrDigit || sql.charAt(k) == '_')) k += 1
+          val name = sql.substring(i + 1, k).toUpperCase(java.util.Locale.ROOT)
+          val sv = vars.synchronized(vars.get(name)).getOrElse(
+            throw SnowflakeError.compilation(
+              s"Session variable '$$$name' does not exist"))
+          out.append(sv.lit); i = k
+        case _ => out.append(c); i += 1
+      }
+    }
+    out.toString
   }
 
   // ------------------------------------------------------------------

@@ -939,7 +939,14 @@ object Pipeline {
       if (m >= n) e.select(col("vec_id"), col("embedding"))
       else e.select(col("vec_id"), col("embedding"))
         .filter(md560(col("vec_id").cast("string")) < lit((1L << 60) / n * m))
+    // slice once and pin: each round re-evaluates `fit`, and without the
+    // checkpoint that re-runs the explode+slice per round; repartition
+    // spreads the bounded sample across the executor width (the filtered
+    // parquet scan otherwise yields 1-2 partitions and the 4 assign
+    // rounds run nearly serial). Neither changes any arithmetic.
     val fit = fitRows.select(col("vec_id"), pqSubvecsCol.as(Seq("sub", "sv")))
+      .repartition(s.sparkContext.defaultParallelism)
+      .localCheckpoint(eager = true)
     var cent = e.select(col("vec_id"), col("embedding"))
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(pqK)
@@ -974,6 +981,7 @@ object Pipeline {
   private def buildPqCodes(s: SparkSession, dir: String): DataFrame = {
     val cb = PqStage.load(s, dir)
     val sv = emb(s, dir).select(col("vec_id"), pqSubvecsCol.as(Seq("sub", "sv")))
+      .repartition(s.sparkContext.defaultParallelism)
     nearestPqCell(sv, cb.select(col("sub"), col("code").as("cell"), col("cv")))
       .select(col("vec_id"), col("sub"), col("cell").cast("int").as("code"))
   }

@@ -1008,6 +1008,46 @@ class ExecutorSpec extends AnyFunSuite {
     assert(exec("SELECT * FROM cap_t").rows.size == 100)
   }
 
+  test("56 session variables: SET/$ref/UNSET/SHOW VARIABLES, typed splicing") {
+    exec("SET min_score = 80")
+    exec("SET who = 'O''Brien'")
+    // $refs splice as typed literals into any statement
+    exec("CREATE OR REPLACE TABLE sv_t AS SELECT * FROM VALUES " +
+      "(1, 85.0, 'O''Brien'), (2, 75.0, 'Smith') AS t(id, score, name)")
+    val r = exec("SELECT id FROM sv_t WHERE score >= $min_score AND name = $who")
+    assert(r.rows.map(_.head) == Seq(1), r.rows)
+    // expressions (incl. other $vars and subqueries) evaluate through the
+    // full SELECT chain; multi-assign sets both
+    exec("SET bar = $min_score + 20")
+    exec("SET (lo, hi) = ((SELECT MIN(score) FROM sv_t), (SELECT MAX(score) FROM sv_t))")
+    val r2 = exec("SELECT $bar AS b, $lo AS l, $hi AS h")
+    // VALUES decimals stay DECIMAL end to end: the typed splice keeps
+    // Snowflake NUMBER semantics, so compare canonically
+    assert(r2.rows.head.map(String.valueOf) == Seq("100", "75.0", "85.0"), r2.rows)
+    // SHOW VARIABLES lists name/value/type; names are case-insensitive
+    val shown = exec("SHOW VARIABLES")
+    val names = shown.rows.map(_.head.toString)
+    assert(Seq("BAR", "HI", "LO", "MIN_SCORE", "WHO").forall(names.contains), names)
+    val whoRow = shown.rows.find(_.head == "WHO").get
+    assert(whoRow(1) == "O'Brien" && whoRow(2) == "TEXT", whoRow)
+    // a $ inside a string literal or an identifier is never substituted
+    val lit = exec("SELECT '$who' AS s")
+    assert(lit.rows.head.head == "$who", lit.rows)
+    // UNSET removes; an undefined reference is the Snowflake error
+    exec("UNSET (min_score, bar)")
+    exec("UNSET who")
+    val e = intercept[SnowflakeError] { exec("SELECT $who") }
+    assert(e.getMessage.contains("Session variable '$WHO' does not exist"),
+      e.getMessage)
+    // variables are per-session: another session does not see ours
+    val other = Executor.Context("sess_other", "TEST_DB", "PUBLIC")
+    val e2 = intercept[SnowflakeError] {
+      executor.execute(other, "SELECT $lo")
+    }
+    assert(e2.getMessage.contains("does not exist"), e2.getMessage)
+    assert(String.valueOf(exec("SELECT $lo").rows.head.head) == "75.0")
+  }
+
   test("54 AT(TIMESTAMP) accepts date-only and offset forms; rejects junk cleanly") {
     exec("CREATE TABLE ttl_t (id INTEGER)")
     exec("INSERT INTO ttl_t VALUES (1)")

@@ -462,6 +462,25 @@ class EmulatorServerSpec extends AnyFunSuite {
     assert(after.get("data").get(0).get(0).asLong() == 0L, after)
   }
 
+  test("session variables persist across statements of one gosnowflake session") {
+    // variables live on the SESSION: the gosnowflake protocol's token is
+    // the session identity (REST v2 statements are per-request contexts,
+    // faithfully stateless like Snowflake's SQL API)
+    val (_, s1) = query("SET wirevar = 40 + 2")
+    assert(s1.get("success").asBoolean(), s1)
+    val (_, r) = query("SELECT $wirevar AS v")
+    assert(r.get("success").asBoolean(), r)
+    assert(r.get("data").get("rowset").get(0).get(0).asText() == "42", r)
+    val (_, shown) = query("SHOW VARIABLES")
+    val names = (0 until shown.get("data").get("rowset").size())
+      .map(i => shown.get("data").get("rowset").get(i).get(0).asText())
+    assert(names.contains("WIREVAR"), names)
+    query("UNSET wirevar")
+    val (_, err) = query("SELECT $wirevar")
+    assert(!err.get("success").asBoolean(), err)
+    assert(err.get("message").asText().contains("does not exist"), err)
+  }
+
   test("REST v2 e2e: time travel AT OFFSET and AT STATEMENT by handle") {
     v2("CREATE TABLE v2tt (id INTEGER)")
     val ins1 = v2("INSERT INTO v2tt VALUES (1)")
