@@ -1008,6 +1008,62 @@ object Pipeline {
     }
   }
 
+  /** Stateless per-row projections for STREAMING semantic dedup: assign
+    * the row's embedding to its nearest fitted cell (the flat index as
+    * ONE broadcast row) and compress it to the M PQ codes (the codebook
+    * as one broadcast row) in the same pass — no shuffle, no streaming
+    * state, safe on a streaming DataFrame (stream-static broadcast
+    * only). The code arithmetic is the exact batch p41b argmin (same
+    * comparator, same tie-break on code), so in-stream codes equal the
+    * staged codes for the same vector — the parity spec proves it. */
+  private[graft] def streamSemanticPrep(s: SparkSession, dir: String,
+      docs: DataFrame): DataFrame = {
+    val cells = CellStage.load(s, dir)
+    val cb = PqStage.load(s, dir)
+    val idx = cells.groupBy()
+      .agg(collect_list(struct(col("cell"), col("cv"))).as("idx"))
+    val pidx = cb.select(col("sub"), col("code"), col("cv")).groupBy()
+      .agg(collect_list(struct(col("sub"), col("code"), col("cv"))).as("pidx"))
+    val m = pqM
+    val dsub = s"(size(embedding) div $m)"
+    docs.crossJoin(broadcast(idx)).crossJoin(broadcast(pidx))
+      .withColumn("cell", expr(
+        s"""element_at(array_sort(transform(idx, c -> named_struct(
+              'csim', cosine_sim(embedding, c.cv), 'cell', c.cell)),
+              ${simDescCmp("csim", "cell")}), 1).cell"""))
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${m - 1}), mm ->
+              element_at(array_sort(transform(filter(pidx, c -> c.sub = mm),
+                c -> named_struct('d',
+                  ${sparkL2Sq(s"slice(embedding, mm * $dsub + 1, $dsub)", "c.cv")},
+                  'code', c.code)),
+                ${distAscCmp("d", "code")}), 1).code)"""))
+      .drop("idx", "pidx")
+  }
+
+  /** Symmetric-distance tables for code-to-code scoring, collected once
+    * from the staged codebook (M·k'² doubles — ~2 KB at the defaults):
+    * per-subspace centroid-pair dots and centroid self-norms. With
+    * these, approximate cosine between two CODE vectors needs no float
+    * vectors at all — the streaming dedup's whole state stays M bytes
+    * per row. */
+  private[graft] def pqSdcTables(s: SparkSession, dir: String)
+      : (Int, Map[(Int, Int, Int), Double], Map[(Int, Int), Double]) = {
+    val rows = PqStage.load(s, dir)
+      .select(col("sub"), col("code"), col("cv")).collect()
+    val vecs = rows.map(r => ((r.getInt(0), r.getInt(1)),
+      r.getSeq[Float](2).toArray)).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var x = 0.0; var i = 0
+      while (i < a.length) { x += a(i).toDouble * b(i).toDouble; i += 1 }
+      x
+    }
+    val dots = for (((sa, ca), va) <- vecs; ((sb, cbc), vb) <- vecs if sa == sb)
+      yield ((sa, ca, cbc), dot(va, vb))
+    val norms = vecs.map { case ((sub, code), v) => ((sub, code), dot(v, v)) }
+    (pqM, dots.toMap, norms)
+  }
+
   /** Refine shortlist width for p43 (ADC top-C, then exact re-rank):
     * `-Dgraft.pqRerank`, clamped [5, 500], default 25 — 5x the output
     * top-k, the FAISS refine convention. */

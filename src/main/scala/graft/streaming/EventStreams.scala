@@ -211,6 +211,58 @@ object EventStreams {
     graft.queries.Pipeline.cmsCellUpdates(docs)
       .groupBy(col("j"), col("pos")).agg(count(lit(1)).as("c"))
 
+  final case class SemanticDedupResult(vec_id: Long, cell: Long, kept: Boolean)
+
+  /** STREAMING semantic near-dup dedup — the streaming form of batch
+    * p32 (SemDeDup), made scale-viable by the PQ codes: each arriving
+    * vector is assigned to its fitted k-means cell and compressed to M
+    * one-byte codes by stateless broadcast projections (no shuffle
+    * before the stateful op), then a per-CELL state of previously KEPT
+    * rows decides near-dup-or-not by code-to-code approximate cosine
+    * (symmetric ADC over a 2 KB driver-collected centroid-dot table).
+    * State per kept row is its id plus M bytes — 8+M bytes instead of
+    * the 4·d-byte embedding (36 vs 264 at the defaults), which is the
+    * difference between a streaming dedup that fits executor memory at
+    * 100 TB/day and one that cannot. Within a micro-batch rows process
+    * in (event-time, id) order, so a replay with the same batching
+    * reproduces the same keep/drop decisions. Expects (vec_id, ts,
+    * embedding); the index artifacts are read from `indexDir`'s staged
+    * CellStage/PqStage (fit once in batch, stream against them). */
+  def semanticDedupStream(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, docs: DataFrame,
+      threshold: Double = 0.4): Dataset[SemanticDedupResult] = {
+    import spark.implicits._
+    val (m, dots, norms) = graft.queries.Pipeline.pqSdcTables(spark, indexDir)
+    def approxSim(a: Seq[Int], b: Seq[Int]): Double = {
+      var s = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < m) {
+        s += dots((i, a(i), b(i)))
+        na += norms((i, a(i))); nb += norms((i, b(i)))
+        i += 1
+      }
+      s / (math.sqrt(na) * math.sqrt(nb))
+    }
+    graft.queries.Pipeline.streamSemanticPrep(spark, indexDir, docs)
+      .select(col("vec_id"), col("ts"), col("cell"), col("codes"))
+      .as[(Long, java.sql.Timestamp, Long, Seq[Int])]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[List[(Long, Seq[Int])], SemanticDedupResult](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (cell: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Seq[Int])],
+         state: GroupState[List[(Long, Seq[Int])]]) =>
+          var kept = state.getOption.getOrElse(Nil)
+          val out = rows.toSeq.sortBy(r => (r._2.getTime, r._1))
+            .map { case (id, _, _, codes) =>
+              val dup = kept.exists { case (_, kc) =>
+                approxSim(kc, codes) >= threshold }
+              if (!dup) kept = (id, codes) :: kept
+              SemanticDedupResult(id, cell, kept = !dup)
+            }
+          state.update(kept)
+          out.iterator
+      }
+  }
+
   /** Wire a streaming DataFrame to an in-memory sink (tests / demos). */
   def toMemorySink(df: DataFrame, name: String, complete: Boolean = true) =
     df.writeStream

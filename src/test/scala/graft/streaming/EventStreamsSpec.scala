@@ -188,6 +188,69 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming semantic dedup: PQ-coded state implements the sequential " +
+      "rule; in-stream codes equal batch p41b") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    graft.functions.SnowflakeExtensions.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        new Timestamp(1704103200000L + r.getLong(0) * 1000L),
+        r.getSeq[Float](1)))
+      .sortBy(_._1)
+    val input = MemoryStream[(Long, Timestamp, Seq[Float])]
+    val docs = input.toDF().toDF("vec_id", "ts", "embedding")
+    val out = EventStreams.semanticDedupStream(spark, dir, docs)
+    val q = out.writeStream.format("memory").queryName("semstream")
+      .outputMode("append").start()
+    try {
+      // two chunks in event-time order: state must carry ACROSS batches
+      val (a, b) = emb.splitAt(emb.length / 2)
+      input.addData(a.toSeq)
+      q.processAllAvailable()
+      input.addData(b.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT vec_id, cell, kept FROM semstream")
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+      assert(streamed.size == emb.length)
+      // reference: the SAME stateless projections in batch mode + the
+      // declared sequential rule folded in (ts, id) order per cell
+      val prepped = graft.queries.Pipeline.streamSemanticPrep(spark, dir,
+          spark.createDataFrame(emb.toSeq.map(e => (e._1, e._2, e._3)))
+            .toDF("vec_id", "ts", "embedding"))
+        .select("vec_id", "ts", "cell", "codes").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          r.getSeq[Int](3)))
+      // in-stream codes equal the staged batch codes (p41b) per vector
+      val batchCodes = graft.SparkEntry.queries("p41b_pq_codes")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+      prepped.foreach { case (id, _, _, codes) =>
+        codes.zipWithIndex.foreach { case (c, sub) =>
+          assert(batchCodes((id, sub)) == c, s"vec $id sub $sub") } }
+      val (m, dots, norms) = graft.queries.Pipeline.pqSdcTables(spark, dir)
+      def sim(x: Seq[Int], y: Seq[Int]): Double = {
+        val s = (0 until m).map(i => dots((i, x(i), y(i)))).sum
+        val na = (0 until m).map(i => norms((i, x(i)))).sum
+        val nb = (0 until m).map(i => norms((i, y(i)))).sum
+        s / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val expected = prepped.toSeq.groupBy(_._3).flatMap { case (cell, rows) =>
+        var kept = List.empty[Seq[Int]]
+        rows.sortBy(r => (r._2.getTime, r._1)).map { case (id, _, _, codes) =>
+          val dup = kept.exists(kc => sim(kc, codes) >= 0.4)
+          if (!dup) kept = codes :: kept
+          id -> ((cell, !dup))
+        }
+      }.toMap
+      assert(streamed == expected)
+      // the operator actually deduplicates on this corpus
+      val drops = streamed.values.count(!_._2)
+      assert(drops > 0 && drops < emb.length, s"drops=$drops")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops repeated fingerprints within watermark") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
