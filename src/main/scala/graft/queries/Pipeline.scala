@@ -3490,6 +3490,49 @@ ${duckAdcCtes("w", "v")},
             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rank
           FROM wxs)
         SELECT qid, cid AS neighbor_id, rank, round(sim, 6) AS sim_r
-        FROM wxr WHERE rank <= 5 ORDER BY qid, rank"""))
+        FROM wxr WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    // ---- PQ reconstruction fidelity: per-vector squared quantization
+    // error (the sum over subspaces of the argmin L2 — the distance to
+    // the chosen code IS the subspace's reconstruction error). The p30
+    // int8 entry measures the 4x-compression fidelity; this measures the
+    // 32x path, so a deployment can choose its point on the
+    // memory/fidelity curve from two pinned numbers. ZERO shuffle: the
+    // codebook broadcasts as one row and the per-vector error is a
+    // single codegen-able expression over the corpus scan; each
+    // subspace term rounds to an integer-scaled BIGINT before the sum,
+    // so evaluation order cannot perturb the hash. ----------------------
+    QDef("p44_pq_reconstruction",
+      (s, dir) => {
+        val cb = PqStage.load(s, dir)
+        val pidx = cb.select(col("sub"), col("code"), col("cv")).groupBy()
+          .agg(collect_list(struct(col("sub"), col("code"), col("cv"))).as("pidx"))
+        val m = pqM
+        val dsub = s"(size(embedding) div $m)"
+        emb(s, dir).select(col("vec_id"), col("embedding"))
+          .crossJoin(broadcast(pidx))
+          .select(col("vec_id"), expr(
+            s"""aggregate(
+                  transform(sequence(0, ${m - 1}), mm ->
+                    element_at(array_sort(transform(filter(pidx, c -> c.sub = mm),
+                      c -> named_struct('d',
+                        ${sparkL2Sq(s"slice(embedding, mm * $dsub + 1, $dsub)", "c.cv")},
+                        'code', c.code)),
+                      ${distAscCmp("d", "code")}), 1).d),
+                  CAST(0 AS BIGINT),
+                  (acc, dd) -> acc + CAST(floor(dd * 100000000.0 + 0.5) AS BIGINT))""")
+            .as("sse_s"))
+          .select(col("vec_id"),
+            (col("sse_s").cast("double") / lit(100000000.0)).as("sse_r"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH $duckPqCodebook,
+$duckPqCodes,
+        pmin AS (
+          SELECT vec_id, sub, MIN(d) AS d FROM pqesc GROUP BY 1, 2)
+        SELECT vec_id,
+          CAST(SUM(CAST(floor(d * 100000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+            / 100000000.0 AS sse_r
+        FROM pmin GROUP BY vec_id ORDER BY vec_id"""))
   )
 }
