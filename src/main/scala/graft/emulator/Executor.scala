@@ -177,7 +177,7 @@ final class Executor(
     val bound = Bindings.apply(sql, bindings)
     val t0 = history.start(queryId, bound)
     try {
-      val r = route(ctx, substituteVariables(ctx, bound), queryId)
+      val r = route(ctx, rewriteIdentifierFn(substituteVariables(ctx, bound)), queryId)
       history.success(queryId, bound, r.rows.size.toLong max r.rowsAffected.getOrElse(0L), t0)
       lastQueryIds.put(ctx.sessionId, queryId)
       r
@@ -833,6 +833,23 @@ final class Executor(
       names.foreach(n => vars.remove(n.toUpperCase(java.util.Locale.ROOT)))
     }
     status(queryId, "Statement executed successfully.")
+  }
+
+  /** `IDENTIFIER('name')` → the bare identifier — Snowflake's indirection
+    * for using a (usually variable-supplied) string as an object name,
+    * the dbt pattern `IDENTIFIER($table)`. Runs AFTER variable
+    * substitution, so the argument is a string literal by then; the name
+    * is validated against the same shape TableNaming accepts, which is
+    * what keeps this from being a string-splice injection hole. */
+  private[emulator] def rewriteIdentifierFn(sql: String): String = {
+    if (!sql.toUpperCase(java.util.Locale.ROOT).contains("IDENTIFIER")) return sql
+    """(?is)\bIDENTIFIER\s*\(\s*'([^']*)'\s*\)""".r.replaceAllIn(sql, m => {
+      val name = m.group(1)
+      if (!name.matches("""[A-Za-z_$][A-Za-z0-9_$]*(\.[A-Za-z_$][A-Za-z0-9_$]*){0,2}"""))
+        throw SnowflakeError.compilation(
+          s"invalid identifier in IDENTIFIER(): '$name'")
+      java.util.regex.Matcher.quoteReplacement(name)
+    })
   }
 
   /** Splice `$name` references (quote-aware, outside string literals

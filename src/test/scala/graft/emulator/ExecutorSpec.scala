@@ -1048,6 +1048,27 @@ class ExecutorSpec extends AnyFunSuite {
     assert(String.valueOf(exec("SELECT $lo").rows.head.head) == "75.0")
   }
 
+  test("57 IDENTIFIER() indirection: variable-supplied object names, injection rejected") {
+    exec("CREATE OR REPLACE TABLE idf_t AS SELECT 7 AS v")
+    exec("SET tname = 'idf_t'")
+    // the dbt pattern: IDENTIFIER($var) as a table name, in SELECT and DML
+    val r = exec("SELECT v FROM IDENTIFIER($tname)")
+    assert(r.rows.head.head == 7, r.rows)
+    exec("INSERT INTO IDENTIFIER($tname) VALUES (8)")
+    assert(exec("SELECT COUNT(*) AS n FROM idf_t").rows.head.head == 2L)
+    // literal form works without a variable
+    assert(exec("SELECT COUNT(*) AS n FROM IDENTIFIER('idf_t')")
+      .rows.head.head == 2L)
+    // a non-identifier payload must be rejected, not spliced into SQL
+    exec("SET evil = 'idf_t WHERE 1=0; DROP TABLE idf_t'")
+    val e = intercept[SnowflakeError] {
+      exec("SELECT * FROM IDENTIFIER($evil)")
+    }
+    assert(e.getMessage.contains("invalid identifier"), e.getMessage)
+    exec("UNSET tname")
+    exec("UNSET evil")
+  }
+
   test("54 AT(TIMESTAMP) accepts date-only and offset forms; rejects junk cleanly") {
     exec("CREATE TABLE ttl_t (id INTEGER)")
     exec("INSERT INTO ttl_t VALUES (1)")
