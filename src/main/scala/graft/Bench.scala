@@ -106,6 +106,11 @@ object Bench {
       stageEntry("p00e_pq_stage") {
         queries.Pipeline.PqStage.load(spark, sfDir)
         queries.Pipeline.PqCodesStage.load(spark, sfDir); ()
+      },
+      // the residual PQ codebook + encode (p45-p47's shared artifacts)
+      stageEntry("p00f_pqr_stage") {
+        queries.Pipeline.PqResidualStage.load(spark, sfDir)
+        queries.Pipeline.PqResidualCodesStage.load(spark, sfDir); ()
       })
     // Optional comma-separated allowlist (SPARK_GRAFT_ONLY=p05,p20) for
     // profiling individual queries / interaction effects; production runs

@@ -930,14 +930,15 @@ object Pipeline {
     * broadcast argmin + decimal-exact mean recompute — per subspace,
     * under L2. Codes are densely renumbered 0..k'-1 per subspace (stable
     * ROW_NUMBER over the surviving centroids' seed ids) so a code fits
-    * one byte regardless of which seeds survived. */
-  private def buildPqCodebook(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    val n = e.count()
+    * one byte regardless of which seeds survived. `src` carries
+    * (vec_id, embedding) — the raw corpus for p41, the per-vector cell
+    * RESIDUALS for p45. */
+  private def buildPqCodebookFrom(s: SparkSession, src: DataFrame): DataFrame = {
+    val n = src.count()
     val m = kmeansFitSample(n, pqK)
     val fitRows =
-      if (m >= n) e.select(col("vec_id"), col("embedding"))
-      else e.select(col("vec_id"), col("embedding"))
+      if (m >= n) src.select(col("vec_id"), col("embedding"))
+      else src.select(col("vec_id"), col("embedding"))
         .filter(md560(col("vec_id").cast("string")) < lit((1L << 60) / n * m))
     // slice once and pin: each round re-evaluates `fit`, and without the
     // checkpoint that re-runs the explode+slice per round; repartition
@@ -947,7 +948,7 @@ object Pipeline {
     val fit = fitRows.select(col("vec_id"), pqSubvecsCol.as(Seq("sub", "sv")))
       .repartition(s.sparkContext.defaultParallelism)
       .localCheckpoint(eager = true)
-    var cent = e.select(col("vec_id"), col("embedding"))
+    var cent = src.select(col("vec_id"), col("embedding"))
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(pqK)
       .select(col("vec_id").as("cell"), pqSubvecsCol.as(Seq("sub", "cv")))
@@ -972,40 +973,81 @@ object Pipeline {
       .select(col("sub"), col("code"), col("cell"), col("cv"))
   }
 
-  /** The corpus PQ codes — every vector's M argmin codes, assigned by
-    * the broadcast codebook with ZERO shuffle (the encode is a pure map
-    * over the corpus scan; at 100 TB this is the compressed
-    * representation the scoring side reads instead of embeddings).
-    * Tie-break is on `code`, which is monotone in the seed id per
-    * subspace, so it equals the fit's own seed-id tie-break. */
-  private def buildPqCodes(s: SparkSession, dir: String): DataFrame = {
-    val cb = PqStage.load(s, dir)
-    val sv = emb(s, dir).select(col("vec_id"), pqSubvecsCol.as(Seq("sub", "sv")))
+  /** PQ codes for `src` (vec_id, embedding) — every vector's M argmin
+    * codes, assigned by the broadcast codebook with ZERO shuffle (the
+    * encode is a pure map over the corpus scan; at 100 TB this is the
+    * compressed representation the scoring side reads instead of
+    * embeddings). Tie-break is on `code`, which is monotone in the seed
+    * id per subspace, so it equals the fit's own seed-id tie-break. */
+  private def buildPqCodesFrom(s: SparkSession, cb: DataFrame,
+      src: DataFrame): DataFrame = {
+    val sv = src.select(col("vec_id"), pqSubvecsCol.as(Seq("sub", "sv")))
       .repartition(s.sparkContext.defaultParallelism)
     nearestPqCell(sv, cb.select(col("sub"), col("code").as("cell"), col("cv")))
       .select(col("vec_id"), col("sub"), col("cell").cast("int").as("code"))
   }
 
+  /** Per-vector cell residual (embedding − assigned cell centroid), the
+    * residual-PQ training/encode source. Assignment is the kTop=1
+    * two-level descent (the p32 contract); the subtraction happens in
+    * DOUBLE (exact for float32 inputs) and rounds back to FLOAT — both
+    * correctly-rounded IEEE ops, so the oracle reproduces the residual
+    * bit-for-bit. NEVER staged: the residual table is corpus-sized. */
+  private def residuals(s: SparkSession, dir: String): DataFrame = {
+    val assigned = nearestCellsStaged(s, dir,
+      emb(s, dir).select(col("vec_id"), col("embedding")), 1)
+      .filter(col("crank") === 1)
+    assigned.join(broadcast(CellStage.load(s, dir)), "cell")
+      .select(col("vec_id"), expr(
+        """zip_with(embedding, cv,
+             (x, y) -> CAST(CAST(x AS DOUBLE) - CAST(y AS DOUBLE) AS FLOAT))""")
+        .as("embedding"))
+  }
+
+  private def pqParamsHash(extra: String = ""): String = {
+    val params = s"$pqM-$pqK-$kmeansIters-$kmeansFitPoints$extra"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(params.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+  }
+  /** The residual stages' staging key also covers the IVF index knobs:
+    * residuals are defined AGAINST the fitted cells. */
+  private def pqResidualParams: String =
+    s"-${sys.props.getOrElse("graft.ivfCells", "auto")}" +
+      s"-${sys.props.getOrElse("graft.ivfSuperCells", "auto")}"
+
   /** The fitted PQ codebook (sub, code, cell, cv), staged once per input
     * dir like CellStage — knobs baked into the staging key. */
   private[graft] object PqStage {
-    def load(s: SparkSession, dir: String): DataFrame = {
-      val params = s"$pqM-$pqK-$kmeansIters-$kmeansFitPoints"
-      val ph = java.security.MessageDigest.getInstance("MD5")
-        .digest(params.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
-      ShingleStage.stage(s, dir, s"pq$ph")(buildPqCodebook(s, dir))
-    }
+    def load(s: SparkSession, dir: String): DataFrame =
+      ShingleStage.stage(s, dir, s"pq${pqParamsHash()}")(
+        buildPqCodebookFrom(s, emb(s, dir).select(col("vec_id"), col("embedding"))))
   }
 
   /** The encoded corpus (vec_id, sub, code), staged once — the
     * compressed vectors every ADC consumer reads. */
   private[graft] object PqCodesStage {
-    def load(s: SparkSession, dir: String): DataFrame = {
-      val params = s"$pqM-$pqK-$kmeansIters-$kmeansFitPoints"
-      val ph = java.security.MessageDigest.getInstance("MD5")
-        .digest(params.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
-      ShingleStage.stage(s, dir, s"pv$ph")(buildPqCodes(s, dir))
-    }
+    def load(s: SparkSession, dir: String): DataFrame =
+      ShingleStage.stage(s, dir, s"pv${pqParamsHash()}")(
+        buildPqCodesFrom(s, PqStage.load(s, dir),
+          emb(s, dir).select(col("vec_id"), col("embedding"))))
+  }
+
+  /** The RESIDUAL codebook (p45): same fit machinery, training points =
+    * per-vector cell residuals. Residuals are far smaller than raw
+    * vectors (the cell centroid already explains most of the energy),
+    * so the same M×k' budget quantizes them much more faithfully — the
+    * classical IVF-PQ design (Jegou et al. 2011, §IV). */
+  private[graft] object PqResidualStage {
+    def load(s: SparkSession, dir: String): DataFrame =
+      ShingleStage.stage(s, dir, s"rq${pqParamsHash(pqResidualParams)}")(
+        buildPqCodebookFrom(s, residuals(s, dir)))
+  }
+
+  /** The residual-encoded corpus (vec_id, sub, code), staged once. */
+  private[graft] object PqResidualCodesStage {
+    def load(s: SparkSession, dir: String): DataFrame =
+      ShingleStage.stage(s, dir, s"rv${pqParamsHash(pqResidualParams)}")(
+        buildPqCodesFrom(s, PqResidualStage.load(s, dir), residuals(s, dir)))
   }
 
   /** Stateless per-row projections for STREAMING semantic dedup: assign
@@ -1062,6 +1104,72 @@ object Pipeline {
       yield ((sa, ca, cbc), dot(va, vb))
     val norms = vecs.map { case ((sub, code), v) => ((sub, code), dot(v, v)) }
     (pqM, dots.toMap, norms)
+  }
+
+  /** Residual IVF-PQ ADC scoring (p46/p47): reconstruct x̂ = c + r̂
+    * implicitly from integer tables. cos(q, x̂) = (q·c + q·r̂) /
+    * (|q|·√(|c|² + 2·c·r̂ + |r̂|²)) — every dot is precomputed once as a
+    * floor(·10⁸+0.5) BIGINT (q·c per probed pair, q·r̂ per query/code,
+    * c·r̂ per cell/code, the two norms), so the per-candidate combination
+    * is pure integer arithmetic until the single final float expression.
+    * Candidate generation probes at p16's width; membership is the
+    * kTop=1 assignment — the SAME map the residuals were encoded
+    * against, so the LUT cell always matches the code's reference
+    * centroid. Output: (qid, cid, ascore). */
+  private def residualAdcScored(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val nprobe = ivfNprobe(ivfK(e.count()))
+    val cells = CellStage.load(s, dir)
+    val m = pqM
+    val probes = nearestCellsStaged(s, dir,
+      e.select(col("vec_id"), col("embedding")), nprobe)
+      .select(col("vec_id").as("qid"), col("cell"), col("embedding").as("qv"))
+    val assigned = nearestCellsStaged(s, dir,
+      e.select(col("vec_id"), col("embedding")), 1)
+      .filter(col("crank") === 1)
+      .select(col("vec_id").as("cid"), col("cell"))
+    val cand = probes.select(col("qid"), col("cell")).join(assigned, "cell")
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("cell"))
+    val rcb = PqResidualStage.load(s, dir)
+    val qc = probes.join(broadcast(cells), "cell")
+      .select(col("qid"), col("cell"),
+        expr("CAST(floor(dot_product(qv, cv) * 100000000.0 + 0.5) AS BIGINT)")
+          .as("qc_s"))
+    val qr = e.select(col("vec_id").as("qid"), pqSubvecsCol.as(Seq("sub", "sv")))
+      .join(broadcast(rcb.select(col("sub"), col("code"), col("cv"))), Seq("sub"))
+      .select(col("qid"), col("sub"), col("code"),
+        expr("CAST(floor(dot_product(sv, cv) * 100000000.0 + 0.5) AS BIGINT)")
+          .as("qr_s"))
+    val cellcross = cells.select(col("cell"), col("cv").as("ccv"))
+      .crossJoin(broadcast(rcb.select(col("sub"), col("code"), col("cv").as("rcv"))))
+      .select(col("cell"), col("sub"), col("code"), expr(
+        s"""CAST(floor(dot_product(
+              slice(ccv, sub * (size(ccv) div $m) + 1, size(ccv) div $m), rcv)
+              * 100000000.0 + 0.5) AS BIGINT)""").as("cr_s"))
+    val cellnorm = cells.select(col("cell"),
+      expr("CAST(floor(dot_product(cv, cv) * 100000000.0 + 0.5) AS BIGINT)")
+        .as("cn2_s"))
+    val rnorm = rcb.select(col("sub"), col("code"),
+      expr("CAST(floor(dot_product(cv, cv) * 100000000.0 + 0.5) AS BIGINT)")
+        .as("rr_s"))
+    val qn = e.select(col("vec_id").as("qid"),
+      expr("dot_product(embedding, embedding)").as("qn"))
+    val codes = PqResidualCodesStage.load(s, dir).withColumnRenamed("vec_id", "cid")
+    cand.join(codes, "cid")
+      .join(qr, Seq("qid", "sub", "code"))
+      .join(broadcast(cellcross), Seq("cell", "sub", "code"))
+      .join(broadcast(rnorm), Seq("sub", "code"))
+      .groupBy(col("qid"), col("cid"), col("cell"))
+      .agg(sum(col("qr_s")).as("sqr"), sum(col("cr_s")).as("scr"),
+        sum(col("rr_s")).as("srr"))
+      .join(qc, Seq("qid", "cell"))
+      .join(broadcast(cellnorm), Seq("cell"))
+      .join(qn, "qid")
+      .withColumn("ascore", expr(
+        """CAST(qc_s + sqr AS DOUBLE)
+           / (sqrt(qn) * sqrt(CAST((cn2_s + (2 * scr)) + srr AS DOUBLE) / 100000000.0) * 100000000.0)"""))
+      .select(col("qid"), col("cid"), col("ascore"))
   }
 
   /** Refine shortlist width for p43 (ADC top-C, then exact re-rank):
@@ -1507,72 +1615,148 @@ object Pipeline {
     * rule with k', same md5-ordered seeds, same decimal-exact means,
     * argmin ties on the seed id). Final CTE: `pqcb` (sub, cell, cv,
     * code) with codes densely renumbered per subspace. */
-  private def duckPqCodebook: String = {
+  private def duckPqCodebookFrom(p: String, src: String): String = {
     val m = pqM
     val seed =
-      s"""pqn AS (SELECT COUNT(*) AS n FROM embeddings),
-         |  pqd AS (SELECT len(embedding) // $m AS ds FROM embeddings LIMIT 1),
-         |  pqmm AS (SELECT least(pqn.n,
+      s"""${p}n AS (SELECT COUNT(*) AS n FROM $src),
+         |  ${p}d AS (SELECT len(embedding) // $m AS ds FROM $src LIMIT 1),
+         |  ${p}mm AS (SELECT least(${p}n.n,
          |             greatest(CAST($kmeansFitPoints AS BIGINT) * $pqK,
-         |                      ${64L * kmeansFitPoints})) AS m FROM pqn),
-         |  pqfit AS (
-         |    SELECT vec_id, embedding FROM embeddings, pqn, pqmm
-         |    WHERE pqmm.m >= pqn.n
+         |                      ${64L * kmeansFitPoints})) AS m FROM ${p}n),
+         |  ${p}fit AS (
+         |    SELECT vec_id, embedding FROM $src, ${p}n, ${p}mm
+         |    WHERE ${p}mm.m >= ${p}n.n
          |       OR ${duckMd560("CAST(vec_id AS VARCHAR)")}
-         |            < ((CAST(1 AS BIGINT) << 60) // greatest(pqn.n, 1)) * pqmm.m),
-         |  pqsv AS (
+         |            < ((CAST(1 AS BIGINT) << 60) // greatest(${p}n.n, 1)) * ${p}mm.m),
+         |  ${p}sv AS (
          |    SELECT vec_id, r.sub,
-         |      [embedding[i] FOR i IN range(r.sub * pqd.ds + 1, (r.sub + 1) * pqd.ds + 1)] AS sv
-         |    FROM pqfit, pqd, range(0, $m) r(sub)),
-         |  pqseedr AS (
+         |      [embedding[i] FOR i IN range(r.sub * ${p}d.ds + 1, (r.sub + 1) * ${p}d.ds + 1)] AS sv
+         |    FROM ${p}fit, ${p}d, range(0, $m) r(sub)),
+         |  ${p}seedr AS (
          |    SELECT vec_id, embedding,
          |      ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-         |    FROM embeddings),
-         |  pqcent0 AS (
+         |    FROM $src),
+         |  ${p}cent0 AS (
          |    SELECT r.sub, vec_id AS cell,
-         |      [embedding[i] FOR i IN range(r.sub * pqd.ds + 1, (r.sub + 1) * pqd.ds + 1)] AS cv
-         |    FROM pqseedr, pqd, range(0, $m) r(sub) WHERE rn <= $pqK)""".stripMargin
+         |      [embedding[i] FOR i IN range(r.sub * ${p}d.ds + 1, (r.sub + 1) * ${p}d.ds + 1)] AS cv
+         |    FROM ${p}seedr, ${p}d, range(0, $m) r(sub) WHERE rn <= $pqK)""".stripMargin
     val iters = (1 to kmeansIters).map { it =>
-      s"""  pqsc$it AS (
+      s"""  ${p}sc$it AS (
          |    SELECT f.vec_id, f.sub, f.sv, c.cell, ${duckL2Sq("f.sv", "c.cv")} AS d
-         |    FROM pqsv f JOIN pqcent${it - 1} c ON f.sub = c.sub),
-         |  pqas$it AS (
+         |    FROM ${p}sv f JOIN ${p}cent${it - 1} c ON f.sub = c.sub),
+         |  ${p}as$it AS (
          |    SELECT vec_id, sub, sv, cell FROM (
          |      SELECT vec_id, sub, sv, cell,
          |        ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, cell) AS rr
-         |      FROM pqsc$it) WHERE rr = 1),
-         |  pqcm$it AS (
+         |      FROM ${p}sc$it) WHERE rr = 1),
+         |  ${p}cm$it AS (
          |    SELECT sub, cell, CAST(idx - 1 AS INTEGER) AS pos,
          |      CAST(CAST(SUM(CAST(CAST(sv[idx] AS DOUBLE) AS DECIMAL(16,8))) AS DOUBLE) / COUNT(*) AS FLOAT) AS c
-         |    FROM pqas$it, unnest(range(1, len(sv) + 1)) AS u(idx)
+         |    FROM ${p}as$it, unnest(range(1, len(sv) + 1)) AS u(idx)
          |    GROUP BY 1, 2, 3),
-         |  pqcent$it AS (SELECT sub, cell, list(c ORDER BY pos) AS cv FROM pqcm$it GROUP BY 1, 2)""".stripMargin
+         |  ${p}cent$it AS (SELECT sub, cell, list(c ORDER BY pos) AS cv FROM ${p}cm$it GROUP BY 1, 2)""".stripMargin
     }
     val fin =
-      s"""  pqcb AS MATERIALIZED (
+      s"""  ${p}cb AS MATERIALIZED (
          |    SELECT sub, cell, cv,
          |      CAST(ROW_NUMBER() OVER (PARTITION BY sub ORDER BY cell) - 1 AS INTEGER) AS code
-         |    FROM pqcent$kmeansIters)""".stripMargin
+         |    FROM ${p}cent$kmeansIters)""".stripMargin
     (seed +: iters :+ fin).mkString(",\n")
   }
 
-  /** The corpus encode as DuckDB CTEs over `pqcb`, mirroring
-    * [[buildPqCodes]] (argmin per (vec_id, sub), ties on code). CTEs:
-    * `pqall` (corpus subvectors — also the query subvectors for ADC)
-    * and `pqcodes` (vec_id, sub, code). */
-  private def duckPqCodes: String =
-    s"""  pqall AS (
+  private def duckPqCodebook: String = duckPqCodebookFrom("pq", "embeddings")
+
+  /** The corpus encode as DuckDB CTEs over `${p}cb`, mirroring
+    * [[buildPqCodesFrom]] (argmin per (vec_id, sub), ties on code).
+    * CTEs: `${p}all` (source subvectors) and `${p}codes`. */
+  private def duckPqCodesFrom(p: String, src: String): String =
+    s"""  ${p}all AS (
        |    SELECT vec_id, r.sub,
-       |      [embedding[i] FOR i IN range(r.sub * pqd.ds + 1, (r.sub + 1) * pqd.ds + 1)] AS sv
-       |    FROM embeddings, pqd, range(0, $pqM) r(sub)),
-       |  pqesc AS (
+       |      [embedding[i] FOR i IN range(r.sub * ${p}d.ds + 1, (r.sub + 1) * ${p}d.ds + 1)] AS sv
+       |    FROM $src, ${p}d, range(0, $pqM) r(sub)),
+       |  ${p}esc AS (
        |    SELECT a.vec_id, a.sub, c.code, ${duckL2Sq("a.sv", "c.cv")} AS d
-       |    FROM pqall a JOIN pqcb c ON a.sub = c.sub),
-       |  pqcodes AS MATERIALIZED (
+       |    FROM ${p}all a JOIN ${p}cb c ON a.sub = c.sub),
+       |  ${p}codes AS MATERIALIZED (
        |    SELECT vec_id, sub, code FROM (
        |      SELECT vec_id, sub, code,
        |        ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, code) AS rr
-       |      FROM pqesc) WHERE rr = 1)""".stripMargin
+       |      FROM ${p}esc) WHERE rr = 1)""".stripMargin
+
+  private def duckPqCodes: String = duckPqCodesFrom("pq", "embeddings")
+
+  /** The residual ADC chain as DuckDB CTEs, mirroring
+    * [[residualAdcScored]] — prefix `p` namespaces; `vp` is the
+    * nprobe-descent prefix supplying probes. Requires upstream: `cells`,
+    * `kk`, `${vp}cranked`, `rzcranked` (kTop=1 assignment), `rqd`,
+    * `rqcb`, `rqcodes`. Final CTE: `${p}rk` (qid, cid, ascore, rank). */
+  private def duckResidualAdcCtes(p: String, vp: String): String =
+    s"""  ${p}qsv AS (
+       |    SELECT vec_id, r.sub,
+       |      [embedding[i] FOR i IN range(r.sub * rqd.ds + 1, (r.sub + 1) * rqd.ds + 1)] AS sv
+       |    FROM embeddings, rqd, range(0, $pqM) r(sub)),
+       |  ${p}qc AS (
+       |    SELECT t.vec_id AS qid, t.cell,
+       |      CAST(floor(${duckDot("t.embedding", "c.cv")} * 100000000.0 + 0.5) AS BIGINT) AS qc_s
+       |    FROM (SELECT vec_id, embedding, cell FROM ${vp}cranked, kk WHERE crank <= $duckNprobe) t
+       |    JOIN cells c ON t.cell = c.cell),
+       |  ${p}qr AS (
+       |    SELECT q.vec_id AS qid, c.sub, c.code,
+       |      CAST(floor(${duckDot("q.sv", "c.cv")} * 100000000.0 + 0.5) AS BIGINT) AS qr_s
+       |    FROM ${p}qsv q JOIN rqcb c ON q.sub = c.sub),
+       |  ${p}cx AS (
+       |    SELECT l.cell, c.sub, c.code,
+       |      CAST(floor(list_sum([CAST(l.cv[c.sub * rqd.ds + i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE) FOR i IN range(1, len(c.cv) + 1)])
+       |        * 100000000.0 + 0.5) AS BIGINT) AS cr_s
+       |    FROM cells l, rqcb c, rqd),
+       |  ${p}rn AS (
+       |    SELECT sub, code,
+       |      CAST(floor(${duckDot("cv", "cv")} * 100000000.0 + 0.5) AS BIGINT) AS rr_s
+       |    FROM rqcb),
+       |  ${p}cn AS (
+       |    SELECT cell,
+       |      CAST(floor(${duckDot("cv", "cv")} * 100000000.0 + 0.5) AS BIGINT) AS cn2_s
+       |    FROM cells),
+       |  ${p}qnn AS (SELECT vec_id AS qid, ${duckDot("embedding", "embedding")} AS qn FROM embeddings),
+       |  ${p}cand AS (
+       |    SELECT p.qid, a.cid, a.cell
+       |    FROM (SELECT vec_id AS qid, cell FROM ${vp}cranked, kk WHERE crank <= $duckNprobe) p
+       |    JOIN (SELECT vec_id AS cid, cell FROM rzcranked WHERE crank = 1) a
+       |      ON p.cell = a.cell AND p.qid <> a.cid),
+       |  ${p}agg AS (
+       |    SELECT d.qid, d.cid, d.cell,
+       |      SUM(l.qr_s) AS sqr, SUM(x.cr_s) AS scr, SUM(n.rr_s) AS srr
+       |    FROM ${p}cand d
+       |    JOIN rqcodes k ON d.cid = k.vec_id
+       |    JOIN ${p}qr l ON l.qid = d.qid AND l.sub = k.sub AND l.code = k.code
+       |    JOIN ${p}cx x ON x.cell = d.cell AND x.sub = k.sub AND x.code = k.code
+       |    JOIN ${p}rn n ON n.sub = k.sub AND n.code = k.code
+       |    GROUP BY 1, 2, 3),
+       |  ${p}sc AS (
+       |    SELECT g.qid, g.cid,
+       |      CAST(q.qc_s + g.sqr AS DOUBLE)
+       |        / (sqrt(w.qn) * sqrt(CAST((c.cn2_s + (2 * g.scr)) + g.srr AS DOUBLE) / 100000000.0) * 100000000.0) AS ascore
+       |    FROM ${p}agg g
+       |    JOIN ${p}qc q ON q.qid = g.qid AND q.cell = g.cell
+       |    JOIN ${p}cn c ON c.cell = g.cell
+       |    JOIN ${p}qnn w ON w.qid = g.qid),
+       |  ${p}rk AS (
+       |    SELECT qid, cid, ascore,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ascore DESC, cid) AS INTEGER) AS rank
+       |    FROM ${p}sc)""".stripMargin
+
+  /** The residual source as DuckDB CTEs: kTop=1 two-level assignment
+    * (prefix `rz`, must be emitted by the caller via [[duckTwoLevel]])
+    * joined to the fitted cells; the subtraction runs in DOUBLE and
+    * rounds to FLOAT — both correctly-rounded, mirroring [[residuals]].
+    * Final CTE: `rsrc` (vec_id, embedding). */
+  private def duckResidualSrc: String =
+    s"""  rsrc AS MATERIALIZED (
+       |    SELECT x.vec_id,
+       |      [CAST(CAST(x.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE) AS FLOAT)
+       |        FOR i IN range(1, len(x.embedding) + 1)] AS embedding
+       |    FROM (SELECT vec_id, embedding, cell FROM rzcranked WHERE crank = 1) x
+       |    JOIN cells c ON x.cell = c.cell)""".stripMargin
 
   /** The ADC scoring chain as DuckDB CTEs, mirroring p42's Spark plan:
     * candidates from the `${cr}cranked` descent (same probe width as
@@ -2949,7 +3133,7 @@ ${duckTwoLevel("h", "embeddings", Seq("label"), duckNprobe)},
         // all-pairs cross join (the most expensive subtree here) — pin
         // them once. Both are tiny (5 rows/query, <=n pairs), and both
         // are RELEASED in the finally below: the output is materialized
-        // eagerly (it is 8 rows by construction), so a library caller
+        // eagerly (it is 10 rows by construction), so a library caller
         // invoking p35 directly leaks no pinned blocks into the session.
         val exact = res("p05_knn_exact").select(col("qid"), col("neighbor_id"))
           .persist()
@@ -3015,8 +3199,10 @@ ${duckTwoLevel("h", "embeddings", Seq("label"), duckNprobe)},
           .unionAll(nearDupMulti)
           .unionAll(row("p42_ivfpq", "p42_knn_ivfpq"))
           .unionAll(row("p43_ivfpq_rerank", "p43_knn_ivfpq_rerank"))
+          .unionAll(row("p46_ivfpq_residual", "p46_knn_ivfpq_residual"))
+          .unionAll(row("p47_ivfpq_residual_rerank", "p47_knn_ivfpq_residual_rerank"))
           .orderBy(col("method"))
-        // materialize the 8 measurement rows NOW so the persisted truth
+        // materialize the 10 measurement rows NOW so the persisted truth
         // sets above can be unpersisted deterministically (a lazy return
         // would recompute the guarded exact baselines once per reference
         // after the finally releases them)
@@ -3035,6 +3221,23 @@ ${duckTwoLevel("a", "embeddings", Nil, "1")},
 $duckPqCodebook,
 $duckPqCodes,
 ${duckAdcCtes("z", "i")},
+${duckTwoLevel("rz", "embeddings", Nil, "1")},
+$duckResidualSrc,
+${duckPqCodebookFrom("rq", "rsrc")},
+${duckPqCodesFrom("rq", "rsrc")},
+${duckResidualAdcCtes("y", "i")},
+        ivfpqres AS (SELECT qid, cid FROM yrk WHERE rank <= 5),
+        ysh AS (SELECT qid, cid FROM yrk WHERE rank <= $pqRerank),
+        yxs AS (
+          SELECT s.qid, s.cid, ${duckCosine("qa.embedding", "qb.embedding")} AS sim
+          FROM ysh s
+          JOIN embeddings qa ON qa.vec_id = s.qid
+          JOIN embeddings qb ON qb.vec_id = s.cid),
+        ivfpqresr AS (
+          SELECT qid, cid FROM (
+            SELECT qid, cid,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+            FROM yxs) WHERE rank <= 5),
         ivfpq AS (SELECT qid, cid FROM zrk WHERE rank <= 5),
         zsh AS (SELECT qid, cid FROM zrk WHERE rank <= $pqRerank),
         zxs AS (
@@ -3162,6 +3365,18 @@ ${duckAdcCtes("z", "i")},
         SELECT 'p43_ivfpq_rerank' AS method, nq.n_queries,
           (SELECT COUNT(*) FROM ivfpqr l JOIN exact e ON l.qid = e.qid AND l.cid = e.cid) AS n_hits,
           round((SELECT COUNT(*) FROM ivfpqr l JOIN exact e ON l.qid = e.qid AND l.cid = e.cid)
+            / (nq.n_queries * 5.0), 6) AS recall_r
+        FROM nq
+        UNION ALL
+        SELECT 'p46_ivfpq_residual' AS method, nq.n_queries,
+          (SELECT COUNT(*) FROM ivfpqres l JOIN exact e ON l.qid = e.qid AND l.cid = e.cid) AS n_hits,
+          round((SELECT COUNT(*) FROM ivfpqres l JOIN exact e ON l.qid = e.qid AND l.cid = e.cid)
+            / (nq.n_queries * 5.0), 6) AS recall_r
+        FROM nq
+        UNION ALL
+        SELECT 'p47_ivfpq_residual_rerank' AS method, nq.n_queries,
+          (SELECT COUNT(*) FROM ivfpqresr l JOIN exact e ON l.qid = e.qid AND l.cid = e.cid) AS n_hits,
+          round((SELECT COUNT(*) FROM ivfpqresr l JOIN exact e ON l.qid = e.qid AND l.cid = e.cid)
             / (nq.n_queries * 5.0), 6) AS recall_r
         FROM nq
         ORDER BY method""")),
@@ -3533,6 +3748,113 @@ $duckPqCodes,
         SELECT vec_id,
           CAST(SUM(CAST(floor(d * 100000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
             / 100000000.0 AS sse_r
-        FROM pmin GROUP BY vec_id ORDER BY vec_id"""))
+        FROM pmin GROUP BY vec_id ORDER BY vec_id""")),
+
+    // ---- RESIDUAL PQ codebook (the classical IVF-PQ design, Jegou et
+    // al. 2011 §IV): quantize embedding − cell centroid instead of the
+    // raw vector, spending the same M×k' budget on the part of the
+    // signal the coarse quantizer left unexplained. Measured at sf0.01
+    // (p35): ADC-only recall@5 0.215 → 0.240 and refined 0.416 → 0.430
+    // vs the 0.460 candidate ceiling — a real but modest lift here,
+    // because the synthetic embeddings are nearly isotropic (cell
+    // centroids explain little energy); clustered real-world embedding
+    // fields are where residual PQ pulls far ahead. Pinned like p41: a
+    // hash match proves both engines fit identical quantizers over the
+    // identical residual field (which itself depends on the fitted
+    // cells — the whole tower is cross-engine-exact). --------------------
+    QDef("p45_pqr_codebook",
+      (s, dir) => PqResidualStage.load(s, dir)
+        .select(col("sub"), col("code"), posexplode(col("cv")).as(Seq("pos", "c")))
+        .select(col("sub"), col("code"), col("pos"), col("c").cast("double").as("c"))
+        .orderBy(col("sub"), col("code"), col("pos")),
+      Some(s"""WITH $duckSuperCells,
+${duckTwoLevel("rz", "embeddings", Nil, "1")},
+$duckResidualSrc,
+${duckPqCodebookFrom("rq", "rsrc")}
+        SELECT CAST(sub AS INTEGER) AS sub, code, CAST(idx - 1 AS INTEGER) AS pos,
+          CAST(CAST(cv[idx] AS FLOAT) AS DOUBLE) AS c
+        FROM rqcb, unnest(range(1, len(cv) + 1)) AS u(idx)
+        ORDER BY sub, code, pos""")),
+
+    // ---- the residual-encoded corpus: (vec_id, sub, code) against the
+    // residual codebook — still M bytes per vector, now spent on the
+    // informative part of the signal. ------------------------------------
+    QDef("p45b_pqr_codes",
+      (s, dir) => PqResidualCodesStage.load(s, dir)
+        .orderBy(col("vec_id"), col("sub")),
+      Some(s"""WITH $duckSuperCells,
+${duckTwoLevel("rz", "embeddings", Nil, "1")},
+$duckResidualSrc,
+${duckPqCodebookFrom("rq", "rsrc")},
+${duckPqCodesFrom("rq", "rsrc")}
+        SELECT vec_id, CAST(sub AS INTEGER) AS sub, code
+        FROM rqcodes ORDER BY vec_id, sub""")),
+
+    // ---- residual IVF-PQ ANN: candidates from the descent, scored by
+    // reconstructing cos(q, c + r̂) from four integer-scaled dot tables
+    // (q·c per probed pair, q·r̂ per query/code, c·r̂ per cell/code, the
+    // norms) — the per-candidate work is integer sums + ONE float
+    // expression; nothing in the scoring joins moves an embedding. -------
+    QDef("p46_knn_ivfpq_residual",
+      (s, dir) => {
+        val rn = Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("cid"))
+        residualAdcScored(s, dir)
+          .withColumn("rank", row_number().over(rn))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("cid").as("neighbor_id"), col("rank"),
+            round(col("ascore"), 6).as("ascore_r"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""WITH $duckSuperCells,
+${duckTwoLevel("v", "embeddings", Nil, duckNprobe)},
+${duckTwoLevel("rz", "embeddings", Nil, "1")},
+$duckResidualSrc,
+${duckPqCodebookFrom("rq", "rsrc")},
+${duckPqCodesFrom("rq", "rsrc")},
+${duckResidualAdcCtes("y", "v")}
+        SELECT qid, cid AS neighbor_id, rank, round(ascore, 6) AS ascore_r
+        FROM yrk WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    // ---- residual IVF-PQ + exact refine: the production default —
+    // residual-ADC shortlists top-C from codes alone, the refine reads
+    // exactly C full vectors per query. ----------------------------------
+    QDef("p47_knn_ivfpq_residual_rerank",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val rnA = Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("cid"))
+        val short = residualAdcScored(s, dir)
+          .withColumn("arank", row_number().over(rnA))
+          .filter(col("arank") <= pqRerank)
+          .select(col("qid"), col("cid"))
+        val qv = e.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val cv = e.select(col("vec_id").as("cid"), col("embedding").as("cv2"))
+        val rn = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+        short.join(qv, "qid").join(cv, "cid")
+          .withColumn("sim", expr("cosine_sim(qv, cv2)"))
+          .withColumn("rank", row_number().over(rn))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("cid").as("neighbor_id"), col("rank"),
+            round(col("sim"), 6).as("sim_r"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""WITH $duckSuperCells,
+${duckTwoLevel("v", "embeddings", Nil, duckNprobe)},
+${duckTwoLevel("rz", "embeddings", Nil, "1")},
+$duckResidualSrc,
+${duckPqCodebookFrom("rq", "rsrc")},
+${duckPqCodesFrom("rq", "rsrc")},
+${duckResidualAdcCtes("y", "v")},
+        ysh AS (SELECT qid, cid FROM yrk WHERE rank <= $pqRerank),
+        yxs AS (
+          SELECT s.qid, s.cid, ${duckCosine("qa.embedding", "qb.embedding")} AS sim
+          FROM ysh s
+          JOIN embeddings qa ON qa.vec_id = s.qid
+          JOIN embeddings qb ON qb.vec_id = s.cid),
+        yxr AS (
+          SELECT qid, cid, sim,
+            CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rank
+          FROM yxs)
+        SELECT qid, cid AS neighbor_id, rank, round(sim, 6) AS sim_r
+        FROM yxr WHERE rank <= 5 ORDER BY qid, rank"""))
   )
 }

@@ -28,7 +28,7 @@ class QueriesSmokeSpec extends SparkSpecBase {
     // invoking it directly must not inherit pinned tables in the session
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val df = SparkEntry.queries("p35_ann_recall")(spark, sf0001)
-    assert(df.count() == 8)
+    assert(df.count() == 10)
     val after = spark.sparkContext.getPersistentRDDs.keySet
     assert((after -- before).isEmpty,
       s"p35 leaked persisted RDDs: ${after -- before}")
