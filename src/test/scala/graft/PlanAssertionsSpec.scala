@@ -120,6 +120,17 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("p46: residual-ADC scoring moves integers only; LUT sides broadcast") {
+    val p = plan("p46_knn_ivfpq_residual")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), s"LUT joins must broadcast:\n$p")
+    val badExchange = "Exchange hashpartitioning\\([^)]*(embedding|qv|cv2?|ccv|rcv)#"
+      .r.findFirstIn(p)
+    assert(badExchange.isEmpty,
+      s"residual ADC path must never shuffle embedding columns:\n$p")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q34 CTE: aggregate pushed below the join (partial aggregation)") {
     val p = plan("q34_cte")
     assert(p.contains("HashAggregate"), p)
