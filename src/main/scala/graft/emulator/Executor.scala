@@ -1756,6 +1756,30 @@ object Executor {
   }
 
 
+  /** Split a multi-statement text on top-level semicolons — quote- and
+    * paren-aware (a `;` inside a string literal, quoted identifier or
+    * parenthesized body never splits). Used by the REST v2
+    * MULTI_STATEMENT_COUNT path. */
+  def splitStatements(sql: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0; var inQ = false; var inDq = false
+    sql.foreach { c =>
+      c match {
+        case '\'' if !inDq => inQ = !inQ; cur.append(c)
+        case '"' if !inQ => inDq = !inDq; cur.append(c)
+        case '(' if !inQ && !inDq => depth += 1; cur.append(c)
+        case ')' if !inQ && !inDq => depth -= 1; cur.append(c)
+        case ';' if !inQ && !inDq && depth == 0 =>
+          out += cur.toString.trim; cur.clear()
+        case _ => cur.append(c)
+      }
+      ()
+    }
+    out += cur.toString.trim
+    out.result().filter(_.nonEmpty)
+  }
+
   /** Per-statement execution context: the session's identity and current
     * database/schema drive name resolution; `onUse` lets USE statements
     * update the owning session. */

@@ -247,6 +247,30 @@ final class EmulatorServer(
     val schema = textOf(body, "schema").getOrElse("PUBLIC")
     executor.catalog.createDatabase(db)
     val bindings = parseBindings(body.get("bindings"))
+    // MULTI_STATEMENT_COUNT (Snowflake SQL API): absent => exactly one
+    // statement allowed; 0 => any number; N => exactly N. The reference
+    // has no multi-statement support at all.
+    val parts = Executor.splitStatements(statement)
+    val multiCount = Option(body.get("parameters"))
+      .filter(_.isObject).flatMap(p => Option(p.get("MULTI_STATEMENT_COUNT")))
+      .map(_.asText.trim)
+    val wanted = multiCount.map(_.toIntOption.getOrElse(-1))
+    val countOk = wanted match {
+      case None => parts.size == 1
+      case Some(0) => parts.nonEmpty
+      case Some(n) => n == parts.size
+    }
+    if (!countOk) {
+      respond(exchange, 422, obj { o =>
+        o.put("code", "000008")
+        o.put("sqlState", SnowflakeError.SQLStateSyntaxError)
+        o.put("message",
+          s"Actual statement count ${parts.size} did not match the " +
+            s"desired statement count ${wanted.getOrElse(1)}.")
+      })
+      return
+    }
+    if (parts.size > 1) { submitMultiStatement(exchange, parts, db, schema, bindings); return }
     val st = statements.create(statement)
     val spark = executor.catalog.spark
     statements.markRunning(st,
@@ -267,6 +291,61 @@ final class EmulatorServer(
         statements.fail(st, e)
         respond(exchange, 200, statementResponse(st, None, Some(e)))
     } finally spark.sparkContext.clearJobGroup()
+  }
+
+  /** The MULTI_STATEMENT_COUNT path: each sub-statement executes
+    * sequentially under its OWN child handle (so GET /statements/{h}
+    * replays any of them individually, and each handle works in
+    * RESULT_SCAN / AT(STATEMENT =>)), sharing ONE session identity (the
+    * parent handle) so session variables and USE carry across the
+    * sequence. A failure aborts the remainder — Snowflake's contract.
+    * The submit response is the parent with `statementHandles` listing
+    * the children in order. */
+  private def submitMultiStatement(exchange: HttpExchange,
+      parts: Seq[String], db: String, schema: String,
+      bindings: Map[String, Bindings.Binding]): Unit = {
+    val parent = statements.create(parts.mkString("; "))
+    val spark = executor.catalog.spark
+    var curDb = db; var curSchema = schema
+    val done = scala.collection.mutable.ArrayBuffer[String]()
+    var failure: Option[SnowflakeError] = None
+    var lastResult: Option[Executor.Result] = None
+    parts.iterator.takeWhile(_ => failure.isEmpty).foreach { sub =>
+      val child = statements.create(sub)
+      statements.markRunning(child,
+        () => spark.sparkContext.cancelJobGroup(child.handle))
+      val ctx = Executor.Context(parent.handle, curDb, curSchema,
+        onUse = Some((d, s) => { d.foreach(curDb = _); s.foreach(curSchema = _) }))
+      try {
+        spark.sparkContext.setJobGroup(child.handle, sub, interruptOnCancel = true)
+        val r = executor.execute(ctx, sub, bindings, queryId0 = Some(child.handle))
+        statements.complete(child, r)
+        lastResult = Some(r)
+        done += child.handle
+        ()
+      } catch {
+        case t: Throwable =>
+          val e = SnowflakeError.fromThrowable(t)
+          statements.fail(child, e)
+          done += child.handle
+          failure = Some(e)
+      } finally spark.sparkContext.clearJobGroup()
+    }
+    val resp = failure match {
+      case Some(e) =>
+        statements.fail(parent, e)
+        statementResponse(parent, None, Some(e))
+      case None =>
+        // the parent's stored result replays the LAST statement (GET by
+        // child handle replays any specific one)
+        lastResult.foreach(statements.complete(parent, _))
+        val o = statementResponse(parent, lastResult, None)
+        o.put("message", "Multiple statements executed successfully.")
+        o
+    }
+    val arr = resp.putArray("statementHandles")
+    done.foreach(arr.add)
+    respond(exchange, 200, resp)
   }
 
   /** GET /api/v2/statements/{handle}[?partition=N] — replay by status

@@ -481,6 +481,36 @@ class EmulatorServerSpec extends AnyFunSuite {
     assert(err.get("message").asText().contains("does not exist"), err)
   }
 
+  test("REST v2 e2e: MULTI_STATEMENT_COUNT executes a sequence under one session") {
+    // without the parameter, a multi-statement body is rejected (000008)
+    val rejected = v2("CREATE TABLE ms_t (id INTEGER); INSERT INTO ms_t VALUES (1)")
+    assert(rejected.get("code").asText() == "000008", rejected)
+    // with it: children run in order, share session state (SET then $ref),
+    // and each child handle replays individually
+    val (_, ok) = post("/api/v2/statements",
+      """{"statement":"CREATE TABLE ms_t (id INTEGER); SET msv = 41; INSERT INTO ms_t VALUES ($msv + 1); SELECT id FROM ms_t",
+         "database":"TEST_DB","schema":"PUBLIC",
+         "parameters":{"MULTI_STATEMENT_COUNT":"4"}}""")
+    assert(ok.get("message").asText().contains("Multiple statements"), ok)
+    val handles = ok.get("statementHandles")
+    assert(handles.size() == 4, ok)
+    // the parent's inline data is the LAST statement's result
+    assert(ok.get("data").get(0).get(0).asLong() == 42L, ok)
+    // a child handle replays its own result: the INSERT's rows-affected
+    val (_, ins) = get(s"/api/v2/statements/${handles.get(2).asText()}")
+    assert(ins.get("resultSetMetaData").get("numRows").asLong() == 1L, ins)
+    // count 0 = any number; a failing statement aborts the remainder
+    val (_, aborted) = post("/api/v2/statements",
+      """{"statement":"INSERT INTO ms_t VALUES (2); SELECT * FROM nope_ms; INSERT INTO ms_t VALUES (3)",
+         "database":"TEST_DB","schema":"PUBLIC",
+         "parameters":{"MULTI_STATEMENT_COUNT":"0"}}""")
+    assert(aborted.get("statementHandles").size() == 2, aborted)
+    assert(aborted.get("message").asText().toLowerCase.contains("not") ||
+      aborted.get("code").asText() != "090001", aborted)
+    val n = v2("SELECT COUNT(*) AS n FROM ms_t")
+    assert(n.get("data").get(0).get(0).asLong() == 2L, n)
+  }
+
   test("REST v2 e2e: time travel AT OFFSET and AT STATEMENT by handle") {
     v2("CREATE TABLE v2tt (id INTEGER)")
     val ins1 = v2("INSERT INTO v2tt VALUES (1)")
