@@ -743,6 +743,25 @@ final class Executor(
   }
 
   private def describe(ctx: Context, sql: String, queryId: String): Result = {
+    // DESC RESULT '<query id>' / DESC RESULT LAST_QUERY_ID(): the schema
+    // of a prior statement's retained result (the RESULT_SCAN store)
+    val dr = """(?is)DESC(?:RIBE)?\s+RESULT\s+(?:'([^']+)'|LAST_QUERY_ID\s*\(\s*\))""".r
+      .findFirstMatchIn(sql.trim)
+    dr.foreach { dm =>
+      val qid = Option(dm.group(1))
+        .orElse(Option(lastQueryIds.get(ctx.sessionId)))
+        .getOrElse(throw SnowflakeError.notFound(
+          "no last query id in this session"))
+      val schema = retainedResults.synchronized(
+        Option(retainedResults.get(qid))).map(_._1)
+        .getOrElse(throw SnowflakeError.notFound(
+          s"result for query id $qid is not available"))
+      return localResult(queryId,
+        Seq("name", "type", "kind", "null?", "default", "primary key"),
+        schema.fields.toSeq.map(f => Seq[Any](
+          f.name, TypeMapper.toSnowflakeTypeName(f.dataType), "COLUMN",
+          if (f.nullable) "Y" else "N", null, "N")))
+    }
     val m = """(?is)DESC(?:RIBE)?\s+(?:TABLE\s+|VIEW\s+)?(\S+)""".r
       .findFirstMatchIn(sql.trim)
       .getOrElse(throw SnowflakeError.compilation(s"invalid DESCRIBE: $sql"))

@@ -1069,6 +1069,17 @@ class ExecutorSpec extends AnyFunSuite {
     exec("UNSET evil")
   }
 
+  test("58 DESC RESULT: schema of a retained result, by id and LAST_QUERY_ID()") {
+    val r = exec("SELECT 1 AS a, 'x' AS b, CAST(2.5 AS DOUBLE) AS c")
+    val byId = exec(s"DESC RESULT '${r.queryId}'")
+    assert(byId.rows.map(_.head) == Seq("a", "b", "c"), byId.rows)
+    assert(byId.rows(1)(1) == "TEXT", byId.rows)
+    exec("SELECT 9 AS only_col")
+    val byLast = exec("DESCRIBE RESULT LAST_QUERY_ID()")
+    assert(byLast.rows.map(_.head) == Seq("only_col"), byLast.rows)
+    intercept[SnowflakeError] { exec("DESC RESULT 'no-such-id'") }
+  }
+
   test("54 AT(TIMESTAMP) accepts date-only and offset forms; rejects junk cleanly") {
     exec("CREATE TABLE ttl_t (id INTEGER)")
     exec("INSERT INTO ttl_t VALUES (1)")

@@ -368,6 +368,63 @@ class EventStreamsSpec extends AnyFunSuite {
     rm(p.toFile)
   }
 
+  test("checkpoint recovery: semantic dedup's PQ-coded state survives a restart") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    graft.functions.SnowflakeExtensions.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_sem")
+    val out = java.nio.file.Files.createTempDirectory("graft_out_sem")
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        new Timestamp(1704103200000L + r.getLong(0) * 1000L),
+        r.getSeq[Float](1)))
+      .sortBy(_._1)
+    val input = MemoryStream[(Long, Timestamp, Seq[Float])]
+    val docs = input.toDF().toDF("vec_id", "ts", "embedding")
+    def start() = EventStreams.semanticDedupStream(spark, dir, docs)
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try {
+      val (a, b) = emb.splitAt(emb.length / 2)
+      val q1 = start()
+      try { input.addData(a.toSeq); q1.processAllAvailable() }
+      finally q1.stop() // the "crash": checkpoint + state store survive
+      input.addData(b.toSeq)
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      // across the restart the decisions equal the uninterrupted stream's:
+      // the declared sequential rule folded over the full feed per cell
+      val streamed = spark.read.parquet(out.toString)
+        .select("vec_id", "cell", "kept").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+      assert(streamed.size == emb.length)
+      val prepped = graft.queries.Pipeline.streamSemanticPrep(spark, dir,
+          spark.createDataFrame(emb.toSeq).toDF("vec_id", "ts", "embedding"))
+        .select("vec_id", "ts", "cell", "codes").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getSeq[Int](3)))
+      val (m, dots, norms) = graft.queries.Pipeline.pqSdcTables(spark, dir)
+      def sim(x: Seq[Int], y: Seq[Int]): Double = {
+        val s = (0 until m).map(i => dots((i, x(i), y(i)))).sum
+        s / (math.sqrt((0 until m).map(i => norms((i, x(i)))).sum) *
+          math.sqrt((0 until m).map(i => norms((i, y(i)))).sum))
+      }
+      val expected = prepped.toSeq.groupBy(_._3).flatMap { case (cell, rows) =>
+        var kept = List.empty[Seq[Int]]
+        rows.sortBy(r => (r._2.getTime, r._1)).map { case (id, _, _, codes) =>
+          val dup = kept.exists(kc => sim(kc, codes) >= 0.4)
+          if (!dup) kept = codes :: kept
+          id -> ((cell, !dup))
+        }
+      }.toMap
+      assert(streamed == expected,
+        "restart must not lose or rebuild the per-cell kept-codes state")
+    } finally { rmdir(ckpt); rmdir(out) }
+  }
+
   test("checkpoint recovery: dedupStream state survives a restart (no loss, no re-emit)") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
