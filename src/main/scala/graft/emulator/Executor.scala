@@ -66,6 +66,21 @@ final class Executor(
       _ => scala.collection.mutable.LinkedHashMap.empty[String, SessionVar])
   }
 
+  /** Per-session parameter overrides (ALTER SESSION SET/UNSET), merged
+    * over the login defaults by SHOW PARAMETERS. Same bounded-LRU shape
+    * as the variable store. */
+  private val sessionParams =
+    new java.util.LinkedHashMap[String, scala.collection.mutable.LinkedHashMap[String, String]](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, scala.collection.mutable.LinkedHashMap[String, String]]) =
+        size() > 1000
+    }
+  private def sessionParamsOf(sessionId: String) = sessionParams.synchronized {
+    sessionParams.computeIfAbsent(sessionId,
+      _ => scala.collection.mutable.LinkedHashMap.empty[String, String])
+  }
+
   /** Streams on tables (CDC): name -> (source table, baseline snapshot).
     * A stream's content is the row-level delta between the source's
     * current state and the baseline; consuming the stream in a DML
@@ -718,7 +733,16 @@ final class Executor(
             Seq[Any](sm.name, sm.table.database, sm.table.schema,
               sm.table.table, String.valueOf(sm.stale))
         })
-    else if (u.startsWith("SHOW VARIABLES")) {
+    else if (u.startsWith("SHOW PARAMETERS")) {
+      val ps = sessionParamsOf(ctx.sessionId)
+      val merged = SessionManager.defaultParameters ++
+        ps.synchronized(ps.toMap)
+      result(Seq("key", "value", "default", "level"),
+        merged.toSeq.sortBy(_._1).map { case (k, v) =>
+          val dflt = SessionManager.defaultParameters.getOrElse(k, "")
+          Seq[Any](k, v, dflt, if (v == dflt) "" else "SESSION")
+        })
+    } else if (u.startsWith("SHOW VARIABLES")) {
       val vars = varsOf(ctx.sessionId)
       result(Seq("name", "value", "type"),
         vars.synchronized(vars.toSeq).map { case (n, v) =>
@@ -1196,8 +1220,32 @@ final class Executor(
     // ALTER SESSION SET k = v: accepted and acknowledged (the reference
     // stores session parameters only at login, constants.go:28-56; clients
     // routinely issue this, so it must not error)
-    if (sql.trim.toUpperCase(java.util.Locale.ROOT).startsWith("ALTER SESSION"))
+    if (sql.trim.toUpperCase(java.util.Locale.ROOT).startsWith("ALTER SESSION")) {
+      // ALTER SESSION SET k = v [, k2 = v2 ...] / UNSET k [, k2 ...]:
+      // stored per session (the reference only acks); SHOW PARAMETERS
+      // reads the merged view over the login defaults. Values are kept
+      // verbatim — parameters are metadata to this engine, but tools
+      // (dbt sets QUERY_TAG/TIMEZONE unconditionally) expect readback.
+      val ps = sessionParamsOf(ctx.sessionId)
+      val setRe = """(?is)^ALTER\s+SESSION\s+SET\s+(.+?);?\s*$""".r
+      val unsetRe = """(?is)^ALTER\s+SESSION\s+UNSET\s+(.+?);?\s*$""".r
+      sql.trim match {
+        case setRe(body) =>
+          MergeParser.splitTopLevel(body).foreach { kv =>
+            val eq = kv.indexOf('=')
+            if (eq < 0) throw SnowflakeError.compilation(
+              s"invalid ALTER SESSION SET clause: $kv")
+            val k = kv.take(eq).trim.toUpperCase(java.util.Locale.ROOT)
+            val v = kv.drop(eq + 1).trim.stripPrefix("'").stripSuffix("'")
+            ps.synchronized { ps.update(k, v) }
+          }
+        case unsetRe(body) =>
+          MergeParser.splitTopLevel(body).foreach(k =>
+            ps.synchronized { ps.remove(k.trim.toUpperCase(java.util.Locale.ROOT)); () })
+        case _ => () // other ALTER SESSION forms: acknowledged
+      }
       return status(queryId, "Statement executed successfully.")
+    }
     sql.trim match {
       case whAlter(name, action, size) =>
         val u = action.toUpperCase(java.util.Locale.ROOT)

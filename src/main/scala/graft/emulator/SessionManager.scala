@@ -24,12 +24,7 @@ final class SessionManager(ttlMillis: Long = 24L * 3600 * 1000) {
       var expiresAt: Long)
 
   /** Default session parameters (reference `config/constants.go:28-56`). */
-  def defaultParameters: Map[String, String] = Map(
-    "TIMEZONE" -> "UTC",
-    "TIMESTAMP_OUTPUT_FORMAT" -> "YYYY-MM-DD HH24:MI:SS",
-    "CLIENT_SESSION_KEEP_ALIVE" -> "false",
-    "QUERY_TAG" -> "",
-    "GO_QUERY_RESULT_FORMAT" -> "json")
+  def defaultParameters: Map[String, String] = SessionManager.defaultParameters
 
   private val rng = new SecureRandom()
   private val byToken = new ConcurrentHashMap[String, Session]()
@@ -88,4 +83,15 @@ final class SessionManager(ttlMillis: Long = 24L * 3600 * 1000) {
     }.getOrElse(false)
 
   def activeCount: Int = byToken.size
+}
+
+object SessionManager {
+  /** Default session parameters (reference `config/constants.go:28-56`) —
+    * shared by login responses and `SHOW PARAMETERS`. */
+  val defaultParameters: Map[String, String] = Map(
+    "TIMEZONE" -> "UTC",
+    "TIMESTAMP_OUTPUT_FORMAT" -> "YYYY-MM-DD HH24:MI:SS",
+    "CLIENT_SESSION_KEEP_ALIVE" -> "false",
+    "QUERY_TAG" -> "",
+    "GO_QUERY_RESULT_FORMAT" -> "json")
 }

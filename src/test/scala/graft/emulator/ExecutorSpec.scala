@@ -1069,6 +1069,25 @@ class ExecutorSpec extends AnyFunSuite {
     exec("UNSET evil")
   }
 
+  test("59 ALTER SESSION SET is stored; SHOW PARAMETERS merges over defaults") {
+    val before = exec("SHOW PARAMETERS")
+    val tz0 = before.rows.find(_.head == "TIMEZONE").get
+    assert(tz0(1) == "UTC" && tz0(3) == "", tz0)
+    exec("ALTER SESSION SET QUERY_TAG = 'ci-run-7', TIMEZONE = 'America/New_York'")
+    val after = exec("SHOW PARAMETERS")
+    val tz = after.rows.find(_.head == "TIMEZONE").get
+    assert(tz(1) == "America/New_York" && tz(3) == "SESSION", tz)
+    assert(after.rows.find(_.head == "QUERY_TAG").get(1) == "ci-run-7")
+    exec("ALTER SESSION UNSET TIMEZONE")
+    val reset = exec("SHOW PARAMETERS")
+    assert(reset.rows.find(_.head == "TIMEZONE").get(1) == "UTC")
+    // unknown-but-valid parameters are stored verbatim (Snowflake has
+    // hundreds; tools set them freely)
+    exec("ALTER SESSION SET WEEK_START = 1")
+    assert(exec("SHOW PARAMETERS").rows.exists(r =>
+      r.head == "WEEK_START" && r(1) == "1"))
+  }
+
   test("58 DESC RESULT: schema of a retained result, by id and LAST_QUERY_ID()") {
     val r = exec("SELECT 1 AS a, 'x' AS b, CAST(2.5 AS DOUBLE) AS c")
     val byId = exec(s"DESC RESULT '${r.queryId}'")
