@@ -190,7 +190,13 @@ final class Executor(
       queryId0: Option[String] = None): Result = {
     val queryId = queryId0.getOrElse(newQueryId())
     val bound = Bindings.apply(sql, bindings)
-    val t0 = history.start(queryId, bound)
+    // the session's QUERY_TAG (ALTER SESSION SET QUERY_TAG = ...) rides
+    // on every history record — Snowflake's workload-attribution contract
+    val tag = {
+      val ps = sessionParamsOf(ctx.sessionId)
+      ps.synchronized(ps.getOrElse("QUERY_TAG", ""))
+    }
+    val t0 = history.start(queryId, bound, tag)
     try {
       val r = route(ctx, rewriteIdentifierFn(substituteVariables(ctx, bound)), queryId)
       history.success(queryId, bound, r.rows.size.toLong max r.rowsAffected.getOrElse(0L), t0)
@@ -630,10 +636,11 @@ final class Executor(
       StructField("ROWS_PRODUCED", LongType),
       StructField("TOTAL_ELAPSED_TIME", LongType),
       StructField("ERROR_MESSAGE", StringType),
-      StructField("START_TIME", TimestampType)))
+      StructField("START_TIME", TimestampType),
+      StructField("QUERY_TAG", StringType)))
     val rows = history.recent(10000).map(r => Row(
       r.queryId, r.sqlText, r.status, r.rows, r.elapsedMs, r.errorMessage,
-      new java.sql.Timestamp(r.startedAt)))
+      new java.sql.Timestamp(r.startedAt), r.queryTag))
     spark.createDataFrame(rows.asJava, schema)
       .createOrReplaceTempView("graft_query_history")
     queryHistoryRe.replaceAllIn(sql, "`graft_query_history`")

@@ -27,7 +27,8 @@ final class QueryHistory(capacity: Int = 10000,
       rows: Long,
       elapsedMs: Long,
       errorMessage: String,
-      startedAt: Long)
+      startedAt: Long,
+      queryTag: String = "")
 
   private val records = new ConcurrentLinkedDeque[Record]()
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -43,14 +44,17 @@ final class QueryHistory(capacity: Int = 10000,
           push(Record(n.get("queryId").asText(), n.get("sqlText").asText(),
             n.get("status").asText(), n.get("rows").asLong(),
             n.get("elapsedMs").asLong(), n.get("errorMessage").asText(),
-            n.get("startedAt").asLong()))
+            n.get("startedAt").asLong(),
+            // older persisted lines predate the tag field
+            Option(n.get("queryTag")).map(_.asText).getOrElse("")))
         } catch { case _: Exception => () } // torn tail line: skip, keep the rest
       }
     }
   }
 
-  def start(queryId: String, sql: String): Long = {
-    push(Record(queryId, sql, "RUNNING", 0, 0, "", System.currentTimeMillis()))
+  def start(queryId: String, sql: String, queryTag: String = ""): Long = {
+    push(Record(queryId, sql, "RUNNING", 0, 0, "", System.currentTimeMillis(),
+      queryTag))
     System.nanoTime()
   }
 
@@ -87,7 +91,7 @@ final class QueryHistory(capacity: Int = 10000,
     o.put("queryId", r.queryId); o.put("sqlText", r.sqlText)
     o.put("status", r.status); o.put("rows", r.rows)
     o.put("elapsedMs", r.elapsedMs); o.put("errorMessage", r.errorMessage)
-    o.put("startedAt", r.startedAt)
+    o.put("startedAt", r.startedAt); o.put("queryTag", r.queryTag)
     o.toString + "\n"
   }
 

@@ -1088,6 +1088,19 @@ class ExecutorSpec extends AnyFunSuite {
       r.head == "WEEK_START" && r(1) == "1"))
   }
 
+  test("60 QUERY_TAG rides on history records and is SQL-queryable") {
+    exec("ALTER SESSION SET QUERY_TAG = 'nightly-etl'")
+    exec("SELECT 11 AS tagged_probe")
+    exec("ALTER SESSION UNSET QUERY_TAG")
+    exec("SELECT 12 AS untagged_probe")
+    val tagged = exec("""SELECT query_text FROM INFORMATION_SCHEMA.QUERY_HISTORY
+      WHERE query_tag = 'nightly-etl' AND query_text LIKE '%tagged_probe%'""")
+    assert(tagged.rows.exists(_.head.toString.contains("11")), tagged.rows)
+    val untagged = exec("""SELECT query_tag FROM INFORMATION_SCHEMA.QUERY_HISTORY
+      WHERE query_text LIKE '%untagged_probe%' AND query_text NOT LIKE '%QUERY_HISTORY%'""")
+    assert(untagged.rows.nonEmpty && untagged.rows.forall(_.head == ""), untagged.rows)
+  }
+
   test("58 DESC RESULT: schema of a retained result, by id and LAST_QUERY_ID()") {
     val r = exec("SELECT 1 AS a, 'x' AS b, CAST(2.5 AS DOUBLE) AS c")
     val byId = exec(s"DESC RESULT '${r.queryId}'")
