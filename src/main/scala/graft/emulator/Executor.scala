@@ -705,13 +705,38 @@ final class Executor(
   def queryDf(ctx: Context, sql: String): DataFrame =
     spark.sql(TableNaming.rewrite(rewriteStreams(ctx, sql), ctx.database, ctx.schema))
 
-  private def show(ctx: Context, sql: String, queryId: String): Result = {
+  private def show(ctx: Context, sql0: String, queryId: String): Result = {
+    // LIKE '<pattern>' filters on the object-name column (Snowflake
+    // wildcards: % any run, _ one char, case-insensitive); TERSE is
+    // accepted and ignored (we already return the short shape). dbt
+    // issues `SHOW TERSE OBJECTS ... LIKE ...` unconditionally.
+    val likeRe = """(?is)\s+LIKE\s+'([^']*)'""".r
+    val likePat = likeRe.findFirstMatchIn(sql0).map(_.group(1))
+    val sql = likeRe.replaceAllIn(
+      """(?is)\bTERSE\s+""".r.replaceAllIn(sql0, ""), "")
+    val nameMatches: String => Boolean = likePat match {
+      case None => _ => true
+      case Some(p) =>
+        val rx = java.util.regex.Pattern.compile(
+          p.flatMap {
+            case '%' => ".*"
+            case '_' => "."
+            case c => java.util.regex.Pattern.quote(c.toString)
+          }.mkString, java.util.regex.Pattern.CASE_INSENSITIVE)
+        n => rx.matcher(n).matches()
+    }
     val u = sql.trim.toUpperCase(java.util.Locale.ROOT).stripSuffix(";")
     // Snowflake SHOW column shapes, minimally: name-first like the real
     // SHOW output; the reference passes SHOW to DuckDB, we synthesize from
     // our catalog (richer than the reference, same spirit).
-    def result(cols: Seq[String], rows: Seq[Seq[Any]]) =
-      localResult(queryId, cols, rows)
+    def result(cols: Seq[String], rows: Seq[Seq[Any]]) = {
+      // the LIKE filter applies to the object-name column of whichever
+      // SHOW shape this is ("name", or "column_name" for SHOW COLUMNS)
+      val nameIdx = math.max(0,
+        cols.indexOf("name") max cols.indexOf("column_name"))
+      localResult(queryId, cols,
+        rows.filter(r => nameMatches(String.valueOf(r(nameIdx)))))
+    }
     if (u.startsWith("SHOW DATABASES"))
       result(Seq("name", "created_on"),
         catalog.listDatabases().map(d => Seq[Any](d.name, d.createdOn)))
@@ -725,6 +750,11 @@ final class Executor(
       result(Seq("name", "database_name", "schema_name", "kind", "comment"),
         catalog.listTables(ctx.database).map(t =>
           Seq[Any](t.table, t.database, t.schema, t.tableType, t.comment)))
+    else if (u.startsWith("SHOW OBJECTS"))
+      // tables + views in one listing — the dbt catalog crawl shape
+      result(Seq("name", "database_name", "schema_name", "kind"),
+        catalog.listTables(ctx.database).map(t =>
+          Seq[Any](t.table, t.database, t.schema, t.tableType)))
     else if (u.startsWith("SHOW VIEWS"))
       result(Seq("name", "database_name", "schema_name", "comment"),
         catalog.listTables(ctx.database).filter(_.tableType == "VIEW").map(t =>

@@ -1088,6 +1088,24 @@ class ExecutorSpec extends AnyFunSuite {
       r.head == "WEEK_START" && r(1) == "1"))
   }
 
+  test("61 SHOW ... LIKE filters by name; TERSE tolerated; SHOW OBJECTS lists tables+views") {
+    exec("CREATE OR REPLACE TABLE like_alpha (id INTEGER)")
+    exec("CREATE OR REPLACE TABLE like_beta (id INTEGER)")
+    exec("CREATE OR REPLACE VIEW like_v AS SELECT id FROM like_alpha")
+    val filtered = exec("SHOW TABLES LIKE 'like!_a%'".replace("!", ""))
+    assert(filtered.rows.map(_.head.toString.toLowerCase) == Seq("like_alpha"),
+      filtered.rows)
+    // _ matches exactly one character, case-insensitively
+    val one = exec("SHOW TABLES LIKE 'LIKE_BET_'")
+    assert(one.rows.map(_.head.toString.toLowerCase) == Seq("like_beta"), one.rows)
+    // TERSE is accepted; OBJECTS = tables + views in one listing
+    val objs = exec("SHOW TERSE OBJECTS LIKE 'like%'")
+    val names = objs.rows.map(_.head.toString.toLowerCase)
+    assert(names.contains("like_alpha") && names.contains("like_v"), names)
+    val kinds = objs.rows.map(r => (r.head.toString.toLowerCase, r(3).toString))
+    assert(kinds.contains(("like_v", "VIEW")), kinds)
+  }
+
   test("60 QUERY_TAG rides on history records and is SQL-queryable") {
     exec("ALTER SESSION SET QUERY_TAG = 'nightly-etl'")
     exec("SELECT 11 AS tagged_probe")
