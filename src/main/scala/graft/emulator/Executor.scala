@@ -51,15 +51,28 @@ final class Executor(
 
   /** Session variables (SET x = expr; referenced as $x): per-session
     * name -> (spliceable SQL literal, display value, Snowflake type).
-    * Bounded LRU over sessions (like the RESULT_SCAN retention) so dead
-    * sessions can't accumulate state forever. */
+    * Primary eviction is LIFECYCLE-DRIVEN: the server registers
+    * [[releaseSessionState]] as a SessionManager close listener, so
+    * logout/expiry frees the state the moment the session dies. The LRU
+    * cap is only a backstop for ids that never pass through the session
+    * manager (REST v2 statement handles), sized far above any live
+    * session count and LOGGED on eviction — silently dropping a live
+    * session's variables mid-session is the failure mode this avoids. */
   private final case class SessionVar(lit: String, display: String, tpe: String)
+  private val SessionStateCap = 100000
+  private def warnEvict(kind: String, sessionId: String): Unit =
+    System.err.println(
+      s"[graft] WARN: $kind store exceeded $SessionStateCap sessions; " +
+        s"evicting least-recently-used session state for '$sessionId'")
   private val sessionVars =
     new java.util.LinkedHashMap[String, scala.collection.mutable.LinkedHashMap[String, SessionVar]](
       16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, scala.collection.mutable.LinkedHashMap[String, SessionVar]]) =
-        size() > 1000
+          e: java.util.Map.Entry[String, scala.collection.mutable.LinkedHashMap[String, SessionVar]]) = {
+        val evict = size() > SessionStateCap
+        if (evict) warnEvict("session-variable", e.getKey)
+        evict
+      }
     }
   private def varsOf(sessionId: String) = sessionVars.synchronized {
     sessionVars.computeIfAbsent(sessionId,
@@ -67,18 +80,48 @@ final class Executor(
   }
 
   /** Per-session parameter overrides (ALTER SESSION SET/UNSET), merged
-    * over the login defaults by SHOW PARAMETERS. Same bounded-LRU shape
-    * as the variable store. */
+    * over the login defaults by SHOW PARAMETERS. Same lifecycle-driven
+    * eviction + logged LRU backstop as the variable store. */
   private val sessionParams =
     new java.util.LinkedHashMap[String, scala.collection.mutable.LinkedHashMap[String, String]](
       16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, scala.collection.mutable.LinkedHashMap[String, String]]) =
-        size() > 1000
+          e: java.util.Map.Entry[String, scala.collection.mutable.LinkedHashMap[String, String]]) = {
+        val evict = size() > SessionStateCap
+        if (evict) warnEvict("session-parameter", e.getKey)
+        evict
+      }
     }
   private def sessionParamsOf(sessionId: String) = sessionParams.synchronized {
     sessionParams.computeIfAbsent(sessionId,
       _ => scala.collection.mutable.LinkedHashMap.empty[String, String])
+  }
+
+  /** Free all per-session state for a closed/expired session — wired as a
+    * SessionManager close listener by the server, so eviction tracks the
+    * session LIFECYCLE instead of a count cap. */
+  def releaseSessionState(sessionId: String): Unit = {
+    sessionVars.synchronized { sessionVars.remove(sessionId); () }
+    sessionParams.synchronized { sessionParams.remove(sessionId); () }
+    lastQueryIds.remove(sessionId)
+    // an open transaction dies with its session: roll it back (Snowflake's
+    // session-end contract) so snapshot temp dirs are freed, not leaked
+    Option(transactions.remove(sessionId)).foreach(rollbackTxn)
+    ()
+  }
+
+  /** Re-key all per-session state on token renewal — the session is the
+    * same, only its token changed (wired to SessionManager.onRename). */
+  def migrateSessionState(oldId: String, newId: String): Unit = {
+    sessionVars.synchronized {
+      Option(sessionVars.remove(oldId)).foreach(sessionVars.put(newId, _))
+    }
+    sessionParams.synchronized {
+      Option(sessionParams.remove(oldId)).foreach(sessionParams.put(newId, _))
+    }
+    Option(lastQueryIds.remove(oldId)).foreach(lastQueryIds.put(newId, _))
+    Option(transactions.remove(oldId)).foreach(transactions.put(newId, _))
+    ()
   }
 
   /** Streams on tables (CDC): name -> (source table, baseline snapshot).
@@ -891,14 +934,19 @@ final class Executor(
     val tpe = TypeMapper.toSnowflakeTypeName(dt)
     if (v == null) return SessionVar("NULL", "NULL", tpe)
     val s = String.valueOf(v)
+    // Spark SQL's default string parsing is backslash-escaped, so a
+    // spliced literal must escape `\` as well as `'` — a value ending in
+    // `\` would otherwise yield '...\' whose closing quote is consumed.
+    def qlit(x: String): String =
+      "'" + x.replace("\\", "\\\\").replace("'", "''") + "'"
     dt match {
-      case StringType => SessionVar("'" + s.replace("'", "''") + "'", s, tpe)
+      case StringType => SessionVar(qlit(s), s, tpe)
       case DateType => SessionVar(s"'$s'::DATE", s, tpe)
       case TimestampType => SessionVar(s"'$s'::TIMESTAMP", s, tpe)
       case TimestampNTZType => SessionVar(s"'$s'::TIMESTAMP_NTZ", s, tpe)
       case BooleanType | _: NumericType => SessionVar(s, s, tpe)
       // arrays/structs/variants splice as their JSON-ish repr in quotes
-      case _ => SessionVar("'" + s.replace("'", "''") + "'", s, tpe)
+      case _ => SessionVar(qlit(s), s, tpe)
     }
   }
 
@@ -932,11 +980,15 @@ final class Executor(
     })
   }
 
-  /** Splice `$name` references (quote-aware, outside string literals
-    * only) with the session's stored literals. `$` inside an identifier
-    * (Snowflake allows ABC$DEF), `$1` stage-file column refs and `$$`
-    * are left untouched. An undefined `$name` is the Snowflake
-    * compilation error, not a pass-through. */
+  /** Splice `$name` references (quote-aware AND comment-aware, outside
+    * string literals and comments only) with the session's stored
+    * literals. `$` inside an identifier (Snowflake allows ABC$DEF), `$1`
+    * stage-file column refs and `$$` are left untouched. A `$word` inside
+    * a `--` line comment or `/*...*/` block comment is comment text, not a
+    * reference — real Snowflake strips comments before variable
+    * resolution, and dbt/tool-injected comment headers routinely contain
+    * `$`-words that must not error. An undefined `$name` OUTSIDE comments
+    * is the Snowflake compilation error, not a pass-through. */
   private[emulator] def substituteVariables(ctx: Context, sql: String): String = {
     if (!sql.contains("$")) return sql
     val vars = varsOf(ctx.sessionId)
@@ -947,6 +999,18 @@ final class Executor(
       val c = sql.charAt(i)
       if (inQ) { out.append(c); if (c == '\'') inQ = false; i += 1 }
       else if (inDq) { out.append(c); if (c == '"') inDq = false; i += 1 }
+      else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        // -- to end of line: copy verbatim, no substitution inside
+        val eol = sql.indexOf('\n', i)
+        val end = if (eol < 0) sql.length else eol + 1
+        out.append(sql.substring(i, end)); i = end
+      }
+      else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        // /* ... */ block comment (unterminated -> rest of text)
+        val close = sql.indexOf("*/", i + 2)
+        val end = if (close < 0) sql.length else close + 2
+        out.append(sql.substring(i, end)); i = end
+      }
       else c match {
         case '\'' => inQ = true; out.append(c); i += 1
         case '"' => inDq = true; out.append(c); i += 1
@@ -1273,7 +1337,13 @@ final class Executor(
             if (eq < 0) throw SnowflakeError.compilation(
               s"invalid ALTER SESSION SET clause: $kv")
             val k = kv.take(eq).trim.toUpperCase(java.util.Locale.ROOT)
-            val v = kv.drop(eq + 1).trim.stripPrefix("'").stripSuffix("'")
+            val raw = kv.drop(eq + 1).trim
+            // quoted values unescape SQL's doubled quote:
+            // SET QUERY_TAG = 'it''s' stores it's, not it''s
+            val v =
+              if (raw.length >= 2 && raw.startsWith("'") && raw.endsWith("'"))
+                raw.substring(1, raw.length - 1).replace("''", "'")
+              else raw
             ps.synchronized { ps.update(k, v) }
           }
         case unsetRe(body) =>
@@ -1643,20 +1713,22 @@ final class Executor(
       }
       status(queryId, "Statement executed successfully.")
     } else { // ROLLBACK
-      Option(transactions.remove(ctx.sessionId)).foreach { txn =>
-        txn.snapshots.values.asScala.foreach { case (ref, tmp, meta) =>
-          // a DROP/REPLACE inside the txn removed the catalog entry;
-          // re-install the snapshotted meta first so the restoring write
-          // re-buckets with the original cluster key (ADVICE r1 #4)
-          catalog.restoreMeta(meta)
-          catalog.overwriteTable(ref, spark.read.parquet(tmp.toString))
-          deleteDir(tmp)
-        }
-        txn.createdRefs.values.asScala.foreach(r =>
-          catalog.dropTable(r, ifExists = true))
-      }
+      Option(transactions.remove(ctx.sessionId)).foreach(rollbackTxn)
       status(queryId, "Statement executed successfully.")
     }
+  }
+
+  private def rollbackTxn(txn: Txn): Unit = {
+    txn.snapshots.values.asScala.foreach { case (ref, tmp, meta) =>
+      // a DROP/REPLACE inside the txn removed the catalog entry;
+      // re-install the snapshotted meta first so the restoring write
+      // re-buckets with the original cluster key (ADVICE r1 #4)
+      catalog.restoreMeta(meta)
+      catalog.overwriteTable(ref, spark.read.parquet(tmp.toString))
+      deleteDir(tmp)
+    }
+    txn.createdRefs.values.asScala.foreach(r =>
+      catalog.dropTable(r, ifExists = true))
   }
 
   def inTransaction(sessionId: String): Boolean =
@@ -1860,28 +1932,69 @@ object Executor {
   }
 
 
-  /** Split a multi-statement text on top-level semicolons — quote- and
-    * paren-aware (a `;` inside a string literal, quoted identifier or
-    * parenthesized body never splits). Used by the REST v2
+  /** Split a multi-statement text on top-level semicolons — quote-,
+    * paren- AND comment-aware (a `;` inside a string literal, quoted
+    * identifier, parenthesized body, `--` line comment or `/*...*/`
+    * block comment never splits). Fragments that contain only comments
+    * and whitespace are dropped, so `SELECT 1; -- done` counts as ONE
+    * statement on the REST v2 path (which rejects >1 statement when
+    * MULTI_STATEMENT_COUNT is absent). Used by the REST v2
     * MULTI_STATEMENT_COUNT path. */
   def splitStatements(sql: String): Seq[String] = {
     val out = Vector.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0; var inQ = false; var inDq = false
-    sql.foreach { c =>
-      c match {
-        case '\'' if !inDq => inQ = !inQ; cur.append(c)
-        case '"' if !inQ => inDq = !inDq; cur.append(c)
-        case '(' if !inQ && !inDq => depth += 1; cur.append(c)
-        case ')' if !inQ && !inDq => depth -= 1; cur.append(c)
-        case ';' if !inQ && !inDq && depth == 0 =>
-          out += cur.toString.trim; cur.clear()
-        case _ => cur.append(c)
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inQ) { cur.append(c); if (c == '\'') inQ = false; i += 1 }
+      else if (inDq) { cur.append(c); if (c == '"') inDq = false; i += 1 }
+      else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        val eol = sql.indexOf('\n', i)
+        val end = if (eol < 0) sql.length else eol + 1
+        cur.append(sql.substring(i, end)); i = end
+      }
+      else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        val close = sql.indexOf("*/", i + 2)
+        val end = if (close < 0) sql.length else close + 2
+        cur.append(sql.substring(i, end)); i = end
+      }
+      else {
+        c match {
+          case '\'' => inQ = true; cur.append(c)
+          case '"' => inDq = true; cur.append(c)
+          case '(' => depth += 1; cur.append(c)
+          case ')' => depth -= 1; cur.append(c)
+          case ';' if depth == 0 => out += cur.toString.trim; cur.clear()
+          case _ => cur.append(c)
+        }
+        i += 1
       }
       ()
     }
     out += cur.toString.trim
-    out.result().filter(_.nonEmpty)
+    out.result().filter(s => s.nonEmpty && !commentOnly(s))
+  }
+
+  /** True when the text holds nothing but whitespace and comments — a
+    * trailing `-- done` fragment after the final `;` is not a statement
+    * and must not count against MULTI_STATEMENT_COUNT. */
+  private[emulator] def commentOnly(sql: String): Boolean = {
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        val eol = sql.indexOf('\n', i)
+        i = if (eol < 0) sql.length else eol + 1
+      }
+      else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        val close = sql.indexOf("*/", i + 2)
+        i = if (close < 0) sql.length else close + 2
+      }
+      else return false
+    }
+    true
   }
 
   /** Per-statement execution context: the session's identity and current

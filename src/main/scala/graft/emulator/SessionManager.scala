@@ -30,6 +30,24 @@ final class SessionManager(ttlMillis: Long = 24L * 3600 * 1000) {
   private val byToken = new ConcurrentHashMap[String, Session]()
   private val byMaster = new ConcurrentHashMap[String, Session]()
 
+  /** Close listeners: invoked with the session token on logout AND on
+    * TTL expiry (validate() closes expired sessions). The server wires
+    * the executor's per-session state release here, so session variables
+    * / parameters / open transactions track the session LIFECYCLE
+    * instead of a count-capped LRU. */
+  private val closeListeners =
+    new java.util.concurrent.CopyOnWriteArrayList[String => Unit]()
+  def onClose(f: String => Unit): Unit = { closeListeners.add(f); () }
+
+  /** Rename listeners: invoked with (oldToken, newToken) when renew()
+    * issues a fresh token pair for the SAME logical session — session
+    * variables / parameters / open transactions must follow the session,
+    * not die with the retired token (Snowflake renews tokens every few
+    * hours without losing session state). */
+  private val renameListeners =
+    new java.util.concurrent.CopyOnWriteArrayList[(String, String) => Unit]()
+  def onRename(f: (String, String) => Unit): Unit = { renameListeners.add(f); () }
+
   private def newToken(): String = {
     val b = new Array[Byte](32)
     rng.nextBytes(b)
@@ -64,9 +82,14 @@ final class SessionManager(ttlMillis: Long = 24L * 3600 * 1000) {
     * (reference `manager.go:205-242`). */
   def renew(masterToken: String): Option[Session] =
     Option(byMaster.get(masterToken)).map { old =>
-      close(old.token)
+      // retire the old token pair WITHOUT firing close listeners — this
+      // is the same logical session, so per-session state migrates to
+      // the new token instead of being released
+      byToken.remove(old.token)
+      byMaster.remove(old.masterToken)
       val s = create(old.username, old.database, old.schema)
       old.parameters.foreach { case (k, v) => s.parameters.put(k, v) }
+      renameListeners.forEach(f => f(old.token, s.token))
       s
     }
 
@@ -79,7 +102,9 @@ final class SessionManager(ttlMillis: Long = 24L * 3600 * 1000) {
 
   def close(token: String): Boolean =
     Option(byToken.remove(token)).map { s =>
-      byMaster.remove(s.masterToken); true
+      byMaster.remove(s.masterToken)
+      closeListeners.forEach(f => f(token))
+      true
     }.getOrElse(false)
 
   def activeCount: Int = byToken.size

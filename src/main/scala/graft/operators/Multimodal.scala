@@ -25,6 +25,10 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's InputStream path writes a disk cache file per read by
+  // default — pure overhead for in-memory byte-array payloads
+  javax.imageio.ImageIO.setUseCache(false)
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("payload", BinaryType, nullable = true),

@@ -25,6 +25,12 @@ final class EmulatorServer(
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
 
+  // session variables / parameters / open transactions live in the
+  // executor keyed by token: release them when the session closes or
+  // expires, migrate them when renewal issues a fresh token
+  sessions.onClose(executor.releaseSessionState)
+  sessions.onRename(executor.migrateSessionState)
+
   def actualPort: Int = server.getAddress.getPort
 
   // ------------------------------------------------------------------
@@ -331,6 +337,13 @@ final class EmulatorServer(
           failure = Some(e)
       } finally spark.sparkContext.clearJobGroup()
     }
+    // The batch IS the session (its identity is the parent handle, which
+    // never recurs): a transaction left open — by a mid-batch failure
+    // aborting before COMMIT, or by a batch that simply never commits —
+    // rolls back now, exactly Snowflake's end-of-session contract. This
+    // also frees the batch's session variables and the txn snapshot dirs
+    // instead of leaking them under an unreachable id.
+    executor.releaseSessionState(parent.handle)
     val resp = failure match {
       case Some(e) =>
         statements.fail(parent, e)

@@ -1143,4 +1143,98 @@ class ExecutorSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("Invalid timestamp"), e.getMessage)
   }
+
+  test("62 variable substitution is comment-blind: $word in comments never resolves") {
+    // dbt/tool-injected comment headers routinely contain $-words; real
+    // Snowflake strips comments before variable resolution
+    val r = exec("-- header: $not_a_var and $also_not\nSELECT 1 AS x")
+    assert(r.rows.head.head == 1)
+    val r2 = exec("/* block $nope\n spanning lines $still_nope */ SELECT 2 AS x")
+    assert(r2.rows.head.head == 2)
+    // a real reference OUTSIDE the comment still resolves in the same text
+    exec("SET c62 = 7")
+    val r3 = exec("SELECT $c62 AS x -- trailing $undefined stays text")
+    assert(String.valueOf(r3.rows.head.head) == "7", r3.rows)
+    // and an undefined reference outside comments still errors
+    intercept[SnowflakeError] { exec("SELECT $undefined_c62 -- $c62") }
+    exec("UNSET c62")
+  }
+
+  test("63 splitStatements is comment-aware; trailing comment-only fragments dropped") {
+    assert(Executor.splitStatements("SELECT 1; -- done") == Seq("SELECT 1"))
+    assert(Executor.splitStatements("SELECT 1 -- trailing ; semicolon\n, 2")
+      == Seq("SELECT 1 -- trailing ; semicolon\n, 2"))
+    assert(Executor.splitStatements("/* a;b */ SELECT 1; SELECT 2 /* ; */")
+      == Seq("/* a;b */ SELECT 1", "SELECT 2 /* ; */"))
+    assert(Executor.splitStatements("SELECT 1;\n-- all done\n/* bye */")
+      == Seq("SELECT 1"))
+    // quoted semicolons still never split; comment markers inside strings
+    // are data
+    assert(Executor.splitStatements("SELECT 'a;--b'; SELECT ';/*'")
+      == Seq("SELECT 'a;--b'", "SELECT ';/*'"))
+  }
+
+  test("64 string variable ending in backslash splices losslessly") {
+    exec("""SET winpath = 'C:\\dir\\'""")
+    val r = exec("SELECT $winpath AS p, LENGTH($winpath) AS n")
+    assert(r.rows.head.head == "C:\\dir\\", r.rows)
+    // a SHOW VARIABLES readback displays the raw value
+    val shown = exec("SHOW VARIABLES LIKE 'winpath'")
+    assert(shown.rows.head(1) == "C:\\dir\\", shown.rows)
+    exec("UNSET winpath")
+  }
+
+  test("65 ALTER SESSION SET unescapes doubled quotes in quoted values") {
+    exec("ALTER SESSION SET QUERY_TAG = 'it''s a tag'")
+    val r = exec("SHOW PARAMETERS LIKE 'QUERY_TAG'")
+    assert(r.rows.head(1) == "it's a tag", r.rows)
+    exec("ALTER SESSION UNSET QUERY_TAG")
+  }
+
+  test("66 session close releases vars/params and rolls back an open txn") {
+    val dying = Executor.Context("sess_dying", "TEST_DB", "PUBLIC")
+    executor.execute(dying, "SET v66 = 42")
+    executor.execute(dying, "ALTER SESSION SET QUERY_TAG = 't66'")
+    executor.execute(dying, "CREATE OR REPLACE TABLE t66 (id INTEGER)")
+    executor.execute(dying, "INSERT INTO t66 VALUES (1)")
+    executor.execute(dying, "BEGIN")
+    executor.execute(dying, "INSERT INTO t66 VALUES (2)")
+    assert(executor.inTransaction("sess_dying"))
+    // the lifecycle hook the server wires to SessionManager.onClose
+    executor.releaseSessionState("sess_dying")
+    assert(!executor.inTransaction("sess_dying"))
+    // uncommitted insert rolled back
+    val n = exec("SELECT COUNT(*) AS n FROM t66")
+    assert(n.rows.head.head == 1L, n.rows)
+    // vars gone for that session id
+    val e = intercept[SnowflakeError] {
+      executor.execute(Executor.Context("sess_dying", "TEST_DB", "PUBLIC"),
+        "SELECT $v66")
+    }
+    assert(e.getMessage.contains("does not exist"), e.getMessage)
+  }
+
+  test("67 token renewal migrates session state instead of dropping it") {
+    val sm = new SessionManager()
+    val released = scala.collection.mutable.ArrayBuffer[String]()
+    val renamed = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    sm.onClose(released += _)
+    sm.onRename((o, n) => renamed += ((o, n)))
+    val s = sm.create("u")
+    val s2 = sm.renew(s.masterToken).get
+    assert(renamed == Seq((s.token, s2.token)))
+    assert(released.isEmpty, "renew must not fire close listeners")
+    assert(sm.validate(s.token).isEmpty && sm.validate(s2.token).isDefined)
+    sm.close(s2.token)
+    assert(released == Seq(s2.token))
+    // executor-side migration moves vars to the new id
+    executor.execute(Executor.Context("old_id", "TEST_DB", "PUBLIC"), "SET m67 = 5")
+    executor.migrateSessionState("old_id", "new_id")
+    val r = executor.execute(Executor.Context("new_id", "TEST_DB", "PUBLIC"),
+      "SELECT $m67 AS x")
+    assert(String.valueOf(r.rows.head.head) == "5", r.rows)
+    intercept[SnowflakeError] {
+      executor.execute(Executor.Context("old_id", "TEST_DB", "PUBLIC"), "SELECT $m67")
+    }
+  }
 }

@@ -511,6 +511,39 @@ class EmulatorServerSpec extends AnyFunSuite {
     assert(n.get("data").get(0).get(0).asLong() == 2L, n)
   }
 
+  test("REST v2 e2e: multi-statement transactions — commit persists, failure rolls back") {
+    // a batch-scoped BEGIN..COMMIT persists its DML
+    val (_, committed) = post("/api/v2/statements",
+      """{"statement":"CREATE TABLE mstx (id INTEGER); BEGIN; INSERT INTO mstx VALUES (1); COMMIT",
+         "database":"TEST_DB","schema":"PUBLIC",
+         "parameters":{"MULTI_STATEMENT_COUNT":"4"}}""")
+    assert(committed.get("message").asText().contains("Multiple statements"), committed)
+    assert(v2("SELECT COUNT(*) AS n FROM mstx").get("data").get(0).get(0).asLong() == 1L)
+    // a failure mid-transaction aborts the remainder AND rolls back the
+    // open transaction's earlier DML — the batch is the session, and an
+    // uncommitted txn dies with it
+    val (_, failed) = post("/api/v2/statements",
+      """{"statement":"BEGIN; INSERT INTO mstx VALUES (2); SELECT * FROM nope_mstx; INSERT INTO mstx VALUES (3)",
+         "database":"TEST_DB","schema":"PUBLIC",
+         "parameters":{"MULTI_STATEMENT_COUNT":"0"}}""")
+    // error shape: the failing child's error surfaces on the parent, with
+    // only the statements that ran listed
+    assert(failed.get("statementHandles").size() == 3, failed)
+    assert(failed.get("message").asText().nonEmpty, failed)
+    assert(failed.get("sqlState") != null, failed)
+    assert(v2("SELECT COUNT(*) AS n FROM mstx").get("data").get(0).get(0).asLong() == 1L,
+      "insert inside the aborted transaction must be rolled back")
+    // a batch that BEGINs but never COMMITs: the txn rolls back when the
+    // batch (= its session) ends, Snowflake's end-of-session contract
+    val (_, open) = post("/api/v2/statements",
+      """{"statement":"BEGIN; INSERT INTO mstx VALUES (9)",
+         "database":"TEST_DB","schema":"PUBLIC",
+         "parameters":{"MULTI_STATEMENT_COUNT":"2"}}""")
+    assert(open.get("message").asText().contains("Multiple statements"), open)
+    assert(v2("SELECT COUNT(*) AS n FROM mstx").get("data").get(0).get(0).asLong() == 1L,
+      "uncommitted batch transaction must roll back at end of batch")
+  }
+
   test("REST v2 e2e: time travel AT OFFSET and AT STATEMENT by handle") {
     v2("CREATE TABLE v2tt (id INTEGER)")
     val ins1 = v2("INSERT INTO v2tt VALUES (1)")
