@@ -172,6 +172,99 @@ object Multimodal {
     spark.createDataFrame(rdd, decodedSchema)
   }
 
+  // ------------------------------------------------------------------
+  // Real-codec round trip: hand-constructed BMP/WAV payloads decoded by
+  // the JDK's REAL codecs. The byte layouts are built here from the
+  // published format specs, independently of ImageIO / javax.sound, so
+  // a decode is a genuine cross-implementation check — and because the
+  // construction rule is plain arithmetic over the source bytes, a SQL
+  // oracle can predict the decoded metadata exactly. This is what turns
+  // the real-codec path from rows-only into a hash-matched entry.
+  // ------------------------------------------------------------------
+
+  /** Minimal valid 24bpp uncompressed (BI_RGB) bottom-up BMP:
+    * 14-byte file header + 40-byte BITMAPINFOHEADER + zeroed pixel rows
+    * padded to 4-byte boundaries. */
+  def buildBmp(width: Int, height: Int): Array[Byte] = {
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val imageSize = rowSize * height
+    val fileSize = 54 + imageSize
+    val b = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte)
+      .putInt(fileSize).putShort(0).putShort(0).putInt(54)  // pixel offset
+      .putInt(40)                                           // info header size
+      .putInt(width).putInt(height)
+      .putShort(1)                                          // planes
+      .putShort(24)                                         // bits per pixel
+      .putInt(0)                                            // BI_RGB
+      .putInt(imageSize)
+      .putInt(2835).putInt(2835)                            // 72 dpi in px/m
+      .putInt(0).putInt(0)                                  // palette: none
+    b.array()                                               // pixels stay zero
+  }
+
+  /** Minimal valid PCM-16 WAV: RIFF header + fmt chunk + zeroed data
+    * chunk of `frames` sample frames. */
+  def buildWav(sampleRate: Int, channels: Int, frames: Int): Array[Byte] = {
+    val dataSize = frames * channels * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                                          // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2)                    // byte rate
+      .putShort((channels * 2).toShort)                     // block align
+      .putShort(16)                                         // bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    b.array()                                               // samples stay zero
+  }
+
+  val roundTripSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)))
+
+  /** For each (media_id, payload) row: derive deterministic image/audio
+    * parameters from the payload bytes, CONSTRUCT a valid BMP and WAV,
+    * and decode them with the real JDK codecs ([[decodeImage]] /
+    * [[decodeAudio]]). The emitted metadata is what the codecs read back
+    * — a decoder bug surfaces as a hash mismatch against the arithmetic
+    * oracle. Payloads and constructed media never leave their partition. */
+  def codecRoundTrip(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val p = if (r.isNullAt(payloadIdx)) Array.emptyByteArray
+          else r.getAs[Array[Byte]](payloadIdx)
+        val n = p.length
+        // same first-two-byte rule as decodeStub, so the SQL oracle's
+        // hex() machinery carries over unchanged
+        val w = 1 + (if (n > 0) p(0) & 0x3F else 0)
+        val h = 1 + (if (n > 1) p(1) & 0x3F else 0)
+        val rate = 8000 + (n % 8) * 1000
+        val ch = 1 + (id % 2).toInt
+        val frames = 1 + n % 1000
+        val (dw, dh) = decodeImage(buildBmp(w, h))
+          .getOrElse((-1, -1))
+        val (dRate, dCh, dMs) = decodeAudio(buildWav(rate, ch, frames))
+          .getOrElse((-1, -1, -1L))
+        Row(id, n, dw, dh, dRate, dCh, dMs)
+      }
+    }
+    spark.createDataFrame(rdd, roundTripSchema)
+  }
+
   /** Frame-sample a video payload: emit one row per sampled frame (fake
     * frames = fixed-stride byte slices; the contract — posexplode shape,
     * per-frame ordinals, bounded fan-out — is the real one). */

@@ -2321,21 +2321,42 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
              * sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) FOR i IN range(1, len(b.embedding) + 1)]))) >= 0.4
         ORDER BY a_id, b_id""")),
 
-    // ---- multimodal decode plumbing (mapPartitions over binary payloads;
-    // stubbed codec -> rows-only check, Spark-side contract is real) -----
+    // ---- multimodal REAL-codec decode, hash-matched: per document, a
+    // valid BMP and a valid PCM WAV are CONSTRUCTED from the payload
+    // bytes by plain arithmetic (hand-built headers per the published
+    // format specs, independent of the JDK), then decoded by the real
+    // JDK codecs (ImageIO for pixels dims, javax.sound for rate/
+    // channels/duration). The oracle predicts the decoded metadata from
+    // the same arithmetic — a decoder mis-parse breaks the hash. This
+    // retired the suite's only rows-only entry: the codec path itself is
+    // now oracle-pinned, not just the p15b stub plumbing around it. ------
     QDef("p15_multimodal_decode",
       (s, dir) => {
         val media = docs(s, dir).select(
           col("doc_id").as("media_id"),
-          col("text").cast("binary").as("payload"),
-          lit("text").as("media_type"))
-        graft.operators.Multimodal.decodeAndFeaturize(media)
-          .select(col("media_id"), col("n_bytes"), col("width"), col("height"),
-            round(expr("aggregate(features, 0D, (acc, x) -> acc + x)"), 6)
-              .as("feat_sum"))
+          col("text").cast("binary").as("payload"))
+        graft.operators.Multimodal.codecRoundTrip(media)
           .orderBy(col("media_id"))
       },
-      None),
+      // width/height reuse p15b's first-two-raw-bytes hex machinery; the
+      // audio fields are integer arithmetic over (n_bytes, doc_id); the
+      // duration replays javax.sound's frames*1000.0/rate in double —
+      // exact on both engines for frames<=1000, rate in [8000,15000]
+      Some("""WITH hx AS (
+          SELECT doc_id, hex(encode(text)) AS h,
+            COALESCE(octet_length(encode(text)), 0) AS nb
+          FROM documents)
+        SELECT doc_id AS media_id,
+          CAST(nb AS INTEGER) AS n_bytes,
+          CAST(1 + COALESCE(('0x' || NULLIF(substr(h, 1, 2), ''))::INTEGER % 64, 0)
+            AS INTEGER) AS width,
+          CAST(1 + COALESCE(('0x' || NULLIF(substr(h, 3, 2), ''))::INTEGER % 64, 0)
+            AS INTEGER) AS height,
+          CAST(8000 + (nb % 8) * 1000 AS INTEGER) AS sample_rate,
+          CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+          CAST(FLOOR((1 + nb % 1000) * 1000.0 / (8000 + (nb % 8) * 1000))
+            AS BIGINT) AS duration_ms
+        FROM hx ORDER BY media_id""")),
 
     // ---- the deterministic half of the multimodal contract, promoted to
     // a full hash-matched check: the stub codec's metadata (decodeStub —

@@ -95,6 +95,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert((out(1).getInt(3), out(1).getInt(4)) == (5, 4))
   }
 
+  test("hand-built BMP and WAV decode to their construction parameters") {
+    // the builders write headers per the published specs, independently
+    // of the JDK codecs — agreement here is a cross-implementation check
+    assert(Multimodal.decodeImage(Multimodal.buildBmp(1, 1)).contains((1, 1)))
+    assert(Multimodal.decodeImage(Multimodal.buildBmp(64, 64)).contains((64, 64)))
+    assert(Multimodal.decodeImage(Multimodal.buildBmp(13, 57)).contains((13, 57)))
+    // odd width exercises the 4-byte row padding
+    assert(Multimodal.decodeImage(Multimodal.buildBmp(3, 2)).contains((3, 2)))
+    assert(Multimodal.decodeAudio(Multimodal.buildWav(8000, 1, 1))
+      .contains((8000, 1, 0L))) // 1 frame @ 8 kHz -> 0.125 ms -> floor 0
+    assert(Multimodal.decodeAudio(Multimodal.buildWav(15000, 2, 1000))
+      .contains((15000, 2, 66L))) // 1000 * 1000 / 15000 = 66.67 -> 66
+    assert(Multimodal.decodeAudio(Multimodal.buildWav(11000, 1, 550))
+      .contains((11000, 1, 50L)))
+  }
+
+  test("codecRoundTrip: decoded metadata equals the arithmetic rule") {
+    val df = media(
+      (1L, "ab".getBytes, "text"),          // n=2: w=1+'a'%64, h=1+'b'%64
+      (2L, null, "text"),                   // empty payload
+      (3L, Array.tabulate[Byte](999)(_.toByte), "text"))
+      .select("media_id", "payload")
+    val out = Multimodal.codecRoundTrip(df).orderBy("media_id").collect()
+    val r1 = out(0)
+    assert(r1.getInt(1) == 2)
+    assert(r1.getInt(2) == 1 + ('a' & 0x3F) && r1.getInt(3) == 1 + ('b' & 0x3F))
+    assert(r1.getInt(4) == 8000 + (2 % 8) * 1000)
+    assert(r1.getInt(5) == 2) // doc_id 1 -> 1 + 1%2
+    assert(r1.getLong(6) == ((1 + 2) * 1000.0 / 10000).toLong)
+    val r2 = out(1)
+    assert(r2.getInt(1) == 0 && r2.getInt(2) == 1 && r2.getInt(3) == 1)
+    assert(r2.getInt(4) == 8000 && r2.getInt(5) == 1)
+    val r3 = out(2)
+    assert(r3.getInt(1) == 999)
+    assert(r3.getInt(4) == 8000 + (999 % 8) * 1000)
+    assert(r3.getLong(6) ==
+      ((1 + 999 % 1000) * 1000.0 / (8000 + (999 % 8) * 1000)).toLong)
+    assert(Multimodal.codecRoundTrip(df).schema == Multimodal.roundTripSchema)
+  }
+
   test("frame sampling emits stride-spaced ordinals per video") {
     val df = media((7L, Array.tabulate[Byte](12000)(_.toByte), "video"))
     val frames = Multimodal.sampleFrames(df, everyN = 2)
