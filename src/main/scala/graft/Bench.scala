@@ -111,6 +111,13 @@ object Bench {
       stageEntry("p00f_pqr_stage") {
         queries.Pipeline.PqResidualStage.load(spark, sfDir)
         queries.Pipeline.PqResidualCodesStage.load(spark, sfDir); ()
+      },
+      // the exact ANN truth sets (p05/p14's results, p35's denominators):
+      // the guarded all-pairs cost is paid HERE once, so every recall
+      // line and the exact-baseline entries are additive reads
+      stageEntry("p00g_truth_stage") {
+        queries.Pipeline.TruthStage.loadKnn(spark, sfDir)
+        queries.Pipeline.TruthStage.loadPairs(spark, sfDir); ()
       })
     // Optional comma-separated allowlist (SPARK_GRAFT_ONLY=p05,p20) for
     // profiling individual queries / interaction effects; production runs

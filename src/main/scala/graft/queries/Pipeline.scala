@@ -207,6 +207,59 @@ object Pipeline {
       ShingleStage.stage(s, dir, "pr")(buildJaccardPairs(s, dir))
   }
 
+  /** p00g: the exact ANN truth sets, staged once per corpus. Both are
+    * deterministic pure functions of the embeddings table — the exact
+    * top-5 cosine neighbors per query (p05's result, the recall
+    * denominator of every method p35 measures) and the exact near-dup
+    * pair truth (p14's cosine >= 0.4 pairs, the candidate-recall
+    * denominator for the LSH rows). Before staging, p35 re-derived both
+    * guarded all-pairs cross joins on every run and its cost grew with
+    * each ANN method added (the r9 verdict's #1 bench line); staged, the
+    * truth is built once and every recall line is an additive cheap join
+    * against a small parquet table. The exact-baseline scale guard moves
+    * here: it fires when the truth is BUILT (the only expensive moment),
+    * at validation scale only — a 100 TB corpus measures recall on a
+    * sampled validation slice, never all-pairs. Same commit protocol /
+    * lifecycle as [[ShingleStage]]. */
+  private[graft] object TruthStage {
+    /** Exact top-5 cosine neighbors: (qid, neighbor_id, rank, sim_r). */
+    def loadKnn(s: SparkSession, dir: String): DataFrame =
+      ShingleStage.stage(s, dir, "tk") {
+        guardExactBaseline(s, dir, "p05_knn_exact (truth stage)",
+          "p06_knn_lsh / p16_knn_ivf")
+        // the candidate side broadcasts; parallelism comes from the
+        // streamed side's partitioning, and a single parquet file gives
+        // too few partitions to use the machine — spread the O(n^2) work
+        val q = emb(s, dir).select(col("vec_id").as("qid"), col("embedding").as("qv"))
+          .repartition(s.sparkContext.defaultParallelism)
+        val c = emb(s, dir).select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        val rn = Window.partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("cid"))
+        q.crossJoin(c).filter(col("qid") =!= col("cid"))
+          .withColumn("sim", expr("cosine_sim(qv, cv)"))
+          .withColumn("rank", row_number().over(rn))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("cid").as("neighbor_id"),
+            col("rank"), round(col("sim"), 6).as("sim_r"))
+      }
+
+    /** Exact near-dup pair truth: (a_id, b_id, sim_r), cosine >= 0.4. */
+    def loadPairs(s: SparkSession, dir: String): DataFrame =
+      ShingleStage.stage(s, dir, "tp") {
+        guardExactBaseline(s, dir, "p14_embedding_neardup (truth stage)",
+          "p06_knn_lsh")
+        // same parallelism spread as the KNN truth: the streamed side
+        // drives task count
+        val a = emb(s, dir).select(col("vec_id").as("a_id"), col("embedding").as("av"))
+          .repartition(s.sparkContext.defaultParallelism)
+        val b = emb(s, dir).select(col("vec_id").as("b_id"), col("embedding").as("bv"))
+        a.crossJoin(b).filter(col("a_id") < col("b_id"))
+          .withColumn("sim", expr("cosine_sim(av, bv)"))
+          .filter(col("sim") >= 0.4)
+          .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim_r"))
+      }
+  }
+
   /** Shingles with a document-frequency guard: shingles present in more
     * than max(5, 1%) of documents are dropped before any self-join. A
     * shingle shared by k documents produces k² join rows — one viral
@@ -1221,6 +1274,40 @@ object Pipeline {
       .select(col("qid"), col("cid"), col("ascore"))
   }
 
+  /** Top-5 by ADC score — the shared final ranking of p42/p46. Factored
+    * so p35 can rank a PERSISTED scored set: the expensive ADC pass then
+    * runs once per family inside the recall measurement instead of once
+    * per derived row (top-5 and refine both re-derived it before). */
+  private def adcTop5(scored: DataFrame): DataFrame = {
+    val rn = Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("cid"))
+    scored
+      .withColumn("rank", row_number().over(rn))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("cid").as("neighbor_id"), col("rank"),
+        round(col("ascore"), 6).as("ascore_r"))
+  }
+
+  /** Shortlist top-C by ADC score, refine with exact cosine over just
+    * those C full vectors — p43/p47's shared shape, same factoring
+    * rationale as [[adcTop5]]. */
+  private def adcRefined(s: SparkSession, dir: String, scored: DataFrame): DataFrame = {
+    val e = emb(s, dir)
+    val rnA = Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("cid"))
+    val short = scored
+      .withColumn("arank", row_number().over(rnA))
+      .filter(col("arank") <= pqRerank)
+      .select(col("qid"), col("cid"))
+    val qv = e.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val cv = e.select(col("vec_id").as("cid"), col("embedding").as("cv2"))
+    val rn = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    short.join(qv, "qid").join(cv, "cid")
+      .withColumn("sim", expr("cosine_sim(qv, cv2)"))
+      .withColumn("rank", row_number().over(rn))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("cid").as("neighbor_id"), col("rank"),
+        round(col("sim"), 6).as("sim_r"))
+  }
+
   /** Two-level (coarse -> fine) variant of [[nearestCells]]: score the
     * ~sqrt(k) super-centroids, descend into the top `sprobe` super-cells,
     * score ONLY their member cells — per-vector work drops from k to
@@ -2038,24 +2125,10 @@ object Pipeline {
 
     // ---- brute-force cosine KNN (exact baseline) ----------------------
     QDef("p05_knn_exact",
-      (s, dir) => {
-        guardExactBaseline(s, dir, "p05_knn_exact", "p06_knn_lsh / p16_knn_ivf")
-        // the candidate side broadcasts; parallelism comes from the
-        // streamed side's partitioning, and a single parquet file gives
-        // too few partitions to use the machine — spread the O(n^2) work
-        val q = emb(s, dir).select(col("vec_id").as("qid"), col("embedding").as("qv"))
-          .repartition(s.sparkContext.defaultParallelism)
-        val c = emb(s, dir).select(col("vec_id").as("cid"), col("embedding").as("cv"))
-        val rn = Window.partitionBy(col("qid"))
-          .orderBy(col("sim").desc, col("cid"))
-        q.crossJoin(c).filter(col("qid") =!= col("cid"))
-          .withColumn("sim", expr("cosine_sim(qv, cv)"))
-          .withColumn("rank", row_number().over(rn))
-          .filter(col("rank") <= 5)
-          .select(col("qid"), col("cid").as("neighbor_id"),
-            col("rank"), round(col("sim"), 6).as("sim_r"))
-          .orderBy(col("qid"), col("rank"))
-      },
+      // the guarded all-pairs build lives in TruthStage (p00g): built
+      // once per corpus, read here and by every p35 recall line
+      (s, dir) => TruthStage.loadKnn(s, dir)
+        .orderBy(col("qid"), col("rank")),
       Some("""WITH sims AS (
           SELECT a.vec_id AS qid, b.vec_id AS cid,
             list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) FOR i IN range(1, len(a.embedding) + 1)])
@@ -2299,18 +2372,9 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
     // ---- embedding-cosine near-dup (exact baseline; p06 is the LSH
     // scale path for the same shape) ------------------------------------
     QDef("p14_embedding_neardup",
-      (s, dir) => {
-        guardExactBaseline(s, dir, "p14_embedding_neardup", "p06_knn_lsh")
-        // same parallelism spread as p05: the streamed side drives task count
-        val a = emb(s, dir).select(col("vec_id").as("a_id"), col("embedding").as("av"))
-          .repartition(s.sparkContext.defaultParallelism)
-        val b = emb(s, dir).select(col("vec_id").as("b_id"), col("embedding").as("bv"))
-        a.crossJoin(b).filter(col("a_id") < col("b_id"))
-          .withColumn("sim", expr("cosine_sim(av, bv)"))
-          .filter(col("sim") >= 0.4)
-          .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim_r"))
-          .orderBy(col("a_id"), col("b_id"))
-      },
+      // the guarded all-pairs build lives in TruthStage (p00g)
+      (s, dir) => TruthStage.loadPairs(s, dir)
+        .orderBy(col("a_id"), col("b_id")),
       Some("""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
           round(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) FOR i IN range(1, len(a.embedding) + 1)])
             / (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) FOR i IN range(1, len(a.embedding) + 1)]))
@@ -3149,31 +3213,36 @@ ${duckTwoLevel("h", "embeddings", Seq("label"), duckNprobe)},
         // pure string-rendering overhead
         val ds = defs
         def res(name: String) = ds.find(_.name == name).get.fn(s, dir)
-        // the two exact truth sets are each referenced by several output
-        // rows; without a persist each reference re-executes the guarded
-        // all-pairs cross join (the most expensive subtree here) — pin
-        // them once. Both are tiny (5 rows/query, <=n pairs), and both
-        // are RELEASED in the finally below: the output is materialized
-        // eagerly (it is 10 rows by construction), so a library caller
-        // invoking p35 directly leaks no pinned blocks into the session.
-        val exact = res("p05_knn_exact").select(col("qid"), col("neighbor_id"))
-          .persist()
+        // the truth sets are STAGED (p00g, TruthStage): each reference
+        // below is a cheap parquet re-read of a small committed table, so
+        // no persist/unpersist lifecycle is needed and adding an ANN
+        // method adds one small join, not another all-pairs derivation
+        val exact = TruthStage.loadKnn(s, dir)
+          .select(col("qid"), col("neighbor_id"))
         val nq = exact.agg(countDistinct(col("qid")).as("n_queries"))
-        def row(method: String, name: String): DataFrame =
-          res(name).select(col("qid"), col("neighbor_id"))
+        def rowOf(method: String, df: DataFrame): DataFrame =
+          df.select(col("qid"), col("neighbor_id"))
             .join(exact, Seq("qid", "neighbor_id"))
             .agg(count(lit(1)).as("n_hits"))
             .crossJoin(broadcast(nq))
             .select(lit(method).as("method"), col("n_queries"), col("n_hits"),
               round(col("n_hits").cast("double") / (col("n_queries") * 5.0), 6)
                 .as("recall_r"))
+        def row(method: String, name: String): DataFrame =
+          rowOf(method, res(name))
+        // each PQ family's ADC scoring pass feeds BOTH its top-5 row and
+        // its refine row: build ONE lineage per family and derive both
+        // rows through the same adcTop5/adcRefined the QDefs use — the
+        // identical aggregate subtrees dedupe via ReuseExchange inside
+        // the single output action (measured cheaper than persist(),
+        // which pays block-manager serialization for multi-M-row sets)
+        val adc = adcScored(s, dir)
+        val radc = residualAdcScored(s, dir)
         val e = emb(s, dir)
         val np = lshNumPlanes(e.count())
         val b = e.select(col("vec_id"),
           lshBucketCol(np, col("embedding")).as("bucket"))
-        val pairs = res("p14_embedding_neardup").select(col("a_id"), col("b_id"))
-          .persist()
-        try {
+        val pairs = TruthStage.loadPairs(s, dir).select(col("a_id"), col("b_id"))
         val nearDup = pairs
           .join(b.select(col("vec_id").as("a_id"), col("bucket").as("ba")), "a_id")
           .join(b.select(col("vec_id").as("b_id"), col("bucket").as("bb")), "b_id")
@@ -3218,23 +3287,12 @@ ${duckTwoLevel("h", "embeddings", Seq("label"), duckNprobe)},
           .unionAll(colocated)
           .unionAll(row("p37_lsh_multi", "p37_knn_lsh_multi"))
           .unionAll(nearDupMulti)
-          .unionAll(row("p42_ivfpq", "p42_knn_ivfpq"))
-          .unionAll(row("p43_ivfpq_rerank", "p43_knn_ivfpq_rerank"))
-          .unionAll(row("p46_ivfpq_residual", "p46_knn_ivfpq_residual"))
-          .unionAll(row("p47_ivfpq_residual_rerank", "p47_knn_ivfpq_residual_rerank"))
+          .unionAll(rowOf("p42_ivfpq", adcTop5(adc)))
+          .unionAll(rowOf("p43_ivfpq_rerank", adcRefined(s, dir, adc)))
+          .unionAll(rowOf("p46_ivfpq_residual", adcTop5(radc)))
+          .unionAll(rowOf("p47_ivfpq_residual_rerank", adcRefined(s, dir, radc)))
           .orderBy(col("method"))
-        // materialize the 10 measurement rows NOW so the persisted truth
-        // sets above can be unpersisted deterministically (a lazy return
-        // would recompute the guarded exact baselines once per reference
-        // after the finally releases them)
-        val rows = out.collect().toIndexedSeq
-        import scala.jdk.CollectionConverters._
-        s.createDataFrame(rows.asJava, out.schema)
-        } finally {
-          exact.unpersist(blocking = true)
-          pairs.unpersist(blocking = true)
-          ()
-        }
+        out
       },
       Some(s"""WITH $duckSuperCells,
 ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
@@ -3666,15 +3724,8 @@ $duckPqCodes
     // exact for the reconstructed vector since subspaces are disjoint
     // coordinate blocks. ------------------------------------------------
     QDef("p42_knn_ivfpq",
-      (s, dir) => {
-        val rn = Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("cid"))
-        adcScored(s, dir)
-          .withColumn("rank", row_number().over(rn))
-          .filter(col("rank") <= 5)
-          .select(col("qid"), col("cid").as("neighbor_id"), col("rank"),
-            round(col("ascore"), 6).as("ascore_r"))
-          .orderBy(col("qid"), col("rank"))
-      },
+      (s, dir) => adcTop5(adcScored(s, dir))
+        .orderBy(col("qid"), col("rank")),
       Some(s"""WITH $duckSuperCells,
 ${duckTwoLevel("v", "embeddings", Nil, duckNprobe)},
 $duckPqCodebook,
@@ -3692,24 +3743,8 @@ ${duckAdcCtes("w", "v")}
     // a true neighbor falls outside the top-C shortlist, not the top-5:
     // measured in p35 as p43_ivfpq_rerank. ------------------------------
     QDef("p43_knn_ivfpq_rerank",
-      (s, dir) => {
-        val e = emb(s, dir)
-        val rnA = Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("cid"))
-        val short = adcScored(s, dir)
-          .withColumn("arank", row_number().over(rnA))
-          .filter(col("arank") <= pqRerank)
-          .select(col("qid"), col("cid"))
-        val qv = e.select(col("vec_id").as("qid"), col("embedding").as("qv"))
-        val cv = e.select(col("vec_id").as("cid"), col("embedding").as("cv2"))
-        val rn = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
-        short.join(qv, "qid").join(cv, "cid")
-          .withColumn("sim", expr("cosine_sim(qv, cv2)"))
-          .withColumn("rank", row_number().over(rn))
-          .filter(col("rank") <= 5)
-          .select(col("qid"), col("cid").as("neighbor_id"), col("rank"),
-            round(col("sim"), 6).as("sim_r"))
-          .orderBy(col("qid"), col("rank"))
-      },
+      (s, dir) => adcRefined(s, dir, adcScored(s, dir))
+        .orderBy(col("qid"), col("rank")),
       Some(s"""WITH $duckSuperCells,
 ${duckTwoLevel("v", "embeddings", Nil, duckNprobe)},
 $duckPqCodebook,
@@ -3817,15 +3852,8 @@ ${duckPqCodesFrom("rq", "rsrc")}
     // norms) — the per-candidate work is integer sums + ONE float
     // expression; nothing in the scoring joins moves an embedding. -------
     QDef("p46_knn_ivfpq_residual",
-      (s, dir) => {
-        val rn = Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("cid"))
-        residualAdcScored(s, dir)
-          .withColumn("rank", row_number().over(rn))
-          .filter(col("rank") <= 5)
-          .select(col("qid"), col("cid").as("neighbor_id"), col("rank"),
-            round(col("ascore"), 6).as("ascore_r"))
-          .orderBy(col("qid"), col("rank"))
-      },
+      (s, dir) => adcTop5(residualAdcScored(s, dir))
+        .orderBy(col("qid"), col("rank")),
       Some(s"""WITH $duckSuperCells,
 ${duckTwoLevel("v", "embeddings", Nil, duckNprobe)},
 ${duckTwoLevel("rz", "embeddings", Nil, "1")},
@@ -3840,24 +3868,8 @@ ${duckResidualAdcCtes("y", "v")}
     // residual-ADC shortlists top-C from codes alone, the refine reads
     // exactly C full vectors per query. ----------------------------------
     QDef("p47_knn_ivfpq_residual_rerank",
-      (s, dir) => {
-        val e = emb(s, dir)
-        val rnA = Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("cid"))
-        val short = residualAdcScored(s, dir)
-          .withColumn("arank", row_number().over(rnA))
-          .filter(col("arank") <= pqRerank)
-          .select(col("qid"), col("cid"))
-        val qv = e.select(col("vec_id").as("qid"), col("embedding").as("qv"))
-        val cv = e.select(col("vec_id").as("cid"), col("embedding").as("cv2"))
-        val rn = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
-        short.join(qv, "qid").join(cv, "cid")
-          .withColumn("sim", expr("cosine_sim(qv, cv2)"))
-          .withColumn("rank", row_number().over(rn))
-          .filter(col("rank") <= 5)
-          .select(col("qid"), col("cid").as("neighbor_id"), col("rank"),
-            round(col("sim"), 6).as("sim_r"))
-          .orderBy(col("qid"), col("rank"))
-      },
+      (s, dir) => adcRefined(s, dir, residualAdcScored(s, dir))
+        .orderBy(col("qid"), col("rank")),
       Some(s"""WITH $duckSuperCells,
 ${duckTwoLevel("v", "embeddings", Nil, duckNprobe)},
 ${duckTwoLevel("rz", "embeddings", Nil, "1")},

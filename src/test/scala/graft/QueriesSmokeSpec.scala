@@ -129,8 +129,14 @@ class QueriesSmokeSpec extends SparkSpecBase {
       "graft.cmsDepth").foreach(sys.props.remove)
   }
 
-  test("exact all-pairs baselines refuse to run above the size guard") {
+  test("exact all-pairs truth BUILDS refuse to run above the size guard") {
+    // the guard moved to the TruthStage build (p00g): a committed staged
+    // truth table reads freely (that's the point of staging), so force a
+    // fresh staging root to exercise the build path
     sys.props("graft.exactBaselineMaxRows") = "10"
+    val freshRoot = java.nio.file.Files.createTempDirectory("graft_guard_probe")
+    sys.props("graft.shingleStageDir") = freshRoot.toString
+    graft.queries.Pipeline.ShingleStage.resetForTest()
     try {
       Seq("p05_knn_exact", "p14_embedding_neardup").foreach { name =>
         val e = intercept[IllegalStateException] {
@@ -139,6 +145,10 @@ class QueriesSmokeSpec extends SparkSpecBase {
         assert(e.getMessage.contains("exact all-pairs baseline"), e.getMessage)
         assert(e.getMessage.contains("p06_knn_lsh"), e.getMessage)
       }
-    } finally sys.props.remove("graft.exactBaselineMaxRows")
+    } finally {
+      sys.props.remove("graft.exactBaselineMaxRows")
+      sys.props.remove("graft.shingleStageDir")
+      graft.queries.Pipeline.ShingleStage.resetForTest()
+    }
   }
 }
