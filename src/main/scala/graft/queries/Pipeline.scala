@@ -1136,6 +1136,42 @@ object Pipeline {
       .drop("idx", "pidx")
   }
 
+  /** Append per-row PQ squared reconstruction error (`sse`, double) —
+    * p44's fidelity measure as a reusable zero-shuffle transform: the
+    * codebook broadcasts as one row and the error is a single codegen
+    * expression over the input (works on batch AND streaming frames,
+    * the same stream-static broadcast shape as [[streamSemanticPrep]]).
+    * The streaming index-staleness monitor is built on this. */
+  private[graft] def withPqSse(s: SparkSession, dir: String,
+      df: DataFrame): DataFrame = {
+    val cb = PqStage.load(s, dir)
+    val pidx = cb.select(col("sub"), col("code"), col("cv")).groupBy()
+      .agg(collect_list(struct(col("sub"), col("code"), col("cv"))).as("pidx"))
+    val m = pqM
+    val dsub = s"(size(embedding) div $m)"
+    df.crossJoin(broadcast(pidx))
+      .withColumn("sse", expr(
+        s"""CAST(aggregate(
+              transform(sequence(0, ${m - 1}), mm ->
+                element_at(array_sort(transform(filter(pidx, c -> c.sub = mm),
+                  c -> named_struct('d',
+                    ${sparkL2Sq(s"slice(embedding, mm * $dsub + 1, $dsub)", "c.cv")},
+                    'code', c.code)),
+                  ${distAscCmp("d", "code")}), 1).d),
+              CAST(0 AS BIGINT),
+              (acc, dd) -> acc + CAST(floor(dd * 100000000.0 + 0.5) AS BIGINT))
+            AS DOUBLE) / 100000000.0"""))
+      .drop("pidx")
+  }
+
+  /** The fitted corpus's mean PQ reconstruction error — the baseline the
+    * streaming drift monitor compares arriving vectors against. One batch
+    * aggregate over the corpus the index was fitted on; deterministic
+    * (integer-scaled per-row errors, exact decimal mean). */
+  private[graft] def pqSseBaseline(s: SparkSession, dir: String): Double =
+    withPqSse(s, dir, emb(s, dir).select(col("embedding")))
+      .agg(avg(col("sse"))).collect()(0).getDouble(0)
+
   /** Symmetric-distance tables for code-to-code scoring, collected once
     * from the staged codebook (M·k'² doubles — ~2 KB at the defaults):
     * per-subspace centroid-pair dots and centroid self-norms. With

@@ -263,6 +263,44 @@ object EventStreams {
       }
   }
 
+  /** Index-STALENESS monitor for the frozen quantizer behind
+    * [[semanticDedupStream]]: the dedup stream encodes against a
+    * batch-fitted CellStage/PqStage, and on a drifting corpus the frozen
+    * codebook's reconstruction error rises — which is exactly the
+    * quantity batch p44 pins. This stream measures the windowed mean PQ
+    * reconstruction error of ARRIVING vectors (same broadcast expression
+    * as p44, no shuffle before the windowed aggregate) against the
+    * fitted-corpus baseline, and raises `refit_due` once the ratio
+    * crosses `refitRatio`.
+    *
+    * The REFIT RULE (see SCALE.md): when `refit_due` fires —
+    *  1. re-stage the index over a fresh corpus slice that includes the
+    *     drifted data (CellStage/PqStage under a new staging root; the
+    *     batch fit is deterministic and cheap relative to the stream);
+    *  2. stop the dedup stream and resume it FROM ITS CHECKPOINT against
+    *     the new index dir (the restart pattern EventStreamsSpec pins for
+    *     the sketch streams): kept-row state keys (ids) remain valid, and
+    *     codes re-encode lazily as rows arrive;
+    *  3. the monitor's baseline recomputes at restart from the new
+    *     staged artifacts.
+    * Emits (window_start, n, mean_sse, baseline_sse, drift_ratio,
+    * refit_due) per closed event-time window. */
+  def indexDriftStream(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, docs: DataFrame,
+      windowDur: String = "1 hour", watermarkDelay: String = "1 hour",
+      refitRatio: Double = 1.5): DataFrame = {
+    val baseline = graft.queries.Pipeline.pqSseBaseline(spark, indexDir)
+    graft.queries.Pipeline.withPqSse(spark, indexDir, docs)
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur))
+      .agg(count(lit(1)).as("n"), avg(col("sse")).as("mean_sse"))
+      .select(col("window.start").as("window_start"), col("n"),
+        round(col("mean_sse"), 6).as("mean_sse"),
+        lit(baseline).as("baseline_sse"),
+        round(col("mean_sse") / lit(baseline), 6).as("drift_ratio"),
+        (col("mean_sse") >= lit(baseline * refitRatio)).as("refit_due"))
+  }
+
   /** Wire a streaming DataFrame to an in-memory sink (tests / demos). */
   def toMemorySink(df: DataFrame, name: String, complete: Boolean = true) =
     df.writeStream

@@ -425,6 +425,69 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally { rmdir(ckpt); rmdir(out) }
   }
 
+  test("index-staleness monitor: drifted vectors raise refit_due; refit restores health") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    graft.functions.SnowflakeExtensions.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    val hour = 3600L * 1000
+    val t0 = 1704103200000L
+    val src = graft.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    // drift = scale + shift per component (float math shared verbatim by
+    // the stream rows and the refit corpus written below)
+    def drift(v: Seq[Float]): Seq[Float] = v.map(x => x * 3.0f + 1.0f)
+    // hour 1: in-distribution (the fitted corpus itself -> ratio exactly 1
+    // when the window holds the whole corpus); hour 2: drifted
+    val fitted = src.map { case (id, v) => (id, new Timestamp(t0 + id), v) }
+    val drifted = src.map { case (id, v) =>
+      (id + 1000000L, new Timestamp(t0 + hour + id), drift(v)) }
+    val input = MemoryStream[(Long, Timestamp, Seq[Float])]
+    val docs = input.toDF().toDF("vec_id", "ts", "embedding")
+    val out = EventStreams.indexDriftStream(spark, dir, docs,
+      windowDur = "1 hour", refitRatio = 1.5)
+    val q = EventStreams.toMemorySink(out, "driftmon", complete = true).start()
+    try {
+      input.addData(fitted.toSeq)
+      input.addData(drifted.toSeq)
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT window_start, n, drift_ratio, refit_due FROM driftmon ORDER BY window_start")
+        .collect()
+      assert(rows.length == 2, rows.mkString("; "))
+      // the fitted window IS the baseline corpus: ratio 1.0 by definition
+      assert(rows(0).getLong(1) == src.length)
+      assert(math.abs(rows(0).getDouble(2) - 1.0) < 1e-6, rows(0).toString)
+      assert(!rows(0).getBoolean(3))
+      // the drifted window crosses the refit threshold
+      assert(rows(1).getDouble(2) > 1.5, rows(1).toString)
+      assert(rows(1).getBoolean(3))
+    } finally q.stop()
+    // THE REFIT RULE, executed: re-stage the index over the drifted
+    // corpus (step 1 of the documented rule) and verify the re-fitted
+    // quantizer measures the drifted stream as healthy again
+    val refitDir = java.nio.file.Files.createTempDirectory("graft_refit")
+    spark.createDataFrame(src.toSeq.map { case (id, v) => (id, drift(v)) })
+      .toDF("vec_id", "embedding")
+      .write.parquet(s"$refitDir/embeddings.parquet")
+    val input2 = MemoryStream[(Long, Timestamp, Seq[Float])]
+    val docs2 = input2.toDF().toDF("vec_id", "ts", "embedding")
+    val out2 = EventStreams.indexDriftStream(spark, refitDir.toString, docs2,
+      windowDur = "1 hour", refitRatio = 1.5)
+    val q2 = EventStreams.toMemorySink(out2, "driftmon2", complete = true).start()
+    try {
+      input2.addData(drifted.toSeq)
+      q2.processAllAvailable()
+      val r = spark.sql("SELECT drift_ratio, refit_due FROM driftmon2").collect()
+      assert(r.length == 1)
+      assert(math.abs(r(0).getDouble(0) - 1.0) < 1e-6, r(0).toString)
+      assert(!r(0).getBoolean(1),
+        "the re-fitted index must measure the drifted stream as healthy")
+    } finally { q2.stop(); rmdir(refitDir) }
+  }
+
   test("checkpoint recovery: dedupStream state survives a restart (no loss, no re-emit)") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
