@@ -1960,6 +1960,99 @@ object Pipeline {
        |    / ($tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
        |  ELSE 0.0 END)""".stripMargin
 
+  // ---- BPE merge learning (p48/p48b): tokenizer TRAINING as a
+  // declarative plan. The classical byte-pair-encoding fit (Sennrich et
+  // al. 2016; the algorithm behind GPT-2/LLaMA-style tokenizers) is an
+  // iterative argmax: count adjacent symbol pairs over the word table
+  // (weighted by word frequency), merge the most frequent pair, repeat.
+  // Each round here is pure DataFrame algebra — one pair-count shuffle
+  // over the DISTINCT-WORD table (bounded by vocabulary, not corpus
+  // size), a TakeOrderedAndProject argmax with a total-order tie-break
+  // (count desc, then pair lexicographic), and a one-row broadcast
+  // splice applying the merge via string `replace` — no driver loop, no
+  // mutable state, and the corpus-sized work (word counting) happens
+  // once with every round's subtree deduping via ReuseExchange. Words
+  // are symbolized as "(h)(e)(l)(l)(o)": per-symbol parentheses make
+  // `replace`'s leftmost-non-overlapping semantics EXACTLY the BPE merge
+  // rule (a chain "aaaa" merges to "aa","aa", not "aa","a","a" — and
+  // both engines' replace() shares those semantics), and the [a-z]+
+  // word filter guarantees the delimiters can never collide with symbol
+  // text.
+
+  /** BPE merge-learning depth: `-Dgraft.bpeMerges`, clamped [1, 12],
+    * default 6. Cross-engine contract: the oracle unrolls exactly this
+    * many count/argmax/merge rounds. */
+  private[graft] def bpeMerges: Int =
+    sys.props.get("graft.bpeMerges")
+      .map(v => math.min(12, math.max(1, v.toInt))).getOrElse(6)
+
+  /** The distinct lowercase-alpha word table with occurrence counts and
+    * the per-symbol parenthesized encoding BPE iterates on. */
+  private[graft] def bpeWords(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("enc", regexp_replace(col("w"), "(.)", "($1)"))
+
+  /** Adjacent symbol pairs of the current encoding, frequency-weighted. */
+  private[graft] def bpePairs(words: DataFrame): DataFrame =
+    words
+      .withColumn("syms",
+        expr("""split(substring(enc, 2, length(enc) - 2), '\\)\\(')"""))
+      .filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS l, syms[i + 1] AS r))"))
+        .as("pr"))
+      .select(col("pr.l").as("l"), col("pr.r").as("r"), col("freq"))
+
+  /** The round's winning pair: max total count, ties broken by the pair
+    * itself — a TakeOrderedAndProject, never a global sort. */
+  private[graft] def bpeBest(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("l"), col("r")).agg(sum(col("freq")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("l"), col("r")).limit(1)
+
+  /** Apply a (one-row, broadcast) winning merge to every word's encoding. */
+  private[graft] def bpeApply(words: DataFrame, best: DataFrame): DataFrame =
+    words.crossJoin(broadcast(best.select(col("l").as("_l"), col("r").as("_r"))))
+      .withColumn("enc", expr(
+        "replace(enc, '(' || _l || ')(' || _r || ')', '(' || _l || _r || ')')"))
+      .drop("_l", "_r")
+
+  /** The unrolled DuckDB mirror: bw0 (word table) then per round r the
+    * pair counts (bp_r), the argmax (bb_r) and the merged table (bw_r).
+    * Every CTE is MATERIALIZED: bw_{r-1} is referenced by both bp_r and
+    * bw_r, and bb_r feeds the merge splice — with DuckDB's default CTE
+    * inlining the chain re-expands the word count exponentially per
+    * round (measured: a 6-round chain never finished); materialization
+    * restores the once-per-CTE evaluation the Spark side gets from
+    * ReuseExchange. */
+  private def duckBpeChain: String = {
+    val sb = new StringBuilder
+    sb.append("""bw0 AS MATERIALIZED (
+          SELECT w, COUNT(*) AS freq,
+            regexp_replace(w, '(.)', '(\1)', 'g') AS enc
+          FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+          WHERE regexp_full_match(w, '[a-z]+')
+          GROUP BY w)""")
+    (1 to bpeMerges).foreach { r =>
+      val prev = s"bw${r - 1}"
+      sb.append(s""",
+        bp$r AS MATERIALIZED (
+          SELECT pr.l AS l, pr.r AS r, SUM(freq) AS pair_count FROM (
+            SELECT freq, unnest([{'l': syms[i], 'r': syms[i + 1]} FOR i IN range(1, len(syms))]) AS pr
+            FROM (SELECT freq, string_split(substr(enc, 2, length(enc) - 2), ')(') AS syms FROM $prev))
+          GROUP BY 1, 2),
+        bb$r AS MATERIALIZED (
+          SELECT l, r, pair_count FROM bp$r ORDER BY pair_count DESC, l, r LIMIT 1),
+        bw$r AS MATERIALIZED (
+          SELECT w, freq, replace(enc, b.pat, b.rep) AS enc
+          FROM $prev, (SELECT '(' || l || ')(' || r || ')' AS pat,
+                              '(' || l || r || ')' AS rep FROM bb$r) b)""")
+    }
+    sb.toString
+  }
+
   /** A `def`, not a `val`: the oracle strings interpolate the index knobs
     * (graft.ivfCells / ivfNprobe / kmeansIters / lshPlanes / ...) when the
     * Seq is BUILT, while the Spark closures read the same sys.props when
@@ -3903,6 +3996,48 @@ ${duckResidualAdcCtes("y", "v")}
     // ---- residual IVF-PQ + exact refine: the production default —
     // residual-ADC shortlists top-C from codes alone, the refine reads
     // exactly C full vectors per query. ----------------------------------
+    // ---- BPE merge learning: the learned merge table, one row per
+    // round — (round, l_sym, r_sym, pair_count). See the bpe* helpers
+    // for the algebra; the oracle unrolls the identical rounds. --------
+    QDef("p48_bpe_merges",
+      (s, dir) => {
+        var cur = bpeWords(s, dir)
+        val rounds = (1 to bpeMerges).map { r =>
+          val best = bpeBest(bpePairs(cur))
+          cur = bpeApply(cur, best)
+          best.select(lit(r).as("round"), col("l").as("l_sym"),
+            col("r").as("r_sym"), col("pair_count"))
+        }
+        rounds.reduce(_.unionAll(_)).orderBy(col("round"))
+      },
+      // CAST: DuckDB's SUM(BIGINT) widens to HUGEINT; Spark's stays long
+      Some(s"""WITH $duckBpeChain
+        SELECT round, l_sym, r_sym, CAST(pair_count AS BIGINT) AS pair_count FROM (
+          ${(1 to bpeMerges).map(r =>
+            s"SELECT $r AS round, l AS l_sym, r AS r_sym, pair_count FROM bb$r")
+            .mkString("\n          UNION ALL ")})
+        ORDER BY round""")),
+
+    // ---- the trained tokenizer APPLIED: the 50 most frequent words'
+    // final segmentations after all merges — pins the end-state of the
+    // whole merge sequence (a wrong merge anywhere reshapes these). -----
+    QDef("p48b_bpe_tokenize",
+      (s, dir) => {
+        var cur = bpeWords(s, dir)
+        (1 to bpeMerges).foreach { _ =>
+          cur = bpeApply(cur, bpeBest(bpePairs(cur)))
+        }
+        cur.select(col("w").as("word"), col("freq"),
+          expr("replace(substring(enc, 2, length(enc) - 2), ')(', ' ')")
+            .as("tokens_s"))
+          .orderBy(col("freq").desc, col("word")).limit(50)
+          .orderBy(col("freq").desc, col("word"))
+      },
+      Some(s"""WITH $duckBpeChain
+        SELECT w AS word, freq,
+          replace(substr(enc, 2, length(enc) - 2), ')(', ' ') AS tokens_s
+        FROM bw$bpeMerges ORDER BY freq DESC, word LIMIT 50""")),
+
     QDef("p47_knn_ivfpq_residual_rerank",
       (s, dir) => adcRefined(s, dir, residualAdcScored(s, dir))
         .orderBy(col("qid"), col("rank")),

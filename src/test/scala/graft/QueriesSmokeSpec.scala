@@ -129,6 +129,73 @@ class QueriesSmokeSpec extends SparkSpecBase {
       "graft.cmsDepth").foreach(sys.props.remove)
   }
 
+  test("BPE merge rule: left-to-right non-overlap, boundary-safe, lexicographic ties") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def enc(words: (String, Long)*) =
+      words.toDF("w", "freq")
+        .withColumn("enc", regexp_replace(col("w"), "(.)", "($1)"))
+    // the chain rule: "aaaa" under merge (a,a) becomes (aa)(aa) — NOT
+    // (aa)(a)(a) — because replace consumes matches left to right
+    val chain = enc(("aaaa", 1L), ("aaa", 1L))
+    val best = queries.Pipeline.bpeBest(queries.Pipeline.bpePairs(chain))
+    val b = best.collect()(0)
+    assert((b.getString(0), b.getString(1), b.getLong(2)) == ("a", "a", 5L),
+      b.toString) // aaaa yields 3 adjacent pairs, aaa yields 2
+    val merged = queries.Pipeline.bpeApply(chain, best)
+      .select("w", "enc").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(merged("aaaa") == "(aa)(aa)", merged.toString)
+    assert(merged("aaa") == "(aa)(a)", merged.toString)
+    // boundary safety: merge (l, r) must not fire inside symbol "al"
+    val bound = enc(("alr", 1L)).withColumn("enc", lit("(al)(r)"))
+    val fake = Seq(("l", "r", 1L)).toDF("l", "r", "pair_count")
+    assert(queries.Pipeline.bpeApply(bound, fake).select("enc").collect()(0)
+      .getString(0) == "(al)(r)")
+    // lexicographic tie-break: (ab, ba each appear once) -> (a, b) wins
+    val tie = enc(("ab", 1L), ("ba", 1L))
+    val tb = queries.Pipeline.bpeBest(queries.Pipeline.bpePairs(tie)).collect()(0)
+    assert((tb.getString(0), tb.getString(1)) == ("a", "b"), tb.toString)
+    // dial clamps
+    sys.props("graft.bpeMerges") = "99"
+    try assert(queries.Pipeline.bpeMerges == 12)
+    finally sys.props.remove("graft.bpeMerges")
+    sys.props("graft.bpeMerges") = "0"
+    try assert(queries.Pipeline.bpeMerges == 1)
+    finally sys.props.remove("graft.bpeMerges")
+  }
+
+  test("BPE end-to-end on a hand-computable corpus") {
+    import spark.implicits._
+    // corpus: "low low low lower lower" + noise filtered by [a-z]+
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_micro")
+    Seq((1L, "low low low lower lower X9 -"), (2L, "low lowest"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    sys.props("graft.bpeMerges") = "3"
+    try {
+      val merges = SparkEntry.queries("p48_bpe_merges")(spark, dir.toString)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      // words: low x4, lower x2, lowest x1
+      // round 1 pairs: (l,o)=7, (o,w)=7 ... tie -> (l,o) wins
+      assert(merges(0) == ((1, "l", "o", 7L)), merges.mkString("; "))
+      // round 2: (lo,w)=7 dominates
+      assert(merges(1) == ((2, "lo", "w", 7L)), merges.mkString("; "))
+      // round 3: (low,e)=3 (lower x2 + lowest x1)
+      assert(merges(2) == ((3, "low", "e", 3L)), merges.mkString("; "))
+      val tok = SparkEntry.queries("p48b_bpe_tokenize")(spark, dir.toString)
+        .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+      assert(tok("low") == "low", tok.toString)
+      assert(tok("lower") == "lowe r", tok.toString)
+      assert(tok("lowest") == "lowe s t", tok.toString)
+    } finally {
+      sys.props.remove("graft.bpeMerges")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+  }
+
   test("exact all-pairs truth BUILDS refuse to run above the size guard") {
     // the guard moved to the TruthStage build (p00g): a committed staged
     // truth table reads freely (that's the point of staging), so force a
