@@ -217,7 +217,6 @@ object Bench {
     Option(outFile.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(outFile,
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(line)
     // Locale.ROOT: a comma decimal separator would corrupt the JSON
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -236,7 +235,7 @@ object Bench {
         s""""pipeline_n":${pipeline.size},""" +
         s""""stage_sec":${r3(stages.map(_._2).sum)},"stage_n":${stages.size},""" +
         s""""slowest_pipeline":$slowest,""" +
-        s""""errors":$nErr,"sf":"$sfDir","full_artifact":"$outFile"}""")
+        s""""errors":$nErr,"sf":${jstr(sfDir)},"full_artifact":${jstr(outFile.toString)}}""")
     spark.stop()
   }
 }

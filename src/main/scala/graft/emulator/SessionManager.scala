@@ -81,15 +81,24 @@ final class SessionManager(ttlMillis: Long = 24L * 3600 * 1000) {
   /** Renew via master token: new token pair, same context
     * (reference `manager.go:205-242`). */
   def renew(masterToken: String): Option[Session] =
-    Option(byMaster.get(masterToken)).map { old =>
-      // retire the old token pair WITHOUT firing close listeners — this
-      // is the same logical session, so per-session state migrates to
-      // the new token instead of being released
+    // atomic remove claims the renewal: of two racing renew() calls for
+    // one master token, exactly one wins (the loser sees None and the
+    // client retries) — a non-atomic get would mint two live sessions
+    // and fire the migration twice from the same old token
+    Option(byMaster.remove(masterToken)).map { old =>
+      // the old access token retires WITHOUT firing close listeners —
+      // this is the same logical session, so per-session state migrates
+      // to the new token instead of being released
       byToken.remove(old.token)
-      byMaster.remove(old.masterToken)
       val s = create(old.username, old.database, old.schema)
       old.parameters.foreach { case (k, v) => s.parameters.put(k, v) }
-      renameListeners.forEach(f => f(old.token, s.token))
+      renameListeners.forEach { f =>
+        try f(old.token, s.token)
+        catch {
+          case e: Exception => System.err.println(
+            s"[graft] WARN: session rename listener failed for '${old.token}': $e")
+        }
+      }
       s
     }
 
@@ -103,7 +112,17 @@ final class SessionManager(ttlMillis: Long = 24L * 3600 * 1000) {
   def close(token: String): Boolean =
     Option(byToken.remove(token)).map { s =>
       byMaster.remove(s.masterToken)
-      closeListeners.forEach(f => f(token))
+      // close runs on whatever request thread noticed the expiry: a
+      // failing listener (e.g. a transaction rollback whose snapshot dir
+      // was externally deleted) must neither fail that unrelated request
+      // nor starve the remaining listeners
+      closeListeners.forEach { f =>
+        try f(token)
+        catch {
+          case e: Exception => System.err.println(
+            s"[graft] WARN: session close listener failed for '$token': $e")
+        }
+      }
       true
     }.getOrElse(false)
 

@@ -1168,9 +1168,11 @@ object Pipeline {
     * streaming drift monitor compares arriving vectors against. One batch
     * aggregate over the corpus the index was fitted on; deterministic
     * (integer-scaled per-row errors, exact decimal mean). */
-  private[graft] def pqSseBaseline(s: SparkSession, dir: String): Double =
-    withPqSse(s, dir, emb(s, dir).select(col("embedding")))
-      .agg(avg(col("sse"))).collect()(0).getDouble(0)
+  private[graft] def pqSseBaseline(s: SparkSession, dir: String): Double = {
+    val row = withPqSse(s, dir, emb(s, dir).select(col("embedding")))
+      .agg(avg(col("sse"))).collect()(0)
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0) // empty corpus -> 0
+  }
 
   /** Symmetric-distance tables for code-to-code scoring, collected once
     * from the staged codebook (M·k'² doubles — ~2 KB at the defaults):
@@ -2012,11 +2014,17 @@ object Pipeline {
     pairs.groupBy(col("l"), col("r")).agg(sum(col("freq")).as("pair_count"))
       .orderBy(col("pair_count").desc, col("l"), col("r")).limit(1)
 
-  /** Apply a (one-row, broadcast) winning merge to every word's encoding. */
+  /** Apply a (one-row, broadcast) winning merge to every word's encoding.
+    * LEFT join, not cross join: a round with NO remaining pairs (the
+    * vocabulary fully merged before the dial ran out) must be a no-op on
+    * the word table, not wipe it — the oracle mirrors the same shape. */
   private[graft] def bpeApply(words: DataFrame, best: DataFrame): DataFrame =
-    words.crossJoin(broadcast(best.select(col("l").as("_l"), col("r").as("_r"))))
+    words.join(broadcast(best.select(col("l").as("_l"), col("r").as("_r"))),
+        lit(true), "left")
       .withColumn("enc", expr(
-        "replace(enc, '(' || _l || ')(' || _r || ')', '(' || _l || _r || ')')"))
+        """CASE WHEN _l IS NULL THEN enc
+           ELSE replace(enc, '(' || _l || ')(' || _r || ')', '(' || _l || _r || ')')
+           END"""))
       .drop("_l", "_r")
 
   /** The unrolled DuckDB mirror: bw0 (word table) then per round r the
@@ -2046,9 +2054,10 @@ object Pipeline {
         bb$r AS MATERIALIZED (
           SELECT l, r, pair_count FROM bp$r ORDER BY pair_count DESC, l, r LIMIT 1),
         bw$r AS MATERIALIZED (
-          SELECT w, freq, replace(enc, b.pat, b.rep) AS enc
-          FROM $prev, (SELECT '(' || l || ')(' || r || ')' AS pat,
-                              '(' || l || r || ')' AS rep FROM bb$r) b)""")
+          SELECT w, freq,
+            CASE WHEN b.pat IS NULL THEN enc ELSE replace(enc, b.pat, b.rep) END AS enc
+          FROM $prev LEFT JOIN (SELECT '(' || l || ')(' || r || ')' AS pat,
+                                       '(' || l || r || ')' AS rep FROM bb$r) b ON TRUE)""")
     }
     sb.toString
   }
@@ -3993,9 +4002,6 @@ ${duckResidualAdcCtes("y", "v")}
         SELECT qid, cid AS neighbor_id, rank, round(ascore, 6) AS ascore_r
         FROM yrk WHERE rank <= 5 ORDER BY qid, rank""")),
 
-    // ---- residual IVF-PQ + exact refine: the production default —
-    // residual-ADC shortlists top-C from codes alone, the refine reads
-    // exactly C full vectors per query. ----------------------------------
     // ---- BPE merge learning: the learned merge table, one row per
     // round — (round, l_sym, r_sym, pair_count). See the bpe* helpers
     // for the algebra; the oracle unrolls the identical rounds. --------
@@ -4038,6 +4044,9 @@ ${duckResidualAdcCtes("y", "v")}
           replace(substr(enc, 2, length(enc) - 2), ')(', ' ') AS tokens_s
         FROM bw$bpeMerges ORDER BY freq DESC, word LIMIT 50""")),
 
+    // ---- residual IVF-PQ + exact refine: the production default —
+    // residual-ADC shortlists top-C from codes alone, the refine reads
+    // exactly C full vectors per query. ----------------------------------
     QDef("p47_knn_ivfpq_residual_rerank",
       (s, dir) => adcRefined(s, dir, residualAdcScored(s, dir))
         .orderBy(col("qid"), col("rank")),

@@ -296,7 +296,13 @@ final class EmulatorServer(
         val e = SnowflakeError.fromThrowable(t)
         statements.fail(st, e)
         respond(exchange, 200, statementResponse(st, None, Some(e)))
-    } finally spark.sparkContext.clearJobGroup()
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      // the handle IS the request's session id and never recurs: free any
+      // state the statement created under it (a lone BEGIN's Txn, SET
+      // vars) — same end-of-batch contract as the multi-statement path
+      executor.releaseSessionState(st.handle)
+    }
   }
 
   /** The MULTI_STATEMENT_COUNT path: each sub-statement executes

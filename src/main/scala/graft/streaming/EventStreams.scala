@@ -290,6 +290,11 @@ object EventStreams {
       windowDur: String = "1 hour", watermarkDelay: String = "1 hour",
       refitRatio: Double = 1.5): DataFrame = {
     val baseline = graft.queries.Pipeline.pqSseBaseline(spark, indexDir)
+    // A memorizing codebook (baseline exactly 0 — realistic at tiny
+    // validation scale) floors the denominator: any nonzero arriving
+    // error is then correctly read as drift (huge ratio), while a
+    // zero-error stream stays healthy instead of 0 >= 0*ratio = true.
+    val safeBase = math.max(baseline, 1e-12)
     graft.queries.Pipeline.withPqSse(spark, indexDir, docs)
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), windowDur))
@@ -297,8 +302,8 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("n"),
         round(col("mean_sse"), 6).as("mean_sse"),
         lit(baseline).as("baseline_sse"),
-        round(col("mean_sse") / lit(baseline), 6).as("drift_ratio"),
-        (col("mean_sse") >= lit(baseline * refitRatio)).as("refit_due"))
+        round(col("mean_sse") / lit(safeBase), 6).as("drift_ratio"),
+        (col("mean_sse") >= lit(safeBase * refitRatio)).as("refit_due"))
   }
 
   /** Wire a streaming DataFrame to an in-memory sink (tests / demos). */

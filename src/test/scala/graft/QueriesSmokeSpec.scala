@@ -196,6 +196,30 @@ class QueriesSmokeSpec extends SparkSpecBase {
     }
   }
 
+  test("BPE: rounds past a fully-merged vocabulary are no-ops, not wipes") {
+    import spark.implicits._
+    // 'ab' and 'cd' fully merge in 2 rounds; the remaining 4 rounds at
+    // the default dial have NO pairs left — the word table must survive
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_dry")
+    Seq((1L, "ab cd ab")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    sys.props("graft.bpeMerges") = "6"
+    try {
+      val merges = SparkEntry.queries("p48_bpe_merges")(spark, dir.toString)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      assert(merges.toSeq == Seq((1, "a", "b"), (2, "c", "d")), merges.mkString("; "))
+      val tok = SparkEntry.queries("p48b_bpe_tokenize")(spark, dir.toString)
+        .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+      assert(tok == Map("ab" -> "ab", "cd" -> "cd"), tok.toString)
+    } finally {
+      sys.props.remove("graft.bpeMerges")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+  }
+
   test("exact all-pairs truth BUILDS refuse to run above the size guard") {
     // the guard moved to the TruthStage build (p00g): a committed staged
     // truth table reads freely (that's the point of staging), so force a
