@@ -4044,6 +4044,60 @@ ${duckResidualAdcCtes("y", "v")}
           replace(substr(enc, 2, length(enc) - 2), ')(', ' ') AS tokens_s
         FROM bw$bpeMerges ORDER BY freq DESC, word LIMIT 50""")),
 
+    // ---- token-count quantile sketch: per-doc whitespace token counts
+    // fold into a FIXED 256-bucket histogram (width 16, top bucket
+    // open-ended) — constant sketch state like p39/p40, one shuffle of
+    // at most 256 rows regardless of corpus size — and p50/p90/p99 read
+    // off the cumulative with linear interpolation inside the straddling
+    // bucket. Integer counts end-to-end; the only float math is the
+    // final target/interpolation arithmetic, mirrored textually. The
+    // histogram CONTENTS are pinned as p49b (the p38b/p39b pattern), and
+    // the streaming form (EventStreams.tokenHistogramStream) shares the
+    // same per-row projection with spec-proven stream=batch parity. -----
+    QDef("p49_token_quantiles",
+      (s, dir) => {
+        val hist = docs(s, dir).filter(col("text").isNotNull)
+          .select(expr("least(size(split(text, ' ')) div 16, 255)")
+            .cast("int").as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+        val w = Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+        val tot = hist.agg(sum(col("cnt")).as("n_docs"))
+        val qs = s.range(1).select(
+          explode(array(lit(0.5), lit(0.9), lit(0.99))).as("q"))
+        qs.crossJoin(broadcast(tot))
+          .join(broadcast(cum),
+            expr("cum >= q * n_docs AND (cum - cnt) < q * n_docs"))
+          .select(col("q"), col("n_docs"),
+            round(expr("bucket * 16 + 16.0 * (q * n_docs - (cum - cnt)) / cnt"), 6)
+              .as("est_r"))
+          .orderBy(col("q"))
+      },
+      Some("""WITH th AS (
+          SELECT CAST(least(len(string_split(text, ' ')) // 16, 255) AS INTEGER) AS bucket,
+            COUNT(*) AS cnt
+          FROM documents WHERE text IS NOT NULL GROUP BY 1),
+        tc AS (SELECT bucket, cnt, SUM(cnt) OVER (ORDER BY bucket) AS cum FROM th),
+        tt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_docs FROM th),
+        qq AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q)
+        SELECT q, n_docs,
+          round(bucket * 16 + 16.0 * (q * n_docs - (cum - cnt)) / cnt, 6) AS est_r
+        FROM qq, tt, tc
+        WHERE cum >= q * n_docs AND (cum - cnt) < q * n_docs
+        ORDER BY q""")),
+
+    // ---- the sketch contents themselves (the p38b/p39b pattern) -------
+    QDef("p49b_token_histogram",
+      (s, dir) => docs(s, dir).filter(col("text").isNotNull)
+        .select(expr("least(size(split(text, ' ')) div 16, 255)")
+          .cast("int").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("bucket")),
+      Some("""SELECT CAST(least(len(string_split(text, ' ')) // 16, 255) AS INTEGER) AS bucket,
+          COUNT(*) AS cnt
+        FROM documents WHERE text IS NOT NULL GROUP BY 1 ORDER BY bucket""")),
+
     // ---- residual IVF-PQ + exact refine: the production default —
     // residual-ADC shortlists top-C from codes alone, the refine reads
     // exactly C full vectors per query. ----------------------------------

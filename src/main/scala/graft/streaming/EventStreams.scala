@@ -211,6 +211,18 @@ object EventStreams {
     graft.queries.Pipeline.cmsCellUpdates(docs)
       .groupBy(col("j"), col("pos")).agg(count(lit(1)).as("c"))
 
+  /** Streaming token-count histogram — batch p49b's sketch state over a
+    * stream: the same per-row bucket projection (fixed width 16, 256
+    * buckets), one streaming aggregation whose state is bounded at 256
+    * rows BY CONSTRUCTION regardless of stream length, no watermark
+    * needed. Complete mode; quantile read-off (p49's interpolation) is a
+    * batch step over the sink's 256-row table. Expects a `text` column. */
+  def tokenHistogramStream(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(expr("least(size(split(text, ' ')) div 16, 255)")
+        .cast("int").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+
   final case class SemanticDedupResult(vec_id: Long, cell: Long, kept: Boolean)
 
   /** STREAMING semantic near-dup dedup — the streaming form of batch

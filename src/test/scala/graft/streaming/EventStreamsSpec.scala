@@ -160,6 +160,34 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming token histogram equals batch p49b on the same documents") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val batch = graft.SparkEntry.queries("p49b_token_histogram")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    val texts = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("text").collect().map(_.getString(0)).toSeq
+    val input = MemoryStream[String]
+    val q = EventStreams.tokenHistogramStream(input.toDF().toDF("text"))
+      .writeStream.format("memory").queryName("tok_hist")
+      .outputMode("complete").start()
+    try {
+      // two chunks: bucket counts must ACCUMULATE across micro-batches
+      val (a, b) = texts.splitAt(texts.size / 2)
+      input.addData(a)
+      q.processAllAvailable()
+      input.addData(b)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT bucket, cnt FROM tok_hist")
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+      assert(streamed == batch,
+        s"histogram divergence: ${streamed.size} vs ${batch.size} buckets")
+      // bounded state by construction: never more than 256 rows
+      assert(streamed.size <= 256)
+    } finally q.stop()
+  }
+
   test("streaming CMS cells equal the batch p40 sketch state on the same documents") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
