@@ -4087,6 +4087,55 @@ ${duckResidualAdcCtes("y", "v")}
         WHERE cum >= q * n_docs AND (cum - cnt) < q * n_docs
         ORDER BY q""")),
 
+    // ---- the sketch's accuracy, measured (the p35 pattern): the
+    // histogram estimate next to the EXACT percentile — both engines
+    // compute R-7 linear interpolation ((n-1)·q index) over the sorted
+    // counts, so the exact side is cross-engine-identical too. The
+    // absolute error is the number a deployment reads to size the
+    // bucket width dial against its accuracy need. --------------------
+    QDef("p49c_quantile_error",
+      (s, dir) => {
+        val ds = defs
+        val est = ds.find(_.name == "p49_token_quantiles").get.fn(s, dir)
+          .select(col("q"), col("est_r"))
+        val toks = docs(s, dir).filter(col("text").isNotNull)
+          .select(size(split(col("text"), " ")).as("n_tok"))
+        val exact = toks.agg(
+          expr("percentile(n_tok, array(0.5D, 0.9D, 0.99D))").as("ex"))
+          .select(explode(expr(
+            "arrays_zip(array(0.5D, 0.9D, 0.99D), ex)")).as("z"))
+          .select(col("z.0").as("q"), round(col("z.ex"), 6).as("exact_r"))
+        est.join(exact, "q")
+          .select(col("q"), col("exact_r"), col("est_r"),
+            round(expr("abs(est_r - exact_r)"), 6).as("abs_err_r"))
+          .orderBy(col("q"))
+      },
+      Some("""WITH th AS (
+          SELECT CAST(least(len(string_split(text, ' ')) // 16, 255) AS INTEGER) AS bucket,
+            COUNT(*) AS cnt
+          FROM documents WHERE text IS NOT NULL GROUP BY 1),
+        tc AS (SELECT bucket, cnt, SUM(cnt) OVER (ORDER BY bucket) AS cum FROM th),
+        tt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_docs FROM th),
+        qq AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q),
+        est AS (
+          SELECT q,
+            round(bucket * 16 + 16.0 * (q * n_docs - (cum - cnt)) / cnt, 6) AS est_r
+          FROM qq, tt, tc
+          WHERE cum >= q * n_docs AND (cum - cnt) < q * n_docs),
+        tn AS (
+          SELECT CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok
+          FROM documents WHERE text IS NOT NULL),
+        xt AS (
+          SELECT 0.5::DOUBLE AS q, round(quantile_cont(n_tok, 0.5), 6) AS exact_r FROM tn
+          UNION ALL
+          SELECT 0.9::DOUBLE, round(quantile_cont(n_tok, 0.9), 6) FROM tn
+          UNION ALL
+          SELECT 0.99::DOUBLE, round(quantile_cont(n_tok, 0.99), 6) FROM tn)
+        SELECT e.q, x.exact_r, e.est_r,
+          round(abs(e.est_r - x.exact_r), 6) AS abs_err_r
+        FROM est e JOIN xt x ON e.q = x.q
+        ORDER BY e.q""")),
+
     // ---- the sketch contents themselves (the p38b/p39b pattern) -------
     QDef("p49b_token_histogram",
       (s, dir) => docs(s, dir).filter(col("text").isNotNull)
