@@ -322,8 +322,8 @@ final class Executor(
       case topRe(sel, n, rest) => s"$sel $rest LIMIT $n"
       case other => other
     }
-    """(?is)\bSAMPLE\s+(?:ROW\s+|BLOCK\s+)?\(\s*(\d+(?:\.\d+)?)\s*(ROWS?)?\s*\)""".r
-      .replaceAllIn(s, m =>
+    replaceOutsideQuotes(s,
+      """(?is)\bSAMPLE\s+(?:ROW\s+|BLOCK\s+)?\(\s*(\d+(?:\.\d+)?)\s*(ROWS?)?\s*\)""".r)(m =>
         if (m.group(2) != null) s"TABLESAMPLE (${m.group(1)} ROWS)"
         else s"TABLESAMPLE (${m.group(1)} PERCENT)")
   }
@@ -467,8 +467,8 @@ final class Executor(
     * the session values the way the reference answers from its session
     * store (`session.go:94-127`). */
   private def sessionContextFns(ctx: Context, sql: String): String =
-    """(?i)\bCURRENT_(DATABASE|SCHEMA|WAREHOUSE|ROLE|USER)\s*\(\s*\)""".r
-      .replaceAllIn(sql, m =>
+    replaceOutsideQuotes(sql,
+      """(?i)\bCURRENT_(DATABASE|SCHEMA|WAREHOUSE|ROLE|USER)\s*\(\s*\)""".r)(m =>
         m.group(1).toUpperCase(java.util.Locale.ROOT) match {
           case "DATABASE" => s"'${ctx.database}'"
           case "SCHEMA" => s"'${ctx.schema}'"
@@ -491,7 +491,7 @@ final class Executor(
     val upper = sql.toUpperCase(java.util.Locale.ROOT)
     if (!upper.contains(" AT") && !upper.contains("BEFORE")) return sql
     var n = 0
-    timeTravelRe.replaceAllIn(sql, m => {
+    replaceOutsideQuotes(sql, timeTravelRe)(m => {
       val ref = TableNaming.parse(m.group(1), ctx.database, ctx.schema)
       val mode = m.group(2).toUpperCase(java.util.Locale.ROOT)
       val kind = m.group(3).toUpperCase(java.util.Locale.ROOT)
@@ -629,8 +629,8 @@ final class Executor(
     * test-data idiom. */
   private def rewriteGenerator(sql: String): String = {
     if (!sql.toUpperCase(java.util.Locale.ROOT).contains("GENERATOR")) return sql
-    val ranged = generatorRe.replaceAllIn(sql, m => s"range(${m.group(1)})")
-    """(?i)\bSEQ[48]\s*\(\s*\)""".r.replaceAllIn(ranged, "id")
+    val ranged = replaceOutsideQuotes(sql, generatorRe)(m => s"range(${m.group(1)})")
+    replaceOutsideQuotes(ranged, """(?i)\bSEQ[48]\s*\(\s*\)""".r)(_ => "id")
   }
 
   private val resultScanRe =
@@ -644,9 +644,9 @@ final class Executor(
     * retains statements the same way). */
   private def rewriteResultScan(ctx: Context, sql: String): String = {
     if (!sql.toUpperCase(java.util.Locale.ROOT).contains("RESULT_SCAN")) return sql
-    val withLast = """(?i)LAST_QUERY_ID\s*\(\s*\)""".r.replaceAllIn(sql, _ =>
+    val withLast = replaceOutsideQuotes(sql, """(?i)LAST_QUERY_ID\s*\(\s*\)""".r)(_ =>
       "'" + Option(lastQueryIds.get(ctx.sessionId)).getOrElse("") + "'")
-    resultScanRe.replaceAllIn(withLast, m => {
+    replaceOutsideQuotes(withLast, resultScanRe)(m => {
       val qid = m.group(1)
       val retained = retainedResults.synchronized(Option(retainedResults.get(qid)))
       val (schema, rows) = retained.getOrElse(throw SnowflakeError.compilation(
@@ -686,7 +686,7 @@ final class Executor(
       new java.sql.Timestamp(r.startedAt), r.queryTag))
     spark.createDataFrame(rows.asJava, schema)
       .createOrReplaceTempView("graft_query_history")
-    queryHistoryRe.replaceAllIn(sql, "`graft_query_history`")
+    replaceOutsideQuotes(sql, queryHistoryRe)(_ => "`graft_query_history`")
   }
 
   /** Snowflake `FROM t, LATERAL FLATTEN(input => expr) f` / `TABLE(
@@ -719,7 +719,7 @@ final class Executor(
     val re = ("""(?is),?\s*(?:LATERAL\s+FLATTEN|TABLE\s*\(\s*FLATTEN)\s*\(?\s*""" +
       """(?:INPUT\s*=>\s*)?([^()]+(?:\([^()]*\))?[^()]*)\)\s*\)?\s*""" +
       """(?:(AS)\s+)?([A-Za-z_]\w*)?""").r
-    re.replaceAllIn(sql, m => {
+    replaceOutsideQuotes(sql, re)(m => {
       val (alias, trail) = generatorAlias(m.group(2), m.group(3))
       java.util.regex.Matcher.quoteReplacement(
         s" LATERAL VIEW posexplode(${m.group(1).trim}) $alias AS index, value $trail")
@@ -735,7 +735,7 @@ final class Executor(
     val re = ("""(?is),?\s*TABLE\s*\(\s*SPLIT_TO_TABLE\s*\(\s*""" +
       """([^,()]+(?:\([^()]*\))?[^,()]*)\s*,\s*('[^']*'|[^()]+?)\s*\)\s*\)\s*""" +
       """(?:(AS)\s+)?([A-Za-z_]\w*)?""").r
-    re.replaceAllIn(sql, m => {
+    replaceOutsideQuotes(sql, re)(m => {
       val (alias, trail) = generatorAlias(m.group(3), m.group(4))
       java.util.regex.Matcher.quoteReplacement(
         s" LATERAL VIEW posexplode(split(${m.group(1).trim}, ${m.group(2).trim})) " +
@@ -971,7 +971,8 @@ final class Executor(
     * what keeps this from being a string-splice injection hole. */
   private[emulator] def rewriteIdentifierFn(sql: String): String = {
     if (!sql.toUpperCase(java.util.Locale.ROOT).contains("IDENTIFIER")) return sql
-    """(?is)\bIDENTIFIER\s*\(\s*'([^']*)'\s*\)""".r.replaceAllIn(sql, m => {
+    replaceOutsideQuotes(sql,
+      """(?is)\bIDENTIFIER\s*\(\s*'([^']*)'\s*\)""".r)(m => {
       val name = m.group(1)
       if (!name.matches("""[A-Za-z_$][A-Za-z0-9_$]*(\.[A-Za-z_$][A-Za-z0-9_$]*){0,2}"""))
         throw SnowflakeError.compilation(
@@ -1929,6 +1930,26 @@ object Executor {
     val spans = Executor.quotedSpans(sql)
     re.findAllMatchIn(sql).exists(m =>
       !spans.exists(s => m.start >= s._1 && m.start <= s._2))
+  }
+
+  /** replaceAllIn that leaves matches starting INSIDE a quoted span
+    * untouched — a rewrite trigger inside a string literal or quoted
+    * identifier is data, not syntax (the [[mentionsOutsideQuotes]]
+    * contract, applied to replacement). Every textual rewriter
+    * (CURRENT_* inlining, IDENTIFIER(), GENERATOR/SEQ, RESULT_SCAN /
+    * LAST_QUERY_ID, QUERY_HISTORY, time travel, FLATTEN /
+    * SPLIT_TO_TABLE, SAMPLE) goes through this, so `SELECT 'see
+    * CURRENT_USER() docs'` returns its literal verbatim. Replacer side
+    * effects (temp-view creation) are skipped for quoted matches. */
+  private[emulator] def replaceOutsideQuotes(sql: String,
+      re: scala.util.matching.Regex)(
+      f: scala.util.matching.Regex.Match => String): String = {
+    val spans = Executor.quotedSpans(sql)
+    if (spans.isEmpty) re.replaceAllIn(sql, f)
+    else re.replaceAllIn(sql, m =>
+      if (spans.exists(s => m.start >= s._1 && m.start <= s._2))
+        java.util.regex.Matcher.quoteReplacement(m.matched)
+      else f(m))
   }
 
 

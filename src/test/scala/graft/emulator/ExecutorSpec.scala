@@ -1214,6 +1214,29 @@ class ExecutorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("does not exist"), e.getMessage)
   }
 
+  test("68 rewrite triggers inside string literals are data, not syntax") {
+    // every textual rewriter must leave quoted spans verbatim: a literal
+    // that MENTIONS a rewritable construct is documentation, not SQL
+    val lits = Seq(
+      "see CURRENT_USER() and CURRENT_DATABASE() docs",
+      "IDENTIFIER('not a real; identifier!')",
+      "try TABLE(GENERATOR(ROWCOUNT => 3)) and SEQ4()",
+      "RESULT_SCAN('0000') or LAST_QUERY_ID()",
+      "INFORMATION_SCHEMA.QUERY_HISTORY notes",
+      "orders AT(OFFSET => -5) example",
+      "SAMPLE (10 ROWS) hint")
+    lits.foreach { s =>
+      val r = exec(s"SELECT '${s.replace("'", "''")}' AS v")
+      assert(r.rows.head.head == s, s"literal corrupted: $s -> ${r.rows.head.head}")
+    }
+    // and the construct OUTSIDE the literal still rewrites in the same
+    // statement
+    val mixed = exec(
+      "SELECT CURRENT_DATABASE() AS db, 'call CURRENT_DATABASE() here' AS doc")
+    assert(mixed.rows.head == Seq("TEST_DB", "call CURRENT_DATABASE() here"),
+      mixed.rows)
+  }
+
   test("67 token renewal migrates session state instead of dropping it") {
     val sm = new SessionManager()
     val released = scala.collection.mutable.ArrayBuffer[String]()
