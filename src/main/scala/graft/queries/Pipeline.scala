@@ -1981,6 +1981,19 @@ object Pipeline {
   // word filter guarantees the delimiters can never collide with symbol
   // text.
 
+  /** Chunk window size in whitespace tokens (p50/p50b):
+    * `-Dgraft.chunkTokens`, clamped [8, 4096], default 64. */
+  private[graft] def chunkTokens: Int =
+    sys.props.get("graft.chunkTokens")
+      .map(v => math.min(4096, math.max(8, v.toInt))).getOrElse(64)
+
+  /** Chunk stride in tokens (p50/p50b): `-Dgraft.chunkStride`, clamped
+    * [1, chunkTokens] (stride past the window would skip tokens),
+    * default 48 — a 16-token overlap at the default window. */
+  private[graft] def chunkStride: Int =
+    sys.props.get("graft.chunkStride")
+      .map(v => math.min(chunkTokens, math.max(1, v.toInt))).getOrElse(48)
+
   /** BPE merge-learning depth: `-Dgraft.bpeMerges`, clamped [1, 12],
     * default 6. Cross-engine contract: the oracle unrolls exactly this
     * many count/argmax/merge rounds. */
@@ -4043,6 +4056,87 @@ ${duckResidualAdcCtes("y", "v")}
         SELECT w AS word, freq,
           replace(substr(enc, 2, length(enc) - 2), ')(', ' ') AS tokens_s
         FROM bw$bpeMerges ORDER BY freq DESC, word LIMIT 50""")),
+
+    // ---- chunking for embedding/RAG pipelines: overlapping token
+    // windows of `-Dgraft.chunkTokens` (default 64) at stride
+    // `-Dgraft.chunkStride` (default 48), the standard retrieval-prep
+    // step. Pure per-row explode (fan-out ~n/stride per doc), no shuffle
+    // except the presentation sort, and the CHUNK TEXT dies immediately:
+    // each window leaves as its md5 fingerprint + (start, length)
+    // metadata, so downstream chunk-level dedup/indexing moves 32-byte
+    // keys, never window text (the p01/p02 shuffle discipline applied at
+    // sub-document granularity). Windows start at 0, stride, 2·stride, …
+    // while start < n; the last windows may be short — the overlap
+    // contract both engines mirror literally. --------------------------
+    QDef("p50_chunk_windows",
+      (s, dir) => {
+        val c = chunkTokens; val st = chunkStride
+        docs(s, dir).filter(col("text").isNotNull)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .withColumn("n", size(col("toks")))
+          .filter(col("n") > 0)
+          .select(col("doc_id"), col("toks"), col("n"),
+            explode(expr(s"sequence(0, n - 1, $st)")).as("start"))
+          .select(col("doc_id"),
+            expr(s"CAST(start div $st AS INT)").as("chunk_no"),
+            col("start").cast("int").as("start_tok"),
+            expr(s"CAST(least($c, n - start) AS INT)").as("n_tok"),
+            expr(s"md5(concat_ws(' ', slice(toks, start + 1, least($c, n - start))))")
+              .as("fp"))
+          .orderBy(col("doc_id"), col("chunk_no"))
+      },
+      Some(s"""WITH ck AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+            len(string_split(text, ' ')) AS n
+          FROM documents WHERE text IS NOT NULL),
+        st AS (
+          SELECT doc_id, toks, n, unnest(range(0, n, $chunkStride)) AS start
+          FROM ck WHERE n > 0)
+        SELECT doc_id,
+          CAST(start // $chunkStride AS INTEGER) AS chunk_no,
+          CAST(start AS INTEGER) AS start_tok,
+          CAST(least($chunkTokens, n - start) AS INTEGER) AS n_tok,
+          md5(array_to_string(toks[start + 1 : start + least($chunkTokens, n - start)], ' ')) AS fp
+        FROM st ORDER BY doc_id, chunk_no""")),
+
+    // ---- chunk-level dedup pressure: how much of the corpus' chunk set
+    // is redundant BEFORE paying for embeddings — distinct fingerprints
+    // vs total windows, grouped by source. One aggregate over p50's
+    // 32-byte keys. ----------------------------------------------------
+    QDef("p50b_chunk_dedup_stats",
+      (s, dir) => {
+        val c = chunkTokens; val st = chunkStride
+        docs(s, dir).filter(col("text").isNotNull)
+          .select(col("source"), split(col("text"), " ").as("toks"))
+          .withColumn("n", size(col("toks")))
+          .filter(col("n") > 0)
+          .select(col("source"), col("toks"), col("n"),
+            explode(expr(s"sequence(0, n - 1, $st)")).as("start"))
+          .select(col("source"),
+            expr(s"md5(concat_ws(' ', slice(toks, start + 1, least($c, n - start))))")
+              .as("fp"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_chunks"),
+            countDistinct(col("fp")).as("n_distinct"))
+          .withColumn("dup_ratio_r",
+            round(lit(1.0) - col("n_distinct").cast("double") / col("n_chunks"), 6))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH ck AS (
+          SELECT source, string_split(text, ' ') AS toks,
+            len(string_split(text, ' ')) AS n
+          FROM documents WHERE text IS NOT NULL),
+        st AS (
+          SELECT source, toks, n, unnest(range(0, n, $chunkStride)) AS start
+          FROM ck WHERE n > 0),
+        fps AS (
+          SELECT source,
+            md5(array_to_string(toks[start + 1 : start + least($chunkTokens, n - start)], ' ')) AS fp
+          FROM st)
+        SELECT source, COUNT(*) AS n_chunks,
+          CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct,
+          round(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 6) AS dup_ratio_r
+        FROM fps GROUP BY source ORDER BY source""")),
 
     // ---- token-count quantile sketch: per-doc whitespace token counts
     // fold into a FIXED 256-bucket histogram (width 16, top bucket

@@ -220,6 +220,50 @@ class QueriesSmokeSpec extends SparkSpecBase {
     }
   }
 
+  test("chunk windows: stride coverage, short tails, fingerprint-level dedup") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunk_micro")
+    val words = (0 until 100).map(i => s"t$i").mkString(" ")
+    // two identical docs (every chunk duplicated) + one distinct
+    Seq((1L, words, "web"), (2L, words, "web"), (3L, "a b c", "books"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    sys.props("graft.chunkTokens") = "10"
+    sys.props("graft.chunkStride") = "8"
+    try {
+      val rows = SparkEntry.queries("p50_chunk_windows")(spark, dir.toString)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getString(4)))
+      val d1 = rows.filter(_._1 == 1L)
+      // starts 0, 8, ..., 96 -> 13 chunks; the last covers 4 tokens
+      assert(d1.length == 13, d1.length)
+      assert(d1.map(_._3).toSeq == (0 until 100 by 8).toSeq)
+      assert(d1.last._4 == 4 && d1.head._4 == 10, d1.last.toString)
+      // identical docs produce identical fingerprints, chunk for chunk
+      val d2 = rows.filter(_._1 == 2L)
+      assert(d1.map(c => (c._2, c._5)).toSeq == d2.map(c => (c._2, c._5)).toSeq)
+      // the tiny doc yields one short chunk
+      val d3 = rows.filter(_._1 == 3L)
+      assert(d3.length == 1 && d3.head._4 == 3, d3.toSeq.toString)
+      // dedup stats: web's chunks are fully duplicated pairwise
+      val stats = SparkEntry.queries("p50b_chunk_dedup_stats")(spark, dir.toString)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      assert(stats("web") == ((26L, 13L, 0.5)), stats.toString)
+      assert(stats("books") == ((1L, 1L, 0.0)), stats.toString)
+      // stride clamps to the window (no token ever skipped)
+      sys.props("graft.chunkStride") = "999"
+      assert(graft.queries.Pipeline.chunkStride ==
+        graft.queries.Pipeline.chunkTokens)
+    } finally {
+      Seq("graft.chunkTokens", "graft.chunkStride").foreach(sys.props.remove)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+  }
+
   test("exact all-pairs truth BUILDS refuse to run above the size guard") {
     // the guard moved to the TruthStage build (p00g): a committed staged
     // truth table reads freely (that's the point of staging), so force a
