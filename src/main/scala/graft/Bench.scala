@@ -196,7 +196,7 @@ object Bench {
     // downward-biased estimator conditioned on a slow first draw, so any
     // comparison against a single-shot baseline must know it was applied
     // (discarded timings stay visible per query as secOther)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","policy":"best_of_2_when_first_errored_or_gt_2s","queries":$qs,"details":$details,"errors":$nErr,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","policy":"best_of_2_when_first_errored_or_gt_2s","queries":$qs,"details":$details,"errors":$nErr,"sf":${jstr(sfDir)}}"""
     println(line)
     // The stdout capture keeps only the LAST 2000 bytes (measured from
     // the r9 driver artifact: tail length exactly 2000, head of our line

@@ -670,7 +670,9 @@ final class Executor(
     * in-memory ring, so WHERE/ORDER BY/aggregation all work over it. The
     * backticked substitute name is invisible to the table-name rewriter. */
   private def rewriteQueryHistory(sql: String): String = {
-    if (queryHistoryRe.findFirstIn(sql).isEmpty) return sql
+    // quote-aware guard: a literal mentioning QUERY_HISTORY must not pay
+    // the 10k-row history collection + temp-view rebuild
+    if (!mentionsOutsideQuotes(sql, queryHistoryRe)) return sql
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("QUERY_ID", StringType),

@@ -78,9 +78,21 @@ final class SessionManager(ttlMillis: Long = 24L * 3600 * 1000) {
       else { s.expiresAt = System.currentTimeMillis() + ttlMillis; Some(s) }
     }
 
+  /** Tokens are bearer credentials: log only a short prefix. */
+  private def redact(token: String): String = token.take(6) + "…"
+
+  /** Lifecycle transitions (renew, close) serialize on one lock so a
+    * renew racing a TTL-expiry close cannot interleave — without it,
+    * close could release the session's state BETWEEN renew's map claims
+    * and its migration, handing the client a "successfully renewed"
+    * session whose variables and open transaction were just destroyed.
+    * These are rare control-plane ops (logins/renewals/expiries), so a
+    * plain lock costs nothing on the statement hot path. */
+  private val lifecycleLock = new Object
+
   /** Renew via master token: new token pair, same context
     * (reference `manager.go:205-242`). */
-  def renew(masterToken: String): Option[Session] =
+  def renew(masterToken: String): Option[Session] = lifecycleLock.synchronized {
     // atomic remove claims the renewal: of two racing renew() calls for
     // one master token, exactly one wins (the loser sees None and the
     // client retries) — a non-atomic get would mint two live sessions
@@ -96,11 +108,12 @@ final class SessionManager(ttlMillis: Long = 24L * 3600 * 1000) {
         try f(old.token, s.token)
         catch {
           case e: Exception => System.err.println(
-            s"[graft] WARN: session rename listener failed for '${old.token}': $e")
+            s"[graft] WARN: session rename listener failed for '${redact(old.token)}': $e")
         }
       }
       s
     }
+  }
 
   def use(token: String, database: Option[String], schema: Option[String]): Option[Session] =
     validate(token).map { s =>
@@ -109,7 +122,7 @@ final class SessionManager(ttlMillis: Long = 24L * 3600 * 1000) {
       s
     }
 
-  def close(token: String): Boolean =
+  def close(token: String): Boolean = lifecycleLock.synchronized {
     Option(byToken.remove(token)).map { s =>
       byMaster.remove(s.masterToken)
       // close runs on whatever request thread noticed the expiry: a
@@ -120,11 +133,12 @@ final class SessionManager(ttlMillis: Long = 24L * 3600 * 1000) {
         try f(token)
         catch {
           case e: Exception => System.err.println(
-            s"[graft] WARN: session close listener failed for '$token': $e")
+            s"[graft] WARN: session close listener failed for '${redact(token)}': $e")
         }
       }
       true
     }.getOrElse(false)
+  }
 
   def activeCount: Int = byToken.size
 }

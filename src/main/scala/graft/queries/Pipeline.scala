@@ -1991,8 +1991,19 @@ object Pipeline {
     * [1, chunkTokens] (stride past the window would skip tokens),
     * default 48 — a 16-token overlap at the default window. */
   private[graft] def chunkStride: Int =
-    sys.props.get("graft.chunkStride")
-      .map(v => math.min(chunkTokens, math.max(1, v.toInt))).getOrElse(48)
+    // the clamp applies to the DEFAULT too: chunkTokens=16 with stride
+    // left at 48 would silently skip tokens 16..47 of every period
+    math.min(chunkTokens, sys.props.get("graft.chunkStride")
+      .map(v => math.max(1, v.toInt)).getOrElse(48))
+
+  /** The per-row token-count bucket projection shared VERBATIM by batch
+    * p49/p49b and the streaming histogram (the cmsCellUpdates pattern):
+    * one definition, so a bucket-width change can never silently break
+    * the spec-proven stream=batch parity. Expects a `text` column. */
+  private[graft] def tokenBucketProjection(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(expr("least(size(split(text, ' ')) div 16, 255)")
+        .cast("int").as("bucket"))
 
   /** BPE merge-learning depth: `-Dgraft.bpeMerges`, clamped [1, 12],
     * default 6. Cross-engine contract: the oracle unrolls exactly this
@@ -4150,9 +4161,7 @@ ${duckResidualAdcCtes("y", "v")}
     // same per-row projection with spec-proven stream=batch parity. -----
     QDef("p49_token_quantiles",
       (s, dir) => {
-        val hist = docs(s, dir).filter(col("text").isNotNull)
-          .select(expr("least(size(split(text, ' ')) div 16, 255)")
-            .cast("int").as("bucket"))
+        val hist = tokenBucketProjection(docs(s, dir))
           .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
         val w = Window.orderBy(col("bucket"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -4232,9 +4241,7 @@ ${duckResidualAdcCtes("y", "v")}
 
     // ---- the sketch contents themselves (the p38b/p39b pattern) -------
     QDef("p49b_token_histogram",
-      (s, dir) => docs(s, dir).filter(col("text").isNotNull)
-        .select(expr("least(size(split(text, ' ')) div 16, 255)")
-          .cast("int").as("bucket"))
+      (s, dir) => tokenBucketProjection(docs(s, dir))
         .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("bucket")),
       Some("""SELECT CAST(least(len(string_split(text, ' ')) // 16, 255) AS INTEGER) AS bucket,

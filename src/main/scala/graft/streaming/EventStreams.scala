@@ -218,9 +218,7 @@ object EventStreams {
     * needed. Complete mode; quantile read-off (p49's interpolation) is a
     * batch step over the sink's 256-row table. Expects a `text` column. */
   def tokenHistogramStream(docs: DataFrame): DataFrame =
-    docs.filter(col("text").isNotNull)
-      .select(expr("least(size(split(text, ' ')) div 16, 255)")
-        .cast("int").as("bucket"))
+    graft.queries.Pipeline.tokenBucketProjection(docs)
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
 
   final case class SemanticDedupResult(vec_id: Long, cell: Long, kept: Boolean)
