@@ -1996,6 +1996,24 @@ object Pipeline {
     math.min(chunkTokens, sys.props.get("graft.chunkStride")
       .map(v => math.max(1, v.toInt)).getOrElse(48))
 
+  /** The per-row chunk explode shared VERBATIM by p50/p50b and the
+    * streaming chunk dedup (EventStreams.chunkDedupStream): carries the
+    * input's other columns and adds (start, chunk_no, n_tok, fp); the
+    * window TEXT dies here — only the md5 fingerprint leaves. */
+  private[graft] def chunkFingerprints(docs: DataFrame): DataFrame = {
+    val c = chunkTokens; val st = chunkStride
+    docs.filter(col("text").isNotNull)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .withColumn("start", explode(expr(s"sequence(0, n - 1, $st)")))
+      .withColumn("chunk_no", expr(s"CAST(start div $st AS INT)"))
+      .withColumn("n_tok", expr(s"CAST(least($c, n - start) AS INT)"))
+      .withColumn("fp",
+        expr(s"md5(concat_ws(' ', slice(toks, start + 1, least($c, n - start))))"))
+      .drop("toks", "n", "text")
+  }
+
   /** The per-row token-count bucket projection shared VERBATIM by batch
     * p49/p49b and the streaming histogram (the cmsCellUpdates pattern):
     * one definition, so a bucket-width change can never silently break
@@ -4080,22 +4098,11 @@ ${duckResidualAdcCtes("y", "v")}
     // while start < n; the last windows may be short — the overlap
     // contract both engines mirror literally. --------------------------
     QDef("p50_chunk_windows",
-      (s, dir) => {
-        val c = chunkTokens; val st = chunkStride
-        docs(s, dir).filter(col("text").isNotNull)
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .withColumn("n", size(col("toks")))
-          .filter(col("n") > 0)
-          .select(col("doc_id"), col("toks"), col("n"),
-            explode(expr(s"sequence(0, n - 1, $st)")).as("start"))
-          .select(col("doc_id"),
-            expr(s"CAST(start div $st AS INT)").as("chunk_no"),
-            col("start").cast("int").as("start_tok"),
-            expr(s"CAST(least($c, n - start) AS INT)").as("n_tok"),
-            expr(s"md5(concat_ws(' ', slice(toks, start + 1, least($c, n - start))))")
-              .as("fp"))
-          .orderBy(col("doc_id"), col("chunk_no"))
-      },
+      (s, dir) =>
+        chunkFingerprints(docs(s, dir).select(col("doc_id"), col("text")))
+          .select(col("doc_id"), col("chunk_no"),
+            col("start").cast("int").as("start_tok"), col("n_tok"), col("fp"))
+          .orderBy(col("doc_id"), col("chunk_no")),
       Some(s"""WITH ck AS (
           SELECT doc_id, string_split(text, ' ') AS toks,
             len(string_split(text, ' ')) AS n
@@ -4115,24 +4122,15 @@ ${duckResidualAdcCtes("y", "v")}
     // vs total windows, grouped by source. One aggregate over p50's
     // 32-byte keys. ----------------------------------------------------
     QDef("p50b_chunk_dedup_stats",
-      (s, dir) => {
-        val c = chunkTokens; val st = chunkStride
-        docs(s, dir).filter(col("text").isNotNull)
-          .select(col("source"), split(col("text"), " ").as("toks"))
-          .withColumn("n", size(col("toks")))
-          .filter(col("n") > 0)
-          .select(col("source"), col("toks"), col("n"),
-            explode(expr(s"sequence(0, n - 1, $st)")).as("start"))
-          .select(col("source"),
-            expr(s"md5(concat_ws(' ', slice(toks, start + 1, least($c, n - start))))")
-              .as("fp"))
+      (s, dir) =>
+        chunkFingerprints(docs(s, dir).select(col("source"), col("text")))
+          .select(col("source"), col("fp"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_chunks"),
             countDistinct(col("fp")).as("n_distinct"))
           .withColumn("dup_ratio_r",
             round(lit(1.0) - col("n_distinct").cast("double") / col("n_chunks"), 6))
-          .orderBy(col("source"))
-      },
+          .orderBy(col("source")),
       Some(s"""WITH ck AS (
           SELECT source, string_split(text, ' ') AS toks,
             len(string_split(text, ' ')) AS n

@@ -211,6 +211,23 @@ object EventStreams {
     graft.queries.Pipeline.cmsCellUpdates(docs)
       .groupBy(col("j"), col("pos")).agg(count(lit(1)).as("c"))
 
+  /** Streaming CHUNK-level exact dedup — batch p50's window explode over
+    * a stream (the shared Pipeline.chunkFingerprints projection, so the
+    * stream and batch fingerprints are definitionally identical) feeding
+    * the dedupStream state shape: first occurrence of each chunk
+    * fingerprint within the watermark window survives. The window text
+    * dies before the stateful op — state is one 16-byte md5 per DISTINCT
+    * chunk per watermark window, and the pre-state stream is stateless
+    * per-row work (explode + md5), no shuffle. Emits (ts, doc_id,
+    * chunk_no, n_tok, fp) for surviving chunks. Expects `ts`, `doc_id`,
+    * `text`. */
+  def chunkDedupStream(docs: DataFrame,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    graft.queries.Pipeline.chunkFingerprints(docs)
+      .select(col("ts"), col("doc_id"), col("chunk_no"), col("n_tok"), col("fp"))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Streaming token-count histogram — batch p49b's sketch state over a
     * stream: the same per-row bucket projection (fixed width 16, 256
     * buckets), one streaming aggregation whose state is bounded at 256

@@ -160,6 +160,44 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming chunk dedup: batch-identical fingerprints, one survivor per fp") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .filter(!_.isNullAt(1))
+      .map(r => (r.getLong(0),
+        new Timestamp(1704103200000L + r.getLong(0) * 1000L), r.getString(1)))
+      .sortBy(_._1)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = EventStreams.chunkDedupStream(
+      input.toDF().toDF("doc_id", "ts", "text").select("ts", "doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("chunkdedup")
+      .outputMode("append").start()
+    try {
+      val (a, b) = docs.splitAt(docs.length / 2)
+      input.addData(a.toSeq.map(d => (d._1, d._2, d._3)))
+      q.processAllAvailable()
+      input.addData(b.toSeq.map(d => (d._1, d._2, d._3)))
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, chunk_no, fp FROM chunkdedup")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      // batch truth: p50's chunk table on the same corpus
+      val batch = graft.SparkEntry.queries("p50_chunk_windows")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(4)))
+      // the streamed fingerprints ARE the batch fingerprints (shared
+      // projection), and exactly one survivor per distinct fp
+      assert(streamed.map(_._3).toSet == batch.map(_._3).toSet)
+      assert(streamed.length == streamed.map(_._3).distinct.length,
+        "a fingerprint survived twice")
+      assert(streamed.length == batch.map(_._3).distinct.length)
+      // survivors carry real (doc_id, chunk_no) coordinates from the batch set
+      val batchSet = batch.map(c => (c._1, c._2, c._3)).toSet
+      assert(streamed.forall(batchSet.contains), "survivor not in batch chunk set")
+    } finally q.stop()
+  }
+
   test("streaming token histogram equals batch p49b on the same documents") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
