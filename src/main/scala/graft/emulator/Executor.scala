@@ -1341,12 +1341,30 @@ final class Executor(
               s"invalid ALTER SESSION SET clause: $kv")
             val k = kv.take(eq).trim.toUpperCase(java.util.Locale.ROOT)
             val raw = kv.drop(eq + 1).trim
-            // quoted values unescape SQL's doubled quote:
-            // SET QUERY_TAG = 'it''s' stores it's, not it''s
+            // quoted values unescape SQL's doubled quote (SET QUERY_TAG =
+            // 'it''s' stores it's); a trailing comment after the literal
+            // (or after an unquoted value) is ignored — tools append
+            // `-- reason` annotations and Snowflake strips them
             val v =
-              if (raw.length >= 2 && raw.startsWith("'") && raw.endsWith("'"))
-                raw.substring(1, raw.length - 1).replace("''", "'")
-              else raw
+              if (raw.startsWith("'")) {
+                // locate the literal's closing quote, honoring '' doubling
+                var i = 1; var end = -1
+                while (i < raw.length && end < 0) {
+                  if (raw.charAt(i) == '\'') {
+                    if (i + 1 < raw.length && raw.charAt(i + 1) == '\'') i += 2
+                    else end = i
+                  } else i += 1
+                }
+                if (end >= 0 && Executor.commentOnly(raw.substring(end + 1)))
+                  raw.substring(1, end).replace("''", "'")
+                else raw // unterminated / trailed by non-comment: verbatim
+              } else {
+                val cut = raw.indexOf("--")
+                val cutB = raw.indexOf("/*")
+                val c = Seq(cut, cutB).filter(_ >= 0).sorted.headOption
+                c.filter(p => Executor.commentOnly(raw.substring(p)))
+                  .map(p => raw.take(p).trim).getOrElse(raw)
+              }
             ps.synchronized { ps.update(k, v) }
           }
         case unsetRe(body) =>

@@ -1184,11 +1184,20 @@ class ExecutorSpec extends AnyFunSuite {
     exec("UNSET winpath")
   }
 
-  test("65 ALTER SESSION SET unescapes doubled quotes in quoted values") {
+  test("65 ALTER SESSION SET unescapes doubled quotes; trailing comments ignored") {
     exec("ALTER SESSION SET QUERY_TAG = 'it''s a tag'")
     val r = exec("SHOW PARAMETERS LIKE 'QUERY_TAG'")
     assert(r.rows.head(1) == "it's a tag", r.rows)
+    // tool-appended annotations after the value are not part of it
+    exec("ALTER SESSION SET QUERY_TAG = 'ci-42' -- set by tooling")
+    assert(exec("SHOW PARAMETERS LIKE 'QUERY_TAG'").rows.head(1) == "ci-42")
+    exec("ALTER SESSION SET WEEK_START = 1 /* iso weeks */")
+    assert(exec("SHOW PARAMETERS LIKE 'WEEK_START'").rows.head(1) == "1")
+    // a comment-looking sequence INSIDE the quoted value is data
+    exec("ALTER SESSION SET QUERY_TAG = 'a -- b'")
+    assert(exec("SHOW PARAMETERS LIKE 'QUERY_TAG'").rows.head(1) == "a -- b")
     exec("ALTER SESSION UNSET QUERY_TAG")
+    exec("ALTER SESSION UNSET WEEK_START")
   }
 
   test("66 session close releases vars/params and rolls back an open txn") {
