@@ -4086,6 +4086,47 @@ ${duckResidualAdcCtes("y", "v")}
           replace(substr(enc, 2, length(enc) - 2), ')(', ' ') AS tokens_s
         FROM bw$bpeMerges ORDER BY freq DESC, word LIMIT 50""")),
 
+    // ---- AS-OF JOIN (time-series attribution): each purchase matched
+    // to the user's most recent click AT OR BEFORE it. Spark has no
+    // native as-of operator, so this is the canonical distributed
+    // composition — union both event kinds, ONE shuffle on user_id, and
+    // a running max of click times over (ts, kind) so a click at the
+    // same instant sorts before the purchase it explains (inclusive
+    // at-or-before semantics). No join fan-out at any scale: the cost
+    // is one user-partitioned sort, the same shuffle key p12/p27/p33
+    // already ride. The oracle is DuckDB's NATIVE ASOF LEFT JOIN — two
+    // independent implementations of the operator, hash-compared. ------
+    QDef("p51_asof_join",
+      (s, dir) => {
+        val se = t(s, dir, "events")
+          .withColumn("us", unix_micros(col("ts")))
+        val clicks = se.filter(col("event_type") === "click")
+          .select(col("user_id"), lit(0).as("kind"), col("us"),
+            lit(null).cast("long").as("purchase_id"))
+        val purchases = se.filter(col("event_type") === "purchase")
+          .select(col("user_id"), lit(1).as("kind"), col("us"),
+            col("event_id").as("purchase_id"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("kind"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        clicks.unionAll(purchases)
+          .withColumn("t_click_us",
+            max(when(col("kind") === 0, col("us"))).over(w))
+          .filter(col("kind") === 1)
+          .select(col("purchase_id"), col("user_id"),
+            col("us").as("t_purchase_us"), col("t_click_us"),
+            (col("us") - col("t_click_us")).as("gap_us"))
+          .orderBy(col("purchase_id"))
+      },
+      Some("""SELECT p.event_id AS purchase_id, p.user_id,
+          epoch_us(p.ts) AS t_purchase_us,
+          epoch_us(c.ts) AS t_click_us,
+          epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY purchase_id""")),
+
     // ---- chunking for embedding/RAG pipelines: overlapping token
     // windows of `-Dgraft.chunkTokens` (default 64) at stride
     // `-Dgraft.chunkStride` (default 48), the standard retrieval-prep

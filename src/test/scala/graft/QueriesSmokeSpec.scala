@@ -264,6 +264,42 @@ class QueriesSmokeSpec extends SparkSpecBase {
     }
   }
 
+  test("as-of join semantics: inclusive ties, null before first click, per-user isolation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_micro")
+    def ev(id: Long, us: Long, user: Long, tpe: String) =
+      (id, new java.sql.Timestamp(us / 1000), user, tpe, 0.0, "{}")
+    // user 1: purchase BEFORE any click (null match), click, purchase at
+    // the SAME instant as a click (inclusive tie), later purchase picks
+    // the LATEST prior click. user 2's clicks must not leak into user 1.
+    Seq(
+      ev(10L, 1000000L, 1L, "purchase"), // before any click -> null
+      ev(11L, 2000000L, 1L, "click"),
+      ev(12L, 3000000L, 1L, "click"),
+      ev(13L, 3000000L, 1L, "purchase"), // tie with click 12 -> matches it
+      ev(14L, 5000000L, 1L, "purchase"), // latest prior click = 12
+      ev(20L, 4000000L, 2L, "click"),
+      ev(21L, 4500000L, 2L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    try {
+      val rows = SparkEntry.queries("p51_asof_join")(spark, dir.toString)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      assert(rows.toSeq == Seq(
+        (10L, None, None),
+        (13L, Some(3000000L), Some(0L)),
+        (14L, Some(3000000L), Some(2000000L)),
+        (21L, Some(4000000L), Some(500000L))), rows.mkString("; "))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+  }
+
   test("exact all-pairs truth BUILDS refuse to run above the size guard") {
     // the guard moved to the TruthStage build (p00g): a committed staged
     // truth table reads freely (that's the point of staging), so force a
