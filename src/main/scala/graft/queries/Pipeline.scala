@@ -2104,6 +2104,96 @@ object Pipeline {
     sb.toString
   }
 
+  // ---- corpus quality & data-selection family (p52-p54): Gopher
+  // repetition-free quality rules, CCNet-style LM perplexity filtering,
+  // and DSIR hashed-n-gram importance resampling. All three are the
+  // published, load-bearing selection steps of real LLM pretraining
+  // pipelines (Gopher: Rae et al. 2021 §A1.1; CCNet: Wenzek et al. 2020;
+  // DSIR: Xie et al. 2023), re-expressed as declarative plans. ----------
+
+  /** The Gopher required-stopword list (Rae et al. 2021 §A1.1). */
+  private val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Integer-scaled natural log: floor(ln(x)·1e8 + 0.5) as BIGINT. The
+    * SQL text is valid in BOTH engines (ln/floor/CAST agree), and every
+    * call site passes an INTEGER-valued argument, so the two engines feed
+    * ln the identical double and the scaled result sums exactly (BIGINT)
+    * in any accumulation order — the same order-proofing trick as the
+    * p42 ADC LUTs, applied to log-probabilities. */
+  private def sln(x: String): String =
+    s"CAST(floor(ln(CAST(($x) AS DOUBLE)) * 100000000.0 + 0.5) AS BIGINT)"
+
+  /** (doc_id, lang, w1, w2): adjacent-token bigrams of every document.
+    * One row per position — the token stream a bigram LM conditions on. */
+  private def docBigrams(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("arr"))
+      .filter(size(col("arr")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(expr(
+          "transform(sequence(0, size(arr)-2), i -> struct(arr[i] AS w1, arr[i+1] AS w2))"))
+          .as("b"))
+      .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  /** The DuckDB mirror of [[docBigrams]]: parallel unnest of the two
+    * shifted slices zips positionally (1-based inclusive slicing). */
+  private val duckBigrams: String =
+    """bg AS (SELECT doc_id, lang,
+        unnest(arr[1:len(arr)-1]) AS w1, unnest(arr[2:len(arr)]) AS w2
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS arr FROM documents))"""
+
+  /** Add-one-smoothed bigram LM fitted on the English slice (the CCNet
+    * "reference corpus"): per-context counts c1(w1), per-bigram counts
+    * c2(w1,w2), vocabulary size V over the reference token stream. The
+    * model is vocabulary-bounded (never corpus-bounded), so at any scale
+    * it broadcasts; p(w2|w1) = (c2+1)/(c1+V) and the per-token negative
+    * log-prob is sln(c1+V) − sln(c2+1) — two logs of integers. */
+  private def lmModel(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val ref = docBigrams(s, dir).filter(col("lang") === "en")
+    val m2 = ref.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val m1 = ref.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = docs(s, dir).filter(col("lang") === "en")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    (m2, m1, v)
+  }
+
+  /** The DuckDB mirror of [[lmModel]] (CTEs `m2`, `m1`, `refv`). */
+  private val duckLmModel: String =
+    """refv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE lang = 'en')),
+      m2 AS (SELECT w1, w2, count(*) AS c2 FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+      m1 AS (SELECT w1, count(*) AS c1 FROM bg WHERE lang = 'en' GROUP BY 1)"""
+
+  /** DSIR feature-bucket count: `-Dgraft.dsirBuckets`, clamped
+    * [256, 1 << 20], default 8192. The hashed-feature space every
+    * importance weight lives in — bounded state regardless of corpus
+    * size (Xie et al. 2023 use 10k hash buckets). */
+  private[graft] def dsirBuckets: Int =
+    math.min(1 << 20, math.max(256,
+      sys.props.get("graft.dsirBuckets").flatMap(x => scala.util.Try(x.toInt).toOption)
+        .getOrElse(8192)))
+
+  /** Hashed unigram+bigram features per document: (doc_id, lang, b) with
+    * b = md560(feature) mod [[dsirBuckets]] — the DSIR representation.
+    * Feature text dies at the hash; downstream moves 8-byte ints. */
+  private def dsirFeatures(s: SparkSession, dir: String): DataFrame = {
+    val uni = docs(s, dir)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), col("lang"), (md560(col("w")) % dsirBuckets).as("b"))
+    val bi = docBigrams(s, dir)
+      .select(col("doc_id"), col("lang"),
+        (md560(concat(col("w1"), lit(" "), col("w2"))) % dsirBuckets).as("b"))
+    uni.unionAll(bi)
+  }
+
+  /** The DuckDB mirror of [[dsirFeatures]] (CTEs `tk`, `ft`; needs `bg`). */
+  private def duckDsirFeatures: String =
+    s"""tk AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      ft AS (SELECT doc_id, lang, (${duckMd560("w")}) % $dsirBuckets AS b FROM tk
+        UNION ALL
+        SELECT doc_id, lang, (${duckMd560("w1 || ' ' || w2")}) % $dsirBuckets AS b FROM bg)"""
+
   /** A `def`, not a `val`: the oracle strings interpolate the index knobs
     * (graft.ivfCells / ivfNprobe / kmeansIters / lshPlanes / ...) when the
     * Seq is BUILT, while the Spark closures read the same sys.props when
@@ -4311,6 +4401,193 @@ ${duckResidualAdcCtes("y", "v")},
             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rank
           FROM yxs)
         SELECT qid, cid AS neighbor_id, rank, round(sim, 6) AS sim_r
-        FROM yxr WHERE rank <= 5 ORDER BY qid, rank"""))
+        FROM yxr WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    // ---- Gopher quality rules (Rae et al. 2021 §A1.1): the published
+    // per-document heuristic gates — word-count band, mean-word-length
+    // band, symbol-to-word ratio, alphabetic-word ratio, required
+    // stopwords — each surfaced as its metric plus one combined pass
+    // flag. Entirely per-row string algebra: no shuffle, no UDF, scales
+    // as a map-only stage at any corpus size. Thresholds are the paper's
+    // own. Flags compare the UNROUNDED metrics; rounding is output-only.
+    QDef("p52_gopher_rules",
+      (s, dir) => docs(s, dir)
+        .withColumn("arr", split(col("text"), " "))
+        .withColumn("n_words", size(col("arr")).cast("bigint"))
+        .withColumn("mwl",
+          length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_words"))
+        .withColumn("stw", (
+          (length(col("text")) - length(expr("replace(text, '#', '')"))).cast("double") +
+            (length(col("text")) - length(expr("replace(text, '...', '')"))).cast("double") / 3.0
+          ) / col("n_words"))
+        .withColumn("alr",
+          expr("CAST(size(filter(arr, w -> w rlike '[A-Za-z]')) AS DOUBLE)") / col("n_words"))
+        .withColumn("n_stop", expr(
+          s"CAST(size(filter(arr, w -> w IN (${gopherStops.map("'" + _ + "'").mkString(", ")}))) AS BIGINT)"))
+        .withColumn("pass",
+          col("n_words").between(50, 100000) && col("mwl").between(3.0, 10.0) &&
+            col("stw") <= 0.1 && col("alr") >= 0.8 && col("n_stop") >= 2)
+        .select(col("doc_id"), col("n_words"), round(col("mwl"), 6).as("mean_word_len"),
+          round(col("stw"), 6).as("symbol_to_word"), round(col("alr"), 6).as("alpha_ratio"),
+          col("n_stop"), col("pass"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH m AS (SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+          CAST(length(replace(text, ' ', '')) AS DOUBLE)
+            / len(string_split(text, ' ')) AS mwl,
+          (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+            + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3.0)
+            / len(string_split(text, ' ')) AS stw,
+          CAST(len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS alr,
+          CAST(len(list_filter(string_split(text, ' '),
+            w -> w IN (${gopherStops.map("'" + _ + "'").mkString(", ")}))) AS BIGINT) AS n_stop
+        FROM documents)
+        SELECT doc_id, n_words, round(mwl, 6) AS mean_word_len,
+          round(stw, 6) AS symbol_to_word, round(alr, 6) AS alpha_ratio, n_stop,
+          (n_words BETWEEN 50 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
+            AND stw <= 0.1 AND alr >= 0.8 AND n_stop >= 2 AS pass
+        FROM m ORDER BY doc_id""")),
+
+    // ---- CCNet-style LM perplexity filter (Wenzek et al. 2020): score
+    // every document under an add-one bigram LM fitted on the English
+    // reference slice, then cut the corpus into the head/middle/tail
+    // perplexity terciles CCNet feeds to training. The model is
+    // vocabulary-bounded so both model joins BROADCAST; per-token
+    // log-probs are integer-scaled (sln) so the per-doc sum is exact
+    // BIGINT arithmetic — aggregation-order-proof across engines. The
+    // tercile rank is a global sort over per-DOC scores (bounded at
+    // validation scale; a 100 TB run derives the two cut points from
+    // approx quantiles instead — the bucket rule, not the rank, is the
+    // operator's contract). -------------------------------------------
+    QDef("p53_lm_perplexity",
+      (s, dir) => {
+        val (m2, m1, v) = lmModel(s, dir)
+        val scored = docBigrams(s, dir)
+          .join(broadcast(m2), Seq("w1", "w2"), "left")
+          .join(broadcast(m1), Seq("w1"), "left")
+          .crossJoin(broadcast(v))
+          .withColumn("nls",
+            expr(sln("coalesce(c1, 0) + v") + " - " + sln("coalesce(c2, 0) + 1")))
+          .withColumn("oov", when(col("c2").isNull, 1L).otherwise(0L))
+        val perDoc = scored.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("oov")).as("n_oov"),
+            sum(col("nls")).as("nll_sum"))
+          .withColumn("oov_ratio",
+            round(col("n_oov").cast("double") / col("n_bigrams"), 6))
+          .withColumn("nll",
+            round(col("nll_sum").cast("double") / 100000000.0 / col("n_bigrams"), 6))
+        perDoc
+          .withColumn("rn",
+            row_number().over(Window.orderBy(col("nll"), col("doc_id"))).cast("bigint"))
+          .withColumn("nd", count(lit(1)).over(Window.partitionBy()))
+          .withColumn("bucket",
+            when(col("rn") * 3 <= col("nd"), "head")
+              .when(col("rn") * 3 <= col("nd") * 2, "middle")
+              .otherwise("tail"))
+          .select(col("doc_id"), col("n_bigrams"), col("oov_ratio"), col("nll"),
+            col("bucket"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $duckBigrams,
+        $duckLmModel,
+        sc AS (SELECT g.doc_id,
+            ${sln("coalesce(m1.c1, 0) + refv.v")} - ${sln("coalesce(m2.c2, 0) + 1")} AS nls,
+            CASE WHEN m2.c2 IS NULL THEN 1 ELSE 0 END AS oov
+          FROM bg g CROSS JOIN refv
+          LEFT JOIN m2 ON g.w1 = m2.w1 AND g.w2 = m2.w2
+          LEFT JOIN m1 ON g.w1 = m1.w1),
+        ds AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+            sum(oov) AS n_oov, sum(nls) AS nll_sum
+          FROM sc GROUP BY 1),
+        rk AS (SELECT doc_id, n_bigrams,
+            round(CAST(n_oov AS DOUBLE) / n_bigrams, 6) AS oov_ratio,
+            round(CAST(nll_sum AS DOUBLE) / 100000000.0 / n_bigrams, 6) AS nll
+          FROM ds),
+        rr AS (SELECT *,
+            CAST(ROW_NUMBER() OVER (ORDER BY nll, doc_id) AS BIGINT) AS rn,
+            CAST(COUNT(*) OVER () AS BIGINT) AS nd
+          FROM rk)
+        SELECT doc_id, n_bigrams, oov_ratio, nll,
+          CASE WHEN rn * 3 <= nd THEN 'head'
+               WHEN rn * 3 <= nd * 2 THEN 'middle' ELSE 'tail' END AS bucket
+        FROM rr ORDER BY doc_id""")),
+
+    // ---- the fitted LM pinned (p53b): the 100 most frequent bigrams
+    // with their integer-scaled negative log-probs — the model CONTENTS,
+    // so a wrong count, smoothing constant or vocabulary size anywhere
+    // in the fit breaks the hash (same pinning discipline as p39b/p41).
+    QDef("p53b_lm_model",
+      (s, dir) => {
+        val (m2, m1, v) = lmModel(s, dir)
+        m2.join(m1, Seq("w1"))
+          .crossJoin(broadcast(v))
+          .withColumn("nll_scaled",
+            expr(sln("c1 + v") + " - " + sln("c2 + 1")))
+          .select(col("w1"), col("w2"), col("c2").as("c"), col("nll_scaled"))
+          .orderBy(col("c").desc, col("w1"), col("w2")).limit(100)
+          .orderBy(col("c").desc, col("w1"), col("w2"))
+      },
+      Some(s"""WITH $duckBigrams,
+        $duckLmModel
+        SELECT m2.w1, m2.w2, m2.c2 AS c,
+          ${sln("m1.c1 + refv.v")} - ${sln("m2.c2 + 1")} AS nll_scaled
+        FROM m2 JOIN m1 ON m2.w1 = m1.w1 CROSS JOIN refv
+        ORDER BY c DESC, m2.w1, m2.w2 LIMIT 100""")),
+
+    // ---- DSIR importance resampling (Xie et al. 2023): hashed
+    // unigram+bigram features, per-bucket smoothed log-ratio
+    // ln p_target(b) − ln p_raw(b) against the English target slice,
+    // per-document importance weight = Σ over feature OCCURRENCES, then
+    // select the top-k. The bucket table is ≤ dsirBuckets rows at ANY
+    // corpus size (broadcasts), feature text dies at the 8-byte hash,
+    // and the only corpus-scaled shuffle is the per-doc weight sum on
+    // doc_id. Log-ratios are sln-scaled BIGINTs — order-proof sums. ----
+    QDef("p54_dsir_select",
+      (s, dir) => {
+        val ft = dsirFeatures(s, dir)
+        val ct = ft.filter(col("lang") === "en")
+          .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+        val cr = ft.groupBy(col("b")).agg(count(lit(1)).as("rc"))
+        val st = ft.agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"),
+          count(lit(1)).as("nr"))
+        // both sides are bucket-bounded (≤ dsirBuckets rows) but their
+        // post-aggregate sizes are unknown to the planner — hint it
+        val lw = cr.join(broadcast(ct), Seq("b"), "left")
+          .crossJoin(broadcast(st))
+          .withColumn("lwt", expr(
+            sln("coalesce(tc, 0) + 1") + s" - ${sln(s"nt + $dsirBuckets")}" +
+              s" - ${sln("rc + 1")} + ${sln(s"nr + $dsirBuckets")}"))
+          .select(col("b"), col("lwt"))
+        val dw = ft.join(broadcast(lw), Seq("b"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_feats"), sum(col("lwt")).as("ws"))
+          .withColumn("weight",
+            round(col("ws").cast("double") / 100000000.0 / col("n_feats"), 6))
+        dw.withColumn("rn",
+            row_number().over(Window.orderBy(col("weight").desc, col("doc_id"))).cast("bigint"))
+          .select(col("doc_id"), col("n_feats"), col("weight"),
+            (col("rn") <= 100).as("selected"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $duckBigrams,
+        $duckDsirFeatures,
+        ct AS (SELECT b, count(*) AS tc FROM ft WHERE lang = 'en' GROUP BY b),
+        cr AS (SELECT b, count(*) AS rc FROM ft GROUP BY b),
+        st AS (SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+            CAST(count(*) AS BIGINT) AS nr FROM ft),
+        lw AS (SELECT cr.b,
+            ${sln("coalesce(ct.tc, 0) + 1")} - ${sln(s"st.nt + $dsirBuckets")}
+            - ${sln("cr.rc + 1")} + ${sln(s"st.nr + $dsirBuckets")} AS lwt
+          FROM cr CROSS JOIN st LEFT JOIN ct ON cr.b = ct.b),
+        dw AS (SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+            round(CAST(sum(lw.lwt) AS DOUBLE) / 100000000.0 / count(*), 6) AS weight
+          FROM ft f JOIN lw ON f.b = lw.b GROUP BY 1),
+        rr AS (SELECT *,
+            CAST(ROW_NUMBER() OVER (ORDER BY weight DESC, doc_id) AS BIGINT) AS rn
+          FROM dw)
+        SELECT doc_id, n_feats, weight, rn <= 100 AS selected
+        FROM rr ORDER BY doc_id"""))
   )
 }

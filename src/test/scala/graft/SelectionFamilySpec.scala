@@ -1,0 +1,149 @@
+package graft
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+/** The corpus quality & data-selection family (p52 Gopher rules, p53/p53b
+  * CCNet-style LM perplexity, p54 DSIR importance resampling) re-derived by
+  * an INDEPENDENT plain-Scala implementation over the same sf0.001 corpus:
+  * driver-collected strings, Scala collections, Math.log — no Spark
+  * expressions. Every row of every entry must agree exactly, so a drift in
+  * tokenization, smoothing, scaling, hashing or tie-breaking anywhere in the
+  * DataFrame plans breaks this suite even without the DuckDB oracle.
+  */
+class SelectionFamilySpec extends SparkSpecBase {
+
+  private val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Spark round(col, 6) semantics: HALF_UP over the decimal string form. */
+  private def r6(d: Double): Double =
+    JBigDecimal.valueOf(d).setScale(6, RoundingMode.HALF_UP).doubleValue
+
+  /** The sln() scaling: floor(ln(x)·1e8 + 0.5) as Long (Spark ln = Math.log). */
+  private def sln(x: Long): Long =
+    math.floor(math.log(x.toDouble) * 100000000.0 + 0.5).toLong
+
+  /** The engine-portable 60-bit md5 hash (first 15 hex chars, base 16). */
+  private def md560(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  private lazy val corpus: Seq[(Long, String, String)] =
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq.sortBy(_._1)
+
+  private def toks(text: String): Array[String] = text.split(" ", -1)
+  private def bigrams(text: String): Array[(String, String)] = {
+    val a = toks(text)
+    if (a.length < 2) Array.empty else a.zip(a.tail)
+  }
+
+  test("p52: every row equals the plain-Scala Gopher metrics") {
+    val got = SparkEntry.queries("p52_gopher_rules")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(got.size == corpus.size)
+    corpus.foreach { case (id, text, _) =>
+      val arr = toks(text)
+      val n = arr.length.toLong
+      val mwl = text.replace(" ", "").length.toDouble / n
+      val stw = ((text.length - text.replace("#", "").length).toDouble +
+        (text.length - text.replace("...", "").length).toDouble / 3.0) / n
+      val alr = arr.count(w => w.exists(c =>
+        (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z'))).toDouble / n
+      val nStop = arr.count(stops.contains).toLong
+      val pass = n >= 50 && n <= 100000 && mwl >= 3.0 && mwl <= 10.0 &&
+        stw <= 0.1 && alr >= 0.8 && nStop >= 2
+      assert(got(id) == ((n, r6(mwl), r6(stw), r6(alr), nStop, pass)), s"doc $id")
+    }
+  }
+
+  /** The reference LM fitted in plain Scala: (c2, c1, V). */
+  private lazy val lm: (Map[(String, String), Long], Map[String, Long], Long) = {
+    val en = corpus.filter(_._3 == "en")
+    val bg = en.flatMap(d => bigrams(d._2))
+    val c2 = bg.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1 = bg.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val v = en.flatMap(d => toks(d._2)).distinct.size.toLong
+    (c2, c1, v)
+  }
+
+  test("p53: per-doc nll/oov/bucket equal the plain-Scala LM scoring") {
+    val (c2, c1, v) = lm
+    val perDoc = corpus.map { case (id, text, _) =>
+      val bs = bigrams(text)
+      val nls = bs.map { b =>
+        sln(c1.getOrElse(b._1, 0L) + v) - sln(c2.getOrElse(b, 0L) + 1L)
+      }.sum
+      val nOov = bs.count(b => !c2.contains(b)).toLong
+      (id, bs.length.toLong, r6(nOov.toDouble / bs.length),
+        r6(nls.toDouble / 100000000.0 / bs.length))
+    }
+    val nd = perDoc.size
+    val rank = perDoc.sortBy(d => (d._4, d._1)).zipWithIndex
+      .map { case (d, i) => d._1 -> (i + 1) }.toMap
+    val expect = perDoc.map { case (id, n, oov, nll) =>
+      val rn = rank(id)
+      val bucket = if (rn * 3 <= nd) "head"
+        else if (rn * 3 <= nd * 2) "middle" else "tail"
+      id -> ((n, oov, nll, bucket))
+    }.toMap
+    val got = SparkEntry.queries("p53_lm_perplexity")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getString(4)))).toMap
+    assert(got.size == expect.size)
+    expect.foreach { case (id, e) => assert(got(id) == e, s"doc $id") }
+  }
+
+  test("p53b: the pinned model rows are exactly the Scala fit's top-100") {
+    val (c2, c1, v) = lm
+    val expect = c2.toSeq
+      .map { case ((w1, w2), c) => (w1, w2, c, sln(c1(w1) + v) - sln(c + 1L)) }
+      .sortBy { case (w1, w2, c, _) => (-c, w1, w2) }.take(100)
+    val got = SparkEntry.queries("p53b_lm_model")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+  }
+
+  test("p54: weights and selection equal the plain-Scala DSIR computation") {
+    val b = queries.Pipeline.dsirBuckets
+    def feats(text: String): Array[Long] =
+      toks(text).map(w => md560(w) % b) ++
+        bigrams(text).map(p => md560(p._1 + " " + p._2) % b)
+    val all = corpus.map { case (id, text, lang) => (id, lang, feats(text)) }
+    val tgt = all.filter(_._2 == "en").flatMap(_._3)
+    val raw = all.flatMap(_._3)
+    val ct = tgt.groupBy(identity).map { case (k, x) => k -> x.size.toLong }
+    val cr = raw.groupBy(identity).map { case (k, x) => k -> x.size.toLong }
+    val (nt, nr) = (tgt.size.toLong, raw.size.toLong)
+    val lwt = cr.map { case (k, c) =>
+      k -> (sln(ct.getOrElse(k, 0L) + 1L) - sln(nt + b) - sln(c + 1L) + sln(nr + b))
+    }
+    val perDoc = all.map { case (id, _, fs) =>
+      (id, fs.length.toLong, r6(fs.map(lwt).sum.toDouble / 100000000.0 / fs.length))
+    }
+    val sel = perDoc.sortBy(d => (-d._3, d._1)).take(100).map(_._1).toSet
+    val got = SparkEntry.queries("p54_dsir_select")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got.size == perDoc.size)
+    perDoc.foreach { case (id, n, w) =>
+      assert(got(id) == ((n, w, sel.contains(id))), s"doc $id")
+    }
+  }
+
+  test("plan shapes: p52 is map-only; p53/p54 join only by broadcast") {
+    val p52 = SparkEntry.queries("p52_gopher_rules")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p52.contains("Join"), s"p52 must not join:\n$p52")
+    assert(!p52.contains("HashAggregate"), s"p52 must not aggregate:\n$p52")
+    Seq("p53_lm_perplexity", "p53b_lm_model", "p54_dsir_select").foreach { q =>
+      val p = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: vocabulary/bucket-bounded sides must broadcast, not sort-merge:\n$p")
+    }
+  }
+}
