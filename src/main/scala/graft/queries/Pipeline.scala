@@ -2165,6 +2165,25 @@ object Pipeline {
       m2 AS (SELECT w1, w2, count(*) AS c2 FROM bg WHERE lang = 'en' GROUP BY 1, 2),
       m1 AS (SELECT w1, count(*) AS c1 FROM bg WHERE lang = 'en' GROUP BY 1)"""
 
+  /** The fitted LM collected to driver maps for STREAMING scoring: the
+    * model is vocabulary-bounded (never corpus-bounded), so the whole fit
+    * ships as two literal lookup maps — per-bigram `"w1 w2" → sln(c2+1)`,
+    * per-context `w1 → sln(c1+V)` — plus the unseen-context constant
+    * sln(V). A stream scores each row statelessly from these (no join, no
+    * state); parity with batch p53 is spec-proven. */
+  private[graft] def lmScoreMaps(s: SparkSession, dir: String)
+      : (Map[String, Long], Map[String, Long], Long) = {
+    val (m2, m1, v) = lmModel(s, dir)
+    val vv = v.collect()(0).getLong(0)
+    def slnL(x: Long): Long =
+      math.floor(math.log(x.toDouble) * 100000000.0 + 0.5).toLong
+    val mb = m2.collect().map(r =>
+      (r.getString(0) + " " + r.getString(1)) -> slnL(r.getLong(2) + 1L)).toMap
+    val mc = m1.collect().map(r =>
+      r.getString(0) -> slnL(r.getLong(1) + vv)).toMap
+    (mb, mc, slnL(vv))
+  }
+
   /** DSIR feature-bucket count: `-Dgraft.dsirBuckets`, clamped
     * [256, 1 << 20], default 8192. The hashed-feature space every
     * importance weight lives in — bounded state regardless of corpus

@@ -182,6 +182,42 @@ object EventStreams {
             .otherwise(0.0)).cast("double"))
       .filter(col("quality") >= minQuality)
 
+  /** Streaming LM-perplexity gate — the streaming form of batch p53
+    * (CCNet-style filtering): each arriving document is scored under the
+    * BATCH-fitted add-one bigram LM and kept iff its mean negative
+    * log-prob clears the threshold. The model is vocabulary-bounded, so
+    * it ships inside the plan as two literal lookup maps (per-bigram and
+    * per-context integer-scaled log-probs) — scoring is one stateless
+    * codegen'd projection per row: no join, no shuffle, no streaming
+    * state at all, the same reason the batch side's model joins
+    * broadcast. Per-doc nll is bit-identical to batch p53's (spec-
+    * proven): the same sln-scaled BIGINT sum, divided and rounded the
+    * same way. Expects `doc_id` and `text`; emits (doc_id, n_bigrams,
+    * nll, kept). */
+  def perplexityGateStream(spark: org.apache.spark.sql.SparkSession,
+      modelDir: String, docs: DataFrame, maxNll: Double = 3.45): DataFrame = {
+    val (mb, mc, slnV) = graft.queries.Pipeline.lmScoreMaps(spark, modelDir)
+    val mbCol = typedLit(mb)
+    val mcCol = typedLit(mc)
+    val arr = col("arr")
+    docs
+      .withColumn("arr", split(col("text"), " "))
+      .filter(size(arr) >= 2)
+      .withColumn("nll_sum", aggregate(
+        expr("sequence(0, size(arr)-2)"),
+        lit(0L),
+        (acc, i) =>
+          acc + coalesce(element_at(mcCol, element_at(arr, i + 1)), lit(slnV)) -
+            coalesce(element_at(mbCol,
+              concat(element_at(arr, i + 1), lit(" "), element_at(arr, i + 2))),
+              lit(0L))))
+      .withColumn("n_bigrams", (size(arr) - 1).cast("bigint"))
+      .withColumn("nll",
+        round(col("nll_sum").cast("double") / 100000000.0 / col("n_bigrams"), 6))
+      .select(col("doc_id"), col("n_bigrams"), col("nll"),
+        (col("nll") <= maxNll).as("kept"))
+  }
+
   /** Streaming HyperLogLog vocabulary registers — the streaming form of
     * the batch p39/p39b sketch, completing for the sketch family what
     * [[nearDedupStream]] did for batch p04: per-row text → distinct

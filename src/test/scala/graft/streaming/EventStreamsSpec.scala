@@ -637,4 +637,46 @@ class EventStreamsSpec extends AnyFunSuite {
       } finally q2.stop()
     } finally { rmdir(ckpt); rmdir(out) }
   }
+
+  test("streaming perplexity gate scores bit-identical to batch p53 in-flight") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // batch truth: p53's per-doc (n_bigrams, nll)
+    val batch = graft.SparkEntry.queries("p53_lm_perplexity")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    // gate at the batch median so both outcomes exist in the stream
+    val thr = batch.values.map(_._2).toSeq.sorted.apply(batch.size / 2)
+    val docsRows = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.perplexityGateStream(spark, dir,
+        input.toDF().toDF("doc_id", "text"), maxNll = thr)
+      .writeStream.format("memory").queryName("ppl_gate")
+      .outputMode("append").start()
+    try {
+      val (a, b) = docsRows.splitAt(docsRows.size / 2)
+      input.addData(a)
+      q.processAllAvailable()
+      input.addData(b)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, n_bigrams, nll, kept FROM ppl_gate")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      assert(got.length == docsRows.size)
+      got.foreach { case (id, n, nll, kept) =>
+        val (bn, bnll) = batch(id)
+        assert(n == bn && nll == bnll,
+          s"doc $id: stream ($n, $nll) vs batch ($bn, $bnll)")
+        assert(kept == (nll <= thr))
+      }
+      assert(got.exists(_._4) && got.exists(!_._4),
+        "the median threshold must split the corpus")
+      // stateless by construction: the running query holds NO state rows
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.isEmpty,
+        "perplexity gate must not create streaming state")
+    } finally q.stop()
+  }
 }
