@@ -134,6 +134,81 @@ class SelectionFamilySpec extends SparkSpecBase {
     }
   }
 
+  /** The whole LR fit re-derived in plain Scala: hashed features,
+    * integer-scaled tf, 8 rounds of integer-state GD. */
+  private lazy val lrFit: (Map[Long, Long], Seq[(Long, Int, Long)]) = {
+    val b = queries.Pipeline.dsirBuckets
+    val eta = queries.Pipeline.lrEtaAt _
+    def feats(text: String): Array[Long] =
+      toks(text).map(w => md560(w) % b) ++
+        bigrams(text).map(p => md560(p._1 + " " + p._2) % b)
+    // (doc_id, y, Map(bucket -> scaled tf)) with the intercept bucket -1
+    val docsF = corpus.map { case (id, text, lang) =>
+      val fs = feats(text)
+      val dl = fs.length
+      val tf = fs.groupBy(identity).map { case (k, v) =>
+        k -> math.floor(v.size.toDouble * 1000000.0 / dl + 0.5).toLong
+      } + (-1L -> 1000000L)
+      (id, if (lang == "en") 1 else 0, tf)
+    }
+    val n = docsF.size
+    var wm = Map.empty[Long, Long].withDefaultValue(0L)
+    (1 to queries.Pipeline.lrIters).foreach { it =>
+      val pds = docsF.map { case (id, y, tf) =>
+        val ms = tf.map { case (k, c) => c * wm(k) }.sum
+        val p = 1.0 / (1.0 + math.exp(-(ms.toDouble / 100000000000000.0)))
+        (id, math.floor((p - y) * 100000000.0 + 0.5).toLong)
+      }.toMap
+      val g = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      docsF.foreach { case (id, _, tf) =>
+        tf.foreach { case (k, c) => g(k) += c * pds(id) }
+      }
+      g.foreach { case (k, gg) =>
+        wm = wm.updated(k, wm(k) -
+          math.floor(gg.toDouble / 1000000.0 / n * eta(it) + 0.5).toLong)
+      }
+    }
+    val scores = docsF.map { case (id, y, tf) =>
+      val ms = tf.map { case (k, c) => c * wm(k) }.sum
+      (id, y, ms)
+    }
+    (wm.filter(_._2 != 0L), scores)
+  }
+
+  test("p55b: the staged LR weights equal the plain-Scala full-GD fit") {
+    val (wm, _) = lrFit
+    val got = SparkEntry.queries("p55b_lr_weights")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == wm,
+      s"weight divergence: ${got.size} vs ${wm.size} non-zero weights")
+  }
+
+  test("p55: scores and top-k selection equal the plain-Scala scoring") {
+    val (_, scores) = lrFit
+    val expect = scores.map { case (id, y, ms) =>
+      (id, y, r6(1.0 / (1.0 + math.exp(-(ms.toDouble / 100000000000000.0)))))
+    }
+    val sel = expect.sortBy(d => (-d._3, d._1)).take(100).map(_._1).toSet
+    val got = SparkEntry.queries("p55_lr_quality_select")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got.size == expect.size)
+    expect.foreach { case (id, y, s) =>
+      assert(got(id) == ((y, s, sel.contains(id))), s"doc $id")
+    }
+    // the classifier must LIFT the reference class in its selection
+    val base = expect.count(_._2 == 1).toDouble / expect.size
+    val inSel = expect.filter(e => sel.contains(e._1)).count(_._2 == 1) / 100.0
+    assert(inSel > base,
+      s"selection precision $inSel must beat the base rate $base")
+  }
+
+  test("p55 scores against the STAGED weight table (fit-once discipline)") {
+    val p = SparkEntry.queries("p55_lr_quality_select")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert("lr[0-9a-f]{6}_".r.findFirstIn(p).isDefined,
+      s"p55 must scan the staged lr weights:\n$p")
+  }
+
   test("plan shapes: p52 is map-only; p53/p54 join only by broadcast") {
     val p52 = SparkEntry.queries("p52_gopher_rules")(spark, sf0001)
       .queryExecution.executedPlan.toString
