@@ -118,6 +118,11 @@ object Bench {
       stageEntry("p00g_truth_stage") {
         queries.Pipeline.TruthStage.loadKnn(spark, sfDir)
         queries.Pipeline.TruthStage.loadPairs(spark, sfDir); ()
+      },
+      // the trained LR quality classifier's weights (p55/p55b's shared
+      // artifact): the 12-round GD fit stages once; cost its own line
+      stageEntry("p00h_lr_stage") {
+        queries.Pipeline.LrStage.load(spark, sfDir); ()
       })
     // Optional comma-separated allowlist (SPARK_GRAFT_ONLY=p05,p20) for
     // profiling individual queries / interaction effects; production runs

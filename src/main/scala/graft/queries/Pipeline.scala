@@ -4789,6 +4789,40 @@ ${duckResidualAdcCtes("y", "v")},
       Some(s"""WITH $duckBigrams,
         $duckDsirFeatures,
         $duckLrChain
-        SELECT b, ws FROM lw$lrIters WHERE ws <> 0 ORDER BY b"""))
+        SELECT b, ws FROM lw$lrIters WHERE ws <> 0 ORDER BY b""")),
+
+    // ---- temperature-based language-mixture weights (Conneau et al.
+    // 2019 XLM-R §3.1 / mT5): sampling weight q_l ∝ p_l^α with α = 0.3,
+    // the standard up-weighting of low-resource slices when assembling
+    // a multilingual pretraining mix. One grouped count + a one-row
+    // broadcast total; p^α is floor-scaled to a BIGINT before the
+    // normalizing sum, so the normalization is exact integer arithmetic
+    // (the only transcendental is pow of an identical double). boost_r
+    // = q/p is the per-language oversampling factor a sampler applies.
+    QDef("p56_temperature_mix",
+      (s, dir) => {
+        val byLang = docs(s, dir).groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        val tot = docs(s, dir).agg(count(lit(1)).as("nt"))
+        byLang.crossJoin(broadcast(tot))
+          .withColumn("pa", expr(
+            "CAST(floor(pow(CAST(n AS DOUBLE)/nt, 0.3)*1000000000000.0 + 0.5) AS BIGINT)"))
+          .withColumn("spa", sum(col("pa")).over(Window.partitionBy()))
+          .withColumn("p_r", round(expr("CAST(n AS DOUBLE)/nt"), 6))
+          .withColumn("q_r", round(expr("CAST(pa AS DOUBLE)/spa"), 6))
+          .withColumn("boost_r", round(expr(
+            "(CAST(pa AS DOUBLE)/spa)/(CAST(n AS DOUBLE)/nt)"), 6))
+          .select(col("lang"), col("n"), col("p_r"), col("q_r"), col("boost_r"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH bl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+        tt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM documents),
+        pa AS (SELECT lang, n, nt,
+            CAST(floor(pow(CAST(n AS DOUBLE)/nt, 0.3)*1000000000000.0 + 0.5) AS BIGINT) AS pa
+          FROM bl, tt),
+        sp AS (SELECT *, sum(pa) OVER () AS spa FROM pa)
+        SELECT lang, n, round(CAST(n AS DOUBLE)/nt, 6) AS p_r,
+          round(CAST(pa AS DOUBLE)/spa, 6) AS q_r,
+          round((CAST(pa AS DOUBLE)/spa)/(CAST(n AS DOUBLE)/nt), 6) AS boost_r
+        FROM sp ORDER BY lang"""))
   )
 }

@@ -218,6 +218,53 @@ object EventStreams {
         (col("nll") <= maxNll).as("kept"))
   }
 
+  /** Streaming trained-classifier gate — the streaming form of batch
+    * p55: each arriving document is scored under the BATCH-trained LR
+    * weights (read from the staged LrStage parquet, fit once per
+    * corpus) and kept iff its sigmoid score clears the threshold. The
+    * weight table is bucket-bounded, so it ships as one literal lookup
+    * map; the per-row score — hashed unigram+bigram features, scaled
+    * tf, exact integer margin, sigmoid — is computed by a stateless
+    * projection: no join, no shuffle, no streaming state. Margins are
+    * the same integer dot products as batch, so scores are
+    * bit-identical (spec-proven). Expects `doc_id` and `text`; emits
+    * (doc_id, n_feats, score, kept). */
+  def lrGateStream(spark: org.apache.spark.sql.SparkSession,
+      modelDir: String, docs: DataFrame, minScore: Double = 0.5): DataFrame = {
+    val wm = graft.queries.Pipeline.LrStage.load(spark, modelDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = graft.queries.Pipeline.dsirBuckets
+    val wCol = typedLit(wm)
+    val arr = col("arr")
+    // the same md560-mod-b bucket per feature as batch
+    def bucket(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      conv(substring(md5(e), 1, 15), 16, 10).cast("long") % b
+    docs
+      .withColumn("arr", split(col("text"), " "))
+      // per-doc feature multiset: unigram ++ bigram bucket ints
+      .withColumn("fs", concat(
+        transform(arr, w => bucket(w)),
+        when(size(arr) >= 2,
+          transform(expr("sequence(0, size(arr)-2)"), i =>
+            bucket(concat(element_at(arr, i + 1), lit(" "),
+              element_at(arr, i + 2)))))
+          .otherwise(array().cast("array<bigint>"))))
+      .withColumn("dl", size(col("fs")).cast("bigint"))
+      // exact integer margin, identical to batch: per DISTINCT bucket
+      // tf = floor(count·1e6/dl + 0.5), margin = Σ tf·w + 1e6·w(-1)
+      .withColumn("ms", aggregate(
+        array_distinct(col("fs")),
+        lit(1000000L * wm.getOrElse(-1L, 0L)),
+        (acc, bk) => acc +
+          floor(size(filter(col("fs"), x => x === bk)).cast("double") *
+            lit(1000000.0) / col("dl") + lit(0.5)).cast("long") *
+            coalesce(element_at(wCol, bk), lit(0L))))
+      .withColumn("score_r", round(expr(
+        "1.0/(1.0 + exp(-(CAST(ms AS DOUBLE)/100000000000000.0)))"), 6))
+      .select(col("doc_id"), col("dl").as("n_feats"), col("score_r"),
+        (col("score_r") >= minScore).as("kept"))
+  }
+
   /** Streaming HyperLogLog vocabulary registers — the streaming form of
     * the batch p39/p39b sketch, completing for the sketch family what
     * [[nearDedupStream]] did for batch p04: per-row text → distinct

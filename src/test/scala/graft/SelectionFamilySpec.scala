@@ -209,6 +209,29 @@ class SelectionFamilySpec extends SparkSpecBase {
       s"p55 must scan the staged lr weights:\n$p")
   }
 
+  test("p56: temperature weights equal the plain-Scala computation and up-weight minorities") {
+    val byLang = corpus.groupBy(_._3).map { case (l, ds) => l -> ds.size.toLong }
+    val nt = corpus.size.toLong
+    val pa = byLang.map { case (l, n) =>
+      l -> math.floor(math.pow(n.toDouble / nt, 0.3) * 1000000000000.0 + 0.5).toLong
+    }
+    val spa = pa.values.sum
+    val expect = byLang.keys.toSeq.sorted.map { l =>
+      val (n, a) = (byLang(l), pa(l))
+      (l, n, r6(n.toDouble / nt), r6(a.toDouble / spa),
+        r6((a.toDouble / spa) / (n.toDouble / nt)))
+    }
+    val got = SparkEntry.queries("p56_temperature_mix")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    assert(got == expect)
+    // α < 1 up-weights minority languages, down-weights the majority
+    val maxLang = byLang.maxBy(_._2)._1
+    got.foreach { case (l, _, _, _, boost) =>
+      if (l == maxLang) assert(boost < 1.0) else assert(boost > 1.0, l)
+    }
+  }
+
   test("plan shapes: p52 is map-only; p53/p54 join only by broadcast") {
     val p52 = SparkEntry.queries("p52_gopher_rules")(spark, sf0001)
       .queryExecution.executedPlan.toString

@@ -679,4 +679,39 @@ class EventStreamsSpec extends AnyFunSuite {
         "perplexity gate must not create streaming state")
     } finally q.stop()
   }
+
+  test("streaming LR gate scores bit-identical to batch p55 from the staged weights") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("p55_lr_quality_select")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val thr = batch.values.toSeq.sorted.apply(batch.size / 2)
+    val docsRows = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.lrGateStream(spark, dir,
+        input.toDF().toDF("doc_id", "text"), minScore = thr)
+      .writeStream.format("memory").queryName("lr_gate")
+      .outputMode("append").start()
+    try {
+      val (a, b) = docsRows.splitAt(docsRows.size / 2)
+      input.addData(a)
+      q.processAllAvailable()
+      input.addData(b)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, score_r, kept FROM lr_gate")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+      assert(got.length == docsRows.size)
+      got.foreach { case (id, s, kept) =>
+        assert(s == batch(id), s"doc $id: stream $s vs batch ${batch(id)}")
+        assert(kept == (s >= thr))
+      }
+      assert(got.exists(_._3) && got.exists(!_._3))
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.isEmpty,
+        "LR gate must not create streaming state")
+    } finally q.stop()
+  }
 }
