@@ -4328,6 +4328,45 @@ ${duckResidualAdcCtes("y", "v")}
           replace(substr(enc, 2, length(enc) - 2), ')(', ' ') AS tokens_s
         FROM bw$bpeMerges ORDER BY freq DESC, word LIMIT 50""")),
 
+    // ---- tokenizer FERTILITY by language (p48c): BPE tokens emitted
+    // per whitespace word — the standard measure of how well a trained
+    // tokenizer fits each language slice (the metric behind the
+    // multilingual-tokenizer analyses of mBERT/XLM-R). Segment counts
+    // come from the TRAINED vocabulary (p48's end-state applied to
+    // every distinct word), so the per-language numbers pin the merge
+    // sequence from a third angle; the corpus join is vocab-bounded and
+    // broadcasts. -----------------------------------------------------
+    QDef("p48c_bpe_fertility",
+      (s, dir) => {
+        var cur = bpeWords(s, dir)
+        (1 to bpeMerges).foreach { _ =>
+          cur = bpeApply(cur, bpeBest(bpePairs(cur)))
+        }
+        val seg = cur.select(col("w"),
+          size(split(expr("substring(enc, 2, length(enc) - 2)"), "\\)\\("))
+            .cast("bigint").as("ntok"))
+        docs(s, dir)
+          .select(col("lang"), explode(split(lower(col("text")), " ")).as("w"))
+          .filter(col("w").rlike("^[a-z]+$"))
+          .join(broadcast(seg), Seq("w"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_tokens"))
+          .withColumn("fertility",
+            round(col("n_tokens").cast("double") / col("n_words"), 6))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH $duckBpeChain,
+        seg AS (SELECT w,
+            CAST(len(string_split(substr(enc, 2, length(enc) - 2), ')(')) AS BIGINT) AS ntok
+          FROM bw$bpeMerges),
+        wl AS (SELECT lang, w
+          FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+          WHERE regexp_full_match(w, '[a-z]+'))
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+          CAST(sum(s.ntok) AS BIGINT) AS n_tokens,
+          round(CAST(sum(s.ntok) AS DOUBLE) / count(*), 6) AS fertility
+        FROM wl JOIN seg s ON wl.w = s.w GROUP BY lang ORDER BY lang""")),
+
     // ---- AS-OF JOIN (time-series attribution): each purchase matched
     // to the user's most recent click AT OR BEFORE it. Spark has no
     // native as-of operator, so this is the canonical distributed

@@ -164,6 +164,30 @@ class QueriesSmokeSpec extends SparkSpecBase {
     finally sys.props.remove("graft.bpeMerges")
   }
 
+  test("p48c fertility: >= 1 everywhere, word total matches the corpus filter, " +
+      "and merges strictly reduce it") {
+    import org.apache.spark.sql.functions._
+    val f = SparkEntry.queries("p48c_bpe_fertility")(spark, sf0001).collect()
+    assert(f.nonEmpty)
+    // a BPE segmentation can never emit fewer than 1 token per word,
+    // and with finitely many merges over multi-char words it stays > 1
+    f.foreach(r => assert(r.getAs[Double]("fertility") >= 1.0, r.toString))
+    // every [a-z]+ lowercase word is measured exactly once
+    val total = f.map(_.getAs[Long]("n_words")).sum
+    val expect = graft.Tables.load(spark, sf0001, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$")).count()
+    assert(total == expect, s"$total vs $expect")
+    // the trained tokenizer must BEAT the character baseline: fertility
+    // strictly below chars-per-word (chars = fertility of zero merges)
+    val charsPerWord = graft.Tables.load(spark, sf0001, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .agg((sum(length(col("w"))).cast("double") / count(lit(1))).as("cpw"))
+      .collect()(0).getDouble(0)
+    f.foreach(r => assert(r.getAs[Double]("fertility") < charsPerWord, r.toString))
+  }
+
   test("BPE end-to-end on a hand-computable corpus") {
     import spark.implicits._
     // corpus: "low low low lower lower" + noise filtered by [a-z]+
