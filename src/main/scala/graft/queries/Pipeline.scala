@@ -453,6 +453,28 @@ object Pipeline {
           FROM toks),
         sh AS (SELECT doc_id, ${duckMd560("shingle")} AS h FROM sh0)"""
 
+  /** The DF-guarded shingle → posting-list → intersection-count CTE
+    * prefix (what [[buildJaccardPairs]] computes before the Jaccard
+    * threshold), shared by p02's oracle and the staged-pair consumers
+    * (p58). Ends at `pr` (a_id, b_id, inter) with `sz` alongside. */
+  private def duckGuardedPairCtes: String = s"""toks AS (
+          SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+        sh0 AS (
+          SELECT doc_id, unnest(list_distinct(
+            [arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] FOR i IN range(1, len(arr) - 1)])) AS shingle
+          FROM toks),
+        nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        sh1 AS (SELECT doc_id, ${duckMd560("shingle")} AS h FROM sh0),
+        hot AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM sh1 GROUP BY h) d, nd
+                WHERE CAST(d.df AS DOUBLE) > greatest(5.0, CAST(nd.n_docs AS DOUBLE) * 0.01)),
+        sh AS (SELECT doc_id, h FROM sh1
+               WHERE h NOT IN (SELECT h FROM hot)),
+        sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+               FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)"""
+
   /** p21's oracle SQL — and p38's: the Bloom prescreen provably cannot
     * change the result (no false negatives; false positives die in the
     * exact verify join), and sharing the oracle is what pins exactly that
@@ -2369,23 +2391,7 @@ object Pipeline {
     // ---- n-gram Jaccard near-dup: inverted index self-join ------------
     QDef("p02_dedup_ngram_jaccard",
       (s, dir) => jaccardPairs(s, dir).orderBy(col("a_id"), col("b_id")),
-      Some(s"""WITH toks AS (
-          SELECT doc_id, string_split(text, ' ') AS arr FROM documents
-          WHERE len(string_split(text, ' ')) >= 3),
-        sh0 AS (
-          SELECT doc_id, unnest(list_distinct(
-            [arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] FOR i IN range(1, len(arr) - 1)])) AS shingle
-          FROM toks),
-        nd AS (SELECT COUNT(*) AS n_docs FROM documents),
-        sh1 AS (SELECT doc_id, ${duckMd560("shingle")} AS h FROM sh0),
-        hot AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM sh1 GROUP BY h) d, nd
-                WHERE CAST(d.df AS DOUBLE) > greatest(5.0, CAST(nd.n_docs AS DOUBLE) * 0.01)),
-        sh AS (SELECT doc_id, h FROM sh1
-               WHERE h NOT IN (SELECT h FROM hot)),
-        sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-        pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
-               FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
-               GROUP BY 1, 2)
+      Some(s"""WITH $duckGuardedPairCtes
         SELECT a_id, b_id,
           CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
         FROM pr JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
@@ -4862,6 +4868,63 @@ ${duckResidualAdcCtes("y", "v")},
         SELECT lang, n, round(CAST(n AS DOUBLE)/nt, 6) AS p_r,
           round(CAST(pa AS DOUBLE)/spa, 6) AS q_r,
           round((CAST(pa AS DOUBLE)/spa)/(CAST(n AS DOUBLE)/nt), 6) AS boost_r
-        FROM sp ORDER BY lang"""))
+        FROM sp ORDER BY lang""")),
+
+    // ---- n-gram NOVELTY profile (p57): per document, the fraction of
+    // its distinct 3-shingles whose FIRST corpus occurrence (min doc_id)
+    // is this document — the memorization-analysis view of a corpus
+    // (Lee et al. 2021's duplicated-text lens inverted: what fraction of
+    // each doc is new text vs text seen earlier in ingestion order).
+    // Rides the STAGED shingle table (un-guarded — common shingles are
+    // exactly the non-novel mass): one window min on the existing h
+    // partitioning, one per-doc aggregate. ----------------------------
+    QDef("p57_ngram_novelty",
+      (s, dir) => ShingleStage.load(s, dir)
+        .select(col("doc_id"), col("h"))
+        .withColumn("first_id", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel").cast("double") / col("n_shingles"), 6))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $duckShingleCtes,
+        fo AS (SELECT h, min(doc_id) AS first_id FROM sh GROUP BY h)
+        SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+          CAST(sum(CASE WHEN fo.first_id = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+          round(CAST(sum(CASE WHEN fo.first_id = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*), 6) AS novelty
+        FROM sh s JOIN fo ON s.h = fo.h GROUP BY s.doc_id ORDER BY doc_id""")),
+
+    // ---- cross-source near-dup overlap (p58): the contamination audit
+    // BETWEEN corpus slices — every staged near-dup pair (p00b, Jaccard
+    // >= 0.5) attributed to its (source_a, source_b) combination, so a
+    // source pair with heavy off-diagonal mass is one corpus scraped
+    // twice under two names. Additive over the staged pair table: two
+    // id→source joins and one grouped count. --------------------------
+    QDef("p58_source_overlap",
+      (s, dir) => {
+        val src = docs(s, dir).select(col("doc_id"), col("source"))
+        PairStage.load(s, dir)
+          .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), Seq("a_id"))
+          .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), Seq("b_id"))
+          .select(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .withColumn("within_source", col("source_a") === col("source_b"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some(s"""WITH $duckGuardedPairCtes,
+        jp AS (SELECT a_id, b_id
+          FROM pr JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+        sp AS (SELECT least(da.source, db.source) AS source_a,
+            greatest(da.source, db.source) AS source_b
+          FROM jp JOIN documents da ON da.doc_id = jp.a_id
+          JOIN documents db ON db.doc_id = jp.b_id)
+        SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+          source_a = source_b AS within_source
+        FROM sp GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

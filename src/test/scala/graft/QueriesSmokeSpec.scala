@@ -188,6 +188,31 @@ class QueriesSmokeSpec extends SparkSpecBase {
     f.foreach(r => assert(r.getAs[Double]("fertility") < charsPerWord, r.toString))
   }
 
+  test("p57 novelty: first doc is all-novel; novel counts partition the distinct shingles") {
+    val rows = SparkEntry.queries("p57_ngram_novelty")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // the lowest doc_id can only contain first-occurrences
+    val first = rows.minBy(_._1)
+    assert(first._4 == 1.0 && first._2 == first._3, first.toString)
+    // every distinct shingle is novel in EXACTLY one doc (its min),
+    // so the novel counts sum to the corpus's distinct-shingle count
+    val distinctH = queries.Pipeline.ShingleStage.load(spark, sf0001)
+      .select("h").distinct().count()
+    assert(rows.map(_._3).sum == distinctH)
+    rows.foreach { case (id, n, nov, _) =>
+      assert(nov >= 0 && nov <= n, s"doc $id") }
+  }
+
+  test("p58 source overlap: pair mass equals p02's near-dup pairs exactly") {
+    val byPair = SparkEntry.queries("p58_source_overlap")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    byPair.foreach { case (a, b, _, within) =>
+      assert(a <= b && within == (a == b)) }
+    val totalPairs = SparkEntry.queries("p02_dedup_ngram_jaccard")(spark, sf0001).count()
+    assert(byPair.map(_._3).sum == totalPairs,
+      s"${byPair.map(_._3).sum} vs $totalPairs")
+  }
+
   test("BPE end-to-end on a hand-computable corpus") {
     import spark.implicits._
     // corpus: "low low low lower lower" + noise filtered by [a-z]+
