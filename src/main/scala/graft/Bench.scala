@@ -123,6 +123,11 @@ object Bench {
       // artifact): the 12-round GD fit stages once; cost its own line
       stageEntry("p00h_lr_stage") {
         queries.Pipeline.LrStage.load(spark, sfDir); ()
+      },
+      // the trained BPE vocabulary end-state (p48b/p48c's shared
+      // artifact): the iterative merge fit stages once; its own line
+      stageEntry("p00i_bpe_stage") {
+        queries.Pipeline.BpeStage.load(spark, sfDir); ()
       })
     // Optional comma-separated allowlist (SPARK_GRAFT_ONLY=p05,p20) for
     // profiling individual queries / interaction effects; production runs

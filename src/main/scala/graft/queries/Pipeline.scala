@@ -2091,6 +2091,28 @@ object Pipeline {
            END"""))
       .drop("_l", "_r")
 
+  /** The trained BPE word table's END-STATE (w, freq, enc after all
+    * [[bpeMerges]] rounds) staged once per corpus — p48b (trained
+    * tokenizer applied) and p48c (fertility) both consume the same
+    * fitted vocabulary, and the iterative fit is the expensive part;
+    * re-deriving it per consumer triples the tokenizer family's
+    * dominant cost (the LrStage/CellStage discipline). p48 itself keeps
+    * its inline chain — the per-round merge rows ARE its output. The
+    * merge dial is baked into the staging key. */
+  private[graft] object BpeStage {
+    def load(s: SparkSession, dir: String): DataFrame = {
+      val ph = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$bpeMerges".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      ShingleStage.stage(s, dir, s"bp$ph") {
+        var cur = bpeWords(s, dir)
+        (1 to bpeMerges).foreach { _ =>
+          cur = bpeApply(cur, bpeBest(bpePairs(cur)))
+        }
+        cur.repartition(1)
+      }
+    }
+  }
+
   /** The unrolled DuckDB mirror: bw0 (word table) then per round r the
     * pair counts (bp_r), the argmax (bb_r) and the merged table (bw_r).
     * Every CTE is MATERIALIZED: bw_{r-1} is referenced by both bp_r and
@@ -4319,10 +4341,7 @@ ${duckResidualAdcCtes("y", "v")}
     // whole merge sequence (a wrong merge anywhere reshapes these). -----
     QDef("p48b_bpe_tokenize",
       (s, dir) => {
-        var cur = bpeWords(s, dir)
-        (1 to bpeMerges).foreach { _ =>
-          cur = bpeApply(cur, bpeBest(bpePairs(cur)))
-        }
+        val cur = BpeStage.load(s, dir)
         cur.select(col("w").as("word"), col("freq"),
           expr("replace(substring(enc, 2, length(enc) - 2), ')(', ' ')")
             .as("tokens_s"))
@@ -4344,11 +4363,7 @@ ${duckResidualAdcCtes("y", "v")}
     // broadcasts. -----------------------------------------------------
     QDef("p48c_bpe_fertility",
       (s, dir) => {
-        var cur = bpeWords(s, dir)
-        (1 to bpeMerges).foreach { _ =>
-          cur = bpeApply(cur, bpeBest(bpePairs(cur)))
-        }
-        val seg = cur.select(col("w"),
+        val seg = BpeStage.load(s, dir).select(col("w"),
           size(split(expr("substring(enc, 2, length(enc) - 2)"), "\\)\\("))
             .cast("bigint").as("ntok"))
         docs(s, dir)
