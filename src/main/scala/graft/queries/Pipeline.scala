@@ -2228,6 +2228,20 @@ object Pipeline {
     (mb, mc, slnL(vv))
   }
 
+  /** The fitted corpus's own mean bigram-OOV rate under the fitted LM —
+    * the baseline the streaming drift monitor compares arriving windows
+    * against (the lm analog of [[pqSseBaseline]]). One broadcast join +
+    * one aggregate over the model corpus. */
+  private[graft] def lmOovBaseline(s: SparkSession, dir: String): Double = {
+    val (m2, _, _) = lmModel(s, dir)
+    val r = docBigrams(s, dir)
+      .join(broadcast(m2), Seq("w1", "w2"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("c2").isNull, 1L).otherwise(0L)).as("o"))
+      .collect()(0)
+    r.getLong(1).toDouble / r.getLong(0)
+  }
+
   /** DSIR feature-bucket count: `-Dgraft.dsirBuckets`, clamped
     * [256, 1 << 20], default 8192. The hashed-feature space every
     * importance weight lives in — bounded state regardless of corpus

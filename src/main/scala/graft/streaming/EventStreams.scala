@@ -416,6 +416,51 @@ object EventStreams {
         (col("mean_sse") >= lit(safeBase * refitRatio)).as("refit_due"))
   }
 
+  /** The frozen LM's STALENESS monitor — [[indexDriftStream]]'s shape
+    * applied to the perplexity/LR gates' other failure mode: a drifting
+    * vocabulary. Each arriving document's bigram-OOV count against the
+    * batch-fitted model is a stateless lookup-map projection (the same
+    * literal maps the gate scores with); windowed mean OOV rate compares
+    * against the fitted corpus's own baseline, `refit_due` past the
+    * ratio dial. The refit rule is the one SCALE.md documents for the PQ
+    * index: re-fit the model on a current slice (the batch fit is
+    * deterministic and staged), then resume the gates from checkpoint —
+    * the spec executes it end-to-end on a vocabulary-shifted stream.
+    * Expects `ts` and `text`. */
+  def lmDriftStream(spark: org.apache.spark.sql.SparkSession,
+      modelDir: String, docs: DataFrame,
+      windowDur: String = "1 hour", watermarkDelay: String = "1 hour",
+      refitRatio: Double = 3.0): DataFrame = {
+    val baseline = graft.queries.Pipeline.lmOovBaseline(spark, modelDir)
+    // an exhaustive model (baseline exactly 0) floors the denominator,
+    // same rationale as indexDriftStream
+    val safeBase = math.max(baseline, 1e-12)
+    val (mb, _, _) = graft.queries.Pipeline.lmScoreMaps(spark, modelDir)
+    val mbCol = typedLit(mb)
+    val arr = col("arr")
+    docs
+      .withColumn("arr", split(col("text"), " "))
+      .filter(size(arr) >= 2)
+      .withColumn("n_b", (size(arr) - 1).cast("bigint"))
+      .withColumn("n_oov", aggregate(
+        expr("sequence(0, size(arr)-2)"),
+        lit(0L),
+        (acc, i) => acc + when(element_at(mbCol,
+          concat(element_at(arr, i + 1), lit(" "), element_at(arr, i + 2)))
+            .isNull, 1L).otherwise(0L)))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_oov")).as("oov"), sum(col("n_b")).as("nb"))
+      .select(col("window.start").as("window_start"), col("n_docs"),
+        round(col("oov").cast("double") / col("nb"), 6).as("oov_rate"),
+        lit(baseline).as("baseline_oov"),
+        round(col("oov").cast("double") / col("nb") / lit(safeBase), 6)
+          .as("drift_ratio"),
+        (col("oov").cast("double") / col("nb") >= lit(safeBase * refitRatio))
+          .as("refit_due"))
+  }
+
   /** Wire a streaming DataFrame to an in-memory sink (tests / demos). */
   def toMemorySink(df: DataFrame, name: String, complete: Boolean = true) =
     df.writeStream

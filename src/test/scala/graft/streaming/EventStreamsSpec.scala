@@ -680,6 +680,66 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("LM-staleness monitor: vocabulary shift raises refit_due; refit restores health") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val hour = 3600L * 1000
+    val t0 = 1704103200000L
+    val src = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).sortBy(_._1)
+    // vocabulary shift: every word gains a suffix, so every bigram is
+    // OOV under the fitted model (the same shift trains the refit model)
+    def shift(text: String): String =
+      text.split(" ", -1).map(_ + "q").mkString(" ")
+    val fitted = src.map { case (id, t, _, _, _) => (id, new Timestamp(t0 + id), t) }
+    val shifted = src.map { case (id, t, _, _, _) =>
+      (id + 1000000L, new Timestamp(t0 + hour + id), shift(t)) }
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val out = EventStreams.lmDriftStream(spark, dir, docs,
+      windowDur = "1 hour", refitRatio = 3.0)
+    val q = EventStreams.toMemorySink(out, "lmdrift", complete = true).start()
+    try {
+      input.addData(fitted.toSeq)
+      input.addData(shifted.toSeq)
+      q.processAllAvailable()
+      val rows = spark.sql("""SELECT window_start, n_docs, oov_rate,
+          drift_ratio, refit_due FROM lmdrift ORDER BY window_start""").collect()
+      assert(rows.length == 2, rows.mkString("; "))
+      // the fitted window IS the baseline corpus: ratio 1.0 by definition
+      assert(rows(0).getLong(1) == src.length)
+      assert(math.abs(rows(0).getDouble(3) - 1.0) < 1e-6, rows(0).toString)
+      assert(!rows(0).getBoolean(4))
+      // the shifted window is fully OOV — far past any sane dial
+      assert(rows(1).getDouble(2) == 1.0, rows(1).toString)
+      assert(rows(1).getBoolean(4))
+    } finally q.stop()
+    // THE REFIT RULE, executed: re-fit the LM on the shifted slice and
+    // verify the new model measures the shifted stream as healthy
+    val refitDir = java.nio.file.Files.createTempDirectory("graft_lm_refit")
+    spark.createDataFrame(src.toSeq.map { case (id, t, l, sc, nc) =>
+        (id, shift(t), l, sc, nc) })
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$refitDir/documents.parquet")
+    val input2 = MemoryStream[(Long, Timestamp, String)]
+    val out2 = EventStreams.lmDriftStream(spark, refitDir.toString,
+      input2.toDF().toDF("doc_id", "ts", "text"),
+      windowDur = "1 hour", refitRatio = 3.0)
+    val q2 = EventStreams.toMemorySink(out2, "lmdrift2", complete = true).start()
+    try {
+      input2.addData(shifted.toSeq)
+      q2.processAllAvailable()
+      val r = spark.sql("SELECT drift_ratio, refit_due FROM lmdrift2").collect()
+      assert(r.length == 1)
+      assert(math.abs(r(0).getDouble(0) - 1.0) < 1e-6, r(0).toString)
+      assert(!r(0).getBoolean(1),
+        "the re-fitted LM must measure the shifted stream as healthy")
+    } finally { q2.stop(); rmdir(refitDir) }
+  }
+
   test("streaming LR gate scores bit-identical to batch p55 from the staged weights") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
