@@ -475,6 +475,35 @@ object Pipeline {
                FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
                GROUP BY 1, 2)"""
 
+  /** Every document's near-dup component label (min doc_id in its
+    * connected component; singletons label themselves) — p20's result,
+    * shared with the dedup-yield report (p59). */
+  private def dedupComponents(s: SparkSession, dir: String): DataFrame = {
+    val fix = minLabelComponents(s,
+      jaccardPairs(s, dir).select(col("a_id"), col("b_id")))
+    docs(s, dir)
+      .select(col("doc_id"))
+      .join(fix.withColumnRenamed("comp", "edge_comp"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("edge_comp"), col("doc_id")).as("comp"))
+  }
+
+  /** The full component chain as DuckDB CTEs (caller writes `WITH
+    * RECURSIVE` — `reach` is the recursive closure): the guarded pair
+    * prefix, the Jaccard threshold, symmetric edges, min-label reach.
+    * Shared by p20's oracle and p59's. */
+  private def duckComponentCtes: String = s"""$duckGuardedPairCtes,
+        pairs AS (
+          SELECT a_id, b_id
+          FROM pr JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+        edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+                  UNION SELECT b_id, a_id FROM pairs),
+        reach(id, comp) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id)"""
+
   /** p21's oracle SQL — and p38's: the Bloom prescreen provably cannot
     * change the result (no false negatives; false positives die in the
     * exact verify join), and sharing the oracle is what pins exactly that
@@ -3045,45 +3074,11 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
     // broadcast of the fixpoint. The canonical doc per cluster (min id)
     // is what a dedup pipeline keeps. -----------------------------------
     QDef("p20_dedup_clusters",
-      (s, dir) => {
-        val fix = minLabelComponents(s,
-          jaccardPairs(s, dir).select(col("a_id"), col("b_id")))
-        docs(s, dir)
-          .select(col("doc_id"))
-          .join(fix.withColumnRenamed("comp", "edge_comp"), Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("edge_comp"), col("doc_id")).as("comp"))
-          .select(col("doc_id"), col("comp"),
-            when(col("doc_id") === col("comp"), 1).otherwise(0).as("is_kept"))
-          .orderBy(col("doc_id"))
-      },
-      Some(s"""WITH RECURSIVE toks AS (
-          SELECT doc_id, string_split(text, ' ') AS arr FROM documents
-          WHERE len(string_split(text, ' ')) >= 3),
-        sh0 AS (
-          SELECT doc_id, unnest(list_distinct(
-            [arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] FOR i IN range(1, len(arr) - 1)])) AS shingle
-          FROM toks),
-        nd AS (SELECT COUNT(*) AS n_docs FROM documents),
-        sh1 AS (SELECT doc_id, ${duckMd560("shingle")} AS h FROM sh0),
-        hot AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM sh1 GROUP BY h) d, nd
-                WHERE CAST(d.df AS DOUBLE) > greatest(5.0, CAST(nd.n_docs AS DOUBLE) * 0.01)),
-        sh AS (SELECT doc_id, h FROM sh1
-               WHERE h NOT IN (SELECT h FROM hot)),
-        sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-        pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
-               FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
-               GROUP BY 1, 2),
-        pairs AS (
-          SELECT a_id, b_id
-          FROM pr JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
-          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
-        edges AS (SELECT a_id AS s, b_id AS d FROM pairs
-                  UNION SELECT b_id, a_id FROM pairs),
-        reach(id, comp) AS (
-          SELECT doc_id, doc_id FROM documents
-          UNION
-          SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id)
+      (s, dir) => dedupComponents(s, dir)
+        .select(col("doc_id"), col("comp"),
+          when(col("doc_id") === col("comp"), 1).otherwise(0).as("is_kept"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE $duckComponentCtes
         SELECT id AS doc_id, CAST(MIN(comp) AS BIGINT) AS comp,
           CAST(CASE WHEN MIN(comp) = id THEN 1 ELSE 0 END AS INTEGER) AS is_kept
         FROM reach GROUP BY id ORDER BY doc_id""")),
@@ -4954,6 +4949,41 @@ ${duckResidualAdcCtes("y", "v")},
           JOIN documents db ON db.doc_id = jp.b_id)
         SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
           source_a = source_b AS within_source
-        FROM sp GROUP BY 1, 2 ORDER BY 1, 2"""))
+        FROM sp GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- dedup YIELD report (p59): what near-dup dedup would buy —
+    // cluster-size histogram with total vs duplicate bytes (bytes of
+    // every non-representative member) per size class. The ROI number a
+    // pipeline owner reads before paying for the dedup pass; additive
+    // over p20's component labels: one n_chars join + two grouped
+    // aggregations, all integer arithmetic. ----------------------------
+    QDef("p59_dedup_yield",
+      (s, dir) => {
+        val byCluster = dedupComponents(s, dir)
+          .join(docs(s, dir).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+          .groupBy(col("comp"))
+          .agg(count(lit(1)).as("csize"),
+            sum(col("n_chars")).as("bytes_total"),
+            sum(when(col("doc_id") === col("comp"), 0L)
+              .otherwise(col("n_chars"))).as("bytes_dupe"))
+        byCluster.groupBy(col("csize"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("csize")).as("n_docs"),
+            sum(col("bytes_total")).as("bytes_total"),
+            sum(col("bytes_dupe")).as("bytes_dupe"))
+          .withColumnRenamed("csize", "cluster_size")
+          .orderBy(col("cluster_size"))
+      },
+      Some(s"""WITH RECURSIVE $duckComponentCtes,
+        cmp AS (SELECT id AS doc_id, MIN(comp) AS comp FROM reach GROUP BY id),
+        cl AS (SELECT c.comp, CAST(count(*) AS BIGINT) AS csize,
+            CAST(sum(d.n_chars) AS BIGINT) AS bytes_total,
+            CAST(sum(CASE WHEN c.doc_id = c.comp THEN 0 ELSE d.n_chars END) AS BIGINT) AS bytes_dupe
+          FROM cmp c JOIN documents d ON d.doc_id = c.doc_id GROUP BY c.comp)
+        SELECT csize AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+          CAST(sum(csize) AS BIGINT) AS n_docs,
+          CAST(sum(bytes_total) AS BIGINT) AS bytes_total,
+          CAST(sum(bytes_dupe) AS BIGINT) AS bytes_dupe
+        FROM cl GROUP BY csize ORDER BY cluster_size"""))
   )
 }

@@ -213,6 +213,22 @@ class QueriesSmokeSpec extends SparkSpecBase {
       s"${byPair.map(_._3).sum} vs $totalPairs")
   }
 
+  test("p59 dedup yield: doc and byte mass conserved; singletons carry no dupe bytes") {
+    val rows = SparkEntry.queries("p59_dedup_yield")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    import org.apache.spark.sql.functions._
+    val d = graft.Tables.load(spark, sf0001, "documents")
+      .agg(count(lit(1)), sum(col("n_chars"))).collect()(0)
+    // every document lands in exactly one cluster-size class
+    assert(rows.map(_._3).sum == d.getLong(0))
+    assert(rows.map(_._4).sum == d.getLong(1))
+    rows.foreach { case (size, nc, nd, _, dupe) =>
+      assert(nd == size * nc, s"size $size")
+      if (size == 1) assert(dupe == 0L, "singletons have no duplicates")
+      else assert(dupe > 0L, s"size-$size clusters must carry dupe bytes")
+    }
+  }
+
   test("BPE end-to-end on a hand-computable corpus") {
     import spark.implicits._
     // corpus: "low low low lower lower" + noise filtered by [a-z]+
