@@ -2257,6 +2257,45 @@ object Pipeline {
     (mb, mc, slnL(vv))
   }
 
+  /** Per-document LM scores (doc_id, n_bigrams, oov_ratio, nll) — p53's
+    * scoring front, shared with the sketch-bucketed scale path (p53c).
+    * Model joins broadcast; nll sums are sln-scaled BIGINTs. */
+  private def lmDocNll(s: SparkSession, dir: String): DataFrame = {
+    val (m2, m1, v) = lmModel(s, dir)
+    docBigrams(s, dir)
+      .join(broadcast(m2), Seq("w1", "w2"), "left")
+      .join(broadcast(m1), Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("nls",
+        expr(sln("coalesce(c1, 0) + v") + " - " + sln("coalesce(c2, 0) + 1")))
+      .withColumn("oov", when(col("c2").isNull, 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("oov")).as("n_oov"),
+        sum(col("nls")).as("nll_sum"))
+      .withColumn("oov_ratio",
+        round(col("n_oov").cast("double") / col("n_bigrams"), 6))
+      .withColumn("nll",
+        round(col("nll_sum").cast("double") / 100000000.0 / col("n_bigrams"), 6))
+  }
+
+  /** The DuckDB mirror of [[lmDocNll]]: bigrams + model + per-doc
+    * scores, ending at `rk` (doc_id, n_bigrams, oov_ratio, nll). */
+  private def duckLmScoreCtes: String = s"""$duckBigrams,
+        $duckLmModel,
+        sc AS (SELECT g.doc_id,
+            ${sln("coalesce(m1.c1, 0) + refv.v")} - ${sln("coalesce(m2.c2, 0) + 1")} AS nls,
+            CASE WHEN m2.c2 IS NULL THEN 1 ELSE 0 END AS oov
+          FROM bg g CROSS JOIN refv
+          LEFT JOIN m2 ON g.w1 = m2.w1 AND g.w2 = m2.w2
+          LEFT JOIN m1 ON g.w1 = m1.w1),
+        ds AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+            sum(oov) AS n_oov, sum(nls) AS nll_sum
+          FROM sc GROUP BY 1),
+        rk AS (SELECT doc_id, n_bigrams,
+            round(CAST(n_oov AS DOUBLE) / n_bigrams, 6) AS oov_ratio,
+            round(CAST(nll_sum AS DOUBLE) / 100000000.0 / n_bigrams, 6) AS nll
+          FROM ds)"""
+
   /** The fitted corpus's own mean bigram-OOV rate under the fitted LM —
     * the baseline the streaming drift monitor compares arriving windows
     * against (the lm analog of [[pqSseBaseline]]). One broadcast join +
@@ -4682,23 +4721,7 @@ ${duckResidualAdcCtes("y", "v")},
     // approx quantiles instead — the bucket rule, not the rank, is the
     // operator's contract). -------------------------------------------
     QDef("p53_lm_perplexity",
-      (s, dir) => {
-        val (m2, m1, v) = lmModel(s, dir)
-        val scored = docBigrams(s, dir)
-          .join(broadcast(m2), Seq("w1", "w2"), "left")
-          .join(broadcast(m1), Seq("w1"), "left")
-          .crossJoin(broadcast(v))
-          .withColumn("nls",
-            expr(sln("coalesce(c1, 0) + v") + " - " + sln("coalesce(c2, 0) + 1")))
-          .withColumn("oov", when(col("c2").isNull, 1L).otherwise(0L))
-        val perDoc = scored.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_bigrams"), sum(col("oov")).as("n_oov"),
-            sum(col("nls")).as("nll_sum"))
-          .withColumn("oov_ratio",
-            round(col("n_oov").cast("double") / col("n_bigrams"), 6))
-          .withColumn("nll",
-            round(col("nll_sum").cast("double") / 100000000.0 / col("n_bigrams"), 6))
-        perDoc
+      (s, dir) => lmDocNll(s, dir)
           .withColumn("rn",
             row_number().over(Window.orderBy(col("nll"), col("doc_id"))).cast("bigint"))
           .withColumn("nd", count(lit(1)).over(Window.partitionBy()))
@@ -4708,23 +4731,8 @@ ${duckResidualAdcCtes("y", "v")},
               .otherwise("tail"))
           .select(col("doc_id"), col("n_bigrams"), col("oov_ratio"), col("nll"),
             col("bucket"))
-          .orderBy(col("doc_id"))
-      },
-      Some(s"""WITH $duckBigrams,
-        $duckLmModel,
-        sc AS (SELECT g.doc_id,
-            ${sln("coalesce(m1.c1, 0) + refv.v")} - ${sln("coalesce(m2.c2, 0) + 1")} AS nls,
-            CASE WHEN m2.c2 IS NULL THEN 1 ELSE 0 END AS oov
-          FROM bg g CROSS JOIN refv
-          LEFT JOIN m2 ON g.w1 = m2.w1 AND g.w2 = m2.w2
-          LEFT JOIN m1 ON g.w1 = m1.w1),
-        ds AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-            sum(oov) AS n_oov, sum(nls) AS nll_sum
-          FROM sc GROUP BY 1),
-        rk AS (SELECT doc_id, n_bigrams,
-            round(CAST(n_oov AS DOUBLE) / n_bigrams, 6) AS oov_ratio,
-            round(CAST(nll_sum AS DOUBLE) / 100000000.0 / n_bigrams, 6) AS nll
-          FROM ds),
+          .orderBy(col("doc_id")),
+      Some(s"""WITH $duckLmScoreCtes,
         rr AS (SELECT *,
             CAST(ROW_NUMBER() OVER (ORDER BY nll, doc_id) AS BIGINT) AS rn,
             CAST(COUNT(*) OVER () AS BIGINT) AS nd
@@ -4733,6 +4741,80 @@ ${duckResidualAdcCtes("y", "v")},
           CASE WHEN rn * 3 <= nd THEN 'head'
                WHEN rn * 3 <= nd * 2 THEN 'middle' ELSE 'tail' END AS bucket
         FROM rr ORDER BY doc_id""")),
+
+    // ---- the tercile bucketing's SCALE PATH implemented (p53c): cut
+    // points from a FIXED 1024-bucket histogram of nll (the p49 sketch
+    // discipline — at most 1024 shuffled rows at ANY corpus size,
+    // linear interpolation inside the straddling bucket), documents
+    // bucketed by THRESHOLD comparison instead of global rank, and the
+    // sketch's agreement with the exact rank terciles measured in the
+    // same row. This is the production form of p53's bucket rule (and
+    // p54/p55's top-k: same histogram, one cut) — the global sort is a
+    // validation-scale convenience, not the contract. -----------------
+    QDef("p53c_lm_buckets_sketch",
+      (s, dir) => {
+        val perDoc = lmDocNll(s, dir)
+        val hb = perDoc
+          .withColumn("b", expr("least(1023, greatest(0, CAST(floor(nll * 64.0) AS INT)))"))
+          .groupBy(col("b")).agg(count(lit(1)).as("n"))
+        val cum = hb
+          .withColumn("cum", sum(col("n")).over(Window.orderBy(col("b"))))
+          .withColumn("nt", sum(col("n")).over(Window.partitionBy()))
+        def cutAt(fracSql: String, as: String) = cum
+          .filter(expr(s"CAST(cum AS DOUBLE) >= $fracSql"))
+          .orderBy(col("b")).limit(1)
+          .select(expr(
+            s"round((CAST(b AS DOUBLE) + ($fracSql - CAST(cum - n AS DOUBLE)) / n) / 64.0, 6)")
+            .as(as))
+        val c1 = cutAt("CAST(nt AS DOUBLE)/3.0", "cut_lo")
+        val c2 = cutAt("CAST(nt AS DOUBLE)*2.0/3.0", "cut_hi")
+        val exact = perDoc
+          .withColumn("rn",
+            row_number().over(Window.orderBy(col("nll"), col("doc_id"))).cast("bigint"))
+          .withColumn("nd", count(lit(1)).over(Window.partitionBy()))
+          .withColumn("ebucket",
+            when(col("rn") * 3 <= col("nd"), "head")
+              .when(col("rn") * 3 <= col("nd") * 2, "middle")
+              .otherwise("tail"))
+        exact.crossJoin(broadcast(c1)).crossJoin(broadcast(c2))
+          .withColumn("sbucket",
+            when(col("nll") <= col("cut_lo"), "head")
+              .when(col("nll") <= col("cut_hi"), "middle")
+              .otherwise("tail"))
+          .groupBy(col("cut_lo"), col("cut_hi"))
+          .agg(
+            sum(when(col("sbucket") === "head", 1L).otherwise(0L)).as("n_head"),
+            sum(when(col("sbucket") === "middle", 1L).otherwise(0L)).as("n_middle"),
+            sum(when(col("sbucket") === "tail", 1L).otherwise(0L)).as("n_tail"),
+            sum(when(col("sbucket") === col("ebucket"), 1L).otherwise(0L)).as("n_agree"))
+      },
+      Some(s"""WITH $duckLmScoreCtes,
+        hb AS (SELECT least(1023, greatest(0, CAST(floor(nll * 64.0) AS INT))) AS b,
+            CAST(count(*) AS BIGINT) AS n FROM rk GROUP BY 1),
+        cum AS (SELECT b, n, sum(n) OVER (ORDER BY b) AS cum,
+            (SELECT sum(n) FROM hb) AS nt FROM hb),
+        c1 AS (SELECT round((CAST(b AS DOUBLE) + (CAST(nt AS DOUBLE)/3.0 - CAST(cum - n AS DOUBLE)) / n) / 64.0, 6) AS cut_lo
+          FROM cum WHERE CAST(cum AS DOUBLE) >= CAST(nt AS DOUBLE)/3.0 ORDER BY b LIMIT 1),
+        c2 AS (SELECT round((CAST(b AS DOUBLE) + (CAST(nt AS DOUBLE)*2.0/3.0 - CAST(cum - n AS DOUBLE)) / n) / 64.0, 6) AS cut_hi
+          FROM cum WHERE CAST(cum AS DOUBLE) >= CAST(nt AS DOUBLE)*2.0/3.0 ORDER BY b LIMIT 1),
+        ex AS (SELECT doc_id, nll,
+            CAST(ROW_NUMBER() OVER (ORDER BY nll, doc_id) AS BIGINT) AS rn,
+            CAST(COUNT(*) OVER () AS BIGINT) AS nd
+          FROM rk),
+        eb AS (SELECT doc_id, nll,
+            CASE WHEN rn * 3 <= nd THEN 'head'
+                 WHEN rn * 3 <= nd * 2 THEN 'middle' ELSE 'tail' END AS ebucket
+          FROM ex),
+        sk AS (SELECT e.*, c1.cut_lo, c2.cut_hi,
+            CASE WHEN e.nll <= c1.cut_lo THEN 'head'
+                 WHEN e.nll <= c2.cut_hi THEN 'middle' ELSE 'tail' END AS sbucket
+          FROM eb e, c1, c2)
+        SELECT cut_lo, cut_hi,
+          CAST(sum(CASE WHEN sbucket = 'head' THEN 1 ELSE 0 END) AS BIGINT) AS n_head,
+          CAST(sum(CASE WHEN sbucket = 'middle' THEN 1 ELSE 0 END) AS BIGINT) AS n_middle,
+          CAST(sum(CASE WHEN sbucket = 'tail' THEN 1 ELSE 0 END) AS BIGINT) AS n_tail,
+          CAST(sum(CASE WHEN sbucket = ebucket THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+        FROM sk GROUP BY 1, 2""")),
 
     // ---- the fitted LM pinned (p53b): the 100 most frequent bigrams
     // with their integer-scaled negative log-probs — the model CONTENTS,

@@ -209,6 +209,24 @@ class SelectionFamilySpec extends SparkSpecBase {
       s"p55 must scan the staged lr weights:\n$p")
   }
 
+  test("p53c: sketch cut-points bucket nearly all docs like the exact terciles") {
+    val r = SparkEntry.queries("p53c_lm_buckets_sketch")(spark, sf0001).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val (lo, hi) = (row.getDouble(0), row.getDouble(1))
+    assert(lo <= hi, s"$lo > $hi")
+    val (nh, nm, nt, agree) =
+      (row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5))
+    val total = nh + nm + nt
+    assert(total == corpus.size)
+    // threshold buckets from a 1024-bucket histogram must track the
+    // exact global-rank terciles on ≥ 90% of documents
+    assert(agree.toDouble / total >= 0.9, s"agreement $agree/$total")
+    // and each sketch bucket must hold roughly a third (±20% absolute)
+    Seq(nh, nm, nt).foreach(n =>
+      assert(math.abs(n.toDouble / total - 1.0 / 3) < 0.2, s"$nh/$nm/$nt"))
+  }
+
   test("p56: temperature weights equal the plain-Scala computation and up-weight minorities") {
     val byLang = corpus.groupBy(_._3).map { case (l, ds) => l -> ds.size.toLong }
     val nt = corpus.size.toLong
