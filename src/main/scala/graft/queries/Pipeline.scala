@@ -2187,6 +2187,27 @@ object Pipeline {
   /** The Gopher required-stopword list (Rae et al. 2021 §A1.1). */
   private val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** The Gopher metric/flag projection (adds n_words, mwl, stw, alr,
+    * n_stop, pass to any frame with a `text` column) — per-row string
+    * algebra shared VERBATIM by batch p52 and the streaming gate, so the
+    * two are definitionally identical. Flags compare UNROUNDED metrics. */
+  private[graft] def gopherMetrics(df: DataFrame): DataFrame = df
+    .withColumn("arr", split(col("text"), " "))
+    .withColumn("n_words", size(col("arr")).cast("bigint"))
+    .withColumn("mwl",
+      length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_words"))
+    .withColumn("stw", (
+      (length(col("text")) - length(expr("replace(text, '#', '')"))).cast("double") +
+        (length(col("text")) - length(expr("replace(text, '...', '')"))).cast("double") / 3.0
+      ) / col("n_words"))
+    .withColumn("alr",
+      expr("CAST(size(filter(arr, w -> w rlike '[A-Za-z]')) AS DOUBLE)") / col("n_words"))
+    .withColumn("n_stop", expr(
+      s"CAST(size(filter(arr, w -> w IN (${gopherStops.map("'" + _ + "'").mkString(", ")}))) AS BIGINT)"))
+    .withColumn("pass",
+      col("n_words").between(50, 100000) && col("mwl").between(3.0, 10.0) &&
+        col("stw") <= 0.1 && col("alr") >= 0.8 && col("n_stop") >= 2)
+
   /** Integer-scaled natural log: floor(ln(x)·1e8 + 0.5) as BIGINT. The
     * SQL text is valid in BOTH engines (ln/floor/CAST agree), and every
     * call site passes an INTEGER-valued argument, so the two engines feed
@@ -4671,22 +4692,7 @@ ${duckResidualAdcCtes("y", "v")},
     // as a map-only stage at any corpus size. Thresholds are the paper's
     // own. Flags compare the UNROUNDED metrics; rounding is output-only.
     QDef("p52_gopher_rules",
-      (s, dir) => docs(s, dir)
-        .withColumn("arr", split(col("text"), " "))
-        .withColumn("n_words", size(col("arr")).cast("bigint"))
-        .withColumn("mwl",
-          length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_words"))
-        .withColumn("stw", (
-          (length(col("text")) - length(expr("replace(text, '#', '')"))).cast("double") +
-            (length(col("text")) - length(expr("replace(text, '...', '')"))).cast("double") / 3.0
-          ) / col("n_words"))
-        .withColumn("alr",
-          expr("CAST(size(filter(arr, w -> w rlike '[A-Za-z]')) AS DOUBLE)") / col("n_words"))
-        .withColumn("n_stop", expr(
-          s"CAST(size(filter(arr, w -> w IN (${gopherStops.map("'" + _ + "'").mkString(", ")}))) AS BIGINT)"))
-        .withColumn("pass",
-          col("n_words").between(50, 100000) && col("mwl").between(3.0, 10.0) &&
-            col("stw") <= 0.1 && col("alr") >= 0.8 && col("n_stop") >= 2)
+      (s, dir) => gopherMetrics(docs(s, dir))
         .select(col("doc_id"), col("n_words"), round(col("mwl"), 6).as("mean_word_len"),
           round(col("stw"), 6).as("symbol_to_word"), round(col("alr"), 6).as("alpha_ratio"),
           col("n_stop"), col("pass"))

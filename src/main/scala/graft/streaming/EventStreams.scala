@@ -218,6 +218,17 @@ object EventStreams {
         (col("nll") <= maxNll).as("kept"))
   }
 
+  /** Streaming Gopher-rules gate — batch p52's metric/flag projection
+    * (the SHARED Pipeline.gopherMetrics, so stream and batch flags are
+    * definitionally identical) applied in-flight: keep documents passing
+    * all five published rules. Per-row projection only, no state. */
+  def gopherGateStream(docs: DataFrame): DataFrame =
+    graft.queries.Pipeline.gopherMetrics(docs)
+      .filter(col("pass"))
+      .select(col("doc_id"), col("n_words"), round(col("mwl"), 6).as("mean_word_len"),
+        round(col("stw"), 6).as("symbol_to_word"),
+        round(col("alr"), 6).as("alpha_ratio"), col("n_stop"))
+
   /** Streaming trained-classifier gate — the streaming form of batch
     * p55: each arriving document is scored under the BATCH-trained LR
     * weights (read from the staged LrStage parquet, fit once per

@@ -740,6 +740,30 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally { q2.stop(); rmdir(refitDir) }
   }
 
+  test("streaming Gopher gate keeps exactly batch p52's passing docs") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("p52_gopher_rules")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    val docsRows = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.gopherGateStream(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gopher_gate")
+      .outputMode("append").start()
+    try {
+      input.addData(docsRows)
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM gopher_gate")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == batch.filter(_._2).keySet,
+        s"${kept.size} streamed vs ${batch.count(_._2)} batch passes")
+      assert(kept.nonEmpty && kept.size < docsRows.size)
+    } finally q.stop()
+  }
+
   test("streaming LR gate scores bit-identical to batch p55 from the staged weights") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
