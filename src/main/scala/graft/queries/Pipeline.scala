@@ -5039,6 +5039,65 @@ ${duckResidualAdcCtes("y", "v")},
           source_a = source_b AS within_source
         FROM sp GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ---- chunk-level BM25 retrieval (p60): the RAG-standard retrieval
+    // unit — p50's overlapping token windows scored as BM25 documents
+    // (dl = window length, df/avgdl over the CHUNK population), top-50
+    // windows returned with (doc_id, chunk_no) provenance. Same
+    // scan-plus-broadcast-stats shape as p29: per-row window explode
+    // and tf (no shuffle), ONE one-row stats reduction, per-partition
+    // heap top-k. ------------------------------------------------------
+    QDef("p60_chunk_bm25",
+      (s, dir) => {
+        val c = chunkTokens; val st = chunkStride
+        val base = docs(s, dir).filter(col("text").isNotNull)
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n", size(col("toks")))
+          .filter(col("n") > 0)
+          .withColumn("start", explode(expr(s"sequence(0, n - 1, $st)")))
+          .withColumn("chunk_no", expr(s"CAST(start div $st AS INT)"))
+          .withColumn("carr", expr(s"slice(toks, start + 1, least($c, n - start))"))
+          .withColumn("dl", expr(s"CAST(least($c, n - start) AS DOUBLE)"))
+        val withTf = base.select(
+          col("doc_id") +: col("chunk_no") +: col("dl") +:
+            bm25Terms.map(t =>
+              expr(s"CAST(size(filter(carr, x -> x = '$t')) AS DOUBLE)").as(s"tf_$t")): _*)
+        val stats = withTf.agg(
+          count(lit(1)).cast("double").as("n_docs"),
+          (sum(col("dl")) / count(lit(1))).as("avgdl") +:
+            bm25Terms.map(t =>
+              sum(when(col(s"tf_$t") > 0, 1.0).otherwise(0.0)).as(s"df_$t")): _*)
+        withTf.crossJoin(broadcast(stats))
+          .withColumn("score_r", round(
+            expr(bm25Terms.map(t => bm25Term(s"tf_$t", s"df_$t")).mkString(" + ")), 6))
+          .select(col("doc_id"), col("chunk_no"),
+            col("dl").cast("int").as("n_tok"), col("score_r"))
+          .orderBy(col("score_r").desc, col("doc_id"), col("chunk_no"))
+          .limit(50)
+      },
+      Some(s"""WITH ck AS (
+          SELECT doc_id, st AS start,
+            CAST(st // $chunkStride AS INT) AS chunk_no,
+            arr[st + 1 : st + least($chunkTokens, n - st)] AS carr,
+            CAST(least($chunkTokens, n - st) AS DOUBLE) AS dl
+          FROM (SELECT doc_id, arr, len(arr) AS n, unnest(range(0, len(arr), $chunkStride)) AS st
+                FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+                      WHERE text IS NOT NULL)
+                WHERE len(arr) > 0)),
+        t AS (SELECT doc_id, chunk_no, dl,
+            ${bm25Terms.map(t =>
+              s"CAST(len(list_filter(carr, x -> x = '$t')) AS DOUBLE) AS tf_$t")
+              .mkString(", ")}
+          FROM ck),
+        stx AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) / COUNT(*) AS avgdl,
+            ${bm25Terms.map(t =>
+              s"SUM(CASE WHEN tf_$t > 0 THEN 1.0 ELSE 0.0 END) AS df_$t")
+              .mkString(", ")}
+          FROM t)
+        SELECT doc_id, chunk_no, CAST(dl AS INTEGER) AS n_tok,
+          round(${bm25Terms.map(t => bm25Term(s"tf_$t", s"df_$t")).mkString(" + ")}, 6) AS score_r
+        FROM t, stx
+        ORDER BY score_r DESC, doc_id, chunk_no LIMIT 50""")),
+
     // ---- dedup YIELD report (p59): what near-dup dedup would buy —
     // cluster-size histogram with total vs duplicate bytes (bytes of
     // every non-representative member) per size class. The ROI number a

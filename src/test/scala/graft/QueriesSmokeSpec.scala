@@ -229,6 +229,22 @@ class QueriesSmokeSpec extends SparkSpecBase {
     }
   }
 
+  test("p60 chunk BM25: retrieval units are exactly p50's windows; scores positive") {
+    val top = SparkEntry.queries("p60_chunk_bm25")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(top.length == 50)
+    val c = queries.Pipeline.chunkTokens
+    top.foreach { case (id, no, nTok, score) =>
+      assert(nTok >= 1 && nTok <= c, s"doc $id chunk $no")
+      assert(score > 0.0, "a top-50 chunk must match at least one term")
+    }
+    // every (doc_id, chunk_no) must be a window p50 emits
+    val p50 = SparkEntry.queries("p50_chunk_windows")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    top.foreach { case (id, no, _, _) =>
+      assert(p50.contains((id, no)), s"($id, $no) not a p50 window") }
+  }
+
   test("BPE end-to-end on a hand-computable corpus") {
     import spark.implicits._
     // corpus: "low low low lower lower" + noise filtered by [a-z]+
