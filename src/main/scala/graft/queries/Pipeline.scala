@@ -2457,6 +2457,25 @@ object Pipeline {
     }
   }
 
+  /** Per-document classifier scores (doc_id, y, score_r) against the
+    * STAGED weights — p55's scoring front, shared with the
+    * Pareto-threshold sampler (p61). */
+  private def lrDocScores(s: SparkSession, dir: String): DataFrame = {
+    val w = LrStage.load(s, dir)
+    lrFeatures(s, dir).join(broadcast(w), Seq("b"))
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sum(col("c") * col("ws")).as("ms"))
+      .withColumn("score_r", round(expr(
+        "1.0/(1.0 + exp(-(CAST(ms AS DOUBLE)/100000000000000.0)))"), 6))
+  }
+
+  /** The DuckDB mirror of [[lrDocScores]] (CTE `lsc`; needs the fit
+    * chain's `lftc` and `lw<lrIters>`). */
+  private def duckLrScoreCte: String =
+    s"""lsc AS (SELECT f.doc_id, any_value(f.y) AS y,
+            round(1.0/(1.0 + exp(-(CAST(sum(f.c * w.ws) AS DOUBLE)/100000000000000.0))), 6) AS score_r
+          FROM lftc f JOIN lw$lrIters w ON f.b = w.b GROUP BY f.doc_id)"""
+
   /** The DuckDB mirror of the whole LR fit: the feature CTE then per
     * round r the per-doc residuals (lpd_r) and the updated weights
     * (lw_r), every CTE MATERIALIZED for the same reason as
@@ -4910,25 +4929,16 @@ ${duckResidualAdcCtes("y", "v")},
     // corpora vs base rates of 38.6%/43.6% (≥1.6x lift) — learned
     // signal, pinned in the hash. --------------------------------------
     QDef("p55_lr_quality_select",
-      (s, dir) => {
-        val w = LrStage.load(s, dir)
-        lrFeatures(s, dir).join(broadcast(w), Seq("b"))
-          .groupBy(col("doc_id"), col("y"))
-          .agg(sum(col("c") * col("ws")).as("ms"))
-          .withColumn("score_r", round(expr(
-            "1.0/(1.0 + exp(-(CAST(ms AS DOUBLE)/100000000000000.0)))"), 6))
+      (s, dir) => lrDocScores(s, dir)
           .withColumn("rn", row_number()
             .over(Window.orderBy(col("score_r").desc, col("doc_id"))).cast("bigint"))
           .select(col("doc_id"), col("y"), col("score_r"),
             (col("rn") <= 100).as("selected"))
-          .orderBy(col("doc_id"))
-      },
+          .orderBy(col("doc_id")),
       Some(s"""WITH $duckBigrams,
         $duckDsirFeatures,
         $duckLrChain,
-        lsc AS (SELECT f.doc_id, any_value(f.y) AS y,
-            round(1.0/(1.0 + exp(-(CAST(sum(f.c * w.ws) AS DOUBLE)/100000000000000.0))), 6) AS score_r
-          FROM lftc f JOIN lw$lrIters w ON f.b = w.b GROUP BY f.doc_id),
+        $duckLrScoreCte,
         lrr AS (SELECT *,
             CAST(ROW_NUMBER() OVER (ORDER BY score_r DESC, doc_id) AS BIGINT) AS rn
           FROM lsc)
@@ -4947,6 +4957,48 @@ ${duckResidualAdcCtes("y", "v")},
         $duckDsirFeatures,
         $duckLrChain
         SELECT b, ws FROM lw$lrIters WHERE ws <> 0 ORDER BY b""")),
+
+    // ---- Pareto-threshold stochastic selection (p61): the EXACT
+    // mechanism GPT-3 used to apply its quality classifier (Brown et
+    // al. 2020 §A: keep a document iff a Pareto(9) draw exceeds
+    // 1 − score) — high-scoring docs are kept near-certainly, low
+    // scorers survive with small probability, preserving tail
+    // diversity instead of a hard cutoff. The "draw" is the
+    // inverse-CDF Lomax sample of a 16-bit md5 hash of the doc id
+    // (p24's deterministic-sampling idiom), so the selection is
+    // identical on any cluster and both engines. ----------------------
+    QDef("p61_pareto_sample",
+      (s, dir) => {
+        val d = (1 to 4).map(i =>
+          s"(instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), $i, 1)) - 1)")
+          .reduce((a, b) => s"($a * 16 + $b)")
+        // the exponent is a Scala-computed double rendered into BOTH
+        // engines: written as the SQL text `-1.0/9.0` Spark would
+        // evaluate it in DECIMAL arithmetic (literal `1.0` is
+        // DECIMAL(2,1)) and truncate to -0.111111 — measured 3e-8 skew
+        lrDocScores(s, dir)
+          .withColumn("u", expr(s"CAST($d AS DOUBLE) / 65536.0"))
+          .withColumn("x", expr(s"pow(1.0 - u, ${-1.0 / 9.0}) - 1.0"))
+          .select(col("doc_id"), col("y"), col("score_r"),
+            round(col("x"), 6).as("pareto_r"),
+            (col("x") > lit(1.0) - col("score_r")).as("kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val d = (1 to 4).map(i =>
+          s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)")
+          .reduce((a, b) => s"($a * 16 + $b)")
+        s"""WITH $duckBigrams,
+        $duckDsirFeatures,
+        $duckLrChain,
+        $duckLrScoreCte,
+        pu AS (SELECT doc_id, y, score_r,
+            pow(1.0 - CAST($d AS DOUBLE) / 65536.0, ${-1.0 / 9.0}) - 1.0 AS x
+          FROM lsc)
+        SELECT doc_id, y, score_r, round(x, 6) AS pareto_r,
+          x > 1.0 - score_r AS kept
+        FROM pu ORDER BY doc_id"""
+      }),
 
     // ---- temperature-based language-mixture weights (Conneau et al.
     // 2019 XLM-R §3.1 / mT5): sampling weight q_l ∝ p_l^α with α = 0.3,

@@ -202,6 +202,34 @@ class SelectionFamilySpec extends SparkSpecBase {
       s"selection precision $inSel must beat the base rate $base")
   }
 
+  test("p61: Pareto-threshold sampling equals the plain-Scala mechanism and favors high scores") {
+    val (_, scores) = lrFit
+    val expect = scores.map { case (id, y, ms) =>
+      val score = r6(1.0 / (1.0 + math.exp(-(ms.toDouble / 100000000000000.0))))
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(2).map(b => f"${b & 0xff}%02x").mkString
+      val u = java.lang.Integer.parseInt(h, 16).toDouble / 65536.0
+      val x = math.pow(1.0 - u, -1.0 / 9.0) - 1.0
+      id -> ((y, score, r6(x), x > 1.0 - score))
+    }.toMap
+    val got = SparkEntry.queries("p61_pareto_sample")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4)))).toMap
+    assert(got.size == expect.size)
+    expect.foreach { case (id, e) => assert(got(id) == e, s"doc $id") }
+    // the mechanism's closed form: P(keep | score s) = (2 - s)^-9, so
+    // the realized keep rate must sit within binomial noise of the
+    // per-doc expectation (deterministic given the fixed corpus)
+    val vals = expect.values.toSeq
+    val expKeep = vals.map(v => math.pow(2.0 - v._2, -9.0)).sum / vals.size
+    val gotKeep = vals.count(_._4).toDouble / vals.size
+    val sd = math.sqrt(expKeep * (1 - expKeep) / vals.size)
+    assert(math.abs(gotKeep - expKeep) < 4 * sd,
+      s"keep rate $gotKeep vs Lomax expectation $expKeep (sd $sd)")
+    assert(vals.exists(_._4) && vals.exists(!_._4))
+  }
+
   test("p55 scores against the STAGED weight table (fit-once discipline)") {
     val p = SparkEntry.queries("p55_lr_quality_select")(spark, sf0001)
       .queryExecution.executedPlan.toString
