@@ -5000,6 +5000,58 @@ ${duckResidualAdcCtes("y", "v")},
         FROM pu ORDER BY doc_id"""
       }),
 
+    // ---- corpus DATASHEET row (p62): the one-row summary a dataset
+    // card leads with (Gebru et al. 2021, Datasheets for Datasets) —
+    // volume, provenance breadth, vocabulary, exact-duplicate mass and
+    // quality-gate pass rate, each a single-pass aggregate over
+    // machinery other entries pin individually. Cross-entry consistency
+    // is spec'd (counts must agree with p01/p52). --------------------
+    QDef("p62_corpus_card",
+      (s, dir) => {
+        val base = docs(s, dir).agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(size(split(col("text"), " ")).cast("bigint")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"),
+          (count(lit(1)) - countDistinct(md5(col("text")))).as("exact_dup_docs"))
+        val words = docs(s, dir)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .agg(countDistinct(col("w")).as("distinct_words"))
+        val shing = ShingleStage.load(s, dir)
+          .agg(countDistinct(col("h")).as("distinct_shingles"))
+        val pass = gopherMetrics(docs(s, dir))
+          .agg(round(sum(when(col("pass"), 1.0).otherwise(0.0)) / count(lit(1)), 6)
+            .as("gopher_pass_rate"))
+        base.crossJoin(broadcast(words)).crossJoin(broadcast(shing))
+          .crossJoin(broadcast(pass))
+      },
+      Some(s"""WITH $duckShingleCtes,
+        b AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+            CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+            CAST(sum(n_chars) AS BIGINT) AS n_chars,
+            CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS exact_dup_docs
+          FROM documents),
+        wd AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS distinct_words
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+        sg AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS distinct_shingles FROM sh),
+        gp AS (SELECT round(
+            sum(CASE WHEN (len(string_split(text, ' ')) BETWEEN 50 AND 100000)
+              AND (CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) BETWEEN 3.0 AND 10.0)
+              AND (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+                + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3.0)
+                / len(string_split(text, ' ')) <= 0.1
+              AND CAST(len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                / len(string_split(text, ' ')) >= 0.8
+              AND len(list_filter(string_split(text, ' '),
+                w -> w IN (${gopherStops.map("'" + _ + "'").mkString(", ")}))) >= 2
+              THEN 1.0 ELSE 0.0 END) / count(*), 6) AS gopher_pass_rate
+          FROM documents)
+        SELECT b.*, wd.distinct_words, sg.distinct_shingles, gp.gopher_pass_rate
+        FROM b, wd, sg, gp""")),
+
     // ---- temperature-based language-mixture weights (Conneau et al.
     // 2019 XLM-R §3.1 / mT5): sampling weight q_l ∝ p_l^α with α = 0.3,
     // the standard up-weighting of low-resource slices when assembling

@@ -245,6 +245,25 @@ class QueriesSmokeSpec extends SparkSpecBase {
       assert(p50.contains((id, no)), s"($id, $no) not a p50 window") }
   }
 
+  test("p62 corpus card agrees with the entries it summarizes (p01, p52, p57)") {
+    val card = SparkEntry.queries("p62_corpus_card")(spark, sf0001).collect()(0)
+    val nDocs = card.getAs[Long]("n_docs")
+    // exact-dup mass = docs minus p01's surviving representatives
+    val p01 = SparkEntry.queries("p01_dedup_exact")(spark, sf0001).count()
+    assert(card.getAs[Long]("exact_dup_docs") == nDocs - p01)
+    // gopher pass rate = p52's pass count over the corpus
+    val p52pass = SparkEntry.queries("p52_gopher_rules")(spark, sf0001)
+      .filter("pass").count()
+    val expRate = java.math.BigDecimal.valueOf(p52pass.toDouble / nDocs)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    assert(card.getAs[Double]("gopher_pass_rate") == expRate)
+    // distinct shingles = the staged table's distinct h (p57's partition total)
+    val distinctH = queries.Pipeline.ShingleStage.load(spark, sf0001)
+      .select("h").distinct().count()
+    assert(card.getAs[Long]("distinct_shingles") == distinctH)
+    assert(card.getAs[Long]("n_langs") == 5 && card.getAs[Long]("n_sources") >= 2)
+  }
+
   test("BPE end-to-end on a hand-computable corpus") {
     import spark.implicits._
     // corpus: "low low low lower lower" + noise filtered by [a-z]+
