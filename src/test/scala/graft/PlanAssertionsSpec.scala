@@ -200,6 +200,30 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"p32 assignment must not use a window (n*k shuffle):\n$p32")
   }
 
+  test("audit/retrieval family plan shapes: staged reads, no sort-merge, p29's top-k shape") {
+    // p57 rides the STAGED shingle scan: one window + one aggregate, no join
+    val p57 = plan("p57_ngram_novelty")
+    assert(!p57.contains("Join"), s"p57 must not join:\n$p57")
+    assert(p57.contains("Window"), p57)
+    assert("sh[0-9a-f]*_".r.findFirstIn(p57).isDefined ||
+      p57.contains("Scan parquet"), p57)
+    // p58/p59 join only id→dimension (broadcast at validation scale)
+    Seq("p58_source_overlap", "p59_dedup_yield").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: dimension joins must broadcast at validation scale:\n$p")
+    }
+    // p60 is p29's shape at chunk granularity: one-row broadcast stats,
+    // per-partition heap top-k, no shuffle of chunk text
+    val p60 = plan("p60_chunk_bm25")
+    assert(p60.contains("TakeOrderedAndProject"),
+      s"p60 top-k must be TakeOrderedAndProject:\n$p60")
+    assert(!p60.contains("SortMergeJoin"), p60)
+    // p62 is a crossJoin of one-row aggregates — every join side broadcast
+    val p62 = plan("p62_corpus_card")
+    assert(!p62.contains("SortMergeJoin") && !p62.contains("CartesianProduct"), p62)
+  }
+
   test("blanket invariant: NO query plans a CartesianProduct — not even the exact baselines") {
     // the declared all-pairs baselines (p05/p14) cross-join, but with a
     // broadcast side they plan as BroadcastNestedLoopJoin; an actual
