@@ -2457,6 +2457,33 @@ object Pipeline {
     }
   }
 
+  /** The fitted DSIR bucket table collected for STREAMING scoring:
+    * bucket → integer-scaled log-ratio, plus the unseen-bucket default
+    * (ct = cr = 0 in the smoothed formula — a bucket the fitted corpus
+    * never produced). Bucket-bounded (≤ dsirBuckets rows), the
+    * lmScoreMaps discipline. */
+  private[graft] def dsirWeightMaps(s: SparkSession, dir: String): (Map[Long, Long], Long) = {
+    val ft = dsirFeatures(s, dir)
+    val ct = ft.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+    val cr = ft.groupBy(col("b")).agg(count(lit(1)).as("rc"))
+    val st = ft.agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"),
+      count(lit(1)).as("nr"))
+    val lw = cr.join(broadcast(ct), Seq("b"), "left")
+      .crossJoin(broadcast(st))
+      .withColumn("lwt", expr(
+        sln("coalesce(tc, 0) + 1") + s" - ${sln(s"nt + $dsirBuckets")}" +
+          s" - ${sln("rc + 1")} + ${sln(s"nr + $dsirBuckets")}"))
+    val stRow = st.collect()(0)
+    val (nt, nr) = (stRow.getLong(0), stRow.getLong(1))
+    def slnL(x: Long): Long =
+      math.floor(math.log(x.toDouble) * 100000000.0 + 0.5).toLong
+    val default = slnL(nr + dsirBuckets) - slnL(nt + dsirBuckets)
+    (lw.select(col("b"), col("lwt")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap, default)
+  }
+
   /** Per-document classifier scores (doc_id, y, score_r) against the
     * STAGED weights — p55's scoring front, shared with the
     * Pareto-threshold sampler (p61). */

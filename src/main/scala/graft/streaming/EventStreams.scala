@@ -229,6 +229,50 @@ object EventStreams {
         round(col("stw"), 6).as("symbol_to_word"),
         round(col("alr"), 6).as("alpha_ratio"), col("n_stop"))
 
+  /** The per-doc hashed unigram+bigram feature-bucket multiset (the
+    * batch dsirFeatures representation as one array column) — shared by
+    * the LR and DSIR gates. Expects an `arr` token-array column. */
+  private def hashedFeatureBuckets: org.apache.spark.sql.Column = {
+    val b = graft.queries.Pipeline.dsirBuckets
+    val arr = col("arr")
+    def bucket(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      conv(substring(md5(e), 1, 15), 16, 10).cast("long") % b
+    concat(
+      transform(arr, w => bucket(w)),
+      when(size(arr) >= 2,
+        transform(expr("sequence(0, size(arr)-2)"), i =>
+          bucket(concat(element_at(arr, i + 1), lit(" "),
+            element_at(arr, i + 2)))))
+        .otherwise(array().cast("array<bigint>")))
+  }
+
+  /** Streaming DSIR gate — the streaming form of batch p54: each
+    * arriving document's importance weight (mean smoothed log-ratio of
+    * its hashed feature occurrences vs the fitted target/raw
+    * distributions) computed against the batch-fitted bucket table
+    * shipped as a literal lookup map, with the smoothed unseen-bucket
+    * default for vocabulary the fitted corpus never produced. One
+    * stateless projection: no join, no shuffle, no state. Weights are
+    * bit-identical to batch p54 on fitted-corpus docs (spec-proven).
+    * Expects `doc_id` and `text`; emits (doc_id, n_feats, weight, kept). */
+  def dsirGateStream(spark: org.apache.spark.sql.SparkSession,
+      modelDir: String, docs: DataFrame, minWeight: Double = 0.0): DataFrame = {
+    val (lwt, dflt) = graft.queries.Pipeline.dsirWeightMaps(spark, modelDir)
+    val lwtCol = typedLit(lwt)
+    docs
+      .withColumn("arr", split(col("text"), " "))
+      .withColumn("fs", hashedFeatureBuckets)
+      .withColumn("n_feats", size(col("fs")).cast("bigint"))
+      .filter(col("n_feats") >= 1)
+      .withColumn("ws", aggregate(
+        col("fs"), lit(0L),
+        (acc, bk) => acc + coalesce(element_at(lwtCol, bk), lit(dflt))))
+      .withColumn("weight",
+        round(col("ws").cast("double") / 100000000.0 / col("n_feats"), 6))
+      .select(col("doc_id"), col("n_feats"), col("weight"),
+        (col("weight") >= minWeight).as("kept"))
+  }
+
   /** Streaming trained-classifier gate — the streaming form of batch
     * p55: each arriving document is scored under the BATCH-trained LR
     * weights (read from the staged LrStage parquet, fit once per
@@ -244,22 +288,10 @@ object EventStreams {
       modelDir: String, docs: DataFrame, minScore: Double = 0.5): DataFrame = {
     val wm = graft.queries.Pipeline.LrStage.load(spark, modelDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val b = graft.queries.Pipeline.dsirBuckets
     val wCol = typedLit(wm)
-    val arr = col("arr")
-    // the same md560-mod-b bucket per feature as batch
-    def bucket(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      conv(substring(md5(e), 1, 15), 16, 10).cast("long") % b
     docs
       .withColumn("arr", split(col("text"), " "))
-      // per-doc feature multiset: unigram ++ bigram bucket ints
-      .withColumn("fs", concat(
-        transform(arr, w => bucket(w)),
-        when(size(arr) >= 2,
-          transform(expr("sequence(0, size(arr)-2)"), i =>
-            bucket(concat(element_at(arr, i + 1), lit(" "),
-              element_at(arr, i + 2)))))
-          .otherwise(array().cast("array<bigint>"))))
+      .withColumn("fs", hashedFeatureBuckets)
       .withColumn("dl", size(col("fs")).cast("bigint"))
       // exact integer margin, identical to batch: per DISTINCT bucket
       // tf = floor(count·1e6/dl + 0.5), margin = Σ tf·w + 1e6·w(-1)

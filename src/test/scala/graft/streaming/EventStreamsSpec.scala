@@ -764,6 +764,42 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming DSIR gate weights bit-identical to batch p54") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("p54_dsir_select")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val thr = batch.values.map(_._2).toSeq.sorted.apply(batch.size / 2)
+    val docsRows = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.dsirGateStream(spark, dir,
+        input.toDF().toDF("doc_id", "text"), minWeight = thr)
+      .writeStream.format("memory").queryName("dsir_gate")
+      .outputMode("append").start()
+    try {
+      val (a, b) = docsRows.splitAt(docsRows.size / 2)
+      input.addData(a)
+      q.processAllAvailable()
+      input.addData(b)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, n_feats, weight, kept FROM dsir_gate")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      assert(got.length == docsRows.size)
+      got.foreach { case (id, n, w, kept) =>
+        val (bn, bw) = batch(id)
+        assert(n == bn && w == bw, s"doc $id: stream ($n, $w) vs batch ($bn, $bw)")
+        assert(kept == (w >= thr))
+      }
+      assert(got.exists(_._4) && got.exists(!_._4))
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming LR gate scores bit-identical to batch p55 from the staged weights") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
