@@ -113,6 +113,27 @@ object CopyInto {
           .option("mode", mode)
           .option("columnNameOfCorruptRecord", CorruptCol)
           .json(files: _*)
+      case "PARQUET" =>
+        // Beyond-parity (the reference loads CSV/JSON only): parquet is
+        // self-describing, so columns are matched to the target table BY
+        // NAME (case-insensitive, Snowflake's MATCH_BY_COLUMN_NAME
+        // semantics), cast to the target types, and absent columns load
+        // as NULL. There are no row-level parse errors in a columnar
+        // file — a corrupt/mis-typed file fails as a whole, which
+        // ON_ERROR=SKIP_FILE isolates via its per-file read and ABORT
+        // propagates; the PERMISSIVE corrupt channel is vacuously empty.
+        val df = spark.read.parquet(files: _*)
+        val byName = df.columns.map(c => c.toLowerCase -> c).toMap
+        val out = df.select(schema.fields.toSeq.map { f =>
+          byName.get(f.name.toLowerCase) match {
+            case Some(c) => col(c).cast(f.dataType).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
+        }: _*)
+        if (mode == "PERMISSIVE")
+          out.withColumn(CorruptCol,
+            lit(null).cast(org.apache.spark.sql.types.StringType))
+        else out
       case other => throw new IllegalArgumentException(s"unsupported format $other")
     }
   }

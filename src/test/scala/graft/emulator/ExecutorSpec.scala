@@ -113,6 +113,22 @@ class ExecutorSpec extends AnyFunSuite {
     assert(exec("SELECT COUNT(*) AS n FROM users WHERE id IN (20, 21)").rows.head.head == 2L)
   }
 
+  test("06b copy into from stage (PARQUET, name-matched)") {
+    exec("CREATE STAGE pqstage")
+    val stageDir = executor.stages.stageDir("PQSTAGE")
+    // write a real parquet with shuffled/re-cased columns via Spark
+    import spark.implicits._
+    Seq(("p@q.com", 30L, "Pia", 77.7))
+      .toDF("EMAIL", "ID", "NAME", "SCORE")
+      .coalesce(1).write.parquet(stageDir.resolve("pq").toString)
+    val c = exec(
+      "COPY INTO users FROM @pqstage PATTERN = '.*\\.parquet' FILE_FORMAT = (TYPE = PARQUET)")
+    assert(c.rowsAffected.contains(1L))
+    val r = exec("SELECT name, score, created FROM users WHERE id = 30")
+    assert(r.rows.head.head == "Pia")
+    assert(r.rows.head(2) == null, "absent created column loads as NULL")
+  }
+
   test("07 show / describe / history") {
     val t = exec("SHOW TABLES")
     assert(t.rows.exists(_.head == "USERS"))

@@ -33,6 +33,36 @@ class CopyIntoSpec extends SparkSpecBase {
     assert(rows(0).getString(1) == "alice")
   }
 
+  test("PARQUET loads by column name: case-insensitive match, casts, absent -> NULL") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("copy_parquet")
+    // columns deliberately upper-cased, re-ordered, `bal` absent, and an
+    // extra column the table does not have; id arrives as a LONG
+    Seq((1L, "x", "alice"), (2L, "y", "bob"))
+      .toDF("ID", "EXTRA", "NAME")
+      .coalesce(1).write.parquet(dir.resolve("part").toString)
+    val (df, res) = CopyInto.load(spark, dir, schema, CopyInto.Options(
+      format = "PARQUET", pattern = Some(".*\\.parquet")))
+    val rows = df.orderBy("id").collect()
+    assert(res.rowsLoaded == 2)
+    assert(rows(0).getInt(0) == 1 && rows(0).getString(1) == "alice")
+    assert(rows(0).isNullAt(2) && rows(1).isNullAt(2), "absent bal loads as NULL")
+    assert(df.columns.toSeq == Seq("id", "name", "bal"))
+  }
+
+  test("PARQUET ON_ERROR=SKIP_FILE isolates an unreadable file") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("copy_parquet_skip")
+    Seq((1, "alice", 1.0)).toDF("id", "name", "bal")
+      .coalesce(1).write.parquet(dir.resolve("good").toString)
+    writeFile(dir, "bad/junk.parquet", "this is not parquet")
+    val (df, res) = CopyInto.load(spark, dir, schema, CopyInto.Options(
+      format = "PARQUET", pattern = Some(".*\\.parquet"),
+      onError = CopyInto.SkipFile))
+    assert(df.count() == 1)
+    assert(res.errors.nonEmpty, "the bad file must be reported, not silently dropped")
+  }
+
   test("PATTERN filters files by regex over the relative path") {
     val dir = Files.createTempDirectory("copy_pat")
     writeFile(dir, "x.csv", "1,a,1.0\n")
