@@ -1,0 +1,108 @@
+package graft
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based tests for the pipeline's text kernels over RANDOM
+  * corpora — the fixed-testdata specs pin exact values; these pin the
+  * algebra on inputs the testdata never exercises (empty-ish docs, words
+  * with symbols/digits only, stride/window edge ratios). Each case runs
+  * the real Spark projection over a generated batch and compares against
+  * an independent plain-Scala evaluation.
+  */
+class PipelinePropertySpec extends SparkSpecBase {
+
+  private def check(prop: Prop, cases: Int = 10): Unit = {
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(cases), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  private def r6(d: Double): Double =
+    JBigDecimal.valueOf(d).setScale(6, RoundingMode.HALF_UP).doubleValue
+
+  private val word: Gen[String] = for {
+    n <- Gen.choose(1, 10)
+    cs <- Gen.listOfN(n, Gen.frequency(
+      8 -> Gen.alphaLowerChar, 2 -> Gen.alphaUpperChar,
+      2 -> Gen.numChar, 1 -> Gen.oneOf('#', '.', '!', '?')))
+  } yield cs.mkString
+
+  private val doc: Gen[String] = for {
+    n <- Gen.choose(1, 80)
+    ws <- Gen.listOfN(n, Gen.frequency(
+      6 -> word, 1 -> Gen.oneOf("the", "of", "and", "to", "be")))
+  } yield ws.mkString(" ")
+
+  private val batch: Gen[List[String]] =
+    Gen.choose(5, 25).flatMap(k => Gen.listOfN(k, doc))
+
+  test("gopherMetrics equals the plain-Scala evaluation on random documents") {
+    import spark.implicits._
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    check(Prop.forAll(batch) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = queries.Pipeline.gopherMetrics(df)
+        .select(col("doc_id"), col("n_words"), round(col("mwl"), 6),
+          round(col("stw"), 6), round(col("alr"), 6), col("n_stop"), col("pass"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getLong(5), r.getBoolean(6)))).toMap
+      texts.zipWithIndex.forall { case (t, i) =>
+        val arr = t.split(" ", -1)
+        val n = arr.length.toLong
+        val mwl = t.replace(" ", "").length.toDouble / n
+        val stw = ((t.length - t.replace("#", "").length).toDouble +
+          (t.length - t.replace("...", "").length).toDouble / 3.0) / n
+        val alr = arr.count(w => w.exists(c =>
+          (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z'))).toDouble / n
+        val nStop = arr.count(stops.contains).toLong
+        val pass = n >= 50 && n <= 100000 && mwl >= 3.0 && mwl <= 10.0 &&
+          stw <= 0.1 && alr >= 0.8 && nStop >= 2
+        got(i.toLong) == ((n, r6(mwl), r6(stw), r6(alr), nStop, pass))
+      }
+    })
+  }
+
+  test("chunk windows tile every token: stride-aligned starts, full coverage, no overflow") {
+    import spark.implicits._
+    val c = queries.Pipeline.chunkTokens
+    val st = queries.Pipeline.chunkStride
+    check(Prop.forAll(batch) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val wins = queries.Pipeline.chunkFingerprints(df)
+        .select(col("doc_id"), col("chunk_no"), col("start"), col("n_tok"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+        .groupBy(_._1)
+      texts.zipWithIndex.forall { case (t, i) =>
+        val n = t.split(" ", -1).length
+        val ws = wins.getOrElse(i.toLong, Array.empty).sortBy(_._3)
+        // starts are exactly 0, st, 2st, ... < n — so every token index
+        // is inside at least the window that starts at (idx / st) * st
+        ws.map(_._3).toSeq == (0 until n by st) &&
+          ws.forall { case (_, no, s, len) =>
+            no == s / st && len == math.min(c, n - s) && len >= 1 } &&
+          ws.map(w => w._3 until (w._3 + w._4)).foldLeft(Set.empty[Int])(_ ++ _) ==
+            (0 until n).toSet
+      }
+    })
+  }
+
+  test("sln-scaled log sums are accumulation-order-invariant by construction") {
+    // the invariant every selection entry's correctness rests on: scaled
+    // BIGINT summands commute exactly (no float accumulation anywhere)
+    val gen = Gen.listOfN(200, Gen.choose(1L, 1000000L))
+    check(Prop.forAll(gen) { xs =>
+      def sln(x: Long): Long =
+        math.floor(math.log(x.toDouble) * 100000000.0 + 0.5).toLong
+      val terms = xs.map(sln)
+      terms.sum == terms.reverse.sum &&
+        terms.sum == terms.sorted.sum &&
+        terms.grouped(7).map(_.sum).sum == terms.sum
+    }, cases = 50)
+  }
+}
