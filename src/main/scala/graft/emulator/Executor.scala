@@ -1573,7 +1573,73 @@ final class Executor(
   // COPY INTO
   // ------------------------------------------------------------------
 
+  /** `COPY INTO @stage[/path] FROM <table | (query)>` — the UNLOAD
+    * direction (beyond-parity: the reference only loads). Writes the
+    * source as CSV (default; FIELD_DELIMITER/HEADER honored), JSON
+    * lines or PARQUET into the stage directory; OVERWRITE=TRUE replaces
+    * the target path, the default appends new part files (Snowflake's
+    * unique-name append semantics). Returns rows_unloaded. */
+  private val unloadRe =
+    """(?is)^\s*COPY\s+INTO\s+@([^\s/]+)(/\S*)?\s+FROM\s+([\s\S]+)$""".r
+
+  private def copyUnload(ctx: Context, queryId: String,
+      stageName: String, stagePath: String, rest: String): Result = {
+    val restTrim = rest.trim
+    val (sourceText, tail) =
+      if (restTrim.startsWith("(")) {
+        var depth = 0; var i = 0; var end = -1
+        while (i < restTrim.length && end < 0) {
+          restTrim.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) end = i
+            case _ =>
+          }
+          i += 1
+        }
+        if (end < 0)
+          throw SnowflakeError.compilation("unbalanced parens in COPY INTO <location>")
+        (restTrim.substring(1, end), restTrim.substring(end + 1))
+      } else {
+        val sp = restTrim.indexWhere(_.isWhitespace)
+        if (sp < 0) (restTrim, "") else (restTrim.substring(0, sp), restTrim.substring(sp))
+      }
+    val df =
+      if (restTrim.startsWith("(")) queryDf(ctx, sourceText)
+      else catalog.tableDf(TableNaming.parse(sourceText, ctx.database, ctx.schema))
+    val ffText = """(?is)FILE_FORMAT\s*=\s*\(([^)]*)\)""".r
+      .findFirstMatchIn(tail).map(_.group(1)).getOrElse("")
+    val fmtType = """(?is)TYPE\s*=\s*'?(\w+)'?""".r
+      .findFirstMatchIn(ffText).map(_.group(1).toUpperCase(java.util.Locale.ROOT))
+      .getOrElse("CSV")
+    val delim = """(?is)FIELD_DELIMITER\s*=\s*'([^']*)'""".r
+      .findFirstMatchIn(ffText).map(_.group(1)).getOrElse(",")
+    val header = """(?is)HEADER\s*=\s*TRUE""".r
+      .findFirstIn(ffText + " " + tail).isDefined
+    val overwrite = """(?is)OVERWRITE\s*=\s*TRUE""".r.findFirstIn(tail).isDefined
+    // traversal-sanitized like the load side
+    val dir = stages.resolve(stageName, stagePath)
+    val n = df.count()
+    val mode = if (overwrite) "overwrite" else "append"
+    fmtType match {
+      case "CSV" => df.write.mode(mode).option("sep", delim)
+        .option("header", header.toString).csv(dir.toString)
+      case "JSON" => df.write.mode(mode).json(dir.toString)
+      case "PARQUET" => df.write.mode(mode).parquet(dir.toString)
+      case other =>
+        throw SnowflakeError.compilation(s"unsupported unload format $other")
+    }
+    localResult(queryId, Seq("rows_unloaded"), Seq(Seq[Any](n)),
+      Classifier.StatementTypeDml, rowsAffected = Some(n))
+  }
+
   private def copyInto(ctx: Context, sql: String, queryId: String): Result = {
+    unloadRe.findFirstMatchIn(sql) match {
+      case Some(m) =>
+        return copyUnload(ctx, queryId,
+          m.group(1).toUpperCase(java.util.Locale.ROOT),
+          Option(m.group(2)).map(_.stripPrefix("/")).getOrElse(""), m.group(3))
+      case None =>
+    }
     val stmt = CopyParser.parse(sql, ctx.database, ctx.schema,
       formatLookup = n => {
         val parts = n.split('.')

@@ -129,6 +129,34 @@ class ExecutorSpec extends AnyFunSuite {
     assert(r.rows.head(2) == null, "absent created column loads as NULL")
   }
 
+  test("06c copy UNLOAD to stage and round-trip back") {
+    exec("CREATE STAGE unstage")
+    // unload a query's result as parquet into a stage sub-path
+    val u = exec("""COPY INTO @unstage/exp FROM
+        (SELECT id, name, score FROM users WHERE id IN (20, 21))
+        FILE_FORMAT = (TYPE = PARQUET)""")
+    assert(u.rowsAffected.contains(2L))
+    assert(u.rows.head.head == 2L)
+    // round trip: the unloaded files load back losslessly by name-match
+    exec("CREATE TABLE users_rt (id INTEGER, name VARCHAR, score DOUBLE)")
+    val c = exec(
+      "COPY INTO users_rt FROM @unstage/exp PATTERN = '.*\\.parquet' FILE_FORMAT = (TYPE = PARQUET)")
+    assert(c.rowsAffected.contains(2L))
+    val r = exec("SELECT name FROM users_rt WHERE id = 20")
+    assert(r.rows.head.head == "Dave")
+    // CSV unload with header honors the delimiter
+    val cu = exec("""COPY INTO @unstage/csv FROM users_rt
+        FILE_FORMAT = (TYPE = CSV FIELD_DELIMITER = '|' HEADER = TRUE)""")
+    assert(cu.rowsAffected.contains(2L))
+    val stageDir = executor.stages.stageDir("UNSTAGE")
+    val files = java.nio.file.Files.list(stageDir.resolve("csv")).toArray
+      .map(_.toString).filter(_.endsWith(".csv"))
+    assert(files.nonEmpty)
+    val head = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(files.head)).get(0)
+    assert(head.split('|').length == 3, head)
+  }
+
   test("07 show / describe / history") {
     val t = exec("SHOW TABLES")
     assert(t.rows.exists(_.head == "USERS"))
