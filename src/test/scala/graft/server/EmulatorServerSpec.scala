@@ -281,6 +281,23 @@ class EmulatorServerSpec extends AnyFunSuite {
     } finally sys.props.remove("graft.resultPartitionRows")
   }
 
+  test("REST v2: COPY unload + reload round-trip over the wire") {
+    post("/api/v2/statements",
+      """{"statement":"CREATE STAGE wire_un","database":"TEST_DB"}""")
+    val (_, u) = post("/api/v2/statements",
+      """{"statement":"COPY INTO @wire_un/x FROM (SELECT id, name FROM gs_users) FILE_FORMAT = (TYPE = PARQUET)","database":"TEST_DB"}""")
+    assert(u.get("data").get(0).get(0).asLong() >= 1L, u.toString)
+    post("/api/v2/statements",
+      """{"statement":"CREATE TABLE wire_rt (id INTEGER, name VARCHAR)","database":"TEST_DB"}""")
+    val (_, c) = post("/api/v2/statements",
+      """{"statement":"COPY INTO wire_rt FROM @wire_un/x PATTERN = '.*\\.parquet' FILE_FORMAT = (TYPE = PARQUET)","database":"TEST_DB"}""")
+    assert(c.get("code").asText() == "090001", c.toString)
+    val (_, q) = post("/api/v2/statements",
+      """{"statement":"SELECT COUNT(*) AS n FROM wire_rt","database":"TEST_DB"}""")
+    assert(q.get("data").get(0).get(0).asLong() ==
+      u.get("data").get(0).get(0).asLong(), "round trip must be lossless")
+  }
+
   test("REST v2: DML returns rows-affected shape") {
     val (_, r) = post("/api/v2/statements",
       """{"statement":"UPDATE gs_users SET score = 99.0 WHERE id = 1","database":"TEST_DB"}""")
