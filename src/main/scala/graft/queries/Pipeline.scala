@@ -4972,6 +4972,58 @@ ${duckResidualAdcCtes("y", "v")},
         SELECT doc_id, y, score_r, rn <= 100 AS selected
         FROM lrr ORDER BY doc_id""")),
 
+    // ---- the top-k selection's SCALE PATH implemented (p55c): p53c's
+    // histogram discipline with ONE cut — the score threshold at the
+    // (n−100)-th cumulative position of a fixed 1024-bucket histogram
+    // of classifier scores (≤1024 shuffled rows at ANY corpus size,
+    // in-bucket interpolation), documents selected by COMPARISON
+    // against the cut instead of a global rank, and the sketch's
+    // agreement with the exact rank top-100 measured in-row. Retires
+    // the last "global sort at scale" caveat in the selection family.
+    QDef("p55c_lr_select_sketch",
+      (s, dir) => {
+        val sc = lrDocScores(s, dir)
+        val hb = sc
+          .withColumn("b", expr("least(1023, greatest(0, CAST(floor(score_r * 1024.0) AS INT)))"))
+          .groupBy(col("b")).agg(count(lit(1)).as("n"))
+        val cum = hb
+          .withColumn("cum", sum(col("n")).over(Window.orderBy(col("b"))))
+          .withColumn("nt", sum(col("n")).over(Window.partitionBy()))
+        val cut = cum
+          .filter(expr("CAST(cum AS DOUBLE) >= CAST(nt - 100 AS DOUBLE)"))
+          .orderBy(col("b")).limit(1)
+          .select(expr(
+            "round((CAST(b AS DOUBLE) + (CAST(nt - 100 AS DOUBLE) - CAST(cum - n AS DOUBLE)) / n) / 1024.0, 6)")
+            .as("cut_r"))
+        val exact = sc
+          .withColumn("rn", row_number()
+            .over(Window.orderBy(col("score_r").desc, col("doc_id"))).cast("bigint"))
+        exact.crossJoin(broadcast(cut))
+          .withColumn("sk", col("score_r") > col("cut_r"))
+          .groupBy(col("cut_r"))
+          .agg(
+            sum(when(col("sk"), 1L).otherwise(0L)).as("n_selected"),
+            sum(when(col("sk") && col("rn") <= 100, 1L).otherwise(0L)).as("n_agree"))
+      },
+      Some(s"""WITH $duckBigrams,
+        $duckDsirFeatures,
+        $duckLrChain,
+        $duckLrScoreCte,
+        shb AS (SELECT least(1023, greatest(0, CAST(floor(score_r * 1024.0) AS INT))) AS b,
+            CAST(count(*) AS BIGINT) AS n FROM lsc GROUP BY 1),
+        scum AS (SELECT b, n, sum(n) OVER (ORDER BY b) AS cum,
+            (SELECT sum(n) FROM shb) AS nt FROM shb),
+        sct AS (SELECT round((CAST(b AS DOUBLE) + (CAST(nt - 100 AS DOUBLE) - CAST(cum - n AS DOUBLE)) / n) / 1024.0, 6) AS cut_r
+          FROM scum WHERE CAST(cum AS DOUBLE) >= CAST(nt - 100 AS DOUBLE)
+          ORDER BY b LIMIT 1),
+        sex AS (SELECT doc_id, score_r,
+            CAST(ROW_NUMBER() OVER (ORDER BY score_r DESC, doc_id) AS BIGINT) AS rn
+          FROM lsc)
+        SELECT sct.cut_r,
+          CAST(sum(CASE WHEN e.score_r > sct.cut_r THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+          CAST(sum(CASE WHEN e.score_r > sct.cut_r AND e.rn <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+        FROM sex e, sct GROUP BY sct.cut_r""")),
+
     // ---- the trained classifier's weights pinned (p55b): every
     // non-zero integer-scaled weight — the model CONTENTS, so a drift
     // anywhere in the 8-round trajectory (feature scaling, residual

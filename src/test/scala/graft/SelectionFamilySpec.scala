@@ -230,6 +230,19 @@ class SelectionFamilySpec extends SparkSpecBase {
     assert(vals.exists(_._4) && vals.exists(!_._4))
   }
 
+  test("p55c: the one-cut sketch selects near-100 docs, overwhelmingly inside the exact top-100") {
+    val r = SparkEntry.queries("p55c_lr_select_sketch")(spark, sf0001).collect()
+    assert(r.length == 1)
+    val (cut, nSel, nAgree) =
+      (r(0).getDouble(0), r(0).getLong(1), r(0).getLong(2))
+    assert(cut > 0.0 && cut < 1.0)
+    // the threshold form targets k=100; interpolation in a dense
+    // boundary bucket trades recall for precision, never the reverse
+    assert(nSel > 0 && nSel <= 150, s"selected $nSel")
+    assert(nAgree.toDouble / nSel >= 0.9,
+      s"sketch precision $nAgree/$nSel vs the exact top-100")
+  }
+
   test("p55 scores against the STAGED weight table (fit-once discipline)") {
     val p = SparkEntry.queries("p55_lr_quality_select")(spark, sf0001)
       .queryExecution.executedPlan.toString
