@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run's default LoggedOutput prefixes every program line with
+// "[info] ", which makes the bench's machine-readable JSON lines
+// unparseable to a line-oriented consumer (json.loads fails on
+// '[info] {...}'). StdoutOutput passes the child's stdout through
+// verbatim so the bench summary is a bare JSON line.
+run / outputStrategy := Some(StdoutOutput)
+// Drop sbt's trailing "[success] Total time: ..." so the LAST stdout
+// line of `sbt run` is the program's own last line (the bench summary).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
