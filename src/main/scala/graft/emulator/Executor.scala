@@ -1576,9 +1576,14 @@ final class Executor(
   /** `COPY INTO @stage[/path] FROM <table | (query)>` — the UNLOAD
     * direction (beyond-parity: the reference only loads). Writes the
     * source as CSV (default; FIELD_DELIMITER/HEADER honored), JSON
-    * lines or PARQUET into the stage directory; OVERWRITE=TRUE replaces
-    * the target path, the default appends new part files (Snowflake's
-    * unique-name append semantics). Returns rows_unloaded. */
+    * lines or PARQUET into the stage directory; the default appends new
+    * part files (Snowflake's unique-name append semantics) and
+    * OVERWRITE=TRUE replaces only files the unload direction itself
+    * writes (prior part files), never unrelated staged files — matching
+    * Snowflake's replace-matching-names behavior at the location.
+    * Returns rows_unloaded, counted from the WRITTEN files so the
+    * number always agrees with the output even for non-deterministic
+    * sources (SAMPLE, random()). */
   private val unloadRe =
     """(?is)^\s*COPY\s+INTO\s+@([^\s/]+)(/\S*)?\s+FROM\s+([\s\S]+)$""".r
 
@@ -1587,9 +1592,18 @@ final class Executor(
     val restTrim = rest.trim
     val (sourceText, tail) =
       if (restTrim.startsWith("(")) {
-        var depth = 0; var i = 0; var end = -1
+        // paren-depth scan that skips single-quoted literals (with ''
+        // escapes) so a ')' inside a string doesn't truncate the query
+        var depth = 0; var i = 0; var end = -1; var inStr = false
         while (i < restTrim.length && end < 0) {
-          restTrim.charAt(i) match {
+          val c = restTrim.charAt(i)
+          if (inStr) {
+            if (c == '\'') {
+              if (i + 1 < restTrim.length && restTrim.charAt(i + 1) == '\'') i += 1
+              else inStr = false
+            }
+          } else c match {
+            case '\'' => inStr = true
             case '(' => depth += 1
             case ')' => depth -= 1; if (depth == 0) end = i
             case _ =>
@@ -1604,7 +1618,7 @@ final class Executor(
         if (sp < 0) (restTrim, "") else (restTrim.substring(0, sp), restTrim.substring(sp))
       }
     val df =
-      if (restTrim.startsWith("(")) queryDf(ctx, sourceText)
+      if (restTrim.startsWith("(")) fullQueryDf(ctx, sourceText)
       else catalog.tableDf(TableNaming.parse(sourceText, ctx.database, ctx.schema))
     val ffText = """(?is)FILE_FORMAT\s*=\s*\(([^)]*)\)""".r
       .findFirstMatchIn(tail).map(_.group(1)).getOrElse("")
@@ -1618,18 +1632,56 @@ final class Executor(
     val overwrite = """(?is)OVERWRITE\s*=\s*TRUE""".r.findFirstIn(tail).isDefined
     // traversal-sanitized like the load side
     val dir = stages.resolve(stageName, stagePath)
-    val n = df.count()
-    val mode = if (overwrite) "overwrite" else "append"
-    fmtType match {
-      case "CSV" => df.write.mode(mode).option("sep", delim)
-        .option("header", header.toString).csv(dir.toString)
-      case "JSON" => df.write.mode(mode).json(dir.toString)
-      case "PARQUET" => df.write.mode(mode).parquet(dir.toString)
-      case other =>
-        throw SnowflakeError.compilation(s"unsupported unload format $other")
+    // Single evaluation: write ONCE to a scratch directory, count the
+    // rows that were actually written by reading the files back (with
+    // the source schema pinned — no inference), then move the part
+    // files into the stage location.
+    val tmp = Files.createTempDirectory("graft-unload-")
+    val out = tmp.resolve("out")
+    try {
+      fmtType match {
+        case "CSV" => df.write.option("sep", delim)
+          .option("header", header.toString).csv(out.toString)
+        case "JSON" => df.write.json(out.toString)
+        case "PARQUET" => df.write.parquet(out.toString)
+        case other =>
+          throw SnowflakeError.compilation(s"unsupported unload format $other")
+      }
+      val n = fmtType match {
+        case "CSV" => spark.read.schema(df.schema).option("sep", delim)
+          .option("header", header.toString).csv(out.toString).count()
+        case "JSON" => spark.read.schema(df.schema).json(out.toString).count()
+        case _ => spark.read.parquet(out.toString).count()
+      }
+      if (overwrite && Files.isDirectory(dir)) {
+        // OVERWRITE replaces only what an unload writes: prior part
+        // files and markers. A PUT-staged load file at the same
+        // location survives (ADVICE r10: save-mode 'overwrite' wiped
+        // the whole directory, including unrelated staged files).
+        val prior = Files.list(dir)
+        try prior.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && {
+            val nm = p.getFileName.toString
+            nm.startsWith("part-") || nm == "_SUCCESS" || nm.startsWith(".part-")
+          })
+          .foreach(Files.delete(_))
+        finally prior.close()
+      }
+      Files.createDirectories(dir)
+      val parts = Files.list(out)
+      try parts.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.startsWith("part-"))
+        .foreach(p => Files.move(p, dir.resolve(p.getFileName.toString)))
+      finally parts.close()
+      localResult(queryId, Seq("rows_unloaded"), Seq(Seq[Any](n)),
+        Classifier.StatementTypeDml, rowsAffected = Some(n))
+    } finally {
+      val walk = Files.walk(tmp)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally walk.close()
     }
-    localResult(queryId, Seq("rows_unloaded"), Seq(Seq[Any](n)),
-      Classifier.StatementTypeDml, rowsAffected = Some(n))
   }
 
   private def copyInto(ctx: Context, sql: String, queryId: String): Result = {

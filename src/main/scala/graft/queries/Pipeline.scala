@@ -2238,10 +2238,18 @@ object Pipeline {
 
   /** Add-one-smoothed bigram LM fitted on the English slice (the CCNet
     * "reference corpus"): per-context counts c1(w1), per-bigram counts
-    * c2(w1,w2), vocabulary size V over the reference token stream. The
-    * model is vocabulary-bounded (never corpus-bounded), so at any scale
-    * it broadcasts; p(w2|w1) = (c2+1)/(c1+V) and the per-token negative
-    * log-prob is sln(c1+V) − sln(c2+1) — two logs of integers. */
+    * c2(w1,w2), vocabulary size V over the reference token stream.
+    * Size bound, honestly: m1 is vocabulary-bounded (V rows) but m2 is
+    * DISTINCT-BIGRAM-bounded — it grows with reference-corpus token
+    * mass (up to V², in practice ~linear in reference tokens until
+    * saturation). The broadcast in [[lmDocNll]] therefore holds as long
+    * as the REFERENCE corpus (a curated slice, not the 100 TB target)
+    * stays at the usual CCNet scale; a 100 TB reference corpus needs the
+    * pruned fallback documented in SCALE.md (count-threshold or top-N
+    * bigrams per context — standard LM pruning; unpruned mass folds into
+    * the smoothing floor) before the model ships to executors or to the
+    * streaming literal maps. p(w2|w1) = (c2+1)/(c1+V) and the per-token
+    * negative log-prob is sln(c1+V) − sln(c2+1) — two logs of integers. */
   private def lmModel(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val ref = docBigrams(s, dir).filter(col("lang") === "en")
     val m2 = ref.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
@@ -2260,11 +2268,17 @@ object Pipeline {
       m1 AS (SELECT w1, count(*) AS c1 FROM bg WHERE lang = 'en' GROUP BY 1)"""
 
   /** The fitted LM collected to driver maps for STREAMING scoring: the
-    * model is vocabulary-bounded (never corpus-bounded), so the whole fit
-    * ships as two literal lookup maps — per-bigram `"w1 w2" → sln(c2+1)`,
-    * per-context `w1 → sln(c1+V)` — plus the unseen-context constant
-    * sln(V). A stream scores each row statelessly from these (no join, no
-    * state); parity with batch p53 is spec-proven. */
+    * whole fit ships as two literal lookup maps — per-bigram
+    * `"w1 w2" → sln(c2+1)`, per-context `w1 → sln(c1+V)` — plus the
+    * unseen-context constant sln(V). A stream scores each row statelessly
+    * from these (no join, no state); parity with batch p53 is spec-proven.
+    * Size caveat (see [[lmModel]]): the bigram map is bounded by the
+    * reference corpus's DISTINCT bigrams, not by V; a driver collect and
+    * a literal map in the plan both assume a curated-scale reference. If
+    * the reference corpus outgrows driver memory / plan-size limits,
+    * prune the model first (count threshold or top-N per context) —
+    * scoring semantics degrade gracefully because pruned bigrams already
+    * score as the smoothed (c2=0) floor. */
   private[graft] def lmScoreMaps(s: SparkSession, dir: String)
       : (Map[String, Long], Map[String, Long], Long) = {
     val (m2, m1, v) = lmModel(s, dir)
@@ -5026,7 +5040,7 @@ ${duckResidualAdcCtes("y", "v")},
 
     // ---- the trained classifier's weights pinned (p55b): every
     // non-zero integer-scaled weight — the model CONTENTS, so a drift
-    // anywhere in the 8-round trajectory (feature scaling, residual
+    // anywhere in the lrIters-round trajectory (feature scaling, residual
     // flooring, update order) breaks the hash. ------------------------
     QDef("p55b_lr_weights",
       (s, dir) => LrStage.load(s, dir)

@@ -135,7 +135,7 @@ class SelectionFamilySpec extends SparkSpecBase {
   }
 
   /** The whole LR fit re-derived in plain Scala: hashed features,
-    * integer-scaled tf, 8 rounds of integer-state GD. */
+    * integer-scaled tf, lrIters (12) rounds of integer-state GD. */
   private lazy val lrFit: (Map[Long, Long], Seq[(Long, Int, Long)]) = {
     val b = queries.Pipeline.dsirBuckets
     val eta = queries.Pipeline.lrEtaAt _

@@ -157,6 +157,52 @@ class ExecutorSpec extends AnyFunSuite {
     assert(head.split('|').length == 3, head)
   }
 
+  test("06d unload OVERWRITE replaces only prior unload part files") {
+    exec("CREATE STAGE ovstage")
+    // an unrelated PUT-staged load file lives at the unload location
+    executor.stages.put("OVSTAGE", "keep/manual.csv", "id\n7\n".getBytes)
+    exec("""COPY INTO @ovstage/keep FROM (SELECT id FROM users WHERE id = 20)
+        FILE_FORMAT = (TYPE = PARQUET)""")
+    val u2 = exec("""COPY INTO @ovstage/keep FROM
+        (SELECT id FROM users WHERE id IN (20, 21))
+        FILE_FORMAT = (TYPE = PARQUET) OVERWRITE = TRUE""")
+    assert(u2.rowsAffected.contains(2L))
+    val dir = executor.stages.stageDir("OVSTAGE").resolve("keep")
+    val names = java.nio.file.Files.list(dir).toArray
+      .map(_.toString.split('/').last).toSeq
+    assert(names.contains("manual.csv"), s"unrelated staged file wiped: $names")
+    // only the second unload's parts remain: reading them back sees
+    // exactly 2 rows (the first unload's 1-row part was replaced)
+    val rows = spark.read.option("pathGlobFilter", "part-*")
+      .parquet(dir.toString).count()
+    assert(rows == 2L, s"expected 2 rows after overwrite, got $rows")
+  }
+
+  test("06e unload source query may contain parens inside string literals") {
+    exec("CREATE STAGE parstage")
+    val u = exec("""COPY INTO @parstage/p FROM
+        (SELECT id, ')literal(' || name AS tagged, 'it''s' AS q
+           FROM users WHERE id = 20)
+        FILE_FORMAT = (TYPE = PARQUET)""")
+    assert(u.rowsAffected.contains(1L))
+    val dir = executor.stages.stageDir("PARSTAGE").resolve("p")
+    val r = spark.read.parquet(dir.toString).collect()
+    assert(r.head.getAs[String]("tagged") == ")literal(Dave")
+    assert(r.head.getAs[String]("q") == "it's")
+  }
+
+  test("06f unload rows_unloaded counts the written files once (SAMPLE source)") {
+    exec("CREATE STAGE sampstage")
+    // non-deterministic source: rows_unloaded must agree with the files
+    val u = exec("""COPY INTO @sampstage/s FROM
+        (SELECT id FROM users SAMPLE (50))
+        FILE_FORMAT = (TYPE = CSV HEADER = TRUE)""")
+    val dir = executor.stages.stageDir("SAMPSTAGE").resolve("s")
+    val written = spark.read.option("header", "true").csv(dir.toString).count()
+    assert(u.rowsAffected.contains(written),
+      s"rows_unloaded ${u.rowsAffected} != written $written")
+  }
+
   test("07 show / describe / history") {
     val t = exec("SHOW TABLES")
     assert(t.rows.exists(_.head == "USERS"))
