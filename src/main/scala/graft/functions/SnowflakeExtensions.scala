@@ -93,6 +93,51 @@ object SnowflakeExtensions {
       copy(child = newChild)
   }
 
+  /** OBJECT_INSERT(object_text, key, value_json_text[, update]) in the
+    * VARIANT-as-JSON-text model: parses the object, inserts/replaces the
+    * key with the already-JSON-rendered value (the builder wraps the raw
+    * value arg in [[ToVariantJson]], so value typing matches
+    * OBJECT_CONSTRUCT's). Snowflake errors when the key exists and the
+    * update flag is absent/false — mirrored here. */
+  case class ObjectInsertText(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "object_insert"
+    @transient private lazy val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val objV = children(0).eval(input)
+      val keyV = children(1).eval(input)
+      if (objV == null || keyV == null) return null
+      val valJson = children(2).eval(input) // ToVariantJson: null -> "null"
+      val update = children.length >= 4 && {
+        val u = children(3).eval(input)
+        u != null && u.asInstanceOf[Boolean]
+      }
+      val root = try om.readTree(objV.asInstanceOf[UTF8String].toString)
+        catch { case _: Exception => null }
+      root match {
+        case obj: com.fasterxml.jackson.databind.node.ObjectNode =>
+          val key = keyV.asInstanceOf[UTF8String].toString
+          if (obj.has(key) && !update)
+            throw new IllegalArgumentException(
+              s"OBJECT_INSERT: key '$key' already exists (pass update=true to replace)")
+          if (!obj.has(key) && update && children.length >= 4)
+            throw new IllegalArgumentException(
+              s"OBJECT_INSERT: key '$key' does not exist (update=true requires an existing key)")
+          obj.set[com.fasterxml.jackson.databind.JsonNode](key,
+            om.readTree(if (valJson == null) "null" else valJson.toString))
+          UTF8String.fromString(om.writeValueAsString(obj))
+        case _ =>
+          throw new IllegalArgumentException(
+            "OBJECT_INSERT: first argument is not a JSON object")
+      }
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): ObjectInsertText =
+      copy(children = newChildren)
+  }
+
   /** Snowflake date/time format tokens -> java.time pattern (the token set
     * Snowflake documents for TO_CHAR/TO_DATE/TO_TIMESTAMP; the reference
     * leans on DuckDB's strptime and never translates). Longest token wins;
@@ -315,6 +360,19 @@ object SnowflakeExtensions {
       (args: Seq[Expression]) =>
         GetJsonObject(args(0), Concat(Seq(Literal(UTF8String.fromString("$."),
           StringType), args(1))))),
+    // TRY_PARSE_JSON — Snowflake's null-on-invalid variant. ParseJsonText
+    // already evaluates invalid JSON to null (the reference passes both
+    // spellings to DuckDB's lenient json parse), so it IS the try form.
+    ("try_parse_json", "try_parse_json(json_text)",
+      (args: Seq[Expression]) => ParseJsonText(args.head)),
+    // OBJECT_INSERT(obj, key, value[, update]) — value rendered to JSON
+    // the same way OBJECT_CONSTRUCT/TO_VARIANT render values.
+    ("object_insert", "object_insert(object, key, value[, update])",
+      (args: Seq[Expression]) => ObjectInsertText(
+        Seq(args(0), args(1), ToVariantJson(args(2))) ++ args.drop(3))),
+    // ZEROIFNULL — the NULLIFZERO inverse.
+    ("zeroifnull", "zeroifnull(x)",
+      (args: Seq[Expression]) => Coalesce(Seq(args.head, Literal(0)))),
     // NULLIFZERO / DIV0 — Snowflake numeric conveniences.
     ("nullifzero", "nullifzero(x)",
       (args: Seq[Expression]) =>

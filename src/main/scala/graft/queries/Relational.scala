@@ -478,6 +478,27 @@ object Relational {
       (s, dir) => Q.sql(s, dir,
         "SELECT event_id, parse_json(props) AS pj FROM events ORDER BY event_id"),
       Some("""SELECT event_id, CAST(json_extract(props, '$') AS VARCHAR) AS pj
+        FROM events ORDER BY event_id""")),
+
+    // ---- OBJECT_INSERT / TRY_PARSE_JSON / ZEROIFNULL (r10 ADVICE: the
+    // last dbt-visible scalar gaps). DuckDB mirrors: json_merge_patch
+    // appends the new key last and minifies, matching Jackson's
+    // insertion-order serialization; TRY_PARSE_JSON of a non-JSON string
+    // nulls on both engines; ZEROIFNULL is COALESCE(x, 0). ------------
+    QDef("q38_object_insert",
+      (s, dir) => Q.sql(s, dir,
+        """SELECT event_id,
+             object_insert(parse_json(props), 'tag', event_type) AS obj,
+             CAST(zeroifnull(try_to_number(event_type)) AS BIGINT) AS z,
+             try_parse_json(event_type) AS bad,
+             try_parse_json(props) AS good
+           FROM events ORDER BY event_id"""),
+      Some("""SELECT event_id,
+          CAST(json_merge_patch(json_extract(props, '$'),
+               json_object('tag', event_type)) AS VARCHAR) AS obj,
+          CAST(COALESCE(TRY_CAST(event_type AS DECIMAL(38,0)), 0) AS BIGINT) AS z,
+          CAST(TRY_CAST(event_type AS JSON) AS VARCHAR) AS bad,
+          CAST(json_extract(props, '$') AS VARCHAR) AS good
         FROM events ORDER BY event_id"""))
   )
 }

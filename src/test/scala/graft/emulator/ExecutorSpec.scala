@@ -657,6 +657,27 @@ class ExecutorSpec extends AnyFunSuite {
     assert(u.rows.head.head.toString.length == 36, u.rows)
   }
 
+  test("41b TRY_PARSE_JSON, OBJECT_INSERT, ZEROIFNULL") {
+    val r = exec(
+      """SELECT TRY_PARSE_JSON('{"a": 1}') AS ok,
+           TRY_PARSE_JSON('not json') AS bad,
+           ZEROIFNULL(NULL) AS z0, ZEROIFNULL(9) AS z9,
+           OBJECT_INSERT('{"a":1}', 'b', 2) AS ins,
+           OBJECT_INSERT('{"a":1}', 'a', 5, TRUE) AS upd,
+           OBJECT_INSERT('{"a":1}', 's', 'txt') AS str""")
+    val row = r.rows.head
+    assert(row(0).toString.replaceAll("\\s", "") == """{"a":1}""", row)
+    assert(row(1) == null, row)
+    assert(row(2) == 0 && row(3) == 9, row)
+    assert(row(4).toString == """{"a":1,"b":2}""", row)
+    assert(row(5).toString == """{"a":5}""", row)
+    assert(row(6).toString == """{"a":1,"s":"txt"}""", row)
+    // duplicate key without the update flag is an error, like Snowflake
+    val e = intercept[SnowflakeError](
+      exec("""SELECT OBJECT_INSERT('{"a":1}', 'a', 2) AS boom"""))
+    assert(e.getMessage.toLowerCase.contains("already exists"), e.getMessage)
+  }
+
   test("42 RESULT_SCAN re-queries retained results; LAST_QUERY_ID resolves") {
     exec("CREATE TABLE rs_t (id INTEGER, v VARCHAR(10))")
     exec("INSERT INTO rs_t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
