@@ -306,7 +306,8 @@ final class Executor(
   private def fullQueryDf(ctx: Context, bare: String): DataFrame = {
     val withHistory = rewriteTopSample(
       rewriteQueryHistory(rewriteJsonPath(sessionContextFns(ctx,
-        rewriteTimeTravel(ctx, rewriteStreams(ctx, rewriteGenerator(rewriteResultScan(ctx, bare))))))))
+        rewriteTimeTravel(ctx, rewriteStreams(ctx, rewriteGenerator(
+          rewriteResultScan(ctx, rewritePipelineTable(ctx, bare)))))))))
     val rewritten = TableNaming.rewrite(rewriteFlatten(rewriteSplitToTable(rewriteQualify(withHistory))),
       ctx.database, ctx.schema)
     spark.sql(rewritten)
@@ -691,6 +692,82 @@ final class Executor(
     replaceOutsideQuotes(sql, queryHistoryRe)(_ => "`graft_query_history`")
   }
 
+  /** Curated SQL-surface names for the beyond-parity pipeline operators
+    * (SURVEY §2 extension families). Each maps to a `SparkEntry.queries`
+    * entry; the generic `TABLE(PIPELINE('<entry>'))` form reaches every
+    * entry by its internal name. */
+  private[emulator] val pipelineAliases: Map[String, String] = Map(
+    "GOPHER_RULES" -> "p52_gopher_rules",
+    "EXACT_DEDUP" -> "p01_dedup_exact",
+    "MINHASH_DEDUP" -> "p03_dedup_minhash_lsh",
+    "SIMHASH_DEDUP" -> "p04_dedup_simhash",
+    "CORPUS_FILTER" -> "p17_corpus_filter",
+    "LANG_ID" -> "p08_lang_id",
+    "QUALITY_SCORE" -> "p09_quality_score",
+    "TOKEN_STATS" -> "p10_token_stats",
+    "BM25_TOPK" -> "p29_bm25_topk",
+    "CHUNK_BM25" -> "p60_chunk_bm25",
+    "LM_PERPLEXITY" -> "p53_lm_perplexity",
+    "DSIR_SELECT" -> "p54_dsir_select",
+    "LR_QUALITY_SELECT" -> "p55_lr_quality_select",
+    "TEMPERATURE_MIX" -> "p56_temperature_mix",
+    "PII_REDACT" -> "p18_pii_redact",
+    "CORPUS_CARD" -> "p62_corpus_card")
+
+  private val pipelineFnRe = {
+    val names = (pipelineAliases.keys.toSeq.sorted :+ "PIPELINE").mkString("|")
+    s"""(?is)TABLE\\s*\\(\\s*($names)\\s*\\(([^()]*)\\)\\s*\\)""".r
+  }
+
+  /** The pipeline/selection stack on the SQL wire:
+    * `SELECT * FROM TABLE(GOPHER_RULES())` (curated names above) or
+    * `TABLE(PIPELINE('p52_gopher_rules'))` (any entry). The batch entry's
+    * DataFrame — the SAME code path the driver's correctness gate pins —
+    * is registered as a lazily-evaluated temp view and spliced in
+    * backticked (invisible to the name rewriter), so outer
+    * WHERE/JOIN/aggregation compose into ONE Catalyst plan with the
+    * operator (filters push into it; nothing materializes eagerly).
+    *
+    * The data directory resolves per call: an optional trailing string
+    * literal argument wins, else the session parameter GRAFT_PIPELINE_DIR
+    * (ALTER SESSION SET), else the JVM default -Dgraft.pipelineDir. */
+  private def rewritePipelineTable(ctx: Context, sql: String): String = {
+    if (!mentionsOutsideQuotes(sql, pipelineFnRe)) return sql
+    replaceOutsideQuotes(sql, pipelineFnRe) { m =>
+      val fn = m.group(1).toUpperCase(java.util.Locale.ROOT)
+      val args = MergeParser.splitTopLevel(m.group(2)).map(_.trim)
+        .filter(_.nonEmpty).map { a =>
+          if (a.length >= 2 && a.startsWith("'") && a.endsWith("'"))
+            a.substring(1, a.length - 1).replace("''", "'")
+          else throw SnowflakeError.compilation(
+            s"$fn arguments must be string literals, got: $a")
+        }
+      val (entry, dirArg) =
+        if (fn == "PIPELINE") {
+          if (args.isEmpty) throw SnowflakeError.compilation(
+            "PIPELINE requires an entry name: TABLE(PIPELINE('p52_gopher_rules'))")
+          (args.head.toLowerCase(java.util.Locale.ROOT), args.lift(1))
+        } else (pipelineAliases(fn), args.headOption)
+      val dir = dirArg.orElse {
+        val ps = sessionParamsOf(ctx.sessionId)
+        ps.synchronized(ps.get("GRAFT_PIPELINE_DIR"))
+      }.orElse(sys.props.get("graft.pipelineDir")).getOrElse(
+        throw SnowflakeError.compilation(
+          s"pipeline data directory not set: pass TABLE($fn('<dir>')) or " +
+            "ALTER SESSION SET GRAFT_PIPELINE_DIR = '<dir>'"))
+      val fnImpl = graft.SparkEntry.queries.getOrElse(entry,
+        throw SnowflakeError.compilation(
+          s"unknown pipeline entry '$entry' (see SparkEntry.queries)"))
+      val df = fnImpl(spark, dir)
+      // deterministic per (entry, dir): concurrent sessions re-register
+      // the same plan under the same name — idempotent, never stale
+      val view = "graft_pipe_" + entry + "_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      df.createOrReplaceTempView(view)
+      s"`$view`"
+    }
+  }
+
   /** Snowflake `FROM t, LATERAL FLATTEN(input => expr) f` / `TABLE(
     * FLATTEN(expr)) f` -> Spark `LATERAL VIEW posexplode(expr) f AS index,
     * value`, so `f.value` / `f.index` references keep working. The
@@ -808,6 +885,14 @@ final class Executor(
       result(Seq("name", "database_name", "schema_name", "type"),
         stages.listStages().map(n =>
           Seq[Any](n, ctx.database, ctx.schema, "INTERNAL")))
+    else if (u.startsWith("SHOW PIPELINE FUNCTIONS"))
+      // discoverability for the beyond-parity table functions: every
+      // curated alias plus its entry name (all entries are reachable via
+      // TABLE(PIPELINE('<entry>')))
+      result(Seq("name", "entry", "usage"),
+        pipelineAliases.toSeq.sortBy(_._1).map { case (alias, entry) =>
+          Seq[Any](alias, entry, s"SELECT * FROM TABLE($alias(['<dir>']))")
+        })
     else if (u.startsWith("SHOW STREAMS"))
       result(Seq("name", "database_name", "schema_name", "table_name", "stale"),
         streams.asScala.toSeq.sortBy(_._1).collect {

@@ -66,7 +66,8 @@ object TableNaming {
     * RESULT_SCAN views, stream delta views); never flattened. */
   private def isInternalName(upper: String): Boolean =
     upper == "GRAFT_QUERY_HISTORY" || upper.startsWith("GRAFT_RESULT_SCAN") ||
-      upper.startsWith("GRAFT_STREAM_") || upper.startsWith("GRAFT_TT_")
+      upper.startsWith("GRAFT_STREAM_") || upper.startsWith("GRAFT_TT_") ||
+      upper.startsWith("GRAFT_PIPE_")
 
   /** Rewrite the table references of a SQL statement into flattened Spark
     * names, resolving 1- and 2-part names against the session's current

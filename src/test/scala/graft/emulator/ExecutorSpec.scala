@@ -1380,4 +1380,63 @@ class ExecutorSpec extends AnyFunSuite {
       executor.execute(Executor.Context("old_id", "TEST_DB", "PUBLIC"), "SELECT $m67")
     }
   }
+
+  test("69 pipeline table functions: TABLE(FN()) = batch entry on same data") {
+    val dir = "/root/testdata/sf0.001"
+    exec(s"ALTER SESSION SET GRAFT_PIPELINE_DIR = '$dir'")
+    // five curated operators from the selection/dedup/retrieval families:
+    // the wire row count equals the batch entry's count on the same dir
+    val cases = Seq(
+      "GOPHER_RULES" -> "p52_gopher_rules",
+      "EXACT_DEDUP" -> "p01_dedup_exact",
+      "BM25_TOPK" -> "p29_bm25_topk",
+      "CORPUS_FILTER" -> "p17_corpus_filter",
+      "LM_PERPLEXITY" -> "p53_lm_perplexity")
+    cases.foreach { case (fn, entry) =>
+      val wire = exec(s"SELECT COUNT(*) AS n FROM TABLE($fn())").rows.head.head
+      val batch = graft.SparkEntry.queries(entry)(spark, dir).count()
+      assert(String.valueOf(wire) == batch.toString, s"$fn vs $entry")
+    }
+    // value-level equality on one operator: every (doc_id, n_words, pass)
+    // row of the wire result matches the batch frame
+    val batchRows = graft.SparkEntry.queries("p52_gopher_rules")(spark, dir)
+      .select("doc_id", "n_words", "pass").collect()
+      .map(r => (String.valueOf(r.get(0)), String.valueOf(r.get(1)),
+        String.valueOf(r.get(2)))).sorted.toSeq
+    val wireRows = exec(
+      "SELECT doc_id, n_words, pass FROM TABLE(GOPHER_RULES()) ORDER BY 1").rows
+      .map(r => (String.valueOf(r.head), String.valueOf(r(1)),
+        String.valueOf(r(2)))).sorted
+    assert(wireRows == batchRows)
+    // composition: the table function is a real relation — WHERE /
+    // aggregation / joins against emulator tables all work over it
+    val kept = exec(
+      """SELECT COUNT(*) AS n FROM TABLE(GOPHER_RULES()) WHERE pass""").rows.head.head
+    val keptBatch = graft.SparkEntry.queries("p52_gopher_rules")(spark, dir)
+      .filter("pass").count()
+    assert(String.valueOf(kept) == keptBatch.toString)
+  }
+
+  test("69b PIPELINE generic form, literal dir arg, and clean errors") {
+    val dir = "/root/testdata/sf0.001"
+    // literal dir argument wins over (absent) session parameter
+    exec("ALTER SESSION UNSET GRAFT_PIPELINE_DIR")
+    val g = exec(s"SELECT COUNT(*) AS n FROM TABLE(PIPELINE('p08_lang_id', '$dir'))")
+    assert(g.rows.head.head.toString.toLong > 0L)
+    // no dir anywhere: a clean compilation error naming the fix
+    val e1 = intercept[SnowflakeError](
+      exec("SELECT * FROM TABLE(GOPHER_RULES())"))
+    assert(e1.getMessage.contains("GRAFT_PIPELINE_DIR"), e1.getMessage)
+    // unknown entry: clean error
+    val e2 = intercept[SnowflakeError](
+      exec(s"SELECT * FROM TABLE(PIPELINE('p99_nope', '$dir'))"))
+    assert(e2.getMessage.contains("unknown pipeline entry"), e2.getMessage)
+    // a string literal mentioning the function shape stays data
+    val lit = exec("SELECT 'TABLE(GOPHER_RULES())' AS s")
+    assert(lit.rows.head.head == "TABLE(GOPHER_RULES())")
+    // discoverability: SHOW PIPELINE FUNCTIONS lists every curated alias
+    val shown = exec("SHOW PIPELINE FUNCTIONS")
+    assert(shown.rows.size == executor.pipelineAliases.size)
+    assert(shown.rows.exists(_.head == "GOPHER_RULES"))
+  }
 }

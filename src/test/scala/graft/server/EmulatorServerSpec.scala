@@ -596,4 +596,22 @@ class EmulatorServerSpec extends AnyFunSuite {
     val back = v2("SELECT COUNT(*) AS n FROM v2u_t")
     assert(back.get("data").get(0).get(0).asLong() == 1L, back)
   }
+
+  test("REST v2 e2e: pipeline table functions reachable over the wire") {
+    // a SQL-only client reaches the beyond-parity selection stack: the
+    // curated TABLE(FN('<dir>')) form and the generic PIPELINE form,
+    // composed with WHERE/aggregation in the same statement
+    val dir = "/root/testdata/sf0.001"
+    val g = v2(s"SELECT COUNT(*) AS n, SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS kept FROM TABLE(GOPHER_RULES('$dir'))")
+    assert(g.get("code").asText() == "090001", g.toString)
+    val n = g.get("data").get(0).get(0).asLong()
+    val kept = g.get("data").get(0).get(1).asLong()
+    assert(n > 0L && kept > 0L && kept < n, g.toString)
+    val p = v2(s"SELECT predicted, COUNT(*) AS docs FROM TABLE(PIPELINE('p08_lang_id', '$dir')) GROUP BY predicted ORDER BY predicted")
+    assert(p.get("code").asText() == "090001", p.toString)
+    assert(p.get("data").size() > 0, p.toString)
+    // a missing dir is a clean SQL error on the wire, not a 500
+    val bad = v2("SELECT * FROM TABLE(EXACT_DEDUP())")
+    assert(bad.get("message").asText().contains("GRAFT_PIPELINE_DIR"), bad.toString)
+  }
 }
