@@ -834,4 +834,119 @@ class EventStreamsSpec extends AnyFunSuite {
         "LR gate must not create streaming state")
     } finally q.stop()
   }
+
+  test("AUTOMATED LM refit: drift fires the foreachBatch hook unattended; post-refit reads healthy") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val hour = 3600L * 1000
+    val t0 = 1704103200000L
+    val src = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).sortBy(_._1)
+    def shift(text: String): String =
+      text.split(" ", -1).map(_ + "q").mkString(" ")
+    val fitted = src.map { case (id, t, _, _, _) => (id, new Timestamp(t0 + id), t) }
+    val driftedH2 = src.map { case (id, t, _, _, _) =>
+      (id + 1000000L, new Timestamp(t0 + hour + id), shift(t)) }
+    val driftedH3 = src.map { case (id, t, _, _, _) =>
+      (id + 2000000L, new Timestamp(t0 + 2 * hour + id), shift(t)) }
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_refit_ckpt")
+    val root = java.nio.file.Files.createTempDirectory("graft_refit_models")
+    val ptr = root.resolve("current")
+    var refitCalls = 0
+    val controller = new DriftRefitController(
+      spark,
+      makeMonitor = d => EventStreams.lmDriftStream(spark, d, docs,
+        windowDur = "1 hour", refitRatio = 3.0),
+      refit = _ => {
+        // re-fit on the current (shifted) slice into a versioned dir
+        refitCalls += 1
+        val v = root.resolve(s"v$refitCalls")
+        spark.createDataFrame(src.toSeq.map { case (id, t, l, sc, nc) =>
+            (id, shift(t), l, sc, nc) })
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+          .write.parquet(s"$v/documents.parquet")
+        v.toString
+      },
+      checkpointDir = ckpt.toString,
+      pointerFile = Some(ptr))
+    controller.start(dir)
+    try {
+      // healthy hour: no refit fires
+      input.addData(fitted.toSeq)
+      controller.processAll()
+      assert(controller.refitCount == 0 && controller.activeDir == dir)
+      // drifted hour: the hook detects, re-stages, swaps, restarts — with
+      // no further action from this test beyond feeding data
+      input.addData(driftedH2.toSeq)
+      controller.processAll()
+      assert(controller.awaitRefits(1), "refit hook did not fire unattended")
+      assert(controller.activeDir != dir)
+      assert(new String(java.nio.file.Files.readAllBytes(ptr), "UTF-8")
+        == controller.activeDir, "pointer file must track the swap atomically")
+      // post-refit drifted traffic reads healthy under the new model
+      input.addData(driftedH3.toSeq)
+      controller.processAll()
+      val last = controller.results().last
+      assert(math.abs(last.getAs[Double]("drift_ratio") - 1.0) < 1e-6, last.toString)
+      assert(!last.getAs[Boolean]("refit_due"), last.toString)
+      // history windows re-emitted by Complete mode must not re-trigger
+      assert(controller.refitCount == 1 && refitCalls == 1)
+    } finally { controller.stop(); rmdir(ckpt); rmdir(root) }
+  }
+
+  test("AUTOMATED index refit: PQ drift fires the hook unattended; post-refit reads healthy") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    graft.functions.SnowflakeExtensions.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    val hour = 3600L * 1000
+    val t0 = 1704103200000L
+    val src = graft.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    def drift(v: Seq[Float]): Seq[Float] = v.map(x => x * 3.0f + 1.0f)
+    val fitted = src.map { case (id, v) => (id, new Timestamp(t0 + id), v) }
+    val driftedH2 = src.map { case (id, v) =>
+      (id + 1000000L, new Timestamp(t0 + hour + id), drift(v)) }
+    val driftedH3 = src.map { case (id, v) =>
+      (id + 2000000L, new Timestamp(t0 + 2 * hour + id), drift(v)) }
+    val input = MemoryStream[(Long, Timestamp, Seq[Float])]
+    val docs = input.toDF().toDF("vec_id", "ts", "embedding")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pqrefit_ckpt")
+    val root = java.nio.file.Files.createTempDirectory("graft_pqrefit_models")
+    var refitCalls = 0
+    val controller = new DriftRefitController(
+      spark,
+      makeMonitor = d => EventStreams.indexDriftStream(spark, d, docs,
+        windowDur = "1 hour", refitRatio = 1.5),
+      refit = _ => {
+        refitCalls += 1
+        val v = root.resolve("v" + refitCalls)
+        spark.createDataFrame(src.toSeq.map { case (id, e) => (id, drift(e)) })
+          .toDF("vec_id", "embedding")
+          .write.parquet(s"$v/embeddings.parquet")
+        v.toString
+      },
+      checkpointDir = ckpt.toString)
+    controller.start(dir)
+    try {
+      input.addData(fitted.toSeq)
+      controller.processAll()
+      assert(controller.refitCount == 0)
+      input.addData(driftedH2.toSeq)
+      controller.processAll()
+      assert(controller.awaitRefits(1), "refit hook did not fire unattended")
+      input.addData(driftedH3.toSeq)
+      controller.processAll()
+      val last = controller.results().last
+      assert(math.abs(last.getAs[Double]("drift_ratio") - 1.0) < 1e-6, last.toString)
+      assert(!last.getAs[Boolean]("refit_due"), last.toString)
+      assert(controller.refitCount == 1)
+    } finally { controller.stop(); rmdir(ckpt); rmdir(root) }
+  }
 }
