@@ -2401,7 +2401,7 @@ object Pipeline {
   /** Per-(doc, bucket) integer-scaled tf features + the intercept
     * bucket (-1, tf = 10⁶): (doc_id, y, b, c). Bucket space is
     * [[dsirBuckets]]; y = "is reference corpus" (the English slice). */
-  private def lrFeatures(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def lrFeatures(s: SparkSession, dir: String): DataFrame = {
     val raw = dsirFeatures(s, dir)
     val fdl = raw.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val tf = raw.groupBy(col("doc_id"), col("lang"), col("b"))
@@ -2418,7 +2418,7 @@ object Pipeline {
 
   /** The per-doc sigmoid residual, floor-scaled — textually identical in
     * both engines (`ms` is the exact integer margin, `y` the label). */
-  private val lrPdExpr: String =
+  private[queries] val lrPdExpr: String =
     "CAST(floor(((1.0/(1.0 + exp(-(CAST(ms AS DOUBLE)/100000000000000.0)))) - y)" +
       "*100000000.0 + 0.5) AS BIGINT)"
 
@@ -2440,34 +2440,90 @@ object Pipeline {
       val ph = java.security.MessageDigest.getInstance("MD5")
         .digest(params.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
       ShingleStage.stage(s, dir, s"lr$ph") {
-        val ftc = lrFeatures(s, dir).persist()
-        try {
-          val nDocs = docs(s, dir).count()
-          var wm = Map.empty[Long, Long]
+        import s.implicits._
+        fitWeights(s, dir).toSeq.map { case (b, ws) => (b, ws) }
+          .toDF("b", "ws").repartition(1)
+      }
+    }
+
+    /** The 12-round GD trajectory itself. Two paths, bit-identical by
+      * construction (exact BIGINT feature sums; the same double
+      * expression for the sigmoid residual — [[lrPdExpr]] textually on
+      * the distributed side, the same IEEE ops in Scala on the driver
+      * side; spec-pinned equal):
+      *
+      *   - DRIVER path (feature rows ≤ `-Dgraft.lrDriverRows`, default
+      *     2M): collect the per-(doc,bucket) features once and run the
+      *     rounds in-process — the dial-guarded driver pattern the
+      *     connected-components stage already uses. At validation scale
+      *     each distributed round is pure job overhead (0.3-0.9 s for a
+      *     sub-400k-row table), so 12 rounds of it was the #1 bench
+      *     line; the driver loop is microseconds.
+      *   - DISTRIBUTED path (above the dial, and the only shape that
+      *     holds at 100 TB): one fused job per round over the doc_id-
+      *     partitioned cache — weights arrive as a broadcast join
+      *     (dial-bounded, never corpus-bounded), the margin aggregation
+      *     carries each doc's (b, c) features along via collect_list
+      *     (bounded per doc by the bucket dial), and the gradient is an
+      *     explode + map-side-combined bucket sum in the SAME job, so
+      *     nothing corpus-sized is ever broadcast or re-shuffled. */
+    private[graft] def fitWeights(s: SparkSession, dir: String,
+        forceDistributed: Boolean = false): Map[Long, Long] = {
+      val ftc = lrFeatures(s, dir).repartition(col("doc_id")).persist()
+      try {
+        val nDocs = docs(s, dir).count()
+        val nRows = ftc.count()
+        val cap = sys.props.get("graft.lrDriverRows").map(_.toLong)
+          .getOrElse(2000000L)
+        var wm = Map.empty[Long, Long]
+        if (!forceDistributed && nRows <= cap) {
+          val docsF = ftc.select(col("doc_id"), col("y"), col("b"), col("c"))
+            .collect().groupBy(_.getLong(0)).iterator.map { case (_, rs) =>
+              (rs.head.getInt(1), rs.map(r => (r.getLong(2), r.getLong(3))))
+            }.toArray
           (1 to lrIters).foreach { it =>
-            val wCol = typedLit(wm)
-            val pd = ftc
-              .withColumn("wv",
-                if (wm.isEmpty) lit(0L)
-                else coalesce(element_at(wCol, col("b")), lit(0L)))
-              .groupBy(col("doc_id"), col("y"))
-              .agg(sum(col("c") * col("wv")).as("ms"))
-              .withColumn("pd", expr(lrPdExpr))
-            val g = ftc.join(pd.select(col("doc_id"), col("pd")), Seq("doc_id"))
-              .groupBy(col("b")).agg(sum(col("c") * col("pd")).as("g"))
-              .collect()
-            g.foreach { r =>
-              val (b, gg) = (r.getLong(0), r.getLong(1))
+            val g = scala.collection.mutable.Map.empty[Long, Long]
+              .withDefaultValue(0L)
+            docsF.foreach { case (y, tf) =>
+              var ms = 0L
+              tf.foreach { case (b, c) => ms += c * wm.getOrElse(b, 0L) }
+              val pd = math.floor(
+                (1.0 / (1.0 + math.exp(-(ms.toDouble / 100000000000000.0))) - y)
+                  * 100000000.0 + 0.5).toLong
+              tf.foreach { case (b, c) => g(b) += c * pd }
+            }
+            g.foreach { case (b, gg) =>
               val delta = math.floor(
                 gg.toDouble / 1000000.0 / nDocs * lrEtaAt(it) + 0.5).toLong
               wm = wm.updated(b, wm.getOrElse(b, 0L) - delta)
             }
           }
-          import s.implicits._
-          wm.toSeq.map { case (b, ws) => (b, ws) }.toDF("b", "ws")
-            .repartition(1)
-        } finally ftc.unpersist()
-      }
+        } else (1 to lrIters).foreach { it =>
+          val withWv =
+            if (wm.isEmpty) ftc.withColumn("wv", lit(0L))
+            else {
+              import s.implicits._
+              val wDf = wm.toSeq.toDF("b", "wsv")
+              ftc.join(broadcast(wDf), Seq("b"), "left")
+                .withColumn("wv", coalesce(col("wsv"), lit(0L)))
+            }
+          val g = withWv
+            .groupBy(col("doc_id"), col("y"))
+            .agg(sum(col("c") * col("wv")).as("ms"),
+              collect_list(struct(col("b"), col("c"))).as("feats"))
+            .withColumn("pd", expr(lrPdExpr))
+            .select(explode(col("feats")).as("f"), col("pd"))
+            .groupBy(col("f.b")).agg(sum(col("f.c") * col("pd")).as("g"))
+            .collect()
+          g.foreach { r =>
+            val (b, gg) = (r.getLong(0), r.getLong(1))
+            val delta = math.floor(
+              gg.toDouble / 1000000.0 / nDocs * lrEtaAt(it) + 0.5).toLong
+            wm = wm.updated(b, wm.getOrElse(b, 0L) - delta)
+          }
+        }
+        wm
+      } finally { ftc.unpersist(); () }
     }
   }
 

@@ -183,6 +183,17 @@ class SelectionFamilySpec extends SparkSpecBase {
       s"weight divergence: ${got.size} vs ${wm.size} non-zero weights")
   }
 
+  test("LR fit: the dial-guarded driver path and the distributed path are bit-identical") {
+    // the stage picks the driver loop under the row dial and the fused
+    // per-round jobs above it; both must produce the same weight table
+    // (exact integer state; same IEEE residual expression)
+    val driver = queries.Pipeline.LrStage.fitWeights(spark, sf0001)
+    val dist = queries.Pipeline.LrStage.fitWeights(spark, sf0001,
+      forceDistributed = true)
+    assert(driver == dist,
+      s"path divergence: ${driver.size} vs ${dist.size} weights")
+  }
+
   test("p55: scores and top-k selection equal the plain-Scala scoring") {
     val (_, scores) = lrFit
     val expect = scores.map { case (id, y, ms) =>
