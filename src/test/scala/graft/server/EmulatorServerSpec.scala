@@ -597,6 +597,32 @@ class EmulatorServerSpec extends AnyFunSuite {
     assert(back.get("data").get(0).get(0).asLong() == 1L, back)
   }
 
+  test("REST v2 e2e: unload + LIST + GET — the full stage-file loop over sockets") {
+    // the reference's stage-file e2e inverted (its
+    // server_integration_test.go:740-829 PUTs then COPYs IN; here the
+    // engine unloads OUT, the client discovers the file with LIST and
+    // downloads it with GET — all over the wire)
+    v2("CREATE TABLE wire_getsrc (id INTEGER, name VARCHAR)")
+    v2("INSERT INTO wire_getsrc VALUES (7, 'gee'), (8, 'aych')")
+    v2("CREATE STAGE wire_get")
+    val u = v2("COPY INTO @wire_get/exp FROM (SELECT id, name FROM wire_getsrc ORDER BY id) FILE_FORMAT = (TYPE = CSV HEADER = TRUE)")
+    assert(u.get("data").get(0).get(0).asLong() == 2L, u.toString)
+    // discover the unloaded part file by LIST with a glob
+    val ls = v2("LIST @wire_get PATTERN = 'exp/part-.*csv'")
+    assert(ls.get("data").size() == 1, ls.toString)
+    // LIST names are stage-prefixed (Snowflake's `stagename/path` shape)
+    val rel = ls.get("data").get(0).get(0).asText().stripPrefix("WIRE_GET/")
+    assert(rel.startsWith("exp/part-"), rel)
+    // download it with GET into a scratch dir and check the bytes
+    val outDir = java.nio.file.Files.createTempDirectory("wire_get_dl")
+    val g = v2(s"GET @wire_get/$rel file://$outDir")
+    assert(g.get("data").get(0).get(2).asText() == "DOWNLOADED", g.toString)
+    val fname = g.get("data").get(0).get(0).asText()
+    val lines = java.nio.file.Files.readAllLines(outDir.resolve(fname))
+    assert(lines.get(0) == "id,name" && lines.contains("7,gee")
+      && lines.contains("8,aych"), lines.toString)
+  }
+
   test("REST v2 e2e: pipeline table functions reachable over the wire") {
     // a SQL-only client reaches the beyond-parity selection stack: the
     // curated TABLE(FN('<dir>')) form and the generic PIPELINE form,
