@@ -712,7 +712,9 @@ final class Executor(
     "LR_QUALITY_SELECT" -> "p55_lr_quality_select",
     "TEMPERATURE_MIX" -> "p56_temperature_mix",
     "PII_REDACT" -> "p18_pii_redact",
-    "CORPUS_CARD" -> "p62_corpus_card")
+    "CORPUS_CARD" -> "p62_corpus_card",
+    "IMAGE_DHASH" -> "p63_image_dhash",
+    "IMAGE_NEARDUP" -> "p63b_image_neardup")
 
   private val pipelineFnRe = {
     val names = (pipelineAliases.keys.toSeq.sorted :+ "PIPELINE").mkString("|")

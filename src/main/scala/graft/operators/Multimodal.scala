@@ -265,6 +265,105 @@ object Multimodal {
     spark.createDataFrame(rdd, roundTripSchema)
   }
 
+  /** 24bpp BI_RGB bottom-up BMP with CONTENT: per-pixel gray levels from
+    * the supplied function (equal R=G=B), rows padded to 4 bytes. The
+    * pixel-carrying sibling of [[buildBmp]]; `gray(x, y)` uses top-based
+    * y, the builder handles the format's bottom-up row order. */
+  def buildGrayBmp(width: Int, height: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val imageSize = rowSize * height
+    val fileSize = 54 + imageSize
+    val b = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte)
+      .putInt(fileSize).putShort(0).putShort(0).putInt(54)
+      .putInt(40)
+      .putInt(width).putInt(height)
+      .putShort(1).putShort(24)
+      .putInt(0).putInt(imageSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    val arr = b.array()
+    var yTop = 0
+    while (yTop < height) {
+      val rowOff = 54 + (height - 1 - yTop) * rowSize // bottom-up storage
+      var x = 0
+      while (x < width) {
+        val g = (gray(x, yTop) & 0xFF).toByte
+        val o = rowOff + x * 3
+        arr(o) = g; arr(o + 1) = g; arr(o + 2) = g // B, G, R equal
+        x += 1
+      }
+      yTop += 1
+    }
+    arr
+  }
+
+  /** dHash grid geometry: the canonical 9x8 difference grid, constructed
+    * from an 18x16 source so the area-average downsample (2x2 integer
+    * mean) is a REAL resample step, not a no-op. */
+  val dhashSrcW = 18
+  val dhashSrcH = 16
+
+  val dhashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("dh_hi", LongType, nullable = false),
+    StructField("dh_lo", LongType, nullable = false)))
+
+  /** Perceptual image fingerprint (dHash, the difference-hash of the
+    * pHash family) over the REAL decode path. Per row:
+    *  1. construct an 18x16 gray BMP whose pixel levels are the payload
+    *     bytes cycled (g(x,y) = payload[(y*18+x) mod n]; empty -> 0),
+    *  2. decode it with the real JDK ImageIO codec — the hash is
+    *     computed from what the CODEC returns, so a decoder mis-parse
+    *     (row order, padding, channel order) breaks the oracle hash,
+    *  3. area-average to the canonical 9x8 dHash grid (2x2 integer mean
+    *     — floor(sum/4), exact in both engines),
+    *  4. emit the 64 horizontal-gradient bits cell(x,y) > cell(x+1,y)
+    *     as two 32-bit halves (rows 0-3 -> dh_hi, rows 4-7 -> dh_lo;
+    *     bit (y%4)*8+x) — non-negative BIGINTs on any engine, hamming =
+    *     bit_count(xor(hi)) + bit_count(xor(lo)).
+    * Payloads and pixels never leave their partition; output is 20
+    * bytes/row regardless of image size — the shape that scales. */
+  def imageDHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val p = if (r.isNullAt(payloadIdx)) Array.emptyByteArray
+          else r.getAs[Array[Byte]](payloadIdx)
+        val n = p.length
+        def gray(x: Int, y: Int): Int =
+          if (n == 0) 0 else p((y * dhashSrcW + x) % n) & 0xFF
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(buildGrayBmp(dhashSrcW, dhashSrcH, gray)))
+        // cells from DECODED pixels (blue channel; channels are equal)
+        def cell(cx: Int, cy: Int): Int = {
+          val x0 = cx * 2; val y0 = cy * 2
+          ((img.getRGB(x0, y0) & 0xFF) + (img.getRGB(x0 + 1, y0) & 0xFF) +
+            (img.getRGB(x0, y0 + 1) & 0xFF) + (img.getRGB(x0 + 1, y0 + 1) & 0xFF)) / 4
+        }
+        var hi = 0L; var lo = 0L
+        var cy = 0
+        while (cy < 8) {
+          var cx = 0
+          while (cx < 8) {
+            if (cell(cx, cy) > cell(cx + 1, cy)) {
+              val bit = 1L << ((cy % 4) * 8 + cx)
+              if (cy < 4) hi |= bit else lo |= bit
+            }
+            cx += 1
+          }
+          cy += 1
+        }
+        Row(id, n, hi, lo)
+      }
+    }
+    spark.createDataFrame(rdd, dhashSchema)
+  }
+
   /** Frame-sample a video payload: emit one row per sampled frame (fake
     * frames = fixed-stride byte slices; the contract — posexplode shape,
     * per-frame ordinals, bounded fan-out — is the real one). */

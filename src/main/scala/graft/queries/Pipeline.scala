@@ -3128,6 +3128,123 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
           CAST(1 + nb // 4096 AS INTEGER) AS n_frames
         FROM hx ORDER BY media_id""")),
 
+    // ---- perceptual image dedup (dHash, the pHash-family fingerprint
+    // used for image dedup at corpus scale): pixels are CONSTRUCTED from
+    // document bytes (the p15 discipline), decoded by the REAL ImageIO
+    // codec, area-averaged to the canonical 9x8 grid and reduced to the
+    // 64 horizontal-gradient bits as two 32-bit halves. The oracle
+    // re-derives the hash from the same byte arithmetic — a codec
+    // mis-parse (row order, padding, channel order) or resample drift
+    // breaks the hash. Output is 20 bytes/row whatever the image size:
+    // at 100 TB the corpus-scaled state is the fingerprint table, and
+    // pixels never leave their partition. --------------------------------
+    QDef("p63_image_dhash",
+      (s, dir) => graft.operators.Multimodal.imageDHash(
+        docs(s, dir).select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("payload")))
+        .orderBy(col("media_id")),
+      Some(s"""WITH hx AS (
+          SELECT doc_id, hex(encode(text)) AS h,
+            COALESCE(octet_length(encode(text)), 0) AS nb
+          FROM documents),
+        g AS (
+          SELECT doc_id, nb, x.x AS x, y.y AS y,
+            CASE WHEN nb = 0 THEN 0
+              ELSE ('0x' || substr(h, 2*((y.y*18 + x.x) % nb) + 1, 2))::INTEGER
+            END AS gv
+          FROM hx CROSS JOIN range(0, 18) x(x) CROSS JOIN range(0, 16) y(y)),
+        c AS (
+          SELECT doc_id, nb, x//2 AS cx, y//2 AS cy, SUM(gv)//4 AS cv
+          FROM g GROUP BY doc_id, nb, x//2, y//2),
+        bits AS (
+          SELECT a.doc_id, a.nb, a.cy,
+            CASE WHEN a.cv > b.cv
+              THEN (CAST(1 AS BIGINT) << CAST((a.cy % 4) * 8 + a.cx AS INTEGER))
+              ELSE CAST(0 AS BIGINT) END AS bv
+          FROM c a JOIN c b ON a.doc_id = b.doc_id AND a.cy = b.cy
+            AND b.cx = a.cx + 1
+          WHERE a.cx < 8)
+        SELECT doc_id AS media_id,
+          CAST(ANY_VALUE(nb) AS INTEGER) AS n_bytes,
+          CAST(COALESCE(SUM(CASE WHEN cy < 4 THEN bv END), 0) AS BIGINT) AS dh_hi,
+          CAST(COALESCE(SUM(CASE WHEN cy >= 4 THEN bv END), 0) AS BIGINT) AS dh_lo
+        FROM bits GROUP BY doc_id ORDER BY media_id""")),
+
+    // ---- near-duplicate images by banded dHash: p04's LSH shape over
+    // the perceptual fingerprint — 4 bands of 16 bits (2 per half), a
+    // candidate pair must collide on a full band, survivors filtered by
+    // exact hamming <= 6 over both halves. The banding bounds candidate
+    // generation exactly like the text families (p03/p04): the n² risk
+    // is confined to same-band buckets, and only (id, hash) integers
+    // ever shuffle. Oracle: the n² self-join with the SAME band-collision
+    // semantics, so recall contracts match by construction. -------------
+    QDef("p63b_image_neardup",
+      (s, dir) => {
+        val h = graft.operators.Multimodal.imageDHash(
+          docs(s, dir).select(col("doc_id").as("media_id"),
+            col("text").cast("binary").as("payload")))
+        val banded = h.select(col("media_id"), col("dh_hi"), col("dh_lo"),
+          explode(array(
+            struct(lit(0).as("band"),
+              shiftrightunsigned(col("dh_hi"), 16).bitwiseAND(lit(0xFFFFL)).as("chunk")),
+            struct(lit(1).as("band"),
+              col("dh_hi").bitwiseAND(lit(0xFFFFL)).as("chunk")),
+            struct(lit(2).as("band"),
+              shiftrightunsigned(col("dh_lo"), 16).bitwiseAND(lit(0xFFFFL)).as("chunk")),
+            struct(lit(3).as("band"),
+              col("dh_lo").bitwiseAND(lit(0xFFFFL)).as("chunk")))).as("bk"))
+          .select(col("media_id"), col("dh_hi"), col("dh_lo"),
+            col("bk.band"), col("bk.chunk"))
+        banded.select(col("media_id").as("a_id"), col("dh_hi").as("ha"),
+            col("dh_lo").as("la"), col("band"), col("chunk"))
+          .join(banded.select(col("media_id").as("b_id"), col("dh_hi").as("hb"),
+            col("dh_lo").as("lb"), col("band"), col("chunk")),
+            Seq("band", "chunk"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+              bit_count(col("la").bitwiseXOR(col("lb")))).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 6)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some(s"""WITH hx AS (
+          SELECT doc_id, hex(encode(text)) AS h,
+            COALESCE(octet_length(encode(text)), 0) AS nb
+          FROM documents),
+        g AS (
+          SELECT doc_id, x.x AS x, y.y AS y,
+            CASE WHEN nb = 0 THEN 0
+              ELSE ('0x' || substr(h, 2*((y.y*18 + x.x) % nb) + 1, 2))::INTEGER
+            END AS gv
+          FROM hx CROSS JOIN range(0, 18) x(x) CROSS JOIN range(0, 16) y(y)),
+        c AS (
+          SELECT doc_id, x//2 AS cx, y//2 AS cy, SUM(gv)//4 AS cv
+          FROM g GROUP BY doc_id, x//2, y//2),
+        bits AS (
+          SELECT a.doc_id, a.cy,
+            CASE WHEN a.cv > b.cv
+              THEN (CAST(1 AS BIGINT) << CAST((a.cy % 4) * 8 + a.cx AS INTEGER))
+              ELSE CAST(0 AS BIGINT) END AS bv
+          FROM c a JOIN c b ON a.doc_id = b.doc_id AND a.cy = b.cy
+            AND b.cx = a.cx + 1
+          WHERE a.cx < 8),
+        fp AS (
+          SELECT doc_id,
+            COALESCE(SUM(CASE WHEN cy < 4 THEN bv END), 0) AS hi,
+            COALESCE(SUM(CASE WHEN cy >= 4 THEN bv END), 0) AS lo
+          FROM bits GROUP BY doc_id)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+            AS INTEGER) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE ((a.hi >> 16) & 65535 = (b.hi >> 16) & 65535
+            OR a.hi & 65535 = b.hi & 65535
+            OR (a.lo >> 16) & 65535 = (b.lo >> 16) & 65535
+            OR a.lo & 65535 = b.lo & 65535)
+          AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
+        ORDER BY a_id, b_id""")),
+
     // ---- corpus filtering (C4-style): language whitelist + length band
     // + quality threshold, reported as per-source keep rates -------------
     QDef("p17_corpus_filter",

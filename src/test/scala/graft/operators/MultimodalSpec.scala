@@ -152,4 +152,40 @@ class MultimodalSpec extends AnyFunSuite {
     val expected = (payload.length * (64.0 / srcArea)).toInt
     assert(r.getAs[Int]("est_bytes") == expected)
   }
+
+  test("imageDHash: real-codec perceptual hash — deterministic, content-sensitive, dup-invariant") {
+    import org.apache.spark.sql.types._
+    def mediaIdPayload(rows: (Long, Array[Byte])*) = {
+      val rdd = spark.sparkContext.parallelize(rows.map { case (id, p) => Row(id, p) })
+      spark.createDataFrame(rdd, StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = true))))
+    }
+    val a = "the quick brown fox jumps over the lazy dog repeatedly".getBytes
+    val b = "the quick brown fox jumps over the lazy cat repeatedly".getBytes
+    val z = "completely different content with other byte statistics here!!".getBytes
+    val out = Multimodal.imageDHash(mediaIdPayload(
+        (1L, a), (2L, a.clone()), (3L, b), (4L, z), (5L, null)))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    // identical payloads -> identical hash (the dedup invariant)
+    assert(out(1L) == out(2L))
+    // halves are 32-bit non-negative on any engine
+    out.values.foreach { case (_, hi, lo) =>
+      assert(hi >= 0L && hi < (1L << 32) && lo >= 0L && lo < (1L << 32)) }
+    // a one-word edit moves FEW bits; unrelated content moves many
+    def ham(x: (Int, Long, Long), y: (Int, Long, Long)): Int =
+      java.lang.Long.bitCount(x._2 ^ y._2) + java.lang.Long.bitCount(x._3 ^ y._3)
+    assert(ham(out(1L), out(3L)) < ham(out(1L), out(4L)),
+      s"near edit ${ham(out(1L), out(3L))} !< unrelated ${ham(out(1L), out(4L))}")
+    // null payload decodes as the all-zero image: flat gradient, hash 0
+    assert(out(5L)._2 == 0L && out(5L)._3 == 0L)
+    // the hash is computed from what ImageIO RETURNS: cross-check one
+    // cell against the decoded pixels directly
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.buildGrayBmp(Multimodal.dhashSrcW, Multimodal.dhashSrcH,
+        (x, y) => a((y * Multimodal.dhashSrcW + x) % a.length) & 0xFF)))
+    assert((img.getRGB(0, 0) & 0xFF) == (a(0) & 0xFF),
+      "decoded pixel must equal the constructed gray level")
+  }
 }
