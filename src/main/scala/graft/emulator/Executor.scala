@@ -716,9 +716,14 @@ final class Executor(
     "IMAGE_DHASH" -> "p63_image_dhash",
     "IMAGE_NEARDUP" -> "p63b_image_neardup")
 
-  private val pipelineFnRe = {
-    val names = (pipelineAliases.keys.toSeq.sorted :+ "PIPELINE").mkString("|")
-    s"""(?is)TABLE\\s*\\(\\s*($names)\\s*\\(([^()]*)\\)\\s*\\)""".r
+  /** Match only the OPENING of a pipeline table-function call; the
+    * argument span is found by a quote-aware paren scan (a ')' inside a
+    * string-literal argument must not close the call). */
+  private val pipelineFnStartRe = {
+    val names =
+      (pipelineAliases.keys.toSeq.sorted ++ Seq("PIPELINE", "BM25_SEARCH"))
+        .mkString("|")
+    s"""(?is)TABLE\\s*\\(\\s*($names)\\s*\\(""".r
   }
 
   /** The pipeline/selection stack on the SQL wire:
@@ -734,40 +739,103 @@ final class Executor(
     * literal argument wins, else the session parameter GRAFT_PIPELINE_DIR
     * (ALTER SESSION SET), else the JVM default -Dgraft.pipelineDir. */
   private def rewritePipelineTable(ctx: Context, sql: String): String = {
-    if (!mentionsOutsideQuotes(sql, pipelineFnRe)) return sql
-    replaceOutsideQuotes(sql, pipelineFnRe) { m =>
-      val fn = m.group(1).toUpperCase(java.util.Locale.ROOT)
-      val args = MergeParser.splitTopLevel(m.group(2)).map(_.trim)
+    if (!mentionsOutsideQuotes(sql, pipelineFnStartRe)) return sql
+    val spans = Executor.quotedSpans(sql)
+    val starts = pipelineFnStartRe.findAllMatchIn(sql)
+      .filterNot(m => spans.exists(s => m.start >= s._1 && m.start <= s._2))
+      .toList
+    val sb = new StringBuilder
+    var pos = 0
+    starts.foreach { m =>
+      if (m.start < pos) () // inside a previously replaced span
+      else {
+        val fn = m.group(1).toUpperCase(java.util.Locale.ROOT)
+        // quote-aware scan for the argument list's closing paren
+        var i = m.end; var depth = 1; var inStr = false; var argEnd = -1
+        while (i < sql.length && argEnd < 0) {
+          val c = sql.charAt(i)
+          if (inStr) {
+            if (c == '\'') {
+              if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') i += 1
+              else inStr = false
+            }
+          } else c match {
+            case '\'' => inStr = true
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) argEnd = i
+            case _ =>
+          }
+          i += 1
+        }
+        if (argEnd < 0) throw SnowflakeError.compilation(
+          s"unbalanced parens in TABLE($fn(...))")
+        var j = argEnd + 1
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        if (j >= sql.length || sql.charAt(j) != ')')
+          throw SnowflakeError.compilation(
+            s"expected ')' closing TABLE($fn(...))")
+        sb.append(sql.substring(pos, m.start))
+          .append(pipelineView(ctx, fn, sql.substring(m.end, argEnd)))
+        pos = j + 1
+      }
+    }
+    sb.append(sql.substring(pos))
+    sb.toString
+  }
+
+  /** Build (or re-register) the temp view for one pipeline call and
+    * return its backticked name. */
+  private def pipelineView(ctx: Context, fn: String, argsText: String): String = {
+      val args = MergeParser.splitTopLevel(argsText).map(_.trim)
         .filter(_.nonEmpty).map { a =>
           if (a.length >= 2 && a.startsWith("'") && a.endsWith("'"))
             a.substring(1, a.length - 1).replace("''", "'")
           else throw SnowflakeError.compilation(
             s"$fn arguments must be string literals, got: $a")
         }
-      val (entry, dirArg) =
-        if (fn == "PIPELINE") {
-          if (args.isEmpty) throw SnowflakeError.compilation(
-            "PIPELINE requires an entry name: TABLE(PIPELINE('p52_gopher_rules'))")
-          (args.head.toLowerCase(java.util.Locale.ROOT), args.lift(1))
-        } else (pipelineAliases(fn), args.headOption)
-      val dir = dirArg.orElse {
+      def resolveDir(dirArg: Option[String]): String = dirArg.orElse {
         val ps = sessionParamsOf(ctx.sessionId)
         ps.synchronized(ps.get("GRAFT_PIPELINE_DIR"))
       }.orElse(sys.props.get("graft.pipelineDir")).getOrElse(
         throw SnowflakeError.compilation(
-          s"pipeline data directory not set: pass TABLE($fn('<dir>')) or " +
+          s"pipeline data directory not set: pass TABLE($fn(...'<dir>')) or " +
             "ALTER SESSION SET GRAFT_PIPELINE_DIR = '<dir>'"))
-      val fnImpl = graft.SparkEntry.queries.getOrElse(entry,
-        throw SnowflakeError.compilation(
-          s"unknown pipeline entry '$entry' (see SparkEntry.queries)"))
-      val df = fnImpl(spark, dir)
-      // deterministic per (entry, dir): concurrent sessions re-register
-      // the same plan under the same name — idempotent, never stale
-      val view = "graft_pipe_" + entry + "_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+      val (df, viewKey) =
+        if (fn == "BM25_SEARCH") {
+          // parameterized retrieval: TABLE(BM25_SEARCH('<query>'[, '<dir>'])).
+          // Terms are whitelist-tokenized (lowercase [a-z0-9_]+) BEFORE
+          // they reach the engine — they splice into expression text and
+          // column names, so anything else (including '-', which would
+          // read as subtraction or open a '--' comment) is dropped,
+          // never quoted through.
+          val query = args.headOption.getOrElse(throw SnowflakeError.compilation(
+            "BM25_SEARCH requires a query: TABLE(BM25_SEARCH('spark vector'))"))
+          val terms = query.toLowerCase(java.util.Locale.ROOT)
+            .split("\\s+").toSeq.filter(_.matches("[a-z0-9_]+")).distinct
+          if (terms.isEmpty) throw SnowflakeError.compilation(
+            s"BM25_SEARCH: no searchable terms in '$query'")
+          val dir = resolveDir(args.lift(1))
+          (graft.queries.Pipeline.bm25TopK(spark, dir, terms),
+            "bm25_" + java.lang.Integer.toHexString((terms.mkString(" ") + " " + dir).hashCode))
+        } else {
+          val (entry, dirArg) =
+            if (fn == "PIPELINE") {
+              if (args.isEmpty) throw SnowflakeError.compilation(
+                "PIPELINE requires an entry name: TABLE(PIPELINE('p52_gopher_rules'))")
+              (args.head.toLowerCase(java.util.Locale.ROOT), args.lift(1))
+            } else (pipelineAliases(fn), args.headOption)
+          val dir = resolveDir(dirArg)
+          val fnImpl = graft.SparkEntry.queries.getOrElse(entry,
+            throw SnowflakeError.compilation(
+              s"unknown pipeline entry '$entry' (see SparkEntry.queries)"))
+          (fnImpl(spark, dir),
+            entry + "_" + java.lang.Integer.toHexString(dir.hashCode))
+        }
+      // deterministic per (entry/query, dir): concurrent sessions
+      // re-register the same plan under the same name — idempotent
+      val view = "graft_pipe_" + viewKey
       df.createOrReplaceTempView(view)
       s"`$view`"
-    }
   }
 
   /** Snowflake `FROM t, LATERAL FLATTEN(input => expr) f` / `TABLE(

@@ -2003,6 +2003,39 @@ object Pipeline {
     * `defs`: the oracle strings interpolate these eagerly at object init. */
   private val bm25Terms = Seq("spark", "vector", "merge")
 
+  /** Parameterized BM25 retrieval — the engine behind p29 (fixed terms,
+    * oracle-pinned) and the SQL wire's `TABLE(BM25_SEARCH('<query>'))`
+    * (caller-supplied terms). One corpus scan, one broadcast one-row
+    * stats reduction, TakeOrderedAndProject top-k — no join, no sort of
+    * the corpus. Terms are spliced into column names and filter
+    * lambdas, so callers MUST pre-sanitize (the wire layer admits only
+    * `[a-z0-9_-]+` tokens); they are also deduplicated here because
+    * duplicate terms would collide as column names. */
+  private[graft] def bm25TopK(s: SparkSession, dir: String,
+      terms0: Seq[String], k: Int = 50): DataFrame = {
+    val terms = terms0.distinct
+    val base = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+      .withColumn("dl", size(col("arr")).cast("double"))
+    val tf = terms.map(t =>
+      expr(s"CAST(size(filter(arr, x -> x = '$t')) AS DOUBLE)").as(s"tf_$t"))
+    val withTf = base.select(col("doc_id") +: col("dl") +: tf: _*)
+    // dl and the tf/df counts are whole numbers: double sums over
+    // integers < 2^53 are exact, hence accumulation-order-independent
+    val stats = withTf.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl") +:
+        terms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1.0).otherwise(0.0)).as(s"df_$t")): _*)
+    val scoreExpr = terms.map(t => bm25Term(s"tf_$t", s"df_$t")).mkString(" + ")
+    withTf.crossJoin(broadcast(stats))
+      .withColumn("score_r", round(expr(scoreExpr), 6))
+      .select(col("doc_id"), col("dl").cast("bigint").as("n_tokens"),
+        col("score_r"))
+      .orderBy(col("score_r").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** One BM25 term contribution, k1=1.2 b=0.75, as SQL text shared
     * verbatim by the Spark plan and the DuckDB oracle — identical
     * parenthesization means identical IEEE double evaluation order. */
@@ -3665,29 +3698,7 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
     // contributions added in fixed order, and rounded to 6 dp; ordering is
     // on the ROUNDED score so rank agrees across engines. ----------------
     QDef("p29_bm25_topk",
-      (s, dir) => {
-        val terms = bm25Terms
-        val base = docs(s, dir)
-          .select(col("doc_id"), split(col("text"), " ").as("arr"))
-          .withColumn("dl", size(col("arr")).cast("double"))
-        val tf = terms.map(t =>
-          expr(s"CAST(size(filter(arr, x -> x = '$t')) AS DOUBLE)").as(s"tf_$t"))
-        val withTf = base.select(col("doc_id") +: col("dl") +: tf: _*)
-        // dl and the tf/df counts are whole numbers: double sums over
-        // integers < 2^53 are exact, hence accumulation-order-independent
-        val stats = withTf.agg(
-          count(lit(1)).cast("double").as("n_docs"),
-          (sum(col("dl")) / count(lit(1))).as("avgdl") +:
-            terms.map(t =>
-              sum(when(col(s"tf_$t") > 0, 1.0).otherwise(0.0)).as(s"df_$t")): _*)
-        val scoreExpr = terms.map(t => bm25Term(s"tf_$t", s"df_$t")).mkString(" + ")
-        withTf.crossJoin(broadcast(stats))
-          .withColumn("score_r", round(expr(scoreExpr), 6))
-          .select(col("doc_id"), col("dl").cast("bigint").as("n_tokens"),
-            col("score_r"))
-          .orderBy(col("score_r").desc, col("doc_id"))
-          .limit(50)
-      },
+      (s, dir) => bm25TopK(s, dir, bm25Terms),
       Some(s"""WITH t AS (
           SELECT doc_id, CAST(len(arr) AS DOUBLE) AS dl,
             ${bm25Terms.map(t =>

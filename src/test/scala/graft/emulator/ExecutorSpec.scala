@@ -1439,4 +1439,31 @@ class ExecutorSpec extends AnyFunSuite {
     assert(shown.rows.size == executor.pipelineAliases.size)
     assert(shown.rows.exists(_.head == "GOPHER_RULES"))
   }
+
+  test("69c BM25_SEARCH: parameterized retrieval on the wire") {
+    val dir = "/root/testdata/sf0.001"
+    // p29's fixed query through the parameterized surface = the batch entry
+    val wire = exec(
+      s"SELECT doc_id, score_r FROM TABLE(BM25_SEARCH('spark vector merge', '$dir')) ORDER BY score_r DESC, doc_id")
+      .rows.map(r => (String.valueOf(r.head), String.valueOf(r(1))))
+    val batch = graft.SparkEntry.queries("p29_bm25_topk")(spark, dir)
+      .select("doc_id", "score_r").collect()
+      .map(r => (String.valueOf(r.get(0)), String.valueOf(r.get(1)))).toSeq
+    assert(wire == batch, s"wire ${wire.take(3)} vs batch ${batch.take(3)}")
+    // a different query returns a DIFFERENT ranking (the parameter is live)
+    val other = exec(
+      s"SELECT doc_id FROM TABLE(BM25_SEARCH('window', '$dir'))").rows
+    assert(other.nonEmpty && other.map(_.head) != wire.map(_._1))
+    // hostile tokens are dropped by the whitelist, never spliced: the
+    // query degrades to its sane terms instead of reaching the engine
+    val safe = exec(
+      s"SELECT COUNT(*) AS n FROM TABLE(BM25_SEARCH('spark '')); DROP TABLE users; --', '$dir'))")
+    assert(safe.rows.head.head.toString.toLong > 0L)
+    assert(exec("SELECT COUNT(*) AS n FROM users").rows.head.head.toString.toLong > 0L,
+      "users must survive an injection attempt")
+    // all-hostile query: clean error naming the problem
+    val e = intercept[SnowflakeError](
+      exec(s"SELECT * FROM TABLE(BM25_SEARCH('%%% ^^', '$dir'))"))
+    assert(e.getMessage.contains("no searchable terms"), e.getMessage)
+  }
 }
