@@ -714,7 +714,8 @@ final class Executor(
     "PII_REDACT" -> "p18_pii_redact",
     "CORPUS_CARD" -> "p62_corpus_card",
     "IMAGE_DHASH" -> "p63_image_dhash",
-    "IMAGE_NEARDUP" -> "p63b_image_neardup")
+    "IMAGE_NEARDUP" -> "p63b_image_neardup",
+    "MMR_RERANK" -> "p64_mmr_rerank")
 
   /** Match only the OPENING of a pipeline table-function call; the
     * argument span is found by a quote-aware paren scan (a ')' inside a

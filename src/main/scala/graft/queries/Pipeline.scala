@@ -3723,6 +3723,101 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
     // because round() semantics differ across engines; the dequantization
     // RMSE folds in index order on both sides (sequential aggregate() in
     // Spark, list_sum over an index comprehension in DuckDB). ------------
+    // ---- MMR diversified reranking (Carbonell & Goldstein 1998) — the
+    // RAG-standard answer to a redundant top-k: greedily re-rank p29's
+    // BM25 top-50 by 0.7*relevance − 0.3*max-cosine-to-already-selected,
+    // doc_id tiebreak, k=10. The cross-engine contract is the 6dp-rounded
+    // plane both families already pin (p29's score_r, p05's sim_r round
+    // identically in Spark and DuckDB), so the greedy argmax runs on
+    // identical doubles in both engines. Corpus-scaled work (BM25 scan,
+    // candidate×candidate sims over a broadcast 50-row side) is
+    // distributed; the greedy itself runs on the driver over the
+    // DIAL-bounded candidate set (50 rels + 2450 sims — PQ-SDC-class
+    // state, never corpus-scaled). The oracle replays the same greedy as
+    // a recursive CTE carrying the selected-id list. -------------------
+    QDef("p64_mmr_rerank",
+      (s, dir) => {
+        // diversity needs vectors: the MMR pool is the BM25 top-50
+        // RESTRICTED to docs carrying an embedding (at larger SFs the
+        // embeddings table covers a subset of documents)
+        val ce = bm25TopK(s, dir, bm25Terms, 50)
+          .select(col("doc_id"), col("score_r"))
+          .join(emb(s, dir).select(col("vec_id").as("doc_id"), col("embedding")),
+            Seq("doc_id"))
+        val a = ce.select(col("doc_id").as("a_id"), col("embedding").as("av"))
+        val b = ce.select(col("doc_id").as("b_id"), col("embedding").as("bv"))
+        val sims = a.crossJoin(b).filter(col("a_id") =!= col("b_id"))
+          .withColumn("sim_r", round(expr("cosine_sim(av, bv)"), 6))
+        val rel = ce.select(col("doc_id"), col("score_r")).collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val sim = sims.select(col("a_id"), col("b_id"), col("sim_r")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        val ids = rel.keys.toSeq.sorted
+        val first = ids.minBy(i => (-rel(i), i))
+        val sel = scala.collection.mutable.ArrayBuffer(first)
+        while (sel.size < 10 && sel.size < ids.size) {
+          var bestId = -1L; var bestM = 0.0
+          ids.filterNot(sel.contains).foreach { c =>
+            val m = 0.7 * rel(c) - 0.3 * sel.map(sid => sim((c, sid))).max
+            if (bestId < 0L || m > bestM || (m == bestM && c < bestId)) {
+              bestM = m; bestId = c
+            }
+          }
+          sel += bestId
+        }
+        import s.implicits._
+        sel.toSeq.zipWithIndex
+          .map { case (id, i) => (i + 1, id, rel(id)) }
+          .toDF("rank", "doc_id", "score_r")
+      },
+      Some(s"""WITH RECURSIVE t AS (
+          SELECT doc_id, CAST(len(arr) AS DOUBLE) AS dl,
+            ${bm25Terms.map(t =>
+              s"CAST(len(list_filter(arr, x -> x = '$t')) AS DOUBLE) AS tf_$t")
+              .mkString(", ")}
+          FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)),
+        st AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) / COUNT(*) AS avgdl,
+            ${bm25Terms.map(t =>
+              s"SUM(CASE WHEN tf_$t > 0 THEN 1.0 ELSE 0.0 END) AS df_$t")
+              .mkString(", ")}
+          FROM t),
+        cand0 AS (
+          SELECT doc_id,
+            round(${bm25Terms.map(t => bm25Term(s"tf_$t", s"df_$t")).mkString(" + ")}, 6) AS score_r
+          FROM t, st ORDER BY score_r DESC, doc_id LIMIT 50),
+        cand AS (
+          SELECT c.doc_id, c.score_r
+          FROM cand0 c JOIN embeddings e ON e.vec_id = c.doc_id),
+        sims AS (
+          SELECT ca.doc_id AS a_id, cb.doc_id AS b_id,
+            round(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) FOR i IN range(1, len(a.embedding) + 1)])
+              / (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) FOR i IN range(1, len(a.embedding) + 1)]))
+               * sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) FOR i IN range(1, len(b.embedding) + 1)]))), 6) AS sim_r
+          FROM cand ca JOIN embeddings a ON a.vec_id = ca.doc_id
+               JOIN cand cb ON ca.doc_id <> cb.doc_id
+               JOIN embeddings b ON b.vec_id = cb.doc_id),
+        sel AS (
+          SELECT 1 AS rnk, [f.doc_id] AS chosen, f.doc_id AS picked,
+            f.score_r AS rel
+          FROM (SELECT doc_id, score_r FROM cand
+                ORDER BY score_r DESC, doc_id LIMIT 1) f
+          UNION ALL
+          SELECT r.rnk + 1, list_append(r.chosen, nxt.doc_id), nxt.doc_id,
+            nxt.score_r
+          FROM sel r, LATERAL (
+            SELECT c.doc_id, c.score_r
+            FROM cand c
+            WHERE NOT list_contains(r.chosen, c.doc_id)
+            ORDER BY 0.7 * c.score_r - 0.3 * (
+                SELECT MAX(s.sim_r) FROM sims s
+                WHERE s.a_id = c.doc_id AND list_contains(r.chosen, s.b_id))
+              DESC, c.doc_id
+            LIMIT 1) nxt
+          WHERE r.rnk < 10)
+        SELECT CAST(rnk AS INTEGER) AS rank, picked AS doc_id, rel AS score_r
+        FROM sel ORDER BY rank""")),
+
     QDef("p30_embed_quantize",
       (s, dir) => emb(s, dir)
         .withColumn("scale", expr(
