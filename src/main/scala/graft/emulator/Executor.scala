@@ -715,7 +715,8 @@ final class Executor(
     "CORPUS_CARD" -> "p62_corpus_card",
     "IMAGE_DHASH" -> "p63_image_dhash",
     "IMAGE_NEARDUP" -> "p63b_image_neardup",
-    "MMR_RERANK" -> "p64_mmr_rerank")
+    "MMR_RERANK" -> "p64_mmr_rerank",
+    "RRF_FUSION" -> "p65_rrf_fusion")
 
   /** Match only the OPENING of a pipeline table-function call; the
     * argument span is found by a quote-aware paren scan (a ')' inside a

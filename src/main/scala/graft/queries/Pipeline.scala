@@ -3818,6 +3818,86 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
         SELECT CAST(rnk AS INTEGER) AS rank, picked AS doc_id, rel AS score_r
         FROM sel ORDER BY rank""")),
 
+    // ---- hybrid retrieval by Reciprocal Rank Fusion (Cormack et al.
+    // 2009, the standard BM25+dense fusion): the sparse list is p29's
+    // BM25 top-50; the dense list is cosine top-50 against a
+    // pseudo-relevance query vector — the embedding of the best BM25 doc
+    // that has one (the classic PRF move when the query itself has no
+    // embedding). rrf = 1/(60+rank_sparse) + 1/(60+rank_dense), absent
+    // list contributes 0; both ranks are over 6dp-rounded scores with
+    // doc_id tiebreaks, so ranks — and hence the exact rational rrf
+    // sums — are engine-identical. One corpus scan per list, a 1-row
+    // broadcast query vector, top-k by TakeOrderedAndProject; nothing
+    // corpus-sized shuffles. ------------------------------------------
+    QDef("p65_rrf_fusion",
+      (s, dir) => {
+        val w = Window.orderBy(col("score_r").desc, col("doc_id"))
+        val bmRanked = bm25TopK(s, dir, bm25Terms, 50)
+          .select(col("doc_id"), col("score_r"))
+          .withColumn("br", row_number().over(w))
+        val qdf = bmRanked
+          .join(emb(s, dir).select(col("vec_id").as("doc_id"),
+            col("embedding").as("qv")), Seq("doc_id"))
+          .orderBy(col("br")).limit(1).select(col("qv"))
+        val scored = emb(s, dir)
+          .crossJoin(broadcast(qdf))
+          .withColumn("sim_r", round(expr("cosine_sim(embedding, qv)"), 6))
+          .select(col("vec_id").as("doc_id"), col("sim_r"))
+        val wd = Window.orderBy(col("sim_r").desc, col("doc_id"))
+        val denseRanked = scored
+          .withColumn("dr", row_number().over(wd))
+          .filter(col("dr") <= 50)
+        bmRanked.select(col("doc_id"), col("br"))
+          .join(denseRanked.select(col("doc_id"), col("dr")), Seq("doc_id"), "full")
+          .withColumn("rrf_r", round(
+            coalesce(lit(1.0) / (lit(60) + col("br")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0)), 6))
+          .orderBy(col("rrf_r").desc, col("doc_id"))
+          .limit(20)
+          .select(col("doc_id"), col("br").as("bm25_rank"),
+            col("dr").as("dense_rank"), col("rrf_r"))
+      },
+      Some(s"""WITH t AS (
+          SELECT doc_id, CAST(len(arr) AS DOUBLE) AS dl,
+            ${bm25Terms.map(t =>
+              s"CAST(len(list_filter(arr, x -> x = '$t')) AS DOUBLE) AS tf_$t")
+              .mkString(", ")}
+          FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)),
+        st AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) / COUNT(*) AS avgdl,
+            ${bm25Terms.map(t =>
+              s"SUM(CASE WHEN tf_$t > 0 THEN 1.0 ELSE 0.0 END) AS df_$t")
+              .mkString(", ")}
+          FROM t),
+        bm AS (
+          SELECT doc_id,
+            round(${bm25Terms.map(t => bm25Term(s"tf_$t", s"df_$t")).mkString(" + ")}, 6) AS score_r
+          FROM t, st ORDER BY score_r DESC, doc_id LIMIT 50),
+        bmr AS (
+          SELECT doc_id,
+            CAST(ROW_NUMBER() OVER (ORDER BY score_r DESC, doc_id) AS INTEGER) AS br
+          FROM bm),
+        qv AS (
+          SELECT e.embedding AS qv
+          FROM bmr JOIN embeddings e ON e.vec_id = bmr.doc_id
+          ORDER BY bmr.br LIMIT 1),
+        dense AS (
+          SELECT e.vec_id AS doc_id,
+            round(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE) FOR i IN range(1, len(e.embedding) + 1)])
+              / (sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) FOR i IN range(1, len(e.embedding) + 1)]))
+               * sqrt(list_sum([CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE) FOR i IN range(1, len(q.qv) + 1)]))), 6) AS sim_r
+          FROM embeddings e, qv q),
+        dr AS (
+          SELECT doc_id,
+            CAST(ROW_NUMBER() OVER (ORDER BY sim_r DESC, doc_id) AS INTEGER) AS dr
+          FROM dense QUALIFY dr <= 50)
+        SELECT COALESCE(bmr.doc_id, dr.doc_id) AS doc_id,
+          bmr.br AS bm25_rank, dr.dr AS dense_rank,
+          round(COALESCE(1.0 / (60 + bmr.br), 0.0)
+            + COALESCE(1.0 / (60 + dr.dr), 0.0), 6) AS rrf_r
+        FROM bmr FULL JOIN dr ON bmr.doc_id = dr.doc_id
+        ORDER BY rrf_r DESC, doc_id LIMIT 20""")),
+
     QDef("p30_embed_quantize",
       (s, dir) => emb(s, dir)
         .withColumn("scale", expr(
