@@ -325,6 +325,38 @@ object Multimodal {
     *     bit_count(xor(hi)) + bit_count(xor(lo)).
     * Payloads and pixels never leave their partition; output is 20
     * bytes/row regardless of image size — the shape that scales. */
+  /** The per-payload dHash kernel behind [[imageDHash]] and the
+    * streaming image-dedup gate: construct, REAL-decode, downsample,
+    * compare. Returns the two 32-bit halves. */
+  def dhashOf(payload: Array[Byte]): (Long, Long) = {
+    val p = if (payload == null) Array.emptyByteArray else payload
+    val n = p.length
+    def gray(x: Int, y: Int): Int =
+      if (n == 0) 0 else p((y * dhashSrcW + x) % n) & 0xFF
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(buildGrayBmp(dhashSrcW, dhashSrcH, gray)))
+    // cells from DECODED pixels (blue channel; channels are equal)
+    def cell(cx: Int, cy: Int): Int = {
+      val x0 = cx * 2; val y0 = cy * 2
+      ((img.getRGB(x0, y0) & 0xFF) + (img.getRGB(x0 + 1, y0) & 0xFF) +
+        (img.getRGB(x0, y0 + 1) & 0xFF) + (img.getRGB(x0 + 1, y0 + 1) & 0xFF)) / 4
+    }
+    var hi = 0L; var lo = 0L
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        if (cell(cx, cy) > cell(cx + 1, cy)) {
+          val bit = 1L << ((cy % 4) * 8 + cx)
+          if (cy < 4) hi |= bit else lo |= bit
+        }
+        cx += 1
+      }
+      cy += 1
+    }
+    (hi, lo)
+  }
+
   def imageDHash(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val idIdx = media.schema.fieldIndex("media_id")
@@ -334,31 +366,8 @@ object Multimodal {
         val id = r.getLong(idIdx)
         val p = if (r.isNullAt(payloadIdx)) Array.emptyByteArray
           else r.getAs[Array[Byte]](payloadIdx)
-        val n = p.length
-        def gray(x: Int, y: Int): Int =
-          if (n == 0) 0 else p((y * dhashSrcW + x) % n) & 0xFF
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(buildGrayBmp(dhashSrcW, dhashSrcH, gray)))
-        // cells from DECODED pixels (blue channel; channels are equal)
-        def cell(cx: Int, cy: Int): Int = {
-          val x0 = cx * 2; val y0 = cy * 2
-          ((img.getRGB(x0, y0) & 0xFF) + (img.getRGB(x0 + 1, y0) & 0xFF) +
-            (img.getRGB(x0, y0 + 1) & 0xFF) + (img.getRGB(x0 + 1, y0 + 1) & 0xFF)) / 4
-        }
-        var hi = 0L; var lo = 0L
-        var cy = 0
-        while (cy < 8) {
-          var cx = 0
-          while (cx < 8) {
-            if (cell(cx, cy) > cell(cx + 1, cy)) {
-              val bit = 1L << ((cy % 4) * 8 + cx)
-              if (cy < 4) hi |= bit else lo |= bit
-            }
-            cx += 1
-          }
-          cy += 1
-        }
-        Row(id, n, hi, lo)
+        val (hi, lo) = dhashOf(p)
+        Row(id, p.length, hi, lo)
       }
     }
     spark.createDataFrame(rdd, dhashSchema)

@@ -132,6 +132,34 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("simhash")
 
+  /** Streaming IMAGE dedup gate — the streaming form of the p63 dHash
+    * batch operator: each arriving (media_id, ts, payload) row is
+    * perceptually fingerprinted through the SAME real-codec kernel
+    * (construct → ImageIO decode → 9x8 area-average → 64 gradient
+    * bits, `Multimodal.dhashOf`), then exact-duplicate images drop via
+    * `dropDuplicatesWithinWatermark` on the two 32-bit halves — 16
+    * bytes of state per kept image per watermark window, payload bytes
+    * never enter the state store or any shuffle (the fingerprint is
+    * computed before the stateful exchange; only (id, ts, hash) rows
+    * move). Stream/batch parity with [[graft.operators.Multimodal
+    * .imageDHash]] is spec-pinned. */
+  def imageDedupStream(docs: DataFrame, watermarkDelay: String = "1 hour"): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select(col("media_id"), col("ts"), col("payload"))
+      .as[(Long, java.sql.Timestamp, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, ts, p) =>
+          val (hi, lo) = graft.operators.Multimodal.dhashOf(p)
+          (id, ts, hi, lo)
+        }
+      }
+      .toDF("media_id", "ts", "dh_hi", "dh_lo")
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("dh_hi", "dh_lo")
+  }
+
   /** Stream-stream interval join (attribution): each purchase event
     * joins the click(s) by the same user within the preceding
     * `window` — the canonical conversion-attribution shape. Both sides

@@ -835,6 +835,44 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming image-dedup gate: dHash state, payloads never in state; = batch fingerprints") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog".getBytes
+    val b = "an entirely different image payload with other bytes".getBytes
+    val input = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val docs = input.toDF().toDF("media_id", "ts", "payload")
+    val q = EventStreams.toMemorySink(
+      EventStreams.imageDedupStream(docs), "imgdedup", complete = false).start()
+    try {
+      // two distinct images, one exact dup (same bytes, later id)
+      input.addData((1L, ts(0), a), (2L, ts(1), b), (3L, ts(2), a.clone()))
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT media_id, dh_hi, dh_lo FROM imgdedup ORDER BY media_id")
+        .collect()
+      assert(kept.map(_.getLong(0)).toSeq == Seq(1L, 2L), kept.mkString("; "))
+      // stream hashes are bit-identical to the batch operator's
+      val batch = graft.operators.Multimodal.imageDHash(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(
+            org.apache.spark.sql.Row(1L, a), org.apache.spark.sql.Row(2L, b))),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("media_id",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("payload",
+              org.apache.spark.sql.types.BinaryType, nullable = true)))))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+      kept.foreach { r =>
+        assert(batch(r.getLong(0)) == ((r.getLong(1), r.getLong(2))),
+          s"stream/batch fingerprint divergence for ${r.getLong(0)}") }
+      // the state schema carries the 16-byte fingerprint, not payloads:
+      // the stateful operator exists and holds exactly the kept rows
+      val stateOps = q.lastProgress.stateOperators
+      assert(stateOps.nonEmpty && stateOps.head.numRowsTotal == 2L,
+        stateOps.mkString("; "))
+    } finally q.stop()
+  }
+
   test("AUTOMATED LM refit: drift fires the foreachBatch hook unattended; post-refit reads healthy") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
