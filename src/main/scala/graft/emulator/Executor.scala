@@ -716,7 +716,9 @@ final class Executor(
     "IMAGE_DHASH" -> "p63_image_dhash",
     "IMAGE_NEARDUP" -> "p63b_image_neardup",
     "MMR_RERANK" -> "p64_mmr_rerank",
-    "RRF_FUSION" -> "p65_rrf_fusion")
+    "RRF_FUSION" -> "p65_rrf_fusion",
+    "UNIGRAM_VOCAB" -> "p66_unigram_vocab",
+    "UNIGRAM_SEGMENTS" -> "p66b_unigram_segments")
 
   /** Match only the OPENING of a pipeline table-function call; the
     * argument span is found by a quote-aware paren scan (a ')' inside a

@@ -2114,6 +2114,200 @@ object Pipeline {
     sys.props.get("graft.bpeMerges")
       .map(v => math.min(12, math.max(1, v.toInt))).getOrElse(6)
 
+  // ---- unigram (SentencePiece-family) tokenizer segmentation: the
+  // Viterbi half of Kudo 2018 — a frequency-scored piece lexicon and
+  // per-word max-likelihood segmentation by dynamic programming. The
+  // BPE sibling (p48 learns merges; p66 segments under a unigram
+  // lexicon). All scores are integer-scaled logs (the p53 sln trick),
+  // so DP sums are exact BIGINTs; the DP/backpointer/reconstruction
+  // expression text is GENERATED once and rendered into both dialects.
+  private[graft] val uniMaxWordLen = 12
+  private[graft] val uniMaxPieceLen = 4
+  /** Piece-lexicon seed size: `-Dgraft.uniSeed`, clamped [50, 2000]. */
+  private[graft] def uniSeed: Int =
+    sys.props.get("graft.uniSeed")
+      .map(v => math.min(2000, math.max(50, v.toInt))).getOrElse(200)
+  /** Lookup-miss sentinel for DP candidates: more negative than any
+    * reachable path sum (12 pieces × |score| ≤ ~12·ln(total)·1e8 ≪ 1e15)
+    * yet safe from Long overflow across ≤ 12 additions. Rendered as a
+    * CAST literal so both engines read the same BIGINT. */
+  private[graft] val uniSentinel = "CAST(-1000000000000000 AS BIGINT)"
+
+  /** The valid (j, i) DP candidate grid: end position j in [1, 12],
+    * start i in [max(0, j-4), j-1] — piece length ≤ [[uniMaxPieceLen]]. */
+  private[graft] def uniGrid: Seq[(Int, Int)] =
+    for (j <- 1 to uniMaxWordLen;
+         i <- math.max(0, j - uniMaxPieceLen) until j) yield (j, i)
+
+  /** Generated DP text, dialect-rendered. `elemAt(arr, idx)` and list
+    * ops differ between engines; everything else is shared verbatim.
+    * Yields (ordered column defs): best_j / bp_j for j in 1..12, then
+    * bp_arr, e_k / s_k / piece_k for k in 1..12, then seg. */
+  private[graft] def uniDpColumns(
+      elemAt: (String, String) => String,
+      arrayOf: Seq[String] => String,
+      filterNotNull: String => String,
+      reverseArr: String => String): Seq[(String, String)] = {
+    val cols = Seq.newBuilder[(String, String)]
+    cols += ("best_0" -> "CAST(0 AS BIGINT)")
+    for (j <- 1 to uniMaxWordLen) {
+      val is = uniGrid.filter(_._1 == j).map(_._2)
+      val cands = is.map(i => s"COALESCE(best_$i + cs_${j}_$i, $uniSentinel)")
+      cols += (s"best_$j" ->
+        (if (cands.size == 1) cands.head
+         else s"GREATEST(${cands.mkString(", ")})"))
+      cols += (s"bp_$j" -> is.map(i =>
+        s"WHEN COALESCE(best_$i + cs_${j}_$i, $uniSentinel) = best_$j THEN $i")
+        .mkString("CASE ", " ", " END"))
+    }
+    cols += ("bp_arr" -> arrayOf((1 to uniMaxWordLen).map(j => s"bp_$j")))
+    cols += ("e_0" -> "length(w)")
+    for (k <- 1 to uniMaxWordLen) {
+      cols += (s"s_$k" ->
+        s"CASE WHEN e_${k - 1} IS NULL OR e_${k - 1} = 0 THEN NULL ELSE ${elemAt("bp_arr", s"e_${k - 1}")} END")
+      cols += (s"piece_$k" ->
+        s"CASE WHEN s_$k IS NULL THEN NULL ELSE substring(w, s_$k + 1, e_${k - 1} - s_$k) END")
+      cols += (s"e_$k" -> s"s_$k")
+    }
+    cols += ("seg" -> reverseArr(filterNotNull(
+      arrayOf((1 to uniMaxWordLen).map(k => s"piece_$k")))))
+    cols.result()
+  }
+
+  /** The piece lexicon: substrings of length 1..4 over the distinct
+    * [a-z]+ word table (length ≤ 12), occurrence-weighted by word
+    * frequency; vocabulary = top [[uniSeed]] by (cnt DESC, piece ASC)
+    * plus ALL single-character pieces (coverage — every word position
+    * is always reachable); score = sln(cnt) − sln(Σ cnt over the
+    * vocabulary). Vocabulary-bounded at any corpus size. */
+  private[graft] def uniVocab(s: SparkSession, dir: String): DataFrame = {
+    val w = bpeWords(s, dir).filter(length(col("w")) <= uniMaxWordLen)
+    val cnts = w.select(col("w"), col("freq"),
+        explode(expr(
+          s"""flatten(transform(sequence(1, length(w)),
+                i -> transform(sequence(1, least($uniMaxPieceLen, length(w) - i + 1)),
+                  l -> substring(w, i, l))))""")).as("p"))
+      .groupBy(col("p")).agg(sum(col("freq")).as("cnt"))
+    val top = cnts.orderBy(col("cnt").desc, col("p")).limit(uniSeed)
+    val chars = cnts.filter(length(col("p")) === 1)
+    val vocab0 = top.unionByName(chars).distinct()
+    val tot = vocab0.agg(sum(col("cnt")).as("vt"))
+    vocab0.crossJoin(broadcast(tot))
+      .withColumn("score", expr(sln("cnt") + " - " + sln("vt")))
+      .select(col("p"), col("cnt"), col("score"))
+  }
+
+  /** Per-word Viterbi segmentation: (w, freq, seg ARRAY<STRING>). One
+    * candidate-grid explode + ONE broadcast vocab join pivoted to the
+    * 42 cs_j_i score columns, then the generated DP columns — pure
+    * per-row expressions, zero shuffles beyond the word aggregation. */
+  private[graft] def uniSegments(s: SparkSession, dir: String): DataFrame = {
+    val words = bpeWords(s, dir).filter(length(col("w")) <= uniMaxWordLen)
+      .select(col("w"), col("freq"))
+    val vocab = uniVocab(s, dir)
+    val gridEntries = uniGrid.map { case (j, i) =>
+      s"named_struct('j', $j, 'i', $i, 'piece', substring(w, ${i + 1}, ${j - i}))"
+    }
+    val cand = words.select(col("w"),
+        explode(expr(
+          s"filter(array(${gridEntries.mkString(", ")}), x -> x.j <= length(w))")).as("c"))
+      .select(col("w"), col("c.j").as("j"), col("c.i").as("i"),
+        col("c.piece").as("piece"))
+    val scored = cand.join(
+      broadcast(vocab.select(col("p").as("piece"), col("score"))),
+      Seq("piece"), "left")
+    val aggCols = uniGrid.map { case (j, i) =>
+      max(when(col("j") === j && col("i") === i, col("score"))).as(s"cs_${j}_$i")
+    }
+    var df = scored.groupBy(col("w")).agg(aggCols.head, aggCols.tail: _*)
+      .join(words, Seq("w"))
+    // The DP chain is depth-12 with fanout ~5 (each best_i feeds up to
+    // four later candidates plus its backpointer); letting the optimizer
+    // inline the whole chain into one projection grows the expression
+    // tree ~5^12 (observed as a driver OOM — the same explosion the BPE
+    // oracle hits without MATERIALIZED CTEs). A lineage barrier every
+    // few steps (schema-preserving RDD rebind, lazily evaluated, no
+    // materialization) caps inline depth; the per-row work is identical.
+    var sinceBarrier = 0
+    def addCol(name: String, text: String): Unit = {
+      df = df.withColumn(name, expr(text))
+      sinceBarrier += 1
+      if (sinceBarrier >= 6) {
+        df = s.createDataFrame(df.rdd, df.schema)
+        sinceBarrier = 0
+      }
+    }
+    uniDpColumns(
+      elemAt = (arr, idx) => s"element_at($arr, $idx)",
+      arrayOf = es => s"array(${es.mkString(", ")})",
+      filterNotNull = a => s"filter($a, x -> x IS NOT NULL)",
+      reverseArr = a => s"reverse($a)"
+    ).foreach { case (name, text) => addCol(name, text) }
+    df.select(col("w"), col("freq"), col("seg"))
+  }
+
+  /** The DuckDB mirror of [[uniVocab]]+[[uniSegments]] as CTE text up to
+    * `useg(w, freq, seg)` — the shared front of both p66 oracles. */
+  private[graft] def duckUniCtes: String = {
+    val gridVals = uniGrid.map { case (j, i) => s"($j, $i)" }.mkString(", ")
+    val pivCols = uniGrid.map { case (j, i) =>
+      s"MAX(CASE WHEN j = $j AND i = $i THEN score END) AS cs_${j}_$i"
+    }.mkString(", ")
+    // the DP chain must not inline into one expression tree (fanout^depth
+    // explosion — the BPE-oracle lesson): chain MATERIALIZED CTEs, a few
+    // columns per layer, so each alias is evaluated once
+    val dpLayers = uniDpColumns(
+      elemAt = (arr, idx) => s"$arr[$idx]",
+      arrayOf = es => s"[${es.mkString(", ")}]",
+      filterNotNull = a => s"list_filter($a, x -> x IS NOT NULL)",
+      reverseArr = a => s"list_reverse($a)"
+    ).grouped(6).toSeq
+    val dpChain = dpLayers.zipWithIndex.map { case (layer, li) =>
+      val prev = if (li == 0) "udp0" else s"udp$li"
+      val defs = layer.map { case (name, text) => s"$text AS $name" }
+        .mkString(",\n            ")
+      s"""udp${li + 1} AS MATERIALIZED (
+          SELECT *,
+            $defs
+          FROM $prev)"""
+    }.mkString(",\n        ")
+    val lastDp = s"udp${dpLayers.size}"
+    s"""uwt AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+          WHERE regexp_full_match(w, '[a-z]+') AND length(w) <= $uniMaxWordLen
+          GROUP BY w),
+        uocc AS (
+          SELECT substr(t.w, CAST(i.i AS INTEGER), CAST(l.l AS INTEGER)) AS p,
+            CAST(SUM(t.freq) AS BIGINT) AS cnt
+          FROM uwt t
+          CROSS JOIN range(1, ${uniMaxWordLen + 1}) i(i)
+          CROSS JOIN range(1, ${uniMaxPieceLen + 1}) l(l)
+          WHERE i.i + l.l - 1 <= length(t.w)
+          GROUP BY 1),
+        utop AS (SELECT p, cnt FROM uocc ORDER BY cnt DESC, p LIMIT $uniSeed),
+        uvoc0 AS (SELECT p, cnt FROM utop
+          UNION SELECT p, cnt FROM uocc WHERE length(p) = 1),
+        utot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS vt FROM uvoc0),
+        uvocab AS (
+          SELECT p, cnt, ${sln("cnt")} - ${sln("vt")} AS score
+          FROM uvoc0, utot),
+        ucand AS (
+          SELECT t.w, g.j, g.i,
+            substr(t.w, CAST(g.i + 1 AS INTEGER), CAST(g.j - g.i AS INTEGER)) AS piece
+          FROM uwt t CROSS JOIN (VALUES $gridVals) g(j, i)
+          WHERE g.j <= length(t.w)),
+        usc AS (
+          SELECT c.w, c.j, c.i, v.score
+          FROM ucand c LEFT JOIN uvocab v ON v.p = c.piece),
+        upiv AS (SELECT w, $pivCols FROM usc GROUP BY w),
+        udp0 AS MATERIALIZED (
+          SELECT t0.w, t0.freq AS freq, p.* EXCLUDE (w)
+          FROM upiv p JOIN uwt t0 ON t0.w = p.w),
+        $dpChain,
+        useg AS (SELECT w, freq, seg FROM $lastDp)"""
+  }
+
   /** The distinct lowercase-alpha word table with occurrence counts and
     * the per-symbol parenthesized encoding BPE iterates on. */
   private[graft] def bpeWords(s: SparkSession, dir: String): DataFrame =
@@ -3897,6 +4091,45 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
             + COALESCE(1.0 / (60 + dr.dr), 0.0), 6) AS rrf_r
         FROM bmr FULL JOIN dr ON bmr.doc_id = dr.doc_id
         ORDER BY rrf_r DESC, doc_id LIMIT 20""")),
+
+    // ---- unigram (SentencePiece-family) tokenizer: Viterbi
+    // segmentation under a frequency-scored piece lexicon (the
+    // inference/E-step half of Kudo 2018, next to p48's BPE merge
+    // learning). Lexicon = top-200 substrings (len ≤ 4) of the distinct
+    // word table + all single chars; score = integer-scaled log
+    // frequency (p53's sln), so every DP path sum is exact BIGINT
+    // arithmetic and the argmax (ties → smallest start = longest last
+    // piece) is engine-identical. The DP/backpointer/reconstruction
+    // expression text is GENERATED once and rendered into both
+    // dialects. p66 pins the lexicon + its realized usage under the
+    // segmentation (the E-step counts); p66b pins the top-50 words'
+    // actual segmentations — the end-to-end Viterbi witness. ----------
+    QDef("p66_unigram_vocab",
+      (s, dir) => {
+        val used = uniSegments(s, dir)
+          .select(col("freq"), explode(col("seg")).as("p"))
+          .groupBy(col("p")).agg(sum(col("freq")).as("u"))
+        uniVocab(s, dir).join(used, Seq("p"), "left")
+          .withColumn("used", coalesce(col("u"), lit(0L)))
+          .select(col("p").as("piece"), col("cnt"), col("score"), col("used"))
+          .orderBy(col("used").desc, col("cnt").desc, col("piece"))
+      },
+      Some(s"""WITH $duckUniCtes,
+        uused AS (
+          SELECT s.p AS p, CAST(SUM(u.freq) AS BIGINT) AS used
+          FROM useg u, UNNEST(u.seg) AS s(p) GROUP BY 1)
+        SELECT v.p AS piece, v.cnt, v.score,
+          COALESCE(uu.used, 0) AS used
+        FROM uvocab v LEFT JOIN uused uu ON uu.p = v.p
+        ORDER BY used DESC, cnt DESC, piece""")),
+
+    QDef("p66b_unigram_segments",
+      (s, dir) => uniSegments(s, dir)
+        .withColumn("seg", expr("array_join(seg, '|')"))
+        .orderBy(col("freq").desc, col("w")).limit(50),
+      Some(s"""WITH $duckUniCtes
+        SELECT w, freq, array_to_string(seg, '|') AS seg
+        FROM useg ORDER BY freq DESC, w LIMIT 50""")),
 
     QDef("p30_embed_quantize",
       (s, dir) => emb(s, dir)

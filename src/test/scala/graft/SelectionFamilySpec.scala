@@ -314,4 +314,75 @@ class SelectionFamilySpec extends SparkSpecBase {
         s"$q: vocabulary/bucket-bounded sides must broadcast, not sort-merge:\n$p")
     }
   }
+
+  /** The unigram tokenizer (p66/p66b) re-derived in plain Scala: piece
+    * counting, top-200+chars lexicon, sln scores, the exact Viterbi DP
+    * with the COALESCE-to-sentinel miss rule and smallest-start
+    * tie-break, and the back-walk. */
+  private lazy val uniFit
+      : (Map[String, (Long, Long)], Map[String, Seq[String]], Map[String, Long]) = {
+    val words = corpus.flatMap(_._2.toLowerCase.split(" ", -1))
+      .filter(w => w.matches("[a-z]+") && w.length <= 12)
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val cnt = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for ((w, f) <- words; i <- 0 until w.length;
+         l <- 1 to math.min(4, w.length - i))
+      cnt(w.substring(i, i + l)) += f
+    val top = cnt.toSeq.sortBy { case (p, c) => (-c, p) }.take(200)
+    val vocab = (top ++ cnt.filter(_._1.length == 1)).toMap
+    val tot = vocab.values.sum
+    val score = vocab.map { case (p, c) => p -> (sln(c) - sln(tot)) }
+    val SENT = -1000000000000000L
+    def segment(w: String): Seq[String] = {
+      val L = w.length
+      val best = Array.fill(L + 1)(0L)
+      val bp = Array.fill(L + 1)(-1)
+      for (j <- 1 to L) {
+        var bs = Long.MinValue; var bi = -1
+        for (i <- math.max(0, j - 4) until j) {
+          val c = score.get(w.substring(i, j)) match {
+            case Some(sc) => best(i) + sc
+            case None => SENT
+          }
+          if (c > bs) { bs = c; bi = i }
+        }
+        best(j) = bs; bp(j) = bi
+      }
+      val out = scala.collection.mutable.Buffer.empty[String]
+      var e = L
+      while (e > 0) { val s0 = bp(e); out.prepend(w.substring(s0, e)); e = s0 }
+      out.toSeq
+    }
+    val segs = words.keys.map(w => w -> segment(w)).toMap
+    val used = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for ((w, f) <- words; p <- segs(w)) used(p) += f
+    (vocab.map { case (p, c) => p -> ((c, score(p))) }, segs,
+      words.map { case (w, f) => w -> f })
+  }
+
+  test("p66b: Viterbi segmentations equal the plain-Scala re-derivation") {
+    val (_, segs, freqs) = uniFit
+    val got = SparkEntry.queries("p66b_unigram_segments")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(got.nonEmpty && got.length <= 50)
+    got.foreach { case (w, f, seg) =>
+      assert(freqs(w) == f, s"freq mismatch for $w")
+      assert(segs(w).mkString("|") == seg, s"segmentation drift for $w")
+      // coverage invariant: pieces concatenate back to the word
+      assert(seg.replace("|", "") == w, s"coverage broken for $w")
+    }
+  }
+
+  test("p66: lexicon counts/scores and E-step usage equal plain Scala") {
+    val (vocab, segs, freqs) = uniFit
+    val used = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for ((w, f) <- freqs; p <- segs(w)) used(p) += f
+    val got = SparkEntry.queries("p66_unigram_vocab")(spark, sf0001)
+      .collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size == vocab.size, s"${got.size} vs ${vocab.size}")
+    vocab.foreach { case (p, (c, sc)) =>
+      assert(got(p) == ((c, sc, used(p))), s"piece $p: ${got(p)} vs ($c, $sc, ${used(p)})")
+    }
+  }
 }
