@@ -807,20 +807,47 @@ final class Executor(
       val (df, viewKey) =
         if (fn == "BM25_SEARCH") {
           // parameterized retrieval: TABLE(BM25_SEARCH('<query>'[, '<dir>'])).
-          // Terms are whitelist-tokenized (lowercase [a-z0-9_]+) BEFORE
-          // they reach the engine — they splice into expression text and
-          // column names, so anything else (including '-', which would
-          // read as subtraction or open a '--' comment) is dropped,
-          // never quoted through.
+          // Query grammar: whitespace-separated units; a double-quoted
+          // span is a PHRASE (exact consecutive-token match); bare
+          // AND / OR (any case) are operators — any AND makes the whole
+          // query conjunctive (every unit must occur), else disjunctive
+          // (the default). Top-k comes from ALTER SESSION SET
+          // GRAFT_BM25_K, clamped [1, 1000], default 50. Every word is
+          // whitelist-tokenized (lowercase [a-z0-9_]+) BEFORE it
+          // reaches the engine — words splice into expression text, so
+          // anything else (including '-', which would read as
+          // subtraction or open a '--' comment) is dropped, never
+          // quoted through.
           val query = args.headOption.getOrElse(throw SnowflakeError.compilation(
             "BM25_SEARCH requires a query: TABLE(BM25_SEARCH('spark vector'))"))
-          val terms = query.toLowerCase(java.util.Locale.ROOT)
-            .split("\\s+").toSeq.filter(_.matches("[a-z0-9_]+")).distinct
-          if (terms.isEmpty) throw SnowflakeError.compilation(
+          def words(x: String): Seq[String] = x
+            .toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq
+            .filter(_.matches("[a-z0-9_]+"))
+          var requireAll = false
+          val unitRe = """"([^"]*)"|(\S+)""".r
+          val phrases = unitRe.findAllMatchIn(query).toSeq.flatMap { m =>
+            if (m.group(1) != null) {
+              val ws = words(m.group(1))
+              if (ws.isEmpty) None else Some(ws)
+            } else m.group(2).toLowerCase(java.util.Locale.ROOT) match {
+              case "and" => requireAll = true; None
+              case "or" => None
+              case w => words(w).headOption.map(Seq(_))
+            }
+          }.distinct
+          if (phrases.isEmpty) throw SnowflakeError.compilation(
             s"BM25_SEARCH: no searchable terms in '$query'")
+          val k = {
+            val ps = sessionParamsOf(ctx.sessionId)
+            ps.synchronized(ps.get("GRAFT_BM25_K"))
+              .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+              .map(v => math.min(1000, math.max(1, v))).getOrElse(50)
+          }
           val dir = resolveDir(args.lift(1))
-          (graft.queries.Pipeline.bm25TopK(spark, dir, terms),
-            "bm25_" + java.lang.Integer.toHexString((terms.mkString(" ") + " " + dir).hashCode))
+          val key = phrases.map(_.mkString("+")).mkString(" ") +
+            s" all=$requireAll k=$k" + "\u0000" + dir
+          (graft.queries.Pipeline.bm25Search(spark, dir, phrases, requireAll, k),
+            "bm25_" + java.lang.Integer.toHexString(key.hashCode))
         } else {
           val (entry, dirArg) =
             if (fn == "PIPELINE") {

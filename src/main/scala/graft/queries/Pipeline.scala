@@ -1998,43 +1998,124 @@ object Pipeline {
          |FROM embeddings, np""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  /** p63b band count: `-Dgraft.imageBands` ∈ {2, 4, 8} (must tile the
+    * two 32-bit fingerprint halves evenly); anything else → 4. Rendered
+    * into both engines so the recall contract stays matched. */
+  private[graft] def imageBands: Int =
+    sys.props.get("graft.imageBands")
+      .flatMap(v => scala.util.Try(v.toInt).toOption)
+      .filter(Set(2, 4, 8)).getOrElse(4)
+
+  /** p63b exact-hamming survivor threshold: `-Dgraft.imageHamming`,
+    * clamped [0, 16] (the 64-bit fingerprint's useful range). */
+  private[graft] def imageHamming: Int =
+    sys.props.get("graft.imageHamming")
+      .map(v => math.min(16, math.max(0, v.toInt))).getOrElse(6)
+
+  /** The oracle's band-collision disjunction, generated from the SAME
+    * [[imageBands]] dial as the Spark plan's band structs. */
+  private def duckImageBandCollisions: String = {
+    val nb = imageBands; val width = 64 / nb
+    val mask = (1L << width) - 1; val perHalf = nb / 2
+    (0 until nb).map { b =>
+      val half = if (b < perHalf) "hi" else "lo"
+      val shift = 32 - ((b % perHalf) + 1) * width
+      s"(a.$half >> $shift) & $mask = (b.$half >> $shift) & $mask"
+    }.mkString("\n            OR ")
+  }
+
   /** p29's query terms — fixed vocabulary of the synthetic corpus with a
     * spread of document frequencies (rare -> common). Declared BEFORE
     * `defs`: the oracle strings interpolate these eagerly at object init. */
   private val bm25Terms = Seq("spark", "vector", "merge")
 
+  /** p29b's conjunctive phrase query: one real corpus bigram + one
+    * plain term, AND semantics — pins [[bm25Search]]'s phrase-tf and
+    * require-all paths (the features `TABLE(BM25_SEARCH('"table hash"
+    * AND vector'))` exercises on the wire). */
+  private val bm25PhraseQuery: Seq[Seq[String]] =
+    Seq(Seq("table", "hash"), Seq("vector"))
+
   /** Parameterized BM25 retrieval — the engine behind p29 (fixed terms,
     * oracle-pinned) and the SQL wire's `TABLE(BM25_SEARCH('<query>'))`
     * (caller-supplied terms). One corpus scan, one broadcast one-row
     * stats reduction, TakeOrderedAndProject top-k — no join, no sort of
-    * the corpus. Terms are spliced into column names and filter
-    * lambdas, so callers MUST pre-sanitize (the wire layer admits only
-    * `[a-z0-9_-]+` tokens); they are also deduplicated here because
-    * duplicate terms would collide as column names. */
+    * the corpus. Terms are spliced into filter lambdas, so callers MUST
+    * pre-sanitize (the wire layer admits only `[a-z0-9_]+` tokens);
+    * they are also deduplicated here. */
   private[graft] def bm25TopK(s: SparkSession, dir: String,
-      terms0: Seq[String], k: Int = 50): DataFrame = {
-    val terms = terms0.distinct
+      terms0: Seq[String], k: Int = 50): DataFrame =
+    bm25Search(s, dir, terms0.map(Seq(_)), requireAll = false, k)
+
+  /** The generalized form: each query unit is a PHRASE (word sequence;
+    * single-word phrases degenerate to plain terms). A phrase's tf is
+    * its exact consecutive-occurrence count in the token array — a pure
+    * per-row scan, no explode, no shuffle — and it enters the standard
+    * BM25 sum as one unit with its own document frequency.
+    * `requireAll` = AND semantics (every phrase must occur, the
+    * conjunctive-query convention); false = OR (score any match).
+    * The plan shape is identical to the term form: one corpus scan +
+    * one broadcast one-row stats reduction + TakeOrderedAndProject. */
+  private[graft] def bm25Search(s: SparkSession, dir: String,
+      phrases0: Seq[Seq[String]], requireAll: Boolean, k: Int): DataFrame = {
+    val phrases = phrases0.filter(_.nonEmpty).distinct
+    require(phrases.nonEmpty, "bm25Search: no query phrases")
     val base = docs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("arr"))
       .withColumn("dl", size(col("arr")).cast("double"))
-    val tf = terms.map(t =>
-      expr(s"CAST(size(filter(arr, x -> x = '$t')) AS DOUBLE)").as(s"tf_$t"))
+    val tf = phrases.zipWithIndex.map { case (ws, ix) =>
+      expr(phraseTfSql("arr", ws)).as(s"tf_$ix") }
     val withTf = base.select(col("doc_id") +: col("dl") +: tf: _*)
     // dl and the tf/df counts are whole numbers: double sums over
     // integers < 2^53 are exact, hence accumulation-order-independent
     val stats = withTf.agg(
       count(lit(1)).cast("double").as("n_docs"),
       (sum(col("dl")) / count(lit(1))).as("avgdl") +:
-        terms.map(t =>
-          sum(when(col(s"tf_$t") > 0, 1.0).otherwise(0.0)).as(s"df_$t")): _*)
-    val scoreExpr = terms.map(t => bm25Term(s"tf_$t", s"df_$t")).mkString(" + ")
-    withTf.crossJoin(broadcast(stats))
+        phrases.indices.map(ix =>
+          sum(when(col(s"tf_$ix") > 0, 1.0).otherwise(0.0)).as(s"df_$ix")): _*)
+    val scoreExpr = phrases.indices
+      .map(ix => bm25Term(s"tf_$ix", s"df_$ix")).mkString(" + ")
+    val scored = withTf.crossJoin(broadcast(stats))
       .withColumn("score_r", round(expr(scoreExpr), 6))
+    val gated =
+      if (requireAll)
+        scored.filter(phrases.indices.map(ix => col(s"tf_$ix") > 0).reduce(_ && _))
+      else scored
+    gated
       .select(col("doc_id"), col("dl").cast("bigint").as("n_tokens"),
         col("score_r"))
       .orderBy(col("score_r").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** One phrase's tf over a token array, Spark dialect: count of start
+    * positions where every word matches consecutively. The guard keeps
+    * `sequence` ascending (Spark's sequence(1, 0) would DESCEND). */
+  private def phraseTfSql(arr: String, ws: Seq[String]): String =
+    if (ws.size == 1)
+      s"CAST(size(filter($arr, x -> x = '${ws.head}')) AS DOUBLE)"
+    else {
+      val n = ws.size
+      val conds = ws.zipWithIndex
+        .map { case (w, o) => s"element_at($arr, i + $o) = '$w'" }
+        .mkString(" AND ")
+      s"""CASE WHEN size($arr) >= $n
+         |  THEN CAST(size(filter(sequence(1, size($arr) - ${n - 1}), i -> $conds)) AS DOUBLE)
+         |  ELSE CAST(0.0 AS DOUBLE) END""".stripMargin
+    }
+
+  /** [[phraseTfSql]]'s DuckDB mirror (1-based list indexing; `range` is
+    * end-exclusive and empty when start >= end, so no guard needed). */
+  private def duckPhraseTf(arr: String, ws: Seq[String]): String =
+    if (ws.size == 1)
+      s"CAST(len(list_filter($arr, x -> x = '${ws.head}')) AS DOUBLE)"
+    else {
+      val n = ws.size
+      val conds = ws.zipWithIndex
+        .map { case (w, o) => s"$arr[i + $o] = '$w'" }
+        .mkString(" AND ")
+      s"CAST(len(list_filter(range(1, len($arr) - ${n - 2}), i -> $conds)) AS DOUBLE)"
+    }
 
   /** One BM25 term contribution, k1=1.2 b=0.75, as SQL text shared
     * verbatim by the Spark plan and the DuckDB oracle — identical
@@ -3398,28 +3479,31 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
         FROM bits GROUP BY doc_id ORDER BY media_id""")),
 
     // ---- near-duplicate images by banded dHash: p04's LSH shape over
-    // the perceptual fingerprint — 4 bands of 16 bits (2 per half), a
-    // candidate pair must collide on a full band, survivors filtered by
-    // exact hamming <= 6 over both halves. The banding bounds candidate
-    // generation exactly like the text families (p03/p04): the n² risk
-    // is confined to same-band buckets, and only (id, hash) integers
-    // ever shuffle. Oracle: the n² self-join with the SAME band-collision
-    // semantics, so recall contracts match by construction. -------------
+    // the perceptual fingerprint — `imageBands` bands tiling the two
+    // 32-bit halves (default 4 bands of 16 bits), a candidate pair must
+    // collide on a full band, survivors filtered by exact hamming <=
+    // `imageHamming` over both halves. Both dials render into BOTH
+    // engines from the same values, so the recall contract (any pair
+    // with hamming < bands shares a band by pigeonhole) stays matched
+    // by construction. The banding bounds candidate generation exactly
+    // like the text families (p03/p04): the n² risk is confined to
+    // same-band buckets, and only (id, hash) integers ever shuffle.
+    // Oracle: the n² self-join with the SAME band-collision semantics. --
     QDef("p63b_image_neardup",
       (s, dir) => {
+        val nb = imageBands; val width = 64 / nb
+        val mask = (1L << width) - 1; val perHalf = nb / 2
         val h = graft.operators.Multimodal.imageDHash(
           docs(s, dir).select(col("doc_id").as("media_id"),
             col("text").cast("binary").as("payload")))
+        val bandStructs = (0 until nb).map { b =>
+          val half = if (b < perHalf) col("dh_hi") else col("dh_lo")
+          val shift = 32 - ((b % perHalf) + 1) * width
+          struct(lit(b).as("band"),
+            shiftrightunsigned(half, shift).bitwiseAND(lit(mask)).as("chunk"))
+        }
         val banded = h.select(col("media_id"), col("dh_hi"), col("dh_lo"),
-          explode(array(
-            struct(lit(0).as("band"),
-              shiftrightunsigned(col("dh_hi"), 16).bitwiseAND(lit(0xFFFFL)).as("chunk")),
-            struct(lit(1).as("band"),
-              col("dh_hi").bitwiseAND(lit(0xFFFFL)).as("chunk")),
-            struct(lit(2).as("band"),
-              shiftrightunsigned(col("dh_lo"), 16).bitwiseAND(lit(0xFFFFL)).as("chunk")),
-            struct(lit(3).as("band"),
-              col("dh_lo").bitwiseAND(lit(0xFFFFL)).as("chunk")))).as("bk"))
+          explode(array(bandStructs: _*)).as("bk"))
           .select(col("media_id"), col("dh_hi"), col("dh_lo"),
             col("bk.band"), col("bk.chunk"))
         banded.select(col("media_id").as("a_id"), col("dh_hi").as("ha"),
@@ -3432,7 +3516,7 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
             (bit_count(col("ha").bitwiseXOR(col("hb"))) +
               bit_count(col("la").bitwiseXOR(col("lb")))).as("hamming"))
           .distinct()
-          .filter(col("hamming") <= 6)
+          .filter(col("hamming") <= imageHamming)
           .orderBy(col("a_id"), col("b_id"))
       },
       Some(s"""WITH hx AS (
@@ -3465,11 +3549,8 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
             AS INTEGER) AS hamming
         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-        WHERE ((a.hi >> 16) & 65535 = (b.hi >> 16) & 65535
-            OR a.hi & 65535 = b.hi & 65535
-            OR (a.lo >> 16) & 65535 = (b.lo >> 16) & 65535
-            OR a.lo & 65535 = b.lo & 65535)
-          AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
+        WHERE (${duckImageBandCollisions})
+          AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= $imageHamming
         ORDER BY a_id, b_id""")),
 
     // ---- corpus filtering (C4-style): language whitelist + length band
@@ -3909,6 +3990,37 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
           round(${bm25Terms.map(t => bm25Term(s"tf_$t", s"df_$t")).mkString(" + ")}, 6) AS score_r
         FROM t, st
         ORDER BY score_r DESC, doc_id LIMIT 50""")),
+
+    // ---- conjunctive phrase BM25 (p29's engine, generalized): each
+    // query unit is a PHRASE whose tf is its exact consecutive-
+    // occurrence count — still a pure per-row scan of the token array
+    // (no explode, no positional index, no shuffle) — and AND
+    // semantics gate the result to documents matching EVERY unit. Same
+    // optimal shape as p29: one corpus scan + one broadcast one-row
+    // stats reduction + TakeOrderedAndProject. This is the oracle pin
+    // for the wire's TABLE(BM25_SEARCH('"table hash" AND vector')). ----
+    QDef("p29b_bm25_phrase",
+      (s, dir) => bm25Search(s, dir, bm25PhraseQuery, requireAll = true, 30),
+      Some({
+        val ph = bm25PhraseQuery.zipWithIndex
+        s"""WITH t AS (
+          SELECT doc_id, CAST(len(arr) AS DOUBLE) AS dl,
+            ${ph.map { case (ws, ix) => s"${duckPhraseTf("arr", ws)} AS tf_$ix" }
+              .mkString(", ")}
+          FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)),
+        st AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) / COUNT(*) AS avgdl,
+            ${ph.map { case (_, ix) =>
+              s"SUM(CASE WHEN tf_$ix > 0 THEN 1.0 ELSE 0.0 END) AS df_$ix" }
+              .mkString(", ")}
+          FROM t)
+        SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
+          round(${ph.map { case (_, ix) => bm25Term(s"tf_$ix", s"df_$ix") }
+            .mkString(" + ")}, 6) AS score_r
+        FROM t, st
+        WHERE ${ph.map { case (_, ix) => s"tf_$ix > 0" }.mkString(" AND ")}
+        ORDER BY score_r DESC, doc_id LIMIT 30"""
+      })),
 
     // ---- int8 embedding quantization (symmetric, per-vector scale) —
     // the standard compression step before ANN index build at scale;

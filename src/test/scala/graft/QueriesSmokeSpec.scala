@@ -23,6 +23,31 @@ class QueriesSmokeSpec extends SparkSpecBase {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("p63b band/hamming dials are live, clamped, and monotone") {
+    def pairs(): Long =
+      SparkEntry.queries("p63b_image_neardup")(spark, sf0001).count()
+    val base = pairs()
+    try {
+      // hamming 0 keeps only identical fingerprints: never more pairs
+      sys.props("graft.imageHamming") = "0"
+      assert(pairs() <= base)
+      sys.props.remove("graft.imageHamming")
+      // narrower bands (8 x 8-bit) admit MORE candidate collisions;
+      // wider bands (2 x 32-bit) admit fewer — monotone around default 4
+      sys.props("graft.imageBands") = "8"
+      val loose = pairs()
+      sys.props("graft.imageBands") = "2"
+      val tight = pairs()
+      assert(tight <= base && base <= loose, s"$tight <= $base <= $loose")
+      // an invalid band count falls back to the default
+      sys.props("graft.imageBands") = "7"
+      assert(pairs() == base)
+    } finally {
+      sys.props.remove("graft.imageHamming")
+      sys.props.remove("graft.imageBands")
+    }
+  }
+
   test("p35 releases its persisted truth sets (no pinned blocks leak)") {
     // p35 persists the two exact truth sets internally; a library caller
     // invoking it directly must not inherit pinned tables in the session

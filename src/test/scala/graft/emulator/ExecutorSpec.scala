@@ -1466,4 +1466,43 @@ class ExecutorSpec extends AnyFunSuite {
       exec(s"SELECT * FROM TABLE(BM25_SEARCH('%%% ^^', '$dir'))"))
     assert(e.getMessage.contains("no searchable terms"), e.getMessage)
   }
+
+  test("69d BM25_SEARCH: phrases, AND semantics, and the k dial") {
+    val dir = "/root/testdata/sf0.001"
+    try {
+      // the k dial is a live session parameter, clamped
+      exec("ALTER SESSION SET GRAFT_BM25_K = 5")
+      val five = exec(
+        s"SELECT COUNT(*) AS n FROM TABLE(BM25_SEARCH('table', '$dir'))")
+      assert(five.rows.head.head.toString.toLong == 5L)
+      // AND + phrase through the wire = the oracle-pinned batch entry
+      // p29b (same phrases, same conjunctive gate, same k)
+      exec("ALTER SESSION SET GRAFT_BM25_K = 30")
+      val wire = exec(
+        s"""SELECT doc_id, score_r FROM TABLE(BM25_SEARCH('"table hash" AND vector', '$dir')) ORDER BY score_r DESC, doc_id""")
+        .rows.map(r => (String.valueOf(r.head), String.valueOf(r(1))))
+      val batch = graft.SparkEntry.queries("p29b_bm25_phrase")(spark, dir)
+        .select("doc_id", "score_r").collect()
+        .map(r => (String.valueOf(r.get(0)), String.valueOf(r.get(1)))).toSeq
+      assert(wire == batch, s"wire ${wire.take(3)} vs batch ${batch.take(3)}")
+      assert(wire.nonEmpty)
+      // OR (the default) admits a superset of the conjunctive result;
+      // count SCORING docs (OR mode keeps zero-score rows, like p29)
+      exec("ALTER SESSION SET GRAFT_BM25_K = 500")
+      val nOr = exec(
+        s"""SELECT COUNT(*) AS n FROM TABLE(BM25_SEARCH('"table hash" vector', '$dir')) WHERE score_r > 0""")
+        .rows.head.head.toString.toLong
+      val nAnd = exec(
+        s"""SELECT COUNT(*) AS n FROM TABLE(BM25_SEARCH('"table hash" AND vector', '$dir')) WHERE score_r > 0""")
+        .rows.head.head.toString.toLong
+      assert(nAnd < nOr, s"AND $nAnd must be a strict subset of OR $nOr here")
+      // a phrase is a stricter unit than its words as independent terms
+      val asPhrase = exec(
+        s"""SELECT doc_id FROM TABLE(BM25_SEARCH('"table hash"', '$dir')) WHERE score_r > 0""").rows.size
+      val asTerms = exec(
+        s"SELECT doc_id FROM TABLE(BM25_SEARCH('table hash', '$dir')) WHERE score_r > 0").rows.size
+      assert(asPhrase < asTerms,
+        s"phrase matches ($asPhrase) must be rarer than bag-of-words ($asTerms)")
+    } finally exec("ALTER SESSION UNSET GRAFT_BM25_K")
+  }
 }
