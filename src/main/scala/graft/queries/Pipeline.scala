@@ -2036,6 +2036,44 @@ object Pipeline {
   private val bm25PhraseQuery: Seq[Seq[String]] =
     Seq(Seq("table", "hash"), Seq("vector"))
 
+  /** p64b's query fan: four fixed term-set queries over the corpus
+    * vocabulary — the many-queries MMR workload whose greedy must run
+    * per group INSIDE executors (p64's single-query greedy runs on the
+    * driver; that shape cannot fan out). */
+  private val mmrQueries: Seq[(String, Seq[String])] = Seq(
+    "q_join" -> Seq("merge", "join"),
+    "q_scan" -> Seq("scan", "filter"),
+    "q_stream" -> Seq("stream", "window"),
+    "q_vector" -> Seq("spark", "vector"))
+
+  /** The MMR greedy (0.7·rel − 0.3·max-cos-to-selected, doc_id
+    * tiebreak) as ONE generated SQL expression over a collected,
+    * dial-bounded candidate array `array<struct<doc_id, score_r, v>>`
+    * — no driver loop, so thousands of queries run their greedies in
+    * parallel inside executors. Pairwise sims are 6dp-rounded
+    * (`cosine_sim` + round — the p05/p64 parity plane), so the
+    * selection compares the same doubles DuckDB's recursive-CTE replay
+    * compares. The empty-remainder case needs no guard: `slice(..,1,1)`
+    * of an empty array is empty and `concat` a no-op. */
+  private def mmrGreedySql(cands: String, k: Int): String = {
+    val bySel = "(l, r) -> CASE WHEN l.score_r > r.score_r THEN -1" +
+      " WHEN l.score_r < r.score_r THEN 1 WHEN l.doc_id < r.doc_id THEN -1 ELSE 1 END"
+    val byM = "(l, r) -> CASE WHEN l.m > r.m THEN -1" +
+      " WHEN l.m < r.m THEN 1 WHEN l.doc_id < r.doc_id THEN -1 ELSE 1 END"
+    val srt = s"array_sort($cands, $bySel)"
+    s"""aggregate(
+       |  sequence(2, $k),
+       |  slice($srt, 1, 1),
+       |  (sel, step) -> concat(sel, transform(
+       |    slice(array_sort(transform(
+       |      filter($srt, c -> NOT exists(sel, s -> s.doc_id = c.doc_id)),
+       |      c -> named_struct(
+       |        'm', 0.7 * c.score_r - 0.3 * array_max(transform(sel, s -> round(cosine_sim(c.v, s.v), 6))),
+       |        'doc_id', c.doc_id, 'score_r', c.score_r, 'v', c.v)),
+       |      $byM), 1, 1),
+       |    b -> named_struct('doc_id', b.doc_id, 'score_r', b.score_r, 'v', b.v))))""".stripMargin
+  }
+
   /** Parameterized BM25 retrieval — the engine behind p29 (fixed terms,
     * oracle-pinned) and the SQL wire's `TABLE(BM25_SEARCH('<query>'))`
     * (caller-supplied terms). One corpus scan, one broadcast one-row
@@ -4123,6 +4161,130 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
           WHERE r.rnk < 10)
         SELECT CAST(rnk AS INTEGER) AS rank, picked AS doc_id, rel AS score_r
         FROM sel ORDER BY rank""")),
+
+    // ---- many-queries MMR (p64's scale path): the per-query greedy
+    // moves OFF the driver into a generated SQL expression over each
+    // query's collected candidate array, so per-query fan-out is just
+    // a groupBy — thousands of queries rerank in parallel, each with
+    // dial-bounded state (20 candidates × vector). Corpus-scaled work
+    // is ONE scan computing every query's tf columns + one window
+    // top-20 per query (shuffle keyed by query_id — the fan-out axis);
+    // the embedding join ships only candidate vectors. Oracle: the
+    // p64 recursive-CTE greedy with query_id threaded through the
+    // recursion state, all four queries advancing in lockstep. --------
+    QDef("p64b_mmr_many",
+      (s, dir) => {
+        val qs = mmrQueries
+        val allTerms = qs.flatMap(_._2).distinct
+        val base = docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("arr"))
+          .withColumn("dl", size(col("arr")).cast("double"))
+        val tf = allTerms.map(t =>
+          expr(s"CAST(size(filter(arr, x -> x = '$t')) AS DOUBLE)").as(s"tf_$t"))
+        val withTf = base.select(col("doc_id") +: col("dl") +: tf: _*)
+        val stats = withTf.agg(
+          count(lit(1)).cast("double").as("n_docs"),
+          (sum(col("dl")) / count(lit(1))).as("avgdl") +:
+            allTerms.map(t =>
+              sum(when(col(s"tf_$t") > 0, 1.0).otherwise(0.0)).as(s"df_$t")): _*)
+        val scoreStructs = qs.map { case (qid, ts) =>
+          s"named_struct('query_id', '$qid', 'score_r', " +
+            s"round(${ts.map(t => bm25Term(s"tf_$t", s"df_$t")).mkString(" + ")}, 6))"
+        }
+        val scores = withTf.crossJoin(broadcast(stats))
+          .select(col("doc_id"),
+            explode(expr(s"array(${scoreStructs.mkString(", ")})")).as("q"))
+          .select(col("doc_id"), col("q.query_id").as("query_id"),
+            col("q.score_r").as("score_r"))
+        // the top-20 cut runs on SLIM rows (doc_id, query_id, score —
+        // the MMR pool is docs carrying an embedding, enforced by a
+        // semi join on the 8-byte key); vectors attach only to the
+        // 20×|queries| survivors via a broadcast, so no embedding ever
+        // rides the query_id shuffle
+        val slim = scores
+          .join(emb(s, dir).select(col("vec_id").as("doc_id")),
+            Seq("doc_id"), "left_semi")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("score_r").desc, col("doc_id"))))
+          .filter(col("rn") <= 20)
+          .select(col("query_id"), col("doc_id"), col("score_r"))
+        val cand = emb(s, dir)
+          .select(col("vec_id").as("doc_id"), col("embedding"))
+          .join(broadcast(slim), Seq("doc_id"))
+        cand.groupBy(col("query_id"))
+          .agg(collect_list(expr(
+            "named_struct('doc_id', doc_id, 'score_r', score_r, 'v', embedding)"))
+            .as("cands"))
+          .select(col("query_id"),
+            posexplode(expr(mmrGreedySql("cands", 8))).as(Seq("pos", "s")))
+          .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+            col("s.doc_id").as("doc_id"), col("s.score_r").as("score_r"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some({
+        val qs = mmrQueries
+        val allTerms = qs.flatMap(_._2).distinct
+        val scUnions = qs.map { case (qid, ts) =>
+          s"""SELECT '$qid' AS query_id, doc_id,
+            round(${ts.map(t => bm25Term(s"tf_$t", s"df_$t")).mkString(" + ")}, 6) AS score_r
+          FROM t, st"""
+        }.mkString("\n          UNION ALL\n          ")
+        s"""WITH RECURSIVE t AS (
+          SELECT doc_id, CAST(len(arr) AS DOUBLE) AS dl,
+            ${allTerms.map(t =>
+              s"CAST(len(list_filter(arr, x -> x = '$t')) AS DOUBLE) AS tf_$t")
+              .mkString(", ")}
+          FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)),
+        st AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) / COUNT(*) AS avgdl,
+            ${allTerms.map(t =>
+              s"SUM(CASE WHEN tf_$t > 0 THEN 1.0 ELSE 0.0 END) AS df_$t")
+              .mkString(", ")}
+          FROM t),
+        sc AS (
+          $scUnions),
+        cand AS (
+          SELECT query_id, doc_id, score_r FROM (
+            SELECT s.query_id, s.doc_id, s.score_r,
+              row_number() OVER (PARTITION BY s.query_id
+                ORDER BY s.score_r DESC, s.doc_id) AS rn
+            FROM sc s JOIN embeddings e ON e.vec_id = s.doc_id)
+          WHERE rn <= 20),
+        sims AS (
+          SELECT ca.query_id, ca.doc_id AS a_id, cb.doc_id AS b_id,
+            round(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) FOR i IN range(1, len(a.embedding) + 1)])
+              / (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) FOR i IN range(1, len(a.embedding) + 1)]))
+               * sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) FOR i IN range(1, len(b.embedding) + 1)]))), 6) AS sim_r
+          FROM cand ca JOIN embeddings a ON a.vec_id = ca.doc_id
+               JOIN cand cb ON cb.query_id = ca.query_id AND ca.doc_id <> cb.doc_id
+               JOIN embeddings b ON b.vec_id = cb.doc_id),
+        sel AS (
+          SELECT query_id, 1 AS rnk, [doc_id] AS chosen, doc_id AS picked,
+            score_r AS rel
+          FROM (SELECT query_id, doc_id, score_r,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY score_r DESC, doc_id) AS rn
+                FROM cand) WHERE rn = 1
+          UNION ALL
+          SELECT r.query_id, r.rnk + 1, list_append(r.chosen, nxt.doc_id),
+            nxt.doc_id, nxt.score_r
+          FROM sel r, LATERAL (
+            SELECT c.doc_id, c.score_r
+            FROM cand c
+            WHERE c.query_id = r.query_id
+              AND NOT list_contains(r.chosen, c.doc_id)
+            ORDER BY 0.7 * c.score_r - 0.3 * (
+                SELECT MAX(s.sim_r) FROM sims s
+                WHERE s.query_id = r.query_id AND s.a_id = c.doc_id
+                  AND list_contains(r.chosen, s.b_id))
+              DESC, c.doc_id
+            LIMIT 1) nxt
+          WHERE r.rnk < 8)
+        SELECT query_id, CAST(rnk AS INTEGER) AS rank, picked AS doc_id,
+          rel AS score_r
+        FROM sel ORDER BY query_id, rank"""
+      })),
 
     // ---- hybrid retrieval by Reciprocal Rank Fusion (Cormack et al.
     // 2009, the standard BM25+dense fusion): the sparse list is p29's

@@ -224,6 +224,36 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p62.contains("SortMergeJoin") && !p62.contains("CartesianProduct"), p62)
   }
 
+  test("p64b: per-query top-k shuffles slim rows; candidate vectors attach by broadcast") {
+    val ex = SparkEntry.queries("p64b_mmr_many")(spark, dir)
+      .queryExecution.executedPlan
+    val p = ex.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // the window's query_id shuffle must carry only (doc_id, query_id,
+    // score) — a raw `embedding` attribute riding ANY exchange means the
+    // corpus's vectors shuffle. (The post-cut collect_list buffer is
+    // candidate-bounded — 20 vectors per query — and carries structs,
+    // not this attribute.)
+    // collect() does not descend into the AQE wrapper's captured plan
+    val inner = ex match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val shuffles = inner.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }
+    assert(shuffles.nonEmpty, p)
+    shuffles.foreach { s =>
+      assert(!s.output.exists(_.name == "embedding"),
+        s"exchange carries raw embeddings: ${s.simpleString(200)}\n$p")
+    }
+    // the 20×|queries| candidate set joins the embeddings table by
+    // broadcast, never a sort-merge of the corpus
+    assert(p.contains("BroadcastHashJoin"), s"candidate join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("blanket invariant: NO query plans a CartesianProduct — not even the exact baselines") {
     // the declared all-pairs baselines (p05/p14) cross-join, but with a
     // broadcast side they plan as BroadcastNestedLoopJoin; an actual
