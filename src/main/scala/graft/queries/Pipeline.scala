@@ -2427,6 +2427,177 @@ object Pipeline {
         useg AS (SELECT w, freq, seg FROM $lastDp)"""
   }
 
+  // ---- WordPiece-style greedy longest-match segmentation (the BERT
+  // tokenizer's MaxMatch inference; Wu et al. 2016 / Devlin et al. 2018
+  // describe the scheme publicly). Two differences from p66's unigram
+  // Viterbi: the vocabulary is POSITION-CLASSED (word-initial pieces
+  // and '##'-continuation pieces are distinct entries, the WordPiece
+  // convention) and the segmentation is greedy longest-match, not a DP
+  // argmax — so the per-word walk needs only a 12-slot greedy-length
+  // array, no backpointers. All expression text is GENERATED once and
+  // rendered into both dialects, the p66 discipline. -------------------
+
+  /** WordPiece lexicon seed size (top (piece, class) rows by count);
+    * all single-character pieces of each class are always added, so
+    * every position of every word is matchable and the greedy needs no
+    * UNK path. */
+  private[graft] val wpSeed = 200
+
+  /** The position-classed piece lexicon: (p, init, cnt) where init=1
+    * marks word-initial occurrences. Substrings of length 1..4 over
+    * the distinct word table (length ≤ 12), frequency-weighted —
+    * vocabulary-bounded at any corpus size. */
+  private[graft] def wpVocab(s: SparkSession, dir: String): DataFrame = {
+    val w = bpeWords(s, dir).filter(length(col("w")) <= uniMaxWordLen)
+    val occ = w.select(col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)),
+              i -> transform(sequence(1, least($uniMaxPieceLen, length(w) - i + 1)),
+                l -> named_struct('p', substring(w, i, l),
+                  'init', CASE WHEN i = 1 THEN 1 ELSE 0 END))))""")).as("x"))
+      .select(col("x.p").as("p"), col("x.init").as("init"), col("freq"))
+      .groupBy(col("p"), col("init")).agg(sum(col("freq")).as("cnt"))
+    val top = occ.orderBy(col("cnt").desc, col("p"), col("init")).limit(wpSeed)
+    val chars = occ.filter(length(col("p")) === 1)
+    top.unionByName(chars).distinct()
+  }
+
+  /** Generated greedy-walk text, dialect-rendered: g_i = longest vocab
+    * match starting at 0-based position i (NULL past the word end);
+    * then a 12-step saturating walk wpos/wlen/wpiece emitting each
+    * matched piece ('##'-prefixed when continuation); seg = the
+    * non-null pieces. Terminates in ≤ 12 steps because every
+    * single-char piece of each class is in the vocabulary (g_i ≥ 1). */
+  private[graft] def wpColumns(
+      elemAt: (String, String) => String,
+      arrayOf: Seq[String] => String,
+      filterNotNull: String => String): Seq[(String, String)] = {
+    val cols = Seq.newBuilder[(String, String)]
+    for (i <- 0 until uniMaxWordLen) {
+      val lens = math.min(uniMaxPieceLen, uniMaxWordLen - i) to 1 by -1
+      cols += (s"g_$i" -> lens
+        .map(l => s"WHEN cs_${i + l}_$i IS NOT NULL THEN $l")
+        .mkString("CASE ", " ", " END"))
+    }
+    cols += ("g_arr" -> arrayOf((0 until uniMaxWordLen).map(i => s"g_$i")))
+    cols += ("wpos_0" -> "0")
+    for (k <- 1 to uniMaxWordLen) {
+      cols += (s"wlen_$k" ->
+        s"CASE WHEN wpos_${k - 1} >= length(w) THEN NULL ELSE ${elemAt("g_arr", s"wpos_${k - 1} + 1")} END")
+      cols += (s"wpiece_$k" ->
+        (s"CASE WHEN wlen_$k IS NULL THEN NULL ELSE " +
+          s"(CASE WHEN wpos_${k - 1} = 0 THEN '' ELSE '##' END) || " +
+          s"substring(w, wpos_${k - 1} + 1, wlen_$k) END"))
+      cols += (s"wpos_$k" ->
+        s"CASE WHEN wlen_$k IS NULL THEN wpos_${k - 1} ELSE wpos_${k - 1} + wlen_$k END")
+    }
+    cols += ("seg" -> filterNotNull(
+      arrayOf((1 to uniMaxWordLen).map(k => s"wpiece_$k"))))
+    cols.result()
+  }
+
+  /** Per-word greedy segmentation: (w, freq, seg ARRAY<STRING>). Same
+    * shape as [[uniSegments]]: one candidate-grid explode + ONE
+    * broadcast vocab join (keyed (piece, init)) pivoted to presence
+    * columns, then the generated walk — pure per-row expressions, zero
+    * shuffles beyond the word aggregation. */
+  private[graft] def wpSegments(s: SparkSession, dir: String): DataFrame = {
+    val words = bpeWords(s, dir).filter(length(col("w")) <= uniMaxWordLen)
+      .select(col("w"), col("freq"))
+    val vocab = wpVocab(s, dir)
+    val gridEntries = uniGrid.map { case (j, i) =>
+      s"named_struct('j', $j, 'i', $i, 'init', ${if (i == 0) 1 else 0}, " +
+        s"'piece', substring(w, ${i + 1}, ${j - i}))"
+    }
+    val cand = words.select(col("w"), explode(expr(
+        s"filter(array(${gridEntries.mkString(", ")}), x -> x.j <= length(w))")).as("c"))
+      .select(col("w"), col("c.j").as("j"), col("c.i").as("i"),
+        col("c.init").as("init"), col("c.piece").as("piece"))
+    val scored = cand.join(
+      broadcast(vocab.select(col("p").as("piece"), col("init"),
+        lit(1).as("hit"))),
+      Seq("piece", "init"), "left")
+    val aggCols = uniGrid.map { case (j, i) =>
+      max(when(col("j") === j && col("i") === i, col("hit"))).as(s"cs_${j}_$i")
+    }
+    var df = scored.groupBy(col("w")).agg(aggCols.head, aggCols.tail: _*)
+      .join(words, Seq("w"))
+    // same lineage-barrier discipline as uniSegments: cap expression
+    // inlining depth (the walk chain has fanout ~4 per step)
+    var sinceBarrier = 0
+    def addCol(name: String, text: String): Unit = {
+      df = df.withColumn(name, expr(text))
+      sinceBarrier += 1
+      if (sinceBarrier >= 6) {
+        df = s.createDataFrame(df.rdd, df.schema)
+        sinceBarrier = 0
+      }
+    }
+    wpColumns(
+      elemAt = (arr, idx) => s"element_at($arr, $idx)",
+      arrayOf = es => s"array(${es.mkString(", ")})",
+      filterNotNull = a => s"filter($a, x -> x IS NOT NULL)"
+    ).foreach { case (name, text) => addCol(name, text) }
+    df.select(col("w"), col("freq"), col("seg"))
+  }
+
+  /** The DuckDB mirror of [[wpVocab]]+[[wpSegments]] as CTE text up to
+    * `wseg(w, freq, seg)` — the shared front of both p67 oracles. */
+  private[graft] def duckWpCtes: String = {
+    val gridVals = uniGrid.map { case (j, i) => s"($j, $i)" }.mkString(", ")
+    val pivCols = uniGrid.map { case (j, i) =>
+      s"MAX(CASE WHEN j = $j AND i = $i THEN hit END) AS cs_${j}_$i"
+    }.mkString(", ")
+    val layers = wpColumns(
+      elemAt = (arr, idx) => s"$arr[$idx]",
+      arrayOf = es => s"[${es.mkString(", ")}]",
+      filterNotNull = a => s"list_filter($a, x -> x IS NOT NULL)"
+    ).grouped(6).toSeq
+    val chain = layers.zipWithIndex.map { case (layer, li) =>
+      val prev = if (li == 0) "wdp0" else s"wdp$li"
+      val defs = layer.map { case (name, text) => s"$text AS $name" }
+        .mkString(",\n            ")
+      s"""wdp${li + 1} AS MATERIALIZED (
+          SELECT *,
+            $defs
+          FROM $prev)"""
+    }.mkString(",\n        ")
+    val last = s"wdp${layers.size}"
+    s"""wwt AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+          WHERE regexp_full_match(w, '[a-z]+') AND length(w) <= $uniMaxWordLen
+          GROUP BY w),
+        wocc AS (
+          SELECT substr(t.w, CAST(i.i AS INTEGER), CAST(l.l AS INTEGER)) AS p,
+            CASE WHEN i.i = 1 THEN 1 ELSE 0 END AS init,
+            CAST(SUM(t.freq) AS BIGINT) AS cnt
+          FROM wwt t
+          CROSS JOIN range(1, ${uniMaxWordLen + 1}) i(i)
+          CROSS JOIN range(1, ${uniMaxPieceLen + 1}) l(l)
+          WHERE i.i + l.l - 1 <= length(t.w)
+          GROUP BY 1, 2),
+        wtop AS (SELECT p, init FROM wocc ORDER BY cnt DESC, p, init LIMIT $wpSeed),
+        wvoc AS (SELECT p, init FROM wtop
+          UNION SELECT p, init FROM wocc WHERE length(p) = 1),
+        wcand AS (
+          SELECT t.w, g.j, g.i,
+            CASE WHEN g.i = 0 THEN 1 ELSE 0 END AS init,
+            substr(t.w, CAST(g.i + 1 AS INTEGER), CAST(g.j - g.i AS INTEGER)) AS piece
+          FROM wwt t CROSS JOIN (VALUES $gridVals) g(j, i)
+          WHERE g.j <= length(t.w)),
+        wsc AS (
+          SELECT c.w, c.j, c.i,
+            CASE WHEN v.p IS NOT NULL THEN 1 END AS hit
+          FROM wcand c LEFT JOIN wvoc v
+            ON v.p = c.piece AND v.init = c.init),
+        wpiv AS (SELECT w, $pivCols FROM wsc GROUP BY w),
+        wdp0 AS MATERIALIZED (
+          SELECT t0.w, t0.freq AS freq, p.* EXCLUDE (w)
+          FROM wpiv p JOIN wwt t0 ON t0.w = p.w),
+        $chain,
+        wseg AS (SELECT w, freq, seg FROM $last)"""
+  }
+
   /** The distinct lowercase-alpha word table with occurrence counts and
     * the per-symbol parenthesized encoding BPE iterates on. */
   private[graft] def bpeWords(s: SparkSession, dir: String): DataFrame =
@@ -4404,6 +4575,42 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
       Some(s"""WITH $duckUniCtes
         SELECT w, freq, array_to_string(seg, '|') AS seg
         FROM useg ORDER BY freq DESC, w LIMIT 50""")),
+
+    // ---- WordPiece (BERT-family) greedy segmentation: the MaxMatch
+    // sibling of p66's Viterbi, under a position-classed lexicon
+    // (word-initial vs '##'-continuation pieces — the convention that
+    // makes detokenization lossless). p67 pins the top-50 words'
+    // actual greedy segmentations; p67b pins the corpus fertility
+    // distribution (pieces-per-word histogram + weighted continuation
+    // mass). Zero shuffles beyond the word aggregation; lexicon joins
+    // broadcast (vocabulary-bounded at any corpus size). --------------
+    QDef("p67_wordpiece_segments",
+      (s, dir) => wpSegments(s, dir)
+        .withColumn("n_pieces", size(col("seg")))
+        .withColumn("seg", expr("array_join(seg, '|')"))
+        .orderBy(col("freq").desc, col("w")).limit(50)
+        .select(col("w"), col("freq"), col("seg"), col("n_pieces")),
+      Some(s"""WITH $duckWpCtes
+        SELECT w, freq, array_to_string(seg, '|') AS seg,
+          CAST(len(seg) AS INTEGER) AS n_pieces
+        FROM wseg ORDER BY freq DESC, w LIMIT 50""")),
+
+    QDef("p67b_wordpiece_fertility",
+      (s, dir) => wpSegments(s, dir)
+        .withColumn("n_pieces", size(col("seg")))
+        .withColumn("n_cont", expr(
+          "size(filter(seg, x -> substring(x, 1, 2) = '##'))"))
+        .groupBy(col("n_pieces"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("freq")).as("occurrences"),
+          sum(col("freq") * col("n_cont")).as("cont_mass"))
+        .orderBy(col("n_pieces")),
+      Some(s"""WITH $duckWpCtes
+        SELECT CAST(len(seg) AS INTEGER) AS n_pieces,
+          CAST(COUNT(*) AS BIGINT) AS n_words,
+          CAST(SUM(freq) AS BIGINT) AS occurrences,
+          CAST(SUM(freq * len(list_filter(seg, x -> substr(x, 1, 2) = '##'))) AS BIGINT) AS cont_mass
+        FROM wseg GROUP BY 1 ORDER BY n_pieces""")),
 
     QDef("p30_embed_quantize",
       (s, dir) => emb(s, dir)

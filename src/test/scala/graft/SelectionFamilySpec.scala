@@ -385,4 +385,70 @@ class SelectionFamilySpec extends SparkSpecBase {
       assert(got(p) == ((c, sc, used(p))), s"piece $p: ${got(p)} vs ($c, $sc, ${used(p)})")
     }
   }
+
+  /** The WordPiece tokenizer (p67/p67b) re-derived in plain Scala:
+    * position-classed piece counting, top-200+chars lexicon with the
+    * (cnt DESC, p, init) tie order, and the greedy longest-match walk
+    * with '##' continuation marking. */
+  private lazy val wpFit: (Map[String, Seq[String]], Map[String, Long]) = {
+    val words = corpus.flatMap(_._2.toLowerCase.split(" ", -1))
+      .filter(w => w.matches("[a-z]+") && w.length <= 12)
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val cnt = scala.collection.mutable.Map
+      .empty[(String, Int), Long].withDefaultValue(0L)
+    for ((w, f) <- words; i <- 0 until w.length;
+         l <- 1 to math.min(4, w.length - i))
+      cnt((w.substring(i, i + l), if (i == 0) 1 else 0)) += f
+    val top = cnt.toSeq
+      .sortBy { case ((p, init), c) => (-c, p, init) }.take(200).map(_._1)
+    val vocab = (top ++ cnt.keys.filter(_._1.length == 1)).toSet
+    def segment(w: String): Seq[String] = {
+      val out = scala.collection.mutable.Buffer.empty[String]
+      var pos = 0
+      while (pos < w.length) {
+        val init = if (pos == 0) 1 else 0
+        val l = (math.min(4, w.length - pos) to 1 by -1)
+          .find(l => vocab((w.substring(pos, pos + l), init))).get
+        out += (if (pos == 0) "" else "##") + w.substring(pos, pos + l)
+        pos += l
+      }
+      out.toSeq
+    }
+    (words.keys.map(w => w -> segment(w)).toMap, words)
+  }
+
+  test("p67: greedy segmentations equal the plain-Scala re-derivation") {
+    val (segs, freqs) = wpFit
+    val got = SparkEntry.queries("p67_wordpiece_segments")(spark, sf0001)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getString(2), r.getInt(3)))
+    assert(got.nonEmpty && got.length <= 50)
+    got.foreach { case (w, f, seg, n) =>
+      assert(freqs(w) == f, s"freq mismatch for $w")
+      assert(segs(w).mkString("|") == seg, s"greedy drift for $w: $seg")
+      assert(segs(w).size == n, s"n_pieces mismatch for $w")
+      // detokenization invariant: strip '##' marks, rejoin, recover w
+      assert(seg.replace("|", "").replace("##", "") == w,
+        s"lossless detok broken for $w")
+    }
+  }
+
+  test("p67b: fertility histogram equals plain Scala") {
+    val (segs, freqs) = wpFit
+    val hist = scala.collection.mutable.Map
+      .empty[Int, (Long, Long, Long)].withDefaultValue((0L, 0L, 0L))
+    for ((w, f) <- freqs) {
+      val n = segs(w).size
+      val cont = segs(w).count(_.startsWith("##")).toLong
+      val (a, b, c) = hist(n)
+      hist(n) = (a + 1, b + f, c + f * cont)
+    }
+    val got = SparkEntry.queries("p67b_wordpiece_fertility")(spark, sf0001)
+      .collect().map(r =>
+        r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == hist.keySet, s"${got.keySet} vs ${hist.keySet}")
+    hist.foreach { case (n, t) =>
+      assert(got(n) == t, s"bucket $n: ${got(n)} vs $t")
+    }
+  }
 }
