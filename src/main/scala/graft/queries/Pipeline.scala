@@ -2024,6 +2024,34 @@ object Pipeline {
     }.mkString("\n            OR ")
   }
 
+  // ---- Johnson-Lindenstrauss random projection (p68): ±1/√k sign
+  // matrix (Achlioptas 2001's database-friendly construction), signs
+  // derandomized from md5("jl_<i>_<j>") so the matrix is a pure
+  // deterministic constant — generated ONCE here in Scala and rendered
+  // as a literal into BOTH engines, so the Spark plan does zero per-row
+  // hashing and parity holds by construction. -------------------------
+  private[graft] val jlInDim = 64
+  private[graft] val jlOutDim = 16
+
+  /** Sign s(j)(i) = +1 iff the MSB of md5("jl_<i>_<j>") is 0 (i.e. the
+    * first hex char is '0'..'7'). */
+  private lazy val jlSigns: Seq[Seq[Double]] =
+    (0 until jlOutDim).map(j => (0 until jlInDim).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jl_${i}_$j".getBytes("UTF-8"))
+      if ((h(0) & 0x80) == 0) 1.0 else -1.0
+    })
+
+  private def jlSignsSparkLit: String =
+    jlSigns.map(row => "array(" + row.map(v =>
+      if (v > 0) "1.0D" else "-1.0D").mkString(", ") + ")")
+      .mkString("array(", ", ", ")")
+
+  private def jlSignsDuckLit: String =
+    jlSigns.map(row => "[" + row.map(v =>
+      if (v > 0) "1.0" else "-1.0").mkString(", ") + "]")
+      .mkString("[", ", ", "]")
+
   /** p29's query terms — fixed vocabulary of the synthetic corpus with a
     * spread of document frequencies (rare -> common). Declared BEFORE
     * `defs`: the oracle strings interpolate these eagerly at object init. */
@@ -4611,6 +4639,68 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
           CAST(SUM(freq) AS BIGINT) AS occurrences,
           CAST(SUM(freq * len(list_filter(seg, x -> substr(x, 1, 2) = '##'))) AS BIGINT) AS cont_mass
         FROM wseg GROUP BY 1 ORDER BY n_pieces""")),
+
+    // ---- JL random projection + measured distortion (p68): compress
+    // 64-dim embeddings to 16 dims with the ±1/√k sign matrix (the
+    // standard pre-ANN dimensionality-reduction at scale) and MEASURE
+    // what it does to pairwise distances on a deterministic 1-in-7
+    // sample of consecutive-id pairs. Projection is a pure per-row
+    // expression against the broadcast-free LITERAL sign matrix (no
+    // hashing, no lookup, fully codegen-friendly); the pair join
+    // filters BOTH sides at the scan (vec_id%7==0 vs ==1) so only the
+    // sampled vectors ever shuffle. All sums fold in index order via
+    // sequential aggregate/list_sum — the p30 parity plane. ------------
+    QDef("p68_jl_distortion",
+      (s, dir) => {
+        def projExpr(c: String): String =
+          s"""transform(sequence(1, $jlOutDim), j ->
+             |  aggregate(sequence(1, least($jlInDim, size($c))), 0D,
+             |    (acc, i) -> acc + CAST(element_at($c, i) AS DOUBLE)
+             |      * element_at(element_at($jlSignsSparkLit, j), i)) / 4.0)""".stripMargin
+        val e = emb(s, dir)
+        val a = e.filter(expr("vec_id % 7 = 0"))
+          .select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+        val b = e.filter(expr("vec_id % 7 = 1"))
+          .select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+        a.join(b, expr("b_id = a_id + 1"))
+          .withColumn("pa", expr(projExpr("ea")))
+          .withColumn("pb", expr(projExpr("eb")))
+          .withColumn("d_orig", expr(
+            s"""sqrt(aggregate(sequence(1, least($jlInDim, size(ea))), 0D, (acc, i) ->
+               |  acc + (CAST(element_at(ea, i) AS DOUBLE) - CAST(element_at(eb, i) AS DOUBLE))
+               |      * (CAST(element_at(ea, i) AS DOUBLE) - CAST(element_at(eb, i) AS DOUBLE))))""".stripMargin))
+          .withColumn("d_proj", expr(
+            s"""sqrt(aggregate(sequence(1, $jlOutDim), 0D, (acc, j) ->
+               |  acc + (element_at(pa, j) - element_at(pb, j))
+               |      * (element_at(pa, j) - element_at(pb, j))))""".stripMargin))
+          .select(col("a_id"), col("b_id"),
+            round(col("d_orig"), 6).as("d_orig_r"),
+            round(col("d_proj"), 6).as("d_proj_r"),
+            expr("CASE WHEN d_orig = 0.0 THEN CAST(NULL AS DOUBLE) ELSE round(d_proj / d_orig, 6) END").as("ratio_r"))
+          .orderBy(col("a_id"))
+      },
+      Some(s"""WITH pe AS (
+          SELECT vec_id,
+            [list_sum([CAST(embedding[i] AS DOUBLE) * $jlSignsDuckLit[j][i]
+                FOR i IN range(1, least($jlInDim, len(embedding)) + 1)]) / 4.0
+              FOR j IN range(1, ${jlOutDim + 1})] AS pv,
+            embedding
+          FROM embeddings
+          WHERE vec_id % 7 = 0 OR vec_id % 7 = 1),
+        pr AS (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+            sqrt(list_sum([(CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+                * (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+                FOR i IN range(1, least($jlInDim, len(a.embedding)) + 1)])) AS d_orig,
+            sqrt(list_sum([(a.pv[j] - b.pv[j]) * (a.pv[j] - b.pv[j])
+                FOR j IN range(1, ${jlOutDim + 1})])) AS d_proj
+          FROM pe a JOIN pe b ON b.vec_id = a.vec_id + 1
+          WHERE a.vec_id % 7 = 0)
+        SELECT a_id, b_id, round(d_orig, 6) AS d_orig_r,
+          round(d_proj, 6) AS d_proj_r,
+          CASE WHEN d_orig = 0.0 THEN CAST(NULL AS DOUBLE)
+            ELSE round(d_proj / d_orig, 6) END AS ratio_r
+        FROM pr ORDER BY a_id""")),
 
     QDef("p30_embed_quantize",
       (s, dir) => emb(s, dir)
