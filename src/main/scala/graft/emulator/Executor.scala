@@ -716,9 +716,14 @@ final class Executor(
     "IMAGE_DHASH" -> "p63_image_dhash",
     "IMAGE_NEARDUP" -> "p63b_image_neardup",
     "MMR_RERANK" -> "p64_mmr_rerank",
+    "MMR_MANY" -> "p64b_mmr_many",
     "RRF_FUSION" -> "p65_rrf_fusion",
     "UNIGRAM_VOCAB" -> "p66_unigram_vocab",
-    "UNIGRAM_SEGMENTS" -> "p66b_unigram_segments")
+    "UNIGRAM_SEGMENTS" -> "p66b_unigram_segments",
+    "PHRASE_BM25" -> "p29b_bm25_phrase",
+    "WORDPIECE_SEGMENTS" -> "p67_wordpiece_segments",
+    "WORDPIECE_FERTILITY" -> "p67b_wordpiece_fertility",
+    "JL_DISTORTION" -> "p68_jl_distortion")
 
   /** Match only the OPENING of a pipeline table-function call; the
     * argument span is found by a quote-aware paren scan (a ')' inside a

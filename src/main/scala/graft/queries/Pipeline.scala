@@ -2052,6 +2052,15 @@ object Pipeline {
       if (v > 0) "1.0" else "-1.0").mkString(", ") + "]")
       .mkString("[", ", ", "]")
 
+  /** The projection kernel, Spark dialect — shared VERBATIM by batch
+    * p68 and the streaming `jlProjectStream` (stream/batch outputs are
+    * definitionally identical). */
+  private[graft] def jlProjectSql(c: String): String =
+    s"""transform(sequence(1, $jlOutDim), j ->
+       |  aggregate(sequence(1, least($jlInDim, size($c))), 0D,
+       |    (acc, i) -> acc + CAST(element_at($c, i) AS DOUBLE)
+       |      * element_at(element_at($jlSignsSparkLit, j), i)) / 4.0)""".stripMargin
+
   /** p29's query terms — fixed vocabulary of the synthetic corpus with a
     * spread of document frequencies (rare -> common). Declared BEFORE
     * `defs`: the oracle strings interpolate these eagerly at object init. */
@@ -4652,11 +4661,7 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
     // sequential aggregate/list_sum — the p30 parity plane. ------------
     QDef("p68_jl_distortion",
       (s, dir) => {
-        def projExpr(c: String): String =
-          s"""transform(sequence(1, $jlOutDim), j ->
-             |  aggregate(sequence(1, least($jlInDim, size($c))), 0D,
-             |    (acc, i) -> acc + CAST(element_at($c, i) AS DOUBLE)
-             |      * element_at(element_at($jlSignsSparkLit, j), i)) / 4.0)""".stripMargin
+        def projExpr(c: String): String = jlProjectSql(c)
         val e = emb(s, dir)
         val a = e.filter(expr("vec_id % 7 = 0"))
           .select(col("vec_id").as("a_id"), col("embedding").as("ea"))
@@ -4701,6 +4706,78 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
           CASE WHEN d_orig = 0.0 THEN CAST(NULL AS DOUBLE)
             ELSE round(d_proj / d_orig, 6) END AS ratio_r
         FROM pr ORDER BY a_id""")),
+
+    // ---- JL recall (p68b): does ANN in the 16-dim projected space
+    // still find the true 64-dim neighbors? Top-5 by projected cosine
+    // (rounded ranks, cid tiebreak) vs the exact p00g truth — the JL
+    // point on p35's recall/cost curve (4× less vector memory and 4×
+    // cheaper dot products than raw, vs PQ's 32× at lower recall).
+    // The projected all-pairs is a VALIDATION-scale measurement like
+    // p35, behind the same exact-baseline guard; the production path
+    // in projected space would be the IVF/LSH families unchanged.
+    // Oracle re-derives BOTH lists (truth and projected) from scratch. -
+    QDef("p68b_jl_recall",
+      (s, dir) => {
+        guardExactBaseline(s, dir, "p68b_jl_recall (projected all-pairs)",
+          "p16_knn_ivf over jl-projected vectors")
+        val dot = (a: String, b: String) =>
+          s"aggregate(sequence(1, $jlOutDim), 0D, (acc, j) -> acc + element_at($a, j) * element_at($b, j))"
+        val pe = emb(s, dir)
+          .select(col("vec_id"), expr(jlProjectSql("embedding")).as("pv"))
+        val q = pe.select(col("vec_id").as("qid"), col("pv").as("qv"))
+          .repartition(s.sparkContext.defaultParallelism)
+        val c = pe.select(col("vec_id").as("cid"), col("pv").as("cv"))
+        val rn = Window.partitionBy(col("qid"))
+          .orderBy(col("sim_r").desc, col("cid"))
+        val top = q.crossJoin(c).filter(col("qid") =!= col("cid"))
+          .withColumn("sim_r", round(expr(
+            s"""${dot("qv", "cv")} / (sqrt(${dot("qv", "qv")}) * sqrt(${dot("cv", "cv")}))"""), 6))
+          .withColumn("rank", row_number().over(rn))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("cid"))
+        val truth = TruthStage.loadKnn(s, dir)
+          .select(col("qid"), col("neighbor_id").as("cid"))
+        val hits = truth.join(top, Seq("qid", "cid"), "left_semi")
+        truth.agg(count(lit(1)).as("possible"),
+            countDistinct(col("qid")).as("n_queries"))
+          .crossJoin(broadcast(hits.agg(count(lit(1)).as("hits"))))
+          .select(col("n_queries"), col("hits"), col("possible"),
+            round(col("hits").cast("double") / col("possible"), 6).as("recall_r"))
+      },
+      Some(s"""WITH pe AS (
+          SELECT vec_id,
+            [list_sum([CAST(embedding[i] AS DOUBLE) * $jlSignsDuckLit[j][i]
+                FOR i IN range(1, least($jlInDim, len(embedding)) + 1)]) / 4.0
+              FOR j IN range(1, ${jlOutDim + 1})] AS pv
+          FROM embeddings),
+        psims AS (
+          SELECT a.vec_id AS qid, b.vec_id AS cid,
+            round(list_sum([a.pv[j] * b.pv[j] FOR j IN range(1, ${jlOutDim + 1})])
+              / (sqrt(list_sum([a.pv[j] * a.pv[j] FOR j IN range(1, ${jlOutDim + 1})]))
+               * sqrt(list_sum([b.pv[j] * b.pv[j] FOR j IN range(1, ${jlOutDim + 1})]))), 6) AS sim_r
+          FROM pe a JOIN pe b ON a.vec_id <> b.vec_id),
+        ptop AS (
+          SELECT qid, cid FROM (
+            SELECT qid, cid,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim_r DESC, cid) AS rank
+            FROM psims) WHERE rank <= 5),
+        tsims AS (
+          SELECT a.vec_id AS qid, b.vec_id AS cid,
+            ${duckCosine("a.embedding", "b.embedding")} AS sim
+          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        truth AS (
+          SELECT qid, cid FROM (
+            SELECT qid, cid,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+            FROM tsims) WHERE rank <= 5),
+        h AS (SELECT COUNT(*) AS hits FROM truth t
+          WHERE EXISTS (SELECT 1 FROM ptop p
+            WHERE p.qid = t.qid AND p.cid = t.cid))
+        SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries,
+          CAST(h.hits AS BIGINT) AS hits,
+          CAST(COUNT(*) AS BIGINT) AS possible,
+          round(CAST(h.hits AS DOUBLE) / COUNT(*), 6) AS recall_r
+        FROM truth, h GROUP BY h.hits""")),
 
     QDef("p30_embed_quantize",
       (s, dir) => emb(s, dir)

@@ -210,6 +210,20 @@ object EventStreams {
             .otherwise(0.0)).cast("double"))
       .filter(col("quality") >= minQuality)
 
+  /** Streaming JL projection — the in-flight form of batch p68's
+    * pre-ANN compression: each arriving embedding is projected 64→16
+    * dims by the SAME literal sign-matrix expression
+    * ([[graft.queries.Pipeline.jlProjectSql]], shared verbatim, so
+    * stream and batch projections are definitionally identical). The
+    * matrix is a plan constant: one stateless codegen'd projection per
+    * row — no join, no shuffle, zero state-store rows. Project at
+    * ingest, store 4× less. Expects `vec_id` and `embedding`; emits
+    * (vec_id, pv ARRAY<DOUBLE>). */
+  def jlProjectStream(vecs: DataFrame): DataFrame =
+    vecs
+      .withColumn("pv", expr(graft.queries.Pipeline.jlProjectSql("embedding")))
+      .select(col("vec_id"), col("pv"))
+
   /** Streaming LM-perplexity gate — the streaming form of batch p53
     * (CCNet-style filtering): each arriving document is scored under the
     * BATCH-fitted add-one bigram LM and kept iff its mean negative

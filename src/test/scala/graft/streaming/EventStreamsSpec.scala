@@ -835,6 +835,47 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming JL projection bit-identical to the plain-Scala matrix; zero state") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val vecs = graft.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    // independent sign-matrix re-derivation (md5 MSB rule) + a fold in
+    // the same index order as the streamed aggregate => identical doubles
+    val signs = (0 until 16).map(j => (0 until 64).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jl_${i}_$j".getBytes("UTF-8"))
+      if ((h(0) & 0x80) == 0) 1.0 else -1.0
+    })
+    def proj(e: Seq[Float]): Seq[Double] =
+      (0 until 16).map(j =>
+        (0 until math.min(64, e.size)).foldLeft(0.0)((acc, i) =>
+          acc + e(i).toDouble * signs(j)(i)) / 4.0)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = EventStreams.jlProjectStream(
+        input.toDF().toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("jl_proj")
+      .outputMode("append").start()
+    try {
+      val (a, b) = vecs.splitAt(vecs.size / 2)
+      input.addData(a)
+      q.processAllAvailable()
+      input.addData(b)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT vec_id, pv FROM jl_proj").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      assert(got.size == vecs.size)
+      vecs.foreach { case (id, e) =>
+        assert(got(id) == proj(e), s"vec $id projection drift")
+      }
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.isEmpty,
+        "JL projection must not create streaming state")
+    } finally q.stop()
+  }
+
   test("streaming image-dedup gate: dHash state, payloads never in state; = batch fingerprints") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
