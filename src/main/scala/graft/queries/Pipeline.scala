@@ -4649,6 +4649,66 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
           CAST(SUM(freq * len(list_filter(seg, x -> substr(x, 1, 2) = '##'))) AS BIGINT) AS cont_mass
         FROM wseg GROUP BY 1 ORDER BY n_pieces""")),
 
+    // ---- the three tokenizer families on ONE fertility surface
+    // (p69): BPE merges (p48), unigram Viterbi (p66) and WordPiece
+    // greedy (p67) segment the SAME word domain (distinct [a-z]+ words
+    // ≤ 12 chars), and this entry reports each family's
+    // occurrence-weighted pieces-per-word — the standard "which
+    // tokenizer fits this corpus" comparison, now pinned cross-engine.
+    // Corpus-scaled work is the shared distinct-word aggregation; all
+    // three fertility folds are vocabulary-bounded. The oracle runs
+    // all three unrolled chains (BPE rounds, Viterbi DP, greedy walk)
+    // in one statement. -------------------------------------------------
+    QDef("p69_tokenizer_compare",
+      (s, dir) => {
+        def summarize(name: String, seg: DataFrame): DataFrame =
+          seg.agg(count(lit(1)).as("n_words"),
+              sum(col("freq")).as("occurrences"),
+              sum(col("freq") * col("np")).as("pieces_mass"))
+            .select(lit(name).as("tokenizer"), col("n_words"),
+              col("occurrences"), col("pieces_mass"),
+              round(col("pieces_mass").cast("double") / col("occurrences"), 6)
+                .as("fertility_r"))
+        val bpe = BpeStage.load(s, dir)
+          .filter(length(col("w")) <= uniMaxWordLen)
+          .select(col("freq"),
+            size(split(expr("substring(enc, 2, length(enc) - 2)"), "\\)\\("))
+              .cast("bigint").as("np"))
+        val uni = uniSegments(s, dir)
+          .select(col("freq"), size(col("seg")).cast("bigint").as("np"))
+        val wp = wpSegments(s, dir)
+          .select(col("freq"), size(col("seg")).cast("bigint").as("np"))
+        summarize("bpe", bpe)
+          .unionByName(summarize("unigram", uni))
+          .unionByName(summarize("wordpiece", wp))
+          .orderBy(col("tokenizer"))
+      },
+      Some(s"""WITH $duckBpeChain,
+        $duckUniCtes,
+        $duckWpCtes,
+        b69 AS (
+          SELECT freq,
+            CAST(len(string_split(substr(enc, 2, length(enc) - 2), ')(')) AS BIGINT) AS np
+          FROM bw$bpeMerges WHERE length(w) <= $uniMaxWordLen),
+        u69 AS (SELECT freq, CAST(len(seg) AS BIGINT) AS np FROM useg),
+        w69 AS (SELECT freq, CAST(len(seg) AS BIGINT) AS np FROM wseg),
+        s69 AS (
+          SELECT 'bpe' AS tokenizer, CAST(COUNT(*) AS BIGINT) AS n_words,
+            CAST(SUM(freq) AS BIGINT) AS occurrences,
+            CAST(SUM(freq * np) AS BIGINT) AS pieces_mass
+          FROM b69
+          UNION ALL
+          SELECT 'unigram', CAST(COUNT(*) AS BIGINT),
+            CAST(SUM(freq) AS BIGINT), CAST(SUM(freq * np) AS BIGINT)
+          FROM u69
+          UNION ALL
+          SELECT 'wordpiece', CAST(COUNT(*) AS BIGINT),
+            CAST(SUM(freq) AS BIGINT), CAST(SUM(freq * np) AS BIGINT)
+          FROM w69)
+        SELECT tokenizer, n_words, occurrences, pieces_mass,
+          round(CAST(pieces_mass AS DOUBLE) / occurrences, 6) AS fertility_r
+        FROM s69 ORDER BY tokenizer""")),
+
     // ---- JL random projection + measured distortion (p68): compress
     // 64-dim embeddings to 16 dims with the ±1/√k sign matrix (the
     // standard pre-ANN dimensionality-reduction at scale) and MEASURE
