@@ -2833,14 +2833,27 @@ object Pipeline {
     * prune the model first (count threshold or top-N per context) —
     * scoring semantics degrade gracefully because pruned bigrams already
     * score as the smoothed (c2=0) floor. */
-  private[graft] def lmScoreMaps(s: SparkSession, dir: String)
+  /** The literal lookup maps the streaming LM gates ship inside the
+    * plan. `maxBigrams` is the documented scale fallback for the
+    * distinct-bigram bound (SCALE.md): keep only the top-N bigrams by
+    * count (ties → bigram string); a PRUNED bigram then scores exactly
+    * like an unseen one — sln(c1+V) instead of sln(c1+V) − sln(c2+1) —
+    * which is strictly MORE perplexed, so pruning can only over-filter
+    * borderline docs, never admit what the full model rejects. The
+    * context map stays full (unigram-vocabulary-bounded already). */
+  private[graft] def lmScoreMaps(s: SparkSession, dir: String,
+      maxBigrams: Int = Int.MaxValue)
       : (Map[String, Long], Map[String, Long], Long) = {
     val (m2, m1, v) = lmModel(s, dir)
     val vv = v.collect()(0).getLong(0)
     def slnL(x: Long): Long =
       math.floor(math.log(x.toDouble) * 100000000.0 + 0.5).toLong
-    val mb = m2.collect().map(r =>
-      (r.getString(0) + " " + r.getString(1)) -> slnL(r.getLong(2) + 1L)).toMap
+    val rows = m2.collect().map(r =>
+      (r.getString(0) + " " + r.getString(1), r.getLong(2)))
+    val kept =
+      if (rows.length <= maxBigrams) rows
+      else rows.sortBy { case (b, c) => (-c, b) }.take(maxBigrams)
+    val mb = kept.map { case (b, c) => b -> slnL(c + 1L) }.toMap
     val mc = m1.collect().map(r =>
       r.getString(0) -> slnL(r.getLong(1) + vv)).toMap
     (mb, mc, slnL(vv))

@@ -235,10 +235,19 @@ object EventStreams {
     * broadcast. Per-doc nll is bit-identical to batch p53's (spec-
     * proven): the same sln-scaled BIGINT sum, divided and rounded the
     * same way. Expects `doc_id` and `text`; emits (doc_id, n_bigrams,
-    * nll, kept). */
+    * nll, kept).
+    *
+    * `maxBigramEntries` is the scale fallback for the distinct-bigram
+    * bound (SCALE.md): with a finite cap, only the top-N bigrams by
+    * count ship in the literal map and every pruned bigram scores as
+    * unseen — strictly MORE perplexed, so the pruned gate's kept set is
+    * a SUBSET of the full gate's (over-filter, never admit); docs whose
+    * bigrams all survive the cap score bit-identical (spec-proven). */
   def perplexityGateStream(spark: org.apache.spark.sql.SparkSession,
-      modelDir: String, docs: DataFrame, maxNll: Double = 3.45): DataFrame = {
-    val (mb, mc, slnV) = graft.queries.Pipeline.lmScoreMaps(spark, modelDir)
+      modelDir: String, docs: DataFrame, maxNll: Double = 3.45,
+      maxBigramEntries: Int = Int.MaxValue): DataFrame = {
+    val (mb, mc, slnV) = graft.queries.Pipeline.lmScoreMaps(spark, modelDir,
+      maxBigramEntries)
     val mbCol = typedLit(mb)
     val mcCol = typedLit(mc)
     val arr = col("arr")

@@ -680,6 +680,48 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("pruned perplexity gate: subset-keep contract, exact where the cap is moot") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("p53_lm_perplexity")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val thr = batch.values.toSeq.sorted.apply(batch.size / 2)
+    val docsRows = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    def run(name: String, cap: Int): Map[Long, (Double, Boolean)] = {
+      val input = MemoryStream[(Long, String)]
+      val q = EventStreams.perplexityGateStream(spark, dir,
+          input.toDF().toDF("doc_id", "text"), maxNll = thr,
+          maxBigramEntries = cap)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        input.addData(docsRows)
+        q.processAllAvailable()
+        assert(q.lastProgress == null || q.lastProgress.stateOperators.isEmpty)
+        spark.sql(s"SELECT doc_id, nll, kept FROM $name").collect()
+          .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+      } finally q.stop()
+    }
+    val full = run("ppl_full_cap", Int.MaxValue)
+    val pruned = run("ppl_pruned", 50)
+    assert(full.size == docsRows.size && pruned.size == full.size)
+    // a pruned bigram scores as unseen = strictly more perplexed, so
+    // per-doc nll can only rise and the kept set can only SHRINK
+    full.foreach { case (id, (nllF, keptF)) =>
+      val (nllP, keptP) = pruned(id)
+      assert(nllP >= nllF, s"doc $id: pruned nll $nllP < full $nllF")
+      assert(!keptP || keptF, s"doc $id admitted only under pruning")
+    }
+    // the cap bites at 50 entries on this corpus: some docs shift...
+    assert(full.exists { case (id, (nllF, _)) => pruned(id)._1 > nllF })
+    // ...and the full cap is bit-identical to batch (both paths share
+    // lmScoreMaps; the default-cap gate is already spec'd above)
+    full.foreach { case (id, (nllF, _)) => assert(nllF == batch(id)) }
+  }
+
   test("LM-staleness monitor: vocabulary shift raises refit_due; refit restores health") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
