@@ -6608,6 +6608,94 @@ ${duckResidualAdcCtes("y", "v")},
         FROM t, stx
         ORDER BY score_r DESC, doc_id, chunk_no LIMIT 50""")),
 
+    // ---- many-queries chunk retrieval (p60b): p60's RAG unit under
+    // p64b's query fan — ONE chunk explode computes tf columns for the
+    // union of every query's terms, a one-row broadcast carries the
+    // chunk-population stats, each chunk's per-query scores explode
+    // from a literal struct array, and the per-query top-10 is a
+    // window over SLIM (ids, score) rows keyed on query_id — the
+    // fan-out axis; at thousands of queries the cut distributes, and
+    // nothing chunk-sized rides the shuffle (the chunk text dies at
+    // the tf projection). -----------------------------------------------
+    QDef("p60b_chunk_bm25_many",
+      (s, dir) => {
+        val c = chunkTokens; val st = chunkStride
+        val qs = mmrQueries
+        val allTerms = qs.flatMap(_._2).distinct
+        val base = docs(s, dir).filter(col("text").isNotNull)
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n", size(col("toks")))
+          .filter(col("n") > 0)
+          .withColumn("start", explode(expr(s"sequence(0, n - 1, $st)")))
+          .withColumn("chunk_no", expr(s"CAST(start div $st AS INT)"))
+          .withColumn("carr", expr(s"slice(toks, start + 1, least($c, n - start))"))
+          .withColumn("dl", expr(s"CAST(least($c, n - start) AS DOUBLE)"))
+        val withTf = base.select(
+          col("doc_id") +: col("chunk_no") +: col("dl") +:
+            allTerms.map(t =>
+              expr(s"CAST(size(filter(carr, x -> x = '$t')) AS DOUBLE)").as(s"tf_$t")): _*)
+        val stats = withTf.agg(
+          count(lit(1)).cast("double").as("n_docs"),
+          (sum(col("dl")) / count(lit(1))).as("avgdl") +:
+            allTerms.map(t =>
+              sum(when(col(s"tf_$t") > 0, 1.0).otherwise(0.0)).as(s"df_$t")): _*)
+        val scoreStructs = qs.map { case (qid, ts) =>
+          s"named_struct('query_id', '$qid', 'score_r', " +
+            s"round(${ts.map(t => bm25Term(s"tf_$t", s"df_$t")).mkString(" + ")}, 6))"
+        }
+        withTf.crossJoin(broadcast(stats))
+          .select(col("doc_id"), col("chunk_no"), col("dl"),
+            explode(expr(s"array(${scoreStructs.mkString(", ")})")).as("q"))
+          .select(col("doc_id"), col("chunk_no"), col("dl"),
+            col("q.query_id").as("query_id"), col("q.score_r").as("score_r"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("query_id")).orderBy(
+              col("score_r").desc, col("doc_id"), col("chunk_no"))))
+          .filter(col("rank") <= 10)
+          .select(col("query_id"), col("rank"), col("doc_id"),
+            col("chunk_no"), col("dl").cast("int").as("n_tok"), col("score_r"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some({
+        val qs = mmrQueries
+        val allTerms = qs.flatMap(_._2).distinct
+        val scUnions = qs.map { case (qid, ts) =>
+          s"""SELECT '$qid' AS query_id, doc_id, chunk_no, dl,
+            round(${ts.map(t => bm25Term(s"tf_$t", s"df_$t")).mkString(" + ")}, 6) AS score_r
+          FROM t, stx"""
+        }.mkString("\n          UNION ALL\n          ")
+        s"""WITH ck AS (
+          SELECT doc_id, st AS start,
+            CAST(st // $chunkStride AS INT) AS chunk_no,
+            arr[st + 1 : st + least($chunkTokens, n - st)] AS carr,
+            CAST(least($chunkTokens, n - st) AS DOUBLE) AS dl
+          FROM (SELECT doc_id, arr, len(arr) AS n, unnest(range(0, len(arr), $chunkStride)) AS st
+                FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+                      WHERE text IS NOT NULL)
+                WHERE len(arr) > 0)),
+        t AS (SELECT doc_id, chunk_no, dl,
+            ${allTerms.map(t =>
+              s"CAST(len(list_filter(carr, x -> x = '$t')) AS DOUBLE) AS tf_$t")
+              .mkString(", ")}
+          FROM ck),
+        stx AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) / COUNT(*) AS avgdl,
+            ${allTerms.map(t =>
+              s"SUM(CASE WHEN tf_$t > 0 THEN 1.0 ELSE 0.0 END) AS df_$t")
+              .mkString(", ")}
+          FROM t),
+        sc AS (
+          $scUnions),
+        rk AS (
+          SELECT query_id, doc_id, chunk_no, dl, score_r,
+            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score_r DESC, doc_id, chunk_no) AS INTEGER) AS rank
+          FROM sc)
+        SELECT query_id, rank, doc_id, chunk_no,
+          CAST(dl AS INTEGER) AS n_tok, score_r
+        FROM rk WHERE rank <= 10
+        ORDER BY query_id, rank"""
+      })),
+
     // ---- dedup YIELD report (p59): what near-dup dedup would buy —
     // cluster-size histogram with total vs duplicate bytes (bytes of
     // every non-representative member) per size class. The ROI number a
