@@ -4587,6 +4587,137 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
         FROM bmr FULL JOIN dr ON bmr.doc_id = dr.doc_id
         ORDER BY rrf_r DESC, doc_id LIMIT 20""")),
 
+    // ---- many-queries RRF (p65b): the fusion under the p64b/p60b
+    // query fan, completing the retrieval family's fan-out story. One
+    // scan scores every query's BM25 terms; per-query sparse ranks,
+    // the per-query pseudo-relevance vector (best embedded BM25 doc,
+    // Q one-row broadcasts in one Q-row frame), dense scoring as one
+    // embeddings scan × Q broadcast qvecs (slim (vec_id, query_id,
+    // sim) rows into the rank window — embeddings never shuffle), and
+    // the exact rational rrf sums fused per (query_id, doc_id). -------
+    QDef("p65b_rrf_many",
+      (s, dir) => {
+        val qs = mmrQueries
+        val allTerms = qs.flatMap(_._2).distinct
+        val base = docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("arr"))
+          .withColumn("dl", size(col("arr")).cast("double"))
+        val tf = allTerms.map(t =>
+          expr(s"CAST(size(filter(arr, x -> x = '$t')) AS DOUBLE)").as(s"tf_$t"))
+        val withTf = base.select(col("doc_id") +: col("dl") +: tf: _*)
+        val stats = withTf.agg(
+          count(lit(1)).cast("double").as("n_docs"),
+          (sum(col("dl")) / count(lit(1))).as("avgdl") +:
+            allTerms.map(t =>
+              sum(when(col(s"tf_$t") > 0, 1.0).otherwise(0.0)).as(s"df_$t")): _*)
+        val scoreStructs = qs.map { case (qid, ts) =>
+          s"named_struct('query_id', '$qid', 'score_r', " +
+            s"round(${ts.map(t => bm25Term(s"tf_$t", s"df_$t")).mkString(" + ")}, 6))"
+        }
+        val scores = withTf.crossJoin(broadcast(stats))
+          .select(col("doc_id"),
+            explode(expr(s"array(${scoreStructs.mkString(", ")})")).as("q"))
+          .select(col("doc_id"), col("q.query_id").as("query_id"),
+            col("q.score_r").as("score_r"))
+        val bmRanked = scores
+          .withColumn("br", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("score_r").desc, col("doc_id"))))
+          .filter(col("br") <= 50)
+          .select(col("query_id"), col("doc_id"), col("br"))
+        // per-query PRF vector: the best-ranked candidate CARRYING an
+        // embedding; vectors attach to the ≤50×Q candidates by broadcast
+        val qvecs = emb(s, dir)
+          .select(col("vec_id").as("doc_id"), col("embedding").as("qv"))
+          .join(broadcast(bmRanked), Seq("doc_id"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("query_id")).orderBy(col("br"))))
+          .filter(col("rn") === 1)
+          .select(col("query_id").as("qid"), col("qv"))
+        val denseRanked = emb(s, dir)
+          .crossJoin(broadcast(qvecs))
+          .withColumn("sim_r", round(expr("cosine_sim(embedding, qv)"), 6))
+          .select(col("vec_id").as("doc_id"), col("qid").as("query_id"),
+            col("sim_r"))
+          .withColumn("dr", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("sim_r").desc, col("doc_id"))))
+          .filter(col("dr") <= 50)
+          .select(col("query_id"), col("doc_id"), col("dr"))
+        bmRanked.join(denseRanked, Seq("query_id", "doc_id"), "full")
+          .withColumn("rrf_r", round(
+            coalesce(lit(1.0) / (lit(60) + col("br")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0)), 6))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("rrf_r").desc, col("doc_id"))))
+          .filter(col("rank") <= 10)
+          .select(col("query_id"), col("rank"), col("doc_id"),
+            col("br").as("bm25_rank"), col("dr").as("dense_rank"),
+            col("rrf_r"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some({
+        val qs = mmrQueries
+        val allTerms = qs.flatMap(_._2).distinct
+        val scUnions = qs.map { case (qid, ts) =>
+          s"""SELECT '$qid' AS query_id, doc_id,
+            round(${ts.map(t => bm25Term(s"tf_$t", s"df_$t")).mkString(" + ")}, 6) AS score_r
+          FROM t, st"""
+        }.mkString("\n          UNION ALL\n          ")
+        s"""WITH t AS (
+          SELECT doc_id, CAST(len(arr) AS DOUBLE) AS dl,
+            ${allTerms.map(t =>
+              s"CAST(len(list_filter(arr, x -> x = '$t')) AS DOUBLE) AS tf_$t")
+              .mkString(", ")}
+          FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)),
+        st AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) / COUNT(*) AS avgdl,
+            ${allTerms.map(t =>
+              s"SUM(CASE WHEN tf_$t > 0 THEN 1.0 ELSE 0.0 END) AS df_$t")
+              .mkString(", ")}
+          FROM t),
+        sc AS (
+          $scUnions),
+        bmr AS (
+          SELECT query_id, doc_id, br FROM (
+            SELECT query_id, doc_id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score_r DESC, doc_id) AS INTEGER) AS br
+            FROM sc) WHERE br <= 50),
+        qvs AS (
+          SELECT query_id AS qid, qv FROM (
+            SELECT b.query_id, e.embedding AS qv,
+              ROW_NUMBER() OVER (PARTITION BY b.query_id ORDER BY b.br) AS rn
+            FROM bmr b JOIN embeddings e ON e.vec_id = b.doc_id)
+          WHERE rn = 1),
+        dense AS (
+          SELECT q.qid AS query_id, e.vec_id AS doc_id,
+            round(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE) FOR i IN range(1, len(e.embedding) + 1)])
+              / (sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) FOR i IN range(1, len(e.embedding) + 1)]))
+               * sqrt(list_sum([CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE) FOR i IN range(1, len(q.qv) + 1)]))), 6) AS sim_r
+          FROM embeddings e CROSS JOIN qvs q),
+        dr AS (
+          SELECT query_id, doc_id, dr FROM (
+            SELECT query_id, doc_id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim_r DESC, doc_id) AS INTEGER) AS dr
+            FROM dense) WHERE dr <= 50),
+        fused AS (
+          SELECT COALESCE(bmr.query_id, dr.query_id) AS query_id,
+            COALESCE(bmr.doc_id, dr.doc_id) AS doc_id,
+            bmr.br AS bm25_rank, dr.dr AS dense_rank,
+            round(COALESCE(1.0 / (60 + bmr.br), 0.0)
+              + COALESCE(1.0 / (60 + dr.dr), 0.0), 6) AS rrf_r
+          FROM bmr FULL JOIN dr
+            ON bmr.query_id = dr.query_id AND bmr.doc_id = dr.doc_id)
+        SELECT query_id, rank, doc_id, bm25_rank, dense_rank, rrf_r FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY rrf_r DESC, doc_id) AS INTEGER) AS rank
+          FROM fused) WHERE rank <= 10
+        ORDER BY query_id, rank"""
+      })),
+
     // ---- unigram (SentencePiece-family) tokenizer: Viterbi
     // segmentation under a frequency-scored piece lexicon (the
     // inference/E-step half of Kudo 2018, next to p48's BPE merge
