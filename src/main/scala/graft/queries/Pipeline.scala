@@ -4042,6 +4042,55 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
             - len(string_split(text, ' '))) / 512) AS BIGINT) AS pack_id
         FROM documents ORDER BY doc_id""")),
 
+    // ---- tokenizer-FAITHFUL sequence packing (p23b): p23's greedy
+    // window fill, but budgeted in WORDPIECE PIECES, not whitespace
+    // tokens — the number the training loader actually packs by. Each
+    // document's piece count folds its words through the p67 segment
+    // table (vocabulary-bounded broadcast); words outside the segment
+    // domain (non-[a-z], length > 12) charge ceil(len/4) pieces — the
+    // max-piece-length floor, deterministic in both engines. One word
+    // explode + one doc_id sum (the p53 per-doc shape), then p23's
+    // bucket shuffle unchanged. -----------------------------------------
+    QDef("p23b_seq_pack_wp",
+      (s, dir) => {
+        val seg = wpSegments(s, dir)
+          .select(col("w"), size(col("seg")).cast("bigint").as("np"))
+        val pieces = docs(s, dir)
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), " ")).as("w"))
+          .join(broadcast(seg), Seq("w"), "left")
+          .withColumn("np", coalesce(col("np"),
+            expr("CAST(greatest(1, ceil(length(w) / 4.0)) AS BIGINT)")))
+          .groupBy(col("doc_id")).agg(sum(col("np")).as("n_pieces"))
+        val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pieces
+          .withColumn("bucket", (col("doc_id") % packBuckets).cast("int"))
+          .withColumn("cum", sum(col("n_pieces")).over(w))
+          .withColumn("pack_id",
+            floor((col("cum") - col("n_pieces")) / lit(512)).cast("long"))
+          .select(col("doc_id"), col("bucket"), col("n_pieces"), col("pack_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $duckWpCtes,
+        wnp AS (SELECT w, CAST(len(seg) AS BIGINT) AS np FROM wseg),
+        wl AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+          FROM documents),
+        dp AS (
+          SELECT wl.doc_id,
+            CAST(SUM(COALESCE(wnp.np,
+              CAST(greatest(1, ceil(length(wl.w) / 4.0)) AS BIGINT))) AS BIGINT) AS n_pieces
+          FROM wl LEFT JOIN wnp ON wnp.w = wl.w
+          GROUP BY wl.doc_id)
+        SELECT doc_id, CAST(doc_id % $packBuckets AS INTEGER) AS bucket,
+          n_pieces,
+          CAST(FLOOR((SUM(n_pieces)
+              OVER (PARTITION BY doc_id % $packBuckets ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - n_pieces) / 512) AS BIGINT) AS pack_id
+        FROM dp ORDER BY doc_id""")),
+
     // ---- deterministic stratified sampling: per-language keep rates
     // driven by a uniform hash byte derived from md5(text) — the same
     // rows are kept on any cluster, any partitioning, any engine (the

@@ -640,4 +640,37 @@ class EmulatorServerSpec extends AnyFunSuite {
     val bad = v2("SELECT * FROM TABLE(EXACT_DEDUP())")
     assert(bad.get("message").asText().contains("GRAFT_PIPELINE_DIR"), bad.toString)
   }
+
+  test("REST v2 e2e: r11-late table functions (phrase BM25, query fans, tokenizers, JL)") {
+    val dir = "/root/testdata/sf0.001"
+    // phrase + AND through a real socket: the conjunctive gate admits
+    // the same docs as the oracle-pinned batch entry p29b (both k caps
+    // exceed the match count on this corpus, so the counts agree); the
+    // k dial itself is session-scoped and spec'd in ExecutorSpec 69d
+    val ph = v2(s"""SELECT COUNT(*) AS n FROM TABLE(BM25_SEARCH('"table hash" AND vector', '$dir')) WHERE score_r > 0""")
+    assert(ph.get("code").asText() == "090001", ph.toString)
+    val nWire = ph.get("data").get(0).get(0).asLong()
+    val pb = v2(s"SELECT COUNT(*) AS n FROM TABLE(PHRASE_BM25('$dir')) WHERE score_r > 0")
+    assert(pb.get("code").asText() == "090001", pb.toString)
+    assert(nWire > 0L && nWire == pb.get("data").get(0).get(0).asLong(),
+      s"$ph vs $pb")
+    // the many-queries fans return one block per query over the wire
+    val mm = v2(s"SELECT query_id, COUNT(*) AS picks FROM TABLE(MMR_MANY('$dir')) GROUP BY query_id ORDER BY query_id")
+    assert(mm.get("code").asText() == "090001", mm.toString)
+    assert(mm.get("data").size() == 4, mm.toString)
+    // tokenizer comparison: three families, identical occurrence mass
+    val tc = v2(s"SELECT tokenizer, occurrences FROM TABLE(PIPELINE('p69_tokenizer_compare', '$dir')) ORDER BY tokenizer")
+    assert(tc.get("code").asText() == "090001", tc.toString)
+    assert(tc.get("data").size() == 3, tc.toString)
+    val occs = (0 until 3).map(i => tc.get("data").get(i).get(1).asText()).distinct
+    assert(occs.size == 1, s"occurrence mass must match across families: $occs")
+    // WordPiece segments compose with WHERE on the wire
+    val wp = v2(s"SELECT COUNT(*) AS multi FROM TABLE(WORDPIECE_SEGMENTS('$dir')) WHERE n_pieces > 1")
+    assert(wp.get("code").asText() == "090001", wp.toString)
+    assert(wp.get("data").get(0).get(0).asLong() > 0L, wp.toString)
+    // JL distortion rows arrive with their ratio column
+    val jl = v2(s"SELECT COUNT(*) AS n FROM TABLE(JL_DISTORTION('$dir')) WHERE ratio_r IS NOT NULL")
+    assert(jl.get("code").asText() == "090001", jl.toString)
+    assert(jl.get("data").get(0).get(0).asLong() > 0L, jl.toString)
+  }
 }
