@@ -128,6 +128,14 @@ object Bench {
       // artifact): the iterative merge fit stages once; its own line
       stageEntry("p00i_bpe_stage") {
         queries.Pipeline.BpeStage.load(spark, sfDir); ()
+      },
+      // the unigram and WordPiece segment tables (p66/p67 families +
+      // p69/p23b): the DP/greedy chains run once per corpus
+      stageEntry("p00j_uniseg_stage") {
+        queries.Pipeline.UniSegStage.load(spark, sfDir); ()
+      },
+      stageEntry("p00k_wpseg_stage") {
+        queries.Pipeline.WpSegStage.load(spark, sfDir); ()
       })
     // Optional comma-separated allowlist (SPARK_GRAFT_ONLY=p05,p20) for
     // profiling individual queries / interaction effects; production runs

@@ -2635,6 +2635,27 @@ object Pipeline {
         wseg AS (SELECT w, freq, seg FROM $last)"""
   }
 
+  /** The unigram (p66) and WordPiece (p67) SEGMENT TABLES staged once
+    * per corpus: (w, freq, seg) is vocabulary-bounded and tiny, but the
+    * DP/greedy expression chains that produce it are the families'
+    * dominant cost — p66/p66b/p69 (unigram) and p67/p67b/p69/p23b
+    * (WordPiece) all read the same staged copy instead of re-running
+    * the chain per consumer (the LrStage/BpeStage discipline). Dials
+    * bake into the staging key. */
+  private[graft] object UniSegStage {
+    def load(s: SparkSession, dir: String): DataFrame =
+      ShingleStage.stage(s, dir, s"us$uniSeed") {
+        uniSegments(s, dir).repartition(1)
+      }
+  }
+
+  private[graft] object WpSegStage {
+    def load(s: SparkSession, dir: String): DataFrame =
+      ShingleStage.stage(s, dir, s"ws$wpSeed") {
+        wpSegments(s, dir).repartition(1)
+      }
+  }
+
   /** The distinct lowercase-alpha word table with occurrence counts and
     * the per-symbol parenthesized encoding BPE iterates on. */
   private[graft] def bpeWords(s: SparkSession, dir: String): DataFrame =
@@ -4053,7 +4074,7 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
     // bucket shuffle unchanged. -----------------------------------------
     QDef("p23b_seq_pack_wp",
       (s, dir) => {
-        val seg = wpSegments(s, dir)
+        val seg = WpSegStage.load(s, dir)
           .select(col("w"), size(col("seg")).cast("bigint").as("np"))
         val pieces = docs(s, dir)
           .select(col("doc_id"),
@@ -4781,7 +4802,7 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
     // actual segmentations — the end-to-end Viterbi witness. ----------
     QDef("p66_unigram_vocab",
       (s, dir) => {
-        val used = uniSegments(s, dir)
+        val used = UniSegStage.load(s, dir)
           .select(col("freq"), explode(col("seg")).as("p"))
           .groupBy(col("p")).agg(sum(col("freq")).as("u"))
         uniVocab(s, dir).join(used, Seq("p"), "left")
@@ -4799,7 +4820,7 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
         ORDER BY used DESC, cnt DESC, piece""")),
 
     QDef("p66b_unigram_segments",
-      (s, dir) => uniSegments(s, dir)
+      (s, dir) => UniSegStage.load(s, dir)
         .withColumn("seg", expr("array_join(seg, '|')"))
         .orderBy(col("freq").desc, col("w")).limit(50),
       Some(s"""WITH $duckUniCtes
@@ -4815,7 +4836,7 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
     // mass). Zero shuffles beyond the word aggregation; lexicon joins
     // broadcast (vocabulary-bounded at any corpus size). --------------
     QDef("p67_wordpiece_segments",
-      (s, dir) => wpSegments(s, dir)
+      (s, dir) => WpSegStage.load(s, dir)
         .withColumn("n_pieces", size(col("seg")))
         .withColumn("seg", expr("array_join(seg, '|')"))
         .orderBy(col("freq").desc, col("w")).limit(50)
@@ -4826,7 +4847,7 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
         FROM wseg ORDER BY freq DESC, w LIMIT 50""")),
 
     QDef("p67b_wordpiece_fertility",
-      (s, dir) => wpSegments(s, dir)
+      (s, dir) => WpSegStage.load(s, dir)
         .withColumn("n_pieces", size(col("seg")))
         .withColumn("n_cont", expr(
           "size(filter(seg, x -> substring(x, 1, 2) = '##'))"))
@@ -4867,9 +4888,9 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
           .select(col("freq"),
             size(split(expr("substring(enc, 2, length(enc) - 2)"), "\\)\\("))
               .cast("bigint").as("np"))
-        val uni = uniSegments(s, dir)
+        val uni = UniSegStage.load(s, dir)
           .select(col("freq"), size(col("seg")).cast("bigint").as("np"))
-        val wp = wpSegments(s, dir)
+        val wp = WpSegStage.load(s, dir)
           .select(col("freq"), size(col("seg")).cast("bigint").as("np"))
         summarize("bpe", bpe)
           .unionByName(summarize("unigram", uni))
