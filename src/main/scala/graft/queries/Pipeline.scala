@@ -4695,15 +4695,21 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
               .orderBy(col("score_r").desc, col("doc_id"))))
           .filter(col("br") <= 50)
           .select(col("query_id"), col("doc_id"), col("br"))
-        // per-query PRF vector: the best-ranked candidate CARRYING an
-        // embedding; vectors attach to the ≤50×Q candidates by broadcast
-        val qvecs = emb(s, dir)
-          .select(col("vec_id").as("doc_id"), col("embedding").as("qv"))
-          .join(broadcast(bmRanked), Seq("doc_id"))
+        // per-query PRF vector in two steps so no vector ever shuffles:
+        // the best-ranked EMBEDDED candidate resolves on slim rows
+        // (semi join on the 8-byte key + rank window), then the Q-row
+        // winner frame broadcasts into the embeddings scan to attach qv
+        val bestDoc = bmRanked
+          .join(emb(s, dir).select(col("vec_id").as("doc_id")),
+            Seq("doc_id"), "left_semi")
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("query_id")).orderBy(col("br"))))
           .filter(col("rn") === 1)
-          .select(col("query_id").as("qid"), col("qv"))
+          .select(col("query_id").as("qid"), col("doc_id"))
+        val qvecs = emb(s, dir)
+          .select(col("vec_id").as("doc_id"), col("embedding").as("qv"))
+          .join(broadcast(bestDoc), Seq("doc_id"))
+          .select(col("qid"), col("qv"))
         val denseRanked = emb(s, dir)
           .crossJoin(broadcast(qvecs))
           .withColumn("sim_r", round(expr("cosine_sim(embedding, qv)"), 6))

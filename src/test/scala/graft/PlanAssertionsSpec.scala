@@ -254,6 +254,45 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("p60b/p65b: query-fan shuffles carry slim rows; no corpus-side sort-merge") {
+    def shuffleOutputs(name: String): Seq[Seq[String]] = {
+      val ex = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+      val inner = ex match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case other => other
+      }
+      inner.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          s.output.map(_.name).toSeq
+      }
+    }
+    // p60b: the chunk token arrays (toks/carr) die at the tf projection —
+    // no exchange may carry them, and nothing joins at all
+    val p60b = plan("p60b_chunk_bm25_many")
+    assert(!p60b.contains("CartesianProduct") && !p60b.contains("SortMergeJoin"), p60b)
+    shuffleOutputs("p60b_chunk_bm25_many").foreach { cols =>
+      assert(!cols.exists(c => c == "toks" || c == "carr" || c == "arr"),
+        s"chunk arrays ride a shuffle: $cols")
+    }
+    // p65b: embeddings feed the dense ranks via a broadcast of the Q-row
+    // qvec frame; no exchange carries a raw embedding attribute. (The
+    // rrf fusion's keyed FULL OUTER join is a SortMergeJoin — Spark
+    // cannot broadcast keyed full-outer — but both its sides are the
+    // ≤50-per-query RANK frames, list-size-bounded at any corpus size,
+    // so that SMJ is fine; the invariant that matters is below.)
+    val p65b = plan("p65b_rrf_many")
+    assert(!p65b.contains("CartesianProduct"), p65b)
+    assert("SortMergeJoin".r.findAllIn(p65b).size == 1 &&
+      p65b.contains("FullOuter"), s"only the bounded fusion may sort-merge:\n$p65b")
+    assert(p65b.contains("BroadcastHashJoin") ||
+      p65b.contains("BroadcastNestedLoopJoin"), s"qvecs must broadcast:\n$p65b")
+    shuffleOutputs("p65b_rrf_many").foreach { cols =>
+      assert(!cols.exists(c => c == "embedding" || c == "qv"),
+        s"embeddings ride a shuffle: $cols")
+    }
+  }
+
   test("blanket invariant: NO query plans a CartesianProduct — not even the exact baselines") {
     // the declared all-pairs baselines (p05/p14) cross-join, but with a
     // broadcast side they plan as BroadcastNestedLoopJoin; an actual
