@@ -2327,6 +2327,10 @@ object Pipeline {
     }
     cols += ("seg" -> reverseArr(filterNotNull(
       arrayOf((1 to uniMaxWordLen).map(k => s"piece_$k")))))
+    // the word's exact Viterbi path score (BIGINT): best at the final
+    // position — the quantity hard-EM's likelihood accounting sums
+    cols += ("ll" -> elemAt(
+      arrayOf((1 to uniMaxWordLen).map(j => s"best_$j")), "length(w)"))
     cols.result()
   }
 
@@ -2357,10 +2361,18 @@ object Pipeline {
     * candidate-grid explode + ONE broadcast vocab join pivoted to the
     * 42 cs_j_i score columns, then the generated DP columns — pure
     * per-row expressions, zero shuffles beyond the word aggregation. */
-  private[graft] def uniSegments(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def uniSegments(s: SparkSession, dir: String): DataFrame =
+    uniSegmentsFrom(s, dir, uniVocab(s, dir))
+      .select(col("w"), col("freq"), col("seg"))
+
+  /** The same chain under a CALLER-SUPPLIED piece lexicon (p, score) —
+    * the E/M halves of hard-EM re-segment with re-estimated scores
+    * through here — also emitting `ll`, the word's exact Viterbi path
+    * score. */
+  private[graft] def uniSegmentsFrom(s: SparkSession, dir: String,
+      vocab: DataFrame): DataFrame = {
     val words = bpeWords(s, dir).filter(length(col("w")) <= uniMaxWordLen)
       .select(col("w"), col("freq"))
-    val vocab = uniVocab(s, dir)
     val gridEntries = uniGrid.map { case (j, i) =>
       s"named_struct('j', $j, 'i', $i, 'piece', substring(w, ${i + 1}, ${j - i}))"
     }
@@ -2399,12 +2411,17 @@ object Pipeline {
       filterNotNull = a => s"filter($a, x -> x IS NOT NULL)",
       reverseArr = a => s"reverse($a)"
     ).foreach { case (name, text) => addCol(name, text) }
-    df.select(col("w"), col("freq"), col("seg"))
+    df.select(col("w"), col("freq"), col("seg"), col("ll"))
   }
 
   /** The DuckDB mirror of [[uniVocab]]+[[uniSegments]] as CTE text up to
     * `useg(w, freq, seg)` — the shared front of both p66 oracles. */
-  private[graft] def duckUniCtes: String = {
+  /** One dialect-rendered Viterbi chain over `uwt` under the lexicon
+    * CTE `vocabCte`, every CTE name prefixed `pfx` — `${pfx}seg(w,
+    * freq, seg, ll)` is the result. Prefix "u" reproduces the p66
+    * chain; hard-EM's second pass renders the SAME text under prefix
+    * "e" with the re-estimated lexicon. */
+  private[graft] def duckUniChain(pfx: String, vocabCte: String): String = {
     val gridVals = uniGrid.map { case (j, i) => s"($j, $i)" }.mkString(", ")
     val pivCols = uniGrid.map { case (j, i) =>
       s"MAX(CASE WHEN j = $j AND i = $i THEN score END) AS cs_${j}_$i"
@@ -2419,15 +2436,32 @@ object Pipeline {
       reverseArr = a => s"list_reverse($a)"
     ).grouped(6).toSeq
     val dpChain = dpLayers.zipWithIndex.map { case (layer, li) =>
-      val prev = if (li == 0) "udp0" else s"udp$li"
+      val prev = if (li == 0) s"${pfx}dp0" else s"${pfx}dp$li"
       val defs = layer.map { case (name, text) => s"$text AS $name" }
         .mkString(",\n            ")
-      s"""udp${li + 1} AS MATERIALIZED (
+      s"""${pfx}dp${li + 1} AS MATERIALIZED (
           SELECT *,
             $defs
           FROM $prev)"""
     }.mkString(",\n        ")
-    val lastDp = s"udp${dpLayers.size}"
+    val lastDp = s"${pfx}dp${dpLayers.size}"
+    s"""${pfx}cand AS (
+          SELECT t.w, g.j, g.i,
+            substr(t.w, CAST(g.i + 1 AS INTEGER), CAST(g.j - g.i AS INTEGER)) AS piece
+          FROM uwt t CROSS JOIN (VALUES $gridVals) g(j, i)
+          WHERE g.j <= length(t.w)),
+        ${pfx}sc AS (
+          SELECT c.w, c.j, c.i, v.score
+          FROM ${pfx}cand c LEFT JOIN $vocabCte v ON v.p = c.piece),
+        ${pfx}piv AS (SELECT w, $pivCols FROM ${pfx}sc GROUP BY w),
+        ${pfx}dp0 AS MATERIALIZED (
+          SELECT t0.w, t0.freq AS freq, p.* EXCLUDE (w)
+          FROM ${pfx}piv p JOIN uwt t0 ON t0.w = p.w),
+        $dpChain,
+        ${pfx}seg AS (SELECT w, freq, seg, ll FROM $lastDp)"""
+  }
+
+  private[graft] def duckUniCtes: String = {
     s"""uwt AS (
           SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
           FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
@@ -2448,20 +2482,7 @@ object Pipeline {
         uvocab AS (
           SELECT p, cnt, ${sln("cnt")} - ${sln("vt")} AS score
           FROM uvoc0, utot),
-        ucand AS (
-          SELECT t.w, g.j, g.i,
-            substr(t.w, CAST(g.i + 1 AS INTEGER), CAST(g.j - g.i AS INTEGER)) AS piece
-          FROM uwt t CROSS JOIN (VALUES $gridVals) g(j, i)
-          WHERE g.j <= length(t.w)),
-        usc AS (
-          SELECT c.w, c.j, c.i, v.score
-          FROM ucand c LEFT JOIN uvocab v ON v.p = c.piece),
-        upiv AS (SELECT w, $pivCols FROM usc GROUP BY w),
-        udp0 AS MATERIALIZED (
-          SELECT t0.w, t0.freq AS freq, p.* EXCLUDE (w)
-          FROM upiv p JOIN uwt t0 ON t0.w = p.w),
-        $dpChain,
-        useg AS (SELECT w, freq, seg FROM $lastDp)"""
+        ${duckUniChain("u", "uvocab")}"""
   }
 
   // ---- WordPiece-style greedy longest-match segmentation (the BERT
@@ -4832,6 +4853,81 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
       Some(s"""WITH $duckUniCtes
         SELECT w, freq, array_to_string(seg, '|') AS seg
         FROM useg ORDER BY freq DESC, w LIMIT 50""")),
+
+    // ---- one full HARD-EM round (p66c): tokenizer training actually
+    // ITERATES. E-step = p66's Viterbi usage counts; M-step = scores
+    // re-estimated from those counts (unused multi-char pieces drop;
+    // single chars keep a count-1 floor so coverage never breaks);
+    // then the corpus re-segments under the new lexicon through the
+    // SAME generated chain. Likelihood accounting is EXACT: per-word
+    // path scores are sln-scaled BIGINTs, so ll sums — and the EM
+    // gain — are integer arithmetic, no float drift across engines.
+    // Corpus-scaled work is still only the word aggregation; both
+    // passes are vocabulary-bounded broadcasts. -----------------------
+    QDef("p66c_unigram_em",
+      (s, dir) => {
+        val v1 = uniVocab(s, dir)
+        val r1 = uniSegmentsFrom(s, dir, v1)
+        val used = r1.select(col("freq"), explode(col("seg")).as("p"))
+          .groupBy(col("p")).agg(sum(col("freq")).as("u"))
+        val kept = v1.join(used, Seq("p"), "left")
+          .withColumn("u", coalesce(col("u"), lit(0L)))
+          .filter(col("u") > 0 || length(col("p")) === 1)
+          .withColumn("u2", when(length(col("p")) === 1,
+            greatest(col("u"), lit(1L))).otherwise(col("u")))
+        val tot2 = kept.agg(sum(col("u2")).as("vt"))
+        val v2 = kept.crossJoin(broadcast(tot2))
+          .withColumn("score", expr(sln("u2") + " - " + sln("vt")))
+          .select(col("p"), col("u2").as("cnt"), col("score"))
+        val r2 = uniSegmentsFrom(s, dir, v2)
+        val sizes = v1.agg(count(lit(1)).as("n_vocab1"))
+          .crossJoin(broadcast(v2.agg(count(lit(1)).as("n_vocab2"))))
+        r1.select(col("w"), col("freq"), col("seg").as("seg1"),
+            col("ll").as("ll1"))
+          .join(r2.select(col("w"), col("seg").as("seg2"),
+            col("ll").as("ll2")), Seq("w"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("freq")).as("occurrences"),
+            sum(col("freq") * col("ll1")).as("ll1_sum"),
+            sum(col("freq") * col("ll2")).as("ll2_sum"),
+            sum(when(col("seg1") =!= col("seg2"), 1L).otherwise(0L))
+              .as("n_changed"))
+          .crossJoin(broadcast(sizes))
+          .withColumn("gain", col("ll2_sum") - col("ll1_sum"))
+          .select(col("n_words"), col("occurrences"), col("n_vocab1"),
+            col("n_vocab2"), col("ll1_sum"), col("ll2_sum"), col("gain"),
+            col("n_changed"))
+      },
+      Some(s"""WITH $duckUniCtes,
+        cused AS (
+          SELECT s.p AS p, CAST(SUM(u.freq) AS BIGINT) AS u
+          FROM useg u, UNNEST(u.seg) AS s(p) GROUP BY 1),
+        ekept AS (
+          SELECT v.p,
+            CASE WHEN length(v.p) = 1 THEN greatest(COALESCE(uu.u, 0), 1)
+              ELSE COALESCE(uu.u, 0) END AS u2
+          FROM uvocab v LEFT JOIN cused uu ON uu.p = v.p
+          WHERE COALESCE(uu.u, 0) > 0 OR length(v.p) = 1),
+        etot AS (SELECT CAST(SUM(u2) AS BIGINT) AS vt FROM ekept),
+        evocab AS (
+          SELECT p, u2 AS cnt, ${sln("u2")} - ${sln("vt")} AS score
+          FROM ekept, etot),
+        ${duckUniChain("e", "evocab")},
+        emj AS (
+          SELECT u1.w, u1.freq, u1.seg AS seg1, u1.ll AS ll1,
+            e1.seg AS seg2, e1.ll AS ll2
+          FROM useg u1 JOIN eseg e1 ON e1.w = u1.w),
+        vsz AS (
+          SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM uvocab) AS n_vocab1,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM evocab) AS n_vocab2)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+          CAST(SUM(freq) AS BIGINT) AS occurrences,
+          vsz.n_vocab1, vsz.n_vocab2,
+          CAST(SUM(freq * ll1) AS BIGINT) AS ll1_sum,
+          CAST(SUM(freq * ll2) AS BIGINT) AS ll2_sum,
+          CAST(SUM(freq * ll2) - SUM(freq * ll1) AS BIGINT) AS gain,
+          CAST(SUM(CASE WHEN seg1 <> seg2 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+        FROM emj, vsz GROUP BY vsz.n_vocab1, vsz.n_vocab2""")),
 
     // ---- WordPiece (BERT-family) greedy segmentation: the MaxMatch
     // sibling of p66's Viterbi, under a position-classed lexicon
