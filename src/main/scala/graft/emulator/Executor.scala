@@ -723,7 +723,13 @@ final class Executor(
     "PHRASE_BM25" -> "p29b_bm25_phrase",
     "WORDPIECE_SEGMENTS" -> "p67_wordpiece_segments",
     "WORDPIECE_FERTILITY" -> "p67b_wordpiece_fertility",
-    "JL_DISTORTION" -> "p68_jl_distortion")
+    "JL_DISTORTION" -> "p68_jl_distortion",
+    "JL_RECALL" -> "p68b_jl_recall",
+    "CHUNK_BM25_MANY" -> "p60b_chunk_bm25_many",
+    "RRF_MANY" -> "p65b_rrf_many",
+    "TOKENIZER_COMPARE" -> "p69_tokenizer_compare",
+    "SEQ_PACK_WP" -> "p23b_seq_pack_wp",
+    "UNIGRAM_EM" -> "p66c_unigram_em")
 
   /** Match only the OPENING of a pipeline table-function call; the
     * argument span is found by a quote-aware paren scan (a ')' inside a

@@ -2166,7 +2166,7 @@ object Pipeline {
   /** One phrase's tf over a token array, Spark dialect: count of start
     * positions where every word matches consecutively. The guard keeps
     * `sequence` ascending (Spark's sequence(1, 0) would DESCEND). */
-  private def phraseTfSql(arr: String, ws: Seq[String]): String =
+  private[graft] def phraseTfSql(arr: String, ws: Seq[String]): String =
     if (ws.size == 1)
       s"CAST(size(filter($arr, x -> x = '${ws.head}')) AS DOUBLE)"
     else {

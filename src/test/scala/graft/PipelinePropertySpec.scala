@@ -92,6 +92,51 @@ class PipelinePropertySpec extends SparkSpecBase {
     })
   }
 
+  test("phrase tf equals a naive sliding count on random token arrays") {
+    import spark.implicits._
+    val tok: Gen[String] = Gen.oneOf("a", "b", "c", "ab")
+    val arrGen: Gen[List[String]] = Gen.choose(0, 30).flatMap(Gen.listOfN(_, tok))
+    val phraseGen: Gen[List[String]] = Gen.choose(2, 3).flatMap(Gen.listOfN(_, tok))
+    check(Prop.forAll(Gen.zip(Gen.listOfN(8, arrGen), phraseGen)) {
+      case (arrs, ws) =>
+        val df = arrs.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+          .toDF("id", "arr")
+          .withColumn("tf", expr(queries.Pipeline.phraseTfSql("arr", ws)))
+        val got = df.select(col("id"), col("tf")).collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        arrs.zipWithIndex.forall { case (a, i) =>
+          val naive = (0 to a.length - ws.length)
+            .count(p => ws.indices.forall(k => a(p + k) == ws(k)))
+          got(i.toLong) == naive.toDouble
+        }
+    })
+  }
+
+  test("JL projection equals the plain-Scala matrix fold at any vector length") {
+    import spark.implicits._
+    val signs = (0 until 16).map(j => (0 until 64).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jl_${i}_$j".getBytes("UTF-8"))
+      if ((h(0) & 0x80) == 0) 1.0 else -1.0
+    })
+    // lengths 1..70 exercise the least(64, size) clamp in both directions
+    val vecGen: Gen[List[Float]] = Gen.choose(1, 70)
+      .flatMap(Gen.listOfN(_, Gen.choose(-2.0f, 2.0f)))
+    check(Prop.forAll(Gen.listOfN(6, vecGen)) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "embedding")
+        .withColumn("pv", expr(queries.Pipeline.jlProjectSql("embedding")))
+      val got = df.select(col("id"), col("pv")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      vecs.zipWithIndex.forall { case (v, i) =>
+        val exp = (0 until 16).map(j =>
+          (0 until math.min(64, v.size)).foldLeft(0.0)((acc, k) =>
+            acc + v(k).toDouble * signs(j)(k)) / 4.0)
+        got(i.toLong) == exp
+      }
+    })
+  }
+
   test("sln-scaled log sums are accumulation-order-invariant by construction") {
     // the invariant every selection entry's correctness rests on: scaled
     // BIGINT summands commute exactly (no float accumulation anywhere)

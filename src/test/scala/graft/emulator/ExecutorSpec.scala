@@ -1456,6 +1456,9 @@ class ExecutorSpec extends AnyFunSuite {
     assert(other.nonEmpty && other.map(_.head) != wire.map(_._1))
     // hostile tokens are dropped by the whitelist, never spliced: the
     // query degrades to its sane terms instead of reaching the engine
+    // (fixture is self-created so the test also runs standalone)
+    exec("CREATE TABLE IF NOT EXISTS users (id INTEGER)")
+    exec("INSERT INTO users VALUES (999001)")
     val safe = exec(
       s"SELECT COUNT(*) AS n FROM TABLE(BM25_SEARCH('spark '')); DROP TABLE users; --', '$dir'))")
     assert(safe.rows.head.head.toString.toLong > 0L)
