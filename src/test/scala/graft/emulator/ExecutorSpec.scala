@@ -1456,9 +1456,13 @@ class ExecutorSpec extends AnyFunSuite {
     assert(other.nonEmpty && other.map(_.head) != wire.map(_._1))
     // hostile tokens are dropped by the whitelist, never spliced: the
     // query degrades to its sane terms instead of reaching the engine
-    // (fixture is self-created so the test also runs standalone)
-    exec("CREATE TABLE IF NOT EXISTS users (id INTEGER)")
-    exec("INSERT INTO users VALUES (999001)")
+    // (fixture is self-created only when absent, so the test runs
+    // standalone without touching the suite's richer users table)
+    val usersCount = scala.util.Try(
+      exec("SELECT COUNT(*) AS n FROM users").rows.head.head.toString.toLong)
+      .getOrElse(-1L)
+    if (usersCount < 0L) exec("CREATE TABLE users (id INTEGER)")
+    if (usersCount <= 0L) exec("INSERT INTO users VALUES (999001)")
     val safe = exec(
       s"SELECT COUNT(*) AS n FROM TABLE(BM25_SEARCH('spark '')); DROP TABLE users; --', '$dir'))")
     assert(safe.rows.head.head.toString.toLong > 0L)
