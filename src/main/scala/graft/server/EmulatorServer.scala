@@ -281,7 +281,19 @@ final class EmulatorServer(
     val spark = executor.catalog.spark
     statements.markRunning(st,
       () => spark.sparkContext.cancelJobGroup(st.handle))
-    val ctx = Executor.Context(st.handle, db, schema)
+    // Session affinity (beyond parity — the reference's v2 handler
+    // tracks no sessions): the real Snowflake SQL API carries the
+    // session token in Authorization, and when a VALID one rides the
+    // request the statement executes under that v1 session's state —
+    // ALTER SESSION parameters (GRAFT_BM25_K, GRAFT_PIPELINE_DIR,
+    // QUERY_TAG), variables and transactions persist across v2 calls.
+    // Tokenless requests keep the per-statement context and its
+    // end-of-request state release, byte-identical to before.
+    val boundSession = tokenOf(exchange).flatMap(sessions.validate)
+    val ctx = boundSession match {
+      case Some(sess) => Executor.Context(sess.token, db, schema)
+      case None => Executor.Context(st.handle, db, schema)
+    }
     try {
       spark.sparkContext.setJobGroup(st.handle, statement,
         interruptOnCancel = true)
@@ -298,10 +310,12 @@ final class EmulatorServer(
         respond(exchange, 200, statementResponse(st, None, Some(e)))
     } finally {
       spark.sparkContext.clearJobGroup()
-      // the handle IS the request's session id and never recurs: free any
-      // state the statement created under it (a lone BEGIN's Txn, SET
-      // vars) — same end-of-batch contract as the multi-statement path
-      executor.releaseSessionState(st.handle)
+      // tokenless: the handle IS the request's session id and never
+      // recurs — free any state the statement created under it (a lone
+      // BEGIN's Txn, SET vars), same end-of-batch contract as the
+      // multi-statement path. Token-bound state belongs to the v1
+      // session and is released when THAT session closes.
+      if (boundSession.isEmpty) executor.releaseSessionState(st.handle)
     }
   }
 

@@ -464,6 +464,16 @@ class EmulatorServerSpec extends AnyFunSuite {
       s"""{"statement":"$esc","database":"TEST_DB","schema":"PUBLIC"}""")._2
   }
 
+  /** v2 with session affinity: the v1 session token rides Authorization
+    * (the real SQL API's convention), binding the statement to that
+    * session's ALTER SESSION state. */
+  private def v2As(tok: String, sql: String) = {
+    val esc = sql.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ")
+    post("/api/v2/statements",
+      s"""{"statement":"$esc","database":"TEST_DB","schema":"PUBLIC"}""",
+      Seq("Authorization" -> s"""Snowflake Token="$tok""""))._2
+  }
+
   test("REST v2 e2e: stream delta and DML consumption over the wire") {
     assert(v2("CREATE TABLE v2s_src (id INTEGER, v VARCHAR(10))")
       .get("code").asText() == "090001")
@@ -672,5 +682,23 @@ class EmulatorServerSpec extends AnyFunSuite {
     val jl = v2(s"SELECT COUNT(*) AS n FROM TABLE(JL_DISTORTION('$dir')) WHERE ratio_r IS NOT NULL")
     assert(jl.get("code").asText() == "090001", jl.toString)
     assert(jl.get("data").get(0).get(0).asLong() > 0L, jl.toString)
+  }
+
+  test("REST v2 session affinity: ALTER SESSION dials stick across token-bound calls") {
+    val dir = "/root/testdata/sf0.001"
+    // the v1 session token binds separate v2 calls to ONE session
+    val a = v2As(token, "ALTER SESSION SET GRAFT_BM25_K = 3")
+    assert(a.get("code").asText() == "090001", a.toString)
+    try {
+      val bound = v2As(token,
+        s"SELECT COUNT(*) AS n FROM TABLE(BM25_SEARCH('table', '$dir'))")
+      assert(bound.get("code").asText() == "090001", bound.toString)
+      assert(bound.get("data").get(0).get(0).asLong() == 3L, bound.toString)
+      // a TOKENLESS call keeps its own fresh per-statement session:
+      // the dial does not leak, default k=50 applies
+      val loose = v2(
+        s"SELECT COUNT(*) AS n FROM TABLE(BM25_SEARCH('table', '$dir'))")
+      assert(loose.get("data").get(0).get(0).asLong() == 50L, loose.toString)
+    } finally v2As(token, "ALTER SESSION UNSET GRAFT_BM25_K")
   }
 }
