@@ -2010,7 +2010,43 @@ object Pipeline {
     * clamped [0, 16] (the 64-bit fingerprint's useful range). */
   private[graft] def imageHamming: Int =
     sys.props.get("graft.imageHamming")
-      .map(v => math.min(16, math.max(0, v.toInt))).getOrElse(6)
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .map(v => math.min(16, math.max(0, v))).getOrElse(6)
+
+  /** The p63b plan with EXPLICIT dials — the QDef passes the parsed
+    * [[imageBands]]/[[imageHamming]] values; tests pass alternatives
+    * directly so dial coverage needs no global sys.props mutation
+    * (which would race against concurrently-building suites). */
+  private[graft] def imageNearDupPlan(s: SparkSession, dir: String,
+      nb: Int, ham: Int): DataFrame = {
+    val width = 64 / nb
+    val mask = (1L << width) - 1; val perHalf = nb / 2
+    val h = graft.operators.Multimodal.imageDHash(
+      docs(s, dir).select(col("doc_id").as("media_id"),
+        col("text").cast("binary").as("payload")))
+    val bandStructs = (0 until nb).map { b =>
+      val half = if (b < perHalf) col("dh_hi") else col("dh_lo")
+      val shift = 32 - ((b % perHalf) + 1) * width
+      struct(lit(b).as("band"),
+        shiftrightunsigned(half, shift).bitwiseAND(lit(mask)).as("chunk"))
+    }
+    val banded = h.select(col("media_id"), col("dh_hi"), col("dh_lo"),
+      explode(array(bandStructs: _*)).as("bk"))
+      .select(col("media_id"), col("dh_hi"), col("dh_lo"),
+        col("bk.band"), col("bk.chunk"))
+    banded.select(col("media_id").as("a_id"), col("dh_hi").as("ha"),
+        col("dh_lo").as("la"), col("band"), col("chunk"))
+      .join(banded.select(col("media_id").as("b_id"), col("dh_hi").as("hb"),
+        col("dh_lo").as("lb"), col("band"), col("chunk")),
+        Seq("band", "chunk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+          bit_count(col("la").bitwiseXOR(col("lb")))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= ham)
+      .orderBy(col("a_id"), col("b_id"))
+  }
 
   /** The oracle's band-collision disjunction, generated from the SAME
     * [[imageBands]] dial as the Spark plan's band structs. */
@@ -2055,11 +2091,16 @@ object Pipeline {
   /** The projection kernel, Spark dialect — shared VERBATIM by batch
     * p68 and the streaming `jlProjectStream` (stream/batch outputs are
     * definitionally identical). */
+  /** The 1/√k JL scale, rendered as one Scala double so both engines'
+    * generated text tracks [[jlOutDim]] (4.0 at the default k=16). */
+  private[graft] def jlScaleDiv: String =
+    math.sqrt(jlOutDim.toDouble).toString
+
   private[graft] def jlProjectSql(c: String): String =
     s"""transform(sequence(1, $jlOutDim), j ->
        |  aggregate(sequence(1, least($jlInDim, size($c))), 0D,
        |    (acc, i) -> acc + CAST(element_at($c, i) AS DOUBLE)
-       |      * element_at(element_at($jlSignsSparkLit, j), i)) / 4.0)""".stripMargin
+       |      * element_at(element_at($jlSignsSparkLit, j), i)) / $jlScaleDiv)""".stripMargin
 
   /** p29's query terms — fixed vocabulary of the synthetic corpus with a
     * spread of document frequencies (rare -> common). Declared BEFORE
@@ -2092,12 +2133,16 @@ object Pipeline {
     * selection compares the same doubles DuckDB's recursive-CTE replay
     * compares. The empty-remainder case needs no guard: `slice(..,1,1)`
     * of an empty array is empty and `concat` a no-op. */
-  private def mmrGreedySql(cands: String, k: Int): String = {
+  private[graft] def mmrGreedySql(cands: String, k: Int): String = {
     val bySel = "(l, r) -> CASE WHEN l.score_r > r.score_r THEN -1" +
       " WHEN l.score_r < r.score_r THEN 1 WHEN l.doc_id < r.doc_id THEN -1 ELSE 1 END"
     val byM = "(l, r) -> CASE WHEN l.m > r.m THEN -1" +
       " WHEN l.m < r.m THEN 1 WHEN l.doc_id < r.doc_id THEN -1 ELSE 1 END"
     val srt = s"array_sort($cands, $bySel)"
+    // k is a generation-time constant; sequence(2, k) DESCENDS for k=1
+    // ([2,1] — two spurious greedy steps), so the k<=1 case short-circuits
+    // to the seed alone instead of ever rendering that sequence.
+    if (k <= 1) return s"slice($srt, 1, 1)"
     s"""aggregate(
        |  sequence(2, $k),
        |  slice($srt, 1, 1),
@@ -3791,35 +3836,7 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
     // same-band buckets, and only (id, hash) integers ever shuffle.
     // Oracle: the n² self-join with the SAME band-collision semantics. --
     QDef("p63b_image_neardup",
-      (s, dir) => {
-        val nb = imageBands; val width = 64 / nb
-        val mask = (1L << width) - 1; val perHalf = nb / 2
-        val h = graft.operators.Multimodal.imageDHash(
-          docs(s, dir).select(col("doc_id").as("media_id"),
-            col("text").cast("binary").as("payload")))
-        val bandStructs = (0 until nb).map { b =>
-          val half = if (b < perHalf) col("dh_hi") else col("dh_lo")
-          val shift = 32 - ((b % perHalf) + 1) * width
-          struct(lit(b).as("band"),
-            shiftrightunsigned(half, shift).bitwiseAND(lit(mask)).as("chunk"))
-        }
-        val banded = h.select(col("media_id"), col("dh_hi"), col("dh_lo"),
-          explode(array(bandStructs: _*)).as("bk"))
-          .select(col("media_id"), col("dh_hi"), col("dh_lo"),
-            col("bk.band"), col("bk.chunk"))
-        banded.select(col("media_id").as("a_id"), col("dh_hi").as("ha"),
-            col("dh_lo").as("la"), col("band"), col("chunk"))
-          .join(banded.select(col("media_id").as("b_id"), col("dh_hi").as("hb"),
-            col("dh_lo").as("lb"), col("band"), col("chunk")),
-            Seq("band", "chunk"))
-          .filter(col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id"),
-            (bit_count(col("ha").bitwiseXOR(col("hb"))) +
-              bit_count(col("la").bitwiseXOR(col("lb")))).as("hamming"))
-          .distinct()
-          .filter(col("hamming") <= imageHamming)
-          .orderBy(col("a_id"), col("b_id"))
-      },
+      (s, dir) => imageNearDupPlan(s, dir, imageBands, imageHamming),
       Some(s"""WITH hx AS (
           SELECT doc_id, hex(encode(text)) AS h,
             COALESCE(octet_length(encode(text)), 0) AS nb
@@ -5063,7 +5080,7 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
       Some(s"""WITH pe AS (
           SELECT vec_id,
             [list_sum([CAST(embedding[i] AS DOUBLE) * $jlSignsDuckLit[j][i]
-                FOR i IN range(1, least($jlInDim, len(embedding)) + 1)]) / 4.0
+                FOR i IN range(1, least($jlInDim, len(embedding)) + 1)]) / $jlScaleDiv
               FOR j IN range(1, ${jlOutDim + 1})] AS pv,
             embedding
           FROM embeddings
@@ -5123,7 +5140,7 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
       Some(s"""WITH pe AS (
           SELECT vec_id,
             [list_sum([CAST(embedding[i] AS DOUBLE) * $jlSignsDuckLit[j][i]
-                FOR i IN range(1, least($jlInDim, len(embedding)) + 1)]) / 4.0
+                FOR i IN range(1, least($jlInDim, len(embedding)) + 1)]) / $jlScaleDiv
               FOR j IN range(1, ${jlOutDim + 1})] AS pv
           FROM embeddings),
         psims AS (

@@ -249,8 +249,20 @@ final class EmulatorServer(
       })
       return
     }
-    val db = textOf(body, "database").getOrElse("TEST_DB")
-    val schema = textOf(body, "schema").getOrElse("PUBLIC")
+    // Session affinity (beyond parity — the reference's v2 handler
+    // tracks no sessions): the real Snowflake SQL API carries the
+    // session token in Authorization, and when a VALID one rides the
+    // request the statement executes under that v1 session's state —
+    // ALTER SESSION parameters (GRAFT_BM25_K, GRAFT_PIPELINE_DIR,
+    // QUERY_TAG), variables, transactions AND the session's current
+    // database/schema persist across v2 calls (an explicit
+    // database/schema in the request body still wins for that call).
+    // Tokenless requests keep the per-statement contract unchanged.
+    val boundSession = tokenOf(exchange).flatMap(sessions.validate)
+    val db = textOf(body, "database")
+      .orElse(boundSession.map(_.database)).getOrElse("TEST_DB")
+    val schema = textOf(body, "schema")
+      .orElse(boundSession.map(_.schema)).getOrElse("PUBLIC")
     executor.catalog.createDatabase(db)
     val bindings = parseBindings(body.get("bindings"))
     // MULTI_STATEMENT_COUNT (Snowflake SQL API): absent => exactly one
@@ -276,22 +288,18 @@ final class EmulatorServer(
       })
       return
     }
-    if (parts.size > 1) { submitMultiStatement(exchange, parts, db, schema, bindings); return }
+    if (parts.size > 1) {
+      submitMultiStatement(exchange, parts, db, schema, bindings,
+        boundSession.map(_.token))
+      return
+    }
     val st = statements.create(statement)
     val spark = executor.catalog.spark
     statements.markRunning(st,
       () => spark.sparkContext.cancelJobGroup(st.handle))
-    // Session affinity (beyond parity — the reference's v2 handler
-    // tracks no sessions): the real Snowflake SQL API carries the
-    // session token in Authorization, and when a VALID one rides the
-    // request the statement executes under that v1 session's state —
-    // ALTER SESSION parameters (GRAFT_BM25_K, GRAFT_PIPELINE_DIR,
-    // QUERY_TAG), variables and transactions persist across v2 calls.
-    // Tokenless requests keep the per-statement context and its
-    // end-of-request state release, byte-identical to before.
-    val boundSession = tokenOf(exchange).flatMap(sessions.validate)
     val ctx = boundSession match {
-      case Some(sess) => Executor.Context(sess.token, db, schema)
+      case Some(sess) => Executor.Context(sess.token, db, schema,
+        onUse = Some((d, s) => { sessions.use(sess.token, d, s); () }))
       case None => Executor.Context(st.handle, db, schema)
     }
     try {
@@ -329,9 +337,16 @@ final class EmulatorServer(
     * the children in order. */
   private def submitMultiStatement(exchange: HttpExchange,
       parts: Seq[String], db: String, schema: String,
-      bindings: Map[String, Bindings.Binding]): Unit = {
+      bindings: Map[String, Bindings.Binding],
+      boundToken: Option[String] = None): Unit = {
     val parent = statements.create(parts.mkString("; "))
     val spark = executor.catalog.spark
+    // Token-bound batches (session affinity, see submitStatement) run
+    // every sub-statement under the v1 session's identity: ALTER SESSION
+    // dials, variables and open transactions persist on that session
+    // after the batch, and USE writes back to it. Tokenless batches keep
+    // the batch-is-the-session contract byte-identical to before.
+    val sessionId = boundToken.getOrElse(parent.handle)
     var curDb = db; var curSchema = schema
     val done = scala.collection.mutable.ArrayBuffer[String]()
     var failure: Option[SnowflakeError] = None
@@ -340,8 +355,11 @@ final class EmulatorServer(
       val child = statements.create(sub)
       statements.markRunning(child,
         () => spark.sparkContext.cancelJobGroup(child.handle))
-      val ctx = Executor.Context(parent.handle, curDb, curSchema,
-        onUse = Some((d, s) => { d.foreach(curDb = _); s.foreach(curSchema = _) }))
+      val ctx = Executor.Context(sessionId, curDb, curSchema,
+        onUse = Some((d, s) => {
+          d.foreach(curDb = _); s.foreach(curSchema = _)
+          boundToken.foreach(t => { sessions.use(t, d, s); () })
+        }))
       try {
         spark.sparkContext.setJobGroup(child.handle, sub, interruptOnCancel = true)
         val r = executor.execute(ctx, sub, bindings, queryId0 = Some(child.handle))
@@ -357,13 +375,15 @@ final class EmulatorServer(
           failure = Some(e)
       } finally spark.sparkContext.clearJobGroup()
     }
-    // The batch IS the session (its identity is the parent handle, which
-    // never recurs): a transaction left open — by a mid-batch failure
-    // aborting before COMMIT, or by a batch that simply never commits —
-    // rolls back now, exactly Snowflake's end-of-session contract. This
-    // also frees the batch's session variables and the txn snapshot dirs
-    // instead of leaking them under an unreachable id.
-    executor.releaseSessionState(parent.handle)
+    // Tokenless: the batch IS the session (its identity is the parent
+    // handle, which never recurs): a transaction left open — by a
+    // mid-batch failure aborting before COMMIT, or by a batch that simply
+    // never commits — rolls back now, exactly Snowflake's end-of-session
+    // contract. This also frees the batch's session variables and the txn
+    // snapshot dirs instead of leaking them under an unreachable id.
+    // Token-bound: the state belongs to the v1 session and is released
+    // when THAT session closes.
+    if (boundToken.isEmpty) executor.releaseSessionState(parent.handle)
     val resp = failure match {
       case Some(e) =>
         statements.fail(parent, e)

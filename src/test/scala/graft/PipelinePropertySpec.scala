@@ -150,4 +150,21 @@ class PipelinePropertySpec extends SparkSpecBase {
         terms.grouped(7).map(_.sum).sum == terms.sum
     }, cases = 50)
   }
+
+  test("mmrGreedySql k=1 short-circuits to the seed (no descending sequence)") {
+    // sequence(2, 1) DESCENDS ([2, 1]) — the k=1 guard must never render
+    // it; the result is exactly the top-relevance candidate
+    val cands = "array(" +
+      "named_struct('doc_id', CAST(2 AS BIGINT), 'score_r', 0.5D, 'v', array(1.0D, 0.0D))," +
+      "named_struct('doc_id', CAST(1 AS BIGINT), 'score_r', 0.9D, 'v', array(0.5D, 0.5D)))"
+    val sel = spark.sql(
+      s"SELECT ${queries.Pipeline.mmrGreedySql(cands, 1)} AS sel")
+      .selectExpr("size(sel) AS n", "sel[0].doc_id AS d").collect()(0)
+    assert(sel.getInt(0) == 1 && sel.getLong(1) == 1L, sel.toString)
+    // and k=2 over the same candidates selects both, seed first
+    val two = spark.sql(
+      s"SELECT ${queries.Pipeline.mmrGreedySql(cands, 2)} AS sel")
+      .selectExpr("transform(sel, s -> s.doc_id) AS ds").collect()(0)
+    assert(two.getSeq[Long](0) == Seq(1L, 2L), two.toString)
+  }
 }

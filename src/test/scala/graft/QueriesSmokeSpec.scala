@@ -24,24 +24,27 @@ class QueriesSmokeSpec extends SparkSpecBase {
   }
 
   test("p63b band/hamming dials are live, clamped, and monotone") {
-    def pairs(): Long =
-      SparkEntry.queries("p63b_image_neardup")(spark, sf0001).count()
+    // explicit-dial plans: no sys.props mutation, so concurrently
+    // running suites can never observe a temporary dial value
+    def pairs(nb: Int = 4, ham: Int = 6): Long =
+      queries.Pipeline.imageNearDupPlan(spark, sf0001, nb, ham).count()
     val base = pairs()
+    // the QDef default must BE the explicit-default plan
+    assert(SparkEntry.queries("p63b_image_neardup")(spark, sf0001).count() == base)
+    // hamming 0 keeps only identical fingerprints: never more pairs
+    assert(pairs(ham = 0) <= base)
+    // narrower bands (8 x 8-bit) admit MORE candidate collisions;
+    // wider bands (2 x 32-bit) admit fewer — monotone around default 4
+    val loose = pairs(nb = 8)
+    val tight = pairs(nb = 2)
+    assert(tight <= base && base <= loose, s"$tight <= $base <= $loose")
+    // dial parsing clamps: invalid values fall back to the defaults (safe
+    // to set here — an observer parsing mid-test reads the default value)
     try {
-      // hamming 0 keeps only identical fingerprints: never more pairs
-      sys.props("graft.imageHamming") = "0"
-      assert(pairs() <= base)
-      sys.props.remove("graft.imageHamming")
-      // narrower bands (8 x 8-bit) admit MORE candidate collisions;
-      // wider bands (2 x 32-bit) admit fewer — monotone around default 4
-      sys.props("graft.imageBands") = "8"
-      val loose = pairs()
-      sys.props("graft.imageBands") = "2"
-      val tight = pairs()
-      assert(tight <= base && base <= loose, s"$tight <= $base <= $loose")
-      // an invalid band count falls back to the default
       sys.props("graft.imageBands") = "7"
-      assert(pairs() == base)
+      sys.props("graft.imageHamming") = "not-a-number"
+      assert(queries.Pipeline.imageBands == 4)
+      assert(queries.Pipeline.imageHamming == 6)
     } finally {
       sys.props.remove("graft.imageHamming")
       sys.props.remove("graft.imageBands")

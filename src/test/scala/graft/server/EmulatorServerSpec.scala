@@ -701,4 +701,41 @@ class EmulatorServerSpec extends AnyFunSuite {
       assert(loose.get("data").get(0).get(0).asLong() == 50L, loose.toString)
     } finally v2As(token, "ALTER SESSION UNSET GRAFT_BM25_K")
   }
+
+  test("REST v2 session affinity: USE persists and db/schema default from the session") {
+    // a v2 body WITHOUT database/schema: bound requests resolve from the
+    // session's current context; USE DATABASE writes back to the session
+    def v2Bare(tok: Option[String], sql: String) = {
+      val esc = sql.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ")
+      post("/api/v2/statements", s"""{"statement":"$esc"}""",
+        tok.toSeq.map(t => "Authorization" -> s"""Snowflake Token="$t""""))._2
+    }
+    val (_, login) = post(
+      "/session/v1/login-request?databaseName=TEST_DB&schemaName=PUBLIC",
+      """{"data":{"LOGIN_NAME":"v2use","PASSWORD":"p"}}""")
+    val t = login.get("data").get("token").asText()
+    val mk = v2Bare(Some(t), "CREATE DATABASE IF NOT EXISTS v2use_db")
+    assert(mk.get("code").asText() == "090001", mk.toString)
+    val use = v2Bare(Some(t), "USE DATABASE v2use_db")
+    assert(use.get("code").asText() == "090001", use.toString)
+    // the NEXT bound call, with no database in the body, lands in v2use_db
+    val mkT = v2Bare(Some(t), "CREATE TABLE aff_t (id INTEGER)")
+    assert(mkT.get("code").asText() == "090001", mkT.toString)
+    val probe = v2Bare(Some(t),
+      "SELECT COUNT(*) AS n FROM v2use_db.public.aff_t")
+    assert(probe.get("code").asText() == "090001", probe.toString)
+    // a tokenless bare call still defaults to TEST_DB: aff_t is not there
+    val miss = v2Bare(None, "SELECT COUNT(*) AS n FROM aff_t")
+    assert(miss.get("message").asText().toLowerCase.contains("not"), miss.toString)
+    // bound MULTI-statement batches share the same affinity: USE inside
+    // the batch persists to the session after it
+    val esc = "USE DATABASE TEST_DB; SELECT 1 AS one"
+    val multi = post("/api/v2/statements",
+      s"""{"statement":"$esc","parameters":{"MULTI_STATEMENT_COUNT":"0"}}""",
+      Seq("Authorization" -> s"""Snowflake Token="$t""""))._2
+    assert(multi.get("statementHandles").size() == 2, multi.toString)
+    val back = v2Bare(Some(t), "SELECT COUNT(*) AS n FROM aff_t")
+    assert(back.get("message").asText().toLowerCase.contains("not"), back.toString)
+    v2Bare(Some(t), "DROP DATABASE v2use_db")
+  }
 }
