@@ -6826,6 +6826,84 @@ ${duckResidualAdcCtes("y", "v")},
           round((CAST(pa AS DOUBLE)/spa)/(CAST(n AS DOUBLE)/nt), 6) AS boost_r
         FROM sp ORDER BY lang""")),
 
+    // ---- ONLINE domain reweighting (p70): the Hedge / multiplicative-
+    // weights trajectory (Freund & Schapire 1997; the linear-update MWU
+    // form of Arora-Hazan-Kale 2012, §2) over per-domain LM losses —
+    // the update rule DoReMi (Xie et al. 2023) runs with a training
+    // proxy, here driven by the staged bigram LM so the whole
+    // trajectory is declarative. Rounds are event-order corpus shards
+    // (doc_id mod 6): each round t scores every domain by its shard's
+    // mean bigram NLL, normalized per-mille against the round's worst
+    // domain, and updates w <- w * (S - eta*m) / S in EXACT BIGINT
+    // arithmetic (S = 1e6, eta = 300 per-mille = 0.3; the p55 LR
+    // discipline — every division is integer floor, so the trajectory
+    // is bit-reproducible in any engine). A domain absent from a shard
+    // is charged the round's max loss (absence is evidence of nothing,
+    // Hedge charges the pessimistic bound). Weights normalize only at
+    // readout: a BIGINT window sum per round, order-independent.
+    // 100 TB shape: the corpus-scaled work is lmDocNll's broadcast-join
+    // scoring front + one slim (shard, source) aggregation; the
+    // trajectory itself folds a 6-element factor list per domain —
+    // dial-bounded rows from there on. --------------------------------
+    QDef("p70_hedge_mix",
+      (s, dir) => {
+        val T = 6
+        val perDoc = lmDocNll(s, dir)
+          .select(col("doc_id"), col("nll_sum"), col("n_bigrams"))
+        val rt = perDoc
+          .join(docs(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+          .groupBy(expr("doc_id % 6").as("shard"), col("source"))
+          .agg(sum(col("nll_sum")).as("sn"), sum(col("n_bigrams")).as("sb"))
+          .select(col("shard"), col("source"), expr("sn DIV sb").as("L"))
+        val mx = rt.groupBy(col("shard")).agg(max(col("L")).as("lmax"))
+        val sources = docs(s, dir).select(col("source")).distinct()
+        val pm = mx.crossJoin(sources)
+          .join(rt, Seq("shard", "source"), "left")
+          .select(col("shard"), col("source"),
+            expr("(coalesce(L, lmax) * 1000) DIV greatest(lmax, CAST(1 AS BIGINT))")
+              .as("m_pm"))
+        val fl = pm.groupBy(col("source"))
+          .agg(sort_array(collect_list(struct(col("shard"),
+            (lit(1000000L) - lit(300L) * col("m_pm")).as("f")))).as("tf"))
+          .select(col("source"), expr("transform(tf, x -> x.f)").as("fs"))
+        val tw = fl
+          .select(col("source"), col("fs"), explode(expr(s"sequence(1, $T)")).as("t"))
+          .select(col("source"), col("t"),
+            expr("""aggregate(slice(fs, 1, t), CAST(1000000000000 AS BIGINT),
+                    (a, b) -> (a * b) DIV 1000000)""").as("w"))
+        tw.join(pm.select((col("shard") + 1).cast("int").as("t"),
+            col("source"), col("m_pm")), Seq("t", "source"))
+          .withColumn("sw", sum(col("w")).over(Window.partitionBy(col("t"))))
+          .select(col("t"), col("source"), col("m_pm"), col("w"),
+            round(col("w").cast("double") / col("sw"), 6).as("weight_r"))
+          .orderBy(col("t"), col("source"))
+      },
+      Some(s"""WITH $duckLmScoreCtes,
+        dl AS (SELECT ds.doc_id % 6 AS shard, d.source, ds.nll_sum, ds.n_bigrams
+          FROM ds JOIN documents d ON ds.doc_id = d.doc_id),
+        rt AS (SELECT shard, source,
+            CAST(SUM(nll_sum) // SUM(n_bigrams) AS BIGINT) AS L
+          FROM dl GROUP BY 1, 2),
+        mxx AS (SELECT shard, MAX(L) AS lmax FROM rt GROUP BY 1),
+        srcs AS (SELECT DISTINCT source FROM documents),
+        pm AS (SELECT m.shard, s.source,
+            CAST((COALESCE(rt.L, m.lmax) * 1000) // GREATEST(m.lmax, 1) AS BIGINT) AS m_pm
+          FROM mxx m CROSS JOIN srcs s
+          LEFT JOIN rt ON rt.shard = m.shard AND rt.source = s.source),
+        fl AS (SELECT source, list(1000000 - 300 * m_pm ORDER BY shard) AS fs
+          FROM pm GROUP BY source),
+        tw AS (SELECT f.source, CAST(t.t AS INTEGER) AS t,
+            CAST(list_reduce(
+              list_prepend(CAST(1000000000000 AS BIGINT), f.fs[1:CAST(t.t AS INTEGER)]),
+              (a, b) -> (a * b) // 1000000) AS BIGINT) AS w
+          FROM fl f CROSS JOIN range(1, 7) t(t)),
+        nt AS (SELECT t, SUM(w) AS sw FROM tw GROUP BY t)
+        SELECT tw.t, tw.source, pm.m_pm, tw.w,
+          round(CAST(tw.w AS DOUBLE) / nt.sw, 6) AS weight_r
+        FROM tw JOIN nt ON nt.t = tw.t
+        JOIN pm ON pm.shard = tw.t - 1 AND pm.source = tw.source
+        ORDER BY tw.t, tw.source""")),
+
     // ---- n-gram NOVELTY profile (p57): per document, the fraction of
     // its distinct 3-shingles whose FIRST corpus occurrence (min doc_id)
     // is this document — the memorization-analysis view of a corpus

@@ -451,4 +451,53 @@ class SelectionFamilySpec extends SparkSpecBase {
       assert(got(n) == t, s"bucket $n: ${got(n)} vs $t")
     }
   }
+
+  test("p70: the Hedge trajectory equals the plain-Scala MWU re-derivation") {
+    val (c2, c1, v) = lm
+    val srcOf = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perDoc = corpus.flatMap { case (id, text, _) =>
+      val bs = bigrams(text)
+      if (bs.isEmpty) None
+      else Some((id, srcOf(id),
+        bs.map(b => sln(c1.getOrElse(b._1, 0L) + v) -
+          sln(c2.getOrElse(b, 0L) + 1L)).sum,
+        bs.length.toLong))
+    }
+    // per-(shard, source) floor-div mean loss, per-round per-mille vs max
+    val rt = perDoc.groupBy(d => (d._1 % 6, d._2)).map { case (k, ds) =>
+      k -> ds.map(_._3).sum / ds.map(_._4).sum
+    }
+    val shards = rt.keys.map(_._1).toSeq.distinct.sorted
+    val lmax = shards.map(t => t -> rt.collect {
+      case ((`t`, _), l) => l }.max).toMap
+    val sources = srcOf.values.toSeq.distinct.sorted
+    val mpm = (for { t <- shards; s0 <- sources } yield
+      (t, s0) -> rt.getOrElse((t, s0), lmax(t)) * 1000L /
+        math.max(lmax(t), 1L)).toMap
+    // the exact-integer MWU fold, one prefix per round
+    val wMap = sources.map { s0 =>
+      val fs = shards.map(t => 1000000L - 300L * mpm((t, s0)))
+      s0 -> (1 to 6).map(t =>
+        fs.take(t).foldLeft(1000000000000L)((a, b) => a * b / 1000000L))
+    }.toMap
+    val rows = SparkEntry.queries("p70_hedge_mix")(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rows.size == shards.size * sources.size, rows.size.toString)
+    (1 to 6).filter(t => shards.contains((t - 1).toLong)).foreach { t =>
+      val sw = sources.map(s0 => wMap(s0)(t - 1)).sum
+      sources.foreach { s0 =>
+        val e = (mpm(((t - 1).toLong, s0)), wMap(s0)(t - 1),
+          r6(wMap(s0)(t - 1).toDouble / sw))
+        assert(rows((t, s0)) == e, s"t=$t src=$s0: ${rows((t, s0))} vs $e")
+      }
+    }
+    // weights per round are a distribution up to readout rounding
+    (1 to 6).foreach { t =>
+      val ws = rows.collect { case ((`t`, _), (_, _, wr)) => wr }
+      assert(math.abs(ws.sum - 1.0) < 1e-4, s"round $t sums ${ws.sum}")
+    }
+  }
 }
