@@ -2107,6 +2107,27 @@ object Pipeline {
     * `defs`: the oracle strings interpolate these eagerly at object init. */
   private val bm25Terms = Seq("spark", "vector", "merge")
 
+  // ---- late-interaction (p71) token-embedding constants: 8 integer
+  // components per token derived from md560("li_<tok>_<j>"), the same
+  // value both engines compute over the vocabulary; the QUERY tokens'
+  // vectors are computed once here on the driver and rendered as
+  // literals into both dialects (the jlSigns derandomization pattern).
+  private[graft] val liDim = 8
+  private val liQueryToks = bm25Terms
+
+  /** Driver-side md560 — identical to the engines' first-15-hex-chars-
+    * of-md5 parse, so literal query vectors match in-engine vocab ones. */
+  private def md560Scala(s0: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s0.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.map(b => f"${b & 0xff}%02x").mkString.substring(0, 15), 16)
+  }
+
+  private[graft] val liQueryVecs: Seq[(String, IndexedSeq[Long])] =
+    liQueryToks.map(t =>
+      t -> (1 to liDim).map(j => md560Scala(s"li_${t}_$j") % 2001 - 1000))
+
   /** p29b's conjunctive phrase query: one real corpus bigram + one
     * plain term, AND semantics — pins [[bm25Search]]'s phrase-tf and
     * require-all paths (the features `TABLE(BM25_SEARCH('"table hash"
@@ -4831,6 +4852,74 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
           FROM fused) WHERE rank <= 10
         ORDER BY query_id, rank"""
       })),
+
+    // ---- LATE-INTERACTION retrieval (p71): ColBERT's MaxSim operator
+    // (Khattab & Zaharia, SIGIR 2020) — score(q, d) = Σ_{t∈q} max_{w∈d}
+    // cos(E(t), E(w)) — over deterministic token embeddings: component
+    // j of token w is (md560("li_<w>_<j>") mod 2001) − 1000, an exact
+    // integer in [−1000, 1000], so every dot product is BIGINT
+    // arithmetic and only the final sqrt/divide runs in (identical
+    // IEEE) doubles. The query tokens' vectors are driver-computed once
+    // and rendered as literals into BOTH dialects (the jlSigns
+    // pattern). 100 TB shape: embeddings and per-query-token sims are
+    // computed on the DISTINCT token table (vocabulary-bounded, never
+    // corpus-scaled); the corpus-sized work is one slim tok-keyed join
+    // + a per-doc max/sum aggregate; the top-10 is
+    // TakeOrderedAndProject, never a global sort. ----------------------
+    QDef("p71_maxsim_rerank",
+      (s, dir) => {
+        val comps = (1 to liDim).map(j => (md560(concat(lit("li_"), col("tok"),
+          lit(s"_$j"))) % 2001 - 1000).as(s"c$j"))
+        val tk = docs(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val tv = tk.select("tok").distinct().select(col("tok") +: comps: _*)
+          .withColumn("ww",
+            expr((1 to liDim).map(j => s"c$j * c$j").mkString(" + ")))
+        val simCols = liQueryVecs.zipWithIndex.map { case ((_, qv), i) =>
+          val dot = (1 to liDim).map(j => s"c$j * ${qv(j - 1)}").mkString(" + ")
+          val qq = qv.map(x => x.toLong * x).sum
+          expr(s"""CASE WHEN ww = 0 THEN 0D ELSE ($dot) /
+                   (sqrt(CAST(ww AS DOUBLE)) * sqrt(CAST($qq AS DOUBLE))) END""")
+            .as(s"s${i + 1}")
+        }
+        val sims = tv.select(col("tok") +: simCols: _*)
+        val aggCols = liQueryVecs.indices.map(i =>
+          max(col(s"s${i + 1}")).as(s"m${i + 1}"))
+        val dm = tk.join(sims, Seq("tok"))
+          .groupBy(col("doc_id"))
+          .agg(aggCols.head, aggCols.tail: _*)
+        val scoreE = liQueryVecs.indices.map(i => s"m${i + 1}").mkString(" + ")
+        dm.select(col("doc_id") +:
+            liQueryVecs.indices.map(i => round(col(s"m${i + 1}"), 6).as(s"m${i + 1}_r")) :+
+            round(expr(scoreE), 6).as("score_r"): _*)
+          .orderBy(col("score_r").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some {
+        val comps = (1 to liDim).map(j =>
+          s"(${duckMd560(s"'li_' || tok || '_$j'")} % 2001 - 1000) AS c$j").mkString(", ")
+        val simCols = liQueryVecs.zipWithIndex.map { case ((_, qv), i) =>
+          val dot = (1 to liDim).map(j => s"c$j * ${qv(j - 1)}").mkString(" + ")
+          val qq = qv.map(x => x.toLong * x).sum
+          s"""CASE WHEN ww = 0 THEN CAST(0 AS DOUBLE) ELSE ($dot) /
+              (sqrt(CAST(ww AS DOUBLE)) * sqrt(CAST($qq AS DOUBLE))) END AS s${i + 1}"""
+        }.mkString(", ")
+        val maxes = liQueryVecs.indices.map(i =>
+          s"MAX(s.s${i + 1}) AS m${i + 1}").mkString(", ")
+        val mrs = liQueryVecs.indices.map(i =>
+          s"round(m${i + 1}, 6) AS m${i + 1}_r").mkString(", ")
+        val scoreE = liQueryVecs.indices.map(i => s"m${i + 1}").mkString(" + ")
+        s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents),
+          tv AS (SELECT tok, $comps FROM (SELECT DISTINCT tok FROM tk)),
+          tn AS (SELECT *, ${(1 to liDim).map(j => s"c$j * c$j").mkString(" + ")} AS ww
+            FROM tv),
+          sims AS (SELECT tok, $simCols FROM tn),
+          dm AS (SELECT t.doc_id, $maxes
+            FROM tk t JOIN sims s ON t.tok = s.tok GROUP BY t.doc_id)
+          SELECT doc_id, $mrs, round($scoreE, 6) AS score_r
+          FROM dm ORDER BY score_r DESC, doc_id LIMIT 10"""
+      }),
 
     // ---- unigram (SentencePiece-family) tokenizer: Viterbi
     // segmentation under a frequency-scored piece lexicon (the

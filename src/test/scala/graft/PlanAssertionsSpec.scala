@@ -293,6 +293,29 @@ class PlanAssertionsSpec extends AnyFunSuite {
     }
   }
 
+  test("p71: MaxSim is a slim tok-join + TakeOrderedAndProject; no text on exchanges") {
+    val ex = SparkEntry.queries("p71_maxsim_rerank")(spark, dir)
+      .queryExecution.executedPlan
+    val p = ex.toString
+    // top-10 must never global-sort the per-doc score frame
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val inner = ex match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    // the corpus-scaled exchanges carry (doc_id, tok)-grade rows: the
+    // document text dies at the explode, and the sim columns attach on
+    // the vocabulary-bounded side
+    inner.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }.foreach { s =>
+      assert(!s.output.exists(_.name == "text"),
+        s"document text rides a shuffle: ${s.simpleString(200)}")
+    }
+  }
+
   test("blanket invariant: NO query plans a CartesianProduct — not even the exact baselines") {
     // the declared all-pairs baselines (p05/p14) cross-join, but with a
     // broadcast side they plan as BroadcastNestedLoopJoin; an actual

@@ -452,6 +452,28 @@ class SelectionFamilySpec extends SparkSpecBase {
     }
   }
 
+  test("p71: MaxSim top-10 equals the plain-Scala late-interaction scoring") {
+    def vec(tok: String): IndexedSeq[Long] =
+      (1 to 8).map(j => md560(s"li_${tok}_$j") % 2001 - 1000)
+    val qvs = Seq("spark", "vector", "merge").map(vec)
+    def cos(a: IndexedSeq[Long], b: IndexedSeq[Long]): Double = {
+      val ww = a.map(x => x * x).sum
+      if (ww == 0L) 0.0
+      else a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(ww.toDouble) * math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val expect = corpus.map { case (id, text, _) =>
+      val dvs = toks(text).distinct.map(vec)
+      val ms = qvs.map(q => dvs.map(d => cos(d, q)).max)
+      (id, ms.map(r6), r6(ms.sum))
+    }.sortBy { case (id, _, s) => (-s, id) }.take(10)
+    val got = SparkEntry.queries("p71_maxsim_rerank")(spark, sf0001).collect()
+      .map(r => (r.getLong(0),
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)), r.getDouble(4)))
+    assert(got.length == 10)
+    expect.zip(got).foreach { case (e, g) => assert(e == g, s"$e vs $g") }
+  }
+
   test("p70: the Hedge trajectory equals the plain-Scala MWU re-derivation") {
     val (c2, c1, v) = lm
     val srcOf = spark.read.parquet(s"$sf0001/documents.parquet")
