@@ -2128,6 +2128,24 @@ object Pipeline {
     liQueryToks.map(t =>
       t -> (1 to liDim).map(j => md560Scala(s"li_${t}_$j") % 2001 - 1000))
 
+  // ---- content-defined chunking (p72) constants: the 256-entry gear
+  // table (one draw per byte value, derandomized from md5 so both
+  // engines render the SAME literal), the fixed 13-char gear window,
+  // and the boundary mask dial. Gear CDC: h_i = Σ_{j=0..12}
+  // G[char(i-j)]·2^j — the closed form of the h = (h<<1) + G[b]
+  // recurrence restricted to the bits the mask can see — cut where
+  // h_i mod 2^maskBits = 0 (Xia et al., FastCDC, USENIX ATC 2016).
+  private[graft] val cdcWindow = 13
+  private[graft] val cdcGear: IndexedSeq[Long] =
+    (0 until 256).map(c => md560Scala(s"gear_$c") % 1048576L)
+
+  /** p72 boundary mask width: `-Dgraft.cdcMaskBits`, clamped [4, 12]
+    * (expected chunk length 2^bits chars), default 7. */
+  private[graft] def cdcMaskBits: Int =
+    sys.props.get("graft.cdcMaskBits")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .map(v => math.min(12, math.max(4, v))).getOrElse(7)
+
   /** p29b's conjunctive phrase query: one real corpus bigram + one
     * plain term, AND semantics — pins [[bm25Search]]'s phrase-tf and
     * require-all paths (the features `TABLE(BM25_SEARCH('"table hash"
@@ -4919,6 +4937,90 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
             FROM tk t JOIN sims s ON t.tok = s.tok GROUP BY t.doc_id)
           SELECT doc_id, $mrs, round($scoreE, 6) AS score_r
           FROM dm ORDER BY score_r DESC, doc_id LIMIT 10"""
+      }),
+
+    // ---- content-defined chunking (p72): Gear-CDC (Xia et al.,
+    // FastCDC, USENIX ATC 2016) — the storage-dedup view of a corpus.
+    // Each document is cut where the 13-char gear hash h_i =
+    // Σ_j G[char(i-j)]·2^j hits 0 mod 2^maskBits (the windowed closed
+    // form of the h=(h<<1)+G[b] recurrence — shifting drops a term's
+    // bits out of the mask after maskBits steps, so only the last 13
+    // terms can matter at any mask ≤ 12); unlike fixed-size blocks,
+    // an insertion only re-chunks its neighborhood. Chunks die at
+    // md5 immediately (the p50b discipline: no chunk text on any
+    // shuffle); per-source within-source dedup stats are additive
+    // aggregates. 100 TB shape: per-row O(len·13) arithmetic, one
+    // (source, fp) shuffle of fingerprints, one per-source rollup. ----
+    QDef("p72_cdc_chunks",
+      (s, dir) => {
+        val mod = 1L << cdcMaskBits
+        val w = cdcWindow
+        val hsum = (0 until w).map(j =>
+          s"element_at(g, ascii(substr(text, i - $j, 1)) % 256 + 1) * ${1L << j}")
+          .mkString(" + ")
+        val cutsSql =
+          s"""filter(transform(filter(sequence($w, greatest($w, n)), i -> i <= n),
+             |  i -> CASE WHEN i < n AND ($hsum) % $mod = 0
+             |       THEN i ELSE CAST(NULL AS INT) END),
+             |  x -> x IS NOT NULL)""".stripMargin
+        docs(s, dir)
+          .withColumn("g", array(cdcGear.map(v => lit(v)): _*))
+          .withColumn("n", length(col("text")))
+          .withColumn("cuts", expr(cutsSql))
+          .withColumn("starts", expr("concat(array(1), transform(cuts, c -> c + 1))"))
+          .withColumn("ends", expr("concat(cuts, array(n))"))
+          .select(col("source"), explode(expr(
+            """transform(sequence(1, size(starts)), k ->
+                 substr(text, element_at(starts, k),
+                   element_at(ends, k) - element_at(starts, k) + 1))""")).as("chunk"))
+          .select(col("source"), md5(col("chunk")).as("fp"),
+            length(col("chunk")).as("l"))
+          .groupBy(col("source"), col("fp"))
+          .agg(count(lit(1)).as("c"), max(col("l")).as("l2"))
+          .groupBy(col("source"))
+          .agg(sum(col("c")).as("n_chunks"), count(lit(1)).as("n_uniq"),
+            sum(col("c") * col("l2")).as("total_chars"),
+            sum((col("c") - 1) * col("l2")).as("saved_chars"))
+          .withColumn("savings_r", when(col("total_chars") === 0, lit(0.0))
+            .otherwise(round(col("saved_chars").cast("double") / col("total_chars"), 6)))
+          .select(col("source"), col("n_chunks"), col("n_uniq"),
+            col("total_chars"), col("saved_chars"), col("savings_r"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val mod = 1L << cdcMaskBits
+        val w = cdcWindow
+        val gl = cdcGear.mkString("[", ", ", "]")
+        val hsum = (0 until w).map(j =>
+          s"g[ascii(substr(text, i - $j, 1)) % 256 + 1] * CAST(${1L << j} AS BIGINT)")
+          .mkString(" + ")
+        s"""WITH gl AS (SELECT $gl AS g),
+          base AS (SELECT source, text, CAST(length(text) AS INTEGER) AS n, g
+            FROM documents, gl),
+          cut AS (SELECT source, text, n,
+              [CAST(i AS INTEGER) FOR i IN range($w, n + 1)
+                IF i < n AND ($hsum) % $mod = 0] AS cuts
+            FROM base),
+          seg AS (SELECT source, text, n,
+              list_prepend(1, [c + 1 FOR c IN cuts]) AS starts,
+              list_append(cuts, n) AS ends
+            FROM cut),
+          ch AS (SELECT source,
+              unnest([substr(text, starts[k], ends[k] - starts[k] + 1)
+                FOR k IN range(1, len(starts) + 1)]) AS chunk
+            FROM seg),
+          cf AS (SELECT source, md5(chunk) AS fp,
+              CAST(COUNT(*) AS BIGINT) AS c,
+              MAX(CAST(length(chunk) AS INTEGER)) AS l2
+            FROM ch GROUP BY 1, 2)
+          SELECT source, CAST(SUM(c) AS BIGINT) AS n_chunks,
+            CAST(COUNT(*) AS BIGINT) AS n_uniq,
+            CAST(SUM(c * l2) AS BIGINT) AS total_chars,
+            CAST(SUM((c - 1) * l2) AS BIGINT) AS saved_chars,
+            CASE WHEN SUM(c * l2) = 0 THEN 0.0
+              ELSE round(CAST(SUM((c - 1) * l2) AS DOUBLE) / SUM(c * l2), 6)
+            END AS savings_r
+          FROM cf GROUP BY source ORDER BY source"""
       }),
 
     // ---- unigram (SentencePiece-family) tokenizer: Viterbi

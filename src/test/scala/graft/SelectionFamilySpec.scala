@@ -474,6 +474,48 @@ class SelectionFamilySpec extends SparkSpecBase {
     expect.zip(got).foreach { case (e, g) => assert(e == g, s"$e vs $g") }
   }
 
+  test("p72: Gear-CDC stats equal the TRUE rolling-recurrence re-derivation") {
+    // the plan computes the windowed closed form Σ_j G[c_{i-j}]·2^j; this
+    // re-derivation runs the actual h = (h<<1) + G[b] recurrence over the
+    // full prefix — they must agree under the mask (shifted-out bits
+    // cannot reach the low 7), so a window-size or indexing drift breaks
+    // here even though both engines agree with each other
+    val gear = (0 until 256).map(c => md560(s"gear_$c") % 1048576L)
+    val srcOf = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val mod = 1L << 7
+    def chunks(text: String): Seq[String] = {
+      val n = text.length
+      var h = 0L
+      val cuts = scala.collection.mutable.ArrayBuffer[Int]()
+      var i = 1
+      while (i <= n) {
+        h = (h << 1) + gear(text.charAt(i - 1).toInt % 256)
+        if (i >= 13 && i < n && (h % mod + mod) % mod == 0L) cuts += i
+        i += 1
+      }
+      val starts = 1 +: cuts.map(_ + 1).toSeq
+      val ends = cuts.toSeq :+ n
+      starts.zip(ends).map { case (a, b) => text.substring(a - 1, b) }
+    }
+    val bySrc = corpus.flatMap { case (id, text, _) =>
+      chunks(text).map(srcOf(id) -> _) }.groupBy(_._1)
+    val expect = bySrc.map { case (src, cs) =>
+      val all = cs.map(_._2)
+      val uniq = all.groupBy(identity).toSeq
+        .map { case (t, o) => (t.length.toLong, o.size.toLong) }
+      src -> ((all.size.toLong, uniq.size.toLong,
+        uniq.map { case (l, c) => c * l }.sum,
+        uniq.map { case (l, c) => (c - 1) * l }.sum))
+    }
+    val got = SparkEntry.queries("p72_cdc_chunks")(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (src, e) => assert(got(src) == e, s"$src: ${got(src)} vs $e") }
+  }
+
   test("p70: the Hedge trajectory equals the plain-Scala MWU re-derivation") {
     val (c2, c1, v) = lm
     val srcOf = spark.read.parquet(s"$sf0001/documents.parquet")
