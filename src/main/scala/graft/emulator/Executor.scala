@@ -729,7 +729,10 @@ final class Executor(
     "RRF_MANY" -> "p65b_rrf_many",
     "TOKENIZER_COMPARE" -> "p69_tokenizer_compare",
     "SEQ_PACK_WP" -> "p23b_seq_pack_wp",
-    "UNIGRAM_EM" -> "p66c_unigram_em")
+    "UNIGRAM_EM" -> "p66c_unigram_em",
+    "HEDGE_MIX" -> "p70_hedge_mix",
+    "MAXSIM_RERANK" -> "p71_maxsim_rerank",
+    "CDC_CHUNKS" -> "p72_cdc_chunks")
 
   /** Match only the OPENING of a pipeline table-function call; the
     * argument span is found by a quote-aware paren scan (a ')' inside a

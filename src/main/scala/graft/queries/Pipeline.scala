@@ -2146,6 +2146,37 @@ object Pipeline {
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
       .map(v => math.min(12, math.max(4, v))).getOrElse(7)
 
+  /** The gear cut-position kernel, Spark dialect — references columns
+    * `text`, `n` (length) and `g` (the gear array). Shared VERBATIM by
+    * batch p72 and the streaming `cdcChunkStream`. */
+  private[graft] def cdcCutsSql: String = {
+    val mod = 1L << cdcMaskBits
+    val hsum = (0 until cdcWindow).map(j =>
+      s"element_at(g, ascii(substr(text, i - $j, 1)) % 256 + 1) * ${1L << j}")
+      .mkString(" + ")
+    s"""filter(transform(filter(sequence($cdcWindow, greatest($cdcWindow, n)), i -> i <= n),
+       |  i -> CASE WHEN i < n AND ($hsum) % $mod = 0
+       |       THEN i ELSE CAST(NULL AS INT) END),
+       |  x -> x IS NOT NULL)""".stripMargin
+  }
+
+  /** Chunk reconstruction from `starts`/`ends` — the other half of the
+    * shared kernel. */
+  private[graft] val cdcChunksSql: String =
+    """transform(sequence(1, size(starts)), k ->
+         substr(text, element_at(starts, k),
+           element_at(ends, k) - element_at(starts, k) + 1))"""
+
+  /** Applies the full Gear-CDC kernel: doc frame (incl. `text`) in,
+    * exploded (original columns, chunk) out. */
+  private[graft] def cdcChunked(in: DataFrame, keep: Seq[String]): DataFrame =
+    in.withColumn("g", array(cdcGear.map(v => lit(v)): _*))
+      .withColumn("n", length(col("text")))
+      .withColumn("cuts", expr(cdcCutsSql))
+      .withColumn("starts", expr("concat(array(1), transform(cuts, c -> c + 1))"))
+      .withColumn("ends", expr("concat(cuts, array(n))"))
+      .select(keep.map(col) :+ explode(expr(cdcChunksSql)).as("chunk"): _*)
+
   /** p29b's conjunctive phrase query: one real corpus bigram + one
     * plain term, AND semantics — pins [[bm25Search]]'s phrase-tf and
     * require-all paths (the features `TABLE(BM25_SEARCH('"table hash"
@@ -4953,26 +4984,7 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
     // (source, fp) shuffle of fingerprints, one per-source rollup. ----
     QDef("p72_cdc_chunks",
       (s, dir) => {
-        val mod = 1L << cdcMaskBits
-        val w = cdcWindow
-        val hsum = (0 until w).map(j =>
-          s"element_at(g, ascii(substr(text, i - $j, 1)) % 256 + 1) * ${1L << j}")
-          .mkString(" + ")
-        val cutsSql =
-          s"""filter(transform(filter(sequence($w, greatest($w, n)), i -> i <= n),
-             |  i -> CASE WHEN i < n AND ($hsum) % $mod = 0
-             |       THEN i ELSE CAST(NULL AS INT) END),
-             |  x -> x IS NOT NULL)""".stripMargin
-        docs(s, dir)
-          .withColumn("g", array(cdcGear.map(v => lit(v)): _*))
-          .withColumn("n", length(col("text")))
-          .withColumn("cuts", expr(cutsSql))
-          .withColumn("starts", expr("concat(array(1), transform(cuts, c -> c + 1))"))
-          .withColumn("ends", expr("concat(cuts, array(n))"))
-          .select(col("source"), explode(expr(
-            """transform(sequence(1, size(starts)), k ->
-                 substr(text, element_at(starts, k),
-                   element_at(ends, k) - element_at(starts, k) + 1))""")).as("chunk"))
+        cdcChunked(docs(s, dir), Seq("source"))
           .select(col("source"), md5(col("chunk")).as("fp"),
             length(col("chunk")).as("l"))
           .groupBy(col("source"), col("fp"))

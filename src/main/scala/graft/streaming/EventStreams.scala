@@ -405,6 +405,22 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming Gear-CDC chunker — batch p72's kernel VERBATIM
+    * ([[graft.queries.Pipeline.cdcChunked]]: same gear table, same
+    * windowed closed-form hash, same mask dial), applied per arriving
+    * document: stateless per-row arithmetic, no shuffle, no state at
+    * all; the chunk text dies at md5 in the same projection. Emits
+    * (ts, doc_id, fp, l) — the chunk-store ingestion feed whose
+    * fingerprints are definitionally identical to what batch p72
+    * computes over the same rows. Compose with
+    * `dropDuplicatesWithinWatermark("fp")` (the [[chunkDedupStream]]
+    * pattern) for windowed chunk-level dedup. Expects `ts`, `doc_id`,
+    * `text`. */
+  def cdcChunkStream(docs: DataFrame): DataFrame =
+    graft.queries.Pipeline.cdcChunked(docs, Seq("ts", "doc_id"))
+      .select(col("ts"), col("doc_id"), md5(col("chunk")).as("fp"),
+        length(col("chunk")).as("l"))
+
   /** Streaming token-count histogram — batch p49b's sketch state over a
     * stream: the same per-row bucket projection (fixed width 16, 256
     * buckets), one streaming aggregation whose state is bounded at 256

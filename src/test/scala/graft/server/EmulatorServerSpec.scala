@@ -684,6 +684,25 @@ class EmulatorServerSpec extends AnyFunSuite {
     assert(jl.get("data").get(0).get(0).asLong() > 0L, jl.toString)
   }
 
+  test("REST v2 e2e: r12 table functions (Hedge mix, MaxSim, CDC chunks)") {
+    val dir = "/root/testdata/sf0.001"
+    // Hedge: 6 rounds, each round's weights a distribution at 2dp
+    val hm = v2(s"SELECT t, COUNT(*) AS d, round(SUM(weight_r), 2) AS tot FROM TABLE(HEDGE_MIX('$dir')) GROUP BY t ORDER BY t")
+    assert(hm.get("code").asText() == "090001", hm.toString)
+    assert(hm.get("data").size() == 6, hm.toString)
+    (0 until 6).foreach { i =>
+      assert(hm.get("data").get(i).get(2).asText().toDouble == 1.0, hm.toString)
+    }
+    // MaxSim: the top-10 arrives, composable with WHERE
+    val ms = v2(s"SELECT COUNT(*) AS n FROM TABLE(MAXSIM_RERANK('$dir')) WHERE score_r IS NOT NULL")
+    assert(ms.get("code").asText() == "090001", ms.toString)
+    assert(ms.get("data").get(0).get(0).asLong() == 10L, ms.toString)
+    // CDC: every source row carries a sane savings ratio
+    val cc = v2(s"SELECT COUNT(*) AS n FROM TABLE(CDC_CHUNKS('$dir')) WHERE total_chars > 0 AND savings_r BETWEEN 0 AND 1")
+    assert(cc.get("code").asText() == "090001", cc.toString)
+    assert(cc.get("data").get(0).get(0).asLong() > 0L, cc.toString)
+  }
+
   test("REST v2 session affinity: ALTER SESSION dials stick across token-bound calls") {
     val dir = "/root/testdata/sf0.001"
     // the v1 session token binds separate v2 calls to ONE session

@@ -877,6 +877,42 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming Gear-CDC chunker = batch p72 fingerprints; zero state") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // texts long enough to cut (>= the 13-char window, with repetition so
+    // at least one boundary fires at the default 7-bit mask is likely),
+    // plus a short one and an empty one (single whole-text chunk each)
+    val texts = Seq(
+      1L -> ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4),
+      2L -> "short",
+      3L -> "",
+      4L -> ("the quick brown fox jumps over the lazy dog again and again " * 3))
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStreams.cdcChunkStream(
+        input.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("cdc_chunks")
+      .outputMode("append").start()
+    try {
+      input.addData(texts.map { case (id, t) => (id, ts(id.toInt), t) })
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, fp, l FROM cdc_chunks ORDER BY doc_id, fp")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+      // bit-identical to the batch kernel over the same rows
+      val batch = graft.queries.Pipeline.cdcChunked(
+          texts.toDF("doc_id", "text"), Seq("doc_id"))
+        .selectExpr("doc_id", "md5(chunk) AS fp", "length(chunk) AS l")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+        .sortBy(x => (x._1, x._2))
+      assert(got == batch, s"stream $got vs batch $batch")
+      // every doc chunks (short/empty -> one chunk); the long ones cut
+      assert(got.map(_._1).distinct.sorted == Seq(1L, 2L, 3L, 4L))
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.isEmpty,
+        "CDC chunker must not create streaming state")
+    } finally q.stop()
+  }
+
   test("streaming JL projection bit-identical to the plain-Scala matrix; zero state") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
