@@ -732,7 +732,9 @@ final class Executor(
     "UNIGRAM_EM" -> "p66c_unigram_em",
     "HEDGE_MIX" -> "p70_hedge_mix",
     "MAXSIM_RERANK" -> "p71_maxsim_rerank",
-    "CDC_CHUNKS" -> "p72_cdc_chunks")
+    "CDC_CHUNKS" -> "p72_cdc_chunks",
+    "CONTAINMENT_DEDUP" -> "p73_containment",
+    "LR_CALIBRATION" -> "p74_lr_calibration")
 
   /** Match only the OPENING of a pipeline table-function call; the
     * argument span is found by a quote-aware paren scan (a ')' inside a

@@ -5035,6 +5035,51 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
           FROM cf GROUP BY source ORDER BY source"""
       }),
 
+    // ---- asymmetric CONTAINMENT dedup (p73): Broder's containment
+    // c(A,B) = |A∩B| / min(|A|,|B|) (On the resemblance and containment
+    // of documents, 1997) over the staged DF-guarded shingle table —
+    // the quote/excerpt detector resemblance misses: a short document
+    // embedded verbatim in a long one has high containment but LOW
+    // Jaccard, so p02's >= 0.5 resemblance gate never sees the pair.
+    // `asym` marks exactly those (containment >= 0.7, Jaccard < 0.5).
+    // Same 100 TB shape as the pair stage it complements: the posting
+    // join keys on the staged 8-byte hash, the DF guard bounds every
+    // posting list, only (id, id, count) integers shuffle. -------------
+    QDef("p73_containment",
+      (s, dir) => {
+        val sh = shingles(s, dir)
+        val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val pairs = sh.groupBy(col("h"))
+          .agg(collect_list(col("doc_id")).as("ids"))
+          .select(explode(expr(
+            """filter(
+                 flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))),
+                 p -> p.a < p.b)""")).as("p"))
+          .groupBy(col("p.a").as("a_id"), col("p.b").as("b_id"))
+          .agg(count(lit(1)).as("inter"))
+        pairs
+          .join(sz.select(col("doc_id").as("a_id"), col("sz").as("sza")), "a_id")
+          .join(sz.select(col("doc_id").as("b_id"), col("sz").as("szb")), "b_id")
+          .withColumn("cont_r",
+            round(col("inter").cast("double") / least(col("sza"), col("szb")), 6))
+          .filter(col("cont_r") >= 0.7)
+          .withColumn("jaccard_r", round(col("inter").cast("double") /
+            (col("sza") + col("szb") - col("inter")), 6))
+          .withColumn("asym", col("jaccard_r") < 0.5)
+          .select(col("a_id"), col("b_id"), col("inter"), col("sza"),
+            col("szb"), col("cont_r"), col("jaccard_r"), col("asym"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some(s"""WITH $duckGuardedPairCtes
+        SELECT a_id, b_id, CAST(inter AS BIGINT) AS inter,
+          CAST(sa.sz AS BIGINT) AS sza, CAST(sb.sz AS BIGINT) AS szb,
+          round(CAST(inter AS DOUBLE) / least(sa.sz, sb.sz), 6) AS cont_r,
+          round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard_r,
+          round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) < 0.5 AS asym
+        FROM pr JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+        WHERE round(CAST(inter AS DOUBLE) / least(sa.sz, sb.sz), 6) >= 0.7
+        ORDER BY a_id, b_id""")),
+
     // ---- unigram (SentencePiece-family) tokenizer: Viterbi
     // segmentation under a frequency-scored piece lexicon (the
     // inference/E-step half of Kudo 2018, next to p48's BPE merge
@@ -6900,6 +6945,50 @@ ${duckResidualAdcCtes("y", "v")},
         $duckDsirFeatures,
         $duckLrChain
         SELECT b, ws FROM lw$lrIters WHERE ws <> 0 ORDER BY b""")),
+
+    // ---- classifier CALIBRATION by score bin (p74): the reliability
+    // diagram (Guo et al. 2017's evaluation for exactly this kind of
+    // quality classifier) over p55's staged-weight scores — ten
+    // predicted-probability bins, each reporting mean predicted rate vs
+    // observed positive rate and the gap. Predicted-rate means sum
+    // MICRO-UNIT INTEGERS (floor(score·1e6 + 0.5)) so the aggregate is
+    // order-independent across engines and partitions; observed rates
+    // are exact rationals. One slim groupBy over the scoring front;
+    // 10 rows out at any corpus size. ----------------------------------
+    QDef("p74_lr_calibration",
+      (s, dir) => lrDocScores(s, dir)
+        .withColumn("bin",
+          expr("least(9, greatest(0, CAST(floor(score_r * 10.0) AS INT)))"))
+        .withColumn("micro",
+          expr("CAST(floor(score_r * 1000000.0 + 0.5) AS BIGINT)"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+          sum(col("micro")).as("sm"))
+        .withColumn("pred_rate_r",
+          round(col("sm").cast("double") / col("n") / 1000000.0, 6))
+        .withColumn("obs_rate_r",
+          round(col("n_pos").cast("double") / col("n"), 6))
+        .withColumn("gap_r", round(col("obs_rate_r") - col("pred_rate_r"), 6))
+        .select(col("bin"), col("n"), col("n_pos"), col("pred_rate_r"),
+          col("obs_rate_r"), col("gap_r"))
+        .orderBy(col("bin")),
+      Some(s"""WITH $duckBigrams,
+        $duckDsirFeatures,
+        $duckLrChain,
+        $duckLrScoreCte,
+        cb AS (SELECT
+            least(9, greatest(0, CAST(floor(score_r * 10.0) AS INTEGER))) AS bin,
+            y, CAST(floor(score_r * 1000000.0 + 0.5) AS BIGINT) AS micro
+          FROM lsc),
+        cg AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(y) AS BIGINT) AS n_pos, CAST(SUM(micro) AS BIGINT) AS sm
+          FROM cb GROUP BY bin)
+        SELECT bin, n, n_pos,
+          round(CAST(sm AS DOUBLE) / n / 1000000.0, 6) AS pred_rate_r,
+          round(CAST(n_pos AS DOUBLE) / n, 6) AS obs_rate_r,
+          round(round(CAST(n_pos AS DOUBLE) / n, 6)
+            - round(CAST(sm AS DOUBLE) / n / 1000000.0, 6), 6) AS gap_r
+        FROM cg ORDER BY bin""")),
 
     // ---- Pareto-threshold stochastic selection (p61): the EXACT
     // mechanism GPT-3 used to apply its quality classifier (Brown et

@@ -474,6 +474,56 @@ class SelectionFamilySpec extends SparkSpecBase {
     expect.zip(got).foreach { case (e, g) => assert(e == g, s"$e vs $g") }
   }
 
+  test("p73: containment dominates Jaccard and subsumes p02's high-overlap pairs") {
+    val rows = SparkEntry.queries("p73_containment")(spark, sf0001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6), r.getBoolean(7))))
+    assert(rows.nonEmpty)
+    rows.foreach { case ((a, b), (inter, sza, szb, cont, jac, asym)) =>
+      assert(a < b)
+      assert(inter <= math.min(sza, szb), s"($a,$b)")
+      // containment >= Jaccard algebraically (min <= union)
+      assert(cont >= jac, s"($a,$b): $cont < $jac")
+      assert(cont >= 0.7 && cont <= 1.0)
+      assert(asym == (jac < 0.5), s"($a,$b)")
+      // exact rational re-check of both ratios
+      assert(cont == r6(inter.toDouble / math.min(sza, szb)))
+      assert(jac == r6(inter.toDouble / (sza + szb - inter)))
+    }
+    // every p02 pair with jaccard >= 0.7 MUST reappear (containment >=
+    // jaccard, same staged shingles): the two views agree on the overlap
+    val strong = SparkEntry.queries("p02_dedup_ngram_jaccard")(spark, sf0001)
+      .collect().filter(_.getDouble(2) >= 0.7)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mine = rows.map(_._1).toSet
+    assert(strong.subsetOf(mine), s"missing: ${strong -- mine}")
+  }
+
+  test("p74: calibration bins are consistent with the p55 scoring front") {
+    val bins = SparkEntry.queries("p74_lr_calibration")(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    val sc = SparkEntry.queries("p55_lr_quality_select")(spark, sf0001).collect()
+      .map(r => (r.getInt(1), r.getDouble(2)))
+    // mass conservation: every scored doc lands in exactly one bin
+    assert(bins.map(_._2).sum == sc.length.toLong)
+    assert(bins.map(_._3).sum == sc.map(_._1.toLong).sum)
+    bins.foreach { case (b, n, np, pred, obs, gap) =>
+      assert(b >= 0 && b <= 9 && np <= n)
+      assert(obs == r6(np.toDouble / n))
+      assert(gap == r6(obs - pred))
+      assert(pred >= 0.0 && pred <= 1.0)
+      // the mean predicted rate lives in (or hugs) its bin
+      assert(pred >= b / 10.0 - 1e-6 && pred <= (b + 1) / 10.0 + 1e-6, s"bin $b pred $pred")
+    }
+    // per-bin counts re-derived from the score column itself
+    val expect = sc.groupBy { case (_, s0) =>
+      math.min(9, math.max(0, math.floor(s0 * 10.0).toInt)) }
+      .map { case (b, xs) => b -> (xs.size.toLong, xs.map(_._1.toLong).sum) }
+    assert(bins.map(x => x._1 -> ((x._2, x._3))).toMap == expect)
+  }
+
   test("p72: Gear-CDC stats equal the TRUE rolling-recurrence re-derivation") {
     // the plan computes the windowed closed form Σ_j G[c_{i-j}]·2^j; this
     // re-derivation runs the actual h = (h<<1) + G[b] recurrence over the

@@ -701,6 +701,15 @@ class EmulatorServerSpec extends AnyFunSuite {
     val cc = v2(s"SELECT COUNT(*) AS n FROM TABLE(CDC_CHUNKS('$dir')) WHERE total_chars > 0 AND savings_r BETWEEN 0 AND 1")
     assert(cc.get("code").asText() == "090001", cc.toString)
     assert(cc.get("data").get(0).get(0).asLong() > 0L, cc.toString)
+    // containment: the quote detector's pairs arrive with both ratios
+    val ct = v2(s"SELECT COUNT(*) AS n FROM TABLE(CONTAINMENT_DEDUP('$dir')) WHERE cont_r >= jaccard_r")
+    assert(ct.get("code").asText() == "090001", ct.toString)
+    assert(ct.get("data").get(0).get(0).asLong() > 0L, ct.toString)
+    // calibration: bins conserve document mass vs the LR selection view
+    val cal = v2(s"SELECT SUM(n) AS docs FROM TABLE(LR_CALIBRATION('$dir'))")
+    val sel = v2(s"SELECT COUNT(*) AS docs FROM TABLE(LR_QUALITY_SELECT('$dir'))")
+    assert(cal.get("data").get(0).get(0).asText() ==
+      sel.get("data").get(0).get(0).asText(), s"$cal vs $sel")
   }
 
   test("REST v2 session affinity: ALTER SESSION dials stick across token-bound calls") {
