@@ -2147,12 +2147,16 @@ object Pipeline {
       .map(v => math.min(12, math.max(4, v))).getOrElse(7)
 
   /** The gear cut-position kernel, Spark dialect — references columns
-    * `text`, `n` (length) and `g` (the gear array). Shared VERBATIM by
-    * batch p72 and the streaming `cdcChunkStream`. */
+    * `n` (length) and `gv` (the per-char gear values, precomputed in
+    * ONE pass by [[cdcChunked]]: `substr(text, i, 1)` re-walks the
+    * UTF-8 string from the start on every call, so indexing characters
+    * inside the position loop is O(len²·13) — splitting to a char
+    * array once and reading `element_at(gv, i-j)` is O(len·13)).
+    * Shared VERBATIM by batch p72 and the streaming `cdcChunkStream`. */
   private[graft] def cdcCutsSql: String = {
     val mod = 1L << cdcMaskBits
     val hsum = (0 until cdcWindow).map(j =>
-      s"element_at(g, ascii(substr(text, i - $j, 1)) % 256 + 1) * ${1L << j}")
+      s"element_at(gv, i - $j) * ${1L << j}")
       .mkString(" + ")
     s"""filter(transform(filter(sequence($cdcWindow, greatest($cdcWindow, n)), i -> i <= n),
        |  i -> CASE WHEN i < n AND ($hsum) % $mod = 0
@@ -2172,6 +2176,8 @@ object Pipeline {
   private[graft] def cdcChunked(in: DataFrame, keep: Seq[String]): DataFrame =
     in.withColumn("g", array(cdcGear.map(v => lit(v)): _*))
       .withColumn("n", length(col("text")))
+      .withColumn("gv", expr(
+        "transform(split(text, ''), c -> element_at(g, ascii(c) % 256 + 1))"))
       .withColumn("cuts", expr(cdcCutsSql))
       .withColumn("starts", expr("concat(array(1), transform(cuts, c -> c + 1))"))
       .withColumn("ends", expr("concat(cuts, array(n))"))
@@ -4984,7 +4990,10 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
     // (source, fp) shuffle of fingerprints, one per-source rollup. ----
     QDef("p72_cdc_chunks",
       (s, dir) => {
-        cdcChunked(docs(s, dir), Seq("source"))
+        // the per-char arithmetic is the dominant cost and a single
+        // parquet file scans as a handful of partitions — spread it
+        cdcChunked(docs(s, dir)
+            .repartition(s.sparkContext.defaultParallelism), Seq("source"))
           .select(col("source"), md5(col("chunk")).as("fp"),
             length(col("chunk")).as("l"))
           .groupBy(col("source"), col("fp"))
