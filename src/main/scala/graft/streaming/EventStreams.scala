@@ -243,8 +243,15 @@ object EventStreams {
     * unseen — strictly MORE perplexed, so the pruned gate's kept set is
     * a SUBSET of the full gate's (over-filter, never admit); docs whose
     * bigrams all survive the cap score bit-identical (spec-proven). */
-  def perplexityGateStream(spark: org.apache.spark.sql.SparkSession,
-      modelDir: String, docs: DataFrame, maxNll: Double = 3.45,
+  /** The shared stateless LM scoring projection: the batch-fitted
+    * literal maps applied per row, emitting the input columns plus
+    * `arr`, `nll_sum` (sln-scaled BIGINT, bit-identical to batch
+    * lmDocNll's — spec-proven via the gate) and `n_bigrams`. Docs with
+    * fewer than two tokens drop (no bigrams to score — same as the
+    * batch front, where they produce no bigram rows). Consumed by the
+    * perplexity gate and the online Hedge controller. */
+  private[streaming] def lmScored(spark: org.apache.spark.sql.SparkSession,
+      modelDir: String, docs: DataFrame,
       maxBigramEntries: Int = Int.MaxValue): DataFrame = {
     val (mb, mc, slnV) = graft.queries.Pipeline.lmScoreMaps(spark, modelDir,
       maxBigramEntries)
@@ -263,11 +270,16 @@ object EventStreams {
               concat(element_at(arr, i + 1), lit(" "), element_at(arr, i + 2))),
               lit(0L))))
       .withColumn("n_bigrams", (size(arr) - 1).cast("bigint"))
+  }
+
+  def perplexityGateStream(spark: org.apache.spark.sql.SparkSession,
+      modelDir: String, docs: DataFrame, maxNll: Double = 3.45,
+      maxBigramEntries: Int = Int.MaxValue): DataFrame =
+    lmScored(spark, modelDir, docs, maxBigramEntries)
       .withColumn("nll",
         round(col("nll_sum").cast("double") / 100000000.0 / col("n_bigrams"), 6))
       .select(col("doc_id"), col("n_bigrams"), col("nll"),
         (col("nll") <= maxNll).as("kept"))
-  }
 
   /** Streaming Gopher-rules gate — batch p52's metric/flag projection
     * (the SHARED Pipeline.gopherMetrics, so stream and batch flags are

@@ -1106,4 +1106,42 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(controller.refitCount == 1)
     } finally { controller.stop(); rmdir(ckpt); rmdir(root) }
   }
+
+  test("streaming Hedge controller reproduces batch p70's trajectory bit-for-bit") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // the batch truth: (round, source) -> (w, weight_r)
+    val batch = graft.SparkEntry.queries("p70_hedge_mix")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1)) ->
+        ((r.getLong(3), r.getDouble(4)))).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val domains = docs.map(_._2).distinct.sorted.toSeq
+    val ctrl = new HedgeMixController(domains)
+    val input = MemoryStream[(Long, String, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("hedge_ckpt").toString
+    val q = HedgeMix.hedgeMixStream(spark, dir,
+      input.toDF().toDF("doc_id", "source", "text"), ctrl, ckpt)
+    try {
+      // each micro-batch is one Hedge round: feed the batch entry's
+      // event-order shards (doc_id mod 6) one at a time — after every
+      // round the controller's exact-BIGINT weights and 6dp readout
+      // must equal the batch trajectory's row for that round
+      (0 until 6).foreach { t =>
+        input.addData(docs.filter(_._1 % 6 == t).toSeq)
+        q.processAllAvailable()
+        assert(ctrl.rounds == t + 1, s"round count after shard $t")
+        ctrl.snapshot.foreach { case (d, w, wr) =>
+          assert(batch((t + 1, d)) == ((w, wr)),
+            s"round ${t + 1} $d: ($w, $wr) vs ${batch((t + 1, d))}")
+        }
+      }
+      // an empty micro-batch is NOT a round (no scorable docs)
+      input.addData(Seq.empty[(Long, String, String)])
+      q.processAllAvailable()
+      assert(ctrl.rounds == 6)
+    } finally q.stop()
+  }
 }
