@@ -734,7 +734,8 @@ final class Executor(
     "MAXSIM_RERANK" -> "p71_maxsim_rerank",
     "CDC_CHUNKS" -> "p72_cdc_chunks",
     "CONTAINMENT_DEDUP" -> "p73_containment",
-    "LR_CALIBRATION" -> "p74_lr_calibration")
+    "LR_CALIBRATION" -> "p74_lr_calibration",
+    "QUALITY_FUNNEL" -> "p75_quality_funnel")
 
   /** Match only the OPENING of a pipeline table-function call; the
     * argument span is found by a quote-aware paren scan (a ')' inside a

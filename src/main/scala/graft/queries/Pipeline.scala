@@ -6999,6 +6999,156 @@ ${duckResidualAdcCtes("y", "v")},
             - round(CAST(sm AS DOUBLE) / n / 1000000.0, 6), 6) AS gap_r
         FROM cg ORDER BY bin""")),
 
+    // ---- the published PREPROCESSING PIPELINE composed (p75): Gopher
+    // rules -> C4-style filter -> CCNet perplexity tail cut -> exact
+    // dedup -> GPT-3 Pareto-threshold classifier sampling, as ONE
+    // declarative plan reporting per-stage attrition — the funnel view
+    // a dataset paper leads with. Every stage's per-doc flag is the
+    // SAME arithmetic its standalone entry pins (p52/p17/p53/p01/p61),
+    // computed corpus-wide and AND-folded in sequence, so the funnel
+    // is definitionally consistent with the family (spec'd). Counts
+    // are exact integers; one row per stage. 100 TB shape: five flag
+    // frames (each the standalone entry's shape — broadcast model
+    // joins, slim shuffles), one doc_id-keyed join spine, one
+    // aggregate. ------------------------------------------------------
+    QDef("p75_quality_funnel",
+      (s, dir) => {
+        val f1 = gopherMetrics(docs(s, dir))
+          .select(col("doc_id"), col("pass").as("f1"))
+        val f2 = docs(s, dir)
+          .withColumn("n_tokens", size(split(col("text"), " ")))
+          .withColumn("avg_token_len",
+            length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_tokens"))
+          .withColumn("punct_ratio",
+            (length(col("text")) - length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")))
+              .cast("double") / length(col("text")))
+          .withColumn("quality",
+            (when(col("n_tokens").between(5, 1000), 0.4).otherwise(0.0) +
+              when(col("avg_token_len").between(3.0, 10.0), 0.3).otherwise(0.0) +
+              when(col("punct_ratio") < 0.1, 0.3).otherwise(0.0)).cast("double"))
+          .select(col("doc_id"),
+            (col("lang").isin("en", "es") && col("n_tokens").between(10, 400) &&
+              col("quality") >= 0.7).as("f2"))
+        val f3 = lmDocNll(s, dir)
+          .withColumn("rn", row_number()
+            .over(Window.orderBy(col("nll"), col("doc_id"))).cast("bigint"))
+          .withColumn("nd", count(lit(1)).over(Window.partitionBy()))
+          .select(col("doc_id"), (col("rn") * 3 <= col("nd") * 2).as("f3"))
+        val f4 = docs(s, dir)
+          .withColumn("keep_id",
+            min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+          .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("f4"))
+        val d = (1 to 4).map(i =>
+          s"(instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), $i, 1)) - 1)")
+          .reduce((a, b) => s"($a * 16 + $b)")
+        val f5 = lrDocScores(s, dir)
+          .withColumn("u", expr(s"CAST($d AS DOUBLE) / 65536.0"))
+          .withColumn("x", expr(s"pow(1.0 - u, ${-1.0 / 9.0}) - 1.0"))
+          .select(col("doc_id"), (col("x") > lit(1.0) - col("score_r")).as("f5"))
+        val flags = docs(s, dir).select(col("doc_id"))
+          .join(f1, Seq("doc_id"), "left").join(f2, Seq("doc_id"), "left")
+          .join(f3, Seq("doc_id"), "left").join(f4, Seq("doc_id"), "left")
+          .join(f5, Seq("doc_id"), "left")
+          .select(col("doc_id") +: (1 to 5).map(i =>
+            coalesce(col(s"f$i"), lit(false)).as(s"f$i")): _*)
+        val c = flags.agg(
+          count(lit(1)).as("n0"),
+          sum(when(col("f1"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("f1") && col("f2"), 1L).otherwise(0L)).as("n2"),
+          sum(when(col("f1") && col("f2") && col("f3"), 1L).otherwise(0L)).as("n3"),
+          sum(when(col("f1") && col("f2") && col("f3") && col("f4"), 1L)
+            .otherwise(0L)).as("n4"),
+          sum(when(col("f1") && col("f2") && col("f3") && col("f4") && col("f5"), 1L)
+            .otherwise(0L)).as("n5"))
+        c.select(explode(expr(
+            """array(
+              named_struct('stage', 1, 'name', 'gopher_rules', 'n_in', n0, 'n_out', n1),
+              named_struct('stage', 2, 'name', 'c4_filter', 'n_in', n1, 'n_out', n2),
+              named_struct('stage', 3, 'name', 'lm_tail_cut', 'n_in', n2, 'n_out', n3),
+              named_struct('stage', 4, 'name', 'exact_dedup', 'n_in', n3, 'n_out', n4),
+              named_struct('stage', 5, 'name', 'pareto_classifier', 'n_in', n4, 'n_out', n5))"""))
+            .as("st"))
+          .select(col("st.stage").as("stage"), col("st.name").as("name"),
+            col("st.n_in").as("n_in"), col("st.n_out").as("n_out"))
+          .withColumn("drop_r", expr(
+            "CASE WHEN n_in = 0 THEN 0.0 ELSE round(1.0 - CAST(n_out AS DOUBLE) / n_in, 6) END"))
+          .orderBy(col("stage"))
+      },
+      Some {
+        val d = (1 to 4).map(i =>
+          s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)")
+          .reduce((a, b) => s"($a * 16 + $b)")
+        s"""WITH $duckLmScoreCtes,
+        $duckDsirFeatures,
+        $duckLrChain,
+        $duckLrScoreCte,
+        gm AS (SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+            CAST(length(replace(text, ' ', '')) AS DOUBLE)
+              / len(string_split(text, ' ')) AS mwl,
+            (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+              + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3.0)
+              / len(string_split(text, ' ')) AS stw,
+            CAST(len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+              / len(string_split(text, ' ')) AS alr,
+            CAST(len(list_filter(string_split(text, ' '),
+              w -> w IN (${gopherStops.map("'" + _ + "'").mkString(", ")}))) AS BIGINT) AS n_stop
+          FROM documents),
+        gf AS (SELECT doc_id, (n_words BETWEEN 50 AND 100000)
+            AND (mwl BETWEEN 3.0 AND 10.0) AND stw <= 0.1 AND alr >= 0.8
+            AND n_stop >= 2 AS f1 FROM gm),
+        c4s AS (SELECT doc_id, lang,
+            len(string_split(text, ' ')) AS n_tokens,
+            CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+            CAST(length(text) - length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio
+          FROM documents),
+        c4f AS (SELECT doc_id,
+            (lang IN ('en', 'es') AND n_tokens BETWEEN 10 AND 400 AND
+             (CASE WHEN n_tokens BETWEEN 5 AND 1000 THEN 0.4 ELSE 0.0 END
+              + CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END
+              + CASE WHEN punct_ratio < 0.1 THEN 0.3 ELSE 0.0 END) >= 0.7) AS f2
+          FROM c4s),
+        lb AS (SELECT doc_id, (rn * 3 <= nd * 2) AS f3 FROM (
+          SELECT doc_id,
+            CAST(ROW_NUMBER() OVER (ORDER BY nll, doc_id) AS BIGINT) AS rn,
+            CAST(COUNT(*) OVER () AS BIGINT) AS nd
+          FROM rk)),
+        ddp AS (SELECT doc_id,
+            doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS f4
+          FROM documents),
+        ptf AS (SELECT doc_id,
+            (pow(1.0 - CAST($d AS DOUBLE) / 65536.0, ${-1.0 / 9.0}) - 1.0)
+              > 1.0 - score_r AS f5
+          FROM lsc),
+        fl AS (SELECT dd.doc_id,
+            COALESCE(gf.f1, FALSE) AS f1, COALESCE(c4f.f2, FALSE) AS f2,
+            COALESCE(lb.f3, FALSE) AS f3, COALESCE(ddp.f4, FALSE) AS f4,
+            COALESCE(ptf.f5, FALSE) AS f5
+          FROM documents dd
+          LEFT JOIN gf ON gf.doc_id = dd.doc_id
+          LEFT JOIN c4f ON c4f.doc_id = dd.doc_id
+          LEFT JOIN lb ON lb.doc_id = dd.doc_id
+          LEFT JOIN ddp ON ddp.doc_id = dd.doc_id
+          LEFT JOIN ptf ON ptf.doc_id = dd.doc_id),
+        cc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+            CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(SUM(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+            CAST(SUM(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+            CAST(SUM(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+            CAST(SUM(CASE WHEN f1 AND f2 AND f3 AND f4 AND f5 THEN 1 ELSE 0 END) AS BIGINT) AS n5
+          FROM fl),
+        stg AS (
+          SELECT 1 AS stage, 'gopher_rules' AS name, n0 AS n_in, n1 AS n_out FROM cc
+          UNION ALL SELECT 2, 'c4_filter', n1, n2 FROM cc
+          UNION ALL SELECT 3, 'lm_tail_cut', n2, n3 FROM cc
+          UNION ALL SELECT 4, 'exact_dedup', n3, n4 FROM cc
+          UNION ALL SELECT 5, 'pareto_classifier', n4, n5 FROM cc)
+        SELECT stage, name, n_in, n_out,
+          CASE WHEN n_in = 0 THEN 0.0
+            ELSE round(1.0 - CAST(n_out AS DOUBLE) / n_in, 6) END AS drop_r
+        FROM stg ORDER BY stage"""
+      }),
+
     // ---- Pareto-threshold stochastic selection (p61): the EXACT
     // mechanism GPT-3 used to apply its quality classifier (Brown et
     // al. 2020 §A: keep a document iff a Pareto(9) draw exceeds

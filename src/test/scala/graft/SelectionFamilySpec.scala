@@ -524,6 +524,44 @@ class SelectionFamilySpec extends SparkSpecBase {
     assert(bins.map(x => x._1 -> ((x._2, x._3))).toMap == expect)
   }
 
+  test("p75: the funnel's stages equal the standalone entries' own flags") {
+    // every per-doc flag re-derived from the oracle-pinned standalone
+    // entries, then AND-folded — the funnel must report exactly these
+    def q(name: String) = SparkEntry.queries(name)(spark, sf0001).collect()
+    val f1 = q("p52_gopher_rules").map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    val f3 = q("p53_lm_perplexity").map(r => r.getLong(0) -> (r.getString(4) != "tail")).toMap
+    val keepers = q("p01_dedup_exact").map(_.getLong(1)).toSet
+    val f5 = q("p61_pareto_sample").map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    // the C4 flag re-derived in plain Scala (p17 only reports per-source)
+    val meta = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val f2 = corpus.map { case (id, text, _) =>
+      val nTok = toks(text).length
+      val atl = text.replace(" ", "").length.toDouble / nTok
+      val pr = text.count(c => !c.isLetterOrDigit && c != ' ').toDouble / text.length
+      val qual = (if (nTok >= 5 && nTok <= 1000) 0.4 else 0.0) +
+        (if (atl >= 3.0 && atl <= 10.0) 0.3 else 0.0) +
+        (if (pr < 0.1) 0.3 else 0.0)
+      id -> (Seq("en", "es").contains(meta(id)) && nTok >= 10 && nTok <= 400 && qual >= 0.7)
+    }.toMap
+    val ids = corpus.map(_._1)
+    def cnt(fs: (Long => Boolean)*): Long =
+      ids.count(id => fs.forall(f => f(id))).toLong
+    def g(m: Map[Long, Boolean])(id: Long) = m.getOrElse(id, false)
+    val expect = Seq(
+      (1, "gopher_rules", ids.size.toLong, cnt(g(f1))),
+      (2, "c4_filter", cnt(g(f1)), cnt(g(f1), g(f2))),
+      (3, "lm_tail_cut", cnt(g(f1), g(f2)), cnt(g(f1), g(f2), g(f3))),
+      (4, "exact_dedup", cnt(g(f1), g(f2), g(f3)),
+        cnt(g(f1), g(f2), g(f3), keepers.contains)),
+      (5, "pareto_classifier", cnt(g(f1), g(f2), g(f3), keepers.contains),
+        cnt(g(f1), g(f2), g(f3), keepers.contains, g(f5))))
+    val got = q("p75_quality_funnel")
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expect, s"$got vs $expect")
+  }
+
   test("p72: Gear-CDC stats equal the TRUE rolling-recurrence re-derivation") {
     // the plan computes the windowed closed form Σ_j G[c_{i-j}]·2^j; this
     // re-derivation runs the actual h = (h<<1) + G[b] recurrence over the

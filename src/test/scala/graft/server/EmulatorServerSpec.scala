@@ -710,6 +710,14 @@ class EmulatorServerSpec extends AnyFunSuite {
     val sel = v2(s"SELECT COUNT(*) AS docs FROM TABLE(LR_QUALITY_SELECT('$dir'))")
     assert(cal.get("data").get(0).get(0).asText() ==
       sel.get("data").get(0).get(0).asText(), s"$cal vs $sel")
+    // the funnel: five chained stages, n_in of each = n_out of previous
+    val fn = v2(s"SELECT stage, n_in, n_out FROM TABLE(QUALITY_FUNNEL('$dir')) ORDER BY stage")
+    assert(fn.get("code").asText() == "090001", fn.toString)
+    assert(fn.get("data").size() == 5, fn.toString)
+    (1 until 5).foreach { i =>
+      assert(fn.get("data").get(i).get(1).asText() ==
+        fn.get("data").get(i - 1).get(2).asText(), fn.toString)
+    }
   }
 
   test("REST v2 session affinity: ALTER SESSION dials stick across token-bound calls") {
