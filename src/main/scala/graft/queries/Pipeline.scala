@@ -197,14 +197,19 @@ object Pipeline {
       }
   }
 
-  /** Near-dup pair table (a_id < b_id, exact Jaccard >= 0.5) staged once
-    * per input dir — p02's result IS p20's edge set and p31's split basis,
-    * and the posting-list expansion behind it is the most expensive join
-    * in the suite; three consumers re-deriving it at 100 TB would triple
-    * the pipeline's dominant cost. Same lifecycle/root as [[ShingleStage]]. */
+  /** Candidate pair table (a_id < b_id, shared-shingle intersection count
+    * plus both shingle-set sizes, PRE-threshold) staged once per input
+    * dir. The posting-list expansion behind it is the most expensive join
+    * in the suite, and it feeds TWO different similarity thresholds —
+    * Jaccard (p02/p20/p31/p58, >= 0.5) and Broder containment
+    * (p73, >= 0.7 of the smaller set). Staging the raw (a_id, b_id,
+    * inter, sza, szb) front lets every consumer apply its own threshold
+    * as a literal filter over one staged scan; at 100 TB the alternative
+    * is each family re-running the dominant shuffle. Same
+    * lifecycle/root as [[ShingleStage]]. */
   private[graft] object PairStage {
     def load(s: SparkSession, dir: String): DataFrame =
-      ShingleStage.stage(s, dir, "pr")(buildJaccardPairs(s, dir))
+      ShingleStage.stage(s, dir, "pr")(buildRawPairs(s, dir))
   }
 
   /** p00g: the exact ANN truth sets, staged once per corpus. Both are
@@ -708,8 +713,12 @@ object Pipeline {
     * two full shuffles of the exploded index plus the join itself. */
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     PairStage.load(s, dir)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
 
-  private def buildJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  private def buildRawPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // the posting-list shuffle keys on the staged 60-bit hash, not the
@@ -727,10 +736,7 @@ object Pipeline {
     pairs
       .join(sz.select(col("doc_id").as("a_id"), col("sz").as("sza")), "a_id")
       .join(sz.select(col("doc_id").as("b_id"), col("sz").as("szb")), "b_id")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .select(col("a_id"), col("b_id"), col("inter"), col("sza"), col("szb"))
   }
 
   /** p05/p14 are DECLARED exact all-pairs baselines — quadratic by
@@ -2977,6 +2983,37 @@ object Pipeline {
     (m2, m1, v)
   }
 
+  /** p78's per-bigram Kneser-Ney score as ONE expression string rendered
+    * into both engines (columns c1/c2/n1v/n1w/dd resolve identically on
+    * the Spark joined frame and in the DuckDB `sc` CTE). Both CASE arms
+    * are differences of [[sln]] logs of integer-valued arguments, so the
+    * scaled sums are exact BIGINTs on both sides. Bounds: with D = B+V
+    * and c1 <= reference tokens, 4·D·c1 stays far inside BIGINT for any
+    * model that can broadcast at all. */
+  private def knNlsExpr: String =
+    "CASE WHEN c1 IS NULL THEN " + sln("dd") + " - " +
+      sln("coalesce(n1w, 0) + 1") +
+    " ELSE " + sln("4 * dd * c1") + " - " +
+      sln("greatest(4 * coalesce(c2, 0) - 3, 0) * dd + 3 * n1v * (coalesce(n1w, 0) + 1)") +
+    " END"
+
+  /** The KN model as DuckDB CTEs (needs `bg`; defines `kn2` per-bigram
+    * counts, `knc` context totals + distinct-successor counts, `knw`
+    * continuation counts, `knd` the smoothing denominator D = B+V). */
+  private def duckKnModelCtes: String =
+    """kn2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+          FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+        knc AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+            CAST(count(*) AS BIGINT) AS n1v
+          FROM kn2 GROUP BY 1),
+        knw AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1w
+          FROM kn2 GROUP BY 1),
+        knd AS (SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM kn2)
+            + (SELECT CAST(count(DISTINCT w) AS BIGINT)
+               FROM (SELECT unnest(string_split(text, ' ')) AS w
+                     FROM documents WHERE lang = 'en')) AS dd)"""
+
   /** The DuckDB mirror of [[lmModel]] (CTEs `m2`, `m1`, `refv`). */
   private val duckLmModel: String =
     """refv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
@@ -5055,20 +5092,12 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
     // join keys on the staged 8-byte hash, the DF guard bounds every
     // posting list, only (id, id, count) integers shuffle. -------------
     QDef("p73_containment",
+      // additive over the staged pre-threshold pair front (p00b): the
+      // containment threshold is a literal filter on the SAME staged
+      // (inter, sza, szb) table the Jaccard family reads — the posting
+      // expansion is never re-run per similarity measure
       (s, dir) => {
-        val sh = shingles(s, dir)
-        val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-        val pairs = sh.groupBy(col("h"))
-          .agg(collect_list(col("doc_id")).as("ids"))
-          .select(explode(expr(
-            """filter(
-                 flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))),
-                 p -> p.a < p.b)""")).as("p"))
-          .groupBy(col("p.a").as("a_id"), col("p.b").as("b_id"))
-          .agg(count(lit(1)).as("inter"))
-        pairs
-          .join(sz.select(col("doc_id").as("a_id"), col("sz").as("sza")), "a_id")
-          .join(sz.select(col("doc_id").as("b_id"), col("sz").as("szb")), "b_id")
+        PairStage.load(s, dir)
           .withColumn("cont_r",
             round(col("inter").cast("double") / least(col("sza"), col("szb")), 6))
           .filter(col("cont_r") >= 0.7)
@@ -7390,7 +7419,7 @@ ${duckResidualAdcCtes("y", "v")},
     QDef("p58_source_overlap",
       (s, dir) => {
         val src = docs(s, dir).select(col("doc_id"), col("source"))
-        PairStage.load(s, dir)
+        jaccardPairs(s, dir)
           .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), Seq("a_id"))
           .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), Seq("b_id"))
           .select(least(col("sa"), col("sb")).as("source_a"),
@@ -7592,6 +7621,255 @@ ${duckResidualAdcCtes("y", "v")},
           CAST(sum(csize) AS BIGINT) AS n_docs,
           CAST(sum(bytes_total) AS BIGINT) AS bytes_total,
           CAST(sum(bytes_dupe) AS BIGINT) AS bytes_dupe
-        FROM cl GROUP BY csize ORDER BY cluster_size"""))
+        FROM cl GROUP BY csize ORDER BY cluster_size""")),
+
+    // ---- cohort retention (p76): the classic warehouse retention
+    // matrix over the event stream — users cohorted by the ISO week of
+    // their first event, each later active week attributed to its
+    // week-offset from the cohort, retention = active/cohort-size.
+    // Scale shape: one user_id shuffle for the first-touch aggregate,
+    // one (cohort_week, offset) shuffle for the activity counts; the
+    // countDistinct is per (cohort, offset) — bounded keys, partial
+    // aggregation upstream. Week arithmetic stays exact: both engines
+    // truncate to the ISO Monday, and the day-difference of two Mondays
+    // is an exact multiple of 7, so the float division is integer-valued
+    // on both sides. --------------------------------------------------
+    QDef("p76_retention_cohorts",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("ts").cast("date").as("d"))
+        val first = ev.groupBy(col("user_id"))
+          .agg(min(col("d")).as("first_d"))
+          .withColumn("cohort_week", date_trunc("week", col("first_d")).cast("date"))
+        val sizes = first.groupBy(col("cohort_week"))
+          .agg(count(lit(1)).as("cohort_size"))
+        ev.join(first.select(col("user_id"), col("cohort_week")), Seq("user_id"))
+          .withColumn("week_offset",
+            (datediff(date_trunc("week", col("d")).cast("date"), col("cohort_week")) / 7)
+              .cast("int"))
+          .groupBy(col("cohort_week"), col("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .join(sizes, Seq("cohort_week"))
+          .withColumn("retention",
+            round(col("n_active").cast("double") / col("cohort_size"), 6))
+          .select(col("cohort_week"), col("week_offset"), col("n_active"),
+            col("cohort_size"), col("retention"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        fu AS (
+          SELECT user_id, CAST(date_trunc('week', MIN(d)) AS DATE) AS cohort_week
+          FROM ev GROUP BY user_id),
+        sz AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+          FROM fu GROUP BY 1),
+        act AS (
+          SELECT f.cohort_week,
+            CAST(date_diff('day', f.cohort_week,
+              CAST(date_trunc('week', e.d) AS DATE)) / 7 AS INTEGER) AS week_offset,
+            CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+          FROM ev e JOIN fu f ON f.user_id = e.user_id
+          GROUP BY 1, 2)
+        SELECT act.cohort_week, act.week_offset, act.n_active, sz.cohort_size,
+          round(CAST(act.n_active AS DOUBLE) / sz.cohort_size, 6) AS retention
+        FROM act JOIN sz ON sz.cohort_week = act.cohort_week
+        ORDER BY act.cohort_week, act.week_offset""")),
+
+    // ---- rolling z-score anomaly detection (p77): hourly event-type
+    // counts scored against the trailing 24 observed hours (ROWS window,
+    // so gaps don't silently shrink the baseline mass; >= 12 history rows
+    // required before scoring). All window state is three BIGINT sums —
+    // exact in any accumulation order — and the mean/stddev/z float math
+    // is ONE textually-mirrored expression over those integers, rounded
+    // to 6 dp before the threshold compare, so both engines flag the
+    // identical hours. Scale shape: one (event_type) shuffle, windows
+    // partition-local; the sample stddev uses the sum-of-squares form so
+    // no second pass over the window is needed. ------------------------
+    QDef("p77_hourly_anomaly",
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+          .rowsBetween(-24, -1)
+        val zExpr = "round((CAST(n AS DOUBLE) - CAST(w_sum AS DOUBLE) / w_cnt) / " +
+          "sqrt((CAST(w_sum2 AS DOUBLE) - CAST(w_sum AS DOUBLE) * w_sum / w_cnt) " +
+          "/ (w_cnt - 1)), 6)"
+        t(s, dir, "events")
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("w_cnt", count(col("n")).over(w))
+          .withColumn("w_sum", sum(col("n")).over(w))
+          .withColumn("w_sum2", sum(col("n") * col("n")).over(w))
+          .filter(col("w_cnt") >= 12)
+          .withColumn("mean_r",
+            round(col("w_sum").cast("double") / col("w_cnt"), 6))
+          .withColumn("z_r", expr(
+            s"CASE WHEN w_cnt * w_sum2 > w_sum * w_sum THEN $zExpr END"))
+          .withColumn("is_anomaly",
+            coalesce(abs(col("z_r")) >= 3.0, lit(false)))
+          .select(col("event_type"), col("hour"), col("n"), col("w_cnt"),
+            col("mean_r"), col("z_r"), col("is_anomaly"))
+          .orderBy(col("event_type"), col("hour"))
+      },
+      Some("""WITH h AS (
+          SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        wr AS (
+          SELECT event_type, hour, n,
+            CAST(COUNT(n) OVER wnd AS BIGINT) AS w_cnt,
+            CAST(SUM(n) OVER wnd AS BIGINT) AS w_sum,
+            CAST(SUM(n * n) OVER wnd AS BIGINT) AS w_sum2
+          FROM h
+          WINDOW wnd AS (PARTITION BY event_type ORDER BY hour
+            ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        zc AS (
+          SELECT event_type, hour, n, w_cnt,
+            round(CAST(w_sum AS DOUBLE) / w_cnt, 6) AS mean_r,
+            CASE WHEN w_cnt * w_sum2 > w_sum * w_sum THEN
+              round((CAST(n AS DOUBLE) - CAST(w_sum AS DOUBLE) / w_cnt) /
+                sqrt((CAST(w_sum2 AS DOUBLE) - CAST(w_sum AS DOUBLE) * w_sum / w_cnt)
+                / (w_cnt - 1)), 6)
+            END AS z_r
+          FROM wr WHERE w_cnt >= 12)
+        SELECT event_type, hour, n, w_cnt, mean_r, z_r,
+          COALESCE(abs(z_r) >= 3.0, FALSE) AS is_anomaly
+        FROM zc ORDER BY event_type, hour""")),
+
+    // ---- interpolated Kneser-Ney bigram perplexity (p78): the KenLM
+    // smoothing (Kneser & Ney 1995; Heafield 2011) next to p53's
+    // add-one CCNet model — the discounted bigram estimate interpolated
+    // with a CONTINUATION unigram distribution (how many distinct
+    // contexts precede w, not how often w occurs), absolute discount
+    // d = 3/4. With d rational, every per-token probability is a ratio
+    // of integers: p(w2|w1) = (max(4·c2−3,0)·D + 3·n1v·(n1w+1)) /
+    // (4·D·c1) with D = B+V (continuation distribution add-one-smoothed
+    // over D so unseen words keep nonzero mass), and an unseen context
+    // backs off to the continuation distribution alone. So each nls is
+    // a difference of two sln() integer logs — exact BIGINT sums in any
+    // order, engine-identical. Scale shape: identical to p53 — model
+    // tables are vocabulary/bigram-type-bounded broadcasts (same pruned
+    // fallback documented there), the only corpus-scaled work is the
+    // per-doc aggregation. --------------------------------------------
+    QDef("p78_kn_perplexity",
+      (s, dir) => {
+        val ref = docBigrams(s, dir).filter(col("lang") === "en")
+        val m2 = ref.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+        val ctx = m2.groupBy(col("w1"))
+          .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1v"))
+        val cont = m2.groupBy(col("w2")).agg(count(lit(1)).as("n1w"))
+        val dd = m2.agg(count(lit(1)).as("bt"))
+          .crossJoin(docs(s, dir).filter(col("lang") === "en")
+            .select(explode(split(col("text"), " ")).as("w"))
+            .agg(countDistinct(col("w")).as("v")))
+          .select((col("bt") + col("v")).as("dd"))
+        docBigrams(s, dir)
+          .join(broadcast(m2), Seq("w1", "w2"), "left")
+          .join(broadcast(ctx), Seq("w1"), "left")
+          .join(broadcast(cont), Seq("w2"), "left")
+          .crossJoin(broadcast(dd))
+          .withColumn("nls", expr(knNlsExpr))
+          .withColumn("coov", when(col("c1").isNull, 1L).otherwise(0L))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("coov")).as("n_ctx_oov"),
+            sum(col("nls")).as("nll_sum"))
+          .withColumn("ctx_oov_ratio",
+            round(col("n_ctx_oov").cast("double") / col("n_bigrams"), 6))
+          .withColumn("kn_nll",
+            round(col("nll_sum").cast("double") / 100000000.0 / col("n_bigrams"), 6))
+          .select(col("doc_id"), col("n_bigrams"), col("n_ctx_oov"),
+            col("ctx_oov_ratio"), col("kn_nll"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $duckBigrams,
+        $duckKnModelCtes,
+        sc AS (
+          SELECT g.doc_id, $knNlsExpr AS nls,
+            CASE WHEN c1 IS NULL THEN 1 ELSE 0 END AS coov
+          FROM bg g CROSS JOIN knd
+          LEFT JOIN kn2 ON g.w1 = kn2.w1 AND g.w2 = kn2.w2
+          LEFT JOIN knc ON g.w1 = knc.w1
+          LEFT JOIN knw ON g.w2 = knw.w2),
+        ds AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+            CAST(sum(coov) AS BIGINT) AS n_ctx_oov, sum(nls) AS nll_sum
+          FROM sc GROUP BY 1)
+        SELECT doc_id, n_bigrams, n_ctx_oov,
+          round(CAST(n_ctx_oov AS DOUBLE) / n_bigrams, 6) AS ctx_oov_ratio,
+          round(CAST(nll_sum AS DOUBLE) / 100000000.0 / n_bigrams, 6) AS kn_nll
+        FROM ds ORDER BY doc_id""")),
+
+    // ---- the fitted KN context model surfaced (p78b): per context w1,
+    // its total count c1, distinct-successor count n1v, and the
+    // interpolation mass the discount releases to the continuation
+    // distribution (3·n1v / 4·c1 — KN's lambda). Pins the model half of
+    // p78 on its own: a wrong continuation count breaks this hash even
+    // where doc-level nll sums happen to cancel. ------------------------
+    QDef("p78b_kn_model",
+      (s, dir) => {
+        val ref = docBigrams(s, dir).filter(col("lang") === "en")
+        val m2 = ref.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+        m2.groupBy(col("w1"))
+          .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1v"))
+          .withColumn("backoff_mass",
+            round((lit(3L) * col("n1v")).cast("double") / (lit(4L) * col("c1")), 6))
+          .select(col("w1"), col("c1"), col("n1v"), col("backoff_mass"))
+          .orderBy(col("c1").desc, col("w1"))
+      },
+      Some(s"""WITH $duckBigrams,
+        kn2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+          FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+        knc AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+            CAST(count(*) AS BIGINT) AS n1v
+          FROM kn2 GROUP BY 1)
+        SELECT w1, c1, n1v,
+          round(CAST(3 * n1v AS DOUBLE) / (4 * c1), 6) AS backoff_mass
+        FROM knc ORDER BY c1 DESC, w1""")),
+
+    // ---- quality-aware dedup survivor selection (p79): p20 keeps the
+    // min-id member of each near-dup component; the published refinement
+    // keeps the HIGHEST-QUALITY member (the dedup pass should not
+    // discard the clean copy because a boilerplate-ridden one has a
+    // smaller id). Composes two already-pinned fronts — the staged
+    // near-dup components and p09's quality score — with one window
+    // rank; ties break on doc_id so the choice is total. Per-doc output
+    // keeps the audit trail (who was dropped in favor of whom). --------
+    QDef("p79_cluster_best",
+      (s, dir) => {
+        val comp = dedupComponents(s, dir)
+        val ql = docs(s, dir)
+          .withColumn("n_tokens", size(split(col("text"), " ")))
+          .withColumn("avg_token_len",
+            length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_tokens"))
+          .withColumn("punct_ratio",
+            (length(col("text")) - length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")))
+              .cast("double") / length(col("text")))
+          .withColumn("quality",
+            (when(col("n_tokens").between(5, 1000), 0.4).otherwise(0.0) +
+              when(col("avg_token_len").between(3.0, 10.0), 0.3).otherwise(0.0) +
+              when(col("punct_ratio") < 0.1, 0.3).otherwise(0.0)).cast("double"))
+          .select(col("doc_id"), col("quality"))
+        val w = Window.partitionBy(col("comp"))
+          .orderBy(col("quality").desc, col("doc_id"))
+        comp.join(ql, Seq("doc_id"))
+          .withColumn("csize", count(lit(1)).over(Window.partitionBy(col("comp"))))
+          .withColumn("rk", row_number().over(w))
+          .select(col("doc_id"), col("comp"), col("csize"), col("quality"),
+            (col("rk") === 1).as("is_kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $duckComponentCtes,
+        cmp AS (SELECT id AS doc_id, CAST(MIN(comp) AS BIGINT) AS comp
+          FROM reach GROUP BY id),
+        ql AS (SELECT doc_id,
+          CAST((CASE WHEN len(string_split(text, ' ')) BETWEEN 5 AND 1000 THEN 0.4 ELSE 0.0 END
+            + CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END
+            + CASE WHEN CAST(length(text) - length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) < 0.1 THEN 0.3 ELSE 0.0 END) AS DOUBLE) AS quality
+          FROM documents)
+        SELECT c.doc_id, c.comp,
+          CAST(COUNT(*) OVER (PARTITION BY c.comp) AS BIGINT) AS csize,
+          q.quality,
+          (ROW_NUMBER() OVER (PARTITION BY c.comp
+            ORDER BY q.quality DESC, c.doc_id) = 1) AS is_kept
+        FROM cmp c JOIN ql q ON q.doc_id = c.doc_id
+        ORDER BY c.doc_id"""))
   )
 }
