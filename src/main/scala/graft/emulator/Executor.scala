@@ -735,7 +735,11 @@ final class Executor(
     "CDC_CHUNKS" -> "p72_cdc_chunks",
     "CONTAINMENT_DEDUP" -> "p73_containment",
     "LR_CALIBRATION" -> "p74_lr_calibration",
-    "QUALITY_FUNNEL" -> "p75_quality_funnel")
+    "QUALITY_FUNNEL" -> "p75_quality_funnel",
+    "RETENTION_COHORTS" -> "p76_retention_cohorts",
+    "HOURLY_ANOMALY" -> "p77_hourly_anomaly",
+    "KN_PERPLEXITY" -> "p78_kn_perplexity",
+    "CLUSTER_BEST" -> "p79_cluster_best")
 
   /** Match only the OPENING of a pipeline table-function call; the
     * argument span is found by a quote-aware paren scan (a ')' inside a

@@ -450,4 +450,111 @@ class QueriesSmokeSpec extends SparkSpecBase {
       graft.queries.Pipeline.ShingleStage.resetForTest()
     }
   }
+
+  test("p76 retention: equals the plain-Scala cohort matrix; week-0 retention is 1.0") {
+    import java.time.{DayOfWeek, Instant, LocalDate, ZoneOffset}
+    import java.time.temporal.TemporalAdjusters
+    def utcDate(t: java.sql.Timestamp): LocalDate =
+      Instant.ofEpochMilli(t.getTime).atZone(ZoneOffset.UTC).toLocalDate
+    def week(d: LocalDate): LocalDate =
+      d.`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
+    val ev = graft.queries.Q.t(spark, sf0001, "events")
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), utcDate(r.getTimestamp(1))))
+    val cohort: Map[Long, LocalDate] = ev.groupBy(_._1)
+      .map { case (u, rows) => u -> week(rows.map(_._2).minBy(_.toEpochDay)) }
+    val sizes: Map[LocalDate, Long] =
+      cohort.values.groupBy(identity).map { case (cw, v) => cw -> v.size.toLong }
+    val active: Map[(LocalDate, Int), Long] = ev
+      .map { case (u, d) =>
+        val cw = cohort(u)
+        ((cw, ((week(d).toEpochDay - cw.toEpochDay) / 7).toInt), u)
+      }.distinct.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val expected = active.map { case ((cw, off), nAct) =>
+      (cw.toString, off) -> ((nAct, sizes(cw),
+        java.math.BigDecimal.valueOf(nAct.toDouble / sizes(cw))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue))
+    }
+    val got = SparkEntry.queries("p76_retention_cohorts")(spark, sf0001).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == expected, s"${got.toSeq.sortBy(_._1).take(3)} vs ${
+      expected.toSeq.sortBy(_._1).take(3)}")
+    // every user is active in their own cohort week, so offset 0 is total
+    sizes.keys.foreach { cw =>
+      assert(got((cw.toString, 0)) == ((sizes(cw), sizes(cw), 1.0)), cw.toString)
+    }
+  }
+
+  test("p77 anomaly: equals the plain-Scala trailing-window z-scores") {
+    import java.time.{Instant, ZoneOffset}
+    import java.time.temporal.ChronoUnit
+    def r6(d: Double): Double = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val ev = graft.queries.Q.t(spark, sf0001, "events")
+      .select("event_type", "ts").collect()
+      .map(r => (r.getString(0), Instant.ofEpochMilli(r.getTimestamp(1).getTime)
+        .atZone(ZoneOffset.UTC).truncatedTo(ChronoUnit.HOURS).toInstant))
+    val hourly = ev.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val expected = hourly.keys.toSeq.map(_._1).distinct.flatMap { et =>
+      val series = hourly.collect { case ((`et`, h), n) => (h, n) }
+        .toSeq.sortBy(_._1)
+      series.indices.flatMap { i =>
+        val wnd = series.slice(math.max(0, i - 24), i).map(_._2)
+        val (wc, ws, ws2) = (wnd.size.toLong, wnd.sum, wnd.map(x => x * x).sum)
+        if (wc < 12) None else {
+          val n = series(i)._2
+          val z = if (wc * ws2 > ws * ws)
+            Some(r6((n.toDouble - ws.toDouble / wc) /
+              math.sqrt((ws2.toDouble - ws.toDouble * ws / wc) / (wc - 1))))
+          else None
+          Some((et, series(i)._1) ->
+            ((n, wc, r6(ws.toDouble / wc), z, z.exists(v => math.abs(v) >= 3.0))))
+        }
+      }
+    }.toMap
+    val got = SparkEntry.queries("p77_hourly_anomaly")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toInstant) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+          r.getBoolean(6)))).toMap
+    assert(got.size == expected.size, s"${got.size} vs ${expected.size}")
+    assert(got == expected, (got.keySet | expected.keySet)
+      .find(k => got.get(k) != expected.get(k)).toString)
+  }
+
+  test("p79: one survivor per cluster, and it is the max-quality member") {
+    def q(text: String): Double = {
+      val n = text.split(" ", -1).length
+      val mwl = text.replace(" ", "").length.toDouble / n
+      // mirrors p09's pinned expression: length(text) - length(text
+      // stripped of [A-Za-z0-9 ]) counts the KEPT class
+      val pr = text.count(c => (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || c == ' ').toDouble / text.length
+      (if (n >= 5 && n <= 1000) 0.4 else 0.0) +
+        (if (mwl >= 3.0 && mwl <= 10.0) 0.3 else 0.0) +
+        (if (pr < 0.1) 0.3 else 0.0)
+    }
+    val quality = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> q(r.getString(1))).toMap
+    val rows = SparkEntry.queries("p79_cluster_best")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    // same component labels as p20 (the already-pinned clustering)
+    val comp20 = SparkEntry.queries("p20_dedup_clusters")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(t => t._1 -> t._2).toMap == comp20)
+    // quality column is the independent re-derivation
+    rows.foreach { case (id, _, _, ql, _) => assert(ql == quality(id), id.toString) }
+    rows.groupBy(_._2).foreach { case (comp, members) =>
+      // csize is the group size on every row
+      members.foreach { m => assert(m._3 == members.length.toLong, comp.toString) }
+      // exactly one survivor: the (quality desc, doc_id asc) argmax
+      val kept = members.filter(_._5)
+      assert(kept.length == 1, s"comp $comp kept ${kept.length}")
+      val best = members.minBy(m => (-m._4, m._1))
+      assert(kept.head._1 == best._1, s"comp $comp kept ${kept.head._1} != ${best._1}")
+    }
+  }
 }

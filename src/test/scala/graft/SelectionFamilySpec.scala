@@ -652,4 +652,57 @@ class SelectionFamilySpec extends SparkSpecBase {
       assert(math.abs(ws.sum - 1.0) < 1e-4, s"round $t sums ${ws.sum}")
     }
   }
+
+  test("p78: Kneser-Ney doc scores equal the plain-Scala re-derivation; " +
+    "the smoothed distribution normalizes EXACTLY per context") {
+    // independent model fit over the English slice, plain collections
+    val ref = corpus.filter(_._3 == "en")
+    val refBigs = ref.flatMap { case (_, text, _) => bigrams(text) }
+    val c2 = refBigs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1 = refBigs.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val n1v = c2.keys.toSeq.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val n1w = c2.keys.toSeq.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val vocab = ref.flatMap { case (_, text, _) => toks(text) }.distinct
+    val dd = c2.size.toLong + vocab.size.toLong
+    def num(w1: String, w2: String): Long =
+      math.max(4L * c2.getOrElse((w1, w2), 0L) - 3L, 0L) * dd +
+        3L * n1v(w1) * (n1w.getOrElse(w2, 0L) + 1L)
+    def nls(w1: String, w2: String): Long = c1.get(w1) match {
+      case None => sln(dd) - sln(n1w.getOrElse(w2, 0L) + 1L)
+      case Some(cc1) => sln(4L * dd * cc1) - sln(num(w1, w2))
+    }
+    val expected = corpus.flatMap { case (id, text, _) =>
+      val bs = bigrams(text)
+      if (bs.isEmpty) None else {
+        val n = bs.length.toLong
+        val oov = bs.count { case (w1, _) => !c1.contains(w1) }.toLong
+        val s = bs.map { case (w1, w2) => nls(w1, w2) }.sum
+        Some(id -> ((n, oov, r6(oov.toDouble / n), r6(s.toDouble / 1e8 / n))))
+      }
+    }.toMap
+    val got = SparkEntry.queries("p78_kn_perplexity")(spark, sf0001).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == expected,
+      s"${got.size} vs ${expected.size}; diff=${
+        (got.keySet | expected.keySet).find(k => got.get(k) != expected.get(k))}")
+    // KN with the add-one continuation distribution is a PROPER
+    // distribution: for every seen context, the integer numerators over
+    // the whole reference vocabulary sum to exactly the denominator
+    // 4·D·c1 (sum of (n1w+1) over the vocab = B + V = D by construction)
+    c1.foreach { case (w1, cc1) =>
+      val mass = vocab.iterator.map(w2 => num(w1, w2)).sum
+      assert(mass == 4L * dd * cc1, s"context $w1: $mass != ${4L * dd * cc1}")
+    }
+    // unseen-context arm too: sum over vocab of (n1w+1) = D exactly
+    assert(vocab.iterator.map(w2 => n1w.getOrElse(w2, 0L) + 1L).sum == dd)
+    // and the surfaced model table (p78b) matches the same fit
+    val model = SparkEntry.queries("p78b_kn_model")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(model.keySet == c1.keySet)
+    c1.foreach { case (w1, cc1) =>
+      assert(model(w1) ==
+        ((cc1, n1v(w1), r6((3L * n1v(w1)).toDouble / (4L * cc1)))), w1)
+    }
+  }
 }

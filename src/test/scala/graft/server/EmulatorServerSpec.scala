@@ -720,6 +720,29 @@ class EmulatorServerSpec extends AnyFunSuite {
     }
   }
 
+  test("REST v2 e2e: retention, anomaly, KN perplexity, cluster-best functions") {
+    val dir = "/root/testdata/sf0.001"
+    // retention: week-0 of every cohort is total (retention 1.0)
+    val rt = v2("SELECT COUNT(*) AS n FROM " +
+      s"TABLE(RETENTION_COHORTS('$dir')) WHERE week_offset = 0 AND retention = 1.0")
+    assert(rt.get("code").asText() == "090001", rt.toString)
+    assert(rt.get("data").get(0).get(0).asLong() > 0L, rt.toString)
+    // anomaly: the flag column is consistent with its own z threshold
+    val an = v2("SELECT COUNT(*) AS n FROM " +
+      s"TABLE(HOURLY_ANOMALY('$dir')) WHERE is_anomaly AND abs(z_r) < 3.0")
+    assert(an.get("code").asText() == "090001", an.toString)
+    assert(an.get("data").get(0).get(0).asLong() == 0L, an.toString)
+    // KN: scores arrive for every document that has bigrams
+    val kn = v2(s"SELECT COUNT(*) AS n FROM TABLE(KN_PERPLEXITY('$dir')) WHERE kn_nll IS NOT NULL")
+    assert(kn.get("code").asText() == "090001", kn.toString)
+    assert(kn.get("data").get(0).get(0).asLong() > 0L, kn.toString)
+    // cluster-best: survivors per component = number of components
+    val cb = v2(s"SELECT COUNT(DISTINCT comp) AS c FROM TABLE(CLUSTER_BEST('$dir'))")
+    val cbKept = v2(s"SELECT COUNT(*) AS k FROM TABLE(CLUSTER_BEST('$dir')) WHERE is_kept")
+    assert(cb.get("data").get(0).get(0).asText() ==
+      cbKept.get("data").get(0).get(0).asText(), s"$cb vs $cbKept")
+  }
+
   test("REST v2 session affinity: ALTER SESSION dials stick across token-bound calls") {
     val dir = "/root/testdata/sf0.001"
     // the v1 session token binds separate v2 calls to ONE session
