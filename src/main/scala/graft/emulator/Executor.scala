@@ -739,7 +739,13 @@ final class Executor(
     "RETENTION_COHORTS" -> "p76_retention_cohorts",
     "HOURLY_ANOMALY" -> "p77_hourly_anomaly",
     "KN_PERPLEXITY" -> "p78_kn_perplexity",
-    "CLUSTER_BEST" -> "p79_cluster_best")
+    "CLUSTER_BEST" -> "p79_cluster_best",
+    "LEXRANK" -> "p80_lexrank",
+    "WINNOW_DEDUP" -> "p81_winnow_dedup",
+    "READABILITY" -> "p82_readability",
+    "READABILITY_PROFILE" -> "p82b_readability_profile",
+    "RETRIEVAL_NDCG" -> "p83_retrieval_ndcg",
+    "RETRIEVAL_EVAL" -> "p83b_retrieval_eval")
 
   /** Match only the OPENING of a pipeline table-function call; the
     * argument span is found by a quote-aware paren scan (a ')' inside a

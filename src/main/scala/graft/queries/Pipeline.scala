@@ -7870,6 +7870,369 @@ ${duckResidualAdcCtes("y", "v")},
           (ROW_NUMBER() OVER (PARTITION BY c.comp
             ORDER BY q.quality DESC, c.doc_id) = 1) AS is_kept
         FROM cmp c JOIN ql q ON q.doc_id = c.doc_id
-        ORDER BY c.doc_id"""))
+        ORDER BY c.doc_id""")),
+
+    // ---- LexRank centrality (p80): graph centrality over the near-dup
+    // similarity graph (Erkan & Radev 2004 — representative-document
+    // selection by eigenvector centrality instead of p79's pointwise
+    // quality argmax). PageRank with damping 0.85 over the p02 edge set
+    // (Jaccard >= 0.5, symmetric), run as a FIXED-POINT INTEGER
+    // trajectory: ranks are scaled by 1e6, each neighbor contribution is
+    // integer division r div deg, each round is 150000 + (85·mass) div
+    // 100 — every value a BIGINT, every sum order-independent, so both
+    // engines walk bit-identical trajectories (the same trick as the p55
+    // GD fit and p78's integer-ratio KN model; float PageRank would be
+    // accumulation-order-dependent). Scale shape: the edge list is the
+    // staged pre-threshold pair front (p00b) thresholded — bounded by
+    // the corpus near-dup rate, NOT n² — and each of the 5 rounds is one
+    // join + one shuffle keyed on dst (16-byte rows); at production scale
+    // each round's rank table would be checkpointed, at validation scale
+    // the 5-deep plan is cheap. Singletons stay at the damping floor by
+    // construction. ----------------------------------------------------
+    QDef("p80_lexrank",
+      (s, dir) => {
+        val pairs = jaccardPairs(s, dir).select(col("a_id"), col("b_id"))
+        val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+          .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+        val dg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val nodes = docs(s, dir).select(col("doc_id"))
+        val contribSrc = edges.join(dg, "src")
+        var rank = nodes.withColumn("r", lit(1000000L))
+        for (_ <- 1 to lexIters) {
+          val mass = contribSrc
+            .join(rank.select(col("doc_id").as("src"), col("r")), "src")
+            .select(col("dst").as("doc_id"), expr("r div deg").as("c"))
+            .groupBy(col("doc_id")).agg(sum(col("c")).as("mass"))
+          rank = nodes.join(mass, Seq("doc_id"), "left")
+            .select(col("doc_id"), expr(
+              "CAST(150000 + ((85 * coalesce(mass, 0)) div 100) AS BIGINT)").as("r"))
+        }
+        rank.join(dg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("deg"), lit(0L)).as("degree"),
+            col("r").as("rank_scaled"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $duckGuardedPairCtes,
+        lpairs AS (
+          SELECT a_id, b_id
+          FROM pr JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+        ledges AS (SELECT a_id AS src, b_id AS dst FROM lpairs
+                   UNION ALL SELECT b_id, a_id FROM lpairs),
+        ldeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM ledges GROUP BY 1),
+        lr0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM documents),
+${(1 to lexIters).map(duckLexIter).mkString(",\n")}
+        SELECT n.doc_id, CAST(COALESCE(d.deg, 0) AS BIGINT) AS degree,
+          f.r AS rank_scaled
+        FROM documents n
+        LEFT JOIN ldeg d ON d.src = n.doc_id
+        JOIN lr$lexIters f ON f.doc_id = n.doc_id
+        ORDER BY n.doc_id""")),
+
+    // ---- winnowing fingerprints (p81): the MOSS local fingerprinting
+    // scheme (Schleimer, Wilkerson & Aiken, SIGMOD 2003) as the third
+    // point on the dedup cost/recall curve next to full-shingle Jaccard
+    // (p02) and MinHash-LSH (p03). Each doc's positional 3-gram hash
+    // sequence is windowed (w=4); the fingerprint set is the distinct
+    // window minima — the paper's guarantee: any shared run of >= w+k-1
+    // tokens produces a shared fingerprint (no false negatives for long
+    // matches), at expected density 2/(w+1), so the posting join runs on
+    // ~2.5x fewer rows than p02's full index. Same engine-portable md560
+    // hash, same hot-fingerprint DF guard, same grouped posting-list
+    // pair expansion; score is containment against the SMALLER
+    // fingerprint set (a near-dup of a fragment still scores high).
+    // Scale shape: one shuffle on the 8-byte fingerprint hash over a
+    // winnowed (sub-sampled by construction) index; windows are
+    // partition-local per doc. -----------------------------------------
+    QDef("p81_winnow_dedup",
+      (s, dir) => {
+        val tk = docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("arr"))
+          .filter(size(col("arr")) >= 3)
+        val grams = tk.select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, size(arr) - 3), i -> concat_ws(' ', arr[i], arr[i+1], arr[i+2]))"))
+          .as(Seq("pos", "g")))
+        val hashed = grams.select(col("doc_id"), col("pos"), md560(col("g")).as("h"))
+        val wdoc = Window.partitionBy(col("doc_id"))
+        val wwin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(0, winnowW - 1)
+        val fps = hashed
+          .withColumn("n", count(lit(1)).over(wdoc))
+          .withColumn("wmin", min(col("h")).over(wwin))
+          .filter(col("pos") <= col("n") - winnowW)
+          .select(col("doc_id"), col("wmin").as("h")).distinct()
+        val nDocs = docs(s, dir).count()
+        val dfp = fps.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        val kept = fps.join(
+          dfp.filter(col("df").cast("double") <= lit(math.max(5.0, nDocs * 0.01))), "h")
+          .select(col("doc_id"), col("h"))
+        val fsz = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("fsz"))
+        val pairs = kept.groupBy(col("h"))
+          .agg(collect_list(col("doc_id")).as("ids"))
+          .select(explode(expr(
+            """filter(
+                 flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))),
+                 p -> p.a < p.b)""")).as("p"))
+          .groupBy(col("p.a").as("a_id"), col("p.b").as("b_id"))
+          .agg(count(lit(1)).as("shared"))
+        pairs
+          .join(fsz.select(col("doc_id").as("a_id"), col("fsz").as("fa")), "a_id")
+          .join(fsz.select(col("doc_id").as("b_id"), col("fsz").as("fb")), "b_id")
+          .withColumn("score_r",
+            round(col("shared").cast("double") / least(col("fa"), col("fb")), 6))
+          .filter(col("shared").cast("double") / least(col("fa"), col("fb")) >= 0.5)
+          .select(col("a_id"), col("b_id"), col("shared"), col("fa"), col("fb"),
+            col("score_r"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some(s"""WITH wt AS (
+          SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+        wg AS (SELECT doc_id, arr, unnest(range(1, len(arr) - 1)) AS i FROM wt),
+        wh AS (SELECT doc_id, i - 1 AS pos,
+            ${duckMd560("arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]")} AS h
+          FROM wg),
+        ww AS (SELECT doc_id, pos, h,
+            COUNT(*) OVER (PARTITION BY doc_id) AS n,
+            MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN CURRENT ROW AND ${winnowW - 1} FOLLOWING) AS wmin
+          FROM wh),
+        wfp AS (SELECT DISTINCT doc_id, wmin AS h FROM ww WHERE pos <= n - $winnowW),
+        wnd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        whot AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM wfp GROUP BY h) d, wnd
+                 WHERE CAST(d.df AS DOUBLE) > greatest(5.0, CAST(wnd.n_docs AS DOUBLE) * 0.01)),
+        wk AS (SELECT doc_id, h FROM wfp WHERE h NOT IN (SELECT h FROM whot)),
+        wsz AS (SELECT doc_id, COUNT(*) AS fsz FROM wk GROUP BY 1),
+        wpr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS shared
+                FROM wk a JOIN wk b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT a_id, b_id, shared,
+          CAST(sa.fsz AS BIGINT) AS fa, CAST(sb.fsz AS BIGINT) AS fb,
+          round(CAST(shared AS DOUBLE) / least(sa.fsz, sb.fsz), 6) AS score_r
+        FROM wpr JOIN wsz sa ON sa.doc_id = a_id JOIN wsz sb ON sb.doc_id = b_id
+        WHERE CAST(shared AS DOUBLE) / least(sa.fsz, sb.fsz) >= 0.5
+        ORDER BY a_id, b_id""")),
+
+    // ---- readability scoring (p82): Flesch reading ease (Flesch 1948;
+    // the Kincaid et al. 1975 recalibration uses the same inputs) with a
+    // fully deterministic syllable proxy — vowel-group count ([aeiouy]+
+    // runs never span the whitespace tokenizer, so the corpus-level count
+    // equals the per-word sum without a per-word loop. All three inputs
+    // are exact BIGINTs from regexp counts; the score is ONE textually
+    // mirrored float expression rounded to 6 dp, and the band thresholds
+    // compare the ROUNDED value, so both engines bucket identically.
+    // Scale shape: pure per-row scalar work, no shuffle at all before
+    // the output sort. A quality-family sibling to p09/p52: readability
+    // is the classic curriculum / difficulty-stratification signal. ----
+    QDef("p82_readability",
+      (s, dir) =>
+        readabilityPerDoc(s, dir)
+          .select(col("doc_id"), col("words"), col("sentences"),
+            col("syllables"), col("fre_r"), col("band"))
+          .orderBy(col("doc_id")),
+      Some(s"""WITH $duckReadabilityCtes
+        SELECT doc_id, words, sentences, syllables, fre_r, band
+        FROM rb ORDER BY doc_id""")),
+
+    // ---- per-source readability profile (p82b): the corpus curriculum
+    // card — band histogram and mean score per source. The mean is exact
+    // cross-engine because each doc's score is pre-scaled to an integer
+    // (round(fre·1e6) as BIGINT) before the SUM: BIGINT sums are
+    // order-independent, and the final mean is one mirrored float
+    // division over (sum, count). ---------------------------------------
+    QDef("p82b_readability_profile",
+      (s, dir) =>
+        readabilityPerDoc(s, dir)
+          .groupBy(col("source"), col("band"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("fre_s")).as("ssum"))
+          .withColumn("mean_fre_r",
+            expr("round(CAST(ssum AS DOUBLE) / n_docs / 1000000.0, 6)"))
+          .select(col("source"), col("band"), col("n_docs"), col("mean_fre_r"))
+          .orderBy(col("source"), col("band")),
+      Some(s"""WITH $duckReadabilityCtes
+        SELECT source, band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          round(CAST(SUM(fre_s) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS mean_fre_r
+        FROM rb GROUP BY 1, 2 ORDER BY source, band""")),
+
+    // ---- retrieval evaluation (p83): graded ranking metrics — nDCG@5
+    // and MRR@5 — for the IVF ANN (p16) against the staged exact truth
+    // (p00g), per query. p35 measures set-overlap recall only; position-
+    // aware metrics are what published ANN/retrieval evals actually
+    // report. The DCG position weights round(1e6/log2(r+1)) are computed
+    // ONCE at plan-build time and spliced into BOTH engines as the same
+    // literal CASE table, so no runtime log() (libm-dependent) enters
+    // the cross-engine contract; per-query DCG is an exact BIGINT sum
+    // and nDCG/MRR are integer divisions of scaled values. Scale shape:
+    // the eval is one broadcast-size join per query set — additive over
+    // the staged truth like every p35 row. ------------------------------
+    QDef("p83_retrieval_ndcg",
+      (s, dir) => retrievalEvalPerQuery(s, dir).orderBy(col("qid")),
+      Some(s"""WITH $duckRetrievalEvalCtes
+        SELECT qid, n_hits, first_hit, dcg_s, ndcg_s, mrr_s
+        FROM perq ORDER BY qid""")),
+
+    // ---- retrieval eval summary (p83b): the one-row corpus scorecard
+    // over p83's per-query frame — mean nDCG@5 / mean MRR@5 / recall@5
+    // (the recall column cross-checks p35's IVF row from an independent
+    // aggregation path). Exact: all sums are BIGINT over pre-scaled
+    // integers; the three means are mirrored float divisions. -----------
+    QDef("p83b_retrieval_eval",
+      (s, dir) =>
+        retrievalEvalPerQuery(s, dir)
+          .agg(count(lit(1)).as("n_queries"),
+            sum(col("n_hits")).as("n_hits"),
+            sum(col("ndcg_s")).as("sn"),
+            sum(col("mrr_s")).as("sm"))
+          .select(lit("ivf_top5").as("method"),
+            col("n_queries"), col("n_hits"),
+            expr("round(CAST(n_hits AS DOUBLE) / (5.0 * n_queries), 6)").as("recall_r"),
+            expr("round(CAST(sn AS DOUBLE) / n_queries / 1000000.0, 6)").as("mean_ndcg_r"),
+            expr("round(CAST(sm AS DOUBLE) / n_queries / 1000000.0, 6)").as("mean_mrr_r")),
+      Some(s"""WITH $duckRetrievalEvalCtes
+        SELECT 'ivf_top5' AS method,
+          CAST(COUNT(*) AS BIGINT) AS n_queries,
+          CAST(SUM(n_hits) AS BIGINT) AS n_hits,
+          round(CAST(SUM(n_hits) AS DOUBLE) / (5.0 * COUNT(*)), 6) AS recall_r,
+          round(CAST(SUM(ndcg_s) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS mean_ndcg_r,
+          round(CAST(SUM(mrr_s) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS mean_mrr_r
+        FROM perq"""))
   )
+
+  // ---- helpers for the p80-p83 families ------------------------------
+
+  /** LexRank damping rounds; each round is exact-integer, see p80. */
+  private val lexIters = 5
+
+  /** One integer-PageRank round as a DuckDB CTE — the oracle half of
+    * p80's Spark loop body, generated from the same constants. */
+  private def duckLexIter(k: Int): String =
+    s"""        lr$k AS (
+       |          SELECT n.doc_id,
+       |            CAST(150000 + ((85 * COALESCE(m.mass, 0)) // 100) AS BIGINT) AS r
+       |          FROM documents n LEFT JOIN (
+       |            SELECT e.dst AS doc_id, SUM(p.r // d.deg) AS mass
+       |            FROM ledges e JOIN ldeg d ON d.src = e.src
+       |            JOIN lr${k - 1} p ON p.doc_id = e.src
+       |            GROUP BY 1) m ON m.doc_id = n.doc_id)""".stripMargin
+
+  /** Winnowing window width (MOSS w): fingerprint density 2/(w+1). */
+  private val winnowW = 4
+
+  /** Per-doc readability frame shared by p82/p82b: exact integer word /
+    * sentence / vowel-group counts, the mirrored Flesch expression
+    * rounded to 6 dp (fre_r) and pre-scaled to BIGINT (fre_s), and the
+    * band classification over the rounded value. */
+  private def readabilityPerDoc(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("source"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("words"),
+        expr("CAST(greatest(1, size(regexp_extract_all(text, '[.!?]+', 0))) AS BIGINT)")
+          .as("sentences"),
+        expr("CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS BIGINT)")
+          .as("syllables"))
+      .withColumn("fre_r", expr(
+        "round(206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences) " +
+          "- 84.6 * (CAST(syllables AS DOUBLE) / words), 6)"))
+      .withColumn("fre_s", expr(
+        "CAST(round((206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences) " +
+          "- 84.6 * (CAST(syllables AS DOUBLE) / words)) * 1000000) AS BIGINT)"))
+      .withColumn("band", expr(
+        "CASE WHEN fre_r >= 90.0 THEN 'very_easy' WHEN fre_r >= 70.0 THEN 'easy' " +
+          "WHEN fre_r >= 50.0 THEN 'medium' WHEN fre_r >= 30.0 THEN 'difficult' " +
+          "ELSE 'very_difficult' END"))
+
+  /** The DuckDB half of [[readabilityPerDoc]]; final CTE `rb`. */
+  private def duckReadabilityCtes: String = s"""rf AS (
+          SELECT doc_id, source,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+            CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS sentences,
+            CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syllables
+          FROM documents),
+        rb AS (
+          SELECT doc_id, source, words, sentences, syllables,
+            round(206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences) - 84.6 * (CAST(syllables AS DOUBLE) / words), 6) AS fre_r,
+            CAST(round((206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences) - 84.6 * (CAST(syllables AS DOUBLE) / words)) * 1000000) AS BIGINT) AS fre_s,
+            CASE WHEN round(206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences) - 84.6 * (CAST(syllables AS DOUBLE) / words), 6) >= 90.0 THEN 'very_easy'
+                 WHEN round(206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences) - 84.6 * (CAST(syllables AS DOUBLE) / words), 6) >= 70.0 THEN 'easy'
+                 WHEN round(206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences) - 84.6 * (CAST(syllables AS DOUBLE) / words), 6) >= 50.0 THEN 'medium'
+                 WHEN round(206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences) - 84.6 * (CAST(syllables AS DOUBLE) / words), 6) >= 30.0 THEN 'difficult'
+                 ELSE 'very_difficult' END AS band
+          FROM rf)"""
+
+  /** nDCG truncation depth and the pre-scaled DCG weight table — see
+    * p83's comment for why these are plan-build-time literals. */
+  private val ndcgK = 5
+  private val dcgW: Seq[Long] =
+    (1 to ndcgK).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+  private val idcgS: Long = dcgW.sum
+  private def dcgCase(rank: String): String =
+    s"CASE $rank " + dcgW.zipWithIndex.map { case (w, i) =>
+      s"WHEN ${i + 1} THEN $w" }.mkString(" ") + " END"
+
+  /** The per-query retrieval-eval frame shared by p83/p83b: IVF (p16)
+    * top-5 judged against the staged exact truth (p00g). Queries with
+    * zero hits keep a row (first_hit = 0 sentinel, all metrics 0). */
+  private def retrievalEvalPerQuery(s: SparkSession, dir: String): DataFrame = {
+    val ds = defs
+    val ivf = ds.find(_.name == "p16_knn_ivf").get.fn(s, dir)
+      .select(col("qid"), col("neighbor_id"), col("rank"))
+    val truth = TruthStage.loadKnn(s, dir).select(col("qid"), col("neighbor_id"))
+    val hits = ivf.join(truth, Seq("qid", "neighbor_id"))
+      .select(col("qid"), col("rank"),
+        expr(s"CAST(${dcgCase("rank")} AS BIGINT)").as("w"))
+    val per = hits.groupBy(col("qid")).agg(
+      count(lit(1)).as("nh"),
+      min(col("rank")).as("fh"),
+      sum(col("w")).as("dc"))
+    truth.select(col("qid")).distinct()
+      .join(per, Seq("qid"), "left")
+      .withColumn("n_hits", coalesce(col("nh"), lit(0L)))
+      .withColumn("first_hit", coalesce(col("fh"), lit(0)).cast("int"))
+      .withColumn("dcg_s", coalesce(col("dc"), lit(0L)))
+      .withColumn("ndcg_s", expr(s"(dcg_s * 1000000) div $idcgS"))
+      .withColumn("mrr_s", expr(
+        "CASE WHEN first_hit > 0 THEN 1000000 div first_hit ELSE CAST(0 AS BIGINT) END"))
+      .select(col("qid"), col("n_hits"), col("first_hit"), col("dcg_s"),
+        col("ndcg_s"), col("mrr_s"))
+  }
+
+  /** The p83/p83b oracle prefix: the p16 IVF oracle chain + the p05
+    * exact-truth chain + the judged per-query metrics. Final CTE `perq`. */
+  private def duckRetrievalEvalCtes: String = s"""$duckSuperCells,
+${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
+        assigned AS (SELECT vec_id AS cid, cell, embedding AS cv2 FROM icranked WHERE crank = 1),
+        probes AS (SELECT vec_id AS qid, cell, embedding AS qv
+                   FROM icranked, kk WHERE crank <= $duckNprobe),
+        asims AS (
+          SELECT p.qid, a.cid, ${duckCosine("p.qv", "a.cv2")} AS sim
+          FROM probes p JOIN assigned a ON p.cell = a.cell AND p.qid <> a.cid),
+        aranked AS (
+          SELECT qid, cid,
+            CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rank
+          FROM asims),
+        ivf AS (SELECT qid, cid AS neighbor_id, rank FROM aranked WHERE rank <= 5),
+        tsims AS (
+          SELECT a.vec_id AS qid, b.vec_id AS cid,
+            ${duckCosine("a.embedding", "b.embedding")} AS sim
+          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        tranked AS (
+          SELECT qid, cid,
+            CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rank
+          FROM tsims),
+        truth AS (SELECT qid, cid AS neighbor_id FROM tranked WHERE rank <= 5),
+        hits AS (
+          SELECT i.qid, i.rank, CAST(${dcgCase("i.rank")} AS BIGINT) AS w
+          FROM ivf i JOIN truth t
+            ON t.qid = i.qid AND t.neighbor_id = i.neighbor_id),
+        per AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS nh, MIN(rank) AS fh,
+                  CAST(SUM(w) AS BIGINT) AS dc
+                FROM hits GROUP BY 1),
+        qids AS (SELECT DISTINCT qid FROM truth),
+        perq AS (
+          SELECT q.qid,
+            COALESCE(p.nh, CAST(0 AS BIGINT)) AS n_hits,
+            CAST(COALESCE(p.fh, 0) AS INTEGER) AS first_hit,
+            COALESCE(p.dc, CAST(0 AS BIGINT)) AS dcg_s,
+            CAST((COALESCE(p.dc, 0) * 1000000) // $idcgS AS BIGINT) AS ndcg_s,
+            CAST(CASE WHEN COALESCE(p.fh, 0) > 0 THEN 1000000 // p.fh ELSE 0 END AS BIGINT) AS mrr_s
+          FROM qids q LEFT JOIN per p ON p.qid = q.qid)"""
 }

@@ -557,4 +557,94 @@ class QueriesSmokeSpec extends SparkSpecBase {
       assert(kept.head._1 == best._1, s"comp $comp kept ${kept.head._1} != ${best._1}")
     }
   }
+
+  test("p82/p82b: Flesch scores equal the plain-Scala re-derivation; " +
+    "the per-source profile conserves mass") {
+    def r6(d: Double): Double = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    def nMatches(s0: String, re: String): Long =
+      re.r.findAllMatchIn(s0).size.toLong
+    val docsRows = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expected = docsRows.map { case (id, source, text) =>
+      val words = text.split(" ", -1).length.toLong
+      val sentences = math.max(1L, nMatches(text, "[.!?]+"))
+      val syllables = nMatches(text.toLowerCase, "[aeiouy]+")
+      val fre = 206.835 - 1.015 * (words.toDouble / sentences) -
+        84.6 * (syllables.toDouble / words)
+      val freR = r6(fre)
+      val freS = java.math.BigDecimal.valueOf(fre * 1000000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+      val band =
+        if (freR >= 90.0) "very_easy" else if (freR >= 70.0) "easy"
+        else if (freR >= 50.0) "medium" else if (freR >= 30.0) "difficult"
+        else "very_difficult"
+      id -> ((source, words, sentences, syllables, freR, freS, band))
+    }.toMap
+    val got = SparkEntry.queries("p82_readability")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getString(5)))).toMap
+    assert(got.size == expected.size)
+    expected.foreach { case (id, (_, w, sn, sy, freR, _, band)) =>
+      assert(got(id) == ((w, sn, sy, freR, band)), s"doc $id: ${got(id)}")
+    }
+    // profile: counts and integer-sum means re-derived from the same frame
+    val prof = SparkEntry.queries("p82b_readability_profile")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val byKey = expected.values.toSeq.groupBy(v => (v._1, v._7))
+    assert(prof.keySet == byKey.keySet)
+    byKey.foreach { case (k, vs) =>
+      val mean = r6(vs.map(_._6).sum.toDouble / vs.size / 1000000.0)
+      assert(prof(k) == ((vs.size.toLong, mean)), s"$k: ${prof(k)}")
+    }
+    // mass conservation: profile counts sum to the corpus
+    assert(prof.values.map(_._1).sum == docsRows.length.toLong)
+  }
+
+  test("p83/p83b: nDCG@5 / MRR@5 equal the plain-Scala judgment of the " +
+    "pinned IVF rows against the pinned exact truth; recall cross-checks p35") {
+    val ndcgK = 5
+    val w: Map[Int, Long] = (1 to ndcgK).map(r =>
+      r -> math.round(1e6 / (math.log(r + 1.0) / math.log(2.0)))).toMap
+    val idcg = w.values.sum
+    val truth = SparkEntry.queries("p05_knn_exact")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, v) => q -> v.map(_._2).toSet }
+    val ivf = SparkEntry.queries("p16_knn_ivf")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).groupBy(_._1)
+    val expected = truth.map { case (qid, tset) =>
+      val hits = ivf.getOrElse(qid, Array.empty[(Long, Long, Int)])
+        .filter(t => tset.contains(t._2)).map(_._3).sorted
+      val dcg = hits.map(r => w(r)).sum
+      val fh = hits.headOption.getOrElse(0)
+      qid -> ((hits.length.toLong, fh, dcg, dcg * 1000000L / idcg,
+        if (fh > 0) 1000000L / fh else 0L))
+    }
+    val got = SparkEntry.queries("p83_retrieval_ndcg")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected, s"${got.size} vs ${expected.size}; diff=${
+      (got.keySet | expected.keySet).find(k => got.get(k) != expected.get(k))}")
+    // summary row equals the means of the per-query frame
+    def r6(d: Double): Double = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val s0 = SparkEntry.queries("p83b_retrieval_eval")(spark, sf0001)
+      .collect().head
+    val nq = expected.size.toLong
+    assert(s0.getLong(1) == nq)
+    assert(s0.getLong(2) == expected.values.map(_._1).sum)
+    assert(s0.getDouble(3) ==
+      r6(expected.values.map(_._1).sum.toDouble / (5.0 * nq)))
+    assert(s0.getDouble(4) ==
+      r6(expected.values.map(_._4).sum.toDouble / nq / 1000000.0))
+    assert(s0.getDouble(5) ==
+      r6(expected.values.map(_._5).sum.toDouble / nq / 1000000.0))
+    // recall@5 agrees with p35's independent p16_ivf aggregation path
+    val p35 = SparkEntry.queries("p35_ann_recall")(spark, sf0001).collect()
+      .find(_.getString(0) == "p16_ivf").get
+    assert(s0.getDouble(3) == p35.getDouble(3),
+      s"p83b ${s0.getDouble(3)} vs p35 ${p35.getDouble(3)}")
+  }
 }

@@ -705,4 +705,84 @@ class SelectionFamilySpec extends SparkSpecBase {
         ((cc1, n1v(w1), r6((3L * n1v(w1)).toDouble / (4L * cc1)))), w1)
     }
   }
+
+  test("p80: the integer PageRank trajectory equals a plain-Scala walk " +
+    "over the pinned p02 edge set; isolated docs sit at the damping floor") {
+    // edges re-read from p02's already-oracle-pinned output (NOT from
+    // p80's own plan), symmetrized; 5 exact-integer damping rounds
+    val pairs = SparkEntry.queries("p02_dedup_ngram_jaccard")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges: Seq[(Long, Long)] =
+      pairs.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg: Map[Long, Long] =
+      edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val nodes = corpus.map(_._1)
+    var rank: Map[Long, Long] = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 5) {
+      val mass: Map[Long, Long] = edges
+        .map { case (src, dst) => dst -> rank(src) / deg(src) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+      rank = nodes.map(n => n -> (150000L + 85L * mass.getOrElse(n, 0L) / 100L)).toMap
+    }
+    val got = SparkEntry.queries("p80_lexrank")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == nodes.toSet)
+    nodes.foreach { n =>
+      assert(got(n) == ((deg.getOrElse(n, 0L), rank(n))),
+        s"doc $n: ${got(n)} vs (${deg.getOrElse(n, 0L)}, ${rank(n)})")
+    }
+    // no in-edges => rank is exactly the damping floor, every round
+    nodes.filterNot(deg.contains).foreach { n =>
+      assert(got(n)._2 == 150000L, s"isolated doc $n")
+    }
+    // the damping floor is a universal lower bound
+    nodes.foreach(n => assert(got(n)._2 >= 150000L, s"doc $n below floor"))
+  }
+
+  test("p81: fingerprints and pairs equal the plain-Scala winnowing " +
+    "re-derivation; each fingerprint set is a sub-sample of the doc's grams") {
+    val w = 4
+    // plain-Scala winnowing: positional 3-gram hashes, window minima
+    val fps: Map[Long, Set[Long]] = corpus.flatMap { case (id, text, _) =>
+      val arr = toks(text)
+      if (arr.length < 3) None else {
+        val hs = (0 to arr.length - 3)
+          .map(i => md560(s"${arr(i)} ${arr(i + 1)} ${arr(i + 2)}"))
+        val mins = (0 to hs.length - w).map(p => hs.slice(p, p + w).min)
+        Some(id -> mins.toSet)
+      }
+    }.toMap
+    val nDocs = corpus.size.toLong
+    val dfCap = math.max(5.0, nDocs * 0.01)
+    val dfm = fps.toSeq.flatMap(_._2.toSeq).groupBy(identity)
+      .map { case (h, v) => h -> v.size.toLong }
+    val kept: Map[Long, Set[Long]] = fps.map { case (id, s0) =>
+      id -> s0.filter(h => dfm(h).toDouble <= dfCap)
+    }
+    val expected = (for {
+      (a, sa) <- kept.toSeq; (b, sb) <- kept.toSeq
+      if a < b
+      shared = (sa & sb).size.toLong
+      if shared > 0
+      score = shared.toDouble / math.min(sa.size, sb.size)
+      if score >= 0.5
+    } yield (a, b) -> ((shared, sa.size.toLong, sb.size.toLong, r6(score)))).toMap
+    val got = SparkEntry.queries("p81_winnow_dedup")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got == expected, s"${got.size} vs ${expected.size}; diff=${
+      (got.keySet | expected.keySet).find(k => got.get(k) != expected.get(k))}")
+    // the winnowing density property: every fingerprint is one of the
+    // doc's own gram hashes, and there are at most #windows of them —
+    // in expectation 2/(w+1) of the grams (MOSS, SIGMOD 2003 §4)
+    corpus.foreach { case (id, text, _) =>
+      val arr = toks(text)
+      if (arr.length >= 3 + w - 1) {
+        val grams = (0 to arr.length - 3)
+          .map(i => md560(s"${arr(i)} ${arr(i + 1)} ${arr(i + 2)}")).toSet
+        assert(fps(id).subsetOf(grams), s"doc $id")
+        assert(fps(id).size <= arr.length - 3 - w + 2, s"doc $id")
+      }
+    }
+  }
 }

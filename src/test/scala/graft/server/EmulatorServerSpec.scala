@@ -743,6 +743,31 @@ class EmulatorServerSpec extends AnyFunSuite {
       cbKept.get("data").get(0).get(0).asText(), s"$cb vs $cbKept")
   }
 
+  test("REST v2 e2e: lexrank, winnowing, readability, retrieval-eval functions") {
+    val dir = "/root/testdata/sf0.001"
+    // lexrank: the damping floor is a universal lower bound
+    val lx = v2(s"SELECT COUNT(*) AS n FROM TABLE(LEXRANK('$dir')) WHERE rank_scaled < 150000")
+    assert(lx.get("code").asText() == "090001", lx.toString)
+    assert(lx.get("data").get(0).get(0).asLong() == 0L, lx.toString)
+    // winnowing: every surviving pair clears the containment threshold
+    val wn = v2(s"SELECT COUNT(*) AS n FROM TABLE(WINNOW_DEDUP('$dir')) WHERE score_r < 0.5")
+    assert(wn.get("data").get(0).get(0).asLong() == 0L, wn.toString)
+    // readability: the profile's doc mass equals the per-doc frame's
+    val rd = v2(s"SELECT COUNT(*) AS n FROM TABLE(READABILITY('$dir'))")
+    val rp = v2(s"SELECT SUM(n_docs) AS n FROM TABLE(READABILITY_PROFILE('$dir'))")
+    assert(rd.get("data").get(0).get(0).asText() ==
+      rp.get("data").get(0).get(0).asText(), s"$rd vs $rp")
+    // retrieval eval: per-query nDCG is a [0, 1e6] scaled integer and the
+    // scorecard's recall lives in [0, 1]
+    val nd = v2("SELECT COUNT(*) AS n FROM " +
+      s"TABLE(RETRIEVAL_NDCG('$dir')) WHERE ndcg_s < 0 OR ndcg_s > 1000000")
+    assert(nd.get("data").get(0).get(0).asLong() == 0L, nd.toString)
+    val ev = v2(s"SELECT recall_r, mean_ndcg_r FROM TABLE(RETRIEVAL_EVAL('$dir'))")
+    assert(ev.get("code").asText() == "090001", ev.toString)
+    val rc = ev.get("data").get(0).get(0).asText().toDouble
+    assert(rc >= 0.0 && rc <= 1.0, ev.toString)
+  }
+
   test("REST v2 session affinity: ALTER SESSION dials stick across token-bound calls") {
     val dir = "/root/testdata/sf0.001"
     // the v1 session token binds separate v2 calls to ONE session
