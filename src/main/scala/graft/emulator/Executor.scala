@@ -745,7 +745,12 @@ final class Executor(
     "READABILITY" -> "p82_readability",
     "READABILITY_PROFILE" -> "p82b_readability_profile",
     "RETRIEVAL_NDCG" -> "p83_retrieval_ndcg",
-    "RETRIEVAL_EVAL" -> "p83b_retrieval_eval")
+    "RETRIEVAL_EVAL" -> "p83b_retrieval_eval",
+    "PCA_COMPONENT" -> "p84_pca_power",
+    "PCA_SCORECARD" -> "p84b_pca_scorecard",
+    "PCA_PROJECT" -> "p84c_pca_project",
+    "SOURCE_DIVERGENCE" -> "p85_source_divergence",
+    "SOURCE_NEIGHBORS" -> "p85b_source_neighbors")
 
   /** Match only the OPENING of a pipeline table-function call; the
     * argument span is found by a quote-aware paren scan (a ')' inside a

@@ -8095,8 +8095,312 @@ ${(1 to lexIters).map(duckLexIter).mkString(",\n")}
           round(CAST(SUM(n_hits) AS DOUBLE) / (5.0 * COUNT(*)), 6) AS recall_r,
           round(CAST(SUM(ndcg_s) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS mean_ndcg_r,
           round(CAST(SUM(mrr_s) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS mean_mrr_r
-        FROM perq"""))
+        FROM perq""")),
+
+    // ---- PCA top component (p84): the whitening/decorrelation step
+    // embedding pipelines run before quantization or ANN, as an EXACT-
+    // INTEGER power iteration so both engines produce bit-identical
+    // components. The uncentered second-moment (Gram) matrix is ONE
+    // corpus pass: per vector, the 64x64 outer product floor-scaled to
+    // BIGINT (floor(xi*xj*1e8+0.5) — per-row identical doubles, exact
+    // order-independent sums), partial-aggregated map-side so the only
+    // shuffle carries <= d^2 rows per partition. The d^2=4096-cell
+    // matrix is driver-bounded state (the PQ-SDC-table class); the
+    // 8-round iteration runs on it in exact integers — matrix normalized
+    // to 1e5 by its max-abs cell, the vector renormalized to 1e6 by
+    // max-abs each round (sign-split truncating division, identical in
+    // both engines) — and the oracle walks the SAME trajectory as
+    // unrolled CTEs. Headroom is engineered, not hoped for: |mn|<=1e5,
+    // |v|<=1e6 => |w|<=64e11, and w*1e6<=6.4e18 < 2^63. At 100 TB the
+    // Gram pass is the only corpus-scaled work and the fit would be
+    // staged like p00c. -------------------------------------------------
+    QDef("p84_pca_power",
+      (s, dir) => {
+        val fit = pcaFit(s, dir)
+        val rows = fit.v.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+        s.createDataFrame(rows).toDF("dim", "comp_s")
+          .select(col("dim"), col("comp_s"),
+            round(col("comp_s").cast("double") / 1000000.0, 6).as("comp_r"))
+          .orderBy(col("dim"))
+      },
+      Some(s"""WITH $duckPcaCtes
+        SELECT CAST(j AS INTEGER) AS dim, v AS comp_s,
+          round(CAST(v AS DOUBLE) / 1000000.0, 6) AS comp_r
+        FROM pv$pcaIters ORDER BY dim""")),
+
+    // ---- PCA scorecard (p84b): the Rayleigh quotient of the fitted
+    // component over the normalized matrix and its share of the trace
+    // (explained-variance ratio of the top component). num/den/trace are
+    // exact BIGINTs on both engines (the final mat-vec's entries are
+    // sign-split pre-divided by 1e3 so v.w fits); the two readout
+    // ratios are mirrored float divisions. ------------------------------
+    QDef("p84b_pca_scorecard",
+      (s, dir) => {
+        val fit = pcaFit(s, dir)
+        s.createDataFrame(Seq((pcaIters, fit.mx, fit.num, fit.den, fit.tr)))
+          .toDF("iters", "gram_maxabs", "num_s", "den_s", "trace_s")
+          .select(col("iters"), col("gram_maxabs"), col("num_s"),
+            col("den_s"), col("trace_s"),
+            round(col("num_s").cast("double") * 1000.0 / col("den_s").cast("double"), 6)
+              .as("eigval_r"),
+            round(col("num_s").cast("double") * 1000.0 /
+              (col("den_s").cast("double") * col("trace_s").cast("double")), 6)
+              .as("var_ratio_r"))
+      },
+      Some(s"""WITH $duckPcaCtes,
+        pwf AS MATERIALIZED (
+          SELECT mn.i, CAST(SUM(mn.mn * v.v) AS BIGINT) AS w
+          FROM pmn mn JOIN pv$pcaIters v ON v.j = mn.j GROUP BY 1),
+        sc AS (
+          SELECT
+            (SELECT SUM(v.v * (CASE WHEN w.w < 0 THEN -((-w.w) // 1000)
+                               ELSE w.w // 1000 END))
+             FROM pv$pcaIters v JOIN pwf w ON w.i = v.j) AS num_s,
+            (SELECT SUM(v * v) FROM pv$pcaIters) AS den_s,
+            (SELECT SUM(mn) FROM pmn WHERE i = j) AS trace_s,
+            (SELECT x FROM pmx) AS gram_maxabs)
+        SELECT CAST($pcaIters AS INTEGER) AS iters, gram_maxabs,
+          CAST(num_s AS BIGINT) AS num_s, CAST(den_s AS BIGINT) AS den_s,
+          CAST(trace_s AS BIGINT) AS trace_s,
+          round(CAST(num_s AS DOUBLE) * 1000.0 / CAST(den_s AS DOUBLE), 6) AS eigval_r,
+          round(CAST(num_s AS DOUBLE) * 1000.0 /
+            (CAST(den_s AS DOUBLE) * CAST(trace_s AS DOUBLE)), 6) AS var_ratio_r
+        FROM sc""")),
+
+    // ---- PCA projections (p84c): every vector's scalar coordinate on
+    // the fitted component — the 1-D whitened feature. Exact: per-dim
+    // floor-scaled embedding (1e6) times the integer component (1e6),
+    // BIGINT-summed in any order; the readout is one mirrored division
+    // by 1e12. Spark splices the driver-fitted component in as a literal
+    // array (pure per-row map work, zero shuffle); the oracle re-fits
+    // the identical trajectory and joins pv8. ---------------------------
+    QDef("p84c_pca_project",
+      (s, dir) => {
+        val fit = pcaFit(s, dir)
+        emb(s, dir).select(col("vec_id"), expr(
+          s"""aggregate(zip_with(embedding, array(${fit.v.mkString(", ")}),
+                (x, c) -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) * c),
+              CAST(0 AS BIGINT), (a, y) -> a + y)""").as("proj_s"))
+          .withColumn("proj_r",
+            round(col("proj_s").cast("double") / 1000000000000.0, 6))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH $duckPcaCtes
+        SELECT e.vec_id,
+          CAST(SUM(CAST(floor(CAST(e.embedding[r.i + 1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+            * v.v) AS BIGINT) AS proj_s,
+          round(CAST(SUM(CAST(floor(CAST(e.embedding[r.i + 1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+            * v.v) AS DOUBLE) / 1000000000000.0, 6) AS proj_r
+        FROM embeddings e, range(0, $pcaD) r(i)
+        JOIN pv$pcaIters v ON v.j = r.i
+        GROUP BY e.vec_id ORDER BY e.vec_id""")),
+
+    // ---- pairwise source divergence (p85): the corpus-audit drift
+    // matrix — Jensen-Shannon divergence between every pair of sources'
+    // hashed-unigram distributions (the p54 DSIR representation: md560
+    // mod dsirBuckets, so the state is dial-bounded at any corpus size).
+    // The JS integrand is made EXACT by clearing denominators:
+    // KL(Pa||M) = (1/Ta)·Σ_b na·[ln(2·na·Tb) − ln(na·Tb + nb·Ta)] — every
+    // ln argument an exact integer, so the sln() floor-scaling makes each
+    // per-bucket term an exact BIGINT and the sums order-independent
+    // (same trick as the p53 LM). Absent buckets contribute zero to the
+    // owning arm by 0·ln(0)=0. js_r normalizes by ln(2) — spelled ln(2.0)
+    // in BOTH engines so the constant is the identical double — putting
+    // the score in [0,1]. Scale shape: one corpus-scaled aggregation to
+    // (source, bucket) counts (≤ sources×8192 rows), then a bucket-keyed
+    // pair join bounded by dials, not the corpus. -----------------------
+    QDef("p85_source_divergence",
+      (s, dir) => {
+        val (sab, tot) = jsOrderedSums(s, dir)
+        val fwd = sab.filter(col("sa") < col("sb"))
+        val rev = sab.filter(col("sa") > col("sb"))
+          .select(col("sb").as("sa"), col("sa").as("sb"), col("s").as("s_rev"))
+        fwd.join(rev, Seq("sa", "sb"))
+          .join(tot.select(col("source").as("sa"), col("t").as("ta")), "sa")
+          .join(tot.select(col("source").as("sb"), col("t").as("tb")), "sb")
+          .select(col("sa").as("src_a"), col("sb").as("src_b"),
+            col("ta").as("tok_a"), col("tb").as("tok_b"),
+            round((col("s").cast("double") / col("ta") +
+              col("s_rev").cast("double") / col("tb")) /
+              (lit(2.0) * expr("ln(2.0)") * lit(100000000.0)), 6).as("js_r"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some(s"""WITH $duckJsCtes
+        SELECT f.sa AS src_a, f.sb AS src_b,
+          ta.t AS tok_a, tb.t AS tok_b,
+          round((CAST(f.s AS DOUBLE) / ta.t + CAST(r.s AS DOUBLE) / tb.t) /
+            (2.0 * ln(2.0) * 100000000.0), 6) AS js_r
+        FROM jsums f
+        JOIN jsums r ON r.sa = f.sb AND r.sb = f.sa
+        JOIN jtot ta ON ta.source = f.sa
+        JOIN jtot tb ON tb.source = f.sb
+        WHERE f.sa < f.sb
+        ORDER BY src_a, src_b""")),
+
+    // ---- nearest source (p85b): each source's closest other source by
+    // JS divergence — the one-glance readout of the drift matrix (which
+    // sources are interchangeable, which are outliers). Ties break on
+    // source name; comparisons use the SAME rounded js_r both engines
+    // already agree on. --------------------------------------------------
+    QDef("p85b_source_neighbors",
+      (s, dir) => {
+        val js = defs.find(_.name == "p85_source_divergence").get.fn(s, dir)
+        val both = js.select(col("src_a").as("src"), col("src_b").as("other"),
+            col("js_r"))
+          .unionByName(js.select(col("src_b").as("src"),
+            col("src_a").as("other"), col("js_r")))
+        val w = Window.partitionBy(col("src"))
+          .orderBy(col("js_r"), col("other"))
+        both.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("src"), col("other").as("nearest"), col("js_r"))
+          .orderBy(col("src"))
+      },
+      Some(s"""WITH $duckJsCtes,
+        jm AS (
+          SELECT f.sa AS src_a, f.sb AS src_b,
+            round((CAST(f.s AS DOUBLE) / ta.t + CAST(r.s AS DOUBLE) / tb.t) /
+              (2.0 * ln(2.0) * 100000000.0), 6) AS js_r
+          FROM jsums f
+          JOIN jsums r ON r.sa = f.sb AND r.sb = f.sa
+          JOIN jtot ta ON ta.source = f.sa
+          JOIN jtot tb ON tb.source = f.sb
+          WHERE f.sa < f.sb),
+        jboth AS (
+          SELECT src_a AS src, src_b AS other, js_r FROM jm
+          UNION ALL SELECT src_b, src_a, js_r FROM jm),
+        jrk AS (
+          SELECT src, other, js_r,
+            ROW_NUMBER() OVER (PARTITION BY src ORDER BY js_r, other) AS rk
+          FROM jboth)
+        SELECT src, other AS nearest, js_r FROM jrk WHERE rk = 1
+        ORDER BY src"""))
   )
+
+  // ---- helpers for the p84/p85 families -------------------------------
+
+  /** Power-iteration rounds and the (asserted) embedding dimensionality
+    * the generated oracle CTEs are specialized to. */
+  private val pcaIters = 8
+  private val pcaD = 64
+
+  /** The driver-bounded PCA fit state: the final component (max-abs
+    * 1e6), the Gram max-abs cell, and the exact-integer Rayleigh pieces. */
+  private final case class PcaFit(v: Array[Long], mx: Long, num: Long,
+    den: Long, tr: Long)
+
+  /** Sign-split truncating scaled division — `sign(a)·((|a|·s) div q)` —
+    * the ONE rescaling primitive of the power iteration. Spelled this way
+    * because Spark's `div`/Scala's `/` truncate toward zero while
+    * DuckDB's `//` floors: splitting the sign makes all three agree. */
+  private def pcaScale(a: Long, s0: Long, q: Long): Long =
+    if (a < 0) -((-a) * s0 / q) else a * s0 / q
+
+  /** One corpus pass builds the floor-scaled Gram matrix (d² bounded
+    * cells, map-side partial agg); the exact-integer power iteration then
+    * runs on the collected matrix — driver state d² longs, the PQ-SDC
+    * class of bounded `.collect()`. */
+  private def pcaFit(s: SparkSession, dir: String): PcaFit = {
+    val cells = emb(s, dir).select(posexplode(expr(
+      """transform(embedding, xi -> transform(embedding, xj ->
+           CAST(floor(CAST(xi AS DOUBLE) * CAST(xj AS DOUBLE) * 100000000.0 + 0.5) AS BIGINT)))"""))
+      .as(Seq("i", "prow")))
+      .select(col("i"), posexplode(col("prow")).as(Seq("j", "p")))
+      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("m"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val d = cells.map(_._1).max + 1
+    require(d == pcaD, s"oracle CTEs are specialized to dim $pcaD, got $d")
+    val m = Array.ofDim[Long](d, d)
+    cells.foreach { case (i, j, x) => m(i)(j) = x }
+    val mx = cells.map(c => math.abs(c._3)).max
+    val mn = Array.tabulate(d, d)((i, j) => pcaScale(m(i)(j), 100000L, mx))
+    var v = Array.fill(d)(1000000L)
+    def matvec(u: Array[Long]): Array[Long] =
+      Array.tabulate(d)(i => (0 until d).foldLeft(0L)((a, j) => a + mn(i)(j) * u(j)))
+    for (_ <- 1 to pcaIters) {
+      val w = matvec(v)
+      val wx = w.map(math.abs).max
+      v = w.map(pcaScale(_, 1000000L, wx))
+    }
+    val wf = matvec(v)
+    val num = (0 until d).foldLeft(0L)((a, i) => a + v(i) * pcaScale(wf(i), 1L, 1000L))
+    val den = v.foldLeft(0L)((a, x) => a + x * x)
+    val tr = (0 until d).foldLeft(0L)((a, i) => a + mn(i)(i))
+    PcaFit(v, mx, num, den, tr)
+  }
+
+  /** The shared PCA oracle chain: Gram matrix -> max-abs normalization ->
+    * [[pcaIters]] unrolled power-iteration rounds. Final CTE `pv$pcaIters`
+    * (j, v) is the fitted component. */
+  private def duckPcaCtes: String = {
+    val base = s"""pm AS MATERIALIZED (
+          SELECT r1.i AS i, r2.i AS j,
+            CAST(SUM(CAST(floor(CAST(e.embedding[r1.i + 1] AS DOUBLE)
+              * CAST(e.embedding[r2.i + 1] AS DOUBLE) * 100000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS m
+          FROM embeddings e, range(0, $pcaD) r1(i), range(0, $pcaD) r2(i)
+          GROUP BY 1, 2),
+        pmx AS MATERIALIZED (SELECT MAX(ABS(m)) AS x FROM pm),
+        pmn AS MATERIALIZED (
+          SELECT i, j, CAST(CASE WHEN m < 0 THEN -((-m) * 100000 // x)
+                       ELSE (m * 100000) // x END AS BIGINT) AS mn
+          FROM pm, pmx),
+        pv0 AS MATERIALIZED (SELECT t.i AS j, CAST(1000000 AS BIGINT) AS v FROM range(0, $pcaD) t(i))"""
+    val rounds = (1 to pcaIters).map { k =>
+      s"""        pw$k AS MATERIALIZED (
+         |          SELECT mn.i, CAST(SUM(mn.mn * v.v) AS BIGINT) AS w
+         |          FROM pmn mn JOIN pv${k - 1} v ON v.j = mn.j GROUP BY 1),
+         |        px$k AS MATERIALIZED (SELECT MAX(ABS(w)) AS x FROM pw$k),
+         |        pv$k AS MATERIALIZED (
+         |          SELECT i AS j, CAST(CASE WHEN w < 0 THEN -((-w) * 1000000 // x)
+         |                         ELSE (w * 1000000) // x END AS BIGINT) AS v
+         |          FROM pw$k, px$k)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n")
+  }
+
+  /** Ordered-direction JS sums: for every ordered source pair (sa, sb),
+    * S = Σ over sa's occupied buckets of na·[sln(2·na·Tb) −
+    * sln(na·Tb + nb·Ta)] — KL(Pa||M) scaled by Ta·1e8, exact BIGINT.
+    * Returns (sums DF (sa, sb, s), totals DF (source, t)). */
+  private def jsOrderedSums(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val cnt = docs(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .select(col("source"), (md560(col("w")) % dsirBuckets).as("b"))
+      .groupBy(col("source"), col("b")).agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col("source")).agg(sum(col("n")).as("t"))
+    val srcs = tot.select(col("source").as("sb"), col("t").as("tb"))
+    val a = cnt.select(col("source").as("sa"), col("b"), col("n").as("na"))
+      .join(tot.select(col("source").as("sa"), col("t").as("ta")), "sa")
+      .join(broadcast(srcs), col("sa") =!= col("sb"))
+    val withB = a.join(
+      cnt.select(col("source").as("sb"), col("b"), col("n").as("nb0")),
+      Seq("sb", "b"), "left")
+      .withColumn("nb", coalesce(col("nb0"), lit(0L)))
+    val sums = withB
+      .withColumn("term", col("na") *
+        (expr(sln("2 * na * tb")) - expr(sln("na * tb + nb * ta"))))
+      .groupBy(col("sa"), col("sb")).agg(sum(col("term")).as("s"))
+    (sums, tot)
+  }
+
+  /** The DuckDB half of [[jsOrderedSums]]: final CTEs `jsums` (sa, sb, s)
+    * and `jtot` (source, t). */
+  private def duckJsCtes: String = s"""jtk AS MATERIALIZED (
+          SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        jcnt AS MATERIALIZED (
+          SELECT source, (${duckMd560("w")}) % $dsirBuckets AS b,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM jtk GROUP BY 1, 2),
+        jtot AS MATERIALIZED (SELECT source, CAST(SUM(n) AS BIGINT) AS t FROM jcnt GROUP BY 1),
+        jsums AS MATERIALIZED (
+          SELECT a.source AS sa, sb.source AS sb,
+            SUM(a.n * (${sln("2 * a.n * sb.t")} -
+              ${sln("a.n * sb.t + COALESCE(b.n, 0) * ta.t")})) AS s
+          FROM jcnt a
+          JOIN jtot ta ON ta.source = a.source
+          JOIN jtot sb ON sb.source <> a.source
+          LEFT JOIN jcnt b ON b.source = sb.source AND b.b = a.b
+          GROUP BY 1, 2)"""
 
   // ---- helpers for the p80-p83 families ------------------------------
 

@@ -603,6 +603,69 @@ class QueriesSmokeSpec extends SparkSpecBase {
     assert(prof.values.map(_._1).sum == docsRows.length.toLong)
   }
 
+  test("p84: the power-iteration component, scorecard and projections " +
+    "equal a plain-Scala fit from the raw embeddings") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray)).sortBy(_._1)
+    val d = emb.head._2.length
+    // independent exact-integer fit: gram -> normalize -> 8 rounds
+    val g = Array.ofDim[Long](d, d)
+    emb.foreach { case (_, e) =>
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) {
+          g(i)(j) += math.floor(
+            e(i).toDouble * e(j).toDouble * 100000000.0 + 0.5).toLong
+          j += 1
+        }
+        i += 1
+      }
+    }
+    def sdiv(a: Long, s0: Long, q: Long): Long =
+      if (a < 0) -((-a) * s0 / q) else a * s0 / q
+    val mx = g.flatten.map(math.abs).max
+    val mn = Array.tabulate(d, d)((i, j) => sdiv(g(i)(j), 100000L, mx))
+    def mv(u: Array[Long]): Array[Long] =
+      Array.tabulate(d)(i => (0 until d).map(j => mn(i)(j) * u(j)).sum)
+    var v = Array.fill(d)(1000000L)
+    for (_ <- 1 to 8) {
+      val w = mv(v); val wx = w.map(math.abs).max
+      v = w.map(sdiv(_, 1000000L, wx))
+    }
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val comp = SparkEntry.queries("p84_pca_power")(spark, sf0001).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(comp.size == d)
+    (0 until d).foreach { i =>
+      assert(comp(i) == ((v(i), r6(v(i).toDouble / 1000000.0))), s"dim $i")
+    }
+    // the renormalized component peaks at exactly 1e6
+    assert(v.map(math.abs).max == 1000000L)
+    // scorecard: exact Rayleigh pieces; top component beats the mean
+    val wf = mv(v)
+    val num = (0 until d).map(i => v(i) * sdiv(wf(i), 1L, 1000L)).sum
+    val den = v.map(x => x * x).sum
+    val tr = (0 until d).map(i => mn(i)(i)).sum
+    val sc = SparkEntry.queries("p84b_pca_scorecard")(spark, sf0001).collect().head
+    assert((sc.getInt(0), sc.getLong(1), sc.getLong(2), sc.getLong(3),
+      sc.getLong(4)) == ((8, mx, num, den, tr)))
+    assert(sc.getDouble(5) == r6(num.toDouble * 1000.0 / den))
+    assert(sc.getDouble(6) == r6(num.toDouble * 1000.0 / (den.toDouble * tr)))
+    // dominant eigenvalue of mn >= trace/d (it is the max of d eigenvalues)
+    assert(sc.getDouble(5) >= tr.toDouble / d - 1e-6)
+    // projections: per-vector scaled dot with the component
+    val proj = SparkEntry.queries("p84c_pca_project")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    emb.foreach { case (id, e) =>
+      val ps = (0 until d).map(i =>
+        math.floor(e(i).toDouble * 1000000.0 + 0.5).toLong * v(i)).sum
+      assert(proj(id) == ((ps, r6(ps.toDouble / 1000000000000.0))), s"vec $id")
+    }
+  }
+
   test("p83/p83b: nDCG@5 / MRR@5 equal the plain-Scala judgment of the " +
     "pinned IVF rows against the pinned exact truth; recall cross-checks p35") {
     val ndcgK = 5

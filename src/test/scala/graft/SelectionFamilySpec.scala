@@ -739,6 +739,56 @@ class SelectionFamilySpec extends SparkSpecBase {
     nodes.foreach(n => assert(got(n)._2 >= 150000L, s"doc $n below floor"))
   }
 
+  test("p85: every pairwise JS divergence equals the plain-Scala " +
+    "re-derivation; scores live in [0,1] and p85b picks the argmin") {
+    val bkts = graft.queries.Pipeline.dsirBuckets
+    val rows = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // counts per (source, bucket) and totals, plain collections
+    val cnt: Map[(String, Long), Long] = rows
+      .flatMap { case (src, text) =>
+        toks(text).map(w => (src, md560(w) % bkts)) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val tot: Map[String, Long] =
+      cnt.groupBy(_._1._1).map { case (s0, m) => s0 -> m.values.sum }
+    val srcs = tot.keys.toSeq.sorted
+    // ordered-direction exact-integer KL sums
+    def sOrd(a: String, b: String): Long = {
+      val (ta, tb) = (tot(a), tot(b))
+      cnt.collect { case ((`a`, bk), na) =>
+        val nb = cnt.getOrElse((b, bk), 0L)
+        na * (sln(2L * na * tb) - sln(na * tb + nb * ta))
+      }.sum
+    }
+    val expected = (for {
+      a <- srcs; b <- srcs if a < b
+    } yield (a, b) -> ((tot(a), tot(b), r6(
+      (sOrd(a, b).toDouble / tot(a) + sOrd(b, a).toDouble / tot(b)) /
+        (2.0 * math.log(2.0) * 100000000.0))))).toMap
+    val got = SparkEntry.queries("p85_source_divergence")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == expected, s"${got.size} vs ${expected.size}; diff=${
+      (got.keySet | expected.keySet).find(k => got.get(k) != expected.get(k))}")
+    // JS normalized by ln 2 is bounded: [0, 1] (integer rounding slack)
+    got.values.foreach { case (_, _, js) =>
+      assert(js >= -1e-6 && js <= 1.0 + 1e-6, js.toString)
+    }
+    // p85b: for each source, the (js, name)-min over its row+column
+    val nn = SparkEntry.queries("p85b_source_neighbors")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getDouble(2))))
+      .toMap
+    assert(nn.keySet == srcs.toSet)
+    srcs.foreach { s0 =>
+      val cands = expected.collect {
+        case ((a, b), (_, _, js)) if a == s0 => (js, b)
+        case ((a, b), (_, _, js)) if b == s0 => (js, a)
+      }.toSeq.sorted
+      assert(nn(s0) == ((cands.head._2, cands.head._1)), s0)
+    }
+  }
+
   test("p81: fingerprints and pairs equal the plain-Scala winnowing " +
     "re-derivation; each fingerprint set is a sub-sample of the doc's grams") {
     val w = 4

@@ -768,6 +768,28 @@ class EmulatorServerSpec extends AnyFunSuite {
     assert(rc >= 0.0 && rc <= 1.0, ev.toString)
   }
 
+  test("REST v2 e2e: PCA and source-divergence functions") {
+    val dir = "/root/testdata/sf0.001"
+    // the component is renormalized to max-abs exactly 1e6
+    val pc = v2(s"SELECT MAX(ABS(comp_s)) AS m FROM TABLE(PCA_COMPONENT('$dir'))")
+    assert(pc.get("code").asText() == "090001", pc.toString)
+    assert(pc.get("data").get(0).get(0).asLong() == 1000000L, pc.toString)
+    // the top component explains at least the mean share of the trace
+    val sc = v2(s"SELECT var_ratio_r FROM TABLE(PCA_SCORECARD('$dir'))")
+    assert(sc.get("data").get(0).get(0).asText().toDouble >= 1.0 / 64.0, sc.toString)
+    // projections exist for every vector
+    val pj = v2(s"SELECT COUNT(*) AS n FROM TABLE(PCA_PROJECT('$dir'))")
+    assert(pj.get("data").get(0).get(0).asLong() > 0L, pj.toString)
+    // JS divergence is symmetric storage: n_sources choose 2 rows, [0,1]
+    val dv = v2("SELECT COUNT(*) AS n FROM " +
+      s"TABLE(SOURCE_DIVERGENCE('$dir')) WHERE js_r < 0 OR js_r > 1")
+    assert(dv.get("data").get(0).get(0).asLong() == 0L, dv.toString)
+    val nb = v2(s"SELECT COUNT(*) AS n FROM TABLE(SOURCE_NEIGHBORS('$dir'))")
+    val ds0 = v2(s"SELECT COUNT(DISTINCT src_a) FROM TABLE(SOURCE_DIVERGENCE('$dir'))")
+    assert(nb.get("data").get(0).get(0).asLong() >
+      ds0.get("data").get(0).get(0).asLong(), s"$nb vs $ds0")
+  }
+
   test("REST v2 session affinity: ALTER SESSION dials stick across token-bound calls") {
     val dir = "/root/testdata/sf0.001"
     // the v1 session token binds separate v2 calls to ONE session
