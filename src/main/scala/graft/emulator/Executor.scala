@@ -750,7 +750,9 @@ final class Executor(
     "PCA_SCORECARD" -> "p84b_pca_scorecard",
     "PCA_PROJECT" -> "p84c_pca_project",
     "SOURCE_DIVERGENCE" -> "p85_source_divergence",
-    "SOURCE_NEIGHBORS" -> "p85b_source_neighbors")
+    "SOURCE_NEIGHBORS" -> "p85b_source_neighbors",
+    "LEXICAL_STATS" -> "p86_lexical_stats",
+    "ZIPF_FIT" -> "p86b_zipf_fit")
 
   /** Match only the OPENING of a pipeline table-function call; the
     * argument span is found by a quote-aware paren scan (a ')' inside a

@@ -8274,10 +8274,131 @@ ${(1 to lexIters).map(duckLexIter).mkString(",\n")}
             ROW_NUMBER() OVER (PARTITION BY src ORDER BY js_r, other) AS rk
           FROM jboth)
         SELECT src, other AS nearest, js_r FROM jrk WHERE rk = 1
-        ORDER BY src"""))
+        ORDER BY src""")),
+
+    // ---- per-source lexical statistics (p86): the diversity card next
+    // to p85's drift matrix — token/type counts, type-token ratio,
+    // Shannon entropy and the Simpson repeat-probability, each EXACT.
+    // Entropy clears its denominator the p53/p85 way:
+    // H = ln T − (1/T)·Σ n·ln n, so Hs = T·sln(T) − Σ n·sln(n) is an
+    // exact BIGINT (sums order-independent) and the readout is one
+    // mirrored division by T·1e8·ln(2) into bits. Simpson is pure
+    // integer algebra: Σ n·(n−1) / (T·(T−1)). State is the per-source
+    // WORD table — vocabulary-bounded like p48's distinct-word front,
+    // not corpus-bounded. -----------------------------------------------
+    QDef("p86_lexical_stats",
+      (s, dir) => {
+        val agg = sourceWordCounts(s, dir).groupBy(col("source")).agg(
+          sum(col("n")).as("tokens"),
+          count(lit(1)).as("types"),
+          sum(expr(s"n * ${sln("n")}")).as("hsum"),
+          sum(expr("n * (n - 1)")).as("simp"))
+        agg.select(col("source"), col("tokens"), col("types"),
+          round(col("types").cast("double") / col("tokens"), 6).as("ttr_r"),
+          round((expr(sln("tokens")) * col("tokens") - col("hsum")).cast("double") /
+            (col("tokens").cast("double") * lit(100000000.0) * expr("ln(2.0)")), 6)
+            .as("entropy_bits_r"),
+          round(col("simp").cast("double") /
+            (col("tokens").cast("double") * greatest(col("tokens") - 1, lit(1L))), 6)
+            .as("simpson_r"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH $duckSourceWordCtes,
+        lagg AS (
+          SELECT source, CAST(SUM(n) AS BIGINT) AS tokens,
+            CAST(COUNT(*) AS BIGINT) AS types,
+            CAST(SUM(n * ${sln("n")}) AS BIGINT) AS hsum,
+            CAST(SUM(n * (n - 1)) AS BIGINT) AS simp
+          FROM swc GROUP BY 1)
+        SELECT source, tokens, types,
+          round(CAST(types AS DOUBLE) / tokens, 6) AS ttr_r,
+          round(CAST(${sln("tokens")} * tokens - hsum AS DOUBLE) /
+            (CAST(tokens AS DOUBLE) * 100000000.0 * ln(2.0)), 6) AS entropy_bits_r,
+          round(CAST(simp AS DOUBLE) /
+            (CAST(tokens AS DOUBLE) * greatest(tokens - 1, 1)), 6) AS simpson_r
+        FROM lagg ORDER BY source""")),
+
+    // ---- Zipf-law fit (p86b): the published rank-frequency power law
+    // (Zipf 1949; Piantadosi 2014 review) checked per source — OLS of
+    // ln(freq) on ln(rank) over each source's top-256 words. The fit is
+    // exact-integer until the last division: x = sln(rank) div 1000 and
+    // y = sln(n) div 1000 (pre-divided so Σx·y over 256 terms keeps ~1e14
+    // headroom), the five OLS sums are BIGINTs, and slope/r² are mirrored
+    // float expressions of those exact sums. Rank ties break on the word
+    // itself so both engines rank identically. A healthy natural-language
+    // source reads slope ≈ −1; the dial-bounded top-R keeps state at
+    // R·sources rows regardless of corpus size. --------------------------
+    QDef("p86b_zipf_fit",
+      (s, dir) => {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n").desc, col("w"))
+        val xy = sourceWordCounts(s, dir)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= zipfR)
+          .select(col("source"),
+            expr(s"${sln("rank")} div 1000").as("x"),
+            expr(s"${sln("n")} div 1000").as("y"))
+        val sums = xy.groupBy(col("source")).agg(
+          count(lit(1)).as("r"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("x * x")).as("sxx"),
+          sum(expr("x * y")).as("sxy"),
+          sum(expr("y * y")).as("syy"))
+          .filter(col("r") >= 2)
+        sums.select(col("source"), col("r").as("n_terms"),
+          round((col("r") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("r") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+            .as("slope_r"),
+          round(
+            (col("r") * col("sxy") - col("sx") * col("sy")).cast("double") *
+              (col("r") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              ((col("r") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("r") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+            .as("r2_r"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH $duckSourceWordCtes,
+        zrk AS (
+          SELECT source, n,
+            ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, w) AS rank
+          FROM swc),
+        zxy AS (
+          SELECT source, ${sln("rank")} // 1000 AS x, ${sln("n")} // 1000 AS y
+          FROM zrk WHERE rank <= $zipfR),
+        zs AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS r,
+            CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+            CAST(SUM(x * x) AS BIGINT) AS sxx,
+            CAST(SUM(x * y) AS BIGINT) AS sxy,
+            CAST(SUM(y * y) AS BIGINT) AS syy
+          FROM zxy GROUP BY 1 HAVING COUNT(*) >= 2)
+        SELECT source, r AS n_terms,
+          round(CAST(r * sxy - sx * sy AS DOUBLE) /
+            CAST(r * sxx - sx * sx AS DOUBLE), 6) AS slope_r,
+          round(CAST(r * sxy - sx * sy AS DOUBLE) * CAST(r * sxy - sx * sy AS DOUBLE) /
+            (CAST(r * sxx - sx * sx AS DOUBLE) * CAST(r * syy - sy * sy AS DOUBLE)), 6)
+            AS r2_r
+        FROM zs ORDER BY source"""))
   )
 
-  // ---- helpers for the p84/p85 families -------------------------------
+  // ---- helpers for the p84/p85/p86 families ----------------------------
+
+  /** Zipf-fit truncation depth: the per-source top-R word table the OLS
+    * runs on — R·sources rows of state at any corpus size. */
+  private val zipfR = 256
+
+  /** (source, w, n): exact per-source word frequencies — the shared
+    * front of p86/p86b. Vocabulary-bounded, not corpus-bounded. */
+  private def sourceWordCounts(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("n"))
+
+  /** The DuckDB half of [[sourceWordCounts]]; final CTE `swc`. */
+  private def duckSourceWordCtes: String = s"""swc AS MATERIALIZED (
+          SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n
+          FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+          GROUP BY 1, 2)"""
 
   /** Power-iteration rounds and the (asserted) embedding dimensionality
     * the generated oracle CTEs are specialized to. */

@@ -835,4 +835,55 @@ class SelectionFamilySpec extends SparkSpecBase {
       }
     }
   }
+
+  test("p86/p86b: lexical stats and the Zipf OLS equal the plain-Scala " +
+    "re-derivation; entropy <= log2(types) and slopes are negative") {
+    val rows = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val wc: Map[String, Map[String, Long]] = rows.groupBy(_._1).map {
+      case (src, v) =>
+        src -> v.flatMap(t => toks(t._2)).groupBy(identity)
+          .map { case (w, o) => w -> o.size.toLong }
+    }
+    val got = SparkEntry.queries("p86_lexical_stats")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got.keySet == wc.keySet)
+    wc.foreach { case (src, m) =>
+      val t = m.values.sum
+      val hs = sln(t) * t - m.values.map(n => n * sln(n)).sum
+      val ent = r6(hs.toDouble / (t.toDouble * 1e8 * math.log(2.0)))
+      val simp = r6(m.values.map(n => n * (n - 1)).sum.toDouble /
+        (t.toDouble * math.max(t - 1, 1)))
+      assert(got(src) ==
+        ((t, m.size.toLong, r6(m.size.toDouble / t), ent, simp)), src)
+      // Shannon bound: H <= log2(V), equality iff uniform
+      assert(ent <= math.log(m.size.toDouble) / math.log(2.0) + 1e-6, src)
+      assert(got(src)._3 <= 1.0 + 1e-9)
+    }
+    // Zipf: OLS over the top-256 by (freq desc, word asc), exact sums
+    val zg = SparkEntry.queries("p86b_zipf_fit")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    wc.foreach { case (src, m) =>
+      val top = m.toSeq.sortBy { case (w, n) => (-n, w) }.take(256)
+      val xy = top.zipWithIndex.map { case ((_, n), i) =>
+        (sln(i + 1L) / 1000L, sln(n) / 1000L) }
+      val r = xy.size.toLong
+      val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+      val sxx = xy.map(p => p._1 * p._1).sum
+      val sxy = xy.map(p => p._1 * p._2).sum
+      val syy = xy.map(p => p._2 * p._2).sum
+      val num = r * sxy - sx * sy
+      val den = r * sxx - sx * sx
+      val slope = r6(num.toDouble / den.toDouble)
+      val r2 = r6(num.toDouble * num.toDouble /
+        (den.toDouble * (r * syy - sy * sy).toDouble))
+      assert(zg(src) == ((r, slope, r2)), s"$src: ${zg(src)} vs ($r, $slope, $r2)")
+      // rank-frequency law: frequency falls with rank
+      assert(slope < 0.0, src)
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9, src)
+    }
+  }
 }

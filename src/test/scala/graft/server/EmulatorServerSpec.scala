@@ -788,6 +788,13 @@ class EmulatorServerSpec extends AnyFunSuite {
     val ds0 = v2(s"SELECT COUNT(DISTINCT src_a) FROM TABLE(SOURCE_DIVERGENCE('$dir'))")
     assert(nb.get("data").get(0).get(0).asLong() >
       ds0.get("data").get(0).get(0).asLong(), s"$nb vs $ds0")
+    // lexical stats: TTR never exceeds 1, entropy is non-negative
+    val lx2 = v2("SELECT COUNT(*) AS n FROM " +
+      s"TABLE(LEXICAL_STATS('$dir')) WHERE ttr_r > 1.0 OR entropy_bits_r < 0")
+    assert(lx2.get("data").get(0).get(0).asLong() == 0L, lx2.toString)
+    // Zipf: every source's rank-frequency slope is negative
+    val zp = v2(s"SELECT COUNT(*) AS n FROM TABLE(ZIPF_FIT('$dir')) WHERE slope_r >= 0")
+    assert(zp.get("data").get(0).get(0).asLong() == 0L, zp.toString)
   }
 
   test("REST v2 session affinity: ALTER SESSION dials stick across token-bound calls") {
