@@ -8543,17 +8543,18 @@ ${(1 to lexIters).map(duckLexIter).mkString(",\n")}
   /** Winnowing window width (MOSS w): fingerprint density 2/(w+1). */
   private val winnowW = 4
 
-  /** Per-doc readability frame shared by p82/p82b: exact integer word /
-    * sentence / vowel-group counts, the mirrored Flesch expression
+  /** The p82 readability projection on an ARBITRARY (…, text) frame —
+    * shared verbatim by the streaming readability gate, so stream and
+    * batch scores/bands are definitionally identical. Adds exact integer
+    * word / sentence / vowel-group counts, the mirrored Flesch expression
     * rounded to 6 dp (fre_r) and pre-scaled to BIGINT (fre_s), and the
-    * band classification over the rounded value. */
-  private def readabilityPerDoc(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"), col("source"),
-        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("words"),
-        expr("CAST(greatest(1, size(regexp_extract_all(text, '[.!?]+', 0))) AS BIGINT)")
-          .as("sentences"),
-        expr("CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS BIGINT)")
-          .as("syllables"))
+    * band classification over the rounded value; drops `text`. */
+  private[graft] def readabilityMetrics(d: DataFrame): DataFrame =
+    d.withColumn("words", expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+      .withColumn("sentences", expr(
+        "CAST(greatest(1, size(regexp_extract_all(text, '[.!?]+', 0))) AS BIGINT)"))
+      .withColumn("syllables", expr(
+        "CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS BIGINT)"))
       .withColumn("fre_r", expr(
         "round(206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences) " +
           "- 84.6 * (CAST(syllables AS DOUBLE) / words), 6)"))
@@ -8564,6 +8565,12 @@ ${(1 to lexIters).map(duckLexIter).mkString(",\n")}
         "CASE WHEN fre_r >= 90.0 THEN 'very_easy' WHEN fre_r >= 70.0 THEN 'easy' " +
           "WHEN fre_r >= 50.0 THEN 'medium' WHEN fre_r >= 30.0 THEN 'difficult' " +
           "ELSE 'very_difficult' END"))
+      .drop("text")
+
+  /** Per-doc readability frame shared by p82/p82b. */
+  private def readabilityPerDoc(s: SparkSession, dir: String): DataFrame =
+    readabilityMetrics(
+      docs(s, dir).select(col("doc_id"), col("source"), col("text")))
 
   /** The DuckDB half of [[readabilityPerDoc]]; final CTE `rb`. */
   private def duckReadabilityCtes: String = s"""rf AS (

@@ -292,6 +292,17 @@ object EventStreams {
         round(col("stw"), 6).as("symbol_to_word"),
         round(col("alr"), 6).as("alpha_ratio"), col("n_stop"))
 
+  /** Streaming readability gate — batch p82's Flesch projection (the
+    * SHARED Pipeline.readabilityMetrics, so stream and batch scores and
+    * bands are definitionally identical) applied in-flight: keep
+    * documents at or above a minimum reading-ease score. Per-row
+    * projection only — no join, no shuffle, no state. */
+  def readabilityGateStream(docs: DataFrame, minFre: Double = 50.0): DataFrame =
+    graft.queries.Pipeline.readabilityMetrics(docs)
+      .filter(col("fre_r") >= minFre)
+      .select(col("doc_id"), col("words"), col("sentences"),
+        col("syllables"), col("fre_r"), col("band"))
+
   /** The per-doc hashed unigram+bigram feature-bucket multiset (the
     * batch dsirFeatures representation as one array column) — shared by
     * the LR and DSIR gates. Expects an `arr` token-array column. */

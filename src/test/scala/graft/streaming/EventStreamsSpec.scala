@@ -806,6 +806,43 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming readability gate scores bit-identical to batch p82") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("p82_readability")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getString(5)))).toMap
+    val docsRows = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.readabilityGateStream(
+        input.toDF().toDF("doc_id", "text"), minFre = 50.0)
+      .writeStream.format("memory").queryName("read_gate")
+      .outputMode("append").start()
+    try {
+      input.addData(docsRows)
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT doc_id, words, sentences, syllables, fre_r, band FROM read_gate")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4), r.getString(5)))).toMap
+      // exactly the batch rows at or above the threshold, values identical
+      val expected = batch.filter(_._2._4 >= 50.0)
+      assert(got == expected, s"${got.size} streamed vs ${expected.size} batch")
+      assert(got.nonEmpty && got.size < docsRows.size)
+      // the gate never emits a difficult band at this threshold
+      got.values.foreach { case (_, _, _, _, band) =>
+        assert(Set("very_easy", "easy", "medium").contains(band), band)
+      }
+      // and the gate's query plan holds no state stores
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
   test("streaming DSIR gate weights bit-identical to batch p54") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
