@@ -2983,6 +2983,21 @@ object Pipeline {
     (m2, m1, v)
   }
 
+  /** [[lmModel]] fitted on the WHOLE corpus (no language filter) — the
+    * "training distribution" model of p87's excess-loss pairing. Same
+    * size posture: m1 vocabulary-bounded, m2 distinct-bigram-bounded
+    * (the SCALE.md pruning fallback applies identically). */
+  private def lmModelAll(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val all = docBigrams(s, dir)
+    val m2 = all.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val m1 = all.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    (m2, m1, v)
+  }
+
   /** p78's per-bigram Kneser-Ney score as ONE expression string rendered
     * into both engines (columns c1/c2/n1v/n1w/dd resolve identically on
     * the Spark joined frame and in the DuckDB `sc` CTE). Both CASE arms
@@ -3064,6 +3079,14 @@ object Pipeline {
     * Model joins broadcast; nll sums are sln-scaled BIGINTs. */
   private def lmDocNll(s: SparkSession, dir: String): DataFrame = {
     val (m2, m1, v) = lmModel(s, dir)
+    lmDocNllOn(s, dir, m2, m1, v)
+  }
+
+  /** [[lmDocNll]] generalized over the model triple — the same scoring
+    * front run against any add-one bigram LM (p87 scores every document
+    * under TWO models with this). */
+  private def lmDocNllOn(s: SparkSession, dir: String,
+      m2: DataFrame, m1: DataFrame, v: DataFrame): DataFrame = {
     docBigrams(s, dir)
       .join(broadcast(m2), Seq("w1", "w2"), "left")
       .join(broadcast(m1), Seq("w1"), "left")
@@ -8378,7 +8401,69 @@ ${(1 to lexIters).map(duckLexIter).mkString(",\n")}
           round(CAST(r * sxy - sx * sy AS DOUBLE) * CAST(r * sxy - sx * sy AS DOUBLE) /
             (CAST(r * sxx - sx * sx AS DOUBLE) * CAST(r * syy - sy * sy AS DOUBLE)), 6)
             AS r2_r
-        FROM zs ORDER BY source"""))
+        FROM zs ORDER BY source""")),
+
+    // ---- excess-loss selection (p87): the RHO-loss pairing (Mindermann
+    // et al. 2022 — "prioritize learnable, worth-learning points") over
+    // the two LMs the suite already fits: every document scored under
+    // BOTH the whole-corpus add-one bigram LM (the training
+    // distribution) and p53's English-reference LM (the holdout model);
+    // excess = nll_corpus − nll_ref. High excess = hard under the
+    // training distribution yet NOT hard under the reference — the
+    // published keep signal; low/negative = either trivial or
+    // reference-unexplainable noise. Exactness is free: both per-doc
+    // NLLs are sln-scaled BIGINT sums over the SAME bigram rows, so the
+    // excess numerator is one exact integer difference and the readout
+    // one mirrored division. kept = top quarter by (rounded excess,
+    // doc_id) — the global rank is the validation-scale convenience,
+    // p53c's histogram cut is the documented 100 TB form. Both model
+    // joins broadcast (vocabulary/distinct-bigram-bounded); the only
+    // corpus-scaled shuffles are the two per-doc aggregations. ----------
+    QDef("p87_excess_loss",
+      (s, dir) => {
+        val ref = lmDocNll(s, dir).select(col("doc_id"), col("n_bigrams"),
+          col("nll_sum").as("ref_sum"), col("nll").as("nll_ref"))
+        val (m2a, m1a, va) = lmModelAll(s, dir)
+        val cor = lmDocNllOn(s, dir, m2a, m1a, va).select(col("doc_id"),
+          col("nll_sum").as("cor_sum"), col("nll").as("nll_corpus"))
+        ref.join(cor, "doc_id")
+          .withColumn("excess_r", round(
+            (col("cor_sum") - col("ref_sum")).cast("double") /
+              lit(100000000.0) / col("n_bigrams"), 6))
+          .withColumn("rn", row_number()
+            .over(Window.orderBy(col("excess_r").desc, col("doc_id"))).cast("bigint"))
+          .withColumn("nd", count(lit(1)).over(Window.partitionBy()))
+          .withColumn("kept", col("rn") * 4 <= col("nd"))
+          .select(col("doc_id"), col("n_bigrams"), col("nll_ref"),
+            col("nll_corpus"), col("excess_r"), col("kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $duckLmScoreCtes,
+        allv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+        am2 AS MATERIALIZED (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        am1 AS MATERIALIZED (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        sc2 AS (SELECT g.doc_id,
+            ${sln("coalesce(m1.c1, 0) + allv.v")} - ${sln("coalesce(m2.c2, 0) + 1")} AS nls
+          FROM bg g CROSS JOIN allv
+          LEFT JOIN am2 m2 ON g.w1 = m2.w1 AND g.w2 = m2.w2
+          LEFT JOIN am1 m1 ON g.w1 = m1.w1),
+        ds2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams2,
+            sum(nls) AS nll_sum2
+          FROM sc2 GROUP BY 1),
+        ex AS (SELECT d.doc_id, d.n_bigrams,
+            round(CAST(d.nll_sum AS DOUBLE) / 100000000.0 / d.n_bigrams, 6) AS nll_ref,
+            round(CAST(d2.nll_sum2 AS DOUBLE) / 100000000.0 / d.n_bigrams, 6) AS nll_corpus,
+            round(CAST(d2.nll_sum2 - d.nll_sum AS DOUBLE) / 100000000.0 / d.n_bigrams, 6)
+              AS excess_r
+          FROM ds d JOIN ds2 d2 ON d2.doc_id = d.doc_id),
+        exr AS (SELECT *,
+            CAST(ROW_NUMBER() OVER (ORDER BY excess_r DESC, doc_id) AS BIGINT) AS rn,
+            CAST(COUNT(*) OVER () AS BIGINT) AS nd
+          FROM ex)
+        SELECT doc_id, n_bigrams, nll_ref, nll_corpus, excess_r,
+          (rn * 4 <= nd) AS kept
+        FROM exr ORDER BY doc_id"""))
   )
 
   // ---- helpers for the p84/p85/p86 families ----------------------------

@@ -886,4 +886,49 @@ class SelectionFamilySpec extends SparkSpecBase {
       assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9, src)
     }
   }
+
+  test("p87: excess losses equal the plain-Scala two-model re-derivation; " +
+    "kept is exactly the top quarter") {
+    def fit(sel: Seq[(Long, String, String)])
+        : (Map[(String, String), Long], Map[String, Long], Long) = {
+      val bs = sel.flatMap { case (_, t, _) => bigrams(t) }
+      (bs.groupBy(identity).map { case (k, v) => k -> v.size.toLong },
+        bs.groupBy(_._1).map { case (k, v) => k -> v.size.toLong },
+        sel.flatMap { case (_, t, _) => toks(t) }.distinct.size.toLong)
+    }
+    val (rc2, rc1, rv) = fit(corpus.filter(_._3 == "en"))
+    val (ac2, ac1, av) = fit(corpus)
+    def nllSum(t: String, c2: Map[(String, String), Long],
+        c1: Map[String, Long], v: Long): Long =
+      bigrams(t).map { case (w1, w2) =>
+        sln(c1.getOrElse(w1, 0L) + v) - sln(c2.getOrElse((w1, w2), 0L) + 1L)
+      }.sum
+    val per = corpus.flatMap { case (id, t, _) =>
+      val n = bigrams(t).length.toLong
+      if (n == 0) None else {
+        val rs = nllSum(t, rc2, rc1, rv)
+        val cs = nllSum(t, ac2, ac1, av)
+        Some(id -> ((n, r6(rs.toDouble / 1e8 / n), r6(cs.toDouble / 1e8 / n),
+          r6((cs - rs).toDouble / 1e8 / n))))
+      }
+    }.toMap
+    val nd = per.size.toLong
+    val ranked = per.toSeq.sortBy { case (id, (_, _, _, ex)) => (-ex, id) }
+    val keptIds = ranked.zipWithIndex
+      .filter { case (_, i) => (i + 1).toLong * 4 <= nd }.map(_._1._1).toSet
+    val got = SparkEntry.queries("p87_excess_loss")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(got.size == per.size)
+    per.foreach { case (id, (n, nr, nc, ex)) =>
+      assert(got(id) == ((n, nr, nc, ex, keptIds.contains(id))),
+        s"doc $id: ${got(id)} vs ($n, $nr, $nc, $ex, ${keptIds.contains(id)})")
+    }
+    // the keep budget is exactly floor(nd/4)
+    assert(got.values.count(_._5).toLong == nd / 4)
+    // the excess identity holds row-by-row on the rounded columns too
+    got.values.foreach { case (_, nr, nc, ex, _) =>
+      assert(math.abs((nc - nr) - ex) < 2e-6, s"$nc - $nr != $ex")
+    }
+  }
 }

@@ -795,6 +795,11 @@ class EmulatorServerSpec extends AnyFunSuite {
     // Zipf: every source's rank-frequency slope is negative
     val zp = v2(s"SELECT COUNT(*) AS n FROM TABLE(ZIPF_FIT('$dir')) WHERE slope_r >= 0")
     assert(zp.get("data").get(0).get(0).asLong() == 0L, zp.toString)
+    // excess loss: the keep budget is a quarter of the scored docs
+    val el = v2(s"SELECT COUNT(*) AS n FROM TABLE(EXCESS_LOSS('$dir'))")
+    val elk = v2(s"SELECT COUNT(*) AS k FROM TABLE(EXCESS_LOSS('$dir')) WHERE kept")
+    assert(elk.get("data").get(0).get(0).asLong() ==
+      el.get("data").get(0).get(0).asLong() / 4, s"$elk vs $el")
   }
 
   test("REST v2 session affinity: ALTER SESSION dials stick across token-bound calls") {
