@@ -753,7 +753,8 @@ final class Executor(
     "SOURCE_NEIGHBORS" -> "p85b_source_neighbors",
     "LEXICAL_STATS" -> "p86_lexical_stats",
     "ZIPF_FIT" -> "p86b_zipf_fit",
-    "EXCESS_LOSS" -> "p87_excess_loss")
+    "EXCESS_LOSS" -> "p87_excess_loss",
+    "PROTO_PRUNE" -> "p88_proto_prune")
 
   /** Match only the OPENING of a pipeline table-function call; the
     * argument span is found by a quote-aware paren scan (a ')' inside a

@@ -8463,7 +8463,55 @@ ${(1 to lexIters).map(duckLexIter).mkString(",\n")}
           FROM ex)
         SELECT doc_id, n_bigrams, nll_ref, nll_corpus, excess_r,
           (rn * 4 <= nd) AS kept
-        FROM exr ORDER BY doc_id"""))
+        FROM exr ORDER BY doc_id""")),
+
+    // ---- prototypicality pruning (p88): the SSL-prototypes rule
+    // (Sorscher et al. 2022 "Beyond neural scaling laws"; the
+    // cluster-based half of D4, Tirumala et al. 2023) — on LARGE
+    // datasets, prune the EASY/prototypical examples: within each
+    // staged k-means cell, rank members by similarity to their centroid
+    // and drop the most-prototypical quarter (floor(n/4) per cell, so
+    // small cells keep everything). Complements p32: SemDeDup removes
+    // within-cell DUPLICATES, this removes within-cell REDUNDANCY at
+    // the distribution's core. Scale shape: the zero-shuffle staged
+    // assignment (one broadcast index row), then ONE shuffle keyed on
+    // cell for the per-cell window — no pairwise work at all, strictly
+    // cheaper than p32. csim ties break on vec_id; both engines order
+    // NaN above +inf (zero-norm guard, see simDescCmp). ------------------
+    QDef("p88_proto_prune",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val assigned = nearestCellsStaged(s, dir,
+          e.select(col("vec_id"), col("embedding")), 1)
+          .filter(col("crank") === 1)
+          .select(col("vec_id"), col("cell"), col("csim"))
+        val w = Window.partitionBy(col("cell"))
+          .orderBy(col("csim").desc, col("vec_id"))
+        assigned
+          .withColumn("proto_rank", row_number().over(w))
+          .withColumn("cell_n", count(lit(1)).over(Window.partitionBy(col("cell"))))
+          .select(col("vec_id"), col("cell"),
+            round(col("csim"), 6).as("csim_r"),
+            col("proto_rank"), col("cell_n"),
+            (col("proto_rank") * 4 > col("cell_n")).as("kept"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH $duckSuperCells,
+${duckTwoLevel("a", "embeddings", Nil, "1")},
+        passigned AS (
+          SELECT vec_id, cell, embedding FROM acranked WHERE crank = 1),
+        psim AS (
+          SELECT a.vec_id, a.cell, ${duckCosine("a.embedding", "c.cv")} AS csim
+          FROM passigned a JOIN cells c ON c.cell = a.cell),
+        prk AS (
+          SELECT vec_id, cell, csim,
+            CAST(ROW_NUMBER() OVER (PARTITION BY cell
+              ORDER BY csim DESC, vec_id) AS INTEGER) AS proto_rank,
+            CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT) AS cell_n
+          FROM psim)
+        SELECT vec_id, cell, round(csim, 6) AS csim_r, proto_rank, cell_n,
+          (proto_rank * 4 > cell_n) AS kept
+        FROM prk ORDER BY vec_id"""))
   )
 
   // ---- helpers for the p84/p85/p86 families ----------------------------

@@ -666,6 +666,50 @@ class QueriesSmokeSpec extends SparkSpecBase {
     }
   }
 
+  test("p88: prototype ranks equal the plain-Scala cosine re-derivation; " +
+    "the prune budget is floor(n/4) per cell; assignments match p32") {
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray)).toMap
+    val cents = graft.queries.Pipeline.CellStage.load(spark, sf0001).collect()
+      .map(r => r.getAs[Number](r.fieldIndex("cell")).longValue ->
+        r.getSeq[Float](r.fieldIndex("cv")).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (s, na, nb) = (0.0, 0.0, 0.0); var i = 0
+      while (i < a.length) {
+        s += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      s / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val rows = SparkEntry.queries("p88_proto_prune")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getDouble(2),
+        r.getInt(3), r.getLong(4), r.getBoolean(5)))
+    assert(rows.length == emb.size)
+    // same nearest-cell assignment as p32 (independently oracle-pinned)
+    val p32m = SparkEntry.queries("p32_semdedup")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    rows.foreach { case (v, c, _, _, _, _) => assert(p32m(v) == c, s"vec $v") }
+    // exact cosine re-derivation, per-cell rank and budget
+    rows.groupBy(_._2).foreach { case (cell, members) =>
+      val exact = members.map { case (v, _, _, _, _, _) =>
+        v -> cos(emb(v), cents(cell)) }.toMap
+      val order = members.map(_._1).sortBy(v => (-exact(v), v))
+      val n = members.length.toLong
+      members.foreach { case (v, _, csimR, rank, cellN, kept) =>
+        assert(cellN == n, s"vec $v")
+        assert(csimR == r6(exact(v)), s"vec $v: $csimR vs ${r6(exact(v))}")
+        assert(order(rank - 1) == v, s"vec $v rank $rank")
+        assert(kept == (rank * 4 > n), s"vec $v")
+      }
+      assert(members.count(!_._6).toLong == n / 4, s"cell $cell budget")
+    }
+  }
+
   test("p83/p83b: nDCG@5 / MRR@5 equal the plain-Scala judgment of the " +
     "pinned IVF rows against the pinned exact truth; recall cross-checks p35") {
     val ndcgK = 5

@@ -800,6 +800,10 @@ class EmulatorServerSpec extends AnyFunSuite {
     val elk = v2(s"SELECT COUNT(*) AS k FROM TABLE(EXCESS_LOSS('$dir')) WHERE kept")
     assert(elk.get("data").get(0).get(0).asLong() ==
       el.get("data").get(0).get(0).asLong() / 4, s"$elk vs $el")
+    // proto prune: nothing pruned outside the top-quarter prototype ranks
+    val pp = v2("SELECT COUNT(*) AS n FROM " +
+      s"TABLE(PROTO_PRUNE('$dir')) WHERE NOT kept AND proto_rank * 4 > cell_n")
+    assert(pp.get("data").get(0).get(0).asLong() == 0L, pp.toString)
   }
 
   test("REST v2 session affinity: ALTER SESSION dials stick across token-bound calls") {
