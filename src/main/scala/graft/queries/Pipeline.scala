@@ -7987,9 +7987,14 @@ ${(1 to lexIters).map(duckLexIter).mkString(",\n")}
           .select(col("doc_id"), col("wmin").as("h")).distinct()
         val nDocs = docs(s, dir).count()
         val dfp = fps.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        // the kept-fingerprint front feeds FOUR consumers (the pair
+        // expansion plus both size joins); eager localCheckpoint (the
+        // p20/k-means trick) materializes the tokenize->window->guard
+        // chain once instead of re-running it per consumer
         val kept = fps.join(
           dfp.filter(col("df").cast("double") <= lit(math.max(5.0, nDocs * 0.01))), "h")
           .select(col("doc_id"), col("h"))
+          .localCheckpoint(true)
         val fsz = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("fsz"))
         val pairs = kept.groupBy(col("h"))
           .agg(collect_list(col("doc_id")).as("ids"))
@@ -8238,7 +8243,9 @@ ${(1 to lexIters).map(duckLexIter).mkString(",\n")}
         val fwd = sab.filter(col("sa") < col("sb"))
         val rev = sab.filter(col("sa") > col("sb"))
           .select(col("sb").as("sa"), col("sa").as("sb"), col("s").as("s_rev"))
-        fwd.join(rev, Seq("sa", "sb"))
+        // both sides are <= sources^2 rows — broadcast beats the
+        // size-estimate-blind sort-merge Spark picks for agg outputs
+        fwd.join(broadcast(rev), Seq("sa", "sb"))
           .join(tot.select(col("source").as("sa"), col("t").as("ta")), "sa")
           .join(tot.select(col("source").as("sb"), col("t").as("tb")), "sb")
           .select(col("sa").as("src_a"), col("sb").as("src_b"),
@@ -8617,10 +8624,16 @@ ${duckTwoLevel("a", "embeddings", Nil, "1")},
     * sln(na·Tb + nb·Ta)] — KL(Pa||M) scaled by Ta·1e8, exact BIGINT.
     * Returns (sums DF (sa, sb, s), totals DF (source, t)). */
   private def jsOrderedSums(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // the bucket-count table feeds SIX consumers across the two ordered
+    // directions (totals, a-side, b-side per direction); it is bounded
+    // at sources x dsirBuckets rows, so one eager localCheckpoint turns
+    // every consumer into a read of a tiny materialized table instead
+    // of re-running the corpus-scaled tokenize+hash+aggregate
     val cnt = docs(s, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .select(col("source"), (md560(col("w")) % dsirBuckets).as("b"))
       .groupBy(col("source"), col("b")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val tot = cnt.groupBy(col("source")).agg(sum(col("n")).as("t"))
     val srcs = tot.select(col("source").as("sb"), col("t").as("tb"))
     val a = cnt.select(col("source").as("sa"), col("b"), col("n").as("na"))
@@ -8630,10 +8643,13 @@ ${duckTwoLevel("a", "embeddings", Nil, "1")},
       cnt.select(col("source").as("sb"), col("b"), col("n").as("nb0")),
       Seq("sb", "b"), "left")
       .withColumn("nb", coalesce(col("nb0"), lit(0L)))
+    // <= sources^2 rows; checkpointed so the fwd/rev split (and p85b's
+    // reuse) reads it instead of re-running the bucket pair join
     val sums = withB
       .withColumn("term", col("na") *
         (expr(sln("2 * na * tb")) - expr(sln("na * tb + nb * ta"))))
       .groupBy(col("sa"), col("sb")).agg(sum(col("term")).as("s"))
+      .localCheckpoint(true)
     (sums, tot)
   }
 

@@ -335,4 +335,40 @@ class PlanAssertionsSpec extends AnyFunSuite {
     val exchanges = "Exchange".r.findAllIn(p).size
     assert(exchanges <= 1, s"p30 expected at most the sort exchange, got $exchanges:\n$p")
   }
+
+  test("p84c: projections are pure per-row math over the literal component") {
+    // the fit happens before the plan (driver-bounded Gram eigensolve);
+    // the returned projection frame must be map work + the output sort
+    val p = plan("p84c_pca_project")
+    assert(!p.contains("Join"), s"p84c must not join:\n$p")
+    assert(!p.contains("HashAggregate"), s"p84c must not aggregate:\n$p")
+  }
+
+  test("p87: both LM scoring fronts broadcast their models — no sort-merge") {
+    val p = plan("p87_excess_loss")
+    assert(!p.contains("SortMergeJoin"), s"p87 model joins must broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("p85/p81/p88: the r12 audit/dedup/prune families never sort-merge a corpus side") {
+    Seq("p85_source_divergence", "p81_winnow_dedup", "p88_proto_prune").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("SortMergeJoin"), s"$n plans a SortMergeJoin:\n$p")
+    }
+    // p88's only real exchange keys on the cell (plus the output sort and
+    // the one-row staged-index collects) and never moves embeddings
+    val ex = SparkEntry.queries("p88_proto_prune")(spark, dir)
+      .queryExecution.executedPlan
+    val inner = ex match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    inner.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }.foreach { s =>
+      assert(!s.output.exists(_.name == "embedding"),
+        s"p88 exchange carries embeddings: ${s.simpleString(200)}")
+    }
+  }
 }
