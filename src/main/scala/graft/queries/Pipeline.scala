@@ -3074,6 +3074,27 @@ object Pipeline {
     (mb, mc, slnL(vv))
   }
 
+  /** [[lmScoreMaps]] for the WHOLE-CORPUS model ([[lmModelAll]]) — the
+    * second literal model the streaming excess-loss gate ships. Same
+    * size posture and the same prune-only-over-filters fallback. */
+  private[graft] def lmScoreMapsAll(s: SparkSession, dir: String,
+      maxBigrams: Int = Int.MaxValue)
+      : (Map[String, Long], Map[String, Long], Long) = {
+    val (m2, m1, v) = lmModelAll(s, dir)
+    val vv = v.collect()(0).getLong(0)
+    def slnL(x: Long): Long =
+      math.floor(math.log(x.toDouble) * 100000000.0 + 0.5).toLong
+    val rows = m2.collect().map(r =>
+      (r.getString(0) + " " + r.getString(1), r.getLong(2)))
+    val kept =
+      if (rows.length <= maxBigrams) rows
+      else rows.sortBy { case (b, c) => (-c, b) }.take(maxBigrams)
+    val mb = kept.map { case (b, c) => b -> slnL(c + 1L) }.toMap
+    val mc = m1.collect().map(r =>
+      r.getString(0) -> slnL(r.getLong(1) + vv)).toMap
+    (mb, mc, slnL(vv))
+  }
+
   /** Per-document LM scores (doc_id, n_bigrams, oov_ratio, nll) — p53's
     * scoring front, shared with the sketch-bucketed scale path (p53c).
     * Model joins broadcast; nll sums are sln-scaled BIGINTs. */

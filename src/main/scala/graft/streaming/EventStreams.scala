@@ -281,6 +281,43 @@ object EventStreams {
       .select(col("doc_id"), col("n_bigrams"), col("nll"),
         (col("nll") <= maxNll).as("kept"))
 
+  /** Streaming excess-loss gate — batch p87's RHO pairing applied
+    * in-flight: each arriving document is scored under BOTH batch-fitted
+    * LMs (the English reference and the whole-corpus model), each
+    * shipped as literal lookup maps, and excess = nll_corpus − nll_ref
+    * is bit-identical to batch p87's (the same exact-BIGINT difference,
+    * divided and rounded the same way — spec-proven). kept trades the
+    * batch's global top-quarter rank for a threshold dial, the p53c
+    * threshold-vs-rank trade a stream has to make. Stateless: two
+    * per-row fold expressions, no join, no shuffle, no state. */
+  def excessGateStream(spark: org.apache.spark.sql.SparkSession,
+      modelDir: String, docs: DataFrame, minExcess: Double = 0.0): DataFrame = {
+    val (mb2, mc2, slnV2) =
+      graft.queries.Pipeline.lmScoreMapsAll(spark, modelDir)
+    val mb2Col = typedLit(mb2)
+    val mc2Col = typedLit(mc2)
+    val arr = col("arr")
+    lmScored(spark, modelDir, docs)
+      .withColumn("cor_sum", aggregate(
+        expr("sequence(0, size(arr)-2)"),
+        lit(0L),
+        (acc, i) =>
+          acc + coalesce(element_at(mc2Col, element_at(arr, i + 1)), lit(slnV2)) -
+            coalesce(element_at(mb2Col,
+              concat(element_at(arr, i + 1), lit(" "), element_at(arr, i + 2))),
+              lit(0L))))
+      .withColumn("nll_ref",
+        round(col("nll_sum").cast("double") / 100000000.0 / col("n_bigrams"), 6))
+      .withColumn("nll_corpus",
+        round(col("cor_sum").cast("double") / 100000000.0 / col("n_bigrams"), 6))
+      .withColumn("excess_r", round(
+        (col("cor_sum") - col("nll_sum")).cast("double") /
+          lit(100000000.0) / col("n_bigrams"), 6))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_ref"),
+        col("nll_corpus"), col("excess_r"),
+        (col("excess_r") >= minExcess).as("kept"))
+  }
+
   /** Streaming Gopher-rules gate — batch p52's metric/flag projection
     * (the SHARED Pipeline.gopherMetrics, so stream and batch flags are
     * definitionally identical) applied in-flight: keep documents passing

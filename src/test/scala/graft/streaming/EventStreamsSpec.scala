@@ -843,6 +843,43 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming excess-loss gate scores bit-identical to batch p87") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("p87_excess_loss")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    val docsRows = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.excessGateStream(spark, dir,
+        input.toDF().toDF("doc_id", "text"), minExcess = 0.0)
+      .writeStream.format("memory").queryName("excess_gate")
+      .outputMode("append").start()
+    try {
+      val (a, b) = docsRows.splitAt(docsRows.size / 2)
+      input.addData(a)
+      q.processAllAvailable()
+      input.addData(b)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, n_bigrams, nll_ref, nll_corpus, " +
+        "excess_r, kept FROM excess_gate").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+      assert(got.size == batch.size, s"${got.size} vs ${batch.size}")
+      batch.foreach { case (id, (n, nr, nc, ex)) =>
+        assert(got(id) == ((n, nr, nc, ex, ex >= 0.0)),
+          s"doc $id: ${got(id)} vs batch ($n, $nr, $nc, $ex)")
+      }
+      // stateless: no state-store rows
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
   test("streaming DSIR gate weights bit-identical to batch p54") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
