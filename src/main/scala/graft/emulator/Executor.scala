@@ -754,7 +754,8 @@ final class Executor(
     "LEXICAL_STATS" -> "p86_lexical_stats",
     "ZIPF_FIT" -> "p86b_zipf_fit",
     "EXCESS_LOSS" -> "p87_excess_loss",
-    "PROTO_PRUNE" -> "p88_proto_prune")
+    "PROTO_PRUNE" -> "p88_proto_prune",
+    "PCA_SECOND" -> "p84d_pca_second")
 
   /** Match only the OPENING of a pipeline table-function call; the
     * argument span is found by a quote-aware paren scan (a ')' inside a

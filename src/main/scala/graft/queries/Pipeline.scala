@@ -8539,7 +8539,33 @@ ${duckTwoLevel("a", "embeddings", Nil, "1")},
           FROM psim)
         SELECT vec_id, cell, round(csim, 6) AS csim_r, proto_rank, cell_n,
           (proto_rank * 4 > cell_n) AS kept
-        FROM prk ORDER BY vec_id"""))
+        FROM prk ORDER BY vec_id""")),
+
+    // ---- second PCA component (p84d): Hotelling deflation in exact
+    // integers — subtract λ·u·uᵀ from the fitted matrix (λ and the outer
+    // product as mirrored sign-split integer formulas), renormalize to
+    // the 1e5 scale by the deflated matrix's own max-abs (deflated
+    // entries can reach λ' ≈ trace, 64× the original scale — the
+    // renormalization restores the iteration's overflow headroom), and
+    // run the same 8 rounds. Both engines walk the identical second
+    // trajectory; with the top component this gives the 2-D whitening
+    // basis (and the spec checks near-orthogonality + the eigenvalue
+    // ordering the math demands). Scale: everything after the p84 Gram
+    // pass is d²-bounded driver/oracle-local work. ----------------------
+    QDef("p84d_pca_second",
+      (s, dir) => {
+        val (_, v2) = pcaFit2(s, dir)
+        val rows = v2.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+        s.createDataFrame(rows).toDF("dim", "comp2_s")
+          .select(col("dim"), col("comp2_s"),
+            round(col("comp2_s").cast("double") / 1000000.0, 6).as("comp2_r"))
+          .orderBy(col("dim"))
+      },
+      Some(s"""WITH $duckPcaCtes,
+$duckPcaDeflateCtes
+        SELECT CAST(j AS INTEGER) AS dim, v AS comp2_s,
+          round(CAST(v AS DOUBLE) / 1000000.0, 6) AS comp2_r
+        FROM dv$pcaIters ORDER BY dim"""))
   )
 
   // ---- helpers for the p84/p85/p86 families ----------------------------
@@ -8567,9 +8593,10 @@ ${duckTwoLevel("a", "embeddings", Nil, "1")},
   private val pcaD = 64
 
   /** The driver-bounded PCA fit state: the final component (max-abs
-    * 1e6), the Gram max-abs cell, and the exact-integer Rayleigh pieces. */
+    * 1e6), the Gram max-abs cell, the exact-integer Rayleigh pieces,
+    * and the normalized matrix itself (for p84d's deflation). */
   private final case class PcaFit(v: Array[Long], mx: Long, num: Long,
-    den: Long, tr: Long)
+    den: Long, tr: Long, mn: Array[Array[Long]])
 
   /** Sign-split truncating scaled division — `sign(a)·((|a|·s) div q)` —
     * the ONE rescaling primitive of the power iteration. Spelled this way
@@ -8608,7 +8635,83 @@ ${duckTwoLevel("a", "embeddings", Nil, "1")},
     val num = (0 until d).foldLeft(0L)((a, i) => a + v(i) * pcaScale(wf(i), 1L, 1000L))
     val den = v.foldLeft(0L)((a, x) => a + x * x)
     val tr = (0 until d).foldLeft(0L)((a, i) => a + mn(i)(i))
-    PcaFit(v, mx, num, den, tr)
+    PcaFit(v, mx, num, den, tr, mn)
+  }
+
+  /** The SECOND component by Hotelling deflation, exact-integer: the
+    * fitted matrix minus λ·u·uᵀ rendered as the mirrored integer formula
+    * term_ij = sdiv(lam · sdiv(v_i·v_j, 1e3), den div 1e3) with
+    * lam = sdiv(num, den div 1e3), then renormalized to the 1e5 scale by
+    * ITS max-abs (restoring the iteration's overflow headroom — deflated
+    * entries can reach λ' ≈ trace, 64× the original scale), then the same
+    * 8 rounds. Every step is the sign-split truncating division both
+    * engines share, so trajectories stay bit-identical. */
+  private def pcaFit2(s: SparkSession, dir: String): (PcaFit, Array[Long]) = {
+    val fit = pcaFit(s, dir)
+    val d = fit.v.length
+    val dd = fit.den / 1000L
+    val lam = pcaScale(fit.num, 1L, dd)
+    val m2 = Array.tabulate(d, d)((i, j) =>
+      fit.mn(i)(j) - pcaScale(lam * pcaScale(fit.v(i) * fit.v(j), 1L, 1000L), 1L, dd))
+    val mx2 = m2.flatten.map(math.abs).max
+    val m2n = Array.tabulate(d, d)((i, j) => pcaScale(m2(i)(j), 100000L, mx2))
+    def matvec(u: Array[Long]): Array[Long] =
+      Array.tabulate(d)(i => (0 until d).foldLeft(0L)((a, j) => a + m2n(i)(j) * u(j)))
+    var v2 = Array.fill(d)(1000000L)
+    for (_ <- 1 to pcaIters) {
+      val w = matvec(v2)
+      val wx = w.map(math.abs).max
+      v2 = w.map(pcaScale(_, 1000000L, wx))
+    }
+    (fit, v2)
+  }
+
+  /** The p84d oracle chain appended to [[duckPcaCtes]]: Rayleigh pieces,
+    * the integer deflation, renormalization, and [[pcaIters]] more
+    * rounds. Final CTE `dv$pcaIters` (j, v). */
+  private def duckPcaDeflateCtes: String = {
+    val base = s"""        qwf AS MATERIALIZED (
+          SELECT mn.i, CAST(SUM(mn.mn * v.v) AS BIGINT) AS w
+          FROM pmn mn JOIN pv$pcaIters v ON v.j = mn.j GROUP BY 1),
+        qnd AS MATERIALIZED (SELECT
+            CAST((SELECT SUM(v.v * (CASE WHEN w.w < 0 THEN -((-w.w) // 1000)
+                                    ELSE w.w // 1000 END))
+                  FROM pv$pcaIters v JOIN qwf w ON w.i = v.j) AS BIGINT) AS num,
+            CAST((SELECT SUM(v * v) FROM pv$pcaIters) AS BIGINT) AS den),
+        qlam AS MATERIALIZED (
+          SELECT CAST(CASE WHEN num < 0 THEN -((-num) // (den // 1000))
+                      ELSE num // (den // 1000) END AS BIGINT) AS lam,
+            den // 1000 AS dd
+          FROM qnd),
+        qraw AS MATERIALIZED (
+          SELECT i, j, CAST(mn - (CASE WHEN t2 < 0 THEN -((-t2) // dd)
+                            ELSE t2 // dd END) AS BIGINT) AS m
+          FROM (
+            SELECT m.i, m.j, m.mn, l.dd,
+              l.lam * (CASE WHEN a.v * b.v < 0 THEN -((-(a.v * b.v)) // 1000)
+                       ELSE (a.v * b.v) // 1000 END) AS t2
+            FROM pmn m
+            JOIN pv$pcaIters a ON a.j = m.i
+            JOIN pv$pcaIters b ON b.j = m.j
+            CROSS JOIN qlam l)),
+        qmx AS MATERIALIZED (SELECT MAX(ABS(m)) AS x FROM qraw),
+        qmn AS MATERIALIZED (
+          SELECT i, j, CAST(CASE WHEN m < 0 THEN -((-m) * 100000 // x)
+                       ELSE (m * 100000) // x END AS BIGINT) AS mn
+          FROM qraw, qmx),
+        dv0 AS MATERIALIZED (
+          SELECT t.i AS j, CAST(1000000 AS BIGINT) AS v FROM range(0, $pcaD) t(i))"""
+    val rounds = (1 to pcaIters).map { k =>
+      s"""        dw$k AS MATERIALIZED (
+         |          SELECT mn.i, CAST(SUM(mn.mn * v.v) AS BIGINT) AS w
+         |          FROM qmn mn JOIN dv${k - 1} v ON v.j = mn.j GROUP BY 1),
+         |        dx$k AS MATERIALIZED (SELECT MAX(ABS(w)) AS x FROM dw$k),
+         |        dv$k AS MATERIALIZED (
+         |          SELECT i AS j, CAST(CASE WHEN w < 0 THEN -((-w) * 1000000 // x)
+         |                         ELSE (w * 1000000) // x END AS BIGINT) AS v
+         |          FROM dw$k, dx$k)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n")
   }
 
   /** The shared PCA oracle chain: Gram matrix -> max-abs normalization ->

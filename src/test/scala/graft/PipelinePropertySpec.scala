@@ -167,4 +167,43 @@ class PipelinePropertySpec extends SparkSpecBase {
       .selectExpr("transform(sel, s -> s.doc_id) AS ds").collect()(0)
     assert(two.getSeq[Long](0) == Seq(1L, 2L), two.toString)
   }
+
+  test("winnowing guarantee: any shared token run of >= w+k-1 yields a " +
+    "shared fingerprint (MOSS, SIGMOD 2003 thm 1); density never exceeds windows") {
+    // the plain-Scala winnow mirroring p81 (3-gram md560, w=4 window
+    // minima, distinct) — SelectionFamilySpec ties this form to Spark
+    val w = 4
+    def md560(s0: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map(b => f"${b & 0xff}%02x").mkString.substring(0, 15), 16)
+    }
+    def winnow(tokens: List[String]): Set[Long] = {
+      if (tokens.length < 3) Set.empty
+      else {
+        val hs = tokens.sliding(3).map(g => md560(g.mkString(" "))).toVector
+        if (hs.length < w) Set.empty
+        else (0 to hs.length - w).map(p => hs.slice(p, p + w).min).toSet
+      }
+    }
+    val tok: Gen[String] = Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString)
+    val gen = for {
+      runLen <- Gen.choose(w + 2, 20) // >= w + k - 1 = 6 shared tokens
+      run <- Gen.listOfN(runLen, tok)
+      pre1 <- Gen.listOfN(5, tok); suf1 <- Gen.listOfN(5, tok)
+      pre2 <- Gen.listOfN(9, tok); suf2 <- Gen.listOfN(2, tok)
+    } yield (pre1 ++ run ++ suf1, pre2 ++ run ++ suf2, run)
+    check(Prop.forAll(gen) { case (d1, d2, run) =>
+      val (f1, f2) = (winnow(d1), winnow(d2))
+      // theorem: the shared run is long enough to contain one full
+      // gram window entirely inside it, and that window's minimum is
+      // position-independent — so at least one fingerprint is shared
+      val guarantee = (f1 & f2).nonEmpty
+      // density: never more fingerprints than windows
+      val bound = f1.size <= d1.length - 2 - w + 1 &&
+        f2.size <= d2.length - 2 - w + 1
+      guarantee && bound
+    }, cases = 40)
+  }
 }

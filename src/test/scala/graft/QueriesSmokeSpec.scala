@@ -664,6 +664,42 @@ class QueriesSmokeSpec extends SparkSpecBase {
         math.floor(e(i).toDouble * 1000000.0 + 0.5).toLong * v(i)).sum
       assert(proj(id) == ((ps, r6(ps.toDouble / 1000000000000.0))), s"vec $id")
     }
+    // second component (p84d): deflation re-derivation + spectral order
+    val dd = den / 1000L
+    val lam = sdiv(num, 1L, dd)
+    val m2 = Array.tabulate(d, d)((i, j) =>
+      mn(i)(j) - sdiv(lam * sdiv(v(i) * v(j), 1L, 1000L), 1L, dd))
+    val mx2 = m2.flatten.map(math.abs).max
+    val m2n = Array.tabulate(d, d)((i, j) => sdiv(m2(i)(j), 100000L, mx2))
+    def mv2(u: Array[Long]): Array[Long] =
+      Array.tabulate(d)(i => (0 until d).map(j => m2n(i)(j) * u(j)).sum)
+    var v2 = Array.fill(d)(1000000L)
+    for (_ <- 1 to 8) {
+      val w = mv2(v2); val wx = w.map(math.abs).max
+      v2 = w.map(sdiv(_, 1000000L, wx))
+    }
+    val got2 = SparkEntry.queries("p84d_pca_second")(spark, sf0001).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    (0 until d).foreach { i =>
+      assert(got2(i) == ((v2(i), r6(v2(i).toDouble / 1000000.0))), s"dim $i")
+    }
+    // near-orthogonality of the two fitted directions
+    def rayleigh(u: Array[Long]): Double = {
+      val w = (0 until d).map(i =>
+        (0 until d).map(j => mn(i)(j).toDouble * u(j)).sum)
+      (0 until d).map(i => u(i).toDouble * w(i)).sum /
+        u.map(x => x.toDouble * x).sum
+    }
+    val cosUV = (0 until d).map(i => v(i).toDouble * v2(i)).sum /
+      (math.sqrt(v.map(x => x.toDouble * x).sum) *
+        math.sqrt(v2.map(x => x.toDouble * x).sum))
+    assert(math.abs(cosUV) < 0.1, s"|cos(u1,u2)| = ${math.abs(cosUV)}")
+    // spectral order, with slack: the synthetic embeddings are
+    // near-isotropic (clustered spectrum), so 8 power rounds separate
+    // the top directions only approximately — the quotients must be
+    // within a few percent, never wildly inverted
+    assert(rayleigh(v2) <= rayleigh(v) * 1.05,
+      s"${rayleigh(v2)} > 1.05 * ${rayleigh(v)}")
   }
 
   test("p88: prototype ranks equal the plain-Scala cosine re-derivation; " +

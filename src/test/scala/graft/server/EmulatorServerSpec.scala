@@ -804,6 +804,9 @@ class EmulatorServerSpec extends AnyFunSuite {
     val pp = v2("SELECT COUNT(*) AS n FROM " +
       s"TABLE(PROTO_PRUNE('$dir')) WHERE NOT kept AND proto_rank * 4 > cell_n")
     assert(pp.get("data").get(0).get(0).asLong() == 0L, pp.toString)
+    // second PCA component: renormalized to max-abs exactly 1e6 too
+    val p2 = v2(s"SELECT MAX(ABS(comp2_s)) AS m FROM TABLE(PCA_SECOND('$dir'))")
+    assert(p2.get("data").get(0).get(0).asLong() == 1000000L, p2.toString)
   }
 
   test("REST v2 session affinity: ALTER SESSION dials stick across token-bound calls") {
