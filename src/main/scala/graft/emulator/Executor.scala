@@ -755,7 +755,8 @@ final class Executor(
     "ZIPF_FIT" -> "p86b_zipf_fit",
     "EXCESS_LOSS" -> "p87_excess_loss",
     "PROTO_PRUNE" -> "p88_proto_prune",
-    "PCA_SECOND" -> "p84d_pca_second")
+    "PCA_SECOND" -> "p84d_pca_second",
+    "EMBED_OOD" -> "p89_embed_ood")
 
   /** Match only the OPENING of a pipeline table-function call; the
     * argument span is found by a quote-aware paren scan (a ')' inside a

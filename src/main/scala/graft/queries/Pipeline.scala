@@ -8565,7 +8565,84 @@ ${duckTwoLevel("a", "embeddings", Nil, "1")},
 $duckPcaDeflateCtes
         SELECT CAST(j AS INTEGER) AS dim, v AS comp2_s,
           round(CAST(v AS DOUBLE) / 1000000.0, 6) AS comp2_r
-        FROM dv$pcaIters ORDER BY dim"""))
+        FROM dv$pcaIters ORDER BY dim""")),
+
+    // ---- embedding OOD scoring (p89): Mahalanobis-style outlier
+    // detection in the fitted 2-D whitening basis (Lee et al. 2018's
+    // Mahalanobis OOD detector, reduced to the top components the suite
+    // already fits) — the anomalous-embedding audit a training pipeline
+    // runs before contamination can poison a corpus. Each vector's two
+    // projections are the p84c exact integers pre-divided to 1e7 scale
+    // (headroom for the sum of squares: |p| <= 6.4e6, p^2 <= 4.1e13,
+    // corpus sums exact BIGINTs at validation scale; at larger corpora
+    // pre-divide further — the trade is resolution, not correctness);
+    // per-component mean/variance come from one tiny (n, Σp, Σp²)
+    // aggregate, and the standardized score z1²+z2² is one mirrored
+    // float expression of exact integers. Outliers flag at 9.0 (the
+    // 3-sigma ellipse) on the ROUNDED score, so both engines flag
+    // identically. Scale shape: pure per-row math + one one-row
+    // aggregate broadcast back — no corpus-keyed shuffle at all. --------
+    QDef("p89_embed_ood",
+      (s, dir) => {
+        val (fit, v2) = pcaFit2(s, dir)
+        def projExpr(v: Array[Long]): String =
+          s"""aggregate(zip_with(embedding, array(${v.mkString(", ")}),
+                (x, c) -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) * c),
+              CAST(0 AS BIGINT), (a, y) -> a + y)"""
+        val pr = emb(s, dir).select(col("vec_id"),
+          expr(s"CASE WHEN ${projExpr(fit.v)} < 0 THEN -((-(${projExpr(fit.v)})) div 10000000) " +
+            s"ELSE (${projExpr(fit.v)}) div 10000000 END").as("p1"),
+          expr(s"CASE WHEN ${projExpr(v2)} < 0 THEN -((-(${projExpr(v2)})) div 10000000) " +
+            s"ELSE (${projExpr(v2)}) div 10000000 END").as("p2"))
+        val st = pr.agg(count(lit(1)).as("n"),
+          sum(col("p1")).as("s1"), sum(expr("p1 * p1")).as("q1"),
+          sum(col("p2")).as("s2"), sum(expr("p2 * p2")).as("q2"))
+        pr.crossJoin(broadcast(st))
+          .withColumn("score_r", expr(
+            """round(
+                 power((CAST(p1 AS DOUBLE) - CAST(s1 AS DOUBLE) / n) /
+                   sqrt((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)), 2)
+               + power((CAST(p2 AS DOUBLE) - CAST(s2 AS DOUBLE) / n) /
+                   sqrt((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n) / (n - 1)), 2), 6)"""))
+          .select(col("vec_id"), col("p1"), col("p2"), col("score_r"),
+            (col("score_r") >= 9.0).as("is_outlier"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH $duckPcaCtes,
+$duckPcaDeflateCtes,
+        oproj AS MATERIALIZED (
+          SELECT e.vec_id,
+            CAST(SUM(CAST(floor(CAST(e.embedding[r.i + 1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+              * a.v) AS BIGINT) AS j1,
+            CAST(SUM(CAST(floor(CAST(e.embedding[r.i + 1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+              * b.v) AS BIGINT) AS j2
+          FROM embeddings e, range(0, $pcaD) r(i)
+          JOIN pv$pcaIters a ON a.j = r.i
+          JOIN dv$pcaIters b ON b.j = r.i
+          GROUP BY e.vec_id),
+        opr AS MATERIALIZED (
+          SELECT vec_id,
+            CAST(CASE WHEN j1 < 0 THEN -((-j1) // 10000000)
+                 ELSE j1 // 10000000 END AS BIGINT) AS p1,
+            CAST(CASE WHEN j2 < 0 THEN -((-j2) // 10000000)
+                 ELSE j2 // 10000000 END AS BIGINT) AS p2
+          FROM oproj),
+        ost AS MATERIALIZED (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(p1) AS BIGINT) AS s1, CAST(SUM(p1 * p1) AS BIGINT) AS q1,
+            CAST(SUM(p2) AS BIGINT) AS s2, CAST(SUM(p2 * p2) AS BIGINT) AS q2
+          FROM opr),
+        osc AS (
+          SELECT vec_id, p1, p2,
+            round(
+              power((CAST(p1 AS DOUBLE) - CAST(s1 AS DOUBLE) / n) /
+                sqrt((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)), 2)
+            + power((CAST(p2 AS DOUBLE) - CAST(s2 AS DOUBLE) / n) /
+                sqrt((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n) / (n - 1)), 2), 6)
+              AS score_r
+          FROM opr, ost)
+        SELECT vec_id, p1, p2, score_r, (score_r >= 9.0) AS is_outlier
+        FROM osc ORDER BY vec_id"""))
   )
 
   // ---- helpers for the p84/p85/p86 families ----------------------------

@@ -746,6 +746,47 @@ class QueriesSmokeSpec extends SparkSpecBase {
     }
   }
 
+  test("p89: OOD scores equal the plain-Scala standardization of the " +
+    "pinned projections; the score mass satisfies the chi-square identity") {
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray)).sortBy(_._1)
+    // components from the pinned entries (independently oracle-matched)
+    val v1 = SparkEntry.queries("p84_pca_power")(spark, sf0001).collect()
+      .sortBy(_.getInt(0)).map(_.getLong(1))
+    val v2 = SparkEntry.queries("p84d_pca_second")(spark, sf0001).collect()
+      .sortBy(_.getInt(0)).map(_.getLong(1))
+    def p(e: Array[Float], v: Array[Long]): Long = {
+      val raw = e.indices.map(i =>
+        math.floor(e(i).toDouble * 1000000.0 + 0.5).toLong * v(i)).sum
+      if (raw < 0) -((-raw) / 10000000L) else raw / 10000000L
+    }
+    val pr = emb.map { case (id, e) => (id, p(e, v1), p(e, v2)) }
+    val n = pr.length.toLong
+    def zOf(ps: Seq[Long]): Map[Long, Double] = {
+      val (s0, q0) = (ps.sum, ps.map(x => x * x).sum)
+      val mean = s0.toDouble / n
+      val sd = math.sqrt((q0.toDouble - s0.toDouble * s0 / n) / (n - 1))
+      pr.map(_._1).zip(ps.map(x => (x.toDouble - mean) / sd)).toMap
+    }
+    val (z1, z2) = (zOf(pr.map(_._2)), zOf(pr.map(_._3)))
+    val got = SparkEntry.queries("p89_embed_ood")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))).toMap
+    assert(got.size == pr.length)
+    pr.foreach { case (id, p1, p2) =>
+      val sc = r6(z1(id) * z1(id) + z2(id) * z2(id))
+      assert(got(id) == ((p1, p2, sc, sc >= 9.0)), s"vec $id: ${got(id)}")
+    }
+    // empirical standardization identity: sum z^2 = n-1 per component,
+    // so total score mass = 2(n-1) exactly (up to float accumulation)
+    val mass = pr.map { case (id, _, _) =>
+      z1(id) * z1(id) + z2(id) * z2(id) }.sum
+    assert(math.abs(mass - 2.0 * (n - 1)) < 1e-6 * n, mass.toString)
+  }
+
   test("p83/p83b: nDCG@5 / MRR@5 equal the plain-Scala judgment of the " +
     "pinned IVF rows against the pinned exact truth; recall cross-checks p35") {
     val ndcgK = 5

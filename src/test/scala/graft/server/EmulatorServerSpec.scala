@@ -807,6 +807,10 @@ class EmulatorServerSpec extends AnyFunSuite {
     // second PCA component: renormalized to max-abs exactly 1e6 too
     val p2 = v2(s"SELECT MAX(ABS(comp2_s)) AS m FROM TABLE(PCA_SECOND('$dir'))")
     assert(p2.get("data").get(0).get(0).asLong() == 1000000L, p2.toString)
+    // OOD: outlier flags agree with the 3-sigma ellipse on the score
+    val od = v2("SELECT COUNT(*) AS n FROM " +
+      s"TABLE(EMBED_OOD('$dir')) WHERE is_outlier <> (score_r >= 9.0)")
+    assert(od.get("data").get(0).get(0).asLong() == 0L, od.toString)
   }
 
   test("REST v2 session affinity: ALTER SESSION dials stick across token-bound calls") {
