@@ -756,7 +756,8 @@ final class Executor(
     "EXCESS_LOSS" -> "p87_excess_loss",
     "PROTO_PRUNE" -> "p88_proto_prune",
     "PCA_SECOND" -> "p84d_pca_second",
-    "EMBED_OOD" -> "p89_embed_ood")
+    "EMBED_OOD" -> "p89_embed_ood",
+    "QUALITY_FUSION" -> "p90_quality_fusion")
 
   /** Match only the OPENING of a pipeline table-function call; the
     * argument span is found by a quote-aware paren scan (a ')' inside a

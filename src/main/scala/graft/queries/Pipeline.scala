@@ -8642,7 +8642,68 @@ $duckPcaDeflateCtes,
               AS score_r
           FROM opr, ost)
         SELECT vec_id, p1, p2, score_r, (score_r >= 9.0) AS is_outlier
-        FROM osc ORDER BY vec_id"""))
+        FROM osc ORDER BY vec_id""")),
+
+    // ---- quality-signal fusion (p90): Borda rank fusion of three
+    // independent pinned quality signals — the heuristic score (p09),
+    // the trained classifier probability (p55's staged-weight scoring)
+    // and Flesch readability (p82) — the multi-filter ensembling modern
+    // curation pipelines run instead of trusting any single signal
+    // (rank fusion because the three scores live on incomparable
+    // scales; Borda is the classic positional method, and the suite's
+    // RRF entry p65 is its retrieval sibling). Each rank is ascending
+    // with doc_id ties, so both engines rank identically; borda is an
+    // exact integer sum; kept = top quarter by (borda, doc_id). The
+    // three global sorts are the validation-scale convenience — at
+    // 100 TB each rank becomes a p53c histogram position (monotone in
+    // the score, so fusion order is preserved up to bucket width). ------
+    QDef("p90_quality_fusion",
+      (s, dir) => {
+        val q = defs.find(_.name == "p09_quality_score").get.fn(s, dir)
+          .select(col("doc_id"), col("quality"))
+        val l = lrDocScores(s, dir).select(col("doc_id"), col("score_r"))
+        val f = readabilityPerDoc(s, dir).select(col("doc_id"), col("fre_r"))
+        def rk(d: DataFrame, c: String, as: String): DataFrame =
+          d.withColumn(as, row_number()
+            .over(Window.orderBy(col(c), col("doc_id"))).cast("bigint"))
+            .select(col("doc_id"), col(as))
+        rk(q, "quality", "rq")
+          .join(rk(l, "score_r", "rl"), "doc_id")
+          .join(rk(f, "fre_r", "rf"), "doc_id")
+          .withColumn("borda", col("rq") + col("rl") + col("rf"))
+          .withColumn("rn", row_number()
+            .over(Window.orderBy(col("borda").desc, col("doc_id"))).cast("bigint"))
+          .withColumn("nd", count(lit(1)).over(Window.partitionBy()))
+          .select(col("doc_id"), col("rq"), col("rl"), col("rf"),
+            col("borda"), (col("rn") * 4 <= col("nd")).as("kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $duckBigrams,
+        $duckDsirFeatures,
+        $duckLrChain,
+        $duckLrScoreCte,
+        bq AS (SELECT doc_id,
+            CAST((CASE WHEN len(string_split(text, ' ')) BETWEEN 5 AND 1000 THEN 0.4 ELSE 0.0 END
+              + CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END
+              + CASE WHEN CAST(length(text) - length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) < 0.1 THEN 0.3 ELSE 0.0 END) AS DOUBLE) AS quality
+          FROM documents),
+        $duckReadabilityCtes,
+        brq AS (SELECT doc_id,
+            CAST(ROW_NUMBER() OVER (ORDER BY quality, doc_id) AS BIGINT) AS rq FROM bq),
+        brl AS (SELECT doc_id,
+            CAST(ROW_NUMBER() OVER (ORDER BY score_r, doc_id) AS BIGINT) AS rl FROM lsc),
+        brf AS (SELECT doc_id,
+            CAST(ROW_NUMBER() OVER (ORDER BY fre_r, doc_id) AS BIGINT) AS rf FROM rb),
+        bj AS (
+          SELECT q.doc_id, q.rq, l.rl, f.rf, CAST(q.rq + l.rl + f.rf AS BIGINT) AS borda
+          FROM brq q JOIN brl l ON l.doc_id = q.doc_id
+          JOIN brf f ON f.doc_id = q.doc_id),
+        bk AS (SELECT *,
+            CAST(ROW_NUMBER() OVER (ORDER BY borda DESC, doc_id) AS BIGINT) AS rn,
+            CAST(COUNT(*) OVER () AS BIGINT) AS nd
+          FROM bj)
+        SELECT doc_id, rq, rl, rf, borda, (rn * 4 <= nd) AS kept
+        FROM bk ORDER BY doc_id"""))
   )
 
   // ---- helpers for the p84/p85/p86 families ----------------------------

@@ -931,4 +931,35 @@ class SelectionFamilySpec extends SparkSpecBase {
       assert(math.abs((nc - nr) - ex) < 2e-6, s"$nc - $nr != $ex")
     }
   }
+
+  test("p90: Borda fusion equals the re-ranking of the three pinned " +
+    "signals; ranks are permutations and the keep budget is floor(n/4)") {
+    def scores(name: String, idCol: Int, scoreCol: Int): Map[Long, Double] =
+      SparkEntry.queries(name)(spark, sf0001).collect()
+        .map(r => r.getLong(idCol) -> r.getDouble(scoreCol)).toMap
+    val q = scores("p09_quality_score", 0, 4)
+    val l = scores("p55_lr_quality_select", 0, 2)
+    val f = scores("p82_readability", 0, 4)
+    def rk(m: Map[Long, Double]): Map[Long, Long] =
+      m.toSeq.sortBy { case (id, v) => (v, id) }.zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    val (rq, rl, rf) = (rk(q), rk(l), rk(f))
+    val borda = q.keys.map(id => id -> (rq(id) + rl(id) + rf(id))).toMap
+    val nd = borda.size.toLong
+    val keptIds = borda.toSeq.sortBy { case (id, b) => (-b, id) }
+      .zipWithIndex.filter { case (_, i) => (i + 1).toLong * 4 <= nd }
+      .map(_._1._1).toSet
+    val got = SparkEntry.queries("p90_quality_fusion")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got.size == borda.size)
+    borda.keys.foreach { id =>
+      assert(got(id) == ((rq(id), rl(id), rf(id), borda(id),
+        keptIds.contains(id))), s"doc $id: ${got(id)}")
+    }
+    // each rank column is a permutation of 1..n
+    Seq(got.values.map(_._1), got.values.map(_._2), got.values.map(_._3))
+      .foreach(c => assert(c.toSeq.sorted == (1L to nd).toSeq))
+    assert(got.values.count(_._5).toLong == nd / 4)
+  }
 }

@@ -811,6 +811,11 @@ class EmulatorServerSpec extends AnyFunSuite {
     val od = v2("SELECT COUNT(*) AS n FROM " +
       s"TABLE(EMBED_OOD('$dir')) WHERE is_outlier <> (score_r >= 9.0)")
     assert(od.get("data").get(0).get(0).asLong() == 0L, od.toString)
+    // fusion: the keep budget is a quarter of the fused docs
+    val qf = v2(s"SELECT COUNT(*) AS n FROM TABLE(QUALITY_FUSION('$dir'))")
+    val qfk = v2(s"SELECT COUNT(*) AS k FROM TABLE(QUALITY_FUSION('$dir')) WHERE kept")
+    assert(qfk.get("data").get(0).get(0).asLong() ==
+      qf.get("data").get(0).get(0).asLong() / 4, s"$qfk vs $qf")
   }
 
   test("REST v2 session affinity: ALTER SESSION dials stick across token-bound calls") {
