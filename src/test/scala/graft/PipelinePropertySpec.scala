@@ -168,6 +168,35 @@ class PipelinePropertySpec extends SparkSpecBase {
     assert(two.getSeq[Long](0) == Seq(1L, 2L), two.toString)
   }
 
+  test("readabilityMetrics equals the plain-Scala Flesch evaluation on " +
+    "random documents (no-punctuation, all-vowel, single-word included)") {
+    import spark.implicits._
+    def nMatches(s0: String, re: String): Long =
+      re.r.findAllMatchIn(s0).size.toLong
+    check(Prop.forAll(batch) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = queries.Pipeline.readabilityMetrics(df)
+        .select(col("doc_id"), col("words"), col("sentences"),
+          col("syllables"), col("fre_r"), col("band"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4), r.getString(5)))).toMap
+      texts.zipWithIndex.forall { case (t, i) =>
+        val words = t.split(" ", -1).length.toLong
+        val sentences = math.max(1L, nMatches(t, "[.!?]+"))
+        val syllables = nMatches(t.toLowerCase, "[aeiouy]+")
+        val fre = 206.835 - 1.015 * (words.toDouble / sentences) -
+          84.6 * (syllables.toDouble / words)
+        val freR = r6(fre)
+        val band =
+          if (freR >= 90.0) "very_easy" else if (freR >= 70.0) "easy"
+          else if (freR >= 50.0) "medium" else if (freR >= 30.0) "difficult"
+          else "very_difficult"
+        got(i.toLong) == ((words, sentences, syllables, freR, band))
+      }
+    })
+  }
+
   test("winnowing guarantee: any shared token run of >= w+k-1 yields a " +
     "shared fingerprint (MOSS, SIGMOD 2003 thm 1); density never exceeds windows") {
     // the plain-Scala winnow mirroring p81 (3-gram md560, w=4 window
