@@ -8455,15 +8455,7 @@ ${(1 to lexIters).map(duckLexIter).mkString(",\n")}
     // corpus-scaled shuffles are the two per-doc aggregations. ----------
     QDef("p87_excess_loss",
       (s, dir) => {
-        val ref = lmDocNll(s, dir).select(col("doc_id"), col("n_bigrams"),
-          col("nll_sum").as("ref_sum"), col("nll").as("nll_ref"))
-        val (m2a, m1a, va) = lmModelAll(s, dir)
-        val cor = lmDocNllOn(s, dir, m2a, m1a, va).select(col("doc_id"),
-          col("nll_sum").as("cor_sum"), col("nll").as("nll_corpus"))
-        ref.join(cor, "doc_id")
-          .withColumn("excess_r", round(
-            (col("cor_sum") - col("ref_sum")).cast("double") /
-              lit(100000000.0) / col("n_bigrams"), 6))
+        excessPerDoc(s, dir)
           .withColumn("rn", row_number()
             .over(Window.orderBy(col("excess_r").desc, col("doc_id"))).cast("bigint"))
           .withColumn("nd", count(lit(1)).over(Window.partitionBy()))
@@ -8472,25 +8464,7 @@ ${(1 to lexIters).map(duckLexIter).mkString(",\n")}
             col("nll_corpus"), col("excess_r"), col("kept"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH $duckLmScoreCtes,
-        allv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
-          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
-        am2 AS MATERIALIZED (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
-        am1 AS MATERIALIZED (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
-        sc2 AS (SELECT g.doc_id,
-            ${sln("coalesce(m1.c1, 0) + allv.v")} - ${sln("coalesce(m2.c2, 0) + 1")} AS nls
-          FROM bg g CROSS JOIN allv
-          LEFT JOIN am2 m2 ON g.w1 = m2.w1 AND g.w2 = m2.w2
-          LEFT JOIN am1 m1 ON g.w1 = m1.w1),
-        ds2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams2,
-            sum(nls) AS nll_sum2
-          FROM sc2 GROUP BY 1),
-        ex AS (SELECT d.doc_id, d.n_bigrams,
-            round(CAST(d.nll_sum AS DOUBLE) / 100000000.0 / d.n_bigrams, 6) AS nll_ref,
-            round(CAST(d2.nll_sum2 AS DOUBLE) / 100000000.0 / d.n_bigrams, 6) AS nll_corpus,
-            round(CAST(d2.nll_sum2 - d.nll_sum AS DOUBLE) / 100000000.0 / d.n_bigrams, 6)
-              AS excess_r
-          FROM ds d JOIN ds2 d2 ON d2.doc_id = d.doc_id),
+      Some(s"""WITH $duckExcessCtes,
         exr AS (SELECT *,
             CAST(ROW_NUMBER() OVER (ORDER BY excess_r DESC, doc_id) AS BIGINT) AS rn,
             CAST(COUNT(*) OVER () AS BIGINT) AS nd
@@ -8498,6 +8472,62 @@ ${(1 to lexIters).map(duckLexIter).mkString(",\n")}
         SELECT doc_id, n_bigrams, nll_ref, nll_corpus, excess_r,
           (rn * 4 <= nd) AS kept
         FROM exr ORDER BY doc_id""")),
+
+    // ---- the excess-loss selection's SCALE PATH implemented (p87c):
+    // the keep decision from a FIXED 1024-bucket histogram of excess_r
+    // (the p53c discipline — at most 1024 shuffled rows at ANY corpus
+    // size, linear interpolation inside the straddling bucket, cut at
+    // the 3/4 mass position = keep the top quarter), with the sketch's
+    // agreement against p87's exact global rank measured in the same
+    // row (measured %, not asserted). The sketch path itself contains
+    // ZERO window operators — cumulative histogram by bounded
+    // self-join, cut as a one-row broadcast, decision a literal
+    // comparison (PlanAssertionsSpec pins the window-free plan); the
+    // exact side exists here only to measure agreement at validation
+    // scale. ------------------------------------------------------------
+    QDef("p87c_excess_sketch",
+      (s, dir) => {
+        val sk = excessSketch(s, dir)
+        val exact = excessPerDoc(s, dir)
+          .withColumn("rn", row_number()
+            .over(Window.orderBy(col("excess_r").desc, col("doc_id"))).cast("bigint"))
+          .withColumn("nd", count(lit(1)).over(Window.partitionBy()))
+          .select(col("doc_id"), (col("rn") * 4 <= col("nd")).as("kept_ex"))
+        sk.join(exact, "doc_id")
+          .groupBy(col("cut_r"))
+          .agg(
+            sum(when(col("kept_sk"), 1L).otherwise(0L)).as("n_kept_sketch"),
+            sum(when(col("kept_ex"), 1L).otherwise(0L)).as("n_kept_exact"),
+            sum(when(col("kept_sk") === col("kept_ex"), 1L).otherwise(0L))
+              .as("n_agree"),
+            count(lit(1)).as("nd"))
+      },
+      Some(s"""WITH $duckExcessCtes,
+        exr AS (SELECT doc_id,
+            CAST(ROW_NUMBER() OVER (ORDER BY excess_r DESC, doc_id) AS BIGINT) AS rn,
+            CAST(COUNT(*) OVER () AS BIGINT) AS nd
+          FROM ex),
+        xb AS (SELECT doc_id, excess_r,
+            least(1023, greatest(0, CAST(floor((excess_r + 8.0) * 64.0) AS INT))) AS b
+          FROM ex),
+        xh AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM xb GROUP BY 1),
+        xnt AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM xh),
+        xcum AS (SELECT x.b, x.n,
+            (SELECT CAST(sum(y.n) AS BIGINT) FROM xh y WHERE y.b <= x.b) AS cum
+          FROM xh x),
+        xcut AS (SELECT round((CAST(b AS DOUBLE)
+              + (CAST(nt AS DOUBLE) * 3.0 / 4.0 - CAST(cum - n AS DOUBLE)) / n) / 64.0 - 8.0, 6) AS cut_r
+          FROM xcum, xnt
+          WHERE CAST(cum AS DOUBLE) >= CAST(nt AS DOUBLE) * 3.0 / 4.0
+          ORDER BY b LIMIT 1),
+        xk AS (SELECT e.doc_id, c.cut_r, (e.excess_r > c.cut_r) AS kept_sk
+          FROM xb e, xcut c)
+        SELECT x.cut_r,
+          CAST(sum(CASE WHEN x.kept_sk THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_sketch,
+          CAST(sum(CASE WHEN (r.rn * 4 <= r.nd) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_exact,
+          CAST(sum(CASE WHEN x.kept_sk = (r.rn * 4 <= r.nd) THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+          CAST(count(*) AS BIGINT) AS nd
+        FROM xk x JOIN exr r ON r.doc_id = x.doc_id GROUP BY 1""")),
 
     // ---- prototypicality pruning (p88): the SSL-prototypes rule
     // (Sorscher et al. 2022 "Beyond neural scaling laws"; the
@@ -8664,27 +8694,243 @@ $duckPcaDeflateCtes,
     // 100 TB each rank becomes a p53c histogram position (monotone in
     // the score, so fusion order is preserved up to bucket width). ------
     QDef("p90_quality_fusion",
+      (s, dir) => fusionExact(s, dir).orderBy(col("doc_id")),
+      Some(s"""WITH $duckFusionCtes
+        SELECT doc_id, rq, rl, rf, borda, (rn * 4 <= nd) AS kept
+        FROM bk ORDER BY doc_id""")),
+
+    // ---- the rank fusion's SCALE PATH implemented (p90b): each of the
+    // three global ranks replaced by its HISTOGRAM position — the count
+    // of documents in strictly-lower fixed-width buckets (1024 buckets
+    // per signal; monotone in the score, so fusion order is preserved
+    // up to bucket width) — and the top-quarter cut on the fused score
+    // taken from a second bounded histogram (cut at the first bucket
+    // where 4·cum ≥ 3·n). Everything is integer arithmetic, so the
+    // sketch is bit-reproducible cross-engine; agreement with p90's
+    // exact Borda kept-set is measured in the same row (the p53c
+    // discipline). The sketch path contains ZERO window operators
+    // (PlanAssertionsSpec pins it): per-signal rank = broadcast join
+    // against a ≤1024-row exclusive-cumulative table, where p90's
+    // exact form funnels the corpus through four single-reducer
+    // row_number() sorts. ----------------------------------------------
+    QDef("p90b_fusion_sketch",
       (s, dir) => {
-        val q = defs.find(_.name == "p09_quality_score").get.fn(s, dir)
-          .select(col("doc_id"), col("quality"))
-        val l = lrDocScores(s, dir).select(col("doc_id"), col("score_r"))
-        val f = readabilityPerDoc(s, dir).select(col("doc_id"), col("fre_r"))
-        def rk(d: DataFrame, c: String, as: String): DataFrame =
-          d.withColumn(as, row_number()
-            .over(Window.orderBy(col(c), col("doc_id"))).cast("bigint"))
-            .select(col("doc_id"), col(as))
-        rk(q, "quality", "rq")
-          .join(rk(l, "score_r", "rl"), "doc_id")
-          .join(rk(f, "fre_r", "rf"), "doc_id")
-          .withColumn("borda", col("rq") + col("rl") + col("rf"))
-          .withColumn("rn", row_number()
-            .over(Window.orderBy(col("borda").desc, col("doc_id"))).cast("bigint"))
-          .withColumn("nd", count(lit(1)).over(Window.partitionBy()))
-          .select(col("doc_id"), col("rq"), col("rl"), col("rf"),
-            col("borda"), (col("rn") * 4 <= col("nd")).as("kept"))
-          .orderBy(col("doc_id"))
+        val sk = bordaSketch(s, dir)
+        val ex = fusionExact(s, dir).select(col("doc_id"), col("kept"))
+        sk.join(ex, "doc_id")
+          .groupBy(col("cut_bucket"))
+          .agg(
+            sum(when(col("kept_sk"), 1L).otherwise(0L)).as("n_kept_sketch"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept_exact"),
+            sum(when(col("kept_sk") === col("kept"), 1L).otherwise(0L))
+              .as("n_agree"),
+            count(lit(1)).as("nd"))
       },
-      Some(s"""WITH $duckBigrams,
+      Some(s"""WITH $duckFusionCtes,
+        hq AS (SELECT doc_id,
+            least(1023, greatest(0, CAST(floor(quality * 1024.0) AS INT))) AS b FROM bq),
+        hqh AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM hq GROUP BY 1),
+        hqr AS (SELECT x.doc_id, COALESCE(
+            (SELECT CAST(sum(y.n) AS BIGINT) FROM hqh y WHERE y.b < x.b), 0) AS rq
+          FROM hq x),
+        hl AS (SELECT doc_id,
+            least(1023, greatest(0, CAST(floor(score_r * 1024.0) AS INT))) AS b FROM lsc),
+        hlh AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM hl GROUP BY 1),
+        hlr AS (SELECT x.doc_id, COALESCE(
+            (SELECT CAST(sum(y.n) AS BIGINT) FROM hlh y WHERE y.b < x.b), 0) AS rl
+          FROM hl x),
+        hf AS (SELECT doc_id,
+            least(1023, greatest(0, CAST(floor((fre_r + 100.0) * 4.0) AS INT))) AS b FROM rb),
+        hfh AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM hf GROUP BY 1),
+        hfr AS (SELECT x.doc_id, COALESCE(
+            (SELECT CAST(sum(y.n) AS BIGINT) FROM hfh y WHERE y.b < x.b), 0) AS rf
+          FROM hf x),
+        hj AS (SELECT q.doc_id, CAST(q.rq + l.rl + f.rf AS BIGINT) AS borda_sk
+          FROM hqr q JOIN hlr l ON l.doc_id = q.doc_id
+          JOIN hfr f ON f.doc_id = q.doc_id),
+        hnd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM hj),
+        hjb AS (SELECT hj.doc_id, hj.borda_sk,
+            CAST((hj.borda_sk * 1024) // (3 * hnd.nd) AS INT) AS bb
+          FROM hj, hnd),
+        hh AS (SELECT bb, CAST(count(*) AS BIGINT) AS n FROM hjb GROUP BY 1),
+        hcum AS (SELECT x.bb,
+            (SELECT CAST(sum(y.n) AS BIGINT) FROM hh y WHERE y.bb <= x.bb) AS cum
+          FROM hh x),
+        hcut AS (SELECT bb AS cut_bucket FROM hcum, hnd
+          WHERE cum * 4 >= hnd.nd * 3 ORDER BY bb LIMIT 1),
+        hk AS (SELECT j.doc_id, c.cut_bucket, (j.bb > c.cut_bucket) AS kept_sk
+          FROM hjb j, hcut c)
+        SELECT k.cut_bucket,
+          CAST(sum(CASE WHEN k.kept_sk THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_sketch,
+          CAST(sum(CASE WHEN (e.rn * 4 <= e.nd) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_exact,
+          CAST(sum(CASE WHEN k.kept_sk = (e.rn * 4 <= e.nd) THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+          CAST(count(*) AS BIGINT) AS nd
+        FROM hk k JOIN bk e ON e.doc_id = k.doc_id GROUP BY 1"""))
+  )
+
+  // ---- helpers for the p87 excess-loss family --------------------------
+
+  /** Per-document excess-loss front shared by p87 (exact global-rank
+    * readout) and p87c (histogram-cut sketch): every document scored
+    * under BOTH the English-reference LM and the whole-corpus LM;
+    * excess = nll_corpus − nll_ref derives from ONE exact integer
+    * difference (both sums are sln-scaled BIGINTs over the same bigram
+    * rows). Columns: (doc_id, n_bigrams, nll_ref, nll_corpus,
+    * excess_r) plus the raw sums. */
+  private def excessPerDoc(s: SparkSession, dir: String): DataFrame = {
+    val ref = lmDocNll(s, dir).select(col("doc_id"), col("n_bigrams"),
+      col("nll_sum").as("ref_sum"), col("nll").as("nll_ref"))
+    val (m2a, m1a, va) = lmModelAll(s, dir)
+    val cor = lmDocNllOn(s, dir, m2a, m1a, va).select(col("doc_id"),
+      col("nll_sum").as("cor_sum"), col("nll").as("nll_corpus"))
+    ref.join(cor, "doc_id")
+      .withColumn("excess_r", round(
+        (col("cor_sum") - col("ref_sum")).cast("double") /
+          lit(100000000.0) / col("n_bigrams"), 6))
+  }
+
+  /** p87c's sketch side: (doc_id, cut_r, kept_sk) — the keep decision
+    * from a fixed 1024-bucket histogram of excess_r (bucket width 1/64
+    * covering [-8, 8), extremes clamped) with NO window operator
+    * anywhere in the plan (PlanAssertionsSpec pins this): the
+    * cumulative histogram is a ≤1024-row self-join, the interpolated
+    * 3/4-mass cut a one-row broadcast, the decision a literal
+    * comparison. This is the form that survives 100 TB — the per-doc
+    * side is embarrassingly parallel and the only synchronization is
+    * the bounded histogram aggregate, where p87's exact readout funnels
+    * every row through one row_number() reducer. */
+  private[graft] def excessSketch(s: SparkSession, dir: String): DataFrame = {
+    val ex = excessPerDoc(s, dir).select(col("doc_id"), col("excess_r"))
+    val xb = ex.withColumn("b", expr(
+      "least(1023, greatest(0, CAST(floor((excess_r + 8.0) * 64.0) AS INT)))"))
+    val hb = xb.groupBy(col("b")).agg(count(lit(1)).as("n"))
+    val nt = hb.agg(sum(col("n")).as("nt"))
+    val h2 = hb.select(col("b").as("b2"), col("n").as("n2"))
+    // non-equi self-join over the ≤1024-row histogram: broadcast the
+    // probe copy or Spark plans an actual CartesianProduct
+    val cum = hb.join(broadcast(h2), col("b2") <= col("b"))
+      .groupBy(col("b"), col("n")).agg(sum(col("n2")).as("cum"))
+    val cut = cum.crossJoin(broadcast(nt))
+      .filter(expr("CAST(cum AS DOUBLE) >= CAST(nt AS DOUBLE) * 3.0 / 4.0"))
+      .orderBy(col("b")).limit(1)
+      .select(expr("round((CAST(b AS DOUBLE) + (CAST(nt AS DOUBLE) * 3.0 / 4.0" +
+        " - CAST(cum - n AS DOUBLE)) / n) / 64.0 - 8.0, 6)").as("cut_r"))
+    xb.crossJoin(broadcast(cut))
+      .select(col("doc_id"), col("cut_r"),
+        (col("excess_r") > col("cut_r")).as("kept_sk"))
+  }
+
+  /** The DuckDB mirror of [[excessPerDoc]] (appends to
+    * [[duckLmScoreCtes]]; final CTE `ex`). */
+  private def duckExcessCtes: String = s"""$duckLmScoreCtes,
+        allv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+        am2 AS MATERIALIZED (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        am1 AS MATERIALIZED (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        sc2 AS (SELECT g.doc_id,
+            ${sln("coalesce(m1.c1, 0) + allv.v")} - ${sln("coalesce(m2.c2, 0) + 1")} AS nls
+          FROM bg g CROSS JOIN allv
+          LEFT JOIN am2 m2 ON g.w1 = m2.w1 AND g.w2 = m2.w2
+          LEFT JOIN am1 m1 ON g.w1 = m1.w1),
+        ds2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams2,
+            sum(nls) AS nll_sum2
+          FROM sc2 GROUP BY 1),
+        ex AS (SELECT d.doc_id, d.n_bigrams,
+            round(CAST(d.nll_sum AS DOUBLE) / 100000000.0 / d.n_bigrams, 6) AS nll_ref,
+            round(CAST(d2.nll_sum2 AS DOUBLE) / 100000000.0 / d.n_bigrams, 6) AS nll_corpus,
+            round(CAST(d2.nll_sum2 - d.nll_sum AS DOUBLE) / 100000000.0 / d.n_bigrams, 6)
+              AS excess_r
+          FROM ds d JOIN ds2 d2 ON d2.doc_id = d.doc_id)"""
+
+  // ---- helpers for the p90 rank-fusion family --------------------------
+
+  /** The three pinned quality signals the fusion family combines:
+    * heuristic quality (p09), trained-classifier probability (p55's
+    * staged-weight scoring), Flesch readability (p82). */
+  private def fusionSignals(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = (
+    defs.find(_.name == "p09_quality_score").get.fn(s, dir)
+      .select(col("doc_id"), col("quality")),
+    lrDocScores(s, dir).select(col("doc_id"), col("score_r")),
+    readabilityPerDoc(s, dir).select(col("doc_id"), col("fre_r")))
+
+  /** p90's exact Borda fusion: one ascending global rank per signal
+    * (doc_id ties), integer rank sum, kept = top quarter by (borda,
+    * doc_id). The global sorts are the validation-scale convenience —
+    * p90b is the histogram form that replaces them at 100 TB. */
+  private def fusionExact(s: SparkSession, dir: String): DataFrame = {
+    val (q, l, f) = fusionSignals(s, dir)
+    def rk(d: DataFrame, c: String, as: String): DataFrame =
+      d.withColumn(as, row_number()
+        .over(Window.orderBy(col(c), col("doc_id"))).cast("bigint"))
+        .select(col("doc_id"), col(as))
+    rk(q, "quality", "rq")
+      .join(rk(l, "score_r", "rl"), "doc_id")
+      .join(rk(f, "fre_r", "rf"), "doc_id")
+      .withColumn("borda", col("rq") + col("rl") + col("rf"))
+      .withColumn("rn", row_number()
+        .over(Window.orderBy(col("borda").desc, col("doc_id"))).cast("bigint"))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy()))
+      .select(col("doc_id"), col("rq"), col("rl"), col("rf"),
+        col("borda"), (col("rn") * 4 <= col("nd")).as("kept"))
+  }
+
+  /** p90b's sketch side: (doc_id, cut_bucket, kept_sk) with each global
+    * rank replaced by its histogram position — the exact count of
+    * documents in strictly-LOWER fixed-width buckets (1024 per signal:
+    * quality and score_r at width 1/1024 over [0, 1]; Flesch at width
+    * 1/4 over [-100, 156), extremes clamped). The position is monotone
+    * in the score, so the fused sum preserves Borda order up to bucket
+    * width; everything is integer arithmetic, so both engines agree
+    * bit-for-bit. The top-quarter cut comes from a second bounded
+    * histogram over the fused score (first bucket where 4·cum ≥ 3·n).
+    * ZERO window operators in this plan (PlanAssertionsSpec pins it):
+    * per-doc work is embarrassingly parallel; the only synchronization
+    * is three ≤1024-row histogram aggregates plus one more for the
+    * cut. */
+  private[graft] def bordaSketch(s: SparkSession, dir: String): DataFrame = {
+    val (q, l, f) = fusionSignals(s, dir)
+    def hrank(d: DataFrame, bucketExpr: String, as: String): DataFrame = {
+      val b = d.withColumn("b", expr(bucketExpr)).select(col("doc_id"), col("b"))
+      val hb = b.groupBy(col("b")).agg(count(lit(1)).as("n"))
+      val h2 = hb.select(col("b").as("b2"), col("n").as("n2"))
+      // broadcast the probe copy of the bounded histogram (see
+      // excessSketch) — never a CartesianProduct
+      val cum = hb.select(col("b"))
+        .join(broadcast(h2), col("b2") < col("b"), "left")
+        .groupBy(col("b")).agg(coalesce(sum(col("n2")), lit(0L)).as(as))
+      b.join(broadcast(cum), "b").select(col("doc_id"), col(as))
+    }
+    val j = hrank(q,
+        "least(1023, greatest(0, CAST(floor(quality * 1024.0) AS INT)))", "rq")
+      .join(hrank(l,
+        "least(1023, greatest(0, CAST(floor(score_r * 1024.0) AS INT)))", "rl"),
+        "doc_id")
+      .join(hrank(f,
+        "least(1023, greatest(0, CAST(floor((fre_r + 100.0) * 4.0) AS INT)))", "rf"),
+        "doc_id")
+      .withColumn("borda_sk", col("rq") + col("rl") + col("rf"))
+    val nd = j.agg(count(lit(1)).as("nd"))
+    val jb = j.crossJoin(broadcast(nd))
+      .withColumn("bb", expr("CAST((borda_sk * 1024) div (3 * nd) AS INT)"))
+    val hb = jb.groupBy(col("bb")).agg(count(lit(1)).as("n"))
+    val h2 = hb.select(col("bb").as("b2"), col("n").as("n2"))
+    val cum = hb.join(broadcast(h2), col("b2") <= col("bb"))
+      .groupBy(col("bb")).agg(sum(col("n2")).as("cum"))
+    val cut = cum.crossJoin(broadcast(nd))
+      .filter(col("cum") * 4 >= col("nd") * 3)
+      .orderBy(col("bb")).limit(1)
+      .select(col("bb").as("cut_bucket"))
+    jb.crossJoin(broadcast(cut))
+      .select(col("doc_id"), col("cut_bucket"),
+        (col("bb") > col("cut_bucket")).as("kept_sk"))
+  }
+
+  /** The shared DuckDB preamble of the fusion family: the three signal
+    * CTEs (`bq` quality, `lsc` classifier score, `rb` readability) plus
+    * p90's exact rank chain ending at `bk` (doc_id, rq, rl, rf, borda,
+    * rn, nd). */
+  private def duckFusionCtes: String = s"""$duckBigrams,
         $duckDsirFeatures,
         $duckLrChain,
         $duckLrScoreCte,
@@ -8707,10 +8953,7 @@ $duckPcaDeflateCtes,
         bk AS (SELECT *,
             CAST(ROW_NUMBER() OVER (ORDER BY borda DESC, doc_id) AS BIGINT) AS rn,
             CAST(COUNT(*) OVER () AS BIGINT) AS nd
-          FROM bj)
-        SELECT doc_id, rq, rl, rf, borda, (rn * 4 <= nd) AS kept
-        FROM bk ORDER BY doc_id"""))
-  )
+          FROM bj)"""
 
   // ---- helpers for the p84/p85/p86 families ----------------------------
 

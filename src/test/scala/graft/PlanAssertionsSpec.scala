@@ -371,4 +371,36 @@ class PlanAssertionsSpec extends AnyFunSuite {
         s"p88 exchange carries embeddings: ${s.simpleString(200)}")
     }
   }
+
+  test("p87c/p90b sketch paths: zero window operators anywhere in the plan") {
+    // the scale forms of the two global-rank selections must never fall
+    // back to a single-reducer row_number(): the cumulative histogram is
+    // a bounded self-join, the cut a one-row broadcast, the keep
+    // decision a literal comparison. (The QDef entries join the exact
+    // form back in to MEASURE agreement — these are the production
+    // paths a 100 TB run would call.)
+    Seq(
+      queries.Pipeline.excessSketch(spark, dir),
+      queries.Pipeline.bordaSketch(spark, dir)
+    ).foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), s"sketch path plans a window:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
+  test("q03/q05/q37 at sf0.1: dim sides broadcast — no sort-merge join") {
+    // the three heaviest relational lines; Spark's size estimates have
+    // silently picked SortMergeJoin before (the p85 surprise), so the
+    // strategy is pinned at the bench SF, not just sf0.001
+    val sf01 = "/root/testdata/sf0.1"
+    Seq("q03_top_orders" -> 2, "q05_nation_revenue" -> 5,
+        "q37_small_qty" -> 2).foreach { case (n, minBhj) =>
+      val p = SparkEntry.queries(n)(spark, sf01)
+        .queryExecution.executedPlan.toString
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= minBhj,
+        s"$n expected >=$minBhj broadcast joins at sf0.1:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$n plans a SortMergeJoin at sf0.1:\n$p")
+    }
+  }
 }
