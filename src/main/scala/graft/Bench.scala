@@ -132,7 +132,8 @@ object Bench {
       // the unigram and WordPiece segment tables (p66/p67 families +
       // p69/p23b): the DP/greedy chains run once per corpus
       stageEntry("p00j_uniseg_stage") {
-        queries.Pipeline.UniSegStage.load(spark, sfDir); ()
+        queries.Pipeline.UniSegStage.load(spark, sfDir)
+        queries.Pipeline.UniSeg2Stage.load(spark, sfDir); ()
       },
       stageEntry("p00k_wpseg_stage") {
         queries.Pipeline.WpSegStage.load(spark, sfDir); ()

@@ -1777,8 +1777,8 @@ object Pipeline {
   /** The same plane count as DuckDB SQL (a literal under -Dgraft.lshPlanes,
     * clamped identically to the Spark side). */
   private def duckLshNp: String =
-    sys.props.get("graft.lshPlanes")
-      .map(v => math.min(lshMaxPlanes, math.max(1, v.toInt)).toString)
+    Dials.int("graft.lshPlanes")
+      .map(v => math.min(lshMaxPlanes, math.max(1, v)).toString)
       .getOrElse(
       s"""greatest(2, CAST((SELECT COUNT(*) FROM range(0, $lshMaxPlanes) r(p)
          |  WHERE (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
@@ -2357,8 +2357,8 @@ object Pipeline {
   /** Chunk window size in whitespace tokens (p50/p50b):
     * `-Dgraft.chunkTokens`, clamped [8, 4096], default 64. */
   private[graft] def chunkTokens: Int =
-    sys.props.get("graft.chunkTokens")
-      .map(v => math.min(4096, math.max(8, v.toInt))).getOrElse(64)
+    Dials.int("graft.chunkTokens")
+      .map(v => math.min(4096, math.max(8, v))).getOrElse(64)
 
   /** Chunk stride in tokens (p50/p50b): `-Dgraft.chunkStride`, clamped
     * [1, chunkTokens] (stride past the window would skip tokens),
@@ -2366,8 +2366,8 @@ object Pipeline {
   private[graft] def chunkStride: Int =
     // the clamp applies to the DEFAULT too: chunkTokens=16 with stride
     // left at 48 would silently skip tokens 16..47 of every period
-    math.min(chunkTokens, sys.props.get("graft.chunkStride")
-      .map(v => math.max(1, v.toInt)).getOrElse(48))
+    math.min(chunkTokens, Dials.int("graft.chunkStride")
+      .map(v => math.max(1, v)).getOrElse(48))
 
   /** The per-row chunk explode shared VERBATIM by p50/p50b and the
     * streaming chunk dedup (EventStreams.chunkDedupStream): carries the
@@ -2400,8 +2400,8 @@ object Pipeline {
     * default 6. Cross-engine contract: the oracle unrolls exactly this
     * many count/argmax/merge rounds. */
   private[graft] def bpeMerges: Int =
-    sys.props.get("graft.bpeMerges")
-      .map(v => math.min(12, math.max(1, v.toInt))).getOrElse(6)
+    Dials.int("graft.bpeMerges")
+      .map(v => math.min(12, math.max(1, v))).getOrElse(6)
 
   // ---- unigram (SentencePiece-family) tokenizer segmentation: the
   // Viterbi half of Kudo 2018 — a frequency-scored piece lexicon and
@@ -2414,8 +2414,8 @@ object Pipeline {
   private[graft] val uniMaxPieceLen = 4
   /** Piece-lexicon seed size: `-Dgraft.uniSeed`, clamped [50, 2000]. */
   private[graft] def uniSeed: Int =
-    sys.props.get("graft.uniSeed")
-      .map(v => math.min(2000, math.max(50, v.toInt))).getOrElse(200)
+    Dials.int("graft.uniSeed")
+      .map(v => math.min(2000, math.max(50, v))).getOrElse(200)
   /** Lookup-miss sentinel for DP candidates: more negative than any
     * reachable path sum (12 pieces × |score| ≤ ~12·ln(total)·1e8 ≪ 1e15)
     * yet safe from Long overflow across ≤ 12 additions. Rendered as a
@@ -2496,7 +2496,6 @@ object Pipeline {
     * per-row expressions, zero shuffles beyond the word aggregation. */
   private[graft] def uniSegments(s: SparkSession, dir: String): DataFrame =
     uniSegmentsFrom(s, dir, uniVocab(s, dir))
-      .select(col("w"), col("freq"), col("seg"))
 
   /** The same chain under a CALLER-SUPPLIED piece lexicon (p, score) —
     * the E/M halves of hard-EM re-segment with re-estimated scores
@@ -2797,11 +2796,49 @@ object Pipeline {
     * the chain per consumer (the LrStage/BpeStage discipline). Dials
     * bake into the staging key. */
   private[graft] object UniSegStage {
+    // tag v2: the staged schema widened from (w, freq, seg) to carry
+    // the exact Viterbi path score ll (p66c/p66d read it) — versioned
+    // so a shared staging dir rebuilds instead of breaking consumers
     def load(s: SparkSession, dir: String): DataFrame =
-      ShingleStage.stage(s, dir, s"us$uniSeed") {
+      ShingleStage.stage(s, dir, s"us${uniSeed}v2") {
         uniSegments(s, dir).repartition(1)
       }
   }
+
+  /** The hard-EM ROUND-2 segmentation (E-step under the round-2
+    * lexicon), staged like round 1: p66c reads both staged rounds
+    * (before this stage it re-ran the round-1 DP chain in-plan — the
+    * r12 bench's #1 line), and p66d unrolls round 3 from this copy.
+    * Same versioned-tag/lifecycle discipline as [[UniSegStage]]. */
+  private[graft] object UniSeg2Stage {
+    def load(s: SparkSession, dir: String): DataFrame =
+      ShingleStage.stage(s, dir, s"ue$uniSeed") {
+        uniSegmentsFrom(s, dir, uniVocab2(s, dir)).repartition(1)
+      }
+  }
+
+  /** One hard-EM M-step: usage-count the previous round's staged
+    * segmentation, drop unused multi-char pieces (single chars keep a
+    * count-1 floor so coverage never breaks), re-estimate scores.
+    * Vocabulary-bounded at any corpus size. */
+  private[graft] def uniNextVocab(vPrev: DataFrame, segPrev: DataFrame)
+      : DataFrame = {
+    val used = segPrev.select(col("freq"), explode(col("seg")).as("p"))
+      .groupBy(col("p")).agg(sum(col("freq")).as("u"))
+    val kept = vPrev.join(used, Seq("p"), "left")
+      .withColumn("u", coalesce(col("u"), lit(0L)))
+      .filter(col("u") > 0 || length(col("p")) === 1)
+      .withColumn("u2", when(length(col("p")) === 1,
+        greatest(col("u"), lit(1L))).otherwise(col("u")))
+    val tot2 = kept.agg(sum(col("u2")).as("vt"))
+    kept.crossJoin(broadcast(tot2))
+      .withColumn("score", expr(sln("u2") + " - " + sln("vt")))
+      .select(col("p"), col("u2").as("cnt"), col("score"))
+  }
+
+  /** The round-2 lexicon: M-step over the staged round-1 segmentation. */
+  private[graft] def uniVocab2(s: SparkSession, dir: String): DataFrame =
+    uniNextVocab(uniVocab(s, dir), UniSegStage.load(s, dir))
 
   private[graft] object WpSegStage {
     def load(s: SparkSession, dir: String): DataFrame =
@@ -5202,6 +5239,7 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
     QDef("p66b_unigram_segments",
       (s, dir) => UniSegStage.load(s, dir)
         .withColumn("seg", expr("array_join(seg, '|')"))
+        .select(col("w"), col("freq"), col("seg"))
         .orderBy(col("freq").desc, col("w")).limit(50),
       Some(s"""WITH $duckUniCtes
         SELECT w, freq, array_to_string(seg, '|') AS seg
@@ -5219,22 +5257,14 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
     // passes are vocabulary-bounded broadcasts. -----------------------
     QDef("p66c_unigram_em",
       (s, dir) => {
-        val v1 = uniVocab(s, dir)
-        val r1 = uniSegmentsFrom(s, dir, v1)
-        val used = r1.select(col("freq"), explode(col("seg")).as("p"))
-          .groupBy(col("p")).agg(sum(col("freq")).as("u"))
-        val kept = v1.join(used, Seq("p"), "left")
-          .withColumn("u", coalesce(col("u"), lit(0L)))
-          .filter(col("u") > 0 || length(col("p")) === 1)
-          .withColumn("u2", when(length(col("p")) === 1,
-            greatest(col("u"), lit(1L))).otherwise(col("u")))
-        val tot2 = kept.agg(sum(col("u2")).as("vt"))
-        val v2 = kept.crossJoin(broadcast(tot2))
-          .withColumn("score", expr(sln("u2") + " - " + sln("vt")))
-          .select(col("p"), col("u2").as("cnt"), col("score"))
-        val r2 = uniSegmentsFrom(s, dir, v2)
-        val sizes = v1.agg(count(lit(1)).as("n_vocab1"))
-          .crossJoin(broadcast(v2.agg(count(lit(1)).as("n_vocab2"))))
+        // both rounds read their STAGED segmentations (UniSegStage /
+        // UniSeg2Stage): before staging round 1 this entry re-ran the
+        // full DP chain in-plan — the r12 bench's #1 line (7.9 s)
+        val r1 = UniSegStage.load(s, dir)
+        val r2 = UniSeg2Stage.load(s, dir)
+        val sizes = uniVocab(s, dir).agg(count(lit(1)).as("n_vocab1"))
+          .crossJoin(broadcast(
+            uniVocab2(s, dir).agg(count(lit(1)).as("n_vocab2"))))
         r1.select(col("w"), col("freq"), col("seg").as("seg1"),
             col("ll").as("ll1"))
           .join(r2.select(col("w"), col("seg").as("seg2"),
@@ -5281,6 +5311,84 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
           CAST(SUM(freq * ll2) - SUM(freq * ll1) AS BIGINT) AS gain,
           CAST(SUM(CASE WHEN seg1 <> seg2 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
         FROM emj, vsz GROUP BY vsz.n_vocab1, vsz.n_vocab2""")),
+
+    // ---- hard-EM ROUND 3 (p66d): one more M/E round unrolled from the
+    // STAGED round-2 segmentation — M-step re-estimates the lexicon
+    // from round-2 usage, the corpus re-segments under it through the
+    // same generated DP chain, and the round-2→3 likelihood trajectory
+    // is reported in the same exact-BIGINT accounting as p66c (the
+    // spec asserts both rounds' gains non-negative — the hard-EM
+    // monotonicity the math demands). Corpus-scaled work: the word
+    // aggregation feeding round 3's chain; both M-steps are
+    // vocabulary-bounded broadcasts over staged reads. ------------------
+    QDef("p66d_unigram_em2",
+      (s, dir) => {
+        val r2 = UniSeg2Stage.load(s, dir)
+        val v2 = uniVocab2(s, dir)
+        val v3 = uniNextVocab(v2, r2)
+        val r3 = uniSegmentsFrom(s, dir, v3)
+        val sizes = v2.agg(count(lit(1)).as("n_vocab2"))
+          .crossJoin(broadcast(v3.agg(count(lit(1)).as("n_vocab3"))))
+        r2.select(col("w"), col("freq"), col("seg").as("seg2"),
+            col("ll").as("ll2"))
+          .join(r3.select(col("w"), col("seg").as("seg3"),
+            col("ll").as("ll3")), Seq("w"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("freq")).as("occurrences"),
+            sum(col("freq") * col("ll2")).as("ll2_sum"),
+            sum(col("freq") * col("ll3")).as("ll3_sum"),
+            sum(when(col("seg2") =!= col("seg3"), 1L).otherwise(0L))
+              .as("n_changed"))
+          .crossJoin(broadcast(sizes))
+          .withColumn("gain", col("ll3_sum") - col("ll2_sum"))
+          .select(col("n_words"), col("occurrences"), col("n_vocab2"),
+            col("n_vocab3"), col("ll2_sum"), col("ll3_sum"), col("gain"),
+            col("n_changed"))
+      },
+      Some(s"""WITH $duckUniCtes,
+        cused AS (
+          SELECT s.p AS p, CAST(SUM(u.freq) AS BIGINT) AS u
+          FROM useg u, UNNEST(u.seg) AS s(p) GROUP BY 1),
+        ekept AS (
+          SELECT v.p,
+            CASE WHEN length(v.p) = 1 THEN greatest(COALESCE(uu.u, 0), 1)
+              ELSE COALESCE(uu.u, 0) END AS u2
+          FROM uvocab v LEFT JOIN cused uu ON uu.p = v.p
+          WHERE COALESCE(uu.u, 0) > 0 OR length(v.p) = 1),
+        etot AS (SELECT CAST(SUM(u2) AS BIGINT) AS vt FROM ekept),
+        evocab AS (
+          SELECT p, u2 AS cnt, ${sln("u2")} - ${sln("vt")} AS score
+          FROM ekept, etot),
+        ${duckUniChain("e", "evocab")},
+        fused AS (
+          SELECT s.p AS p, CAST(SUM(u.freq) AS BIGINT) AS u
+          FROM eseg u, UNNEST(u.seg) AS s(p) GROUP BY 1),
+        fkept AS (
+          SELECT v.p,
+            CASE WHEN length(v.p) = 1 THEN greatest(COALESCE(uu.u, 0), 1)
+              ELSE COALESCE(uu.u, 0) END AS u2
+          FROM evocab v LEFT JOIN fused uu ON uu.p = v.p
+          WHERE COALESCE(uu.u, 0) > 0 OR length(v.p) = 1),
+        ftot AS (SELECT CAST(SUM(u2) AS BIGINT) AS vt FROM fkept),
+        fvocab AS (
+          SELECT p, u2 AS cnt, ${sln("u2")} - ${sln("vt")} AS score
+          FROM fkept, ftot),
+        ${duckUniChain("f", "fvocab")},
+        fmj AS (
+          SELECT u1.w, u1.freq, u1.seg AS seg2, u1.ll AS ll2,
+            e1.seg AS seg3, e1.ll AS ll3
+          FROM eseg u1 JOIN fseg e1 ON e1.w = u1.w),
+        fsz AS (
+          SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM evocab) AS n_vocab2,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM fvocab) AS n_vocab3)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+          CAST(SUM(freq) AS BIGINT) AS occurrences,
+          fsz.n_vocab2, fsz.n_vocab3,
+          CAST(SUM(freq * ll2) AS BIGINT) AS ll2_sum,
+          CAST(SUM(freq * ll3) AS BIGINT) AS ll3_sum,
+          CAST(SUM(freq * ll3) - SUM(freq * ll2) AS BIGINT) AS gain,
+          CAST(SUM(CASE WHEN seg2 <> seg3 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+        FROM fmj, fsz GROUP BY fsz.n_vocab2, fsz.n_vocab3""")),
 
     // ---- WordPiece (BERT-family) greedy segmentation: the MaxMatch
     // sibling of p66's Viterbi, under a position-classed lexicon
@@ -7948,7 +8056,19 @@ ${duckResidualAdcCtes("y", "v")},
         val nodes = docs(s, dir).select(col("doc_id"))
         val contribSrc = edges.join(dg, "src")
         var rank = nodes.withColumn("r", lit(1000000L))
-        for (_ <- 1 to lexIters) {
+        // Production-depth checkpointing: every `-Dgraft.lexCheckpoint`
+        // rounds, materialize the rank frame (eager localCheckpoint —
+        // the CC-loop machinery) and release the previous materialized
+        // copy. Checkpointing changes PLAN SHAPE only, never values, so
+        // the oracle contract is dial-independent; at the default
+        // (unset/0 = off) the plan is the unchanged 5-deep join tree.
+        // At depth >5 an uncheckpointed chain re-plans a join tree that
+        // deepens per round — the lineage-growth failure mode the CC
+        // loop documents.
+        val ckEvery = Dials.int("graft.lexCheckpoint").filter(_ > 0)
+        val sc = s.sparkContext
+        var prevCkIds = Set.empty[Int]
+        for (i <- 1 to lexIters) {
           val mass = contribSrc
             .join(rank.select(col("doc_id").as("src"), col("r")), "src")
             .select(col("dst").as("doc_id"), expr("r div deg").as("c"))
@@ -7956,6 +8076,14 @@ ${duckResidualAdcCtes("y", "v")},
           rank = nodes.join(mass, Seq("doc_id"), "left")
             .select(col("doc_id"), expr(
               "CAST(150000 + ((85 * coalesce(mass, 0)) div 100) AS BIGINT)").as("r"))
+          if (ckEvery.exists(c => i % c == 0 && i < lexIters)) {
+            val before = sc.getPersistentRDDs.keySet.toSet
+            rank = rank.localCheckpoint(true)
+            val added = sc.getPersistentRDDs.keySet.toSet -- before
+            prevCkIds.foreach(id =>
+              sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+            prevCkIds = added
+          }
         }
         rank.join(dg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
           .select(col("doc_id"),

@@ -20,7 +20,8 @@ class DialGuardSpec extends AnyFunSuite {
     "graft.pqCodes", "graft.pqRerank", "graft.ivfNprobe",
     "graft.lshTables", "graft.lshPlanes", "graft.dsirBuckets",
     "graft.imageBands", "graft.imageHamming", "graft.cdcMaskBits",
-    "graft.lrDriverRows")
+    "graft.lrDriverRows", "graft.uniSeed", "graft.bpeMerges",
+    "graft.chunkTokens", "graft.chunkStride")
 
   private def withGarbage(body: => Unit): Unit = {
     val saved = dials.map(d => d -> sys.props.get(d))
@@ -66,6 +67,10 @@ class DialGuardSpec extends AnyFunSuite {
       assert(Pipeline.imageBands == 4)
       assert(Pipeline.imageHamming == 6)
       assert(Pipeline.cdcMaskBits == 7)
+      assert(Pipeline.uniSeed == 200)
+      assert(Pipeline.bpeMerges == 6)
+      assert(Pipeline.chunkTokens == 64)
+      assert(Pipeline.chunkStride == 48)
     }
   }
 }
