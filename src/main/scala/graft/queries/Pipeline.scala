@@ -7493,12 +7493,23 @@ ${duckResidualAdcCtes("y", "v")},
           .groupBy(expr("doc_id % 6").as("shard"), col("source"))
           .agg(sum(col("nll_sum")).as("sn"), sum(col("n_bigrams")).as("sb"))
           .select(col("shard"), col("source"), expr("sn DIV sb").as("L"))
-        val mx = rt.groupBy(col("shard")).agg(max(col("L")).as("lmax"))
+        // rounds are DENSIFIED over the full 0..5 shard domain: a shard
+        // with no scorable docs (empty corpus slice) must still emit a
+        // round, or the per-source factor lists shorten and slice(fs,
+        // 1, t) silently shifts factors across rounds. An all-empty
+        // round charges every domain m_pm = 0 — a uniform factor, so
+        // normalized weights pass through unchanged (charging everyone
+        // the pessimistic bound would normalize identically).
+        val shards = s.range(0, 6).select(col("id").as("shard"))
+        val mx = shards.join(
+          rt.groupBy(col("shard")).agg(max(col("L")).as("lmax")),
+          Seq("shard"), "left")
         val sources = docs(s, dir).select(col("source")).distinct()
         val pm = mx.crossJoin(sources)
           .join(rt, Seq("shard", "source"), "left")
           .select(col("shard"), col("source"),
-            expr("(coalesce(L, lmax) * 1000) DIV greatest(lmax, CAST(1 AS BIGINT))")
+            expr("(coalesce(L, lmax, CAST(0 AS BIGINT)) * 1000)" +
+              " DIV greatest(coalesce(lmax, CAST(1 AS BIGINT)), CAST(1 AS BIGINT))")
               .as("m_pm"))
         val fl = pm.groupBy(col("source"))
           .agg(sort_array(collect_list(struct(col("shard"),
@@ -7522,10 +7533,14 @@ ${duckResidualAdcCtes("y", "v")},
         rt AS (SELECT shard, source,
             CAST(SUM(nll_sum) // SUM(n_bigrams) AS BIGINT) AS L
           FROM dl GROUP BY 1, 2),
-        mxx AS (SELECT shard, MAX(L) AS lmax FROM rt GROUP BY 1),
+        mxx AS (SELECT r.r AS shard, m.lmax
+          FROM range(0, 6) r(r)
+          LEFT JOIN (SELECT shard, MAX(L) AS lmax FROM rt GROUP BY 1) m
+            ON m.shard = r.r),
         srcs AS (SELECT DISTINCT source FROM documents),
         pm AS (SELECT m.shard, s.source,
-            CAST((COALESCE(rt.L, m.lmax) * 1000) // GREATEST(m.lmax, 1) AS BIGINT) AS m_pm
+            CAST((COALESCE(rt.L, m.lmax, 0) * 1000)
+              // GREATEST(COALESCE(m.lmax, 1), 1) AS BIGINT) AS m_pm
           FROM mxx m CROSS JOIN srcs s
           LEFT JOIN rt ON rt.shard = m.shard AND rt.source = s.source),
         fl AS (SELECT source, list(1000000 - 300 * m_pm ORDER BY shard) AS fs
@@ -8761,15 +8776,25 @@ $duckPcaDeflateCtes
         val st = pr.agg(count(lit(1)).as("n"),
           sum(col("p1")).as("s1"), sum(expr("p1 * p1")).as("q1"),
           sum(col("p2")).as("s2"), sum(expr("p2 * p2")).as("q2"))
+        // zero-variance guard (p77's discipline): a degenerate corpus
+        // (constant projected component) would make the standardized
+        // score NaN/Inf and is_outlier null — emit a NULL score and a
+        // defined false flag instead. The comparison runs in DOUBLE
+        // (n·q can exceed BIGINT at worst-case projection magnitude);
+        // exact integer equality survives the conversion, so the
+        // true-zero case is detected identically in both engines.
         pr.crossJoin(broadcast(st))
           .withColumn("score_r", expr(
-            """round(
+            """CASE WHEN CAST(n AS DOUBLE) * q1 > CAST(s1 AS DOUBLE) * s1
+                     AND CAST(n AS DOUBLE) * q2 > CAST(s2 AS DOUBLE) * s2
+               THEN round(
                  power((CAST(p1 AS DOUBLE) - CAST(s1 AS DOUBLE) / n) /
                    sqrt((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)), 2)
                + power((CAST(p2 AS DOUBLE) - CAST(s2 AS DOUBLE) / n) /
-                   sqrt((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n) / (n - 1)), 2), 6)"""))
+                   sqrt((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n) / (n - 1)), 2), 6)
+               ELSE CAST(NULL AS DOUBLE) END"""))
           .select(col("vec_id"), col("p1"), col("p2"), col("score_r"),
-            (col("score_r") >= 9.0).as("is_outlier"))
+            coalesce(col("score_r") >= 9.0, lit(false)).as("is_outlier"))
           .orderBy(col("vec_id"))
       },
       Some(s"""WITH $duckPcaCtes,
@@ -8798,14 +8823,17 @@ $duckPcaDeflateCtes,
           FROM opr),
         osc AS (
           SELECT vec_id, p1, p2,
-            round(
+            CASE WHEN CAST(n AS DOUBLE) * q1 > CAST(s1 AS DOUBLE) * s1
+                  AND CAST(n AS DOUBLE) * q2 > CAST(s2 AS DOUBLE) * s2
+            THEN round(
               power((CAST(p1 AS DOUBLE) - CAST(s1 AS DOUBLE) / n) /
                 sqrt((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)), 2)
             + power((CAST(p2 AS DOUBLE) - CAST(s2 AS DOUBLE) / n) /
                 sqrt((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n) / (n - 1)), 2), 6)
-              AS score_r
+            ELSE CAST(NULL AS DOUBLE) END AS score_r
           FROM opr, ost)
-        SELECT vec_id, p1, p2, score_r, (score_r >= 9.0) AS is_outlier
+        SELECT vec_id, p1, p2, score_r,
+          COALESCE(score_r >= 9.0, false) AS is_outlier
         FROM osc ORDER BY vec_id""")),
 
     // ---- quality-signal fusion (p90): Borda rank fusion of three

@@ -289,15 +289,25 @@ object EventStreams {
     * divided and rounded the same way — spec-proven). kept trades the
     * batch's global top-quarter rank for a threshold dial, the p53c
     * threshold-vs-rank trade a stream has to make. Stateless: two
-    * per-row fold expressions, no join, no shuffle, no state. */
+    * per-row fold expressions, no join, no shuffle, no state.
+    *
+    * `maxBigramEntries` is the same pruned-map scale fallback the
+    * perplexity gate exposes, applied to BOTH literal models — and it
+    * matters MOST here, because the whole-corpus model is strictly
+    * larger than the English reference map. Pruning keeps only the
+    * top-N bigrams per model; a pruned bigram scores as unseen, which
+    * is strictly more perplexed under EITHER model, so a pruned gate
+    * can shift borderline excess values but the monotonicity argument
+    * of lmScoreMaps (over-filter-never-admit) applies per model. */
   def excessGateStream(spark: org.apache.spark.sql.SparkSession,
-      modelDir: String, docs: DataFrame, minExcess: Double = 0.0): DataFrame = {
+      modelDir: String, docs: DataFrame, minExcess: Double = 0.0,
+      maxBigramEntries: Int = Int.MaxValue): DataFrame = {
     val (mb2, mc2, slnV2) =
-      graft.queries.Pipeline.lmScoreMapsAll(spark, modelDir)
+      graft.queries.Pipeline.lmScoreMapsAll(spark, modelDir, maxBigramEntries)
     val mb2Col = typedLit(mb2)
     val mc2Col = typedLit(mc2)
     val arr = col("arr")
-    lmScored(spark, modelDir, docs)
+    lmScored(spark, modelDir, docs, maxBigramEntries)
       .withColumn("cor_sum", aggregate(
         expr("sequence(0, size(arr)-2)"),
         lit(0L),

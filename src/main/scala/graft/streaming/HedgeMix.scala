@@ -37,7 +37,10 @@ final class HedgeMixController(domains: Seq[String], etaPm: Long = 300L) {
   /** One Hedge round from per-domain (Σ sln-NLL, Σ bigrams) integer
     * aggregates; domains absent from the batch are charged the round's
     * max loss — identical arithmetic to batch p70. A batch with no
-    * scorable documents is not a round. */
+    * scorable documents is not a round — which agrees with batch p70's
+    * densified empty-shard rule (m_pm = 0 for every domain multiplies
+    * each weight by exactly (S − 0)/S = 1): both paths leave the
+    * weight vector bit-identical through an empty round. */
   def update(batch: Map[String, (Long, Long)]): Unit = synchronized {
     val ls = batch.collect { case (d, (sn, sb)) if sb > 0L => d -> sn / sb }
     if (ls.nonEmpty) {

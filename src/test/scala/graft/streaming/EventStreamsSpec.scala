@@ -722,6 +722,44 @@ class EventStreamsSpec extends AnyFunSuite {
     full.foreach { case (id, (nllF, _)) => assert(nllF == batch(id)) }
   }
 
+  test("pruned excess gate: both per-model NLLs only rise under the cap") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docsRows = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    def run(name: String, cap: Int): Map[Long, (Double, Double)] = {
+      val input = MemoryStream[(Long, String)]
+      val q = EventStreams.excessGateStream(spark, dir,
+          input.toDF().toDF("doc_id", "text"), maxBigramEntries = cap)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        input.addData(docsRows)
+        q.processAllAvailable()
+        assert(q.lastProgress == null || q.lastProgress.stateOperators.isEmpty)
+        spark.sql(s"SELECT doc_id, nll_ref, nll_corpus FROM $name").collect()
+          .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+      } finally q.stop()
+    }
+    val full = run("exc_full_cap", Int.MaxValue)
+    val pruned = run("exc_pruned", 50)
+    assert(full.size == docsRows.size && pruned.size == full.size)
+    // a pruned bigram scores as unseen under EITHER model — strictly
+    // more perplexed — so BOTH per-model NLLs are monotone under the
+    // cap (the excess difference itself can move either way; the
+    // per-model monotonicity is the gate's documented contract)
+    full.foreach { case (id, (refF, corF)) =>
+      val (refP, corP) = pruned(id)
+      assert(refP >= refF, s"doc $id: pruned nll_ref $refP < full $refF")
+      assert(corP >= corF, s"doc $id: pruned nll_corpus $corP < full $corF")
+    }
+    // the cap bites on this corpus under at least one model
+    assert(full.exists { case (id, (refF, corF)) =>
+      pruned(id)._1 > refF || pruned(id)._2 > corF })
+  }
+
   test("LM-staleness monitor: vocabulary shift raises refit_due; refit restores health") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
