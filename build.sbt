@@ -10,6 +10,36 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Run suites CONCURRENTLY inside each forked test JVM: the main
+// group's suites share one SparkSession (SharedSpark) and Spark
+// schedules concurrent queries fine. The suites that mutate
+// LOAD-BEARING process globals — the staging-dir redirect
+// (KMeansCellsSpec, ShingleStageSpec), valid dial overrides
+// (KMeansCellsSpec), and session-wide block/result-cap accounting
+// (SessionStateSpec) — are quarantined below into their own JVMs so
+// the parallelism cannot race them. The remaining sys.props writers
+// (DialGuardSpec garbage values, LexRankCheckpointSpec) set values
+// that are result-neutral by construction. Wall: 9m22s sequential ->
+// ~5m with concurrent suites + parallel groups.
+Test / testForkedParallel := true
+Test / testGrouping := {
+  val opts = ForkOptions().withRunJVMOptions((Test / javaOptions).value.toVector)
+  val isolated = Map(
+    "graft.KMeansCellsSpec" -> "knobs",
+    "graft.ShingleStageSpec" -> "staging",
+    "graft.SessionStateSpec" -> "session")
+  val (iso, main) = (Test / definedTests).value
+    .partition(t => isolated.contains(t.name))
+  Tests.Group("main", main, Tests.SubProcess(opts)) +:
+    iso.groupBy(t => isolated(t.name)).toSeq.map { case (g, ts) =>
+      Tests.Group(g, ts, Tests.SubProcess(opts))
+    }
+}
+// sbt's default restrictions serialize forked test groups; allow the
+// quarantined groups to run alongside the main one.
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(java.lang.Runtime.getRuntime.availableProcessors()),
+  Tags.limit(Tags.ForkedTestGroup, 4))
 run / fork := true
 // Forked run's default LoggedOutput prefixes every program line with
 // "[info] ", which makes the bench's machine-readable JSON lines

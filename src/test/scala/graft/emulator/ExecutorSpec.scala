@@ -1104,21 +1104,6 @@ class ExecutorSpec extends AnyFunSuite {
     assert(r2.rows.map(_(1)) == Seq("d", "e"), r2.rows)
   }
 
-  test("55 protocol-edge result cap: oversized SELECT fails cleanly, capped fetch") {
-    exec("CREATE OR REPLACE TABLE cap_t AS SELECT id AS v FROM range(100)")
-    sys.props("graft.maxResultRows") = "10"
-    try {
-      val e = intercept[SnowflakeError] { exec("SELECT * FROM cap_t") }
-      assert(e.code == SnowflakeError.CodeSQLExecutionError, e.getMessage)
-      assert(e.getMessage.contains("maximum of 10 rows"), e.getMessage)
-      // within the cap still works, including exactly-at-cap
-      assert(exec("SELECT * FROM cap_t LIMIT 10").rows.size == 10)
-      assert(exec("SELECT COUNT(*) AS n FROM cap_t").rows.head.head == 100L)
-    } finally sys.props.remove("graft.maxResultRows")
-    // default cap restored: the full table materializes again
-    assert(exec("SELECT * FROM cap_t").rows.size == 100)
-  }
-
   test("56 session variables: SET/$ref/UNSET/SHOW VARIABLES, typed splicing") {
     exec("SET min_score = 80")
     exec("SET who = 'O''Brien'")
