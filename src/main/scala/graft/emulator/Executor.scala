@@ -758,7 +758,16 @@ final class Executor(
     "PROTO_PRUNE" -> "p88_proto_prune",
     "PCA_SECOND" -> "p84d_pca_second",
     "EMBED_OOD" -> "p89_embed_ood",
-    "QUALITY_FUSION" -> "p90_quality_fusion")
+    "QUALITY_FUSION" -> "p90_quality_fusion",
+    "EDIT_SIMILARITY" -> "p91_edit_similarity",
+    "EXACT_QUANTILES" -> "p92_exact_quantiles",
+    "CONFORMAL_GATE" -> "p93_conformal_gate",
+    "AB_ZTEST" -> "p94_ab_ztest",
+    "TFIDF_KEYWORDS" -> "p95_tfidf_keywords",
+    "RATER_KAPPA" -> "p96_rater_kappa",
+    "UNIFORM_KSAMPLE" -> "p97_uniform_ksample",
+    "STRATIFIED_KSAMPLE" -> "p97b_stratified_ksample",
+    "WELCH_TTEST" -> "p98_welch_ttest")
 
   /** Match only the OPENING of a pipeline table-function call; the
     * argument span is found by a quote-aware paren scan (a ')' inside a

@@ -8921,7 +8921,416 @@ $duckPcaDeflateCtes,
           CAST(sum(CASE WHEN (e.rn * 4 <= e.nd) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_exact,
           CAST(sum(CASE WHEN k.kept_sk = (e.rn * 4 <= e.nd) THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
           CAST(count(*) AS BIGINT) AS nd
-        FROM hk k JOIN bk e ON e.doc_id = k.doc_id GROUP BY 1"""))
+        FROM hk k JOIN bk e ON e.doc_id = k.doc_id GROUP BY 1""")),
+
+    // ---- character-level edit similarity over the staged pair front
+    // (p91): the near-dup families so far score at shingle granularity;
+    // Levenshtein is the exact character-level verdict (normalized
+    // edit similarity), and it only ever runs on the CANDIDATE front —
+    // the Jaccard >= 0.3 literal filter over the staged pre-threshold
+    // pair table (p00b), whose size is bounded by the corpus near-dup
+    // rate, never n². The O(len·len) distance kernel therefore touches
+    // a vanishing fraction of the corpus at any scale; the two text
+    // joins broadcast the small front against the document scan. Both
+    // engines implement classic full Levenshtein, so the distance —
+    // and the normalized similarity after round(…,6) — is
+    // engine-identical. -------------------------------------------------
+    QDef("p91_edit_similarity",
+      (s, dir) => {
+        val front = PairStage.load(s, dir)
+          .withColumn("jaccard_r", round(col("inter").cast("double") /
+            (col("sza") + col("szb") - col("inter")), 6))
+          .filter(col("jaccard_r") >= 0.3)
+          .select(col("a_id"), col("b_id"), col("jaccard_r"))
+        val texts = docs(s, dir).select(col("doc_id"), col("text"))
+        broadcast(front)
+          .join(texts.select(col("doc_id").as("a_id"), col("text").as("ta")), "a_id")
+          .join(texts.select(col("doc_id").as("b_id"), col("text").as("tb")), "b_id")
+          .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
+          .withColumn("edit_sim_r", round(lit(1.0) - col("lev").cast("double") /
+            greatest(length(col("ta")), length(col("tb"))), 6))
+          .select(col("a_id"), col("b_id"), col("jaccard_r"), col("lev"),
+            col("edit_sim_r"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some(s"""WITH $duckGuardedPairCtes,
+        jp AS (SELECT a_id, b_id,
+            round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard_r
+          FROM pr JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+          WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.3)
+        SELECT jp.a_id, jp.b_id, jp.jaccard_r,
+          CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+          round(1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+            / greatest(length(da.text), length(db.text)), 6) AS edit_sim_r
+        FROM jp JOIN documents da ON da.doc_id = jp.a_id
+        JOIN documents db ON db.doc_id = jp.b_id
+        ORDER BY a_id, b_id""")),
+
+    // ---- exact distributed order statistics (p92): exact corpus
+    // percentiles WITHOUT a global sort. The single-reducer
+    // `row_number() OVER (ORDER BY …)` anti-pattern the p87/p90 sketch
+    // forms exist to avoid is unnecessary here because the value domain
+    // is bounded: group by the VALUE (one shuffle on a bounded-domain
+    // key), then run the cumulative sum over the DISTINCT-VALUE table —
+    // whose cardinality is capped by the value domain (document length),
+    // not the corpus — the same boundedness class as the vocabulary
+    // windows. The percentile probe is a broadcast theta-join of five
+    // literal ranks against the cumsum. k-th value semantics: smallest
+    // v with cum(v)·100 >= pct·total (type-1 / lower quantile), exact
+    // integer arithmetic end to end. -------------------------------------
+    QDef("p92_exact_quantiles",
+      (s, dir) => {
+        val h = docs(s, dir).groupBy(col("n_chars").as("v"))
+          .agg(count(lit(1)).as("n"))
+        val cum = h.withColumn("cum",
+          sum(col("n")).over(Window.orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val tot = docs(s, dir).agg(count(lit(1)).as("total"))
+        val pcts = docs(s, dir).sparkSession.range(1)
+          .select(explode(array(lit(25), lit(50), lit(75), lit(90), lit(99)))
+            .as("pct"))
+        cum.crossJoin(broadcast(tot))
+          .join(broadcast(pcts), col("cum") * 100 >= col("pct") * col("total"))
+          .groupBy(col("pct"), col("total"))
+          .agg(min(col("v")).as("value"))
+          .select(col("pct").cast("int").as("pct"), col("value"), col("total"))
+          .orderBy(col("pct"))
+      },
+      Some("""WITH h AS (
+          SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS n
+          FROM documents GROUP BY 1),
+        c AS (SELECT v, CAST(SUM(n) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM h),
+        t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents),
+        p AS (SELECT unnest([25, 50, 75, 90, 99]) AS pct)
+        SELECT CAST(p.pct AS INTEGER) AS pct, MIN(c.v) AS value, t.total AS total
+        FROM c, t, p WHERE c.cum * 100 >= p.pct * t.total
+        GROUP BY p.pct, t.total ORDER BY pct""")),
+
+    // ---- split-conformal quality gate (p93): a distribution-free
+    // admission rule with a finite-sample marginal coverage bound
+    // (Vovk et al.; Papadopoulos et al. 2002 split form). Calibration
+    // split = md5(doc_id) first hex digit < 8 (the deterministic-uniform
+    // idiom of p24/p61); score = the Flesch value QUANTIZED to p90b's
+    // 1024-bucket histogram form — quantizing first is what keeps the
+    // exact threshold scale-safe: the k-th smallest calibration score is
+    // read off a cumulative sum over a BOUNDED [0,1023] domain (no
+    // global sort, no corpus-sized window), and conformal validity is
+    // preserved because the guarantee holds for ANY fixed measurable
+    // score. With α = 1/4, k = ceil((n_cal+1)/4) — rendered as the pure
+    // integer predicate 4·cum >= n_cal+1 — and the gate admits test docs
+    // with score >= that k-th value: miscoverage <= α by exchangeability.
+    QDef("p93_conformal_gate",
+      (s, dir) => {
+        val scored = conformalScored(docs(s, dir)
+          .select(col("doc_id"), col("source"), col("text")))
+        val cal = scored.filter(col("is_cal"))
+        val nCal = cal.agg(count(lit(1)).as("n_cal"))
+        val cum = cal.groupBy(col("q").as("v")).agg(count(lit(1)).as("n"))
+          .withColumn("cum", sum(col("n")).over(Window.orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val thr = cum.crossJoin(broadcast(nCal))
+          .filter(col("cum") * 4 >= col("n_cal") + 1)
+          .agg(min(col("v")).as("thr"))
+        scored.filter(!col("is_cal"))
+          .crossJoin(broadcast(thr))
+          .groupBy(col("source"), col("thr"))
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(col("q") >= col("thr"), 1L).otherwise(0L)).as("n_admit"))
+          .select(col("source"), col("thr"), col("n_test"), col("n_admit"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH $duckReadabilityCtes,
+        sc AS (SELECT doc_id, source,
+            least(1023, greatest(0, CAST(floor((fre_r + 100.0) * 4.0) AS INT))) AS q,
+            (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 8) AS is_cal
+          FROM rb),
+        nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM sc WHERE is_cal),
+        h AS (SELECT q AS v, CAST(COUNT(*) AS BIGINT) AS n
+          FROM sc WHERE is_cal GROUP BY 1),
+        c AS (SELECT v, CAST(SUM(n) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM h),
+        th AS (SELECT MIN(v) AS thr FROM c, nc WHERE cum * 4 >= n_cal + 1)
+        SELECT s.source, th.thr AS thr, CAST(COUNT(*) AS BIGINT) AS n_test,
+          CAST(SUM(CASE WHEN s.q >= th.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_admit
+        FROM sc s, th WHERE NOT s.is_cal GROUP BY 1, 2 ORDER BY source""")),
+
+    // ---- two-proportion A/B z-test on events (p94): deterministic
+    // variant assignment (user_id parity — a hash in production), unit =
+    // user, conversion = the user's FIRST event (ts, event_id tiebreak)
+    // is a purchase — "any purchase ever" saturates to 100% at this
+    // event density and degenerates the statistic. One user-partitioned
+    // window to the first event, then two one-row arms cross-joined.
+    // Every term is IEEE-exact cross-engine: the inputs are exact BIGINT
+    // counts and +,-,×,÷,sqrt are all correctly rounded, so the z value
+    // is bit-identical before the defensive round. 1/n0 + 1/n1 is
+    // rewritten (n0+n1)/(n0·n1) so both engines evaluate ONE division
+    // tree; a pooled-variance-zero corpus (all or no users convert)
+    // yields NULL z on BOTH engines instead of a NaN-vs-null mismatch.
+    QDef("p94_ab_ztest",
+      (s, dir) => {
+        val firsts = t(s, dir, "events")
+          .withColumn("rn", row_number().over(Window
+            .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+          .filter(col("rn") === 1)
+          .withColumn("variant", (col("user_id") % 2).cast("int"))
+          .withColumn("converted",
+            when(col("event_type") === "purchase", 1).otherwise(0))
+        val arms = firsts.groupBy(col("variant"))
+          .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+        val a = arms.filter(col("variant") === 0)
+          .select(col("n").as("n0"), col("conv").as("c0"))
+        val b = arms.filter(col("variant") === 1)
+          .select(col("n").as("n1"), col("conv").as("c1"))
+        a.crossJoin(broadcast(b))
+          .withColumn("p0", col("c0").cast("double") / col("n0"))
+          .withColumn("p1", col("c1").cast("double") / col("n1"))
+          .withColumn("pp",
+            (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1")))
+          .withColumn("invn",
+            (col("n0") + col("n1")).cast("double") /
+              (col("n0") * col("n1")).cast("double"))
+          .withColumn("z_r",
+            when(col("c0") + col("c1") > 0 &&
+                 col("c0") + col("c1") < col("n0") + col("n1"),
+              round((col("p0") - col("p1")) /
+                sqrt((col("pp") * (lit(1.0) - col("pp"))) * col("invn")), 6)))
+          .withColumn("significant", abs(col("z_r")) >= 1.959964)
+          .select(col("n0"), col("c0"), col("n1"), col("c1"),
+            col("p0"), col("p1"), col("z_r"), col("significant"))
+      },
+      Some("""WITH f AS (
+          SELECT user_id, event_type,
+            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events),
+        u AS (SELECT user_id, CAST(user_id % 2 AS INTEGER) AS variant,
+            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS converted
+          FROM f WHERE rn = 1),
+        arms AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(converted) AS BIGINT) AS conv
+          FROM u GROUP BY 1),
+        a AS (SELECT n AS n0, conv AS c0 FROM arms WHERE variant = 0),
+        b AS (SELECT n AS n1, conv AS c1 FROM arms WHERE variant = 1),
+        z AS (SELECT n0, c0, n1, c1,
+            CAST(c0 AS DOUBLE) / n0 AS p0,
+            CAST(c1 AS DOUBLE) / n1 AS p1,
+            CAST(c0 + c1 AS DOUBLE) / (n0 + n1) AS pp,
+            CAST(n0 + n1 AS DOUBLE) / CAST(n0 * n1 AS DOUBLE) AS invn
+          FROM a, b),
+        zz AS (SELECT n0, c0, n1, c1, p0, p1,
+            CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1
+              THEN round((p0 - p1) / sqrt((pp * (CAST(1 AS DOUBLE) - pp)) * invn), 6)
+            END AS z_r
+          FROM z)
+        SELECT n0, c0, n1, c1, p0, p1, z_r,
+          abs(z_r) >= 1.959964 AS significant
+        FROM zz""")),
+
+    // ---- tf-idf keyword extraction (p95): top-3 terms per document by
+    // tf · idf with idf in p53's sln integer-log scale — score_s =
+    // tf · (sln(N+1) − sln(df+1)) is exact BIGINT arithmetic, so the
+    // per-document ranking (ties → token asc) is engine-identical with
+    // no float drift. The document-frequency side is vocabulary-bounded
+    // and broadcast; the only corpus-scaled shuffle is the (doc, token)
+    // term-frequency aggregation; the top-k window partitions BY
+    // DOCUMENT (never a global sort). ------------------------------------
+    QDef("p95_tfidf_keywords",
+      (s, dir) => {
+        val toks = docs(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val tf = toks.groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        val df = toks.distinct().groupBy(col("tok"))
+          .agg(count(lit(1)).as("df"))
+        val nd = docs(s, dir).agg((count(lit(1)) + 1).as("np1"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score_s").desc, col("tok"))
+        tf.join(broadcast(df), "tok").crossJoin(broadcast(nd))
+          .withColumn("score_s",
+            col("tf") * expr(sln("np1") + " - " + sln("df + 1")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("tok"), col("tf"),
+            col("df"), col("score_s"))
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM tk GROUP BY 1, 2),
+        df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+          FROM tk GROUP BY 1),
+        nd AS (SELECT CAST(COUNT(*) + 1 AS BIGINT) AS np1 FROM documents),
+        sc AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+            tf.tf * (${sln("np1")} - ${sln("df + 1")}) AS score_s
+          FROM tf JOIN df ON df.tok = tf.tok, nd),
+        rk AS (SELECT doc_id, tok, tf, df, score_s,
+            CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY score_s DESC, tok) AS INTEGER) AS rank
+          FROM sc)
+        SELECT doc_id, rank, tok, tf, df, score_s
+        FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
+    // ---- inter-rater agreement (p96): Cohen's kappa between two
+    // independent quality raters — the p09 composite-quality rule
+    // (quality >= 0.7) and the Flesch readability rule (fre_s >=
+    // 50·10⁶, i.e. 'medium or easier'). Agreement-beyond-chance is the
+    // standard audit before trusting either as a training-data filter.
+    // One corpus pass to four exact BIGINT confusion cells; p_o / p_e /
+    // kappa are rational arithmetic over those cells with the identical
+    // expression tree on both engines. ------------------------------------
+    QDef("p96_rater_kappa",
+      (s, dir) => {
+        val qualified = docs(s, dir)
+          .withColumn("n_tokens", size(split(col("text"), " ")))
+          .withColumn("avg_token_len",
+            length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_tokens"))
+          .withColumn("punct_ratio",
+            (length(col("text")) - length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")))
+              .cast("double") / length(col("text")))
+          .withColumn("ra",
+            (when(col("n_tokens").between(5, 1000), 0.4).otherwise(0.0) +
+              when(col("avg_token_len").between(3.0, 10.0), 0.3).otherwise(0.0) +
+              when(col("punct_ratio") < 0.1, 0.3).otherwise(0.0)) >= 0.7)
+          .select(col("doc_id"), col("ra"), col("text"))
+        val rated = readabilityMetrics(qualified)
+          .select(col("ra"), (col("fre_s") >= 50000000L).as("rb"))
+        rated.agg(
+            count(lit(1)).as("n"),
+            sum(when(col("ra") && col("rb"), 1L).otherwise(0L)).as("n11"),
+            sum(when(col("ra") && !col("rb"), 1L).otherwise(0L)).as("n10"),
+            sum(when(!col("ra") && col("rb"), 1L).otherwise(0L)).as("n01"),
+            sum(when(!col("ra") && !col("rb"), 1L).otherwise(0L)).as("n00"))
+          .withColumn("po", (col("n11") + col("n00")).cast("double") / col("n"))
+          .withColumn("pa1", (col("n11") + col("n10")).cast("double") / col("n"))
+          .withColumn("pb1", (col("n11") + col("n01")).cast("double") / col("n"))
+          .withColumn("pe",
+            (col("pa1") * col("pb1")) +
+              ((lit(1.0) - col("pa1")) * (lit(1.0) - col("pb1"))))
+          .withColumn("kappa_r",
+            round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6))
+          .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+            col("po"), col("kappa_r"))
+      },
+      Some(s"""WITH $duckReadabilityCtes,
+        qa AS (SELECT doc_id,
+            (CASE WHEN len(string_split(text, ' ')) BETWEEN 5 AND 1000 THEN 0.4 ELSE 0.0 END
+              + CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END
+              + CASE WHEN CAST(length(text) - length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) < 0.1 THEN 0.3 ELSE 0.0 END) >= 0.7 AS ra
+          FROM documents),
+        rr AS (SELECT qa.ra, (rb.fre_s >= 50000000) AS rb
+          FROM qa JOIN rb ON rb.doc_id = qa.doc_id),
+        cc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+            CAST(SUM(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+            CAST(SUM(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+            CAST(SUM(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT) AS n00
+          FROM rr),
+        pp AS (SELECT n, n11, n10, n01, n00,
+            CAST(n11 + n00 AS DOUBLE) / n AS po,
+            CAST(n11 + n10 AS DOUBLE) / n AS pa1,
+            CAST(n11 + n01 AS DOUBLE) / n AS pb1
+          FROM cc),
+        pe AS (SELECT n, n11, n10, n01, n00, po,
+            (pa1 * pb1) + ((CAST(1 AS DOUBLE) - pa1) * (CAST(1 AS DOUBLE) - pb1)) AS pe
+          FROM pp)
+        SELECT n, n11, n10, n01, n00, po,
+          round((po - pe) / (CAST(1 AS DOUBLE) - pe), 6) AS kappa_r
+        FROM pe""")),
+
+    // ---- exact-k uniform sample by hash order statistics (p97/p97b):
+    // the k documents with the smallest md5('ks:'||doc_id) ARE a uniform
+    // k-sample (the hash is a fixed PRF over the exchangeable ids —
+    // sampling without RNG state, reproducible across runs and engines).
+    // Unlike p24's Bernoulli thinning this yields an EXACT sample size,
+    // and the plan is the distributed top-k (TakeOrderedAndProject:
+    // per-partition heaps merged at k) — no global sort. p97b is the
+    // stratified form: per-source top-3 through a window partitioned BY
+    // SOURCE. ------------------------------------------------------------
+    QDef("p97_uniform_ksample",
+      (s, dir) => docs(s, dir)
+        .withColumn("hk", md5(concat(lit("ks:"), col("doc_id").cast("string"))))
+        .orderBy(col("hk")).limit(20)
+        .select(col("doc_id"), col("source"), col("hk"))
+        .orderBy(col("hk")),
+      Some("""SELECT doc_id, source, md5('ks:' || CAST(doc_id AS VARCHAR)) AS hk
+        FROM documents ORDER BY hk LIMIT 20""")),
+
+    QDef("p97b_stratified_ksample",
+      (s, dir) => {
+        val w = Window.partitionBy(col("source")).orderBy(col("hk"))
+        docs(s, dir)
+          .withColumn("hk", md5(concat(lit("ks:"), col("doc_id").cast("string"))))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("source"), col("rank"), col("doc_id"), col("hk"))
+          .orderBy(col("source"), col("rank"))
+      },
+      Some("""WITH h AS (
+          SELECT source, doc_id, md5('ks:' || CAST(doc_id AS VARCHAR)) AS hk
+          FROM documents),
+        r AS (SELECT source, doc_id, hk,
+            CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY hk) AS INTEGER) AS rank
+          FROM h)
+        SELECT source, rank, doc_id, hk FROM r WHERE rank <= 3
+        ORDER BY source, rank""")),
+
+    // ---- Welch's unequal-variance t-test (p98): does purchase VALUE
+    // differ between the p94 variants? Sums and sums-of-squares
+    // accumulate in exact DECIMAL (the q01/p12 order-proofing trick —
+    // value is 2dp, so DECIMAL(12,2) and its square are exact), cast to
+    // double only once per arm; mean/variance/t/Welch-df are then a
+    // fixed double expression tree over identical inputs, identical on
+    // both engines. One event-keyed aggregation; two one-row arms. -------
+    QDef("p98_welch_ttest",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .withColumn("variant", (col("user_id") % 2).cast("int"))
+          .withColumn("vd", d(col("value")))
+        val arms = ev.groupBy(col("variant"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("vd")).cast("double").as("sv"),
+            sum(col("vd") * col("vd")).cast("double").as("sv2"))
+          .withColumn("m", col("sv") / col("n"))
+          .withColumn("s2",
+            (col("sv2") - (col("sv") * col("sv")) / col("n")) / (col("n") - 1))
+          .withColumn("vn", col("s2") / col("n"))
+        val a = arms.filter(col("variant") === 0)
+          .select(col("n").as("n0"), col("m").as("m0"), col("vn").as("vn0"))
+        val b = arms.filter(col("variant") === 1)
+          .select(col("n").as("n1"), col("m").as("m1"), col("vn").as("vn1"))
+        a.crossJoin(broadcast(b))
+          .withColumn("se2", col("vn0") + col("vn1"))
+          .withColumn("t_r",
+            round((col("m0") - col("m1")) / sqrt(col("se2")), 6))
+          .withColumn("df_r", round((col("se2") * col("se2")) /
+            ((col("vn0") * col("vn0")) / (col("n0") - 1) +
+              (col("vn1") * col("vn1")) / (col("n1") - 1)), 6))
+          .select(col("n0"), col("n1"),
+            round(col("m0"), 6).as("m0_r"), round(col("m1"), 6).as("m1_r"),
+            col("t_r"), col("df_r"))
+      },
+      Some("""WITH pv AS (
+          SELECT CAST(user_id % 2 AS INTEGER) AS variant,
+            CAST(CAST(value AS DOUBLE) AS DECIMAL(12,2)) AS vd
+          FROM events WHERE event_type = 'purchase'),
+        arms AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(vd) AS DOUBLE) AS sv,
+            CAST(SUM(vd * vd) AS DOUBLE) AS sv2
+          FROM pv GROUP BY 1),
+        st AS (SELECT variant, n, sv / n AS m,
+            ((sv2 - (sv * sv) / n) / (n - 1)) / n AS vn
+          FROM arms),
+        a AS (SELECT n AS n0, m AS m0, vn AS vn0 FROM st WHERE variant = 0),
+        b AS (SELECT n AS n1, m AS m1, vn AS vn1 FROM st WHERE variant = 1),
+        w AS (SELECT n0, n1, m0, m1, vn0, vn1, vn0 + vn1 AS se2 FROM a, b)
+        SELECT n0, n1, round(m0, 6) AS m0_r, round(m1, 6) AS m1_r,
+          round((m0 - m1) / sqrt(se2), 6) AS t_r,
+          round((se2 * se2) / ((vn0 * vn0) / (n0 - 1) + (vn1 * vn1) / (n1 - 1)), 6) AS df_r
+        FROM w"""))
   )
 
   // ---- helpers for the p87 excess-loss family --------------------------
@@ -9402,6 +9811,37 @@ $duckPcaDeflateCtes,
           "WHEN fre_r >= 50.0 THEN 'medium' WHEN fre_r >= 30.0 THEN 'difficult' " +
           "ELSE 'very_difficult' END"))
       .drop("text")
+
+  /** The quantized conformal-score frame shared by batch p93 and the
+    * streaming conformal gate: readability metrics + p90b's bounded
+    * 1024-bucket quantization + the md5 calibration split. Sharing the
+    * projection is what makes stream and batch admission decisions
+    * definitionally identical. */
+  private[graft] def conformalScored(d: DataFrame): DataFrame =
+    readabilityMetrics(d)
+      .withColumn("q", expr(
+        "least(1023, greatest(0, CAST(floor((fre_r + 100.0) * 4.0) AS INT)))"))
+      .withColumn("is_cal", expr(
+        "instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 1, 1)) - 1 < 8"))
+
+  /** The fitted conformal threshold for [[conformalScored]] over a batch
+    * corpus — the ceil((n_cal+1)/4)-th smallest calibration bucket,
+    * p93's exact integer rule (4·cum >= n_cal+1). The collect is ONE
+    * bounded row (the PQ-SDC class of driver state); a stream ships it
+    * as a literal. */
+  private[graft] def conformalThreshold(s: SparkSession, dir: String): Int = {
+    val cal = conformalScored(docs(s, dir)
+        .select(col("doc_id"), col("source"), col("text")))
+      .filter(col("is_cal"))
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    cal.groupBy(col("q").as("v")).agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum(col("n")).over(Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(nCal))
+      .filter(col("cum") * 4 >= col("n_cal") + 1)
+      .agg(min(col("v")).as("thr"))
+      .collect()(0).getInt(0)
+  }
 
   /** Per-doc readability frame shared by p82/p82b. */
   private def readabilityPerDoc(s: SparkSession, dir: String): DataFrame =

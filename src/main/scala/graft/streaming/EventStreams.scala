@@ -350,6 +350,26 @@ object EventStreams {
       .select(col("doc_id"), col("words"), col("sentences"),
         col("syllables"), col("fre_r"), col("band"))
 
+  /** Streaming split-conformal admission gate — the streaming form of
+    * batch p93: the threshold is fitted ONCE from the batch calibration
+    * corpus (the ceil((n_cal+1)/4)-th smallest quantized Flesch bucket,
+    * p93's exact integer rule via Pipeline.conformalThreshold) and
+    * ships into the stream as one literal; each arriving document is
+    * admitted iff its quantized score — the SHARED
+    * Pipeline.conformalScored projection, so stream and batch buckets
+    * are definitionally identical — clears it. Marginal miscoverage of
+    * the admitted stream stays <= alpha = 1/4 by exchangeability with
+    * the calibration set. Per-row projection only — no join, no
+    * shuffle, no state. Expects `doc_id` and `text`; emits
+    * (doc_id, q, thr, admitted). */
+  def conformalGateStream(spark: org.apache.spark.sql.SparkSession,
+      corpusDir: String, docs: DataFrame): DataFrame = {
+    val thr = graft.queries.Pipeline.conformalThreshold(spark, corpusDir)
+    graft.queries.Pipeline.conformalScored(docs)
+      .select(col("doc_id"), col("q"), lit(thr).as("thr"),
+        (col("q") >= thr).as("admitted"))
+  }
+
   /** The per-doc hashed unigram+bigram feature-bucket multiset (the
     * batch dsirFeatures representation as one array column) — shared by
     * the LR and DSIR gates. Expects an `arr` token-array column. */

@@ -1,0 +1,232 @@
+package graft
+
+/** The statistics/audit family added in r13 (p91 edit similarity, p92
+  * exact quantiles, p93 conformal gate, p94 A/B z-test, p95 tf-idf
+  * keywords, p96 rater kappa, p97 hash-order k-samples, p98 Welch
+  * t-test) against independent plain-Scala re-derivations at sf0.001.
+  */
+class StatsFamilySpec extends SparkSpecBase with PlainScalaFixtures {
+
+  private def lev(a: String, b: String): Int = {
+    val prev = Array.tabulate(b.length + 1)(identity)
+    val cur = new Array[Int](b.length + 1)
+    for (i <- 1 to a.length) {
+      cur(0) = i
+      for (j <- 1 to b.length)
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+          prev(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+      Array.copy(cur, 0, prev, 0, cur.length)
+    }
+    prev(b.length)
+  }
+
+  /** The DF-guarded distinct 3-shingle md560 set per doc (sf0.001). */
+  private lazy val shingleSets: Map[Long, Set[Long]] = {
+    val raw = corpus.collect { case (id, text, _) if toks(text).length >= 3 =>
+      id -> toks(text).sliding(3).map(w => md560(w.mkString(" "))).toSet
+    }.toMap
+    val n = corpus.size
+    val df = raw.values.flatten.groupBy(identity)
+      .map { case (h, g) => h -> g.size }
+    val hot = df.collect {
+      case (h, c) if c.toDouble > math.max(5.0, n * 0.01) => h }.toSet
+    raw.map { case (id, s) => id -> (s -- hot) }
+  }
+
+  test("p91: Levenshtein + normalized similarity on the Jaccard>=0.3 front equals plain Scala") {
+    val texts = corpus.map(d => d._1 -> d._2).toMap
+    val expected = (for {
+      (a, sa) <- shingleSets.toSeq; (b, sb) <- shingleSets.toSeq
+      if a < b
+      inter = (sa & sb).size if inter > 0
+      jr = r6(inter.toDouble / (sa.size + sb.size - inter)) if jr >= 0.3
+    } yield {
+      val (ta, tb) = (texts(a), texts(b))
+      val lv = lev(ta, tb)
+      (a, b, jr, lv.toLong, r6(1.0 - lv.toDouble / math.max(ta.length, tb.length)))
+    }).sortBy(p => (p._1, p._2))
+    val got = SparkEntry.queries("p91_edit_similarity")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected, s"${got.take(3)} vs ${expected.take(3)}")
+    assert(expected.nonEmpty) // the family must actually exercise the kernel
+  }
+
+  test("p92: the five percentiles equal plain sorted order statistics") {
+    val lens = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("n_chars").collect().map(_.getLong(0)).sorted
+    val n = lens.length.toLong
+    val expected = Seq(25, 50, 75, 90, 99).map { pct =>
+      // smallest v with count(<= v) * 100 >= pct * n == the
+      // ceil(pct*n/100)-th order statistic
+      val k = (pct * n + 99) / 100
+      (pct, lens(k.toInt - 1), n)
+    }
+    val got = SparkEntry.queries("p92_exact_quantiles")(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, s"$got vs $expected")
+  }
+
+  /** Plain-Scala Flesch metrics in p82's exact arithmetic: (fre_r, fre_s). */
+  private def flesch(text: String): (Double, Long) = {
+    val words = toks(text).length.toLong
+    val sentences = math.max(1, "[.!?]+".r.findAllIn(text).size).toLong
+    val syll = "[aeiouy]+".r.findAllIn(text.toLowerCase).size.toLong
+    val fre = 206.835 - 1.015 * (words.toDouble / sentences) -
+      84.6 * (syll.toDouble / words)
+    (r6(fre), new java.math.BigDecimal(fre * 1000000.0)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())
+  }
+
+  test("p93: threshold is the ceil((n_cal+1)/4)-th smallest calibration bucket; admits match") {
+    def hexDigit(id: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      (d(0) >> 4) & 0xf
+    }
+    val meta = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val scored = meta.map { case (id, src, text) =>
+      val q = math.min(1023, math.max(0,
+        math.floor((flesch(text)._1 + 100.0) * 4.0).toInt))
+      (id, src, q, hexDigit(id) < 8)
+    }
+    val cal = scored.filter(_._4).map(_._3).sorted
+    val k = ((cal.length + 1) + 3) / 4 // ceil((n_cal+1)/4)
+    val thr = cal(k - 1)
+    val test0 = scored.filterNot(_._4)
+    val expected = test0.groupBy(_._2).map { case (src, g) =>
+      (src, thr, g.length.toLong, g.count(_._3 >= thr).toLong)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("p93_conformal_gate")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected, s"$got vs $expected")
+    // the split-conformal bound: miscoverage on the test side should not
+    // wildly exceed alpha = 1/4 (quantization only ADMITS more via ties)
+    val admitted = got.map(_._4).sum.toDouble / got.map(_._3).sum
+    assert(admitted >= 0.7, s"admit rate $admitted")
+  }
+
+  test("p94: two-proportion z on first-event conversion equals the plain formula") {
+    val ev = graft.queries.Q.t(spark, sf0001, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+    val firsts = ev.groupBy(_._1).toSeq.map { case (u, rows) =>
+      val f = rows.minBy(r => (r._2, r._3))
+      (u % 2, if (f._4 == "purchase") 1L else 0L)
+    }
+    val byArm = firsts.groupBy(_._1).map { case (v, g) =>
+      v -> ((g.size.toLong, g.map(_._2).sum)) }
+    val (n0, c0) = byArm(0); val (n1, c1) = byArm(1)
+    val p0 = c0.toDouble / n0; val p1 = c1.toDouble / n1
+    val pp = (c0 + c1).toDouble / (n0 + n1)
+    val invn = (n0 + n1).toDouble / (n0 * n1).toDouble
+    val z = r6((p0 - p1) / math.sqrt((pp * (1.0 - pp)) * invn))
+    val row = SparkEntry.queries("p94_ab_ztest")(spark, sf0001).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ==
+      ((n0, c0, n1, c1)))
+    assert(row.getDouble(6) == z, s"${row.getDouble(6)} vs $z")
+    assert(row.getBoolean(7) == (math.abs(z) >= 1.959964))
+  }
+
+  test("p95: per-doc top-3 tf-idf keywords equal plain Scala (sln idf, tie -> token asc)") {
+    val n = corpus.size.toLong
+    val docToks = corpus.map { case (id, text, _) => id -> toks(text).toSeq }
+    val df = docToks.flatMap { case (_, ts) => ts.distinct }
+      .groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    val expected = docToks.flatMap { case (id, ts) =>
+      val tf = ts.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+      tf.toSeq.map { case (t, f) =>
+        (id, t, f, df(t), f * (sln(n + 1) - sln(df(t) + 1)))
+      }.sortBy { case (_, t, _, _, s) => (-s, t) }.take(3).zipWithIndex
+        .map { case ((i, t, f, d0, s), r) => (i, r + 1, t, f, d0, s) }
+    }.sortBy(p => (p._1, p._2))
+    val got = SparkEntry.queries("p95_tfidf_keywords")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected, s"${got.take(4)} vs ${expected.take(4)}")
+  }
+
+  test("p96: Cohen's kappa between the p09 and Flesch raters equals plain Scala") {
+    val rated = corpus.map { case (_, text, _) =>
+      val nt = toks(text).length
+      val atl = text.replace(" ", "").length.toDouble / nt
+      val pr = (text.length -
+        text.replaceAll("[A-Za-z0-9 ]", "").length).toDouble / text.length
+      val q = (if (nt >= 5 && nt <= 1000) 0.4 else 0.0) +
+        (if (atl >= 3.0 && atl <= 10.0) 0.3 else 0.0) +
+        (if (pr < 0.1) 0.3 else 0.0)
+      (q >= 0.7, flesch(text)._2 >= 50000000L)
+    }
+    val n = rated.size.toLong
+    val n11 = rated.count(r => r._1 && r._2).toLong
+    val n10 = rated.count(r => r._1 && !r._2).toLong
+    val n01 = rated.count(r => !r._1 && r._2).toLong
+    val n00 = rated.count(r => !r._1 && !r._2).toLong
+    val po = (n11 + n00).toDouble / n
+    val pa1 = (n11 + n10).toDouble / n
+    val pb1 = (n11 + n01).toDouble / n
+    val pe = (pa1 * pb1) + ((1.0 - pa1) * (1.0 - pb1))
+    val kappa = r6((po - pe) / (1.0 - pe))
+    val row = SparkEntry.queries("p96_rater_kappa")(spark, sf0001).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4)) == ((n, n11, n10, n01, n00)))
+    assert(row.getDouble(5) == po && row.getDouble(6) == kappa,
+      s"(${row.getDouble(5)}, ${row.getDouble(6)}) vs ($po, $kappa)")
+    // both raters fire on a nontrivial slice — the kappa is meaningful
+    assert(n11 + n10 > 0 && n11 + n01 > 0)
+  }
+
+  test("p97/p97b: hash-order k-samples equal plain md5-hex ordering") {
+    def hk(id: Long): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s"ks:$id".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    val meta = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expGlobal = meta.map { case (id, src) => (id, src, hk(id)) }
+      .sortBy(_._3).take(20).toSeq
+    val gotGlobal = SparkEntry.queries("p97_uniform_ksample")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(gotGlobal == expGlobal)
+    val expStrat = meta.groupBy(_._2).toSeq.flatMap { case (src, g) =>
+      g.map { case (id, _) => (id, hk(id)) }.sortBy(_._2).take(3).zipWithIndex
+        .map { case ((id, h), i) => (src, i + 1, id, h) }
+    }.sortBy(p => (p._1, p._2))
+    val gotStrat = SparkEntry.queries("p97b_stratified_ksample")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getString(3))).toSeq
+    assert(gotStrat == expStrat)
+  }
+
+  test("p98: Welch t and df on purchase values equal the plain decimal-exact formula") {
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    val ev = graft.queries.Q.t(spark, sf0001, "events")
+      .select("user_id", "event_type", "value").collect()
+      .filter(_.getString(1) == "purchase")
+      .map(r => (r.getLong(0) % 2, JBD.valueOf(r.getDouble(2))
+        .setScale(2, RM.HALF_UP)))
+    val byArm = ev.groupBy(_._1).map { case (v, g) =>
+      val sv = g.map(_._2).reduce(_.add(_))
+      val sv2 = g.map(x => x._2.multiply(x._2)).reduce(_.add(_))
+      v -> ((g.size.toLong, sv.doubleValue, sv2.doubleValue))
+    }
+    def stats(n: Long, sv: Double, sv2: Double): (Double, Double) = {
+      val m = sv / n
+      val s2 = (sv2 - (sv * sv) / n) / (n - 1)
+      (m, s2 / n)
+    }
+    val (n0, sv0, sv20) = byArm(0); val (n1, sv1, sv21) = byArm(1)
+    val (m0, vn0) = stats(n0, sv0, sv20); val (m1, vn1) = stats(n1, sv1, sv21)
+    val se2 = vn0 + vn1
+    val t = r6((m0 - m1) / math.sqrt(se2))
+    val dfw = r6((se2 * se2) /
+      ((vn0 * vn0) / (n0 - 1) + (vn1 * vn1) / (n1 - 1)))
+    val row = SparkEntry.queries("p98_welch_ttest")(spark, sf0001).collect().head
+    assert((row.getLong(0), row.getLong(1)) == ((n0, n1)))
+    assert((row.getDouble(2), row.getDouble(3)) == ((r6(m0), r6(m1))))
+    assert((row.getDouble(4), row.getDouble(5)) == ((t, dfw)),
+      s"(${row.getDouble(4)}, ${row.getDouble(5)}) vs ($t, $dfw)")
+  }
+}

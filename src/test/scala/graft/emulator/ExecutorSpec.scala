@@ -1376,7 +1376,9 @@ class ExecutorSpec extends AnyFunSuite {
       "EXACT_DEDUP" -> "p01_dedup_exact",
       "BM25_TOPK" -> "p29_bm25_topk",
       "CORPUS_FILTER" -> "p17_corpus_filter",
-      "LM_PERPLEXITY" -> "p53_lm_perplexity")
+      "LM_PERPLEXITY" -> "p53_lm_perplexity",
+      "EXACT_QUANTILES" -> "p92_exact_quantiles",
+      "TFIDF_KEYWORDS" -> "p95_tfidf_keywords")
     cases.foreach { case (fn, entry) =>
       val wire = exec(s"SELECT COUNT(*) AS n FROM TABLE($fn())").rows.head.head
       val batch = graft.SparkEntry.queries(entry)(spark, dir).count()

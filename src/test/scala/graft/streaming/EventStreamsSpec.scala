@@ -881,6 +881,50 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming conformal gate reproduces batch p93's threshold and admits; zero state") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("p93_conformal_gate")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val thr = batch.values.head._1
+    val meta = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.conformalGateStream(spark, dir,
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("conformal_gate")
+      .outputMode("append").start()
+    try {
+      input.addData(meta.map(d => (d._1, d._3)))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, thr, admitted FROM conformal_gate")
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+      assert(got.size == meta.size)
+      got.values.foreach { case (t, _) => assert(t == thr, s"$t vs batch $thr") }
+      // over the TEST half (p93's md5 split re-derived independently),
+      // the streamed admit flags aggregate to exactly p93's per-source rows
+      def calSide(id: Long): Boolean = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+        ((d(0) >> 4) & 0xf) < 8
+      }
+      val gotBySource = meta.filterNot(d => calSide(d._1)).groupBy(_._2)
+        .map { case (src, g) =>
+          src -> ((thr, g.size.toLong, g.count(d => got(d._1)._2).toLong)) }
+      assert(gotBySource == batch,
+        s"${gotBySource.toSeq.sortBy(_._1).take(3)} vs ${batch.toSeq.sortBy(_._1).take(3)}")
+      // conformal bound sanity: the gate admits most of the stream
+      assert(got.values.count(_._2) * 4 >= got.size * 3 - got.size / 10)
+      // and the gate's query plan holds no state stores
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
   test("streaming excess-loss gate scores bit-identical to batch p87") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
