@@ -767,7 +767,10 @@ final class Executor(
     "RATER_KAPPA" -> "p96_rater_kappa",
     "UNIFORM_KSAMPLE" -> "p97_uniform_ksample",
     "STRATIFIED_KSAMPLE" -> "p97b_stratified_ksample",
-    "WELCH_TTEST" -> "p98_welch_ttest")
+    "WELCH_TTEST" -> "p98_welch_ttest",
+    "EVENT_TRANSITIONS" -> "p99_event_transitions",
+    "RFM_SEGMENTS" -> "p100_rfm_segments",
+    "PMI_COLLOCATIONS" -> "p101_pmi_collocations")
 
   /** Match only the OPENING of a pipeline table-function call; the
     * argument span is found by a quote-aware paren scan (a ')' inside a

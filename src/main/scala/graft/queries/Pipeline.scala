@@ -9330,7 +9330,164 @@ $duckPcaDeflateCtes,
         SELECT n0, n1, round(m0, 6) AS m0_r, round(m1, 6) AS m1_r,
           round((m0 - m1) / sqrt(se2), 6) AS t_r,
           round((se2 * se2) / ((vn0 * vn0) / (n0 - 1) + (vn1 * vn1) / (n1 - 1)), 6) AS df_r
-        FROM w"""))
+        FROM w""")),
+
+    // ---- first-order event-transition matrix (p99): the user-journey
+    // Markov view product analytics builds on — P(next event | current)
+    // from consecutive per-user event pairs. ONE user-keyed window
+    // shuffle produces the lead pairs; everything after is bounded by
+    // |event_type|² (25 cells here), so the normalizing join broadcasts
+    // at any corpus size. Counts exact BIGINT; the readout division is
+    // one mirrored float op. ---------------------------------------------
+    QDef("p99_event_transitions",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val trans = t(s, dir, "events")
+          .withColumn("nxt", lead(col("event_type"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .groupBy(col("event_type").as("cur"), col("nxt"))
+          .agg(count(lit(1)).as("n"))
+        val tot = trans.groupBy(col("cur")).agg(sum(col("n")).as("n_cur"))
+        trans.join(broadcast(tot), "cur")
+          .withColumn("p_r", round(col("n").cast("double") / col("n_cur"), 6))
+          .select(col("cur"), col("nxt"), col("n"), col("n_cur"), col("p_r"))
+          .orderBy(col("cur"), col("nxt"))
+      },
+      Some("""WITH sq AS (
+          SELECT user_id, event_type,
+            LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+          FROM events),
+        tr AS (SELECT event_type AS cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+          FROM sq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        tt AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS n_cur FROM tr GROUP BY 1)
+        SELECT tr.cur, tr.nxt, tr.n, tt.n_cur,
+          round(CAST(tr.n AS DOUBLE) / tt.n_cur, 6) AS p_r
+        FROM tr JOIN tt ON tt.cur = tr.cur ORDER BY tr.cur, tr.nxt""")),
+
+    // ---- RFM segmentation (p100): the classic recency / frequency /
+    // monetary customer grading, each dimension cut into exact tertiles
+    // by p92's discipline — NO ntile (a single-reducer global sort at
+    // scale): each dimension quantizes to a BOUNDED integer domain first
+    // (days since last event; event count; whole-unit spend — floor of
+    // the exact DECIMAL sum), then the two tertile boundaries read off a
+    // cumulative sum over the distinct-value table and broadcast back.
+    // score = 1 + (v > b1) + (v > b2) per dimension (3 = top third by
+    // VALUE order; recency scores read low = recent). One user-keyed
+    // aggregation; three bounded cumsums; exact integers end to end. ----
+    QDef("p100_rfm_segments",
+      (s, dir) => {
+        val maxTs = t(s, dir, "events").agg(max(col("ts")).as("mx"))
+        val rfm = t(s, dir, "events").crossJoin(broadcast(maxTs))
+          .groupBy(col("user_id"))
+          .agg(
+            datediff(max(col("mx")), max(col("ts"))).cast("bigint").as("rec"),
+            count(lit(1)).as("freq"),
+            floor(sum(when(col("event_type") === "purchase",
+              d(col("value"))).otherwise(lit(0).cast("decimal(12,2)"))))
+              .cast("bigint").as("mon"))
+        def cuts(dim: String): DataFrame = {
+          val h = rfm.groupBy(col(dim).as("v")).agg(count(lit(1)).as("n"))
+          val cum = h.withColumn("cum", sum(col("n")).over(Window.orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          val nu = rfm.agg(count(lit(1)).as("nu"))
+          cum.crossJoin(broadcast(nu)).agg(
+            min(when(col("cum") * 3 >= col("nu"), col("v"))).as(s"${dim}_b1"),
+            min(when(col("cum") * 3 >= col("nu") * 2, col("v"))).as(s"${dim}_b2"))
+        }
+        def score(dim: String): org.apache.spark.sql.Column =
+          (lit(1) + when(col(dim) > col(s"${dim}_b1"), 1).otherwise(0) +
+            when(col(dim) > col(s"${dim}_b2"), 1).otherwise(0)).cast("int")
+        rfm.crossJoin(broadcast(cuts("rec")))
+          .crossJoin(broadcast(cuts("freq")))
+          .crossJoin(broadcast(cuts("mon")))
+          .withColumn("r_score", score("rec"))
+          .withColumn("f_score", score("freq"))
+          .withColumn("m_score", score("mon"))
+          .withColumn("segment", concat(lit("R"), col("r_score"),
+            lit("F"), col("f_score"), lit("M"), col("m_score")))
+          .select(col("user_id"), col("rec"), col("freq"), col("mon"),
+            col("r_score"), col("f_score"), col("m_score"), col("segment"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH mx AS (SELECT MAX(ts) AS mx FROM events),
+        rfm AS (
+          SELECT user_id,
+            CAST(date_diff('day', CAST(MAX(ts) AS DATE), CAST(MAX(mx.mx) AS DATE)) AS BIGINT) AS rec,
+            CAST(COUNT(*) AS BIGINT) AS freq,
+            CAST(floor(SUM(CASE WHEN event_type = 'purchase'
+              THEN CAST(CAST(value AS DOUBLE) AS DECIMAL(12,2))
+              ELSE CAST(0 AS DECIMAL(12,2)) END)) AS BIGINT) AS mon
+          FROM events, mx GROUP BY 1),
+        nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM rfm),
+        rc AS (SELECT v, CAST(SUM(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM (SELECT rec AS v, CAST(COUNT(*) AS BIGINT) AS n FROM rfm GROUP BY 1)),
+        rb AS (SELECT MIN(CASE WHEN cum * 3 >= nu THEN v END) AS b1,
+            MIN(CASE WHEN cum * 3 >= nu * 2 THEN v END) AS b2 FROM rc, nu),
+        fc AS (SELECT v, CAST(SUM(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM (SELECT freq AS v, CAST(COUNT(*) AS BIGINT) AS n FROM rfm GROUP BY 1)),
+        fb AS (SELECT MIN(CASE WHEN cum * 3 >= nu THEN v END) AS b1,
+            MIN(CASE WHEN cum * 3 >= nu * 2 THEN v END) AS b2 FROM fc, nu),
+        mc AS (SELECT v, CAST(SUM(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM (SELECT mon AS v, CAST(COUNT(*) AS BIGINT) AS n FROM rfm GROUP BY 1)),
+        mb AS (SELECT MIN(CASE WHEN cum * 3 >= nu THEN v END) AS b1,
+            MIN(CASE WHEN cum * 3 >= nu * 2 THEN v END) AS b2 FROM mc, nu),
+        sc AS (SELECT r.user_id, r.rec, r.freq, r.mon,
+            CAST(1 + (CASE WHEN r.rec > rb.b1 THEN 1 ELSE 0 END)
+              + (CASE WHEN r.rec > rb.b2 THEN 1 ELSE 0 END) AS INTEGER) AS r_score,
+            CAST(1 + (CASE WHEN r.freq > fb.b1 THEN 1 ELSE 0 END)
+              + (CASE WHEN r.freq > fb.b2 THEN 1 ELSE 0 END) AS INTEGER) AS f_score,
+            CAST(1 + (CASE WHEN r.mon > mb.b1 THEN 1 ELSE 0 END)
+              + (CASE WHEN r.mon > mb.b2 THEN 1 ELSE 0 END) AS INTEGER) AS m_score
+          FROM rfm r, rb, fb, mb)
+        SELECT user_id, rec, freq, mon, r_score, f_score, m_score,
+          'R' || r_score || 'F' || f_score || 'M' || m_score AS segment
+        FROM sc ORDER BY user_id""")),
+
+    // ---- PMI collocations (p101): the standard collocation-extraction
+    // score (Church & Hanks 1990) over adjacent-token bigrams —
+    // PMI = ln(c12·N1² / (N2·c1·c2)), assembled ENTIRELY from sln
+    // integer logs of exact counts ([sln(c12)+2·sln(N1)] −
+    // [sln(N2)+sln(c1)+sln(c2)]), so ranking needs no float at all.
+    // Unigram/bigram tables are vocabulary-bounded and broadcast; the
+    // only corpus-scaled work is the two counting aggregations; top-25
+    // (min support 5) is TakeOrderedAndProject. ---------------------------
+    QDef("p101_pmi_collocations",
+      (s, dir) => {
+        val toks = docs(s, dir)
+          .select(explode(split(col("text"), " ")).as("w"))
+        val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val n1 = toks.agg(count(lit(1)).as("n1"))
+        val bg = docBigrams(s, dir)
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        val n2 = docBigrams(s, dir).agg(count(lit(1)).as("n2"))
+        bg.filter(col("c12") >= 5)
+          .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+          .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+          .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+          .withColumn("pmi_s",
+            expr(s"(${sln("c12")} + 2 * ${sln("n1")}) - " +
+              s"(${sln("n2")} + ${sln("c1")} + ${sln("c2")})"))
+          .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+            col("pmi_s"))
+          .orderBy(col("pmi_s").desc, col("w1"), col("w2"))
+          .limit(25)
+      },
+      Some(s"""WITH tk AS (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tk GROUP BY 1),
+        n1t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1 FROM tk),
+        $duckBigrams,
+        bgc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+          FROM bg GROUP BY 1, 2),
+        n2t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n2 FROM bg)
+        SELECT bgc.w1, bgc.w2, bgc.c12, u1.c AS c1, u2.c AS c2,
+          ((${sln("bgc.c12")} + 2 * ${sln("n1")}) -
+            (${sln("n2")} + ${sln("u1.c")} + ${sln("u2.c")})) AS pmi_s
+        FROM bgc JOIN uni u1 ON u1.w = bgc.w1 JOIN uni u2 ON u2.w = bgc.w2,
+          n1t, n2t
+        WHERE bgc.c12 >= 5
+        ORDER BY pmi_s DESC, w1, w2 LIMIT 25"""))
   )
 
   // ---- helpers for the p87 excess-loss family --------------------------

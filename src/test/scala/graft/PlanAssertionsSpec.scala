@@ -403,4 +403,25 @@ class PlanAssertionsSpec extends AnyFunSuite {
       assert(!p.contains("SortMergeJoin"), s"$n plans a SortMergeJoin at sf0.1:\n$p")
     }
   }
+
+  test("r13 stats family plan shapes: broadcast df, per-doc windows, heap top-k") {
+    // p95: the vocabulary-bounded df side broadcasts into the corpus tf
+    // scan — never a corpus-keyed sort-merge — and the top-k window
+    // partitions BY DOCUMENT (no single-reducer global sort)
+    val p95 = plan("p95_tfidf_keywords")
+    assert(!p95.contains("SortMergeJoin"),
+      s"p95 df join must broadcast:\n$p95")
+    assert(p95.contains("BroadcastHashJoin") || p95.contains("BroadcastExchange"),
+      s"p95 df join must broadcast:\n$p95")
+    // p97: exact-k sampling is the distributed top-k — per-partition
+    // heaps merged at k, not a global sort feeding a limit
+    val p97 = plan("p97_uniform_ksample")
+    assert(p97.contains("TakeOrderedAndProject"),
+      s"p97 must plan TakeOrderedAndProject:\n$p97")
+    // p91: the Levenshtein kernel runs on broadcast-front joins — the
+    // corpus text scan must never shuffle for the pair attach
+    val p91 = plan("p91_edit_similarity")
+    assert(!p91.contains("SortMergeJoin"),
+      s"p91 text joins must broadcast the pair front:\n$p91")
+  }
 }

@@ -200,6 +200,88 @@ class StatsFamilySpec extends SparkSpecBase with PlainScalaFixtures {
     assert(gotStrat == expStrat)
   }
 
+  test("p99: the transition matrix equals plain consecutive-pair counting; rows sum to 1") {
+    val ev = graft.queries.Q.t(spark, sf0001, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+    val pairs = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val s = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      s.zip(s.tail)
+    }
+    val counts = pairs.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val totals = counts.groupBy(_._1._1).map { case (c, g) => c -> g.values.sum }
+    val expected = counts.toSeq.map { case ((c, nx), n) =>
+      (c, nx, n, totals(c), r6(n.toDouble / totals(c)))
+    }.sortBy(p => (p._1, p._2))
+    val got = SparkEntry.queries("p99_event_transitions")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected, s"${got.take(3)} vs ${expected.take(3)}")
+    // each cur row's probabilities sum to ~1 (6dp rounding slack)
+    got.groupBy(_._1).foreach { case (c, rows) =>
+      assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-4, c)
+    }
+  }
+
+  test("p100: RFM scores equal plain tertile cuts; every score in 1..3") {
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    val ev = graft.queries.Q.t(spark, sf0001, "events")
+      .select("user_id", "ts", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getDouble(3)))
+    val maxDay = ev.map(_._2.toLocalDateTime.toLocalDate).maxBy(_.toEpochDay)
+    val rfm = ev.groupBy(_._1).toSeq.map { case (u, rows) =>
+      val rec = maxDay.toEpochDay -
+        rows.map(_._2.toLocalDateTime.toLocalDate.toEpochDay).max
+      val mon = rows.filter(_._3 == "purchase")
+        .map(r => JBD.valueOf(r._4).setScale(2, RM.HALF_UP))
+        .foldLeft(JBD.ZERO)(_.add(_))
+        .setScale(0, RM.FLOOR).longValueExact()
+      (u, rec, rows.size.toLong, mon)
+    }
+    def cuts(vs: Seq[Long]): (Long, Long) = {
+      val sorted = vs.sorted; val n = vs.size
+      def b(mult: Int) = sorted((n * mult + 2) / 3 - 1) // smallest v with cnt*3 >= n*mult
+      (b(1), b(2))
+    }
+    val (rb1, rb2) = cuts(rfm.map(_._2))
+    val (fb1, fb2) = cuts(rfm.map(_._3))
+    val (mb1, mb2) = cuts(rfm.map(_._4))
+    def sc(v: Long, b1: Long, b2: Long): Int =
+      1 + (if (v > b1) 1 else 0) + (if (v > b2) 1 else 0)
+    val expected = rfm.map { case (u, r, f, m) =>
+      val (rs, fs, ms) = (sc(r, rb1, rb2), sc(f, fb1, fb2), sc(m, mb1, mb2))
+      (u, r, f, m, rs, fs, ms, s"R${rs}F${fs}M$ms")
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("p100_rfm_segments")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getString(7))).toSeq
+    assert(got == expected, s"${got.take(3)} vs ${expected.take(3)}")
+    got.foreach { r =>
+      assert(r._5 >= 1 && r._5 <= 3 && r._6 >= 1 && r._6 <= 3 &&
+        r._7 >= 1 && r._7 <= 3, r.toString)
+    }
+  }
+
+  test("p101: PMI collocations equal the plain sln-integer ranking") {
+    val allToks = corpus.flatMap(d => toks(d._2))
+    val n1 = allToks.size.toLong
+    val uni = allToks.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val allBg = corpus.flatMap(d => bigrams(d._2))
+    val n2 = allBg.size.toLong
+    val expected = allBg.groupBy(identity).toSeq
+      .map { case ((w1, w2), g) => (w1, w2, g.size.toLong) }
+      .filter(_._3 >= 5)
+      .map { case (w1, w2, c12) =>
+        (w1, w2, c12, uni(w1), uni(w2),
+          (sln(c12) + 2 * sln(n1)) - (sln(n2) + sln(uni(w1)) + sln(uni(w2))))
+      }.sortBy { case (w1, w2, _, _, _, s) => (-s, w1, w2) }.take(25)
+    val got = SparkEntry.queries("p101_pmi_collocations")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected, s"${got.take(3)} vs ${expected.take(3)}")
+    assert(got.nonEmpty)
+  }
+
   test("p98: Welch t and df on purchase values equal the plain decimal-exact formula") {
     import java.math.{BigDecimal => JBD, RoundingMode => RM}
     val ev = graft.queries.Q.t(spark, sf0001, "events")
