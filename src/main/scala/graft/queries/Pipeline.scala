@@ -8871,8 +8871,17 @@ $duckPcaDeflateCtes,
     // row_number() sorts. ----------------------------------------------
     QDef("p90b_fusion_sketch",
       (s, dir) => {
-        val sk = bordaSketch(s, dir)
-        val ex = fusionExact(s, dir).select(col("doc_id"), col("kept"))
+        // the sketch AND exact sides both consume all three signal
+        // frames; the LR-scored front in particular is a corpus pass.
+        // Materialize each slim (doc_id, signal) frame ONCE (eager
+        // localCheckpoint — the p81/p85 recompute-count discipline) so
+        // the agreement measurement pays each signal's corpus work once,
+        // not twice.
+        val (q0, l0, f0) = fusionSignals(s, dir)
+        val sig = Some((q0.localCheckpoint(true), l0.localCheckpoint(true),
+          f0.localCheckpoint(true)))
+        val sk = bordaSketch(s, dir, sig)
+        val ex = fusionExact(s, dir, sig).select(col("doc_id"), col("kept"))
         sk.join(ex, "doc_id")
           .groupBy(col("cut_bucket"))
           .agg(
@@ -9580,8 +9589,9 @@ $duckPcaDeflateCtes,
     * (doc_id ties), integer rank sum, kept = top quarter by (borda,
     * doc_id). The global sorts are the validation-scale convenience —
     * p90b is the histogram form that replaces them at 100 TB. */
-  private def fusionExact(s: SparkSession, dir: String): DataFrame = {
-    val (q, l, f) = fusionSignals(s, dir)
+  private def fusionExact(s: SparkSession, dir: String,
+      sig: Option[(DataFrame, DataFrame, DataFrame)] = None): DataFrame = {
+    val (q, l, f) = sig.getOrElse(fusionSignals(s, dir))
     def rk(d: DataFrame, c: String, as: String): DataFrame =
       d.withColumn(as, row_number()
         .over(Window.orderBy(col(c), col("doc_id"))).cast("bigint"))
@@ -9610,8 +9620,9 @@ $duckPcaDeflateCtes,
     * per-doc work is embarrassingly parallel; the only synchronization
     * is three ≤1024-row histogram aggregates plus one more for the
     * cut. */
-  private[graft] def bordaSketch(s: SparkSession, dir: String): DataFrame = {
-    val (q, l, f) = fusionSignals(s, dir)
+  private[graft] def bordaSketch(s: SparkSession, dir: String,
+      sig: Option[(DataFrame, DataFrame, DataFrame)] = None): DataFrame = {
+    val (q, l, f) = sig.getOrElse(fusionSignals(s, dir))
     def hrank(d: DataFrame, bucketExpr: String, as: String): DataFrame = {
       val b = d.withColumn("b", expr(bucketExpr)).select(col("doc_id"), col("b"))
       val hb = b.groupBy(col("b")).agg(count(lit(1)).as("n"))
