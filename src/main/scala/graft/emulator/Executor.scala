@@ -770,7 +770,8 @@ final class Executor(
     "WELCH_TTEST" -> "p98_welch_ttest",
     "EVENT_TRANSITIONS" -> "p99_event_transitions",
     "RFM_SEGMENTS" -> "p100_rfm_segments",
-    "PMI_COLLOCATIONS" -> "p101_pmi_collocations")
+    "PMI_COLLOCATIONS" -> "p101_pmi_collocations",
+    "WEIGHTED_KSAMPLE" -> "p102_weighted_ksample")
 
   /** Match only the OPENING of a pipeline table-function call; the
     * argument span is found by a quote-aware paren scan (a ')' inside a

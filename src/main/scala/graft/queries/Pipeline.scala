@@ -9496,7 +9496,45 @@ $duckPcaDeflateCtes,
         FROM bgc JOIN uni u1 ON u1.w = bgc.w1 JOIN uni u2 ON u2.w = bgc.w2,
           n1t, n2t
         WHERE bgc.c12 >= 5
-        ORDER BY pmi_s DESC, w1, w2 LIMIT 25"""))
+        ORDER BY pmi_s DESC, w1, w2 LIMIT 25""")),
+
+    // ---- weighted exact-k sampling (p102): Efraimidis-Spirakis A-ES —
+    // keep the k items with the largest u^(1/w), which is EXACTLY a
+    // weight-proportional sample without replacement — derandomized:
+    // u = (h16+1)/65537 from p61's 16-bit md5 idiom, and the sort key
+    // is ln(u)/w (same argmax as u^(1/w)) assembled from sln integer
+    // logs of exact integers — lnu_s = sln(h16+1) − sln(65537), an
+    // exact BIGINT — with ONE IEEE-exact double division by the weight.
+    // Weight = document length (longer docs proportionally likelier).
+    // Plans as TakeOrderedAndProject (per-partition heaps) — the same
+    // no-global-sort shape as p97, now weight-aware. -------------------
+    QDef("p102_weighted_ksample",
+      (s, dir) => {
+        val h16 = (1 to 4).map(i =>
+          s"(instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), $i, 1)) - 1)")
+          .reduce((a, b) => s"($a * 16 + $b)")
+        docs(s, dir)
+          .withColumn("lnu_s", expr(s"${sln(s"$h16 + 1")} - ${sln("65537")}"))
+          .withColumn("key", col("lnu_s").cast("double") / col("n_chars"))
+          .orderBy(col("key").desc, col("doc_id")).limit(20)
+          .select(col("doc_id"), col("n_chars"), col("lnu_s"),
+            round(col("key"), 6).as("key_r"))
+          .orderBy(col("key_r").desc, col("doc_id"))
+      },
+      Some {
+        val h16 = (1 to 4).map(i =>
+          s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)")
+          .reduce((a, b) => s"($a * 16 + $b)")
+        s"""WITH k AS (
+          SELECT doc_id, n_chars,
+            (${sln(s"$h16 + 1")} - ${sln("65537")}) AS lnu_s
+          FROM documents),
+        t AS (SELECT doc_id, n_chars, lnu_s,
+            CAST(lnu_s AS DOUBLE) / n_chars AS key
+          FROM k ORDER BY key DESC, doc_id LIMIT 20)
+        SELECT doc_id, n_chars, lnu_s, round(key, 6) AS key_r
+        FROM t ORDER BY key_r DESC, doc_id"""
+      })
   )
 
   // ---- helpers for the p87 excess-loss family --------------------------

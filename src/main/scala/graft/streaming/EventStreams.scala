@@ -37,6 +37,45 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total"))
 
+  /** Streaming A/B experiment monitor — the in-flight sibling of batch
+    * p94: per event-time hour (1-hour watermark), the two-proportion z
+    * between the deterministic user-parity variants on EVENT-level
+    * conversion (is this event a purchase — the per-user first-event
+    * unit of batch p94 needs cross-event state; the windowed monitor
+    * trades to the stateless unit and documents it). ONE windowed
+    * aggregation with conditional sums — two variants live in the same
+    * row, so no second stateful stage and no stream-stream join; state
+    * is one row per open window. z arithmetic is p94's exact tree
+    * (counts exact, ÷/sqrt IEEE-exact, (n0+n1)/(n0·n1) single division
+    * tree, NULL z when a window's pooled variance is zero). Emits
+    * (hour, n0, c0, n1, c1, z_r, significant) on window close. */
+  def abMonitorStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(
+        sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("user_id") % 2 === 0 &&
+          col("event_type") === "purchase", 1L).otherwise(0L)).as("c0"),
+        sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("user_id") % 2 === 1 &&
+          col("event_type") === "purchase", 1L).otherwise(0L)).as("c1"))
+      .withColumn("z_r",
+        when(col("n0") > 0 && col("n1") > 0 &&
+             col("c0") + col("c1") > 0 &&
+             col("c0") + col("c1") < col("n0") + col("n1"),
+          round((col("c0").cast("double") / col("n0") -
+                 col("c1").cast("double") / col("n1")) /
+            sqrt((((col("c0") + col("c1")).cast("double") /
+                   (col("n0") + col("n1"))) *
+                  (lit(1.0) - (col("c0") + col("c1")).cast("double") /
+                   (col("n0") + col("n1")))) *
+                 ((col("n0") + col("n1")).cast("double") /
+                  (col("n0") * col("n1")).cast("double"))), 6)))
+      .withColumn("significant", abs(col("z_r")) >= 1.959964)
+      .select(col("window.start").as("hour"), col("n0"), col("c0"),
+        col("n1"), col("c1"), col("z_r"), col("significant"))
+
   /** Sliding-window rate (10-minute windows every 5), watermark-bounded. */
   def slidingRate(events: DataFrame): DataFrame =
     events

@@ -282,6 +282,33 @@ class StatsFamilySpec extends SparkSpecBase with PlainScalaFixtures {
     assert(got.nonEmpty)
   }
 
+  test("p102: the weighted k-sample equals the plain Efraimidis-Spirakis key order") {
+    def h16(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 4), 16)
+    }
+    val meta = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val keyed = meta.map { case (id, nc) =>
+      val lnuS = sln(h16(id) + 1) - sln(65537L)
+      (id, nc, lnuS, lnuS.toDouble / nc)
+    }
+    val expected = keyed.sortBy { case (id, _, _, k) => (-k, id) }.take(20)
+      .map { case (id, nc, lnuS, k) => (id, nc, lnuS, r6(k)) }
+      .sortBy { case (id, _, _, kr) => (-kr, id) }.toSeq
+    val got = SparkEntry.queries("p102_weighted_ksample")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected, s"${got.take(3)} vs ${expected.take(3)}")
+    // heavier docs are overrepresented vs the uniform sample: the mean
+    // sampled length exceeds the corpus mean (the weighting is real)
+    val corpusMean = meta.map(_._2).sum.toDouble / meta.length
+    val sampleMean = got.map(_._2).sum.toDouble / got.size
+    assert(sampleMean > corpusMean, s"$sampleMean <= $corpusMean")
+  }
+
   test("p98: Welch t and df on purchase values equal the plain decimal-exact formula") {
     import java.math.{BigDecimal => JBD, RoundingMode => RM}
     val ev = graft.queries.Q.t(spark, sf0001, "events")

@@ -57,6 +57,48 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming A/B monitor: windowed z equals the plain formula; degenerate window NULL") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    def r6(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val input = MemoryStream[EventStreams.Event]
+    // hour 10:00 — variant 0 = even user ids: n0=3 c0=1; variant 1: n1=4 c1=1
+    input.addData(
+      EventStreams.Event(1, ts(5), 100, "purchase", 1.0),
+      EventStreams.Event(2, ts(6), 100, "click", 1.0),
+      EventStreams.Event(3, ts(7), 102, "click", 1.0),
+      EventStreams.Event(4, ts(8), 101, "purchase", 1.0),
+      EventStreams.Event(5, ts(9), 103, "click", 1.0),
+      EventStreams.Event(6, ts(10), 101, "click", 1.0),
+      EventStreams.Event(7, ts(11), 105, "click", 1.0))
+    // hour 12:00 — every event a purchase: pooled variance zero -> NULL z
+    input.addData(
+      EventStreams.Event(8, Timestamp.valueOf("2024-01-01 12:05:00"), 100, "purchase", 1.0),
+      EventStreams.Event(9, Timestamp.valueOf("2024-01-01 12:06:00"), 101, "purchase", 1.0))
+    val q = EventStreams.toMemorySink(
+      EventStreams.abMonitorStream(input.toDF()), "abmon").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT hour, n0, c0, n1, c1, z_r, significant FROM abmon ORDER BY hour")
+        .collect()
+      assert(rows.length == 2, rows.mkString("; "))
+      val r0 = rows(0)
+      assert((r0.getLong(1), r0.getLong(2), r0.getLong(3), r0.getLong(4)) ==
+        ((3L, 1L, 4L, 1L)))
+      val (p0, p1) = (1.0 / 3, 1.0 / 4)
+      val pp = 2.0 / 7
+      val invn = 7.0 / 12.0
+      val z = r6((p0 - p1) / math.sqrt((pp * (1.0 - pp)) * invn))
+      assert(r0.getDouble(5) == z, s"${r0.getDouble(5)} vs $z")
+      assert(!r0.getBoolean(6))
+      val r1 = rows(1)
+      assert((r1.getLong(1) + r1.getLong(3), r1.getLong(2) + r1.getLong(4)) == ((2L, 2L)))
+      assert(r1.isNullAt(5) && r1.isNullAt(6), r1.toString)
+    } finally q.stop()
+  }
+
   test("sessionization via mapGroupsWithState accumulates per user") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
