@@ -771,7 +771,8 @@ final class Executor(
     "EVENT_TRANSITIONS" -> "p99_event_transitions",
     "RFM_SEGMENTS" -> "p100_rfm_segments",
     "PMI_COLLOCATIONS" -> "p101_pmi_collocations",
-    "WEIGHTED_KSAMPLE" -> "p102_weighted_ksample")
+    "WEIGHTED_KSAMPLE" -> "p102_weighted_ksample",
+    "DUP_SPAN_COVERAGE" -> "p103_dup_span_coverage")
 
   /** Match only the OPENING of a pipeline table-function call; the
     * argument span is found by a quote-aware paren scan (a ')' inside a

@@ -9534,7 +9534,93 @@ $duckPcaDeflateCtes,
           FROM k ORDER BY key DESC, doc_id LIMIT 20)
         SELECT doc_id, n_chars, lnu_s, round(key, 6) AS key_r
         FROM t ORDER BY key_r DESC, doc_id"""
-      })
+      }),
+
+    // ---- duplicated-substring coverage (p103): the EXACT character-
+    // granularity duplication criterion of Lee et al. 2022
+    // ("Deduplicating Training Data Makes Language Models Better"):
+    // a character position is duplicated iff it lies inside some
+    // 30-char substring that occurs >= 2 times in the corpus
+    // (within-doc repeats count, as in the paper's suffix-array
+    // formulation). p28 is the REMEDIATION at 10-token disjoint spans;
+    // p103 is the exact MEASUREMENT: stride-1 overlapping windows, so
+    // coverage is the true interval union, not a block approximation.
+    // Plan: one stride-1 explode to (doc, start, 8-byte window hash) —
+    // the window text dies at md560 in the same projection — ONE
+    // hash-partitioned count window for the >= 2 filter (the
+    // ShingleStage df-window trick: no second scan, no join back), then
+    // the per-DOC gaps-and-islands interval union (running max + run
+    // cumsum + per-run min/max — all windows partitioned by doc_id).
+    // The explode factor (~n_chars rows/doc) is the price the paper's
+    // suffix array also pays, here shuffling 12 bytes per window. -------
+    QDef("p103_dup_span_coverage",
+      (s, dir) => {
+        val L = 30
+        val wins = docs(s, dir)
+          .filter(length(col("text")) >= L)
+          .select(col("doc_id"), explode(expr(
+            s"transform(sequence(1, length(text) - ${L - 1})," +
+              s" i -> struct(i AS st, substring(text, i, $L) AS w))")).as("u"))
+          .select(col("doc_id"), col("u.st").as("st"), md560(col("u.w")).as("h"))
+        val dup = wins
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("h"))))
+          .filter(col("cnt") >= 2)
+          .select(col("doc_id"), col("st"), (col("st") + L - 1).as("en"))
+        val wd = Window.partitionBy(col("doc_id")).orderBy(col("st"))
+        val runs = dup
+          .withColumn("pmax", max(col("en"))
+            .over(wd.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("nr", when(col("pmax").isNull ||
+            col("st") > col("pmax") + 1, 1L).otherwise(0L))
+          .withColumn("run", sum(col("nr"))
+            .over(wd.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("doc_id"), col("run"))
+          .agg(min(col("st")).as("rs"), max(col("en")).as("re"))
+        val per = runs.groupBy(col("doc_id"))
+          .agg(sum(col("re") - col("rs") + 1).as("dc"),
+            count(lit(1)).as("nr2"))
+        docs(s, dir)
+          .select(col("doc_id"), col("source"),
+            length(col("text")).cast("long").as("n_chars"))
+          .join(per, Seq("doc_id"), "left")
+          .withColumn("n_runs", coalesce(col("nr2"), lit(0L)))
+          .withColumn("dup_chars", coalesce(col("dc"), lit(0L)))
+          .withColumn("cov_r",
+            round(col("dup_chars").cast("double") / col("n_chars"), 6))
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            col("n_runs"), col("dup_chars"), col("cov_r"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH base AS (
+          SELECT doc_id, source, text, length(text) AS len FROM documents),
+        w0 AS (
+          SELECT doc_id, unnest(
+            [{'st': i, 'w': substr(text, i, 30)} FOR i IN range(1, len - 28)]) AS u
+          FROM base WHERE len >= 30),
+        ws AS (SELECT doc_id, u.st AS st, ${duckMd560("u.w")} AS h FROM w0),
+        dup AS (SELECT doc_id, st, st + 29 AS en
+          FROM (SELECT doc_id, st, COUNT(*) OVER (PARTITION BY h) AS cnt FROM ws)
+          WHERE cnt >= 2),
+        isl AS (SELECT doc_id, st, en,
+            MAX(en) OVER (PARTITION BY doc_id ORDER BY st
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+          FROM dup),
+        rn AS (SELECT doc_id, st, en,
+            SUM(CASE WHEN pmax IS NULL OR st > pmax + 1 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY st
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+          FROM isl),
+        runs AS (SELECT doc_id, run, MIN(st) AS rs, MAX(en) AS re
+          FROM rn GROUP BY 1, 2),
+        per AS (SELECT doc_id, CAST(SUM(re - rs + 1) AS BIGINT) AS dup_chars,
+            CAST(COUNT(*) AS BIGINT) AS n_runs
+          FROM runs GROUP BY 1)
+        SELECT b.doc_id, b.source, CAST(b.len AS BIGINT) AS n_chars,
+          COALESCE(p.n_runs, 0) AS n_runs,
+          COALESCE(p.dup_chars, 0) AS dup_chars,
+          round(CAST(COALESCE(p.dup_chars, 0) AS DOUBLE) / b.len, 6) AS cov_r
+        FROM base b LEFT JOIN per p ON p.doc_id = b.doc_id
+        ORDER BY b.doc_id"""))
   )
 
   // ---- helpers for the p87 excess-loss family --------------------------

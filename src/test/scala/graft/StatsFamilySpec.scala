@@ -309,6 +309,52 @@ class StatsFamilySpec extends SparkSpecBase with PlainScalaFixtures {
     assert(sampleMean > corpusMean, s"$sampleMean <= $corpusMean")
   }
 
+  test("p103: duplicated-substring coverage equals the plain interval union; " +
+      "exact-dup docs are fully covered") {
+    val L = 30
+    val wins = corpus.flatMap { case (id, text, _) =>
+      if (text.length >= L)
+        (1 to text.length - L + 1).map(i =>
+          (id, i, md560(text.substring(i - 1, i - 1 + L))))
+      else Nil
+    }
+    val cnt = wins.groupBy(_._3).map { case (h, g) => h -> g.size }
+    val dupByDoc = wins.filter(w => cnt(w._3) >= 2).groupBy(_._1)
+    val srcById = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = corpus.map { case (id, text, _) =>
+      val starts = dupByDoc.getOrElse(id, Seq.empty).map(_._2).sorted
+      val runs = scala.collection.mutable.Buffer.empty[(Int, Int)]
+      for (st <- starts) {
+        val en = st + L - 1
+        if (runs.nonEmpty && st <= runs.last._2 + 1)
+          runs(runs.size - 1) = (runs.last._1, math.max(runs.last._2, en))
+        else runs += ((st, en))
+      }
+      val dc = runs.map { case (s0, e0) => (e0 - s0 + 1).toLong }.sum
+      (id, srcById(id), text.length.toLong, runs.size.toLong, dc,
+        r6(dc.toDouble / text.length))
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("p103_dup_span_coverage")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == expected, s"${got.take(3)} vs ${expected.take(3)}")
+    // the criterion is exact at the extremes: a doc with an identical
+    // twin has EVERY window duplicated, so coverage is exactly 1.0
+    val twinned = corpus.groupBy(_._2).filter(_._2.size >= 2)
+      .values.flatten.map(_._1).toSet
+    // (conditional at this SF: the sf0.001 corpus has near-dups, not
+    // byte-identical twins — when twins exist they must be fully covered)
+    got.filter(r => twinned(r._1) && r._3 >= L)
+      .foreach(r => assert(r._6 == 1.0, r.toString))
+    // the measurement is non-degenerate: full, zero AND partial coverage
+    // all occur (near-dup docs share long runs; unique docs share none)
+    assert(got.exists(_._6 == 1.0) || twinned.isEmpty)
+    assert(got.exists(_._6 == 0.0))
+    assert(got.exists(r => r._6 > 0.0 && r._6 < 1.0))
+  }
+
   test("p98: Welch t and df on purchase values equal the plain decimal-exact formula") {
     import java.math.{BigDecimal => JBD, RoundingMode => RM}
     val ev = graft.queries.Q.t(spark, sf0001, "events")
