@@ -772,7 +772,9 @@ final class Executor(
     "RFM_SEGMENTS" -> "p100_rfm_segments",
     "PMI_COLLOCATIONS" -> "p101_pmi_collocations",
     "WEIGHTED_KSAMPLE" -> "p102_weighted_ksample",
-    "DUP_SPAN_COVERAGE" -> "p103_dup_span_coverage")
+    "DUP_SPAN_COVERAGE" -> "p103_dup_span_coverage",
+    "SPRT" -> "p104_sprt",
+    "CUSUM" -> "p105_cusum")
 
   /** Match only the OPENING of a pipeline table-function call; the
     * argument span is found by a quote-aware paren scan (a ')' inside a

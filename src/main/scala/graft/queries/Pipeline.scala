@@ -9621,6 +9621,130 @@ $duckPcaDeflateCtes,
           round(CAST(COALESCE(p.dup_chars, 0) AS DOUBLE) / b.len, 6) AS cov_r
         FROM base b LEFT JOIN per p ON p.doc_id = b.doc_id
         ORDER BY b.doc_id"""))
+  ) ++ monitoringDefs
+
+  /** Wald's SPRT boundaries and Bernoulli log-likelihood increments as
+    * integer-scaled PLAN-BUILD literals (the p83 DCG-weight discipline:
+    * the only ln calls happen in Scala at plan construction and the
+    * same scaled integers render into both dialects, so the whole LLR
+    * trajectory is exact BIGINT arithmetic). H0: p = 0.15 vs
+    * H1: p = 0.25; alpha = beta = 0.05. */
+  private val sprtP0 = 0.15
+  private val sprtP1 = 0.25
+  private def sl(x: Double): Long = math.round(math.log(x) * 1e8)
+  private val sprtL1: Long = sl(sprtP1 / sprtP0)
+  private val sprtL0: Long = sl((1.0 - sprtP1) / (1.0 - sprtP0))
+  private val sprtA: Long = sl(0.95 / 0.05)
+  private val sprtB: Long = sl(0.05 / 0.95)
+
+  /** Sequential/monitoring analytics over event-time hours. The hourly
+    * aggregation is the only corpus-scaled shuffle; every cumulative
+    * window runs over the DISTINCT-HOUR table, whose cardinality is
+    * bounded by the time span, not the event volume — the same
+    * boundedness class as the vocabulary/value-domain windows. */
+  private def monitoringDefs: Seq[QDef] = Seq(
+
+    // ---- Wald SPRT on the treatment arm (p104): sequential testing is
+    // HOW a production experiment monitor decides — a fixed-n z-test
+    // (p94) peeked at hourly would inflate alpha; the SPRT's
+    // likelihood-ratio boundaries keep alpha/beta by construction
+    // (Wald 1945). Per event-time hour, the variant-1 arm's cumulative
+    // conversions C and trials N give LLR = C·l1 + (N−C)·l0 — exact
+    // BIGINT with the scaled-literal increments — and the decision
+    // reads off the A/B boundaries; `decided_at` pins the FIRST
+    // crossing hour. -----------------------------------------------------
+    QDef("p104_sprt",
+      (s, dir) => {
+        val hourly = t(s, dir, "events")
+          .filter(col("user_id") % 2 === 1)
+          .groupBy(date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("c"))
+        val wh = Window.orderBy(col("hour"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val traj = hourly
+          .withColumn("n_cum", sum(col("n")).over(wh))
+          .withColumn("c_cum", sum(col("c")).over(wh))
+          .withColumn("llr_s",
+            col("c_cum") * sprtL1 + (col("n_cum") - col("c_cum")) * sprtL0)
+          .withColumn("decision",
+            when(col("llr_s") >= sprtA, "accept_h1")
+              .when(col("llr_s") <= sprtB, "accept_h0")
+              .otherwise("continue"))
+        val first = traj.filter(col("decision") =!= "continue")
+          .agg(min(col("hour")).as("decided_at"))
+        traj.crossJoin(broadcast(first))
+          .select(col("hour"), col("n_cum"), col("c_cum"), col("llr_s"),
+            col("decision"), col("decided_at"))
+          .orderBy(col("hour"))
+      },
+      Some(s"""WITH hourly AS (
+          SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+            CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c
+          FROM events WHERE user_id % 2 = 1 GROUP BY 1),
+        traj AS (SELECT hour,
+            CAST(SUM(n) OVER w AS BIGINT) AS n_cum,
+            CAST(SUM(c) OVER w AS BIGINT) AS c_cum
+          FROM hourly
+          WINDOW w AS (ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        sc AS (SELECT hour, n_cum, c_cum,
+            c_cum * ${sprtL1} + (n_cum - c_cum) * ${sprtL0} AS llr_s
+          FROM traj),
+        dc AS (SELECT hour, n_cum, c_cum, llr_s,
+            CASE WHEN llr_s >= ${sprtA} THEN 'accept_h1'
+                 WHEN llr_s <= ${sprtB} THEN 'accept_h0'
+                 ELSE 'continue' END AS decision
+          FROM sc),
+        fst AS (SELECT MIN(hour) AS decided_at FROM dc WHERE decision <> 'continue')
+        SELECT dc.hour, dc.n_cum, dc.c_cum, dc.llr_s, dc.decision,
+          fst.decided_at AS decided_at
+        FROM dc, fst ORDER BY dc.hour""")),
+
+    // ---- one-sided CUSUM drift alarm on hourly volume (p105): Page
+    // 1954's cumulative-sum chart, the standard changepoint monitor.
+    // S_t = max(0, S_{t-1} + x_t − k) rewritten to its prefix form
+    // S_t = P_t − min(0, min_{j<=t} P_j) with P = the running sum of
+    // (x·10⁶ − k_s) — two cumulative windows over the bounded
+    // distinct-hour table instead of a sequential recursion, exact
+    // BIGINT throughout. k = the overall mean hourly volume (exact
+    // integer division), alarm at 3k above reference. --------------------
+    QDef("p105_cusum",
+      (s, dir) => {
+        val hourly = t(s, dir, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("x"))
+        val ref = hourly.agg(
+          (sum(col("x")) * 1000000L).as("tot"), count(lit(1)).as("nh"))
+          .select(expr("tot div nh").as("k_s"))
+        val wh = Window.orderBy(col("hour"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        hourly.crossJoin(broadcast(ref))
+          .withColumn("p_s", sum(col("x") * 1000000L - col("k_s")).over(wh))
+          .withColumn("minp", min(col("p_s")).over(wh))
+          .withColumn("cusum_s", col("p_s") - least(col("minp"), lit(0L)))
+          .withColumn("alarm", col("cusum_s") > col("k_s") * 3)
+          .select(col("hour"), col("x"), col("k_s"), col("cusum_s"),
+            col("alarm"))
+          .orderBy(col("hour"))
+      },
+      Some("""WITH hourly AS (
+          SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+            CAST(COUNT(*) AS BIGINT) AS x
+          FROM events GROUP BY 1),
+        ref AS (SELECT CAST((SUM(x) * 1000000) // COUNT(*) AS BIGINT) AS k_s
+          FROM hourly),
+        pr AS (SELECT hour, x, k_s,
+            CAST(SUM(x * 1000000 - k_s) OVER w AS BIGINT) AS p_s
+          FROM hourly, ref
+          WINDOW w AS (ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        cu AS (SELECT hour, x, k_s, p_s,
+            CAST(MIN(p_s) OVER (ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS minp
+          FROM pr)
+        SELECT hour, x, k_s, p_s - least(minp, 0) AS cusum_s,
+          (p_s - least(minp, 0)) > k_s * 3 AS alarm
+        FROM cu ORDER BY hour"""))
   )
 
   // ---- helpers for the p87 excess-loss family --------------------------

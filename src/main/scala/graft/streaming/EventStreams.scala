@@ -76,6 +76,47 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("n0"), col("c0"),
         col("n1"), col("c1"), col("z_r"), col("significant"))
 
+  /** Streaming Welch monitor — p98's windowed sibling next to
+    * [[abMonitorStream]]: per event-time hour, Welch's t on purchase
+    * VALUE between the user-parity variants. Sums and sums-of-squares
+    * accumulate per variant as exact DECIMAL conditional aggregates in
+    * ONE windowed aggregation (both variants in one row — one state row
+    * per open window), cast to double once; mean/variance/t follow
+    * p98's exact tree. NULL t when either arm has < 2 purchases or the
+    * pooled variance term is zero. Emits (hour, n0, n1, m0_r, m1_r,
+    * t_r) on window close. */
+  def welchMonitorStream(events: DataFrame): DataFrame = {
+    def arm(v: Int, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      sum(when(col("user_id") % 2 === v && col("event_type") === "purchase",
+        f(col("value").cast("decimal(12,2)")))
+        .otherwise(lit(0).cast("decimal(25,4)")))
+    val out = events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(
+        sum(when(col("user_id") % 2 === 0 &&
+          col("event_type") === "purchase", 1L).otherwise(0L)).as("n0"),
+        arm(0, c => c.cast("decimal(25,4)")).cast("double").as("sv0"),
+        arm(0, c => c * c).cast("double").as("sv20"),
+        sum(when(col("user_id") % 2 === 1 &&
+          col("event_type") === "purchase", 1L).otherwise(0L)).as("n1"),
+        arm(1, c => c.cast("decimal(25,4)")).cast("double").as("sv1"),
+        arm(1, c => c * c).cast("double").as("sv21"))
+      .withColumn("m0", col("sv0") / col("n0"))
+      .withColumn("m1", col("sv1") / col("n1"))
+      .withColumn("vn0", ((col("sv20") - (col("sv0") * col("sv0")) / col("n0"))
+        / (col("n0") - 1)) / col("n0"))
+      .withColumn("vn1", ((col("sv21") - (col("sv1") * col("sv1")) / col("n1"))
+        / (col("n1") - 1)) / col("n1"))
+      .withColumn("se2", col("vn0") + col("vn1"))
+      .withColumn("t_r",
+        when(col("n0") >= 2 && col("n1") >= 2 && col("se2") > 0.0,
+          round((col("m0") - col("m1")) / sqrt(col("se2")), 6)))
+    out.select(col("window.start").as("hour"), col("n0"), col("n1"),
+      round(col("m0"), 6).as("m0_r"), round(col("m1"), 6).as("m1_r"),
+      col("t_r"))
+  }
+
   /** Sliding-window rate (10-minute windows every 5), watermark-bounded. */
   def slidingRate(events: DataFrame): DataFrame =
     events

@@ -355,6 +355,61 @@ class StatsFamilySpec extends SparkSpecBase with PlainScalaFixtures {
     assert(got.exists(r => r._6 > 0.0 && r._6 < 1.0))
   }
 
+  test("p104: the SPRT trajectory equals the plain cumulative LLR; boundaries respected") {
+    import java.time.{Instant, ZoneOffset}
+    import java.time.temporal.ChronoUnit
+    def sl(x: Double): Long = math.round(math.log(x) * 1e8)
+    val (l1, l0) = (sl(0.25 / 0.15), sl(0.75 / 0.85))
+    val (a, b) = (sl(0.95 / 0.05), sl(0.05 / 0.95))
+    val ev = graft.queries.Q.t(spark, sf0001, "events")
+      .select("user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), Instant.ofEpochMilli(r.getTimestamp(1).getTime)
+        .atZone(ZoneOffset.UTC).truncatedTo(ChronoUnit.HOURS).toInstant,
+        r.getString(2)))
+      .filter(_._1 % 2 == 1)
+    val hourly = ev.groupBy(_._2).toSeq.sortBy(_._1).map { case (h, g) =>
+      (h, g.size.toLong, g.count(_._3 == "purchase").toLong)
+    }
+    var (nc, cc) = (0L, 0L)
+    val expected = hourly.map { case (h, n, c) =>
+      nc += n; cc += c
+      val llr = cc * l1 + (nc - cc) * l0
+      val d = if (llr >= a) "accept_h1" else if (llr <= b) "accept_h0" else "continue"
+      (h, nc, cc, llr, d)
+    }
+    val decidedAt = expected.collectFirst { case (h, _, _, _, d) if d != "continue" => h }
+    val got = SparkEntry.queries("p104_sprt")(spark, sf0001).collect()
+      .map(r => (r.getTimestamp(0).toInstant, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4),
+        Option(r.getTimestamp(5)).map(_.toInstant))).toSeq
+    assert(got.map(t => (t._1, t._2, t._3, t._4, t._5)) == expected,
+      s"${got.take(2)} vs ${expected.take(2)}")
+    got.foreach(t => assert(t._6 == decidedAt, s"${t._6} vs $decidedAt"))
+  }
+
+  test("p105: the CUSUM prefix form equals the plain sequential recursion") {
+    import java.time.{Instant, ZoneOffset}
+    import java.time.temporal.ChronoUnit
+    val ev = graft.queries.Q.t(spark, sf0001, "events")
+      .select("ts").collect()
+      .map(r => Instant.ofEpochMilli(r.getTimestamp(0).getTime)
+        .atZone(ZoneOffset.UTC).truncatedTo(ChronoUnit.HOURS).toInstant)
+    val hourly = ev.groupBy(identity).toSeq.sortBy(_._1)
+      .map { case (h, g) => (h, g.size.toLong) }
+    val kS = hourly.map(_._2).sum * 1000000L / hourly.size
+    // the DEFINITIONAL recursion S_t = max(0, S_{t-1} + x - k) — the
+    // entry computes the prefix form; they must agree exactly
+    var s0 = 0L
+    val expected = hourly.map { case (h, x) =>
+      s0 = math.max(0L, s0 + x * 1000000L - kS)
+      (h, x, kS, s0, s0 > kS * 3)
+    }
+    val got = SparkEntry.queries("p105_cusum")(spark, sf0001).collect()
+      .map(r => (r.getTimestamp(0).toInstant, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSeq
+    assert(got == expected, s"${got.take(3)} vs ${expected.take(3)}")
+  }
+
   test("p98: Welch t and df on purchase values equal the plain decimal-exact formula") {
     import java.math.{BigDecimal => JBD, RoundingMode => RM}
     val ev = graft.queries.Q.t(spark, sf0001, "events")

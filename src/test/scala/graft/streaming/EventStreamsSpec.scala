@@ -99,6 +99,49 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming Welch monitor: windowed t equals the plain formula; tiny arms NULL") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    def r6(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val input = MemoryStream[EventStreams.Event]
+    // hour 10:00 — variant 0 purchases: 10, 20, 30; variant 1: 12, 14, 40
+    input.addData(
+      EventStreams.Event(1, ts(5), 100, "purchase", 10.0),
+      EventStreams.Event(2, ts(6), 102, "purchase", 20.0),
+      EventStreams.Event(3, ts(7), 104, "purchase", 30.0),
+      EventStreams.Event(4, ts(8), 101, "purchase", 12.0),
+      EventStreams.Event(5, ts(9), 103, "purchase", 14.0),
+      EventStreams.Event(6, ts(10), 105, "purchase", 40.0),
+      EventStreams.Event(7, ts(11), 100, "click", 999.0))
+    // hour 12:00 — one purchase per arm: n < 2 -> NULL t
+    input.addData(
+      EventStreams.Event(8, Timestamp.valueOf("2024-01-01 12:05:00"), 100, "purchase", 5.0),
+      EventStreams.Event(9, Timestamp.valueOf("2024-01-01 12:06:00"), 101, "purchase", 7.0))
+    val q = EventStreams.toMemorySink(
+      EventStreams.welchMonitorStream(input.toDF()), "welchmon").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT hour, n0, n1, m0_r, m1_r, t_r FROM welchmon ORDER BY hour").collect()
+      assert(rows.length == 2, rows.mkString("; "))
+      val r0 = rows(0)
+      assert((r0.getLong(1), r0.getLong(2)) == ((3L, 3L)))
+      def stats(vs: Seq[Double]): (Double, Double) = {
+        val n = vs.size
+        val sv = vs.sum; val sv2 = vs.map(v => v * v).sum
+        val m = sv / n
+        (m, ((sv2 - (sv * sv) / n) / (n - 1)) / n)
+      }
+      val (m0, vn0) = stats(Seq(10.0, 20.0, 30.0))
+      val (m1, vn1) = stats(Seq(12.0, 14.0, 40.0))
+      val t = r6((m0 - m1) / math.sqrt(vn0 + vn1))
+      assert((r0.getDouble(3), r0.getDouble(4)) == ((r6(m0), r6(m1))))
+      assert(r0.getDouble(5) == t, s"${r0.getDouble(5)} vs $t")
+      assert(rows(1).isNullAt(5), rows(1).toString)
+    } finally q.stop()
+  }
+
   test("sessionization via mapGroupsWithState accumulates per user") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
