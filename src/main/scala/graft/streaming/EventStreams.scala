@@ -125,6 +125,40 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("n"))
 
+  /** One consecutive-event transition, emitted in-flight. */
+  final case class Transition(user_id: Long, cur: String, nxt: String)
+
+  /** Streaming event-transition pairs — the stateful half of batch p99:
+    * each user's consecutive-event (cur, nxt) pairs emitted AS THE NEXT
+    * EVENT ARRIVES, with exactly one last-event tuple of state per user
+    * (the 16-byte class: ts + event_id + a dictionary-small type
+    * string). Within a micro-batch the group's rows are ordered by
+    * event time (ts, event_id tiebreak — p99's exact order); across
+    * micro-batches the carried state stitches the boundary pair, so a
+    * stream fed in event-time order reproduces batch p99's pair
+    * multiset EXACTLY regardless of how the batches split
+    * (spec-proven). Downstream, the bounded |event_type|² aggregation
+    * is the same shape as batch. */
+  def transitionPairsStream(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, String), Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event],
+         state: GroupState[(Long, Long, String)]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.Buffer.empty[Transition]
+          var last = state.getOption
+          sorted.foreach { e =>
+            last.foreach { case (_, _, t) => out += Transition(userId, t, e.event_type) }
+            last = Some((e.ts.getTime, e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Per-user running session state via mapGroupsWithState: counts events
     * and value; with `timeoutMs > 0` a processing-time timeout closes idle
     * sessions (production mode — note the engine then schedules extra

@@ -99,6 +99,38 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming transition pairs reproduce batch p99 exactly across a batch split") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("p99_event_transitions")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val evs = graft.queries.Q.t(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value").collect()
+      .map(r => EventStreams.Event(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+      .sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.transitionPairsStream(input.toDS())
+      .writeStream.format("memory").queryName("transitions")
+      .outputMode("append").start()
+    try {
+      // split mid-stream: the per-user boundary pairs must come from state
+      val (a, b) = evs.splitAt(evs.size / 2)
+      input.addData(a)
+      q.processAllAvailable()
+      input.addData(b)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT cur, nxt, COUNT(*) AS n FROM transitions GROUP BY 1, 2")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == batch, s"${got.size} cells vs ${batch.size}")
+      // state is exactly one tuple per user
+      assert(q.lastProgress == null || q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.map(_.numRowsTotal).sum ==
+          evs.map(_.user_id).distinct.size)
+    } finally q.stop()
+  }
+
   test("streaming Welch monitor: windowed t equals the plain formula; tiny arms NULL") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
