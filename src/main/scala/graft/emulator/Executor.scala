@@ -774,7 +774,9 @@ final class Executor(
     "WEIGHTED_KSAMPLE" -> "p102_weighted_ksample",
     "DUP_SPAN_COVERAGE" -> "p103_dup_span_coverage",
     "SPRT" -> "p104_sprt",
-    "CUSUM" -> "p105_cusum")
+    "CUSUM" -> "p105_cusum",
+    "ROBUST_OUTLIERS" -> "p106_robust_outliers",
+    "KAPLAN_MEIER" -> "p107_kaplan_meier")
 
   /** Match only the OPENING of a pipeline table-function call; the
     * argument span is found by a quote-aware paren scan (a ')' inside a

@@ -9744,7 +9744,137 @@ $duckPcaDeflateCtes,
           FROM pr)
         SELECT hour, x, k_s, p_s - least(minp, 0) AS cusum_s,
           (p_s - least(minp, 0)) > k_s * 3 AS alarm
-        FROM cu ORDER BY hour"""))
+        FROM cu ORDER BY hour""")),
+
+    // ---- robust outlier flags by median/MAD (p106): mean/stddev
+    // outlier rules (p77's z-scores) are themselves distorted by the
+    // outliers they hunt; the robust pair — median and the median
+    // absolute deviation — is the standard hardened form. BOTH medians
+    // come from p92's bounded distinct-value cumsum (doc length, then
+    // |x − med| — both bounded integer domains; no global sort), and
+    // the flag |x − med|·10000 > 44478·MAD is the 3σ-equivalent rule
+    // (3·1.4826 = 4.4478, the normal-consistency constant) as PURE
+    // integer arithmetic — no float anywhere in the entry. ---------------
+    QDef("p106_robust_outliers",
+      (s, dir) => {
+        def medianOf(d: DataFrame, vcol: String): DataFrame = {
+          val h = d.groupBy(col(vcol).as("v")).agg(count(lit(1)).as("n"))
+          val cum = h.withColumn("cum", sum(col("n")).over(Window.orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          val tot = d.agg(count(lit(1)).as("total"))
+          cum.crossJoin(broadcast(tot))
+            .filter(col("cum") * 2 >= col("total"))
+            .agg(min(col("v")).as("med"))
+        }
+        val base = docs(s, dir).select(col("doc_id"), col("n_chars"))
+        val med = medianOf(base, "n_chars")
+        val dev = base.crossJoin(broadcast(med))
+          .withColumn("adev", abs(col("n_chars") - col("med")))
+        val mad = medianOf(dev.select(col("adev")), "adev")
+          .withColumnRenamed("med", "mad")
+        dev.crossJoin(broadcast(mad))
+          .withColumn("is_outlier",
+            col("adev") * 10000L > lit(44478L) * col("mad"))
+          .select(col("doc_id"), col("n_chars"), col("med"), col("adev"),
+            col("mad"), col("is_outlier"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH h1 AS (SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS n
+          FROM documents GROUP BY 1),
+        c1 AS (SELECT v, CAST(SUM(n) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM h1),
+        t1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents),
+        m1 AS (SELECT MIN(v) AS med FROM c1, t1 WHERE cum * 2 >= total),
+        dv AS (SELECT doc_id, n_chars, m1.med AS med,
+            abs(n_chars - m1.med) AS adev
+          FROM documents, m1),
+        h2 AS (SELECT adev AS v, CAST(COUNT(*) AS BIGINT) AS n FROM dv GROUP BY 1),
+        c2 AS (SELECT v, CAST(SUM(n) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM h2),
+        m2 AS (SELECT MIN(v) AS mad FROM c2, t1 WHERE cum * 2 >= total)
+        SELECT dv.doc_id, dv.n_chars, dv.med, dv.adev, m2.mad AS mad,
+          dv.adev * 10000 > 44478 * m2.mad AS is_outlier
+        FROM dv, m2 ORDER BY dv.doc_id""")),
+
+    // ---- Kaplan-Meier time-to-conversion (p107): the survival view of
+    // activation — hours from each user's FIRST event to their FIRST
+    // purchase, administratively censored at a 24-hour follow-up
+    // horizon (the standard fixed-window design; horizon-crossers and
+    // never-converters censor at 24). The KM estimator's product
+    // Π(1 − d_j/n_j) is carried in sln log space: each time point's
+    // term sln(n_j − d_j) − sln(n_j) is an exact BIGINT of exact
+    // integer counts, so the cumulative log-survival trajectory is
+    // engine-identical (a risk set fully eventing floors at
+    // greatest(…,1) and is flagged). Durations come from unix_micros
+    // integer arithmetic (no float time math); the cumulative windows
+    // run over the DISTINCT-DURATION table, bounded by the 25-value
+    // horizon domain. One user-keyed aggregation is the only
+    // corpus-scaled shuffle. ----------------------------------------------
+    QDef("p107_kaplan_meier",
+      (s, dir) => {
+        val firsts = t(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(min(col("ts")).as("fe"),
+            min(when(col("event_type") === "purchase", col("ts"))).as("fp"))
+        val du = firsts
+          .withColumn("dur_h", expr(
+            "CASE WHEN fp IS NOT NULL THEN (unix_micros(fp) - unix_micros(fe)) div 3600000000 END"))
+          .withColumn("evt", col("dur_h").isNotNull && col("dur_h") <= 24)
+          .withColumn("d",
+            when(col("evt"), col("dur_h")).otherwise(lit(24L)))
+        val pts = du.groupBy(col("d")).agg(
+          sum(when(col("evt"), 1L).otherwise(0L)).as("d_t"),
+          sum(when(!col("evt"), 1L).otherwise(0L)).as("c_t"))
+        val tot = du.agg(count(lit(1)).as("total"))
+        val whPrev = Window.orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wh = Window.orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pts.crossJoin(broadcast(tot))
+          .withColumn("n_risk", col("total") -
+            coalesce(sum(col("d_t") + col("c_t")).over(whPrev), lit(0L)))
+          .withColumn("term", when(col("d_t") > 0,
+            expr(s"${sln("greatest(n_risk - d_t, 1)")} - ${sln("n_risk")}"))
+            .otherwise(lit(0L)))
+          .withColumn("km_s", sum(col("term")).over(wh))
+          .withColumn("extinct", max(col("d_t") === col("n_risk")).over(wh))
+          .select(col("d"), col("n_risk"), col("d_t"), col("c_t"),
+            col("km_s"), col("extinct"))
+          .orderBy(col("d"))
+      },
+      Some(s"""WITH firsts AS (
+          SELECT user_id, MIN(ts) AS fe,
+            MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+          FROM events GROUP BY 1),
+        du AS (SELECT user_id,
+            CASE WHEN fp IS NOT NULL
+              THEN (epoch_us(fp) - epoch_us(fe)) // 3600000000 END AS dur_h
+          FROM firsts),
+        dd AS (SELECT user_id,
+            (dur_h IS NOT NULL AND dur_h <= 24) AS evt,
+            CASE WHEN dur_h IS NOT NULL AND dur_h <= 24
+              THEN dur_h ELSE 24 END AS d
+          FROM du),
+        pts AS (SELECT d,
+            CAST(SUM(CASE WHEN evt THEN 1 ELSE 0 END) AS BIGINT) AS d_t,
+            CAST(SUM(CASE WHEN evt THEN 0 ELSE 1 END) AS BIGINT) AS c_t
+          FROM dd GROUP BY 1),
+        tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM dd),
+        rk AS (SELECT d, d_t, c_t,
+            tt.total - CAST(COALESCE(SUM(d_t + c_t) OVER (ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+          FROM pts, tt),
+        tm AS (SELECT d, n_risk, d_t, c_t,
+            CASE WHEN d_t > 0
+              THEN ${sln("greatest(n_risk - d_t, 1)")} - ${sln("n_risk")}
+              ELSE CAST(0 AS BIGINT) END AS term
+          FROM rk)
+        SELECT d, n_risk, d_t, c_t,
+          CAST(SUM(term) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS km_s,
+          CAST(MAX(CASE WHEN d_t = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BOOLEAN) AS extinct
+        FROM tm ORDER BY d"""))
   )
 
   // ---- helpers for the p87 excess-loss family --------------------------

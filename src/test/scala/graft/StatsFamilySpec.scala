@@ -410,6 +410,64 @@ class StatsFamilySpec extends SparkSpecBase with PlainScalaFixtures {
     assert(got == expected, s"${got.take(3)} vs ${expected.take(3)}")
   }
 
+  test("p106: median/MAD outlier flags equal plain sorted order statistics") {
+    val lens = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    def medOf(vs: Seq[Long]): Long = {
+      val s0 = vs.sorted; s0((vs.size + 1) / 2 - 1) // smallest v with cnt*2 >= n
+    }
+    val med = medOf(lens.map(_._2).toIndexedSeq)
+    val mad = medOf(lens.map(v => math.abs(v._2 - med)).toIndexedSeq)
+    val expected = lens.map { case (id, nc) =>
+      val adev = math.abs(nc - med)
+      (id, nc, med, adev, mad, adev * 10000L > 44478L * mad)
+    }.toSeq
+    val got = SparkEntry.queries("p106_robust_outliers")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSeq
+    assert(got == expected, s"${got.take(3)} vs ${expected.take(3)}")
+    // robustness sanity: the rule flags at most a small minority (this
+    // corpus's lengths are well-behaved — zero flags is legitimate),
+    // and the MAD is a real spread, not a degenerate zero
+    assert(got.count(_._6) * 4 < got.size)
+    assert(mad > 0 && got.exists(_._4 > 0))
+  }
+
+  test("p107: the KM log-survival trajectory equals the plain product estimator") {
+    val ev = graft.queries.Q.t(spark, sf0001, "events")
+      .select("user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getString(2)))
+    val durs = ev.groupBy(_._1).toSeq.map { case (_, rows) =>
+      val fe = rows.map(_._2).min
+      val fp = rows.filter(_._3 == "purchase").map(_._2).minOption
+      val durH = fp.map(p => (p - fe) / 3600000L)
+      val evt = durH.exists(_ <= 24)
+      (if (evt) durH.get else 24L, evt)
+    }
+    val total = durs.size.toLong
+    val pts = durs.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, g) =>
+      (d, g.count(_._2).toLong, g.count(!_._2).toLong)
+    }
+    var removed = 0L; var km = 0L; var extinct = false
+    val expected = pts.map { case (d, dt, ct) =>
+      val nRisk = total - removed
+      removed += dt + ct
+      if (dt > 0) km += sln(math.max(nRisk - dt, 1L)) - sln(nRisk)
+      extinct ||= dt == nRisk
+      (d, nRisk, dt, ct, km, extinct)
+    }
+    val got = SparkEntry.queries("p107_kaplan_meier")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSeq
+    assert(got == expected, s"${got.take(3)} vs ${expected.take(3)}")
+    // survival only decreases, risk sets only shrink
+    got.sliding(2).foreach {
+      case Seq(a, b) => assert(b._5 <= a._5 && b._2 < a._2, s"$a -> $b")
+      case _ =>
+    }
+  }
+
   test("p98: Welch t and df on purchase values equal the plain decimal-exact formula") {
     import java.math.{BigDecimal => JBD, RoundingMode => RM}
     val ev = graft.queries.Q.t(spark, sf0001, "events")
