@@ -776,7 +776,8 @@ final class Executor(
     "SPRT" -> "p104_sprt",
     "CUSUM" -> "p105_cusum",
     "ROBUST_OUTLIERS" -> "p106_robust_outliers",
-    "KAPLAN_MEIER" -> "p107_kaplan_meier")
+    "KAPLAN_MEIER" -> "p107_kaplan_meier",
+    "POISSON_BOOTSTRAP" -> "p108_poisson_bootstrap")
 
   /** Match only the OPENING of a pipeline table-function call; the
     * argument span is found by a quote-aware paren scan (a ')' inside a

@@ -9623,6 +9623,24 @@ $duckPcaDeflateCtes,
         ORDER BY b.doc_id"""))
   ) ++ monitoringDefs
 
+  /** Poisson(1) CDF thresholds on the 16-bit hash scale, computed ONCE
+    * at plan build (the p83 DCG-weight discipline — exp only runs in
+    * Scala) and rendered as the same literal CASE into both dialects:
+    * the bootstrap weight of row r in replica b is the Poisson(1)
+    * quantile of its 16-bit hash — the Poisson bootstrap's
+    * one-pass-per-replica resampling, derandomized. */
+  private val poisThresholds: Seq[Long] = {
+    var acc = 0.0
+    (0 to 5).map { k =>
+      acc += math.exp(-1.0) / (1 to k).foldLeft(1L)(_ * _)
+      math.floor(acc * 65536.0).toLong
+    }
+  }
+  private def poisCase(u: String): String =
+    "CASE " + poisThresholds.zipWithIndex.map { case (t, k) =>
+      s"WHEN ($u) < $t THEN $k" }.mkString(" ") +
+      " ELSE 6 END"
+
   /** Wald's SPRT boundaries and Bernoulli log-likelihood increments as
     * integer-scaled PLAN-BUILD literals (the p83 DCG-weight discipline:
     * the only ln calls happen in Scala at plan construction and the
@@ -9874,7 +9892,79 @@ $duckPcaDeflateCtes,
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS km_s,
           CAST(MAX(CASE WHEN d_t = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY d
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BOOLEAN) AS extinct
-        FROM tm ORDER BY d"""))
+        FROM tm ORDER BY d""")),
+
+    // ---- Poisson bootstrap CI (p108): the scale-out bootstrap — each
+    // of B = 200 replicas weights every row by an independent
+    // Poisson(1) count, which approximates multinomial resampling
+    // without ever materializing a resample (the one bootstrap that
+    // works in one pass over distributed data). Derandomized: the
+    // weight is the Poisson(1) quantile of a 16-bit md5 of
+    // (event_id, replica), with the CDF thresholds computed at plan
+    // build and rendered as the same literal CASE into both engines —
+    // zero runtime randomness, zero runtime exp. Replica means are
+    // exact-DECIMAL-sum ratios; the CI reads the 2.5th/97.5th
+    // percentile replica means off a cumulative count over the
+    // B-row replica table (B is a dial-class bound — the PQ-SDC
+    // bounded-state argument, NOT corpus-scaled). The corpus-scaled
+    // work is ONE explode×B aggregation; at 100 TB B caps the blowup
+    // and each exploded row is (replica, weight, value) slim. ------------
+    QDef("p108_poisson_bootstrap",
+      (s, dir) => {
+        val B = 200
+        val u = "(instr('0123456789abcdef', substring(md5(concat('bs:', CAST(event_id AS STRING), ':', CAST(b AS STRING))), 1, 1)) - 1) * 4096 + " +
+          "(instr('0123456789abcdef', substring(md5(concat('bs:', CAST(event_id AS STRING), ':', CAST(b AS STRING))), 2, 1)) - 1) * 256 + " +
+          "(instr('0123456789abcdef', substring(md5(concat('bs:', CAST(event_id AS STRING), ':', CAST(b AS STRING))), 3, 1)) - 1) * 16 + " +
+          "(instr('0123456789abcdef', substring(md5(concat('bs:', CAST(event_id AS STRING), ':', CAST(b AS STRING))), 4, 1)) - 1)"
+        val pv = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), d(col("value")).as("vd"))
+        val reps = pv
+          .select(col("event_id"), col("vd"),
+            explode(expr(s"sequence(0, ${B - 1})")).as("b"))
+          .withColumn("w", expr(poisCase(u)).cast("long"))
+          .groupBy(col("b"))
+          .agg((sum(col("w") * col("vd")).cast("double") /
+            sum(col("w"))).as("m"))
+        val wc = Window.orderBy(col("m"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ranked = reps.withColumn("rk", count(lit(1)).over(wc))
+        val lo = ranked.filter(col("rk") * 40 >= B).agg(min(col("m")).as("ci_lo"))
+        val hi = ranked.filter(col("rk") * 40 >= 39L * B).agg(min(col("m")).as("ci_hi"))
+        val pt = pv.agg(count(lit(1)).as("n"),
+          (sum(col("vd")).cast("double") / count(lit(1))).as("mean"))
+        pt.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+          .select(col("n"), round(col("mean"), 6).as("mean_r"),
+            lit(B.toLong).as("b"),
+            round(col("ci_lo"), 6).as("ci_lo_r"),
+            round(col("ci_hi"), 6).as("ci_hi_r"))
+      },
+      Some {
+        val u = "(instr('0123456789abcdef', substr(md5('bs:' || CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 1)) - 1) * 4096 + " +
+          "(instr('0123456789abcdef', substr(md5('bs:' || CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 2, 1)) - 1) * 256 + " +
+          "(instr('0123456789abcdef', substr(md5('bs:' || CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 3, 1)) - 1) * 16 + " +
+          "(instr('0123456789abcdef', substr(md5('bs:' || CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 4, 1)) - 1)"
+        s"""WITH pv AS (
+          SELECT event_id, CAST(CAST(value AS DOUBLE) AS DECIMAL(12,2)) AS vd
+          FROM events WHERE event_type = 'purchase'),
+        reps AS (
+          SELECT b,
+            CAST(SUM(CAST(${poisCase(u)} AS BIGINT) * vd) AS DOUBLE)
+              / SUM(CAST(${poisCase(u)} AS BIGINT)) AS m
+          FROM (SELECT event_id, vd, unnest(range(0, 200)) AS b FROM pv) e
+          GROUP BY b),
+        rk AS (SELECT m, CAST(COUNT(*) OVER (ORDER BY m
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rk
+          FROM reps),
+        lo AS (SELECT MIN(m) AS ci_lo FROM rk WHERE rk * 40 >= 200),
+        hi AS (SELECT MIN(m) AS ci_hi FROM rk WHERE rk * 40 >= 39 * 200),
+        pt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(vd) AS DOUBLE) / COUNT(*) AS mean
+          FROM pv)
+        SELECT pt.n, round(pt.mean, 6) AS mean_r, CAST(200 AS BIGINT) AS b,
+          round(lo.ci_lo, 6) AS ci_lo_r, round(hi.ci_hi, 6) AS ci_hi_r
+        FROM pt, lo, hi"""
+      })
   )
 
   // ---- helpers for the p87 excess-loss family --------------------------

@@ -468,6 +468,47 @@ class StatsFamilySpec extends SparkSpecBase with PlainScalaFixtures {
     }
   }
 
+  test("p108: the Poisson-bootstrap CI equals the plain derandomized resampling") {
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    val thresholds = {
+      var acc = 0.0
+      (0 to 5).map { k =>
+        acc += math.exp(-1.0) / (1 to k).foldLeft(1L)(_ * _)
+        math.floor(acc * 65536.0).toLong
+      }
+    }
+    def u16(eid: Long, b: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"bs:$eid:$b".getBytes("UTF-8"))
+        .map(x => f"${x & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 4), 16)
+    }
+    def pois(u: Long): Long =
+      thresholds.indexWhere(u < _) match { case -1 => 6L; case k => k.toLong }
+    val pv = graft.queries.Q.t(spark, sf0001, "events")
+      .select("event_id", "event_type", "value").collect()
+      .filter(_.getString(1) == "purchase")
+      .map(r => (r.getLong(0), JBD.valueOf(r.getDouble(2)).setScale(2, RM.HALF_UP)))
+    val means = (0 until 200).map { b =>
+      var sw = 0L; var swv = JBD.ZERO
+      pv.foreach { case (eid, vd) =>
+        val w = pois(u16(eid, b))
+        sw += w; swv = swv.add(vd.multiply(JBD.valueOf(w)))
+      }
+      swv.doubleValue / sw
+    }.sorted
+    val (ciLo, ciHi) = (means(4), means(194)) // smallest m with rk*40 >= 200 / >= 39*200
+    val mean = pv.map(_._2).foldLeft(JBD.ZERO)(_.add(_)).doubleValue / pv.length
+    val row = SparkEntry.queries("p108_poisson_bootstrap")(spark, sf0001).collect().head
+    assert(row.getLong(0) == pv.length && row.getLong(2) == 200L)
+    assert(row.getDouble(1) == r6(mean))
+    assert((row.getDouble(3), row.getDouble(4)) == ((r6(ciLo), r6(ciHi))),
+      s"(${row.getDouble(3)}, ${row.getDouble(4)}) vs (${r6(ciLo)}, ${r6(ciHi)})")
+    // the interval is a real interval and brackets the point estimate
+    assert(row.getDouble(3) < row.getDouble(4))
+    assert(row.getDouble(3) <= row.getDouble(1) && row.getDouble(1) <= row.getDouble(4))
+  }
+
   test("p98: Welch t and df on purchase values equal the plain decimal-exact formula") {
     import java.math.{BigDecimal => JBD, RoundingMode => RM}
     val ev = graft.queries.Q.t(spark, sf0001, "events")
