@@ -9912,17 +9912,18 @@ $duckPcaDeflateCtes,
     QDef("p108_poisson_bootstrap",
       (s, dir) => {
         val B = 200
-        val u = "(instr('0123456789abcdef', substring(md5(concat('bs:', CAST(event_id AS STRING), ':', CAST(b AS STRING))), 1, 1)) - 1) * 4096 + " +
-          "(instr('0123456789abcdef', substring(md5(concat('bs:', CAST(event_id AS STRING), ':', CAST(b AS STRING))), 2, 1)) - 1) * 256 + " +
-          "(instr('0123456789abcdef', substring(md5(concat('bs:', CAST(event_id AS STRING), ':', CAST(b AS STRING))), 3, 1)) - 1) * 16 + " +
-          "(instr('0123456789abcdef', substring(md5(concat('bs:', CAST(event_id AS STRING), ':', CAST(b AS STRING))), 4, 1)) - 1)"
+        // ONE md5 per (row, replica): the 16-bit uniform is a single
+        // conv of the hash prefix, not a per-digit re-hash
+        val u = "CAST(conv(substring(md5(concat('bs:', CAST(event_id AS STRING), " +
+          "':', CAST(b AS STRING))), 1, 4), 16, 10) AS BIGINT)"
         val pv = t(s, dir, "events")
           .filter(col("event_type") === "purchase")
           .select(col("event_id"), d(col("value")).as("vd"))
         val reps = pv
           .select(col("event_id"), col("vd"),
             explode(expr(s"sequence(0, ${B - 1})")).as("b"))
-          .withColumn("w", expr(poisCase(u)).cast("long"))
+          .withColumn("u", expr(u))
+          .withColumn("w", expr(poisCase("u")).cast("long"))
           .groupBy(col("b"))
           .agg((sum(col("w") * col("vd")).cast("double") /
             sum(col("w"))).as("m"))
@@ -9940,19 +9941,22 @@ $duckPcaDeflateCtes,
             round(col("ci_hi"), 6).as("ci_hi_r"))
       },
       Some {
-        val u = "(instr('0123456789abcdef', substr(md5('bs:' || CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 1)) - 1) * 4096 + " +
-          "(instr('0123456789abcdef', substr(md5('bs:' || CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 2, 1)) - 1) * 256 + " +
-          "(instr('0123456789abcdef', substr(md5('bs:' || CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 3, 1)) - 1) * 16 + " +
-          "(instr('0123456789abcdef', substr(md5('bs:' || CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 4, 1)) - 1)"
+        val uChain = (1 to 4).map(i =>
+          s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)")
+          .reduce((acc, d0) => s"($acc * 16 + $d0)")
         s"""WITH pv AS (
           SELECT event_id, CAST(CAST(value AS DOUBLE) AS DECIMAL(12,2)) AS vd
           FROM events WHERE event_type = 'purchase'),
+        ex AS (SELECT event_id, vd, unnest(range(0, 200)) AS b FROM pv),
+        uu AS (SELECT vd, b, $uChain AS u
+          FROM (SELECT vd, b,
+            md5('bs:' || CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)) AS h
+          FROM ex)),
         reps AS (
           SELECT b,
-            CAST(SUM(CAST(${poisCase(u)} AS BIGINT) * vd) AS DOUBLE)
-              / SUM(CAST(${poisCase(u)} AS BIGINT)) AS m
-          FROM (SELECT event_id, vd, unnest(range(0, 200)) AS b FROM pv) e
-          GROUP BY b),
+            CAST(SUM(CAST(${poisCase("u")} AS BIGINT) * vd) AS DOUBLE)
+              / SUM(CAST(${poisCase("u")} AS BIGINT)) AS m
+          FROM uu GROUP BY b),
         rk AS (SELECT m, CAST(COUNT(*) OVER (ORDER BY m
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rk
           FROM reps),
