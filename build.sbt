@@ -76,3 +76,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // flushing never races compilation.
   "-XX:ReservedCodeCacheSize=512m",
 )
+// Extra -D dials for a forked run/test JVM without editing this file:
+// GRAFT_JAVA_OPTS="-Dgraft.checkpointMode=stage" sbt "runMain graft.Verify …"
+javaOptions ++= sys.env.get("GRAFT_JAVA_OPTS").toSeq
+  .flatMap(_.split("\\s+").filter(_.nonEmpty))
+// Tests default to the DURABLE checkpoint mode: localCheckpoint blocks
+// are executor-lifetime and non-replicated, and the 26-suite parallel
+// load is exactly the pressure that evicted them in r13
+// (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND in AuditFamilySpec p85). The
+// library default stays `local` (single-tenant bench speed);
+// MaterializeSpec pins all three modes bit-equal.
+Test / javaOptions ++= Seq("-Dgraft.checkpointMode=reliable")

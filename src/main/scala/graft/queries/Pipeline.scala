@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Dials
+import graft.{Dials, Materialize}
 import graft.queries.Q._
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings` /
@@ -564,6 +564,18 @@ object Pipeline {
   private[graft] def ccDriverMaxEdges: Long =
     Dials.long("graft.ccDriverMaxEdges").getOrElse(5000000L)
 
+  /** `-Dgraft.sketchAgreement=off` drops the exact-global-rank
+    * validation side of the agreement entries (p53c / p55c / p87c /
+    * p90b), emitting the histogram-sketch side alone with the
+    * agreement columns NULL — the 100 TB production form, where the
+    * corpus-through-one-reducer rank sort the exact side needs is the
+    * cost the sketch exists to avoid. Default ON: the oracle gate
+    * measures sketch-vs-exact agreement in-row, and the DuckDB mirrors
+    * assume it. */
+  private[graft] def sketchAgreementOn: Boolean =
+    !sys.props.get("graft.sketchAgreement")
+      .map(_.trim.toLowerCase).contains("off")
+
   /** Connected components over an undirected pair graph, restricted to
     * the edge-connected vertex set. Returns (doc_id, comp) for every
     * vertex that appears in `pairs`, comp = min vertex id in the
@@ -581,12 +593,14 @@ object Pipeline {
     *    THROWS when hit, because a wrong clustering is worse than a
     *    failed query.
     *
-    * Distributed path: eager localCheckpoint per iteration, NOT persist:
+    * Distributed path: eager [[Materialize]] per iteration, NOT persist:
     * the checkpoint truncates lineage so iteration k analyzes a flat
     * LogicalRDD plan instead of a depth-O(k) tree that AQE re-plans
-    * (and re-broadcasts) each round. The id diff releases exactly the
-    * previous iteration's blocks without touching anything a caller may
-    * have pinned. */
+    * (and re-broadcasts) each round. Each handle releases exactly the
+    * previous iteration's storage without touching anything a caller may
+    * have pinned (`-Dgraft.checkpointMode` picks local blocks vs durable
+    * checkpoint/parquet — mandatory durability on a preemptible
+    * cluster, see Materialize's scaladoc). */
   private[graft] def minLabelComponents(
       s: SparkSession, pairs: DataFrame, maxIter: Int = 200,
       driverMaxEdges: Long = ccDriverMaxEdges): DataFrame = {
@@ -625,18 +639,11 @@ object Pipeline {
       .union(p2.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = edges.count()
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
-      val ck = df.localCheckpoint(eager = true)
-      (ck, sc.getPersistentRDDs.keySet.toSet -- before)
-    }
-    def release(ids: Set[Int]): Unit = ids.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     // only vertices that appear in the edge set can change label
-    var (labels, labelIds) = checkpointTracked(
+    var labels = Materialize.tracked(
       edges.select(col("src").as("doc_id"))
         .distinct()
-        .withColumn("comp", col("doc_id")))
+        .withColumn("comp", col("doc_id")), "cc")
     var prevTotal = Long.MaxValue
     var iter = 0
     var converged = nEdges == 0
@@ -661,28 +668,27 @@ object Pipeline {
         val itT0 = System.nanoTime()
         // labels is a flat checkpointed plan, so its attributes no
         // longer share lineage with edges — plain column refs resolve
-        val prop = labels.join(edges, col("doc_id") === col("src"))
+        val prop = labels.df.join(edges, col("doc_id") === col("src"))
           .select(col("dst").as("doc_id"), col("comp"))
         // pointer jump: adopt the label of one's current representative
         // (comp is always itself an edge-vertex id, so the self-join
         // resolves). Neighbor propagation alone needs O(diameter) rounds;
         // with jumping the reach doubles per round — O(log d) — which is
         // what makes chain-shaped components tractable at 100×.
-        val jump = labels.select(col("doc_id"), col("comp").as("via"))
-          .join(labels.select(col("doc_id").as("via"), col("comp").as("jcomp")), "via")
+        val jump = labels.df.select(col("doc_id"), col("comp").as("via"))
+          .join(labels.df.select(col("doc_id").as("via"), col("comp").as("jcomp")), "via")
           .select(col("doc_id"), col("jcomp").as("comp"))
-        val (next, nextIds) = checkpointTracked(
-          labels.union(prop).union(jump)
-            .groupBy(col("doc_id")).agg(min(col("comp")).as("comp")))
+        val next = Materialize.tracked(
+          labels.df.union(prop).union(jump)
+            .groupBy(col("doc_id")).agg(min(col("comp")).as("comp")), "cc")
         // convergence metric over the already-materialized checkpoint
         // (sum of min-labels is monotone decreasing)
-        val total = Option(next.agg(sum(col("comp"))).collect()(0).get(0))
+        val total = Option(next.df.agg(sum(col("comp"))).collect()(0).get(0))
           .map(_.asInstanceOf[Long]).getOrElse(0L)
-        release(labelIds)
+        labels.release()
         converged = total == prevTotal
         prevTotal = total
         labels = next
-        labelIds = nextIds
         iter += 1
         // an iteration of this loop is sub-second on healthy state; a slow
         // one indicates external pressure (GC, cleaner backlog) — log it
@@ -699,7 +705,7 @@ object Pipeline {
       }
     }
     if (!converged) {
-      release(labelIds)
+      labels.release()
       edges.unpersist()
       throw new IllegalStateException(
         s"minLabelComponents did not converge in $maxIter iterations " +
@@ -708,7 +714,7 @@ object Pipeline {
     // pin ONLY the tiny fixpoint (edge-connected vertices), then free the
     // edge cache — successors inherit at most O(near-dups) of state
     edges.unpersist()
-    labels
+    labels.df
   }
 
   /** Near-dup pairs (a_id < b_id) with exact shingle-Jaccard >= 0.5 —
@@ -853,21 +859,25 @@ object Pipeline {
     * DuckDB oracle reproduces every round bit-for-bit. */
   private def kmeansRounds(fit: DataFrame, seed: DataFrame, iters: Int): DataFrame = {
     var cent = seed
+    var prev: Option[Materialize.Handle] = None
     for (_ <- 1 to iters) {
       val assigned = nearestCells(fit, cent, 1)
-      // eager localCheckpoint per round (the p20 trick): round i+1
-      // analyzes a flat k-row plan instead of a depth-i nested tree that
+      // eager Materialize per round (the p20 trick): round i+1 analyzes
+      // a flat k-row plan instead of a depth-i nested tree that
       // Catalyst re-analyzes and re-broadcasts per level. State is k
-      // centroid rows — a few hundred KB at any k this engine fits.
-      cent = assigned
+      // centroid rows — a few hundred KB at any k this engine fits —
+      // and round i's copy is released once round i+1 materializes.
+      val h = Materialize.tracked(assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
         .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(16, 8)))
           .cast("double") / count(lit(1))).as("c"))
         .groupBy(col("cell"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> CAST(x.c AS FLOAT))")
-          .as("cv"))
-        .localCheckpoint(eager = true)
+          .as("cv")), "km")
+      prev.foreach(_.release())
+      prev = Some(h)
+      cent = h.df
     }
     cent
   }
@@ -1064,28 +1074,36 @@ object Pipeline {
     // spreads the bounded sample across the executor width (the filtered
     // parquet scan otherwise yields 1-2 partitions and the 4 assign
     // rounds run nearly serial). Neither changes any arithmetic.
-    val fit = fitRows.select(col("vec_id"), pqSubvecsCol.as(Seq("sub", "sv")))
-      .repartition(s.sparkContext.defaultParallelism)
-      .localCheckpoint(eager = true)
+    val fitH = Materialize.tracked(
+      fitRows.select(col("vec_id"), pqSubvecsCol.as(Seq("sub", "sv")))
+        .repartition(s.sparkContext.defaultParallelism), "pqfit")
+    val fit = fitH.df
     var cent = src.select(col("vec_id"), col("embedding"))
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(pqK)
       .select(col("vec_id").as("cell"), pqSubvecsCol.as(Seq("sub", "cv")))
       .select(col("sub"), col("cell"), col("cv"))
+    var prev: Option[Materialize.Handle] = None
     for (_ <- 1 to kmeansIters) {
       val assigned = nearestPqCell(fit, cent)
-      // eager localCheckpoint per round (the kmeansRounds trick): round
+      // eager Materialize per round (the kmeansRounds trick): round
       // i+1 analyzes a flat M*k'-row plan, not a depth-i nested tree
-      cent = assigned
+      val h = Materialize.tracked(assigned
         .select(col("sub"), col("cell"), posexplode(col("sv")).as(Seq("pos", "v")))
         .groupBy(col("sub"), col("cell"), col("pos"))
         .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(16, 8)))
           .cast("double") / count(lit(1))).as("c"))
         .groupBy(col("sub"), col("cell"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> CAST(x.c AS FLOAT))")
-          .as("cv"))
-        .localCheckpoint(eager = true)
+          .as("cv")), "pq")
+      prev.foreach(_.release())
+      prev = Some(h)
+      cent = h.df
     }
+    // the fit sample fed its last assign round; release it before the
+    // code-numbering epilogue (the final round's handle stays live —
+    // `cent` is consumed lazily by the caller's staging write)
+    fitH.release()
     cent.withColumn("code",
       (row_number().over(Window.partitionBy(col("sub")).orderBy(col("cell"))) - 1)
         .cast("int"))
@@ -6925,7 +6943,10 @@ ${duckResidualAdcCtes("y", "v")},
             .as(as))
         val c1 = cutAt("CAST(nt AS DOUBLE)/3.0", "cut_lo")
         val c2 = cutAt("CAST(nt AS DOUBLE)*2.0/3.0", "cut_hi")
-        val exact = perDoc
+        // `-Dgraft.sketchAgreement=off` (the 100 TB form): no exact
+        // rank side at all — the plan is histogram + threshold compare,
+        // zero corpus-scaled windows; n_agree is NULL by contract.
+        val base = if (sketchAgreementOn) perDoc
           .withColumn("rn",
             row_number().over(Window.orderBy(col("nll"), col("doc_id"))).cast("bigint"))
           .withColumn("nd", count(lit(1)).over(Window.partitionBy()))
@@ -6933,7 +6954,8 @@ ${duckResidualAdcCtes("y", "v")},
             when(col("rn") * 3 <= col("nd"), "head")
               .when(col("rn") * 3 <= col("nd") * 2, "middle")
               .otherwise("tail"))
-        exact.crossJoin(broadcast(c1)).crossJoin(broadcast(c2))
+        else perDoc
+        base.crossJoin(broadcast(c1)).crossJoin(broadcast(c2))
           .withColumn("sbucket",
             when(col("nll") <= col("cut_lo"), "head")
               .when(col("nll") <= col("cut_hi"), "middle")
@@ -6943,7 +6965,9 @@ ${duckResidualAdcCtes("y", "v")},
             sum(when(col("sbucket") === "head", 1L).otherwise(0L)).as("n_head"),
             sum(when(col("sbucket") === "middle", 1L).otherwise(0L)).as("n_middle"),
             sum(when(col("sbucket") === "tail", 1L).otherwise(0L)).as("n_tail"),
-            sum(when(col("sbucket") === col("ebucket"), 1L).otherwise(0L)).as("n_agree"))
+            (if (sketchAgreementOn)
+              sum(when(col("sbucket") === col("ebucket"), 1L).otherwise(0L))
+            else lit(null).cast("bigint")).as("n_agree"))
       },
       Some(s"""WITH $duckLmScoreCtes,
         hb AS (SELECT least(1023, greatest(0, CAST(floor(nll * 64.0) AS INT))) AS b,
@@ -7100,15 +7124,20 @@ ${duckResidualAdcCtes("y", "v")},
           .select(expr(
             "round((CAST(b AS DOUBLE) + (CAST(nt - 100 AS DOUBLE) - CAST(cum - n AS DOUBLE)) / n) / 1024.0, 6)")
             .as("cut_r"))
-        val exact = sc
+        // dial-off (100 TB form): selection is the threshold compare
+        // alone — no global rank window; n_agree NULL by contract
+        val base = if (sketchAgreementOn) sc
           .withColumn("rn", row_number()
             .over(Window.orderBy(col("score_r").desc, col("doc_id"))).cast("bigint"))
-        exact.crossJoin(broadcast(cut))
+        else sc
+        base.crossJoin(broadcast(cut))
           .withColumn("sk", col("score_r") > col("cut_r"))
           .groupBy(col("cut_r"))
           .agg(
             sum(when(col("sk"), 1L).otherwise(0L)).as("n_selected"),
-            sum(when(col("sk") && col("rn") <= 100, 1L).otherwise(0L)).as("n_agree"))
+            (if (sketchAgreementOn)
+              sum(when(col("sk") && col("rn") <= 100, 1L).otherwise(0L))
+            else lit(null).cast("bigint")).as("n_agree"))
       },
       Some(s"""WITH $duckBigrams,
         $duckDsirFeatures,
@@ -8072,17 +8101,18 @@ ${duckResidualAdcCtes("y", "v")},
         val contribSrc = edges.join(dg, "src")
         var rank = nodes.withColumn("r", lit(1000000L))
         // Production-depth checkpointing: every `-Dgraft.lexCheckpoint`
-        // rounds, materialize the rank frame (eager localCheckpoint —
-        // the CC-loop machinery) and release the previous materialized
+        // rounds, materialize the rank frame (eager Materialize — the
+        // CC-loop machinery) and release the previous materialized
         // copy. Checkpointing changes PLAN SHAPE only, never values, so
         // the oracle contract is dial-independent; at the default
         // (unset/0 = off) the plan is the unchanged 5-deep join tree.
         // At depth >5 an uncheckpointed chain re-plans a join tree that
         // deepens per round — the lineage-growth failure mode the CC
-        // loop documents.
+        // loop documents. Tracking is per-handle (the RDD read from the
+        // checkpointed plan itself), so a concurrent query's checkpoint
+        // can never be captured and released from here.
         val ckEvery = Dials.int("graft.lexCheckpoint").filter(_ > 0)
-        val sc = s.sparkContext
-        var prevCkIds = Set.empty[Int]
+        var prevCk: Option[Materialize.Handle] = None
         for (i <- 1 to lexIters) {
           val mass = contribSrc
             .join(rank.select(col("doc_id").as("src"), col("r")), "src")
@@ -8092,12 +8122,10 @@ ${duckResidualAdcCtes("y", "v")},
             .select(col("doc_id"), expr(
               "CAST(150000 + ((85 * coalesce(mass, 0)) div 100) AS BIGINT)").as("r"))
           if (ckEvery.exists(c => i % c == 0 && i < lexIters)) {
-            val before = sc.getPersistentRDDs.keySet.toSet
-            rank = rank.localCheckpoint(true)
-            val added = sc.getPersistentRDDs.keySet.toSet -- before
-            prevCkIds.foreach(id =>
-              sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-            prevCkIds = added
+            val h = Materialize.tracked(rank, "lex")
+            rank = h.df
+            prevCk.foreach(_.release())
+            prevCk = Some(h)
           }
         }
         rank.join(dg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
@@ -8158,13 +8186,12 @@ ${(1 to lexIters).map(duckLexIter).mkString(",\n")}
         val nDocs = docs(s, dir).count()
         val dfp = fps.groupBy(col("h")).agg(count(lit(1)).as("df"))
         // the kept-fingerprint front feeds FOUR consumers (the pair
-        // expansion plus both size joins); eager localCheckpoint (the
+        // expansion plus both size joins); eager Materialize (the
         // p20/k-means trick) materializes the tokenize->window->guard
         // chain once instead of re-running it per consumer
-        val kept = fps.join(
+        val kept = Materialize(fps.join(
           dfp.filter(col("df").cast("double") <= lit(math.max(5.0, nDocs * 0.01))), "h")
-          .select(col("doc_id"), col("h"))
-          .localCheckpoint(true)
+          .select(col("doc_id"), col("h")), "p81")
         val fsz = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("fsz"))
         val pairs = kept.groupBy(col("h"))
           .agg(collect_list(col("doc_id")).as("ids"))
@@ -8631,18 +8658,25 @@ ${(1 to lexIters).map(duckLexIter).mkString(",\n")}
     QDef("p87c_excess_sketch",
       (s, dir) => {
         val sk = excessSketch(s, dir)
-        val exact = excessPerDoc(s, dir)
-          .withColumn("rn", row_number()
-            .over(Window.orderBy(col("excess_r").desc, col("doc_id"))).cast("bigint"))
-          .withColumn("nd", count(lit(1)).over(Window.partitionBy()))
-          .select(col("doc_id"), (col("rn") * 4 <= col("nd")).as("kept_ex"))
-        sk.join(exact, "doc_id")
+        // dial-off (100 TB form): the sketch decision alone — no exact
+        // rank join; exact/agreement columns NULL by contract
+        val joined = if (sketchAgreementOn) {
+          val exact = excessPerDoc(s, dir)
+            .withColumn("rn", row_number()
+              .over(Window.orderBy(col("excess_r").desc, col("doc_id"))).cast("bigint"))
+            .withColumn("nd", count(lit(1)).over(Window.partitionBy()))
+            .select(col("doc_id"), (col("rn") * 4 <= col("nd")).as("kept_ex"))
+          sk.join(exact, "doc_id")
+        } else sk
+        joined
           .groupBy(col("cut_r"))
           .agg(
             sum(when(col("kept_sk"), 1L).otherwise(0L)).as("n_kept_sketch"),
-            sum(when(col("kept_ex"), 1L).otherwise(0L)).as("n_kept_exact"),
-            sum(when(col("kept_sk") === col("kept_ex"), 1L).otherwise(0L))
-              .as("n_agree"),
+            (if (sketchAgreementOn) sum(when(col("kept_ex"), 1L).otherwise(0L))
+            else lit(null).cast("bigint")).as("n_kept_exact"),
+            (if (sketchAgreementOn)
+              sum(when(col("kept_sk") === col("kept_ex"), 1L).otherwise(0L))
+            else lit(null).cast("bigint")).as("n_agree"),
             count(lit(1)).as("nd"))
       },
       Some(s"""WITH $duckExcessCtes,
@@ -8874,22 +8908,40 @@ $duckPcaDeflateCtes,
         // the sketch AND exact sides both consume all three signal
         // frames; the LR-scored front in particular is a corpus pass.
         // Materialize each slim (doc_id, signal) frame ONCE (eager
-        // localCheckpoint — the p81/p85 recompute-count discipline) so
+        // Materialize — the p81/p85 recompute-count discipline) so
         // the agreement measurement pays each signal's corpus work once,
         // not twice.
         val (q0, l0, f0) = fusionSignals(s, dir)
-        val sig = Some((q0.localCheckpoint(true), l0.localCheckpoint(true),
-          f0.localCheckpoint(true)))
+        val hs = Seq(Materialize.tracked(q0, "p90q"),
+          Materialize.tracked(l0, "p90l"), Materialize.tracked(f0, "p90f"))
+        val sig = Some((hs(0).df, hs(1).df, hs(2).df))
         val sk = bordaSketch(s, dir, sig)
-        val ex = fusionExact(s, dir, sig).select(col("doc_id"), col("kept"))
-        sk.join(ex, "doc_id")
+        // dial-off (100 TB form): the sketch's kept-set alone — no
+        // exact Borda join; exact/agreement columns NULL by contract
+        val joined = if (sketchAgreementOn)
+          sk.join(fusionExact(s, dir, sig).select(col("doc_id"), col("kept")),
+            "doc_id")
+        else sk
+        val agg = joined
           .groupBy(col("cut_bucket"))
           .agg(
             sum(when(col("kept_sk"), 1L).otherwise(0L)).as("n_kept_sketch"),
-            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept_exact"),
-            sum(when(col("kept_sk") === col("kept"), 1L).otherwise(0L))
-              .as("n_agree"),
+            (if (sketchAgreementOn) sum(when(col("kept"), 1L).otherwise(0L))
+            else lit(null).cast("bigint")).as("n_kept_exact"),
+            (if (sketchAgreementOn)
+              sum(when(col("kept_sk") === col("kept"), 1L).otherwise(0L))
+            else lit(null).cast("bigint")).as("n_agree"),
             count(lit(1)).as("nd"))
+        // the agreement aggregate is one row per cut bucket (a handful);
+        // evaluate it eagerly so the three corpus-scaled signal frames
+        // release HERE instead of pinning storage for the session
+        // (r13 ADVICE) — same rows, the caller gets a local relation.
+        val rows = agg.collect().toSeq
+        hs.foreach(_.release())
+        s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+          agg.schema)
       },
       Some(s"""WITH $duckFusionCtes,
         hq AS (SELECT doc_id,
@@ -10362,14 +10414,13 @@ $duckPcaDeflateCtes,
   private def jsOrderedSums(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     // the bucket-count table feeds SIX consumers across the two ordered
     // directions (totals, a-side, b-side per direction); it is bounded
-    // at sources x dsirBuckets rows, so one eager localCheckpoint turns
+    // at sources x dsirBuckets rows, so one eager Materialize turns
     // every consumer into a read of a tiny materialized table instead
     // of re-running the corpus-scaled tokenize+hash+aggregate
-    val cnt = docs(s, dir)
+    val cnt = Materialize(docs(s, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .select(col("source"), (md560(col("w")) % dsirBuckets).as("b"))
-      .groupBy(col("source"), col("b")).agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
+      .groupBy(col("source"), col("b")).agg(count(lit(1)).as("n")), "jscnt")
     val tot = cnt.groupBy(col("source")).agg(sum(col("n")).as("t"))
     val srcs = tot.select(col("source").as("sb"), col("t").as("tb"))
     val a = cnt.select(col("source").as("sa"), col("b"), col("n").as("na"))
@@ -10381,11 +10432,10 @@ $duckPcaDeflateCtes,
       .withColumn("nb", coalesce(col("nb0"), lit(0L)))
     // <= sources^2 rows; checkpointed so the fwd/rev split (and p85b's
     // reuse) reads it instead of re-running the bucket pair join
-    val sums = withB
+    val sums = Materialize(withB
       .withColumn("term", col("na") *
         (expr(sln("2 * na * tb")) - expr(sln("na * tb + nb * ta"))))
-      .groupBy(col("sa"), col("sb")).agg(sum(col("term")).as("s"))
-      .localCheckpoint(true)
+      .groupBy(col("sa"), col("sb")).agg(sum(col("term")).as("s")), "jsums")
     (sums, tot)
   }
 
