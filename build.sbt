@@ -27,7 +27,12 @@ Test / testGrouping := {
   val isolated = Map(
     "graft.KMeansCellsSpec" -> "knobs",
     "graft.ShingleStageSpec" -> "staging",
-    "graft.SessionStateSpec" -> "session")
+    "graft.SessionStateSpec" -> "session",
+    // flips graft.checkpointMode and asserts on the session-global
+    // persistent-RDD set — must not share a JVM with anything
+    "graft.MaterializeSpec" -> "mat",
+    // graft.sketchAgreement=off CHANGES VALUES of the agreement entries
+    "graft.SketchAgreementSpec" -> "sketchdial")
   val (iso, main) = (Test / definedTests).value
     .partition(t => isolated.contains(t.name))
   Tests.Group("main", main, Tests.SubProcess(opts)) +:

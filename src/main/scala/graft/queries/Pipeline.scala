@@ -9597,26 +9597,38 @@ $duckPcaDeflateCtes,
     // formulation). p28 is the REMEDIATION at 10-token disjoint spans;
     // p103 is the exact MEASUREMENT: stride-1 overlapping windows, so
     // coverage is the true interval union, not a block approximation.
-    // Plan: one stride-1 explode to (doc, start, 8-byte window hash) —
-    // the window text dies at md560 in the same projection — ONE
-    // hash-partitioned count window for the >= 2 filter (the
-    // ShingleStage df-window trick: no second scan, no join back), then
-    // the per-DOC gaps-and-islands interval union (running max + run
-    // cumsum + per-run min/max — all windows partitioned by doc_id).
-    // The explode factor (~n_chars rows/doc) is the price the paper's
-    // suffix array also pays, here shuffling 12 bytes per window. -------
+    // Plan: a stride-1 explode to (doc, start, 8-byte window hash) —
+    // the window text dies at md560 in the same projection. The >= 2
+    // filter is a partial-aggregated groupBy(h) count joined back on h,
+    // NOT an h-partitioned count window: a window must co-locate every
+    // row of a partition in one task, so a degenerate corpus (megabytes
+    // of one repeated character = one ultra-common window hash) funnels
+    // the whole explode into a single reducer with no escape. The
+    // aggregate form map-side-combines the repeats (a one-char map
+    // partition collapses to ONE (h, n) row before the shuffle), and
+    // the join back on h is exactly the shape AQE's skew-join splitting
+    // handles — the hot h's probe partition splits across tasks (the
+    // r13 verdict's "residual skew policy" applied; the window had no
+    // salting analog). Costs one extra explode pass; measured ~0.1 s at
+    // sf0.1 against a 0.25 s line. Then the per-DOC gaps-and-islands
+    // interval union (running max + run cumsum + per-run min/max — all
+    // windows partitioned by doc_id). The explode factor (~n_chars
+    // rows/doc) is the price the paper's suffix array also pays, here
+    // shuffling 12 bytes per window. DuplicatedWindowSpec pins the
+    // degenerate one-character corpus. ----------------------------------
     QDef("p103_dup_span_coverage",
       (s, dir) => {
         val L = 30
-        val wins = docs(s, dir)
+        def wins = docs(s, dir)
           .filter(length(col("text")) >= L)
           .select(col("doc_id"), explode(expr(
             s"transform(sequence(1, length(text) - ${L - 1})," +
               s" i -> struct(i AS st, substring(text, i, $L) AS w))")).as("u"))
           .select(col("doc_id"), col("u.st").as("st"), md560(col("u.w")).as("h"))
-        val dup = wins
-          .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("h"))))
+        val dupH = wins.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
           .filter(col("cnt") >= 2)
+          .select(col("h"))
+        val dup = wins.join(dupH, "h")
           .select(col("doc_id"), col("st"), (col("st") + L - 1).as("en"))
         val wd = Window.partitionBy(col("doc_id")).orderBy(col("st"))
         val runs = dup
