@@ -9714,10 +9714,12 @@ $duckPcaDeflateCtes,
   private val sprtP0 = 0.15
   private val sprtP1 = 0.25
   private def sl(x: Double): Long = math.round(math.log(x) * 1e8)
-  private val sprtL1: Long = sl(sprtP1 / sprtP0)
-  private val sprtL0: Long = sl((1.0 - sprtP1) / (1.0 - sprtP0))
-  private val sprtA: Long = sl(0.95 / 0.05)
-  private val sprtB: Long = sl(0.05 / 0.95)
+  // private[graft]: the streaming monitors (EventStreams.sprtMonitorStream)
+  // carry the SAME scaled literals so the stream=batch parity is exact
+  private[graft] val sprtL1: Long = sl(sprtP1 / sprtP0)
+  private[graft] val sprtL0: Long = sl((1.0 - sprtP1) / (1.0 - sprtP0))
+  private[graft] val sprtA: Long = sl(0.95 / 0.05)
+  private[graft] val sprtB: Long = sl(0.05 / 0.95)
 
   /** Sequential/monitoring analytics over event-time hours. The hourly
     * aggregation is the only corpus-scaled shuffle; every cumulative

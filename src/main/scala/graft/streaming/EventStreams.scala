@@ -117,6 +117,114 @@ object EventStreams {
       col("t_r"))
   }
 
+  /** One closed event-time hour's contribution to a sequential monitor:
+    * `n` trials (or volume) and `c` conversions. */
+  final case class HourDelta(hour: java.sql.Timestamp, n: Long, c: Long)
+
+  /** One SPRT trajectory row — batch p104's row shape; `decided_at` is
+    * the first boundary-crossing hour IF already observed at emission
+    * time (a live monitor cannot backfill earlier rows the way the
+    * batch retrospective does), NULL before it. */
+  final case class SprtUpdate(hour: java.sql.Timestamp, n_cum: Long,
+      c_cum: Long, llr_s: Long, decision: String,
+      decided_at: java.sql.Timestamp)
+
+  /** One CUSUM trajectory row — batch p105's row shape. */
+  final case class CusumUpdate(hour: java.sql.Timestamp, x: Long,
+      k_s: Long, cusum_s: Long, alarm: Boolean)
+
+  /** Stage 1 of the sequential monitors: the treatment arm's per-hour
+    * (trials, conversions) deltas — batch p104's hourly front as a
+    * watermarked windowed aggregation, append-on-close. This is the only
+    * corpus-scaled stage (map-side partial agg, one row of state per
+    * open window); the sequential fold consumes its bounded output. */
+  def sprtHourlyDeltas(events: DataFrame): DataFrame =
+    events
+      .filter(col("user_id") % 2 === 1)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c"))
+      .select(col("window.start").as("hour"), col("n"), col("c"))
+
+  /** Stage 2: the Wald SPRT fold over closed-hour deltas — the
+    * streaming sibling of batch p104, carrying cumulative (trials,
+    * conversions, first-decision hour) as ONE bounded state tuple per
+    * monitor. The LLR uses the SAME plan-build scaled literals as the
+    * batch entry (`Pipeline.sprtL1/L0/A/B`), so the trajectory is exact
+    * BIGINT and stream=batch parity is bit-exact regardless of
+    * micro-batch splits (spec-proven). Input contract: one delta per
+    * closed hour, hours non-decreasing across triggers (what stage 1
+    * emits under the watermark; within a trigger the fold sorts).
+    * Spark's checker (correctly) refuses flatMapGroupsWithState chained
+    * after a streaming aggregation in one query, so the composition is
+    * the standard two-query topology: stage 1 append-streams closed
+    * hours to a durable sink; this fold reads them back. At scale that
+    * is also the right failure isolation — the corpus-scaled window agg
+    * restarts without rewinding the monitor's decision state. */
+  def sprtMonitorStream(deltas: Dataset[HourDelta]): Dataset[SprtUpdate] = {
+    import deltas.sparkSession.implicits._
+    val (l1, l0, a, b) = (graft.queries.Pipeline.sprtL1,
+      graft.queries.Pipeline.sprtL0, graft.queries.Pipeline.sprtA,
+      graft.queries.Pipeline.sprtB)
+    deltas
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[(Long, Long, Long), SprtUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows: Iterator[HourDelta], state: GroupState[(Long, Long, Long)]) =>
+          var (nc, cc, dAt) = state.getOption.getOrElse((0L, 0L, Long.MinValue))
+          val out = rows.toSeq.sortBy(_.hour.getTime).map { d =>
+            nc += d.n; cc += d.c
+            val llr = cc * l1 + (nc - cc) * l0
+            val dec = if (llr >= a) "accept_h1"
+              else if (llr <= b) "accept_h0" else "continue"
+            if (dec != "continue" && dAt == Long.MinValue) dAt = d.hour.getTime
+            SprtUpdate(d.hour, nc, cc, llr, dec,
+              if (dAt == Long.MinValue) null else new java.sql.Timestamp(dAt))
+          }
+          state.update((nc, cc, dAt))
+          out.iterator
+      }
+  }
+
+  /** Stage 1 for the CUSUM monitor: per-hour event volume (c unused). */
+  def cusumHourlyDeltas(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour"), col("n"), lit(0L).as("c"))
+
+  /** Stage 2: Page's one-sided CUSUM fold over closed-hour volumes —
+    * the streaming sibling of batch p105. State is the prefix sum and
+    * its running minimum (two BIGINTs per monitor): S_t = P_t −
+    * min(0, min_j P_j) with P the running sum of (x·10⁶ − k), exactly
+    * the batch entry's prefix rewrite, so stream=batch parity is
+    * bit-exact across any micro-batch split. `kScaled` is the chart's
+    * reference (micro-units/hour): the batch retrospective derives it
+    * from the full corpus mean; a live chart takes it from the
+    * historical fit — which is WHY it is a parameter here. Same
+    * two-query composition contract as [[sprtMonitorStream]]. */
+  def cusumMonitorStream(deltas: Dataset[HourDelta],
+      kScaled: Long): Dataset[CusumUpdate] = {
+    import deltas.sparkSession.implicits._
+    deltas
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[(Long, Long), CusumUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows: Iterator[HourDelta], state: GroupState[(Long, Long)]) =>
+          var (p, minp) = state.getOption.getOrElse((0L, Long.MaxValue))
+          val out = rows.toSeq.sortBy(_.hour.getTime).map { d =>
+            p += d.n * 1000000L - kScaled
+            minp = math.min(minp, p)
+            val cusum = p - math.min(minp, 0L)
+            CusumUpdate(d.hour, d.n, kScaled, cusum, cusum > kScaled * 3)
+          }
+          state.update((p, minp))
+          out.iterator
+      }
+  }
+
   /** Sliding-window rate (10-minute windows every 5), watermark-bounded. */
   def slidingRate(events: DataFrame): DataFrame =
     events

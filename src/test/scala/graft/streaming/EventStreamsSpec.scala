@@ -1417,4 +1417,119 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(ctrl.rounds == 6)
     } finally q.stop()
   }
+
+  /** sf0.001 hourly deltas in event-time order, via the same grouping
+    * the batch entries run; feed in `parts` micro-batches. */
+  private def hourlyDeltas(dir: String, treatmentOnly: Boolean): Seq[EventStreams.HourDelta] = {
+    import org.apache.spark.sql.functions._
+    val ev = graft.queries.Q.t(spark, dir, "events")
+    val base = if (treatmentOnly) ev.filter(col("user_id") % 2 === 1) else ev
+    base.groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c"))
+      .orderBy(col("hour")).collect()
+      .map(r => EventStreams.HourDelta(r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+  }
+
+  test("streaming SPRT monitor reproduces batch p104 exactly across micro-batch splits") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // batch truth: hour -> (n_cum, c_cum, llr_s, decision, decided_at)
+    val batch = graft.SparkEntry.queries("p104_sprt")(spark, dir).collect()
+      .map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), Option(r.getTimestamp(5))))).toMap
+    val deltas = hourlyDeltas(dir, treatmentOnly = true)
+    assert(deltas.size == batch.size)
+    val input = MemoryStream[EventStreams.HourDelta]
+    val q = EventStreams.sprtMonitorStream(input.toDS())
+      .writeStream.format("memory").queryName("sprtmon")
+      .outputMode("append").start()
+    try {
+      // three uneven splits: the cumulative LLR must stitch across state
+      val cut1 = deltas.size / 3
+      val cut2 = 2 * deltas.size / 3 + 1
+      Seq(deltas.slice(0, cut1), deltas.slice(cut1, cut2), deltas.drop(cut2))
+        .foreach { part => input.addData(part); q.processAllAvailable() }
+      val got = spark.sql(
+        "SELECT hour, n_cum, c_cum, llr_s, decision, decided_at FROM sprtmon")
+        .collect()
+      assert(got.length == deltas.size)
+      for (r <- got) {
+        val (n, c, llr, dec, dAt) = batch(r.getTimestamp(0))
+        assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)) ==
+          ((n, c, llr, dec)), s"hour ${r.getTimestamp(0)}")
+        // decided_at: the batch retrospective backfills it onto every
+        // row; the live monitor knows it only from the crossing onward
+        dAt match {
+          case Some(d) if !r.getTimestamp(0).before(d) =>
+            assert(r.getTimestamp(5) == d, s"decided_at at ${r.getTimestamp(0)}")
+          case Some(_) => assert(r.isNullAt(5), s"premature decided_at")
+          case None => assert(r.isNullAt(5))
+        }
+      }
+      // the sf0.001 trajectory actually decides (guards test strength)
+      assert(batch.values.exists(_._4 != "continue"))
+    } finally q.stop()
+  }
+
+  test("streaming CUSUM monitor reproduces batch p105 exactly across micro-batch splits") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // batch truth: hour -> (x, k_s, cusum_s, alarm); k is the chart's
+    // reference parameter — the retrospective derives it, the live
+    // monitor is CONFIGURED with it
+    val batchRows = graft.SparkEntry.queries("p105_cusum")(spark, dir).collect()
+    val k = batchRows.head.getLong(2)
+    val batch = batchRows.map(r => r.getTimestamp(0) ->
+      ((r.getLong(1), r.getLong(3), r.getBoolean(4)))).toMap
+    val deltas = hourlyDeltas(dir, treatmentOnly = false)
+    assert(deltas.size == batch.size)
+    val input = MemoryStream[EventStreams.HourDelta]
+    val q = EventStreams.cusumMonitorStream(input.toDS(), k)
+      .writeStream.format("memory").queryName("cusummon")
+      .outputMode("append").start()
+    try {
+      val cut = deltas.size / 2
+      Seq(deltas.take(cut), deltas.drop(cut))
+        .foreach { part => input.addData(part); q.processAllAvailable() }
+      val got = spark.sql("SELECT hour, x, k_s, cusum_s, alarm FROM cusummon")
+        .collect()
+      assert(got.length == deltas.size)
+      for (r <- got) {
+        assert(r.getLong(2) == k)
+        assert(batch(r.getTimestamp(0)) ==
+          ((r.getLong(1), r.getLong(3), r.getBoolean(4))),
+          s"hour ${r.getTimestamp(0)}")
+      }
+      // bounded state: one tuple for the single monitor key
+      assert(q.lastProgress == null || q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.map(_.numRowsTotal).sum == 1)
+    } finally q.stop()
+  }
+
+  test("SPRT stage 1: the watermarked hourly delta stream matches the batch front") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventStreams.Event]
+    // hour 10: treatment (odd users) n=3 c=1; control rows must not count
+    input.addData(
+      EventStreams.Event(1, ts(5), 101, "purchase", 1.0),
+      EventStreams.Event(2, ts(6), 101, "click", 1.0),
+      EventStreams.Event(3, ts(7), 103, "click", 1.0),
+      EventStreams.Event(4, ts(8), 100, "purchase", 1.0))
+    input.addData(
+      EventStreams.Event(5, Timestamp.valueOf("2024-01-01 12:05:00"), 105, "click", 1.0))
+    val q = EventStreams.toMemorySink(
+      EventStreams.sprtHourlyDeltas(input.toDF()), "sprtdeltas").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT hour, n, c FROM sprtdeltas ORDER BY hour").collect()
+      assert(rows.map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSeq ==
+        Seq((ts(0), 3L, 1L),
+          (Timestamp.valueOf("2024-01-01 12:00:00"), 1L, 0L)))
+    } finally q.stop()
+  }
 }
