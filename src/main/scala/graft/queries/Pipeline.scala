@@ -764,6 +764,15 @@ object Pipeline {
   def exactBaselineMaxRows: Long =
     Dials.long("graft.exactBaselineMaxRows").getOrElse(200000L)
 
+  /** Largest pair-front (rows) the suite will HINT into a broadcast —
+    * fronts are bounded by the corpus near-dup rate, which is a corpus
+    * property, not a constant; above this the join runs unhinted
+    * (shuffle on the id keys) instead of forcing a driver-sized
+    * broadcast. ~24 B/row → the default caps the broadcast near 25 MB.
+    * Override: -Dgraft.broadcastFrontMaxRows. */
+  private[graft] def broadcastFrontMaxRows: Long =
+    Dials.long("graft.broadcastFrontMaxRows").getOrElse(1000000L)
+
   /** p23's deterministic packing parallelism — doc_id % packBuckets. The
     * local default matches the test core count; a cluster run raises it
     * to executor width. Read once so the Spark plan and the oracle SQL
@@ -8991,20 +9000,28 @@ $duckPcaDeflateCtes,
     // the Jaccard >= 0.3 literal filter over the staged pre-threshold
     // pair table (p00b), whose size is bounded by the corpus near-dup
     // rate, never n². The O(len·len) distance kernel therefore touches
-    // a vanishing fraction of the corpus at any scale; the two text
-    // joins broadcast the small front against the document scan. Both
-    // engines implement classic full Levenshtein, so the distance —
-    // and the normalized similarity after round(…,6) — is
-    // engine-identical. -------------------------------------------------
+    // a vanishing fraction of the corpus at any scale. The two text
+    // joins broadcast the front against the document scan — but only
+    // when a cheap count over the staged parquet confirms it is small:
+    // the near-dup rate is a CORPUS property, not a constant, and a
+    // duplicate-heavy crawl would otherwise force a driver-sized
+    // broadcast (r13 ADVICE). Above the cap the hint is dropped and the
+    // joins shuffle on the id keys like every other pair consumer —
+    // values identical either way. Both engines implement classic full
+    // Levenshtein, so the distance — and the normalized similarity
+    // after round(…,6) — is engine-identical. ---------------------------
     QDef("p91_edit_similarity",
       (s, dir) => {
-        val front = PairStage.load(s, dir)
+        val front0 = PairStage.load(s, dir)
           .withColumn("jaccard_r", round(col("inter").cast("double") /
             (col("sza") + col("szb") - col("inter")), 6))
           .filter(col("jaccard_r") >= 0.3)
           .select(col("a_id"), col("b_id"), col("jaccard_r"))
+        val front =
+          if (front0.count() <= broadcastFrontMaxRows) broadcast(front0)
+          else front0
         val texts = docs(s, dir).select(col("doc_id"), col("text"))
-        broadcast(front)
+        front
           .join(texts.select(col("doc_id").as("a_id"), col("text").as("ta")), "a_id")
           .join(texts.select(col("doc_id").as("b_id"), col("text").as("tb")), "b_id")
           .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
@@ -9985,19 +10002,32 @@ $duckPcaDeflateCtes,
         val pv = t(s, dir, "events")
           .filter(col("event_type") === "purchase")
           .select(col("event_id"), d(col("value")).as("vd"))
+        // a replica whose Poisson weights are ALL zero (P = e^-n) has no
+        // mean; both engines drop it BEFORE ranking — otherwise its NULL
+        // replica mean sorts first in Spark and last in DuckDB and the
+        // percentile ranks diverge cross-engine (r13 ADVICE)
         val reps = pv
           .select(col("event_id"), col("vd"),
             explode(expr(s"sequence(0, ${B - 1})")).as("b"))
           .withColumn("u", expr(u))
           .withColumn("w", expr(poisCase("u")).cast("long"))
           .groupBy(col("b"))
-          .agg((sum(col("w") * col("vd")).cast("double") /
-            sum(col("w"))).as("m"))
+          .agg(sum(col("w") * col("vd")).as("swv"), sum(col("w")).as("sw"))
+          .filter(col("sw") > 0)
+          .select(col("b"), (col("swv").cast("double") / col("sw")).as("m"))
+        // percentile ranks scale to the SURVIVING replica count (= B on
+        // any non-degenerate corpus, so values are unchanged there): a
+        // tiny-n corpus can drop enough replicas that a literal-B upper
+        // threshold would select over an empty set
         val wc = Window.orderBy(col("m"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val nrep = reps.agg(count(lit(1)).as("nb"))
         val ranked = reps.withColumn("rk", count(lit(1)).over(wc))
-        val lo = ranked.filter(col("rk") * 40 >= B).agg(min(col("m")).as("ci_lo"))
-        val hi = ranked.filter(col("rk") * 40 >= 39L * B).agg(min(col("m")).as("ci_hi"))
+          .crossJoin(broadcast(nrep))
+        val lo = ranked.filter(col("rk") * 40 >= col("nb"))
+          .agg(min(col("m")).as("ci_lo"))
+        val hi = ranked.filter(col("rk") * 40 >= lit(39L) * col("nb"))
+          .agg(min(col("m")).as("ci_hi"))
         val pt = pv.agg(count(lit(1)).as("n"),
           (sum(col("vd")).cast("double") / count(lit(1))).as("mean"))
         pt.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
@@ -10022,12 +10052,14 @@ $duckPcaDeflateCtes,
           SELECT b,
             CAST(SUM(CAST(${poisCase("u")} AS BIGINT) * vd) AS DOUBLE)
               / SUM(CAST(${poisCase("u")} AS BIGINT)) AS m
-          FROM uu GROUP BY b),
+          FROM uu GROUP BY b
+          HAVING SUM(CAST(${poisCase("u")} AS BIGINT)) > 0),
+        nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM reps),
         rk AS (SELECT m, CAST(COUNT(*) OVER (ORDER BY m
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rk
           FROM reps),
-        lo AS (SELECT MIN(m) AS ci_lo FROM rk WHERE rk * 40 >= 200),
-        hi AS (SELECT MIN(m) AS ci_hi FROM rk WHERE rk * 40 >= 39 * 200),
+        lo AS (SELECT MIN(m) AS ci_lo FROM rk, nb WHERE rk * 40 >= nb.nb),
+        hi AS (SELECT MIN(m) AS ci_hi FROM rk, nb WHERE rk * 40 >= 39 * nb.nb),
         pt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
             CAST(SUM(vd) AS DOUBLE) / COUNT(*) AS mean
           FROM pv)

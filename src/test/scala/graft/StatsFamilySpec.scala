@@ -509,6 +509,60 @@ class StatsFamilySpec extends SparkSpecBase with PlainScalaFixtures {
     assert(row.getDouble(3) <= row.getDouble(1) && row.getDouble(1) <= row.getDouble(4))
   }
 
+  test("p108 degenerate corpus: zero-weight replicas drop identically and the CI stays defined") {
+    // two purchases: P(all-zero replica) = e^-2 per replica, so a real
+    // fraction of the 200 replicas has no mean — the r13 ADVICE
+    // cross-engine NULL-ordering divergence class. The entry must (a)
+    // drop them before ranking and (b) scale the percentile ranks to
+    // the survivors so neither cut selects over an empty set.
+    import java.math.{BigDecimal => JBD}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_p108").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    Seq(
+      (1L, t0, 100L, "purchase", 10.0, "{}"),
+      (2L, t0, 101L, "purchase", 30.0, "{}"),
+      (3L, t0, 102L, "click", 99.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val thresholds = {
+      var acc = 0.0
+      (0 to 5).map { k =>
+        acc += math.exp(-1.0) / (1 to k).foldLeft(1L)(_ * _)
+        math.floor(acc * 65536.0).toLong
+      }
+    }
+    def u16(eid: Long, b: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"bs:$eid:$b".getBytes("UTF-8"))
+        .map(x => f"${x & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 4), 16)
+    }
+    def pois(u: Long): Long =
+      thresholds.indexWhere(u < _) match { case -1 => 6L; case k => k.toLong }
+    val pv = Seq((1L, JBD.valueOf(10.0).setScale(2)), (2L, JBD.valueOf(30.0).setScale(2)))
+    val means = (0 until 200).flatMap { b =>
+      var sw = 0L; var swv = JBD.ZERO
+      pv.foreach { case (eid, vd) =>
+        val w = pois(u16(eid, b))
+        sw += w; swv = swv.add(vd.multiply(JBD.valueOf(w)))
+      }
+      if (sw > 0) Some(swv.doubleValue / sw) else None
+    }.sorted
+    assert(means.size < 200, "expected the tiny corpus to drop some replicas")
+    def cutAt(rank40: Long): Double =
+      means((((rank40 + 39) / 40) - 1).toInt) // smallest m with rk*40 >= rank40
+    val ciLo = cutAt(means.size.toLong)
+    val ciHi = cutAt(39L * means.size)
+    val row = SparkEntry.queries("p108_poisson_bootstrap")(spark, dir).collect().head
+    assert(row.getLong(0) == 2L && row.getLong(2) == 200L)
+    assert(row.getDouble(1) == r6(20.0))
+    assert(!row.isNullAt(3) && !row.isNullAt(4), row.toString)
+    assert((row.getDouble(3), row.getDouble(4)) == ((r6(ciLo), r6(ciHi))),
+      s"(${row.getDouble(3)}, ${row.getDouble(4)}) vs (${r6(ciLo)}, ${r6(ciHi)})")
+  }
+
   test("p98: Welch t and df on purchase values equal the plain decimal-exact formula") {
     import java.math.{BigDecimal => JBD, RoundingMode => RM}
     val ev = graft.queries.Q.t(spark, sf0001, "events")
