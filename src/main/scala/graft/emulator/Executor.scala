@@ -777,7 +777,14 @@ final class Executor(
     "CUSUM" -> "p105_cusum",
     "ROBUST_OUTLIERS" -> "p106_robust_outliers",
     "KAPLAN_MEIER" -> "p107_kaplan_meier",
-    "POISSON_BOOTSTRAP" -> "p108_poisson_bootstrap")
+    "POISSON_BOOTSTRAP" -> "p108_poisson_bootstrap",
+    // the streaming monitors' batch-equivalent readbacks: p109/p110 run
+    // the EventStreams monitor code over the static events table; the
+    // stateful monitors' batch equivalents already have aliases
+    // (EVENT_TRANSITIONS = transitionPairsStream's pair multiset, SPRT /
+    // CUSUM = the sequential folds' trajectories, spec-proven bit-equal)
+    "AB_MONITOR" -> "p109_ab_monitor",
+    "WELCH_MONITOR" -> "p110_welch_monitor")
 
   /** Match only the OPENING of a pipeline table-function call; the
     * argument span is found by a quote-aware paren scan (a ')' inside a

@@ -10066,7 +10066,92 @@ $duckPcaDeflateCtes,
         SELECT pt.n, round(pt.mean, 6) AS mean_r, CAST(200 AS BIGINT) AS b,
           round(lo.ci_lo, 6) AS ci_lo_r, round(hi.ci_hi, 6) AS ci_hi_r
         FROM pt, lo, hi"""
-      })
+      }),
+
+    // ---- the streaming A/B monitor's batch readback (p109): the SAME
+    // function (EventStreams.abMonitorStream) evaluated over the static
+    // events table — Spark eliminates the watermark on batch input, the
+    // hourly window groupBy runs as a plain aggregation, and every
+    // column (z tree included) is the streaming code path, so the SQL
+    // surface (TABLE(AB_MONITOR())) serves exactly what the live
+    // monitor emits per closed hour. The per-hour z is the EVENT-level
+    // conversion unit (the monitor's documented stateless trade), which
+    // is why this is a separate readback from p94's per-user z. One
+    // corpus-scaled shuffle (the hourly aggregation), rows bounded by
+    // the time span. ------------------------------------------------------
+    QDef("p109_ab_monitor",
+      (s, dir) => graft.streaming.EventStreams
+        .abMonitorStream(t(s, dir, "events"))
+        // the stream's three-valued `significant` (NULL = the hour had
+        // no testable split) presents as FALSE on the SQL surface: an
+        // undecided hour is by definition not a significant one, and a
+        // two-valued boolean is what downstream WHERE clauses expect
+        .withColumn("significant", coalesce(col("significant"), lit(false)))
+        .orderBy(col("hour")),
+      Some("""WITH hourly AS (
+          SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+            CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+            CAST(SUM(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+              THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+            CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(SUM(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+              THEN 1 ELSE 0 END) AS BIGINT) AS c1
+          FROM events GROUP BY 1),
+        z AS (SELECT hour, n0, c0, n1, c1,
+            CASE WHEN n0 > 0 AND n1 > 0 AND c0 + c1 > 0 AND c0 + c1 < n0 + n1
+              THEN round((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+                / sqrt(((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (CAST(1 AS DOUBLE) - CAST(c0 + c1 AS DOUBLE) / (n0 + n1)))
+                  * (CAST(n0 + n1 AS DOUBLE) / CAST(n0 * n1 AS DOUBLE))), 6)
+            END AS z_r
+          FROM hourly)
+        SELECT hour, n0, c0, n1, c1, z_r,
+          COALESCE(abs(z_r) >= 1.959964, FALSE) AS significant
+        FROM z ORDER BY hour""")),
+
+    // ---- the streaming Welch monitor's batch readback (p110): same
+    // discipline as p109 — EventStreams.welchMonitorStream evaluated
+    // over the static events table, so TABLE(WELCH_MONITOR()) serves
+    // the live monitor's per-hour rows. Decimal-exact conditional sums
+    // cast to double once; Welch's t per hour on purchase VALUE between
+    // the parity arms; NULL t when either arm has < 2 purchases or the
+    // variance term is zero. -----------------------------------------------
+    QDef("p110_welch_monitor",
+      (s, dir) => graft.streaming.EventStreams
+        .welchMonitorStream(t(s, dir, "events"))
+        .orderBy(col("hour")),
+      Some("""WITH hourly AS (
+          SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+            CAST(SUM(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+              THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+            CAST(SUM(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+              THEN CAST(CAST(value AS DECIMAL(12,2)) AS DECIMAL(25,4))
+              ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE) AS sv0,
+            CAST(SUM(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+              THEN CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))
+              ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE) AS sv20,
+            CAST(SUM(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+              THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(SUM(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+              THEN CAST(CAST(value AS DECIMAL(12,2)) AS DECIMAL(25,4))
+              ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE) AS sv1,
+            CAST(SUM(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+              THEN CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))
+              ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE) AS sv21
+          FROM events GROUP BY 1),
+        m AS (SELECT hour, n0, n1,
+            CASE WHEN n0 > 0 THEN sv0 / n0 END AS m0,
+            CASE WHEN n1 > 0 THEN sv1 / n1 END AS m1,
+            CASE WHEN n0 >= 2
+              THEN ((sv20 - (sv0 * sv0) / n0) / (n0 - 1)) / n0 END AS vn0,
+            CASE WHEN n1 >= 2
+              THEN ((sv21 - (sv1 * sv1) / n1) / (n1 - 1)) / n1 END AS vn1
+          FROM hourly)
+        SELECT hour, n0, n1, round(m0, 6) AS m0_r, round(m1, 6) AS m1_r,
+          CASE WHEN n0 >= 2 AND n1 >= 2 AND vn0 + vn1 > CAST(0 AS DOUBLE)
+            THEN round((m0 - m1) / sqrt(vn0 + vn1), 6)
+          END AS t_r
+        FROM m ORDER BY hour"""))
   )
 
   // ---- helpers for the p87 excess-loss family --------------------------

@@ -235,4 +235,31 @@ class PipelinePropertySpec extends SparkSpecBase {
       guarantee && bound
     }, cases = 40)
   }
+
+  test("DF-guard saturation: a corpus where EVERY shingle exceeds the cap " +
+    "degrades to an empty pair front, never to wrong answers") {
+    // worst case for the stop-shingle guard: 8 identical documents ->
+    // cap = max(5, 8*0.01) = 5 < df = 8 for every shingle, so the guard
+    // drops the ENTIRE index. The documented degradation: shingle-based
+    // near-dup evidence disappears (empty pair front -> no pairs, all
+    // singleton components), while the answers that don't ride the
+    // shingle index stay exactly right (p01 exact dedup still collapses
+    // the 8 copies) — drop, not corrupt.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dfguard").toString
+    val text = "the same boilerplate sentence repeated in every single document"
+    (1L to 8L).map(i => (i, text, "en", "crawl", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // p02: the pair front is EMPTY by the guard's construction
+    assert(SparkEntry.queries("p02_dedup_ngram_jaccard")(spark, dir).count() == 0L)
+    // p20: every doc survives as its own singleton component
+    val comps = SparkEntry.queries("p20_dedup_clusters")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(comps.toSeq == (1L to 8L).map(i => (i, i, 1)))
+    // p01 (no shingle index): the 8 exact copies still collapse to one
+    val exact = SparkEntry.queries("p01_dedup_exact")(spark, dir).collect()
+    assert(exact.length == 1 &&
+      exact(0).getLong(1) == 1L && exact(0).getLong(2) == 8L)
+  }
 }

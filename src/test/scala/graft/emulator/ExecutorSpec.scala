@@ -1404,6 +1404,33 @@ class ExecutorSpec extends AnyFunSuite {
     assert(String.valueOf(kept) == keptBatch.toString)
   }
 
+  test("69d streaming-monitor readbacks: TABLE(AB_MONITOR()/WELCH_MONITOR()) serve the hourly rows") {
+    val dir = "/root/testdata/sf0.001"
+    exec(s"ALTER SESSION SET GRAFT_PIPELINE_DIR = '$dir'")
+    // the readback entries ARE the EventStreams monitor code run over
+    // the static events table; the wire rows must match the batch frame
+    for ((fn, entry) <- Seq("AB_MONITOR" -> "p109_ab_monitor",
+        "WELCH_MONITOR" -> "p110_welch_monitor")) {
+      val wire = exec(s"SELECT COUNT(*) AS n FROM TABLE($fn())").rows.head.head
+      val batch = graft.SparkEntry.queries(entry)(spark, dir).count()
+      assert(String.valueOf(wire) == batch.toString, s"$fn vs $entry")
+    }
+    // value-level: every hourly z row of the wire result matches batch
+    val batchRows = graft.SparkEntry.queries("p109_ab_monitor")(spark, dir)
+      .select("hour", "n0", "c1", "z_r").collect()
+      .map(r => (0 to 3).map(i => String.valueOf(r.get(i))).mkString("|"))
+      .sorted.toSeq
+    val wireRows = exec(
+      "SELECT hour, n0, c1, z_r FROM TABLE(AB_MONITOR()) ORDER BY hour").rows
+      .map(_.map(String.valueOf).mkString("|")).sorted
+    assert(wireRows == batchRows)
+    // composition: significant is a real two-valued boolean on the wire
+    val sig = exec(
+      "SELECT COUNT(*) AS n FROM TABLE(AB_MONITOR()) WHERE significant IS NULL")
+      .rows.head.head
+    assert(String.valueOf(sig) == "0")
+  }
+
   test("69b PIPELINE generic form, literal dir arg, and clean errors") {
     val dir = "/root/testdata/sf0.001"
     // literal dir argument wins over (absent) session parameter
