@@ -8445,13 +8445,13 @@ ${(1 to lexIters).map(duckLexIter).mkString(",\n")}
     // pair join bounded by dials, not the corpus. -----------------------
     QDef("p85_source_divergence",
       (s, dir) => {
-        val (sab, tot) = jsOrderedSums(s, dir)
+        val (sab, tot, release) = jsOrderedSums(s, dir)
         val fwd = sab.filter(col("sa") < col("sb"))
         val rev = sab.filter(col("sa") > col("sb"))
           .select(col("sb").as("sa"), col("sa").as("sb"), col("s").as("s_rev"))
         // both sides are <= sources^2 rows — broadcast beats the
         // size-estimate-blind sort-merge Spark picks for agg outputs
-        fwd.join(broadcast(rev), Seq("sa", "sb"))
+        val out = fwd.join(broadcast(rev), Seq("sa", "sb"))
           .join(tot.select(col("source").as("sa"), col("t").as("ta")), "sa")
           .join(tot.select(col("source").as("sb"), col("t").as("tb")), "sb")
           .select(col("sa").as("src_a"), col("sb").as("src_b"),
@@ -8460,6 +8460,17 @@ ${(1 to lexIters).map(duckLexIter).mkString(",\n")}
               col("s_rev").cast("double") / col("tb")) /
               (lit(2.0) * expr("ln(2.0)") * lit(100000000.0)), 6).as("js_r"))
           .orderBy(col("src_a"), col("src_b"))
+        // the matrix is <= sources²/2 rows: evaluate it eagerly so the
+        // materialized fronts release HERE instead of pinning storage
+        // for the session (the p90b discipline; the pinned blocks were
+        // the exact site of the r13 test flake). p85b inherits the
+        // local relation — its windows re-rank 28 rows, no recompute.
+        val rows = out.collect().toSeq
+        release()
+        s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+          out.schema)
       },
       Some(s"""WITH $duckJsCtes
         SELECT f.sa AS src_a, f.sb AS src_b,
@@ -10542,16 +10553,18 @@ $duckPcaDeflateCtes,
     * S = Σ over sa's occupied buckets of na·[sln(2·na·Tb) −
     * sln(na·Tb + nb·Ta)] — KL(Pa||M) scaled by Ta·1e8, exact BIGINT.
     * Returns (sums DF (sa, sb, s), totals DF (source, t)). */
-  private def jsOrderedSums(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def jsOrderedSums(s: SparkSession,
+      dir: String): (DataFrame, DataFrame, () => Unit) = {
     // the bucket-count table feeds SIX consumers across the two ordered
     // directions (totals, a-side, b-side per direction); it is bounded
     // at sources x dsirBuckets rows, so one eager Materialize turns
     // every consumer into a read of a tiny materialized table instead
     // of re-running the corpus-scaled tokenize+hash+aggregate
-    val cnt = Materialize(docs(s, dir)
+    val cntH = Materialize.tracked(docs(s, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .select(col("source"), (md560(col("w")) % dsirBuckets).as("b"))
       .groupBy(col("source"), col("b")).agg(count(lit(1)).as("n")), "jscnt")
+    val cnt = cntH.df
     val tot = cnt.groupBy(col("source")).agg(sum(col("n")).as("t"))
     val srcs = tot.select(col("source").as("sb"), col("t").as("tb"))
     val a = cnt.select(col("source").as("sa"), col("b"), col("n").as("na"))
@@ -10563,11 +10576,11 @@ $duckPcaDeflateCtes,
       .withColumn("nb", coalesce(col("nb0"), lit(0L)))
     // <= sources^2 rows; checkpointed so the fwd/rev split (and p85b's
     // reuse) reads it instead of re-running the bucket pair join
-    val sums = Materialize(withB
+    val sumsH = Materialize.tracked(withB
       .withColumn("term", col("na") *
         (expr(sln("2 * na * tb")) - expr(sln("na * tb + nb * ta"))))
       .groupBy(col("sa"), col("sb")).agg(sum(col("term")).as("s")), "jsums")
-    (sums, tot)
+    (sumsH.df, tot, () => { sumsH.release(); cntH.release() })
   }
 
   /** The DuckDB half of [[jsOrderedSums]]: final CTEs `jsums` (sa, sb, s)
