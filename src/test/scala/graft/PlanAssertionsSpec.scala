@@ -424,4 +424,38 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p91.contains("SortMergeJoin"),
       s"p91 text joins must broadcast the pair front:\n$p91")
   }
+
+  test("p91 broadcast guard: above the cap the hint is dropped, values unchanged") {
+    // -Dgraft.broadcastFrontMaxRows=0 forces the over-cap path: the
+    // LOGICAL plan must carry no broadcast hint on the front (AQE may
+    // still pick a broadcast at runtime from real sizes — that is the
+    // point: the decision moves from a forced hint to measured sizes).
+    // Plan-shape-only dial: result-neutral for concurrent suites.
+    val base = SparkEntry.queries("p91_edit_similarity")(spark, dir)
+    val baseRows = base.collect().map(_.toString).sorted.toSeq
+    assert(base.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+      "default plan should hint the bounded front broadcast")
+    sys.props("graft.broadcastFrontMaxRows") = "0"
+    try {
+      val capped = SparkEntry.queries("p91_edit_similarity")(spark, dir)
+      assert(!capped.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+        "over-cap plan must not force a broadcast of a corpus-property front")
+      assert(capped.collect().map(_.toString).sorted.toSeq == baseRows)
+    } finally { sys.props.remove("graft.broadcastFrontMaxRows"); () }
+  }
+
+  test("p109/p110 batch readbacks: the watermark is eliminated, one hourly aggregation") {
+    for (name <- Seq("p109_ab_monitor", "p110_welch_monitor")) {
+      val qe = SparkEntry.queries(name)(spark, dir).queryExecution
+      val opt = qe.optimizedPlan.toString
+      assert(!opt.contains("EventTimeWatermark"),
+        s"$name: watermark must be eliminated on batch input:\n$opt")
+      val ex = qe.executedPlan.toString
+      // the only corpus-scaled work is the single hourly aggregation:
+      // partial+final HashAggregate, no window operator, no join
+      assert(!ex.contains("Window") && !ex.contains("SortMergeJoin"),
+        s"$name plans corpus-scaled extras:\n$ex")
+      assert(ex.contains("HashAggregate"), ex)
+    }
+  }
 }
