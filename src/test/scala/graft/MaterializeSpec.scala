@@ -96,6 +96,22 @@ class MaterializeSpec extends SparkSpecBase {
     }
   }
 
+  test("an EMPTY aggregated frame round-trips under every mode with its schema") {
+    // the DF-guard saturation path can materialize empty fronts (p81's
+    // kept set on a saturated corpus); the parquet read-back must still
+    // carry the schema, not fail inference on a part-less directory
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    for (m <- Seq("local", "reliable", "stage")) withMode(m) {
+      val empty = (1 to 10).toDF("x").filter($"x" > 100)
+        .groupBy($"x").agg(count(lit(1)).as("n"))
+      val h = Materialize.tracked(empty, "empty")
+      assert(h.df.count() == 0L, m)
+      assert(h.df.schema.fieldNames.toSeq == Seq("x", "n"), m)
+      h.release()
+    }
+  }
+
   test("an iterative consumer releasing per round survives the durable mode") {
     // kmeansRounds-shaped loop: round i+1 built from round i's
     // materialization, previous handle released each round.
