@@ -86,9 +86,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 javaOptions ++= sys.env.get("GRAFT_JAVA_OPTS").toSeq
   .flatMap(_.split("\\s+").filter(_.nonEmpty))
 // Tests default to the DURABLE checkpoint mode: localCheckpoint blocks
-// are executor-lifetime and non-replicated, and the 26-suite parallel
+// are executor-lifetime and non-replicated, and the parallel suite
 // load is exactly the pressure that evicted them in r13
 // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND in AuditFamilySpec p85). The
 // library default stays `local` (single-tenant bench speed);
-// MaterializeSpec pins all three modes bit-equal.
-Test / javaOptions ++= Seq("-Dgraft.checkpointMode=reliable")
+// MaterializeSpec pins all three modes bit-equal. A mode set via
+// GRAFT_JAVA_OPTS wins — the default is only appended when the env
+// didn't choose one (the JVM takes the LAST duplicate -D, so
+// unconditionally appending here would silently override the env).
+Test / javaOptions ++= (
+  if (sys.env.get("GRAFT_JAVA_OPTS").exists(_.contains("-Dgraft.checkpointMode=")))
+    Seq.empty
+  else Seq("-Dgraft.checkpointMode=reliable"))

@@ -17,4 +17,10 @@ object Dials {
   /** The dial as a Long, if present AND well-formed. */
   def long(name: String): Option[Long] =
     sys.props.get(name).flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+
+  /** The dial as a lowercase trimmed token, if present AND one of
+    * `valid` — any other value behaves like an absent dial, same as the
+    * numeric accessors. */
+  def str(name: String, valid: Set[String]): Option[String] =
+    sys.props.get(name).map(_.trim.toLowerCase).filter(valid.contains)
 }

@@ -54,17 +54,18 @@ object Materialize {
     * deployment's retention policy (explicit roots). */
   final case class Handle(df: DataFrame, release: () => Unit)
 
-  private val validModes = Set("local", "reliable", "stage")
-
   /** The active mode; malformed values fall back to `local` (the
     * [[Dials]] defensive-parse discipline). */
   def mode: String =
-    sys.props.get("graft.checkpointMode").map(_.trim.toLowerCase)
-      .filter(validModes.contains).getOrElse("local")
+    Dials.str("graft.checkpointMode", Set("local", "reliable", "stage"))
+      .getOrElse("local")
 
   /** JVM-lifetime temp root for `stage` mode (and the default reliable
-    * checkpoint dir), preferring RAM-backed /dev/shm. An explicit
-    * `-Dgraft.matStageDir` is used as-is and never deleted on exit. */
+    * checkpoint dir), preferring RAM-backed /dev/shm. NODE-LOCAL — the
+    * single-process default; a cluster deployment MUST point
+    * `-Dgraft.matStageDir` (any Hadoop-resolvable URI: hdfs://, s3a://,
+    * a shared mount) at storage every executor can read, which is used
+    * as-is and never deleted on exit. */
   private lazy val defaultTempRoot: java.nio.file.Path = {
     val shm = new java.io.File("/dev/shm")
     val base = if (shm.isDirectory && shm.canWrite) shm.toPath
@@ -78,14 +79,13 @@ object Materialize {
     Option(f.listFiles()).foreach(_.foreach(rmLocal)); f.delete(); ()
   }
 
-  private def stageRoot: java.nio.file.Path =
-    sys.props.get("graft.matStageDir") match {
-      case Some(p) =>
-        val d = java.nio.file.Paths.get(p)
-        java.nio.file.Files.createDirectories(d)
-        d
-      case None => defaultTempRoot
-    }
+  /** Staging root as a STRING path: an explicit `-Dgraft.matStageDir`
+    * passes through verbatim (it may be an hdfs://, s3a:// or other
+    * Hadoop URI — parquet write creates the directory and [[rmFs]]
+    * releases through the same filesystem), otherwise the node-local
+    * temp root. */
+  private def stageRoot: String =
+    sys.props.getOrElse("graft.matStageDir", defaultTempRoot.toString)
 
   private val counter = new java.util.concurrent.atomic.AtomicLong(0L)
 
@@ -95,8 +95,7 @@ object Materialize {
   private def ensureCheckpointDir(s: SparkSession): Unit = synchronized {
     val sc = s.sparkContext
     if (sc.getCheckpointDir.isEmpty) {
-      val dir = sys.props.getOrElse("graft.checkpointDir",
-        stageRoot.resolve("ck").toString)
+      val dir = sys.props.getOrElse("graft.checkpointDir", s"$stageRoot/ck")
       sc.setCheckpointDir(dir)
     }
   }
@@ -134,10 +133,10 @@ object Materialize {
       })
     case "stage" =>
       val s = df.sparkSession
-      val out = stageRoot.resolve(
-        s"m_${tag}_${counter.getAndIncrement()}_${ProcessHandle.current().pid()}")
-      df.write.mode("overwrite").parquet(out.toString)
-      Handle(s.read.parquet(out.toString), () => rmLocal(out.toFile))
+      val out = s"$stageRoot/m_${tag}_${counter.getAndIncrement()}_" +
+        s"${ProcessHandle.current().pid()}"
+      df.write.mode("overwrite").parquet(out)
+      Handle(s.read.parquet(out), () => rmFs(s, out))
     case _ =>
       val ck = df.localCheckpoint(eager = true)
       val rdd = planRdd(ck)

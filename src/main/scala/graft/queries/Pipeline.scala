@@ -573,8 +573,7 @@ object Pipeline {
     * measures sketch-vs-exact agreement in-row, and the DuckDB mirrors
     * assume it. */
   private[graft] def sketchAgreementOn: Boolean =
-    !sys.props.get("graft.sketchAgreement")
-      .map(_.trim.toLowerCase).contains("off")
+    !Dials.str("graft.sketchAgreement", Set("on", "off")).contains("off")
 
   /** Connected components over an undirected pair graph, restricted to
     * the edge-connected vertex set. Returns (doc_id, comp) for every
@@ -8444,33 +8443,14 @@ ${(1 to lexIters).map(duckLexIter).mkString(",\n")}
     // (source, bucket) counts (≤ sources×8192 rows), then a bucket-keyed
     // pair join bounded by dials, not the corpus. -----------------------
     QDef("p85_source_divergence",
+      // the matrix is <= sources²/2 rows: localized — evaluated eagerly
+      // so the materialized fronts release inside the entry instead of
+      // pinning storage for the session (the pinned blocks were the
+      // exact site of the r13 test flake). p85b inherits the local
+      // relation — its windows re-rank 28 rows, no recompute.
       (s, dir) => {
-        val (sab, tot, release) = jsOrderedSums(s, dir)
-        val fwd = sab.filter(col("sa") < col("sb"))
-        val rev = sab.filter(col("sa") > col("sb"))
-          .select(col("sb").as("sa"), col("sa").as("sb"), col("s").as("s_rev"))
-        // both sides are <= sources^2 rows — broadcast beats the
-        // size-estimate-blind sort-merge Spark picks for agg outputs
-        val out = fwd.join(broadcast(rev), Seq("sa", "sb"))
-          .join(tot.select(col("source").as("sa"), col("t").as("ta")), "sa")
-          .join(tot.select(col("source").as("sb"), col("t").as("tb")), "sb")
-          .select(col("sa").as("src_a"), col("sb").as("src_b"),
-            col("ta").as("tok_a"), col("tb").as("tok_b"),
-            round((col("s").cast("double") / col("ta") +
-              col("s_rev").cast("double") / col("tb")) /
-              (lit(2.0) * expr("ln(2.0)") * lit(100000000.0)), 6).as("js_r"))
-          .orderBy(col("src_a"), col("src_b"))
-        // the matrix is <= sources²/2 rows: evaluate it eagerly so the
-        // materialized fronts release HERE instead of pinning storage
-        // for the session (the p90b discipline; the pinned blocks were
-        // the exact site of the r13 test flake). p85b inherits the
-        // local relation — its windows re-rank 28 rows, no recompute.
-        val rows = out.collect().toSeq
-        release()
-        s.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](
-            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-          out.schema)
+        val (out, release) = sourceDivergencePlan(s, dir)
+        localized(out, release)
       },
       Some(s"""WITH $duckJsCtes
         SELECT f.sa AS src_a, f.sb AS src_b,
@@ -8953,15 +8933,10 @@ $duckPcaDeflateCtes,
             else lit(null).cast("bigint")).as("n_agree"),
             count(lit(1)).as("nd"))
         // the agreement aggregate is one row per cut bucket (a handful);
-        // evaluate it eagerly so the three corpus-scaled signal frames
-        // release HERE instead of pinning storage for the session
-        // (r13 ADVICE) — same rows, the caller gets a local relation.
-        val rows = agg.collect().toSeq
-        hs.foreach(_.release())
-        s.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](
-            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-          agg.schema)
+        // localized — evaluated eagerly so the three corpus-scaled
+        // signal frames release HERE instead of pinning storage for the
+        // session (r13 ADVICE).
+        localized(agg, () => hs.foreach(_.release()))
       },
       Some(s"""WITH $duckFusionCtes,
         hq AS (SELECT doc_id,
@@ -9028,8 +9003,14 @@ $duckPcaDeflateCtes,
             (col("sza") + col("szb") - col("inter")), 6))
           .filter(col("jaccard_r") >= 0.3)
           .select(col("a_id"), col("b_id"), col("jaccard_r"))
+        // two-tier decision: the staged table's parquet metadata count
+        // (reads no data pages) is an upper bound on the filtered
+        // front and usually decides for free; the exact filtered count
+        // runs only above the cap, where getting the broadcast call
+        // right is worth one extra pass over the staged scan
         val front =
-          if (front0.count() <= broadcastFrontMaxRows) broadcast(front0)
+          if (PairStage.load(s, dir).count() <= broadcastFrontMaxRows ||
+              front0.count() <= broadcastFrontMaxRows) broadcast(front0)
           else front0
         val texts = docs(s, dir).select(col("doc_id"), col("text"))
         front
@@ -10418,6 +10399,19 @@ $duckPcaDeflateCtes,
     }
   }
 
+  /** Collect a FEW-ROW result eagerly, release the given storage, and
+    * hand the caller a local relation with the same rows and schema —
+    * the discipline that lets an entry pin corpus-scaled materialized
+    * fronts only for the duration of its own execution (p85, p90b)
+    * instead of leaking them for the session. Only for outputs bounded
+    * BY CONSTRUCTION (sources², cut buckets — never corpus-scaled). */
+  private def localized(out: DataFrame, release: () => Unit): DataFrame = {
+    val rows = out.collect().toSeq
+    release()
+    out.sparkSession.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, out.schema)
+  }
+
   /** The staged Gram read plus the exact-integer power iteration —
     * driver state d² longs, the PQ-SDC class of bounded `.collect()`. */
   private def pcaFit(s: SparkSession, dir: String): PcaFit = {
@@ -10581,6 +10575,30 @@ $duckPcaDeflateCtes,
         (expr(sln("2 * na * tb")) - expr(sln("na * tb + nb * ta"))))
       .groupBy(col("sa"), col("sb")).agg(sum(col("term")).as("s")), "jsums")
     (sumsH.df, tot, () => { sumsH.release(); cntH.release() })
+  }
+
+  /** p85's divergence matrix as the LAZY plan over the materialized
+    * fronts, plus their release thunk — the shape PlanAssertionsSpec
+    * pins (the published QDef localizes it, so pinning the QDef's plan
+    * would only ever see a LocalRelation). Both join sides are
+    * <= sources² rows — broadcast beats the size-estimate-blind
+    * sort-merge Spark picks for agg outputs. */
+  private[graft] def sourceDivergencePlan(s: SparkSession,
+      dir: String): (DataFrame, () => Unit) = {
+    val (sab, tot, release) = jsOrderedSums(s, dir)
+    val fwd = sab.filter(col("sa") < col("sb"))
+    val rev = sab.filter(col("sa") > col("sb"))
+      .select(col("sb").as("sa"), col("sa").as("sb"), col("s").as("s_rev"))
+    val out = fwd.join(broadcast(rev), Seq("sa", "sb"))
+      .join(tot.select(col("source").as("sa"), col("t").as("ta")), "sa")
+      .join(tot.select(col("source").as("sb"), col("t").as("tb")), "sb")
+      .select(col("sa").as("src_a"), col("sb").as("src_b"),
+        col("ta").as("tok_a"), col("tb").as("tok_b"),
+        round((col("s").cast("double") / col("ta") +
+          col("s_rev").cast("double") / col("tb")) /
+          (lit(2.0) * expr("ln(2.0)") * lit(100000000.0)), 6).as("js_r"))
+      .orderBy(col("src_a"), col("src_b"))
+    (out, release)
   }
 
   /** The DuckDB half of [[jsOrderedSums]]: final CTEs `jsums` (sa, sb, s)

@@ -351,10 +351,18 @@ class PlanAssertionsSpec extends AnyFunSuite {
   }
 
   test("p85/p81/p88: the r12 audit/dedup/prune families never sort-merge a corpus side") {
-    Seq("p85_source_divergence", "p81_winnow_dedup", "p88_proto_prune").foreach { n =>
+    Seq("p81_winnow_dedup", "p88_proto_prune").foreach { n =>
       val p = plan(n)
       assert(!p.contains("SortMergeJoin"), s"$n plans a SortMergeJoin:\n$p")
     }
+    // p85's published QDef is localized (a LocalRelation — nothing to
+    // pin there); the r12 "p85 surprise" pin targets the INNER lazy
+    // plan over the materialized fronts instead
+    val (p85Plan, p85Release) = queries.Pipeline.sourceDivergencePlan(spark, dir)
+    try {
+      val p = p85Plan.queryExecution.executedPlan.toString
+      assert(!p.contains("SortMergeJoin"), s"p85 inner plans a SortMergeJoin:\n$p")
+    } finally p85Release()
     // p88's only real exchange keys on the cell (plus the output sort and
     // the one-row staged-index collects) and never moves embeddings
     val ex = SparkEntry.queries("p88_proto_prune")(spark, dir)

@@ -1419,7 +1419,7 @@ class EventStreamsSpec extends AnyFunSuite {
   }
 
   /** sf0.001 hourly deltas in event-time order, via the same grouping
-    * the batch entries run; feed in `parts` micro-batches. */
+    * the batch entries run; callers split them into micro-batches. */
   private def hourlyDeltas(dir: String, treatmentOnly: Boolean): Seq[EventStreams.HourDelta] = {
     import org.apache.spark.sql.functions._
     val ev = graft.queries.Q.t(spark, dir, "events")

@@ -14,13 +14,18 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 mkdir -p target/test-logs
+# clear stale reports BEFORE the run: sbt only overwrites reports for
+# suites that ran, so a renamed/removed suite's old XML would otherwise
+# be summed into the tally — the exact stale-number failure this
+# script exists to prevent
+rm -rf target/test-reports
 ts="$(date -u +%Y%m%dT%H%M%SZ)"
 log="target/test-logs/full_${ts}.log"
 sbt -batch test 2>&1 | tee "$log"
 rc=${PIPESTATUS[0]}
 {
   echo "run: $ts  exit: $rc  log: $log"
-  echo "reports (target/test-reports/*.xml, post-run mtimes):"
+  echo "reports (target/test-reports/*.xml — dir cleared pre-run, so these are THIS run's):"
   for f in target/test-reports/TEST-*.xml; do
     [ -e "$f" ] || continue
     python3 - "$f" <<'EOF'
