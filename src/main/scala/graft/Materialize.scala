@@ -89,6 +89,8 @@ object Materialize {
 
   private val counter = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Lazily point the context at a checkpoint dir if the deployment has
     * not already done so. `-Dgraft.checkpointDir` wins (a cluster sets
     * it to shared storage); otherwise the JVM-lifetime temp root. */
@@ -101,11 +103,20 @@ object Materialize {
   }
 
   /** The materialized RDD backing a checkpointed Dataset — read from
-    * its own plan leaf, never from global session state. */
-  private def planRdd(ck: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-    ck.queryExecution.analyzed.collectFirst {
+    * its own plan leaf, never from global session state. Empty only if a
+    * future Spark version stops planning checkpoints as `LogicalRDD`;
+    * release would then be a no-op and blocks/files would leak, so the
+    * drift is LOGGED loudly instead of silently swallowed (r14 ADVICE). */
+  private def planRdd(ck: DataFrame): Option[org.apache.spark.rdd.RDD[_]] = {
+    val r = ck.queryExecution.analyzed.collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }
+    if (r.isEmpty) log.warn(
+      "Materialize: checkpointed plan has no LogicalRDD leaf (Spark plan-" +
+        "shape drift?) — release will be a no-op and storage may leak: " +
+        ck.queryExecution.analyzed.getClass.getName)
+    r
+  }
 
   /** Recursive delete through the Hadoop filesystem API so an explicit
     * checkpoint dir on shared/cluster storage releases correctly too. */
@@ -133,8 +144,12 @@ object Materialize {
       })
     case "stage" =>
       val s = df.sparkSession
+      // path uniqueness: counter disambiguates sites within this JVM, and
+      // the Spark applicationId disambiguates JVMs — two concurrent jobs
+      // sharing an explicit -Dgraft.matStageDir on different hosts can
+      // collide on (pid, counter) but never on applicationId (r14 ADVICE)
       val out = s"$stageRoot/m_${tag}_${counter.getAndIncrement()}_" +
-        s"${ProcessHandle.current().pid()}"
+        s.sparkContext.applicationId
       df.write.mode("overwrite").parquet(out)
       Handle(s.read.parquet(out), () => rmFs(s, out))
     case _ =>

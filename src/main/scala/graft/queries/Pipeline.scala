@@ -772,6 +772,12 @@ object Pipeline {
   private[graft] def broadcastFrontMaxRows: Long =
     Dials.long("graft.broadcastFrontMaxRows").getOrElse(1000000L)
 
+  /** p91's cached broadcast decision per staged-pair dir (the staged
+    * table is written once per (JVM, dir) and immutable, so the counted
+    * guard never needs re-running for the same dir). */
+  private val p91BroadcastByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   /** p23's deterministic packing parallelism — doc_id % packBuckets. The
     * local default matches the test core count; a cluster run raises it
     * to executor width. Read once so the Spark plan and the oracle SQL
@@ -8998,7 +9004,8 @@ $duckPcaDeflateCtes,
     // after round(…,6) — is engine-identical. ---------------------------
     QDef("p91_edit_similarity",
       (s, dir) => {
-        val front0 = PairStage.load(s, dir)
+        val base = PairStage.load(s, dir)
+        val front0 = base
           .withColumn("jaccard_r", round(col("inter").cast("double") /
             (col("sza") + col("szb") - col("inter")), 6))
           .filter(col("jaccard_r") >= 0.3)
@@ -9007,11 +9014,14 @@ $duckPcaDeflateCtes,
         // (reads no data pages) is an upper bound on the filtered
         // front and usually decides for free; the exact filtered count
         // runs only above the cap, where getting the broadcast call
-        // right is worth one extra pass over the staged scan
-        val front =
-          if (PairStage.load(s, dir).count() <= broadcastFrontMaxRows ||
-              front0.count() <= broadcastFrontMaxRows) broadcast(front0)
-          else front0
+        // right is worth one extra pass over the staged scan. The staged
+        // pair table is immutable per (JVM, dir), so the decision is
+        // CACHED per dir — repeat invocations pay zero counting passes
+        // (r14 ADVICE)
+        val doBroadcast = p91BroadcastByDir.computeIfAbsent(dir, _ =>
+          base.count() <= broadcastFrontMaxRows ||
+            front0.count() <= broadcastFrontMaxRows)
+        val front = if (doBroadcast) broadcast(front0) else front0
         val texts = docs(s, dir).select(col("doc_id"), col("text"))
         front
           .join(texts.select(col("doc_id").as("a_id"), col("text").as("ta")), "a_id")
@@ -10686,13 +10696,21 @@ $duckPcaDeflateCtes,
         .select(col("doc_id"), col("source"), col("text")))
       .filter(col("is_cal"))
     val nCal = cal.agg(count(lit(1)).as("n_cal"))
-    cal.groupBy(col("q").as("v")).agg(count(lit(1)).as("n"))
+    val row = cal.groupBy(col("q").as("v")).agg(count(lit(1)).as("n"))
       .withColumn("cum", sum(col("n")).over(Window.orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .crossJoin(broadcast(nCal))
       .filter(col("cum") * 4 >= col("n_cal") + 1)
       .agg(min(col("v")).as("thr"))
-      .collect()(0).getInt(0)
+      .collect()(0)
+    // empty calibration split (possible on a 1-4 doc corpus where every
+    // md5 digit lands >= 8): min() is NULL — the gate genuinely cannot be
+    // fitted, so refuse with the suite's clean degenerate-corpus error
+    // instead of an NPE at the wire (r14 VERDICT "What's wrong" #1)
+    if (row.isNullAt(0)) throw new IllegalStateException(
+      "conformal threshold cannot be fitted: the calibration split is " +
+        "empty (corpus too small for the md5(doc_id) half-split)")
+    row.getInt(0)
   }
 
   /** Per-doc readability frame shared by p82/p82b. */

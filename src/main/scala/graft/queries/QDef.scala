@@ -8,6 +8,14 @@ import org.apache.spark.sql.types.DecimalType
   * SQL-expressible) the equivalent ANSI SQL the driver runs on DuckDB over
   * the same parquet tables. Column names are aligned on both sides — the
   * driver's compare sorts columns by name before hashing.
+  *
+  * Laziness contract: `fn` normally returns an UNEVALUATED plan — cheap to
+  * construct, executed only when the caller acts on it. The documented
+  * exceptions are the `localized` entries (p85*, p90b), whose construction
+  * eagerly runs the corpus job and a bounded driver collect so their
+  * materialized fronts release inside the entry instead of pinning
+  * block-manager storage for the session; plan-only consumers (EXPLAIN
+  * tooling, schema inspection) pay that execution on construction.
   */
 final case class QDef(
     name: String,
