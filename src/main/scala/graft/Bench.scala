@@ -42,9 +42,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.configure(
-      SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
-      .getOrCreate()
+    val spark = GraftSession.forMain(cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the OS page cache over every input file so per-query numbers
     // measure compute, not whatever the previous process evicted —

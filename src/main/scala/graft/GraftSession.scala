@@ -76,6 +76,56 @@ object GraftSession {
       .withExtensions(functions.SnowflakeExtensions.inject)
   }
 
+  /** JDK17 module opens Spark needs (the same list build.sbt injects into
+    * the forked driver JVM). Executor JVMs launched by a `local-cluster`
+    * or standalone master build their command from
+    * `spark.executor.extraJavaOptions`, not from sbt, so the list must
+    * also ship through the conf. */
+  private val jdk17AddOpens: Seq[String] = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Session builder for the driver mains (Verify/Bench): the master is
+    * `SPARK_GRAFT_MASTER` when set — `local-cluster[2,8,8192]` is the
+    * multi-JVM falsification rig: real executor processes, real closure/
+    * broadcast serialization, real remote shuffle fetches on one machine —
+    * else `local[cpus]`. A multi-process master needs two more things a
+    * `local[n]` session gets for free:
+    *
+    *  - the application classes: executors fetch `spark.jars` from the
+    *    driver's file server — `SPARK_GRAFT_JARS` points at the
+    *    sbt-packaged jar;
+    *  - the JVM configuration: the JDK17 `--add-opens` list and every
+    *    `-Dgraft.*` dial live in the DRIVER's command line (build.sbt);
+    *    executor JVMs are launched by the worker and inherit neither, so
+    *    both are mirrored into `spark.executor.extraJavaOptions`.
+    */
+  def forMain(cpus: Int): SparkSession.Builder = {
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val b = SparkSession.builder().master(master)
+    sys.env.get("SPARK_GRAFT_JARS").foreach(j => b.config("spark.jars", j))
+    if (!master.startsWith("local[")) {
+      val dials = sys.props.toSeq.sortBy(_._1)
+        .collect { case (k, v) if k.startsWith("graft.") => s"-D$k=$v" }
+      b.config("spark.executor.extraJavaOptions",
+        (jdk17AddOpens ++ dials).mkString(" "))
+      // the worker OFFERS the bracket's MB but executors still request
+      // the spark.executor.memory default (1g) unless told otherwise:
+      // size the request to the offer so local-cluster[2,8,8192] actually
+      // runs 8 GiB executors
+      "local-cluster\\[\\s*\\d+\\s*,\\s*\\d+\\s*,\\s*(\\d+)\\s*\\]".r
+        .findFirstMatchIn(master)
+        .foreach(m => b.config("spark.executor.memory", s"${m.group(1)}m"))
+    }
+    configure(b, cpus)
+  }
+
   /** Local session for tests / ad-hoc use. */
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val spark = configure(
