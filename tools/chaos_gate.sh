@@ -42,32 +42,59 @@ export SPARK_SCALA_VERSION=2.13
 export SPARK_GRAFT_MASTER='local-cluster[2,8,8192]'
 export SPARK_GRAFT_JARS="$PWD/$JAR"
 export SPARK_GRAFT_CPUS=16
-export GRAFT_JAVA_OPTS="-Dgraft.checkpointMode=$MODE -Dgraft.shingleStageDir=$MARK -Dgraft.checkpointDir=$CK/ck -Dgraft.matStageDir=$CK/mat"
+# ccDriverMaxEdges=0 forces p20's DISTRIBUTED min-label loop (the 100 TB
+# path) — at test SFs the edge front fits the driver union-find fast
+# path, which materializes nothing and would leave the kill unarmed
+export GRAFT_JAVA_OPTS="-Dgraft.checkpointMode=$MODE -Dgraft.ccDriverMaxEdges=0 -Dgraft.shingleStageDir=$MARK -Dgraft.checkpointDir=$CK/ck -Dgraft.matStageDir=$CK/mat"
 echo "[chaos] mode=$MODE sf=$SF entry=$ENTRY delay=${DELAY}s"
 sbt -batch "runMain graft.Verify $SF $OUT $ENTRY" > "$RUN" 2>&1 &
 SBT_PID=$!
+# Arm the kill INSIDE the iterative loop, not merely inside the job:
+#  - reliable: the first checkpoint part-files under $CK/ck exist exactly
+#    when round 1 of the CC loop has materialized and rounds 2+ still run;
+#  - local: no checkpoint files exist, so arm on the staged shingle
+#    marker (p20's first act) plus a small delay into the loop.
 armed=0
-for _ in $(seq 1 1200); do
-  if ls "$MARK"/*/_SUCCESS > /dev/null 2>&1; then armed=1; break; fi
+for _ in $(seq 1 2400); do
+  if [ "$MODE" = reliable ]; then
+    if find "$CK/ck" -name "part-*" 2> /dev/null | head -1 | grep -q part; then
+      armed=1; break
+    fi
+  else
+    # pr2_* is the staged PAIR table — the last thing p20 builds before
+    # entering the min-label loop whose localCheckpoint blocks the kill
+    # must destroy (the shingle table sh_* lands much earlier)
+    if ls "$MARK"/pr2_*/_SUCCESS > /dev/null 2>&1; then armed=1; break; fi
+  fi
   if ! kill -0 $SBT_PID 2> /dev/null; then break; fi
-  sleep 0.5
+  sleep 0.25
 done
 if [ "$armed" != 1 ]; then
   echo "[chaos] FAIL: job ended before the marker armed (too fast/crashed)"
   wait $SBT_PID; tail -5 "$RUN"; exit 2
 fi
-sleep "$DELAY"
+[ "$MODE" = reliable ] || sleep "$DELAY"
 VICTIM=$(pgrep -f CoarseGrainedExecutorBackend | head -1)
 if [ -z "${VICTIM}" ]; then
   echo "[chaos] FAIL: no executor process alive at kill time"
   kill $SBT_PID 2> /dev/null; exit 2
 fi
-echo "[chaos] kill -9 executor pid $VICTIM"
+KILL_TIME=$(date +%s%N)
+echo "[chaos] kill -9 executor pid $VICTIM at $(date -u +%T.%N)"
 kill -9 "$VICTIM"
 wait $SBT_PID
 RC=$?
-KILLED_MIDJOB=$(grep -cE "Executor.*(lost|removed|FAILED|exited)" "$RUN" || true)
-echo "[chaos] sbt exit=$RC, executor-loss log lines=$KILLED_MIDJOB"
+echo "[chaos] sbt exit=$RC"
+grep -m2 -E "Lost executor|Executor .* (removed|FAILED)" "$RUN" || true
+if [ "$MODE" = reliable ] && [ -e "$OUT/$ENTRY/_SUCCESS" ]; then
+  DONE_TIME=$(stat -c %Y "$OUT/$ENTRY/_SUCCESS")000000000
+  if [ "$KILL_TIME" -ge "$DONE_TIME" ]; then
+    echo "[chaos] FAIL: kill landed AFTER the output was written — the run"
+    echo "        proved nothing; rerun (job too fast for the marker)"
+    exit 3
+  fi
+  echo "[chaos] kill landed $(( (DONE_TIME - KILL_TIME) / 1000000 )) ms before the output write (mid-job confirmed)"
+fi
 if [ "$MODE" = reliable ]; then
   if grep -q "\[verify\] $ENTRY failed" "$RUN"; then
     echo "[chaos] FAIL: reliable mode did not survive the executor kill:"
