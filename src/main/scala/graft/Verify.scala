@@ -13,13 +13,45 @@ object Verify {
     val spark = GraftSession.forMain(cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // VERIFY_PASSES=N (default 1) runs the whole surface N times in ONE
+    // session — the block-manager leak regression harness (r14 VERDICT
+    // "Next round" #6): after each pass the persistent-RDD count and
+    // block-manager memory must return to the pass-1 baseline, proving
+    // no entry leaks storage per execution (the p90b class of r13).
+    // Run it under checkpointMode=reliable/stage: `local` mode's
+    // fire-and-forget fronts pin blocks for the session BY CONTRACT.
+    val passes = sys.env.get("VERIFY_PASSES")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(1)
+    var baseline: Option[(Int, Long)] = None
+    for (pass <- 1 to passes) {
+      SparkEntry.queries
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .foreach { case (name, fn) =>
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+      }
+      if (passes > 1) {
+        // let the ContextCleaner drain async unpersists/broadcast cleanup
+        // before snapshotting, so the numbers measure leaks, not lag
+        System.gc(); Thread.sleep(3000)
+        val rdds = spark.sparkContext.getPersistentRDDs.size
+        val usedMB = spark.sparkContext.getExecutorMemoryStatus.values
+          .map { case (tot, free) => tot - free }.sum >> 20
+        println(s"""{"leakcheck":{"pass":$pass,"persistentRdds":$rdds,"blockMemUsedMB":$usedMB}}""")
+        baseline match {
+          case None => baseline = Some((rdds, usedMB))
+          case Some((r0, m0)) =>
+            if (rdds > r0 || usedMB > m0 + 64) {
+              System.err.println(s"[verify] LEAK: pass $pass holds " +
+                s"$rdds persistent RDDs / ${usedMB} MB vs baseline " +
+                s"$r0 / ${m0} MB")
+              spark.stop()
+              sys.exit(1)
+            }
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
