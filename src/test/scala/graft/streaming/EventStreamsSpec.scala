@@ -1532,4 +1532,52 @@ class EventStreamsSpec extends AnyFunSuite {
           (Timestamp.valueOf("2024-01-01 12:00:00"), 1L, 0L)))
     } finally q.stop()
   }
+
+  test("SPRT stage 1 (append mode): only watermark-closed hours are emitted") {
+    // the documented two-query composition runs stage 1 in APPEND mode
+    // (closed hours to a durable sink; the fold reads them back) — the
+    // Complete-mode test above cannot exercise the close-on-watermark
+    // behavior the contract relies on (r14 ADVICE). Here the open hour
+    // must stay UNEMITTED until a later event's watermark closes it.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sprtHourlyDeltas(input.toDF())
+      .writeStream.format("memory").queryName("sprtdeltas_append")
+      .outputMode("append").start()
+    try {
+      // hour 10: treatment n=3 c=1 (same fixture as the Complete test)
+      input.addData(
+        EventStreams.Event(1, ts(5), 101, "purchase", 1.0),
+        EventStreams.Event(2, ts(6), 101, "click", 1.0),
+        EventStreams.Event(3, ts(7), 103, "click", 1.0),
+        EventStreams.Event(4, ts(8), 100, "purchase", 1.0))
+      q.processAllAvailable()
+      // watermark (10:08 - 1h) has not passed 11:00 — NOTHING emitted
+      assert(spark.sql("SELECT * FROM sprtdeltas_append").count() == 0,
+        "open hour leaked into an append-mode sink")
+      // a 12:05 treatment event advances the watermark to 11:05: hour 10
+      // closes and is emitted; hour 12 is open and must NOT be
+      input.addData(EventStreams.Event(5,
+        Timestamp.valueOf("2024-01-01 12:05:00"), 105, "click", 1.0))
+      q.processAllAvailable()
+      val afterClose = spark.sql(
+        "SELECT hour, n, c FROM sprtdeltas_append ORDER BY hour").collect()
+      assert(afterClose.map(r =>
+        (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSeq ==
+        Seq((ts(0), 3L, 1L)),
+        s"expected exactly the closed hour 10; got ${afterClose.mkString(",")}")
+      // closing hour 12 needs the watermark past 13:00, i.e. an event at
+      // >= 14:00 (a 13:05 event only moves it to 12:05) — feed 14:05
+      input.addData(EventStreams.Event(6,
+        Timestamp.valueOf("2024-01-01 14:05:00"), 107, "click", 1.0))
+      q.processAllAvailable()
+      val all = spark.sql(
+        "SELECT hour, n, c FROM sprtdeltas_append ORDER BY hour").collect()
+      assert(all.map(r =>
+        (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSeq ==
+        Seq((ts(0), 3L, 1L),
+          (Timestamp.valueOf("2024-01-01 12:00:00"), 1L, 0L)))
+    } finally q.stop()
+  }
 }
