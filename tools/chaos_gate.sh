@@ -7,6 +7,9 @@
 #   reliable: the job COMPLETES and the result still hash-matches the
 #             DuckDB oracle — checkpoint files on shared storage survive
 #             the executor loss, a relaunched executor re-reads them.
+#   stage:    the job COMPLETES and hash-matches for the same reason —
+#             staged parquet under matStageDir survives the loss; tasks
+#             re-read columnar files on retry.
 #   local:    the job FAILS with the documented block-loss error class —
 #             localCheckpoint truncates lineage to executor-lifetime
 #             blocks, so losing the executor makes the plan
@@ -14,6 +17,7 @@
 #             single-tenant bench mode, never the cluster mode).
 #
 #   tools/chaos_gate.sh reliable [sfDir] [killDelaySec]
+#   tools/chaos_gate.sh stage    [sfDir] [killDelaySec]
 #   tools/chaos_gate.sh local    [sfDir] [killDelaySec]
 #
 # Determinism: the kill is armed by a filesystem marker — p20's first act
@@ -52,6 +56,8 @@ SBT_PID=$!
 # Arm the kill INSIDE the iterative loop, not merely inside the job:
 #  - reliable: the first checkpoint part-files under $CK/ck exist exactly
 #    when round 1 of the CC loop has materialized and rounds 2+ still run;
+#  - stage: the first materialized round's _SUCCESS under $CK/mat plays
+#    the same role (Materialize stage mode = parquet write + readback);
 #  - local: no checkpoint files exist, so arm on the staged shingle
 #    marker (p20's first act) plus a small delay into the loop.
 armed=0
@@ -60,6 +66,8 @@ for _ in $(seq 1 2400); do
     if find "$CK/ck" -name "part-*" 2> /dev/null | head -1 | grep -q part; then
       armed=1; break
     fi
+  elif [ "$MODE" = stage ]; then
+    if ls "$CK"/mat/m_*/_SUCCESS > /dev/null 2>&1; then armed=1; break; fi
   else
     # pr2_* is the staged PAIR table — the last thing p20 builds before
     # entering the min-label loop whose localCheckpoint blocks the kill
@@ -73,7 +81,7 @@ if [ "$armed" != 1 ]; then
   echo "[chaos] FAIL: job ended before the marker armed (too fast/crashed)"
   wait $SBT_PID; tail -5 "$RUN"; exit 2
 fi
-[ "$MODE" = reliable ] || sleep "$DELAY"
+[ "$MODE" = local ] && sleep "$DELAY"
 VICTIM=$(pgrep -f CoarseGrainedExecutorBackend | head -1)
 if [ -z "${VICTIM}" ]; then
   echo "[chaos] FAIL: no executor process alive at kill time"
@@ -86,7 +94,7 @@ wait $SBT_PID
 RC=$?
 echo "[chaos] sbt exit=$RC"
 grep -m2 -E "Lost executor|Executor .* (removed|FAILED)" "$RUN" || true
-if [ "$MODE" = reliable ] && [ -e "$OUT/$ENTRY/_SUCCESS" ]; then
+if [ "$MODE" != local ] && [ -e "$OUT/$ENTRY/_SUCCESS" ]; then
   DONE_TIME=$(stat -c %Y "$OUT/$ENTRY/_SUCCESS")000000000
   if [ "$KILL_TIME" -ge "$DONE_TIME" ]; then
     echo "[chaos] FAIL: kill landed AFTER the output was written — the run"
@@ -95,14 +103,14 @@ if [ "$MODE" = reliable ] && [ -e "$OUT/$ENTRY/_SUCCESS" ]; then
   fi
   echo "[chaos] kill landed $(( (DONE_TIME - KILL_TIME) / 1000000 )) ms before the output write (mid-job confirmed)"
 fi
-if [ "$MODE" = reliable ]; then
+if [ "$MODE" != local ]; then
   if grep -q "\[verify\] $ENTRY failed" "$RUN"; then
-    echo "[chaos] FAIL: reliable mode did not survive the executor kill:"
+    echo "[chaos] FAIL: $MODE mode did not survive the executor kill:"
     grep "\[verify\]" "$RUN"; exit 1
   fi
   [ -d "$OUT/$ENTRY" ] || { echo "[chaos] FAIL: no output written"; exit 1; }
   SF_DIR="$SF" VERIFY_OUT="$OUT" python3 tools/oracle_check.py || exit 1
-  echo "[chaos] PASS: reliable survived the kill; p20 hash-matches the oracle"
+  echo "[chaos] PASS: $MODE survived the kill; p20 hash-matches the oracle"
 else
   if grep -q "\[verify\] $ENTRY failed" "$RUN"; then
     echo "[chaos] observed failure (expected for local mode):"
