@@ -772,11 +772,14 @@ object Pipeline {
   private[graft] def broadcastFrontMaxRows: Long =
     Dials.long("graft.broadcastFrontMaxRows").getOrElse(1000000L)
 
-  /** p91's cached broadcast decision per staged-pair dir (the staged
-    * table is written once per (JVM, dir) and immutable, so the counted
-    * guard never needs re-running for the same dir). */
+  /** p91's cached broadcast decision, keyed on (staged-pair dir, cap):
+    * the staged table is written once per (JVM, dir) and immutable, so
+    * the counted guard never needs re-running for the same dir — but the
+    * decision also depends on the cap dial, so a changed
+    * -Dgraft.broadcastFrontMaxRows re-decides instead of serving the
+    * stale verdict. */
   private val p91BroadcastByDir =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Boolean]()
 
   /** p23's deterministic packing parallelism — doc_id % packBuckets. The
     * local default matches the test core count; a cluster run raises it
@@ -9018,9 +9021,9 @@ $duckPcaDeflateCtes,
         // pair table is immutable per (JVM, dir), so the decision is
         // CACHED per dir — repeat invocations pay zero counting passes
         // (r14 ADVICE)
-        val doBroadcast = p91BroadcastByDir.computeIfAbsent(dir, _ =>
-          base.count() <= broadcastFrontMaxRows ||
-            front0.count() <= broadcastFrontMaxRows)
+        val cap = broadcastFrontMaxRows
+        val doBroadcast = p91BroadcastByDir.computeIfAbsent((dir, cap), _ =>
+          base.count() <= cap || front0.count() <= cap)
         val front = if (doBroadcast) broadcast(front0) else front0
         val texts = docs(s, dir).select(col("doc_id"), col("text"))
         front
