@@ -20,6 +20,13 @@
 #   tools/chaos_gate.sh stage    [sfDir] [killDelaySec]
 #   tools/chaos_gate.sh local    [sfDir] [killDelaySec]
 #
+# CHAOS_ENTRY selects the iterative entry (default p20_dedup_clusters);
+# any Materialize-riding loop works for reliable/stage, whose arming
+# marker (first checkpoint/staged-round file) is entry-agnostic — e.g.
+# CHAOS_ENTRY=p80_lexrank (power-iteration rounds) or p41_pq_codebook
+# (k-means + PQ codebook fit rounds). `local` mode's arming marker is
+# p20-specific (the staged pair table).
+#
 # Determinism: the kill is armed by a filesystem marker — p20's first act
 # is staging the shingle table (-Dgraft.shingleStageDir points it at a
 # watched temp dir), so "marker exists + delay" lands inside the
@@ -29,7 +36,7 @@ cd "$(dirname "$0")/.."
 MODE=${1:-reliable}
 SF=${2:-/root/testdata/sf0.01}
 DELAY=${3:-3}
-ENTRY=p20_dedup_clusters
+ENTRY=${CHAOS_ENTRY:-p20_dedup_clusters}
 OUT=/tmp/chaos_out_$MODE
 RUN=target/chaos_${MODE}.log
 rm -rf "$OUT"
@@ -49,7 +56,10 @@ export SPARK_GRAFT_CPUS=16
 # ccDriverMaxEdges=0 forces p20's DISTRIBUTED min-label loop (the 100 TB
 # path) — at test SFs the edge front fits the driver union-find fast
 # path, which materializes nothing and would leave the kill unarmed
-export GRAFT_JAVA_OPTS="-Dgraft.checkpointMode=$MODE -Dgraft.ccDriverMaxEdges=0 -Dgraft.shingleStageDir=$MARK -Dgraft.checkpointDir=$CK/ck -Dgraft.matStageDir=$CK/mat"
+# CHAOS_EXTRA_OPTS appends entry-specific dials (e.g.
+# -Dgraft.lexCheckpoint=2 so p80's power iteration checkpoints every
+# other round and the arming marker appears mid-loop)
+export GRAFT_JAVA_OPTS="-Dgraft.checkpointMode=$MODE -Dgraft.ccDriverMaxEdges=0 -Dgraft.shingleStageDir=$MARK -Dgraft.checkpointDir=$CK/ck -Dgraft.matStageDir=$CK/mat ${CHAOS_EXTRA_OPTS:-}"
 echo "[chaos] mode=$MODE sf=$SF entry=$ENTRY delay=${DELAY}s"
 sbt -batch "runMain graft.Verify $SF $OUT $ENTRY" > "$RUN" 2>&1 &
 SBT_PID=$!
@@ -110,7 +120,7 @@ if [ "$MODE" != local ]; then
   fi
   [ -d "$OUT/$ENTRY" ] || { echo "[chaos] FAIL: no output written"; exit 1; }
   SF_DIR="$SF" VERIFY_OUT="$OUT" python3 tools/oracle_check.py || exit 1
-  echo "[chaos] PASS: $MODE survived the kill; p20 hash-matches the oracle"
+  echo "[chaos] PASS: $MODE survived the kill; $ENTRY hash-matches the oracle"
 else
   if grep -q "\[verify\] $ENTRY failed" "$RUN"; then
     echo "[chaos] observed failure (expected for local mode):"
