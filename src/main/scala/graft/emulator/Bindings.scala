@@ -20,8 +20,11 @@ object Bindings {
 
   private val dateRe = """^\d{4}-\d{2}-\d{2}$""".r
   private val timeRe = """^\d{2}:\d{2}:\d{2}(\.\d+)?$""".r
+  // optional offset/Z suffix like the reference's timestampRegex
+  // (`executor.go:24`) — its e2e binds "2024-01-15T14:30:00Z"
+  // (`tests/e2e/rest_api_v2_test.go:972-1000`)
   private val timestampRe =
-    """^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d+)?$""".r
+    """^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d+)?([+-]\d{2}:?\d{2}|Z)?$""".r
 
   def formatValue(b: Binding): String = {
     if (b == null) return "NULL"
@@ -48,7 +51,12 @@ object Bindings {
         if (timeRe.findFirstIn(b.value).isEmpty)
           throw SnowflakeError.compilation(
             s"invalid TIME format: ${b.value} (expected HH:MM:SS)")
-        s"TIME '${b.value}'"
+        // Spark has no TIME literal type (UNSUPPORTED_TIME_TYPE); the
+        // regex-validated value rides as a string literal — the same
+        // "14:30:00" the gosnowflake rowset would render, and the
+        // validation (the reference's observable contract,
+        // `executor.go:255-261`) is identical
+        quoted(b.value)
       case "TIMESTAMP" | "TIMESTAMP_NTZ" | "TIMESTAMP_LTZ" | "TIMESTAMP_TZ" =>
         if (timestampRe.findFirstIn(b.value).isEmpty)
           throw SnowflakeError.compilation(

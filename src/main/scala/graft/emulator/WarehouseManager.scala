@@ -16,7 +16,7 @@ final class WarehouseManager {
   final case class Warehouse(
       name: String,
       size: String,
-      state: String, // SUSPENDED | STARTED
+      state: String, // SUSPENDED | ACTIVE (reference `warehouse/manager.go:18-23`)
       autoSuspend: Int,
       autoResume: Boolean,
       createdOn: Long)
@@ -37,7 +37,10 @@ final class WarehouseManager {
       if (ifNotExists) return existing
       throw SnowflakeError.alreadyExists(s"warehouse $n already exists")
     }
-    val w = Warehouse(n, sz, "STARTED", autoSuspend, autoResume,
+    // created SUSPENDED, the reference's default state
+    // (`warehouse/manager.go:82` StateSuspended; its e2e pins it at
+    // `tests/e2e/rest_api_v2_test.go:472-474`)
+    val w = Warehouse(n, sz, "SUSPENDED", autoSuspend, autoResume,
       System.currentTimeMillis())
     warehouses.put(n, w)
     w
@@ -49,7 +52,7 @@ final class WarehouseManager {
     warehouses.values.asScala.toSeq.sortBy(_.name)
 
   def suspend(name: String): Warehouse = update(name)(_.copy(state = "SUSPENDED"))
-  def resume(name: String): Warehouse = update(name)(_.copy(state = "STARTED"))
+  def resume(name: String): Warehouse = update(name)(_.copy(state = "ACTIVE"))
   def resize(name: String, size: String): Warehouse = {
     val sz = norm(size)
     if (!ValidSizes.contains(sz))

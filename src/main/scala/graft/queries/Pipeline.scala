@@ -778,7 +778,7 @@ object Pipeline {
     * decision also depends on the cap dial, so a changed
     * -Dgraft.broadcastFrontMaxRows re-decides instead of serving the
     * stale verdict. */
-  private val p91BroadcastByDir =
+  private val p91BroadcastByDirCap =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Boolean]()
 
   /** p23's deterministic packing parallelism — doc_id % packBuckets. The
@@ -9019,10 +9019,11 @@ $duckPcaDeflateCtes,
         // runs only above the cap, where getting the broadcast call
         // right is worth one extra pass over the staged scan. The staged
         // pair table is immutable per (JVM, dir), so the decision is
-        // CACHED per dir — repeat invocations pay zero counting passes
-        // (r14 ADVICE)
+        // CACHED per (dir, cap) — repeat invocations pay zero counting
+        // passes, and a changed -Dgraft.broadcastFrontMaxRows re-decides
+        // instead of serving a stale verdict (r15 regression fix)
         val cap = broadcastFrontMaxRows
-        val doBroadcast = p91BroadcastByDir.computeIfAbsent((dir, cap), _ =>
+        val doBroadcast = p91BroadcastByDirCap.computeIfAbsent((dir, cap), _ =>
           base.count() <= cap || front0.count() <= cap)
         val front = if (doBroadcast) broadcast(front0) else front0
         val texts = docs(s, dir).select(col("doc_id"), col("text"))

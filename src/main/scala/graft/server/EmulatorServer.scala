@@ -241,7 +241,18 @@ final class EmulatorServer(
   /** POST /api/v2/statements — synchronous execution, result stored on the
     * handle for later GET replay (reference `rest_api_v2.go:45-122`). */
   private def submitStatement(exchange: HttpExchange): Unit = {
-    val body = readJson(exchange)
+    // malformed JSON is HTTP 400 on this route (reference
+    // `rest_api_v2.go:46-49`; e2e InvalidJSON `rest_api_v2_test.go:407-419`)
+    val body =
+      try readJson(exchange)
+      catch {
+        case _: com.fasterxml.jackson.core.JacksonException =>
+          respond(exchange, 400, obj { o =>
+            o.put("message", "Invalid request body")
+            o.put("sqlState", SnowflakeError.SQLStateSyntaxError)
+          })
+          return
+      }
     val statement = textOf(body, "statement").getOrElse("")
     if (statement.isEmpty) {
       respond(exchange, 400, obj { o =>
@@ -460,11 +471,20 @@ final class EmulatorServer(
         respond(exchange, 200, arr(cat.listDatabases()) { (o, d) =>
           o.put("name", d.name); o.put("created_on", d.createdOn)
         })
+      // 201 + DatabaseResponse, the reference contract
+      // (`rest_api_v2.go:320-350`; e2e pins 201+name at
+      // `tests/e2e/rest_api_v2_test.go:209-235`)
       case ("POST", Seq()) =>
-        val name = textOf(readJson(exchange), "name").getOrElse(
+        val body = readJson(exchange)
+        val name = textOf(body, "name").getOrElse(
           throw SnowflakeError(SnowflakeError.CodeInvalidParameter, "name is required"))
         cat.createDatabase(name, ifNotExists = false)
-        respond(exchange, 200, obj(_.put("status", s"Database ${name.toUpperCase} successfully created.")))
+        textOf(body, "comment").foreach(cat.setDatabaseComment(name, _))
+        val d = cat.listDatabases().find(_.name.equalsIgnoreCase(name)).get
+        respond(exchange, 201, obj { o =>
+          o.put("name", d.name); o.put("comment", d.comment)
+          o.put("created_on", d.createdOn)
+        })
       case ("GET", Seq(db)) =>
         cat.listDatabases().find(_.name.equalsIgnoreCase(db)) match {
           case Some(d) => respond(exchange, 200, obj { o =>
@@ -473,7 +493,8 @@ final class EmulatorServer(
           case None => respond(exchange, 404, obj(_.put("message", s"database $db not found")))
         }
       case ("DELETE", Seq(db)) =>
-        cat.dropDatabase(db); respond(exchange, 200, obj(_.put("status", "dropped")))
+        // 204 no-content (`rest_api_v2.go:370`; e2e `:821-824`)
+        cat.dropDatabase(db); respondNoContent(exchange)
       // PUT /api/v2/databases/{db} — alter (comment), reference
       // `rest_api_v2.go:620-660` + `types/rest_api_v2.go:130-132`
       case ("PUT", Seq(db)) =>
@@ -489,31 +510,39 @@ final class EmulatorServer(
           case None =>
             respond(exchange, 404, obj(_.put("message", s"database $db not found")))
         }
-      // schemas
+      // schemas — SchemaResponse field names per reference
+      // `types/rest_api_v2.go:102-108` (name, database_name)
       case ("GET", Seq(db, "schemas")) =>
         respond(exchange, 200, arr(cat.listSchemas(db)) { (o, s) =>
-          o.put("name", s.name); o.put("database", s.database)
+          o.put("name", s.name); o.put("database_name", s.database)
         })
       case ("POST", Seq(db, "schemas")) =>
+        // 201 + SchemaResponse (`rest_api_v2.go:474`; e2e `:293-319`)
         val name = textOf(readJson(exchange), "name").getOrElse(
           throw SnowflakeError(SnowflakeError.CodeInvalidParameter, "name is required"))
         cat.createSchema(db, name)
-        respond(exchange, 200, obj(_.put("status", s"Schema ${name.toUpperCase} successfully created.")))
+        val s = cat.listSchemas(db).find(_.name.equalsIgnoreCase(name)).get
+        respond(exchange, 201, obj { o =>
+          o.put("name", s.name); o.put("database_name", s.database)
+        })
       case ("GET", Seq(db, "schemas", schema)) =>
         cat.listSchemas(db).find(_.name.equalsIgnoreCase(schema)) match {
           case Some(s) => respond(exchange, 200, obj { o =>
-            o.put("name", s.name); o.put("database", s.database)
+            o.put("name", s.name); o.put("database_name", s.database)
           })
           case None => respond(exchange, 404, obj(_.put("message", s"schema $schema not found")))
         }
       case ("DELETE", Seq(db, "schemas", schema)) =>
-        cat.dropSchema(db, schema); respond(exchange, 200, obj(_.put("status", "dropped")))
-      // tables
+        // 204 no-content (`rest_api_v2.go:501`)
+        cat.dropSchema(db, schema); respondNoContent(exchange)
+      // tables — TableResponse field names per reference
+      // `types/rest_api_v2.go:140-150` (name, database_name, schema_name,
+      // table_type)
       case ("GET", Seq(db, "schemas", schema, "tables")) =>
         respond(exchange, 200,
           arr(cat.listTables(db).filter(_.schema.equalsIgnoreCase(schema))) { (o, t) =>
-            o.put("name", t.table); o.put("database", t.database)
-            o.put("schema", t.schema); o.put("kind", t.tableType)
+            o.put("name", t.table); o.put("database_name", t.database)
+            o.put("schema_name", t.schema); o.put("table_type", t.tableType)
           })
       case ("POST", Seq(db, "schemas", schema, "tables")) =>
         val body = readJson(exchange)
@@ -530,14 +559,19 @@ final class EmulatorServer(
         }.getOrElse(throw SnowflakeError(SnowflakeError.CodeInvalidParameter,
           "columns are required"))
         cat.createTable(TableNaming.parse(s"$db.$schema.$name", db, schema), cols)
-        respond(exchange, 200, obj(_.put("status", s"Table ${name.toUpperCase} successfully created.")))
+        // 201 + TableResponse (`rest_api_v2.go:726`)
+        val created = cat.getTable(TableNaming.parse(s"$db.$schema.$name", db, schema)).get
+        respond(exchange, 201, obj { o =>
+          o.put("name", created.table); o.put("database_name", created.database)
+          o.put("schema_name", created.schema); o.put("table_type", created.tableType)
+        })
       case ("GET", Seq(db, "schemas", schema, table)) if segs.size == 4 =>
         respond(exchange, 404, obj(_.put("message", "not found")))
       case ("GET", Seq(db, "schemas", schema, "tables", table)) =>
         cat.getTable(TableNaming.parse(s"$db.$schema.$table", db, schema)) match {
           case Some(t) => respond(exchange, 200, obj { o =>
-            o.put("name", t.table); o.put("database", t.database)
-            o.put("schema", t.schema); o.put("kind", t.tableType)
+            o.put("name", t.table); o.put("database_name", t.database)
+            o.put("schema_name", t.schema); o.put("table_type", t.tableType)
             val cs = o.putArray("columns")
             t.columns.foreach { c =>
               val cn = cs.addObject()
@@ -549,7 +583,8 @@ final class EmulatorServer(
         }
       case ("DELETE", Seq(db, "schemas", schema, "tables", table)) =>
         cat.dropTable(TableNaming.parse(s"$db.$schema.$table", db, schema))
-        respond(exchange, 200, obj(_.put("status", "dropped")))
+        // 204 no-content (`rest_api_v2.go:616`)
+        respondNoContent(exchange)
       // PUT .../tables/{table} — alter (comment), reference
       // `rest_api_v2.go:731-789` + `types/rest_api_v2.go:135-137`
       case ("PUT", Seq(db, "schemas", schema, "tables", table)) =>
@@ -577,33 +612,42 @@ final class EmulatorServer(
       .stripPrefix("/api/v2/warehouses").stripPrefix("/")
     val method = exchange.getRequestMethod
     val wm = executor.warehouses
+    // WarehouseResponse shape per reference `types/rest_api_v2.go:165-175`
+    // (name, state, size, type, auto_suspend, auto_resume, created_on) —
+    // the e2e pins create=201+SUSPENDED, resume=200+ACTIVE,
+    // suspend=200+SUSPENDED, delete=204 (`rest_api_v2_test.go:442-596`)
+    def whJson(o: ObjectNode, w: wm.Warehouse): Unit = {
+      o.put("name", w.name); o.put("state", w.state); o.put("size", w.size)
+      o.put("type", "STANDARD")
+      o.put("auto_suspend", w.autoSuspend); o.put("auto_resume", w.autoResume)
+      ()
+    }
     (method, seg) match {
       case ("GET", "") =>
-        respond(exchange, 200, arr(wm.list()) { (o, w) =>
-          o.put("name", w.name); o.put("size", w.size); o.put("state", w.state)
-        })
+        respond(exchange, 200, arr(wm.list())(whJson))
       case ("POST", "") =>
         val body = readJson(exchange)
         val name = textOf(body, "name").getOrElse(
           throw SnowflakeError(SnowflakeError.CodeInvalidParameter, "name is required"))
-        val w = wm.create(name, textOf(body, "warehouse_size").getOrElse("X-SMALL"))
-        respond(exchange, 200, obj(_.put("status", s"Warehouse ${w.name} successfully created.")))
+        // the reference's WarehouseRequest marshals size under the
+        // "warehouse_size" json tag (`types/rest_api_v2.go:158`); accept
+        // a bare "size" too for lenient clients
+        val w = wm.create(name, textOf(body, "warehouse_size")
+          .orElse(textOf(body, "size")).getOrElse("X-SMALL"))
+        respond(exchange, 201, obj(whJson(_, w)))
       case ("POST", s) if s.endsWith(":resume") =>
-        wm.resume(s.stripSuffix(":resume"))
-        respond(exchange, 200, obj(_.put("status", "resumed")))
+        val w = wm.resume(s.stripSuffix(":resume"))
+        respond(exchange, 200, obj(whJson(_, w)))
       case ("POST", s) if s.endsWith(":suspend") =>
-        wm.suspend(s.stripSuffix(":suspend"))
-        respond(exchange, 200, obj(_.put("status", "suspended")))
+        val w = wm.suspend(s.stripSuffix(":suspend"))
+        respond(exchange, 200, obj(whJson(_, w)))
       case ("GET", name) =>
         wm.get(name) match {
-          case Some(w) => respond(exchange, 200, obj { o =>
-            o.put("name", w.name); o.put("size", w.size); o.put("state", w.state)
-            o.put("auto_suspend", w.autoSuspend); o.put("auto_resume", w.autoResume)
-          })
+          case Some(w) => respond(exchange, 200, obj(whJson(_, w)))
           case None => respond(exchange, 404, obj(_.put("message", s"warehouse $name not found")))
         }
       case ("DELETE", name) =>
-        wm.drop(name); respond(exchange, 200, obj(_.put("status", "dropped")))
+        wm.drop(name); respondNoContent(exchange)
       case _ => respond(exchange, 404, obj(_.put("message", "not found")))
     }
   }
@@ -768,6 +812,10 @@ final class EmulatorServer(
     f(o)
     o
   }
+
+  /** 204 No Content — the REST v2 delete contract (no body). */
+  private def respondNoContent(exchange: HttpExchange): Unit =
+    exchange.sendResponseHeaders(204, -1)
 
   private def respond(exchange: HttpExchange, status: Int, body: JsonNode): Unit = {
     val bytes = mapper.writeValueAsBytes(body)

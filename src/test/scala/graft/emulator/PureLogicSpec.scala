@@ -280,9 +280,11 @@ class PureLogicSpec extends AnyFunSuite {
   test("warehouse manager: crud + validation") {
     val m = new WarehouseManager()
     val w = m.create("wh1", "SMALL")
-    assert(w.state == "STARTED")
+    // reference default state + resume target (`warehouse/manager.go:82,
+    // 18-23`: created SUSPENDED, resume -> ACTIVE)
+    assert(w.state == "SUSPENDED")
+    assert(m.resume("WH1").state == "ACTIVE")
     assert(m.suspend("wh1").state == "SUSPENDED")
-    assert(m.resume("WH1").state == "STARTED")
     assert(m.resize("wh1", "LARGE").size == "LARGE")
     intercept[SnowflakeError](m.create("wh2", "HUGE"))
     intercept[SnowflakeError](m.create("wh1"))

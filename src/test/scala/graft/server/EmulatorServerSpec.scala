@@ -204,10 +204,10 @@ class EmulatorServerSpec extends AnyFunSuite {
 
   test("REST v2 PUT alters: database and table comments") {
     val mk = post("/api/v2/databases", """{"name":"alter_db"}""")
-    assert(mk._1 == 200)
-    assert(post("/api/v2/databases/alter_db/schemas", """{"name":"s1"}""")._1 == 200)
+    assert(mk._1 == 201) // creates are 201 per reference rest_api_v2.go:348
+    assert(post("/api/v2/databases/alter_db/schemas", """{"name":"s1"}""")._1 == 201)
     val cols = """{"name":"t1","columns":[{"name":"id","datatype":"INTEGER"}]}"""
-    assert(post("/api/v2/databases/alter_db/schemas/s1/tables", cols)._1 == 200)
+    assert(post("/api/v2/databases/alter_db/schemas/s1/tables", cols)._1 == 201)
     def put(path: String, body: String) = {
       val b = HttpRequest.newBuilder(URI.create(base + path))
         .PUT(HttpRequest.BodyPublishers.ofString(body))
@@ -344,20 +344,24 @@ class EmulatorServerSpec extends AnyFunSuite {
         else HttpRequest.BodyPublishers.ofString(body))
       .header("Content-Type", "application/json")
     val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
-    (resp.statusCode(), mapper.readTree(resp.body()))
+    // 204 deletes carry no body
+    (resp.statusCode(), if (resp.body().isEmpty) mapper.createObjectNode()
+      else mapper.readTree(resp.body()))
   }
 
   test("REST v2 object CRUD: databases, schemas, tables, warehouses") {
-    // databases (reference main.go:100-106)
-    val (c1, _) = req("POST", "/api/v2/databases", """{"name":"crud_db"}""")
-    assert(c1 == 200)
+    // databases (reference main.go:100-106; create is 201+DatabaseResponse
+    // per rest_api_v2.go:348)
+    val (c1, created) = req("POST", "/api/v2/databases", """{"name":"crud_db"}""")
+    assert(c1 == 201)
+    assert(created.get("name").asText() == "CRUD_DB")
     val (c2, dbs) = req("GET", "/api/v2/databases")
     assert(c2 == 200)
     assert((0 until dbs.size()).exists(i => dbs.get(i).get("name").asText() == "CRUD_DB"))
     val (conflict, _) = req("POST", "/api/v2/databases", """{"name":"crud_db"}""")
     assert(conflict == 409)
-    // schemas (main.go:108-112)
-    assert(req("POST", "/api/v2/databases/crud_db/schemas", """{"name":"s1"}""")._1 == 200)
+    // schemas (main.go:108-112; create is 201 per rest_api_v2.go:474)
+    assert(req("POST", "/api/v2/databases/crud_db/schemas", """{"name":"s1"}""")._1 == 201)
     val (_, schemas) = req("GET", "/api/v2/databases/crud_db/schemas")
     assert((0 until schemas.size()).map(schemas.get(_).get("name").asText()).toSet
       == Set("PUBLIC", "S1"))
@@ -366,7 +370,7 @@ class EmulatorServerSpec extends AnyFunSuite {
       """{"name":"t1","columns":[
           {"name":"id","datatype":"NUMBER(10,0)","nullable":false},
           {"name":"label","datatype":"VARCHAR(50)"}]}""")
-    assert(ct == 200)
+    assert(ct == 201)
     val (gt, table) = req("GET", "/api/v2/databases/crud_db/schemas/s1/tables/t1")
     assert(gt == 200)
     assert(table.get("columns").get(0).get("datatype").asText() == "NUMBER(10,0)")
@@ -375,18 +379,23 @@ class EmulatorServerSpec extends AnyFunSuite {
     val (_, ins) = post("/api/v2/statements",
       """{"statement":"INSERT INTO s1.t1 VALUES (1, 'x')","database":"CRUD_DB"}""")
     assert(ins.get("code").asText() == "090001")
-    // warehouses (main.go:121-126)
-    assert(req("POST", "/api/v2/warehouses",
-      """{"name":"wh_v2","warehouse_size":"SMALL"}""")._1 == 200)
-    assert(req("POST", "/api/v2/warehouses/wh_v2:suspend")._1 == 200)
+    // warehouses (main.go:121-126; shapes rest_api_v2_test.go:442-596:
+    // create=201+SUSPENDED, resume=ACTIVE, delete=204)
+    val (cw, wNew) = req("POST", "/api/v2/warehouses",
+      """{"name":"wh_v2","warehouse_size":"SMALL"}""")
+    assert(cw == 201)
+    assert(wNew.get("state").asText() == "SUSPENDED")
+    val (_, wAct) = req("POST", "/api/v2/warehouses/wh_v2:resume")
+    assert(wAct.get("state").asText() == "ACTIVE")
+    assert(req("POST", "/api/v2/warehouses/wh_v2:suspend")._2
+      .get("state").asText() == "SUSPENDED")
     val (_, w) = req("GET", "/api/v2/warehouses/wh_v2")
     assert(w.get("state").asText() == "SUSPENDED")
-    assert(req("POST", "/api/v2/warehouses/wh_v2:resume")._1 == 200)
-    assert(req("DELETE", "/api/v2/warehouses/wh_v2")._1 == 200)
+    assert(req("DELETE", "/api/v2/warehouses/wh_v2")._1 == 204)
     assert(req("GET", "/api/v2/warehouses/wh_v2")._1 == 404)
-    // deletes cascade
-    assert(req("DELETE", "/api/v2/databases/crud_db/schemas/s1/tables/t1")._1 == 200)
-    assert(req("DELETE", "/api/v2/databases/crud_db")._1 == 200)
+    // deletes cascade (204 no-content per rest_api_v2.go:370,501,616)
+    assert(req("DELETE", "/api/v2/databases/crud_db/schemas/s1/tables/t1")._1 == 204)
+    assert(req("DELETE", "/api/v2/databases/crud_db")._1 == 204)
     assert(req("GET", "/api/v2/databases/crud_db")._1 == 404)
   }
 

@@ -77,7 +77,14 @@ for _ in $(seq 1 2400); do
       armed=1; break
     fi
   elif [ "$MODE" = stage ]; then
-    if ls "$CK"/mat/m_*/_SUCCESS > /dev/null 2>&1; then armed=1; break; fi
+    # require >=2 round markers (CHAOS_STAGE_MARKERS to override): a
+    # single m_* could be a PRE-loop Materialize call; the second marker
+    # proves the iterative loop itself is writing rounds, so the kill
+    # lands inside it (entries that materialize exactly once never arm
+    # and the gate exits 2 — conservative by design)
+    if [ "$(ls -d "$CK"/mat/m_*/_SUCCESS 2> /dev/null | wc -l)" -ge "${CHAOS_STAGE_MARKERS:-2}" ]; then
+      armed=1; break
+    fi
   else
     # pr2_* is the staged PAIR table — the last thing p20 builds before
     # entering the min-label loop whose localCheckpoint blocks the kill
@@ -92,7 +99,13 @@ if [ "$armed" != 1 ]; then
   wait $SBT_PID; tail -5 "$RUN"; exit 2
 fi
 [ "$MODE" = local ] && sleep "$DELAY"
-VICTIM=$(pgrep -f CoarseGrainedExecutorBackend | head -1)
+# scope the victim to THIS run's executors: GRAFT_JAVA_OPTS (including
+# the unique -Dgraft.checkpointDir=$CK/ck) is mirrored into
+# spark.executor.extraJavaOptions, so a concurrent Spark session on the
+# host can never be selected; ps+grep (not pgrep -f) so this compound
+# command can't match itself
+VICTIM=$(ps -eo pid,args | grep CoarseGrainedExecutorBackend \
+  | grep -F "checkpointDir=$CK/ck" | grep -v grep | awk '{print $1; exit}')
 if [ -z "${VICTIM}" ]; then
   echo "[chaos] FAIL: no executor process alive at kill time"
   kill $SBT_PID 2> /dev/null; exit 2
@@ -105,7 +118,9 @@ RC=$?
 echo "[chaos] sbt exit=$RC"
 grep -m2 -E "Lost executor|Executor .* (removed|FAILED)" "$RUN" || true
 if [ "$MODE" != local ] && [ -e "$OUT/$ENTRY/_SUCCESS" ]; then
-  DONE_TIME=$(stat -c %Y "$OUT/$ENTRY/_SUCCESS")000000000
+  # nanosecond mtime (date -r +%s%N) so a kill inside the same wall-clock
+  # second as the output write no longer trips a spurious exit 3
+  DONE_TIME=$(date -r "$OUT/$ENTRY/_SUCCESS" +%s%N)
   if [ "$KILL_TIME" -ge "$DONE_TIME" ]; then
     echo "[chaos] FAIL: kill landed AFTER the output was written — the run"
     echo "        proved nothing; rerun (job too fast for the marker)"
