@@ -170,7 +170,7 @@ object GenTestData {
     write(lineitem, "lineitem", files = math.max(1, (32 * sf).toInt))
 
     val nEvents = n(1000000)
-    val nUsers = n(1500)
+    val nUsers = n(15000)
     write(spark.range(nEvents).select(
       $"id".as("event_id"),
       expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0, pmod(xxhash64(id, 26), 2591999) + pmod(xxhash64(id, 27), 1000000) / 1000000.0)")
@@ -183,7 +183,7 @@ object GenTestData {
       "events", files = math.max(1, (4 * sf).toInt))
 
     // ---- documents -------------------------------------------------------
-    val nDocs = n(5000)
+    val nDocs = n(50000)
     val docs =
       if (!adversarial) {
         // benign: driver-like word salad, 8..110 tokens, plus a small
@@ -206,8 +206,8 @@ object GenTestData {
                 """), cast(pmod(xxhash64(doc_id, i, 42), 30) as int) + 1))""")))
             .as("text"),
           element_at(array(lit("en"), lit("en"), lit("en"), lit("zh"),
-            lit("es"), lit("fr"), lit("de")), ui("id", 43, 7) + 1).as("lang"),
-          concat(lit("src"), ui("id", 44, 20)).as("source"))
+            lit("es"), lit("fr"), lit("de")), ui("doc_id", 43, 7) + 1).as("lang"),
+          concat(lit("src"), ui("doc_id", 44, 20)).as("source"))
           .withColumn("n_chars", length($"text").cast("long"))
           .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
       } else {
@@ -254,7 +254,7 @@ object GenTestData {
                 """), cast(pmod(xxhash64(doc_id, i, 42), 30) as int) + 1))""")))
             .as("text"),
           element_at(array(lit("en"), lit("en"), lit("en"), lit("zh"),
-            lit("es"), lit("fr"), lit("de")), ui("id", 43, 7) + 1).as("lang"),
+            lit("es"), lit("fr"), lit("de")), ui("doc_id", 43, 7) + 1).as("lang"),
           zipfSrc.as("source"))
           .withColumn("n_chars", length($"text").cast("long"))
           .select($"doc_id", $"text", $"lang", $"source", $"n_chars")

@@ -13,7 +13,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 con = duckdb.connect()
 for t in TABLES:
     p = f"{SF}/{t}.parquet"
-    if os.path.exists(p):
+    if os.path.isdir(p):
+        # Spark-layout table (directory of part files), e.g. the
+        # GenTestData sf1 / adversarial corpora
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    elif os.path.exists(p):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 with open(f"{OUT}/oracle_sql.json") as f:
