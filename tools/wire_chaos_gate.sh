@@ -27,6 +27,15 @@ CK=$(mktemp -d /tmp/wire_chaos_XXXX)
 LOG=target/wire_chaos_server.log
 sbt -batch package > /dev/null
 JAR=$(ls -t target/scala-2.13/snowflakeemulatorspark_2.13-*.jar | head -1)
+# local-cluster launches executor JVMs via the launcher library, which
+# needs SPARK_HOME (else "Cannot find any build directories") — same
+# symlink shim as tools/cluster_gate.sh so work/ dirs land in-repo.
+mkdir -p target/sparkhome
+for d in jars bin conf sbin data RELEASE LICENSE NOTICE README.md; do
+  ln -sfn "/opt/spark/$d" "target/sparkhome/$d"
+done
+export SPARK_HOME="$PWD/target/sparkhome"
+export SPARK_SCALA_VERSION=2.13
 export SPARK_GRAFT_MASTER='local-cluster[2,8,8192]'
 export SPARK_GRAFT_JARS="$PWD/$JAR"
 export SPARK_GRAFT_CPUS=16
