@@ -211,13 +211,22 @@ object GenTestData {
           .withColumn("n_chars", length($"text").cast("long"))
           .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
       } else {
-        // adversarial: 45 clusters × 499 near-dup docs (~45% of 50k),
+        // adversarial: 65 clusters × 430 near-dup docs (~56% of 50k),
         // Zipf source mix, one mega-doc. Cluster texts: 15 tokens drawn
-        // from the cluster id, ONE token varied per member — shingle df
-        // inside a cluster ≈ 499, just under the max(5, 1%·50k)=500
-        // stop-shingle guard, so the pair/CC fronts hit full size.
-        val clusters = 45
-        val clusterSize = 499
+        // from the cluster id, ONE token varied per member. Sizing is
+        // against the df<=max(5, 1%·50k)=500 stop-shingle guard WITH the
+        // benign background counted: a cluster core shingle's df is
+        // clusterSize + Binomial(~22k benign docs, ~57/27000) ≈ 430+47±7,
+        // safely under 500 (so in-cluster evidence SURVIVES the guard —
+        // the first cut of this corpus used 45×499 and the +~54 benign
+        // collisions pushed every core shingle OVER the guard, collapsing
+        // the edge front to identical-text pairs only). Differing members
+        // share 10 of 13 shingles → jaccard 0.625 >= 0.5, so the CC edge
+        // front is C(430,2)·65 ≈ 6.0M > ccDriverMaxEdges=5M (organic
+        // distributed fixpoint) and the jaccard>=0.3 front ≈ the same 6M
+        // > broadcastFrontMaxRows=1M (organic non-broadcast p91 join).
+        val clusters = 65
+        val clusterSize = 430
         val dupBand = clusters.toLong * clusterSize
         require(dupBand < nDocs, s"adversarial needs nDocs > $dupBand")
         // Zipf(1) over 20 sources via inverse-CDF thresholds

@@ -9633,7 +9633,23 @@ $duckPcaDeflateCtes,
     // handles — the hot h's probe partition splits across tasks (the
     // r13 verdict's "residual skew policy" applied; the window had no
     // salting analog). Costs one extra explode pass; measured ~0.1 s at
-    // sf0.1 against a 0.25 s line. Then the per-DOC gaps-and-islands
+    // sf0.1 against a 0.25 s line.
+    //
+    // Window extraction splits the text to a char array ONCE and takes
+    // each window as an O(L) slice. The direct form — substring(text,
+    // i, 30) inside the position transform — re-walks the UTF-8 string
+    // from the start on every call (UTF8String.substring is O(i)), so
+    // ONE long document turns the whole entry into an O(len²)
+    // single-straggler task: the r16 adversarial corpus' 500 kB
+    // mega-doc is ~10^11 interpreted char steps that way (observed >20
+    // CPU-min, the same re-walk trap cdcCutsSql documents) and ~10^7
+    // as slices. The DuckDB mirror has the identical trap in substr()
+    // and no cheap char-array slice, so it windows in two levels:
+    // 1029-char extended segments cut once (O(len²/1000) scan total),
+    // then stride-1 windows local to a segment (O(j≤1000) each) —
+    // validated equal to the naive shape on 30/1000/1029/1030/2000-char
+    // edges and 330× faster on the mega-doc. Then the per-DOC
+    // gaps-and-islands
     // interval union (running max + run cumsum + per-run min/max — all
     // windows partitioned by doc_id). The explode factor (~n_chars
     // rows/doc) is the price the paper's suffix array also pays, here
@@ -9644,9 +9660,11 @@ $duckPcaDeflateCtes,
         val L = 30
         def wins = docs(s, dir)
           .filter(length(col("text")) >= L)
+          .select(col("doc_id"), expr("split(text, '')").as("chs"),
+            (length(col("text")) - (L - 1)).as("nw"))
           .select(col("doc_id"), explode(expr(
-            s"transform(sequence(1, length(text) - ${L - 1})," +
-              s" i -> struct(i AS st, substring(text, i, $L) AS w))")).as("u"))
+            s"transform(sequence(1, nw)," +
+              s" i -> struct(i AS st, array_join(slice(chs, i, $L), '') AS w))")).as("u"))
           .select(col("doc_id"), col("u.st").as("st"), md560(col("u.w")).as("h"))
         val dupH = wins.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
           .filter(col("cnt") >= 2)
@@ -9680,10 +9698,15 @@ $duckPcaDeflateCtes,
       },
       Some(s"""WITH base AS (
           SELECT doc_id, source, text, length(text) AS len FROM documents),
+        segs AS (
+          SELECT doc_id, len, k, substr(text, k * 1000 + 1, 1029) AS seg
+          FROM base, LATERAL (SELECT unnest(range(0,
+            CAST(ceil((len - 29) / 1000.0) AS BIGINT))) AS k)
+          WHERE len >= 30),
         w0 AS (
-          SELECT doc_id, unnest(
-            [{'st': i, 'w': substr(text, i, 30)} FOR i IN range(1, len - 28)]) AS u
-          FROM base WHERE len >= 30),
+          SELECT doc_id, unnest([{'st': k * 1000 + j, 'w': substr(seg, j, 30)}
+            FOR j IN range(1, least(1000, len - k * 1000 - 29) + 1)]) AS u
+          FROM segs),
         ws AS (SELECT doc_id, u.st AS st, ${duckMd560("u.w")} AS h FROM w0),
         dup AS (SELECT doc_id, st, st + 29 AS en
           FROM (SELECT doc_id, st, COUNT(*) OVER (PARTITION BY h) AS cnt FROM ws)

@@ -11,6 +11,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 con = duckdb.connect()
+# Bound DuckDB: an sf1-scale oracle was observed ballooning past 100 GB
+# RSS (the box has 125) before being killed. With a limit + temp dir the
+# same query spills to disk instead of OOMing the host.
+con.execute(f"SET memory_limit='{os.environ.get('DUCK_MEM', '32GB')}'")
+con.execute("SET temp_directory='/tmp/duck_spill'")
+con.execute(f"SET threads={os.environ.get('DUCK_THREADS', '16')}")
 for t in TABLES:
     p = f"{SF}/{t}.parquet"
     if os.path.isdir(p):
@@ -31,23 +37,32 @@ def canon(df):
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 results = {}
+import time
 names = sorted(os.listdir(OUT))
+def flush():
+    # partial results survive a kill; progress is greppable live
+    with open(os.path.join(OUT, "_oracle_partial.json"), "w") as f:
+        json.dump(results, f)
 for name in names:
     d = os.path.join(OUT, name)
     if not os.path.isdir(d):
         continue
+    t0 = time.time()
+    print(f"[oracle] {name} ...", file=sys.stderr, flush=True)
     files = glob.glob(f"{d}/*.parquet")
     spark_df = pd.concat([pd.read_parquet(f) for f in files]) if files \
         else pd.DataFrame()
     sql = oracles.get(name)
     if not sql:
         results[name] = {"rows": len(spark_df), "oracle": None, "err": "no_oracle"}
+        flush()
         continue
     try:
         odf = con.execute(sql).df()
     except Exception as e:
         results[name] = {"rows": len(spark_df), "oracle": None,
                          "err": f"oracle_fail: {e}"}
+        flush()
         continue
     rows_match = len(spark_df) == len(odf)
     schema_match = sorted(spark_df.columns) == sorted(odf.columns)
@@ -66,6 +81,9 @@ for name in names:
     results[name] = {"rows_match": rows_match, "schema_match": schema_match,
                      "hash_match": hash_match, "spark_rows": len(spark_df),
                      "oracle_rows": len(odf)}
+    print(f"[oracle] {name} done in {time.time() - t0:.1f}s "
+          f"(rows={len(odf)})", file=sys.stderr, flush=True)
+    flush()
 
 bad = {k: v for k, v in results.items()
        if v.get("err") not in (None, "no_oracle") or
