@@ -32,7 +32,12 @@ Test / testGrouping := {
     // persistent-RDD set — must not share a JVM with anything
     "graft.MaterializeSpec" -> "mat",
     // graft.sketchAgreement=off CHANGES VALUES of the agreement entries
-    "graft.SketchAgreementSpec" -> "sketchdial")
+    "graft.SketchAgreementSpec" -> "sketchdial",
+    // redirects graft.shingleStageDir + flips fit dials + deletes its
+    // staging root mid-run — in the main group this raced sibling suites
+    // into staging under a root it then deleted (r16: 8 failures across
+    // 4 suites, FILE_NOT_EXIST on dial_audit_stage* paths)
+    "graft.DialCacheAuditSpec" -> "dialaudit")
   val (iso, main) = (Test / definedTests).value
     .partition(t => isolated.contains(t.name))
   Tests.Group("main", main, Tests.SubProcess(opts)) +:

@@ -39,6 +39,12 @@ def canon(df):
 results = {}
 import time
 names = sorted(os.listdir(OUT))
+# ONLY=p20_dedup_clusters,p91_edit_similarity limits the compare (lets a
+# long gate shard across parallel processes; merge the JSONs after)
+only = os.environ.get("ONLY")
+if only:
+    keep = set(x.strip() for x in only.split(",") if x.strip())
+    names = [n for n in names if n in keep]
 def flush():
     # partial results survive a kill; progress is greppable live
     with open(os.path.join(OUT, "_oracle_partial.json"), "w") as f:
