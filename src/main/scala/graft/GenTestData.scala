@@ -25,7 +25,13 @@ import org.apache.spark.sql.functions._
   *    deterministic `xxhash64(id, salt)` function of the row id, so the
   *    output is identical for any partitioning and any cluster size;
   *  - write-side partitioning: one file for dimension tables, core-count
-  *    files for facts, so downstream scans start embarrassingly parallel.
+  *    files for facts, so downstream scans start embarrassingly parallel;
+  *  - PHYSICAL TYPES mirror the driver parquet exactly: decimal literals
+  *    inside expr() strings silently promote money columns to
+  *    DECIMAL(32,2) (Spark SQL parses `0.1` as decimal) while the driver
+  *    ships DOUBLE — the r16 sf1 gate caught 6 dtype-canon mismatches on
+  *    numerically equal values, so every money/value column is cast
+  *    explicitly.
   *
   * Usage:
   *   runMain graft.GenTestData <outDir> <sf>            # e.g. 1.0
@@ -35,12 +41,11 @@ import org.apache.spark.sql.functions._
   * dedup/pair/CC/p91 stress surface — and keeps every other table at the
   * given sf:
   *  - Zipf(1) source mix over src0..src19 instead of uniform;
-  *  - ~45% of docs are near-duplicates in clusters of 499 (one varied
-  *    token per doc, cluster size chosen to slip UNDER the df<=max(5,1%)
-  *    stop-shingle guard at 50k docs, so the posting join, the pair
-  *    front (~5.6M pairs > broadcastFrontMaxRows=1M) and the CC edge
-  *    front (> ccDriverMaxEdges=5M, forcing the distributed fixpoint)
-  *    all fire their scale guards ORGANICALLY at default dials);
+  *  - ~56% of docs are near-duplicates in 65 clusters of 430 (one varied
+  *    token per doc; sizing rationale at the cluster constants below),
+  *    so the CC edge front (6.0M > ccDriverMaxEdges=5M) and the
+  *    jaccard>=0.3 front (6.0M > broadcastFrontMaxRows=1M) fire their
+  *    scale guards ORGANICALLY at default dials;
   *  - one pathological mega-doc (~100k tokens vs the ~55-token mean).
   */
 object GenTestData {
@@ -94,7 +99,7 @@ object GenTestData {
       $"id".as("c_custkey"),
       format_string("Customer#%09d", $"id").as("c_name"),
       ui("id", 1, 25).as("c_nationkey"),
-      round(u("id", 2) * 11000 - 1000, 2).as("c_acctbal"),
+      round(u("id", 2) * 11000 - 1000, 2).cast("double").as("c_acctbal"),
       element_at(array(lit("AUTOMOBILE"), lit("BUILDING"), lit("FURNITURE"),
         lit("HOUSEHOLD"), lit("MACHINERY")), ui("id", 3, 5) + 1)
         .as("c_mktsegment")), "customer")
@@ -104,7 +109,7 @@ object GenTestData {
       $"id".as("s_suppkey"),
       format_string("Supplier#%09d", $"id").as("s_name"),
       ui("id", 4, 25).as("s_nationkey"),
-      round(u("id", 5) * 10000, 2).as("s_acctbal")), "supplier")
+      round(u("id", 5) * 10000, 2).cast("double").as("s_acctbal")), "supplier")
 
     val nPart = n(200000)
     write(spark.range(nPart).select(
@@ -120,7 +125,7 @@ object GenTestData {
         lit("PROMO"), lit("SMALL"), lit("STANDARD")), ui("id", 9, 6) + 1)
         .as("p_type"),
       (ui("id", 10, 50) + 1).as("p_size"),
-      round(lit(900.0) + $"id" * 0.1, 2).as("p_retailprice")), "part",
+      round(lit(900.0) + $"id" * 0.1, 2).cast("double").as("p_retailprice")), "part",
       files = if (sf >= 1) 4 else 1)
 
     // ---- facts -----------------------------------------------------------
@@ -130,7 +135,7 @@ object GenTestData {
       expr(s"pmod(xxhash64(id, 11), $nCust)").as("o_custkey"),
       element_at(array(lit("F"), lit("O"), lit("P")), ui("id", 12, 3) + 1)
         .as("o_orderstatus"),
-      round(u("id", 13) * 499000 + 1000, 2).as("o_totalprice"),
+      round(u("id", 13) * 499000 + 1000, 2).cast("double").as("o_totalprice"),
       expr("timestamp'1995-01-01 00:00:00' + make_interval(0,0,0, cast(pmod(xxhash64(id, 14), 2404) as int), 0,0,0)")
         .as("o_orderdate"),
       element_at(array(lit("1-URGENT"), lit("2-HIGH"), lit("3-MEDIUM"),
@@ -151,7 +156,7 @@ object GenTestData {
         $"l_linenumber",
         expr("cast(1 + pmod(xxhash64(l_orderkey, l_linenumber, 19), 50) as double)")
           .as("l_quantity"),
-        expr("round(901.0 + pmod(xxhash64(l_orderkey, l_linenumber, 20), 10410000) / 100.0, 2)")
+        expr("cast(round(901.0 + pmod(xxhash64(l_orderkey, l_linenumber, 20), 10410000) / 100.0, 2) as double)")
           .as("l_extendedprice"),
         expr("cast(pmod(xxhash64(l_orderkey, l_linenumber, 21), 11) as double) / 100.0")
           .as("l_discount"),
@@ -178,7 +183,7 @@ object GenTestData {
       expr(s"pmod(xxhash64(id, 28), $nUsers)").as("user_id"),
       element_at(array(lit("click"), lit("error"), lit("purchase"),
         lit("signup"), lit("view")), ui("id", 29, 5) + 1).as("event_type"),
-      round(u("id", 30) * 490 + 0.01, 2).as("value"),
+      round(u("id", 30) * 490 + 0.01, 2).cast("double").as("value"),
       format_string("{\"k\": %d}", ui("id", 31, 100)).as("props")),
       "events", files = math.max(1, (4 * sf).toInt))
 

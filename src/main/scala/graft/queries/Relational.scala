@@ -34,20 +34,25 @@ object Relational {
         .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sumd(d(col("l_quantity"))).as("sum_qty"),
-          sumd(d(col("l_extendedprice"))).as("sum_base_price"),
-          sumd(d(col("l_extendedprice")) * (one - r(col("l_discount")))).as("sum_disc_price"),
-          sumd(d(col("l_extendedprice")) * (one - r(col("l_discount"))) * (one + r(col("l_tax")))).as("sum_charge"),
+          // the group sums are decimal-exact (order-independent), but at
+          // sf1 they reach 17 significant digits and the final
+          // decimal->double cast rounds differently per engine (observed:
+          // sum_charge 1 ulp apart at 4.6e10). Publishing round(x, 2)
+          // keeps the compare exact at any corpus size.
+          round(sumd(d(col("l_quantity"))), 2).as("sum_qty"),
+          round(sumd(d(col("l_extendedprice"))), 2).as("sum_base_price"),
+          round(sumd(d(col("l_extendedprice")) * (one - r(col("l_discount")))), 2).as("sum_disc_price"),
+          round(sumd(d(col("l_extendedprice")) * (one - r(col("l_discount"))) * (one + r(col("l_tax")))), 2).as("sum_charge"),
           (sumd(d(col("l_quantity"))) / count(lit(1))).as("avg_qty"),
           (sumd(d(col("l_extendedprice"))) / count(lit(1))).as("avg_price"),
           (sumd(r(col("l_discount"))) / count(lit(1))).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus")),
       Some("""SELECT l_returnflag, l_linestatus,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty,
+        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_base_price,
+        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS sum_disc_price,
+        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE), 2) AS sum_charge,
         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
         CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,

@@ -46,8 +46,9 @@ if only:
     keep = set(x.strip() for x in only.split(",") if x.strip())
     names = [n for n in names if n in keep]
 def flush():
-    # partial results survive a kill; progress is greppable live
-    with open(os.path.join(OUT, "_oracle_partial.json"), "w") as f:
+    # partial results survive a kill; progress is greppable live.
+    # pid-suffixed: parallel ONLY-sharded processes share one OUT dir
+    with open(os.path.join(OUT, f"_oracle_partial.{os.getpid()}.json"), "w") as f:
         json.dump(results, f)
 for name in names:
     d = os.path.join(OUT, name)
