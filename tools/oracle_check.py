@@ -15,7 +15,10 @@ con = duckdb.connect()
 # RSS (the box has 125) before being killed. With a limit + temp dir the
 # same query spills to disk instead of OOMing the host.
 con.execute(f"SET memory_limit='{os.environ.get('DUCK_MEM', '32GB')}'")
-con.execute("SET temp_directory='/tmp/duck_spill'")
+# per-pid: DuckDB temp files have fixed names (duckdb_temp_storage-N.tmp),
+# so parallel processes sharing one temp_directory delete each other's
+# spill files mid-query (observed: IOException "Could not remove file")
+con.execute(f"SET temp_directory='/tmp/duck_spill_{os.getpid()}'")
 con.execute(f"SET threads={os.environ.get('DUCK_THREADS', '16')}")
 for t in TABLES:
     p = f"{SF}/{t}.parquet"
