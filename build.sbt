@@ -37,7 +37,9 @@ Test / testGrouping := {
     // staging root mid-run — in the main group this raced sibling suites
     // into staging under a root it then deleted (r16: 8 failures across
     // 4 suites, FILE_NOT_EXIST on dial_audit_stage* paths)
-    "graft.DialCacheAuditSpec" -> "dialaudit")
+    "graft.DialCacheAuditSpec" -> "dialaudit",
+    // sets a VALID non-default graft.evalQueries + staging-root redirect
+    "graft.EvalSampleSpec" -> "evalsample")
   val (iso, main) = (Test / definedTests).value
     .partition(t => isolated.contains(t.name))
   Tests.Group("main", main, Tests.SubProcess(opts)) +:

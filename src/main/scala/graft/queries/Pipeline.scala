@@ -233,18 +233,23 @@ object Pipeline {
     * against a small parquet table. The exact-baseline scale guard moves
     * here: it fires when the truth is BUILT (the only expensive moment),
     * at validation scale only — a 100 TB corpus measures recall on a
-    * sampled validation slice, never all-pairs. Same commit protocol /
-    * lifecycle as [[ShingleStage]]. */
+    * sampled validation slice, never all-pairs ([[evalQueriesDial]] IS
+    * that slice: with `-Dgraft.evalQueries=m` the query side is the
+    * m-vector hash sample and the build costs m*n, not n^2). Same
+    * commit protocol / lifecycle as [[ShingleStage]]; the sample size
+    * is part of the staging tag (a fit dial — the p91 lesson). */
   private[graft] object TruthStage {
     /** Exact top-5 cosine neighbors: (qid, neighbor_id, rank, sim_r). */
     def loadKnn(s: SparkSession, dir: String): DataFrame =
-      ShingleStage.stage(s, dir, "tk") {
+      ShingleStage.stage(s, dir, evalTag("tk")) {
         guardExactBaseline(s, dir, "p05_knn_exact (truth stage)",
           "p06_knn_lsh / p16_knn_ivf")
         // the candidate side broadcasts; parallelism comes from the
         // streamed side's partitioning, and a single parquet file gives
         // too few partitions to use the machine — spread the O(n^2) work
-        val q = emb(s, dir).select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val e0 = emb(s, dir)
+        val q = evalSampleFilter(e0, e0.count())
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
           .repartition(s.sparkContext.defaultParallelism)
         val c = emb(s, dir).select(col("vec_id").as("cid"), col("embedding").as("cv"))
         val rn = Window.partitionBy(col("qid"))
@@ -257,14 +262,19 @@ object Pipeline {
             col("rank"), round(col("sim"), 6).as("sim_r"))
       }
 
-    /** Exact near-dup pair truth: (a_id, b_id, sim_r), cosine >= 0.4. */
+    /** Exact near-dup pair truth: (a_id, b_id, sim_r), cosine >= 0.4.
+      * Under [[evalQueriesDial]] the slice is "pairs whose a-side (the
+      * smaller id) is sampled" — recall over it stays well-defined for
+      * every consumer because each joins candidates AGAINST this truth. */
     def loadPairs(s: SparkSession, dir: String): DataFrame =
-      ShingleStage.stage(s, dir, "tp") {
+      ShingleStage.stage(s, dir, evalTag("tp")) {
         guardExactBaseline(s, dir, "p14_embedding_neardup (truth stage)",
           "p06_knn_lsh")
         // same parallelism spread as the KNN truth: the streamed side
         // drives task count
-        val a = emb(s, dir).select(col("vec_id").as("a_id"), col("embedding").as("av"))
+        val e0 = emb(s, dir)
+        val a = evalSampleFilter(e0, e0.count())
+          .select(col("vec_id").as("a_id"), col("embedding").as("av"))
           .repartition(s.sparkContext.defaultParallelism)
         val b = emb(s, dir).select(col("vec_id").as("b_id"), col("embedding").as("bv"))
         a.crossJoin(b).filter(col("a_id") < col("b_id"))
@@ -788,13 +798,70 @@ object Pipeline {
   private val packBuckets: Int =
     Dials.int("graft.packBuckets").getOrElse(32)
 
+  /** Eval-query sample: `-Dgraft.evalQueries` = target query count m for
+    * the ANN evaluation family — the truth stage (p00g) and every entry
+    * whose contract is "query with each corpus vector" (p05/p14 published
+    * truths, the p42/p43/p46/p47 ADC query side, p68b's projected
+    * all-pairs, and therefore every p35 recall row and the p83 judged
+    * frame). That contract is quadratic in SF — the sf1 run measured the
+    * family at 38.8x for 10x data while every production family stayed
+    * at or below linear (SCALE.md r16). With the dial set, the query set
+    * is the deterministic hash sample md560(vec_id) < (2^60 div n)*m
+    * (the kmeansFitPoints selection rule: a per-row filter, no global
+    * sort, integer-exact in both engines), so truth build and eval cost
+    * drop from n^2 to m*n while measuring the same statistics over a
+    * uniform validation slice — the 100 TB form the TruthStage scaladoc
+    * promises. Unset (the default), the full-corpus query set and every
+    * published hash are unchanged. A JVM-start knob like the index
+    * dials: the Spark plan and the oracle SQL both read it when the
+    * QDef Seq is built, so the two engines always observe one value. */
+  private[graft] def evalQueriesDial: Option[Long] =
+    Dials.long("graft.evalQueries").map(v => math.max(1L, v))
+
+  /** Restrict `df` (must carry `vec_id`) to the eval-query sample — the
+    * identity when the dial is unset or m >= n (mirroring the oracle's
+    * `m >= n OR hash < threshold` disjunct: at m >= n the integer
+    * threshold can land at 2^60 - 1 and would spuriously drop a
+    * max-hash row). */
+  private def evalSampleFilter(df: DataFrame, n: Long): DataFrame =
+    evalQueriesDial.filter(_ < n)
+      .map(m => df.filter(
+        md560(col("vec_id").cast("string")) < lit((1L << 60) / math.max(n, 1L) * m)))
+      .getOrElse(df)
+
+  /** The eval-sample predicate as a DuckDB conjunct (" AND (...)"),
+    * empty when the dial is unset — injected on the QUERY side of every
+    * eval oracle so both engines observe the identical validation
+    * slice. `vecId` is the alias-qualified query-id column. */
+  private def duckEvalAnd(vecId: String): String =
+    evalQueriesDial.map { m =>
+      val n = "(SELECT COUNT(*) FROM embeddings)"
+      s""" AND ($m >= $n
+         |   OR ${duckMd560(s"CAST($vecId AS VARCHAR)")}
+         |      < ((CAST(1 AS BIGINT) << 60) // greatest($n, 1)) * $m)""".stripMargin
+    }.getOrElse("")
+
+  /** Staging tag for eval-sampled artifacts: the sample size is a fit
+    * dial for the truth tables, so it is part of the staging key (the
+    * p91 lesson — see DialCacheAuditSpec). Unset keeps the bare tag, so
+    * default-dial runs reuse previously staged truths. */
+  private def evalTag(base: String): String =
+    evalQueriesDial.map(m => s"$base-e$m").getOrElse(base)
+
   private def guardExactBaseline(s: SparkSession, dir: String,
       name: String, scalePath: String): Unit = {
     val n = emb(s, dir).count()
-    if (n > exactBaselineMaxRows)
+    // cost model: q*n pair evaluations, q = the eval-query sample size
+    // (= n unsampled, where the test reduces to the original n > cap).
+    // Sampled, a corpus of any size passes with m <= cap^2 / n — the
+    // dial is exactly what makes the truth build legal at scale.
+    val q = evalQueriesDial.filter(_ < n).getOrElse(n)
+    val cap = exactBaselineMaxRows.toDouble
+    if (q.toDouble * n.toDouble > cap * cap)
       throw new IllegalStateException(
         s"$name is an exact all-pairs baseline and was refused at $n rows " +
-          s"(limit ${exactBaselineMaxRows}); use $scalePath at this scale")
+          s"(eval queries $q, limit ${exactBaselineMaxRows}); use $scalePath " +
+          "at this scale, or sample the validation slice with -Dgraft.evalQueries")
   }
 
   /** IVF cell count: `-Dgraft.ivfCells` wins; default grows with the
@@ -1310,11 +1377,15 @@ object Pipeline {
     * centroid. Output: (qid, cid, ascore). */
   private def residualAdcScored(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val nprobe = ivfNprobe(ivfK(e.count()))
+    val n = e.count()
+    val nprobe = ivfNprobe(ivfK(n))
     val cells = CellStage.load(s, dir)
     val m = pqM
-    val probes = nearestCellsStaged(s, dir,
-      e.select(col("vec_id"), col("embedding")), nprobe)
+    // the query side honors the eval sample (the candidate/index side
+    // never does — membership is a corpus property); qr/qn stay full
+    // and are pruned by their joins on qid
+    val probes = evalSampleFilter(nearestCellsStaged(s, dir,
+      e.select(col("vec_id"), col("embedding")), nprobe), n)
       .select(col("vec_id").as("qid"), col("cell"), col("embedding").as("qv"))
     val assigned = nearestCellsStaged(s, dir,
       e.select(col("vec_id"), col("embedding")), 1)
@@ -1380,12 +1451,16 @@ object Pipeline {
     * ascore). */
   private def adcScored(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val nprobe = ivfNprobe(ivfK(e.count()))
+    val n = e.count()
+    val nprobe = ivfNprobe(ivfK(n))
     val top = nearestCellsStaged(s, dir,
       e.select(col("vec_id"), col("embedding")), nprobe)
     val assigned = top.filter(col("crank") === 1)
       .select(col("vec_id").as("cid"), col("cell"))
-    val probes = top.select(col("vec_id").as("qid"), col("cell"))
+    // query side only — the assigned (index) side is always the full
+    // corpus; qlut/qn are pruned by their joins on qid
+    val probes = evalSampleFilter(top, n)
+      .select(col("vec_id").as("qid"), col("cell"))
     // id-only candidate pairs: the shuffle carries 16-byte rows
     val cand = probes.join(assigned, "cell")
       .filter(col("qid") =!= col("cid"))
@@ -1924,7 +1999,8 @@ object Pipeline {
        |  ${p}qc AS (
        |    SELECT t.vec_id AS qid, t.cell,
        |      CAST(floor(${duckDot("t.embedding", "c.cv")} * 100000000.0 + 0.5) AS BIGINT) AS qc_s
-       |    FROM (SELECT vec_id, embedding, cell FROM ${vp}cranked, kk WHERE crank <= $duckNprobe) t
+       |    FROM (SELECT vec_id, embedding, cell FROM ${vp}cranked, kk
+       |          WHERE crank <= $duckNprobe${duckEvalAnd("vec_id")}) t
        |    JOIN cells c ON t.cell = c.cell),
        |  ${p}qr AS (
        |    SELECT q.vec_id AS qid, c.sub, c.code,
@@ -1946,7 +2022,8 @@ object Pipeline {
        |  ${p}qnn AS (SELECT vec_id AS qid, ${duckDot("embedding", "embedding")} AS qn FROM embeddings),
        |  ${p}cand AS (
        |    SELECT p.qid, a.cid, a.cell
-       |    FROM (SELECT vec_id AS qid, cell FROM ${vp}cranked, kk WHERE crank <= $duckNprobe) p
+       |    FROM (SELECT vec_id AS qid, cell FROM ${vp}cranked, kk
+       |          WHERE crank <= $duckNprobe${duckEvalAnd("vec_id")}) p
        |    JOIN (SELECT vec_id AS cid, cell FROM rzcranked WHERE crank = 1) a
        |      ON p.cell = a.cell AND p.qid <> a.cid),
        |  ${p}agg AS (
@@ -1994,7 +2071,8 @@ object Pipeline {
     * CTE: `${p}rk` (qid, cid, ascore, rank). */
   private def duckAdcCtes(p: String, cr: String): String =
     s"""  ${p}assigned AS (SELECT vec_id AS cid, cell FROM ${cr}cranked WHERE crank = 1),
-       |  ${p}probes AS (SELECT vec_id AS qid, cell FROM ${cr}cranked, kk WHERE crank <= $duckNprobe),
+       |  ${p}probes AS (SELECT vec_id AS qid, cell FROM ${cr}cranked, kk
+       |    WHERE crank <= $duckNprobe${duckEvalAnd("vec_id")}),
        |  ${p}cand AS (
        |    SELECT p.qid, a.cid FROM ${p}probes p
        |    JOIN ${p}assigned a ON p.cell = a.cell AND p.qid <> a.cid),
@@ -3687,12 +3765,12 @@ object Pipeline {
       // once per corpus, read here and by every p35 recall line
       (s, dir) => TruthStage.loadKnn(s, dir)
         .orderBy(col("qid"), col("rank")),
-      Some("""WITH sims AS (
+      Some(s"""WITH sims AS (
           SELECT a.vec_id AS qid, b.vec_id AS cid,
             list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) FOR i IN range(1, len(a.embedding) + 1)])
               / (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) FOR i IN range(1, len(a.embedding) + 1)]))
                * sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) FOR i IN range(1, len(b.embedding) + 1)]))) AS sim
-          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id${duckEvalAnd("a.vec_id")}),
         ranked AS (
           SELECT qid, cid, sim,
             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rank
@@ -3933,14 +4011,14 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
       // the guarded all-pairs build lives in TruthStage (p00g)
       (s, dir) => TruthStage.loadPairs(s, dir)
         .orderBy(col("a_id"), col("b_id")),
-      Some("""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      Some(s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
           round(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) FOR i IN range(1, len(a.embedding) + 1)])
             / (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) FOR i IN range(1, len(a.embedding) + 1)]))
              * sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) FOR i IN range(1, len(b.embedding) + 1)]))), 6) AS sim_r
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) FOR i IN range(1, len(a.embedding) + 1)])
             / (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) FOR i IN range(1, len(a.embedding) + 1)]))
-             * sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) FOR i IN range(1, len(b.embedding) + 1)]))) >= 0.4
+             * sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) FOR i IN range(1, len(b.embedding) + 1)]))) >= 0.4${duckEvalAnd("a.vec_id")}
         ORDER BY a_id, b_id""")),
 
     // ---- multimodal REAL-codec decode, hash-matched: per document, a
@@ -5603,15 +5681,19 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
         // SAME `0D` and adds in the same order as the aggregate fold, and
         // the norms are the identical sqrt values factored out of the
         // pair expression.
-        val pe = emb(s, dir)
+        val e0 = emb(s, dir)
+        val nEmb = e0.count()
+        val pe = e0
           .select(col("vec_id"), expr(jlProjectSql("embedding")).as("pv"))
           .withColumn("nrm", expr(s"sqrt(${dot("pv", "pv")})"))
-        def flat(idC: String, nC: String, p: String) =
-          pe.select(col("vec_id").as(idC) +: col("nrm").as(nC) +:
+        def flat(src: DataFrame, idC: String, nC: String, p: String) =
+          src.select(col("vec_id").as(idC) +: col("nrm").as(nC) +:
             (1 to jlOutDim).map(j => expr(s"element_at(pv, $j)").as(s"$p$j")): _*)
-        val q = flat("qid", "qn", "qp")
+        // query side honors the eval sample (same slice as the staged
+        // truth it is judged against); candidate side stays full
+        val q = flat(evalSampleFilter(pe, nEmb), "qid", "qn", "qp")
           .repartition(s.sparkContext.defaultParallelism)
-        val c = flat("cid", "cn", "cp")
+        val c = flat(pe, "cid", "cn", "cp")
         val dotE = "0D" + (1 to jlOutDim).map(j => s" + qp$j * cp$j").mkString
         val rn = Window.partitionBy(col("qid"))
           .orderBy(col("sim_r").desc, col("cid"))
@@ -5630,7 +5712,12 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
           .select(col("n_queries"), col("hits"), col("possible"),
             round(col("hits").cast("double") / col("possible"), 6).as("recall_r"))
       },
-      Some(s"""WITH pe AS (
+      Some(s"""WITH pe AS MATERIALIZED (
+          -- MATERIALIZED: referenced as BOTH join sides; DuckDB inlines
+          -- non-materialized CTEs, re-running the 16x64 projection per
+          -- pair side (sf0.01 oracle measured 662 s inlined vs 267 s
+          -- materialized; the remaining floor is the tsims truth
+          -- re-derivation the oracle does by design)
           SELECT vec_id,
             [list_sum([CAST(embedding[i] AS DOUBLE) * $jlSignsDuckLit[j][i]
                 FOR i IN range(1, least($jlInDim, len(embedding)) + 1)]) / $jlScaleDiv
@@ -5641,7 +5728,7 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
             round(list_sum([a.pv[j] * b.pv[j] FOR j IN range(1, ${jlOutDim + 1})])
               / (sqrt(list_sum([a.pv[j] * a.pv[j] FOR j IN range(1, ${jlOutDim + 1})]))
                * sqrt(list_sum([b.pv[j] * b.pv[j] FOR j IN range(1, ${jlOutDim + 1})]))), 6) AS sim_r
-          FROM pe a JOIN pe b ON a.vec_id <> b.vec_id),
+          FROM pe a JOIN pe b ON a.vec_id <> b.vec_id${duckEvalAnd("a.vec_id")}),
         ptop AS (
           SELECT qid, cid FROM (
             SELECT qid, cid,
@@ -5650,7 +5737,7 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
         tsims AS (
           SELECT a.vec_id AS qid, b.vec_id AS cid,
             ${duckCosine("a.embedding", "b.embedding")} AS sim
-          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id${duckEvalAnd("a.vec_id")}),
         truth AS (
           SELECT qid, cid FROM (
             SELECT qid, cid,
@@ -6037,7 +6124,7 @@ ${duckResidualAdcCtes("y", "i")},
         esims AS (
           SELECT a.vec_id AS qid, b.vec_id AS cid,
             ${duckCosine("a.embedding", "b.embedding")} AS sim
-          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id${duckEvalAnd("a.vec_id")}),
         eranked AS (
           SELECT qid, cid,
             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
@@ -6087,7 +6174,7 @@ ${duckResidualAdcCtes("y", "i")},
         ndpairs AS (
           SELECT a.vec_id AS a_id, b.vec_id AS b_id
           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-          WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.4),
+          WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.4${duckEvalAnd("a.vec_id")}),
         ndstat AS (
           SELECT COUNT(*) AS n_queries,
             CAST(SUM(CASE WHEN ba.bucket = bb.bucket THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
@@ -10818,7 +10905,7 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
         tsims AS (
           SELECT a.vec_id AS qid, b.vec_id AS cid,
             ${duckCosine("a.embedding", "b.embedding")} AS sim
-          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id${duckEvalAnd("a.vec_id")}),
         tranked AS (
           SELECT qid, cid,
             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rank

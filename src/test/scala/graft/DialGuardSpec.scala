@@ -21,7 +21,7 @@ class DialGuardSpec extends AnyFunSuite {
     "graft.lshTables", "graft.lshPlanes", "graft.dsirBuckets",
     "graft.imageBands", "graft.imageHamming", "graft.cdcMaskBits",
     "graft.lrDriverRows", "graft.uniSeed", "graft.bpeMerges",
-    "graft.chunkTokens", "graft.chunkStride")
+    "graft.chunkTokens", "graft.chunkStride", "graft.evalQueries")
 
   private def withGarbage(body: => Unit): Unit = {
     val saved = dials.map(d => d -> sys.props.get(d))
@@ -71,6 +71,7 @@ class DialGuardSpec extends AnyFunSuite {
       assert(Pipeline.bpeMerges == 6)
       assert(Pipeline.chunkTokens == 64)
       assert(Pipeline.chunkStride == 48)
+      assert(Pipeline.evalQueriesDial.isEmpty)   // garbage = full query set
     }
   }
 }
