@@ -841,6 +841,20 @@ object Pipeline {
          |      < ((CAST(1 AS BIGINT) << 60) // greatest($n, 1)) * $m)""".stripMargin
     }.getOrElse("")
 
+  /** The query SIDE of an eval pair join as a DuckDB table expression:
+    * `src alias` when the dial is unset, else a derived table filtering
+    * `src` by the sample predicate BEFORE the join. The predicate must
+    * never sit in the pair join's ON/WHERE: its scalar COUNT subqueries
+    * and the 15-step md560 Horner chain would then evaluate once per
+    * CANDIDATE PAIR (n·m evaluations) instead of once per row — the
+    * sf1 gate measured the ON-clause form stalling p68b's oracle for
+    * hours while the WHERE-over-a-scan form ([[duckEvalAnd]] in the
+    * probes CTEs) stayed fast. */
+  private def duckEvalFrom(src: String, alias: String): String =
+    evalQueriesDial
+      .map(_ => s"(SELECT * FROM $src WHERE TRUE${duckEvalAnd("vec_id")}) $alias")
+      .getOrElse(s"$src $alias")
+
   /** Staging tag for eval-sampled artifacts: the sample size is a fit
     * dial for the truth tables, so it is part of the staging key (the
     * p91 lesson — see DialCacheAuditSpec). Unset keeps the bare tag, so
@@ -3770,7 +3784,7 @@ object Pipeline {
             list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) FOR i IN range(1, len(a.embedding) + 1)])
               / (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) FOR i IN range(1, len(a.embedding) + 1)]))
                * sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) FOR i IN range(1, len(b.embedding) + 1)]))) AS sim
-          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id${duckEvalAnd("a.vec_id")}),
+          FROM ${duckEvalFrom("embeddings", "a")} JOIN embeddings b ON a.vec_id <> b.vec_id),
         ranked AS (
           SELECT qid, cid, sim,
             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rank
@@ -4015,10 +4029,10 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
           round(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) FOR i IN range(1, len(a.embedding) + 1)])
             / (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) FOR i IN range(1, len(a.embedding) + 1)]))
              * sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) FOR i IN range(1, len(b.embedding) + 1)]))), 6) AS sim_r
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        FROM ${duckEvalFrom("embeddings", "a")} JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) FOR i IN range(1, len(a.embedding) + 1)])
             / (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) FOR i IN range(1, len(a.embedding) + 1)]))
-             * sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) FOR i IN range(1, len(b.embedding) + 1)]))) >= 0.4${duckEvalAnd("a.vec_id")}
+             * sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) FOR i IN range(1, len(b.embedding) + 1)]))) >= 0.4
         ORDER BY a_id, b_id""")),
 
     // ---- multimodal REAL-codec decode, hash-matched: per document, a
@@ -5634,13 +5648,17 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
             expr("CASE WHEN d_orig = 0.0 THEN CAST(NULL AS DOUBLE) ELSE round(d_proj / d_orig, 6) END").as("ratio_r"))
           .orderBy(col("a_id"))
       },
-      Some(s"""WITH pe AS (
+      Some(s"""WITH jls AS (SELECT $jlSignsDuckLit AS s),
+        pe AS (
+          -- signs come from the one-row jls CTE: a nested list LITERAL
+          -- inside the double comprehension is re-constructed per
+          -- element access (measured 0.65 s/row at 16x64)
           SELECT vec_id,
-            [list_sum([CAST(embedding[i] AS DOUBLE) * $jlSignsDuckLit[j][i]
+            [list_sum([CAST(embedding[i] AS DOUBLE) * jls.s[j][i]
                 FOR i IN range(1, least($jlInDim, len(embedding)) + 1)]) / $jlScaleDiv
               FOR j IN range(1, ${jlOutDim + 1})] AS pv,
             embedding
-          FROM embeddings
+          FROM embeddings, jls
           WHERE vec_id % 7 = 0 OR vec_id % 7 = 1),
         pr AS (
           SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -5712,23 +5730,27 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
           .select(col("n_queries"), col("hits"), col("possible"),
             round(col("hits").cast("double") / col("possible"), 6).as("recall_r"))
       },
-      Some(s"""WITH pe AS MATERIALIZED (
+      Some(s"""WITH jls AS (SELECT $jlSignsDuckLit AS s),
+        pe AS MATERIALIZED (
           -- MATERIALIZED: referenced as BOTH join sides; DuckDB inlines
-          -- non-materialized CTEs, re-running the 16x64 projection per
-          -- pair side (sf0.01 oracle measured 662 s inlined vs 267 s
-          -- materialized; the remaining floor is the tsims truth
-          -- re-derivation the oracle does by design)
+          -- non-materialized CTEs, re-running the projection per pair
+          -- side (sf0.01 oracle measured 662 s inlined vs 267 s
+          -- materialized). The signs come from the one-row jls CTE: a
+          -- nested list LITERAL inside the double comprehension is
+          -- re-constructed per element access — profiled as ONE
+          -- projection burning 322 of those 267+ seconds (0.65 s/row
+          -- at 16x64); via jls the whole oracle is ~2 s
           SELECT vec_id,
-            [list_sum([CAST(embedding[i] AS DOUBLE) * $jlSignsDuckLit[j][i]
+            [list_sum([CAST(embedding[i] AS DOUBLE) * jls.s[j][i]
                 FOR i IN range(1, least($jlInDim, len(embedding)) + 1)]) / $jlScaleDiv
               FOR j IN range(1, ${jlOutDim + 1})] AS pv
-          FROM embeddings),
+          FROM embeddings, jls),
         psims AS (
           SELECT a.vec_id AS qid, b.vec_id AS cid,
             round(list_sum([a.pv[j] * b.pv[j] FOR j IN range(1, ${jlOutDim + 1})])
               / (sqrt(list_sum([a.pv[j] * a.pv[j] FOR j IN range(1, ${jlOutDim + 1})]))
                * sqrt(list_sum([b.pv[j] * b.pv[j] FOR j IN range(1, ${jlOutDim + 1})]))), 6) AS sim_r
-          FROM pe a JOIN pe b ON a.vec_id <> b.vec_id${duckEvalAnd("a.vec_id")}),
+          FROM ${duckEvalFrom("pe", "a")} JOIN pe b ON a.vec_id <> b.vec_id),
         ptop AS (
           SELECT qid, cid FROM (
             SELECT qid, cid,
@@ -5737,7 +5759,7 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
         tsims AS (
           SELECT a.vec_id AS qid, b.vec_id AS cid,
             ${duckCosine("a.embedding", "b.embedding")} AS sim
-          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id${duckEvalAnd("a.vec_id")}),
+          FROM ${duckEvalFrom("embeddings", "a")} JOIN embeddings b ON a.vec_id <> b.vec_id),
         truth AS (
           SELECT qid, cid FROM (
             SELECT qid, cid,
@@ -6124,7 +6146,7 @@ ${duckResidualAdcCtes("y", "i")},
         esims AS (
           SELECT a.vec_id AS qid, b.vec_id AS cid,
             ${duckCosine("a.embedding", "b.embedding")} AS sim
-          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id${duckEvalAnd("a.vec_id")}),
+          FROM ${duckEvalFrom("embeddings", "a")} JOIN embeddings b ON a.vec_id <> b.vec_id),
         eranked AS (
           SELECT qid, cid,
             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
@@ -6173,8 +6195,8 @@ ${duckResidualAdcCtes("y", "i")},
         ivf AS (SELECT qid, cid FROM iranked WHERE rank <= 5),
         ndpairs AS (
           SELECT a.vec_id AS a_id, b.vec_id AS b_id
-          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-          WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.4${duckEvalAnd("a.vec_id")}),
+          FROM ${duckEvalFrom("embeddings", "a")} JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.4),
         ndstat AS (
           SELECT COUNT(*) AS n_queries,
             CAST(SUM(CASE WHEN ba.bucket = bb.bucket THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
@@ -10905,7 +10927,7 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
         tsims AS (
           SELECT a.vec_id AS qid, b.vec_id AS cid,
             ${duckCosine("a.embedding", "b.embedding")} AS sim
-          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id${duckEvalAnd("a.vec_id")}),
+          FROM ${duckEvalFrom("embeddings", "a")} JOIN embeddings b ON a.vec_id <> b.vec_id),
         tranked AS (
           SELECT qid, cid,
             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rank
