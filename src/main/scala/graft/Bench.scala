@@ -68,6 +68,30 @@ object Bench {
       Thread.sleep(150)
       metrics.json
     }
+    // Host-health sentinel: a FIXED amount of single-thread integer work
+    // (2^24 xorshift64 steps), wall-timed. On a healthy host it is stable
+    // (~10-30 ms, <2x spread across a run); under the host-contention
+    // pathology that contaminated BENCH_r16 (task cpuMs inflated 61-137x
+    // with identical plans/task counts) the spinning thread gets
+    // descheduled and the reading inflates by the same contention factor.
+    // Timed OUTSIDE every query/stage timing region and recorded per
+    // entry plus at bench start/end, so a contaminated artifact carries
+    // its own evidence instead of needing forensic plan comparison.
+    var sentinelSink = 0L // defeats dead-code elimination of the spin
+    def sentinelMs(): Double = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < (1 << 24)) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+      }
+      sentinelSink ^= x
+      (System.nanoTime() - t0) / 1e6
+    }
+    // min-of-3 at start: the very first spin can pay JIT warm-up for the
+    // loop itself; the minimum is the machine's uncontended floor
+    val sentinelStart = (1 to 3).map(_ => sentinelMs()).min
+    val sentinelPerEntry = scala.collection.mutable.ArrayBuffer.empty[Double]
     // The shared shingle front (p02/p03/p20/p21) stages once per JVM;
     // time it as its OWN entry (sorts first as p00_*) so the first
     // consumer's number is self-contained and per-query timings stay
@@ -78,7 +102,10 @@ object Bench {
       val err = try { run; None: Option[String] }
         catch { case e: Throwable =>
           Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}") }
-      (name, (System.nanoTime() - t0) / 1e9, 0L, err, snapshotMetrics())
+      val m = snapshotMetrics()
+      val sm = sentinelMs(); sentinelPerEntry += sm
+      (name, (System.nanoTime() - t0) / 1e9, 0L, err,
+        m + s""","sentMs":${math.round(sm * 10) / 10.0}""")
     }
     val stageEntries = Seq(
       stageEntry("p00_shingle_stage") {
@@ -177,7 +204,10 @@ object Bench {
       val (rows, err) = try { (fn(spark, sfDir).count(), None: Option[String]) }
         catch { case e: Throwable =>
           (-1L, Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")) }
-      ((System.nanoTime() - t0) / 1e9, rows, err, snapshotMetrics())
+      val m = snapshotMetrics()
+      val sm = sentinelMs(); sentinelPerEntry += sm
+      ((System.nanoTime() - t0) / 1e9, rows, err,
+        m + s""","sentMs":${math.round(sm * 10) / 10.0}""")
     }
     val results = stageEntries ++ selected.map { case (name, fn) =>
       // This VM intermittently inflates OS-accounted task CPU time ~8-16x
@@ -214,11 +244,27 @@ object Bench {
     }.mkString("{", ",", "}")
     val nErr = results.count(_._4.isDefined)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Health verdict from the sentinel series: per-entry spins within ~3x
+    // of the uncontended floor mean no neighbor stole the machine during
+    // any timed region. maxMs names the worst moment; a contaminated run
+    // (r16-style: 33-106x line inflation) reads tens-of-x here and is
+    // thereby rejectable from the artifact alone.
+    def r1(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    val sentinelEnd = sentinelMs()
+    val sentAll = (sentinelPerEntry.toSeq :+ sentinelStart :+ sentinelEnd).sorted
+    val sentFloor = sentAll.head
+    val sentJson =
+      s"""{"startMs":${r1(sentinelStart)},"endMs":${r1(sentinelEnd)},""" +
+        s""""minMs":${r1(sentFloor)},"medianMs":${r1(sentAll(sentAll.size / 2))},""" +
+        s""""maxMs":${r1(sentAll.last)},"n":${sentAll.size},""" +
+        s""""maxOverMin":${r1(sentAll.last / math.max(sentFloor, 0.001))},""" +
+        s""""healthy":${sentAll.last < 3.0 * math.max(sentFloor, 0.001) + 5.0}}"""
     // the retry policy is part of the number's meaning: best-of-2 is a
     // downward-biased estimator conditioned on a slow first draw, so any
     // comparison against a single-shot baseline must know it was applied
     // (discarded timings stay visible per query as secOther)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","policy":"best_of_2_when_first_errored_or_gt_2s","queries":$qs,"details":$details,"errors":$nErr,"sf":${jstr(sfDir)}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","policy":"best_of_2_when_first_errored_or_gt_2s","sentinel":$sentJson,"queries":$qs,"details":$details,"errors":$nErr,"sf":${jstr(sfDir)}}"""
     println(line)
     // The stdout capture keeps only the LAST 2000 bytes (measured from
     // the r9 driver artifact: tail length exactly 2000, head of our line
@@ -257,6 +303,7 @@ object Bench {
         s""""pipeline_n":${pipeline.size},""" +
         s""""stage_sec":${r3(stages.map(_._2).sum)},"stage_n":${stages.size},""" +
         s""""slowest_pipeline":$slowest,""" +
+        s""""sentinel":$sentJson,""" +
         s""""errors":$nErr,"sf":${jstr(sfDir)},"full_artifact":${jstr(outFile.toString)}}""")
     spark.stop()
   }

@@ -241,7 +241,7 @@ object Pipeline {
   private[graft] object TruthStage {
     /** Exact top-5 cosine neighbors: (qid, neighbor_id, rank, sim_r). */
     def loadKnn(s: SparkSession, dir: String): DataFrame =
-      ShingleStage.stage(s, dir, evalTag("tk")) {
+      ShingleStage.stage(s, dir, evalTag(s, dir, "tk")) {
         guardExactBaseline(s, dir, "p05_knn_exact (truth stage)",
           "p06_knn_lsh / p16_knn_ivf")
         // the candidate side broadcasts; parallelism comes from the
@@ -267,7 +267,7 @@ object Pipeline {
       * smaller id) is sampled" — recall over it stays well-defined for
       * every consumer because each joins candidates AGAINST this truth. */
     def loadPairs(s: SparkSession, dir: String): DataFrame =
-      ShingleStage.stage(s, dir, evalTag("tp")) {
+      ShingleStage.stage(s, dir, evalTag(s, dir, "tp")) {
         guardExactBaseline(s, dir, "p14_embedding_neardup (truth stage)",
           "p06_knn_lsh")
         // same parallelism spread as the KNN truth: the streamed side
@@ -818,49 +818,121 @@ object Pipeline {
   private[graft] def evalQueriesDial: Option[Long] =
     Dials.long("graft.evalQueries").map(v => math.max(1L, v))
 
+  /** Auto-slice derivations already announced (one line per corpus size
+    * per JVM — the derivation is deterministic, repeating it is noise). */
+  private val evalAutoLogged = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+
+  /** Effective eval-query sample size for a corpus of `n` vectors — the
+    * r17 default policy that makes the dial's 100 TB form the default
+    * behavior instead of an operator's memory:
+    *
+    *  - explicit `-Dgraft.evalQueries=m` wins (identity when m >= n:
+    *    the full corpus was asked for);
+    *  - UNSET, when the unsampled build would exceed the exact-baseline
+    *    guard product (n² > cap², cap = [[exactBaselineMaxRows]] — i.e.
+    *    n > cap), the slice auto-derives as m = max(1, cap²/n), the
+    *    largest m the guard's q·n <= cap² admission formula accepts,
+    *    and the derivation is logged once. The auto m is always < n
+    *    (cap²/n < cap < n whenever the branch fires), so the filter is
+    *    never a spurious near-identity;
+    *  - None = full corpus (identity; every published gate hash at
+    *    n <= cap is byte-identical to the pre-policy behavior).
+    *
+    * The oracle SQL mirrors the same three-way rule ([[duckEvalAnd]]),
+    * and the staged truths bake the effective m into their tag
+    * ([[evalTag]]), so an auto-derived slice re-keys its artifacts
+    * exactly like an explicit dial (the p91 lesson). */
+  private[graft] def effectiveEvalM(n: Long): Option[Long] =
+    evalQueriesDial match {
+      case Some(m) => Some(m).filter(_ < n)
+      case None =>
+        val cap = exactBaselineMaxRows
+        if (n > cap) {
+          val m = math.max(1L,
+            ((BigInt(cap) * BigInt(cap)) / BigInt(math.max(n, 1L))).toLong)
+          if (evalAutoLogged.add(n))
+            System.err.println(
+              s"[graft] eval-query auto-slice: corpus n=$n exceeds " +
+                s"exactBaselineMaxRows=$cap; sampling m=$m eval queries " +
+                "(set -Dgraft.evalQueries to choose the slice explicitly)")
+          Some(m)
+        } else None
+    }
+
   /** Restrict `df` (must carry `vec_id`) to the eval-query sample — the
-    * identity when the dial is unset or m >= n (mirroring the oracle's
-    * `m >= n OR hash < threshold` disjunct: at m >= n the integer
-    * threshold can land at 2^60 - 1 and would spuriously drop a
-    * max-hash row). */
+    * identity when [[effectiveEvalM]] resolves to the full corpus
+    * (mirroring the oracle's `m >= n OR hash < threshold` disjunct: at
+    * m >= n the integer threshold can land at 2^60 - 1 and would
+    * spuriously drop a max-hash row). */
   private def evalSampleFilter(df: DataFrame, n: Long): DataFrame =
-    evalQueriesDial.filter(_ < n)
+    effectiveEvalM(n)
       .map(m => df.filter(
         md560(col("vec_id").cast("string")) < lit((1L << 60) / math.max(n, 1L) * m)))
       .getOrElse(df)
 
-  /** The eval-sample predicate as a DuckDB conjunct (" AND (...)"),
-    * empty when the dial is unset — injected on the QUERY side of every
-    * eval oracle so both engines observe the identical validation
-    * slice. `vecId` is the alias-qualified query-id column. */
-  private def duckEvalAnd(vecId: String): String =
-    evalQueriesDial.map { m =>
-      val n = "(SELECT COUNT(*) FROM embeddings)"
-      s""" AND ($m >= $n
-         |   OR ${duckMd560(s"CAST($vecId AS VARCHAR)")}
-         |      < ((CAST(1 AS BIGINT) << 60) // greatest($n, 1)) * $m)""".stripMargin
-    }.getOrElse("")
+  /** The eval-sample predicate as a DuckDB conjunct (" AND (...)") —
+    * injected on the QUERY side of every eval oracle so both engines
+    * observe the identical validation slice. `vecId` is the
+    * alias-qualified query-id column. Mirrors [[effectiveEvalM]]'s
+    * three-way rule with n as a scalar subquery (the SQL is built before
+    * the corpus is read, so the rule must be self-deciding): explicit
+    * dial → `m >= n OR hash < thr(m)` with the multiplier clamped to n
+    * (unclamped, a huge m on a small corpus overflows BIGINT, which
+    * DuckDB raises on even though the m >= n disjunct already admits
+    * every row — Spark's side treats m >= n as the identity); unset →
+    * `n <= cap OR hash < thr(max(1, cap²//n))`, the auto-slice rule,
+    * which folds to TRUE at every gate scale (n <= cap). */
+  private def duckEvalAnd(vecId: String): String = {
+    val n = "(SELECT COUNT(*) FROM embeddings)"
+    def thr(mExpr: String) =
+      s"""${duckMd560(s"CAST($vecId AS VARCHAR)")}
+         |      < ((CAST(1 AS BIGINT) << 60) // greatest($n, 1)) * ($mExpr)""".stripMargin
+    evalQueriesDial match {
+      case Some(m) =>
+        s""" AND ($m >= $n
+           |   OR ${thr(s"least(CAST($m AS BIGINT), greatest($n, 1))")})""".stripMargin
+      case None =>
+        val cap = exactBaselineMaxRows
+        val capSq = BigInt(cap) * BigInt(cap)
+        // the same least(·, n) clamp: when the n <= cap disjunct already
+        // admits the row, cap²//n >= n and the unclamped multiplier
+        // overflows BIGINT if DuckDB evaluates the dead arithmetic arm
+        s""" AND ($n <= $cap
+           |   OR ${thr(s"least(greatest(CAST(1 AS BIGINT), $capSq // greatest($n, 1)), greatest($n, 1))")})""".stripMargin
+    }
+  }
 
-  /** The query SIDE of an eval pair join as a DuckDB table expression:
-    * `src alias` when the dial is unset, else a derived table filtering
-    * `src` by the sample predicate BEFORE the join. The predicate must
-    * never sit in the pair join's ON/WHERE: its scalar COUNT subqueries
-    * and the 15-step md560 Horner chain would then evaluate once per
-    * CANDIDATE PAIR (n·m evaluations) instead of once per row — the
-    * sf1 gate measured the ON-clause form stalling p68b's oracle for
-    * hours while the WHERE-over-a-scan form ([[duckEvalAnd]] in the
-    * probes CTEs) stayed fast. */
+  /** The query SIDE of an eval pair join as a DuckDB table expression: a
+    * derived table filtering `src` by the sample predicate BEFORE the
+    * join (since the r17 auto-slice policy the predicate always exists;
+    * it folds to TRUE when [[effectiveEvalM]] is the identity). The
+    * predicate must never sit in the pair join's ON/WHERE: its scalar
+    * COUNT subqueries and the 15-step md560 Horner chain would then
+    * evaluate once per CANDIDATE PAIR (n·m evaluations) instead of once
+    * per row — the sf1 gate measured the ON-clause form stalling p68b's
+    * oracle for hours while the WHERE-over-a-scan form ([[duckEvalAnd]]
+    * in the probes CTEs) stayed fast. */
   private def duckEvalFrom(src: String, alias: String): String =
-    evalQueriesDial
-      .map(_ => s"(SELECT * FROM $src WHERE TRUE${duckEvalAnd("vec_id")}) $alias")
-      .getOrElse(s"$src $alias")
+    s"(SELECT * FROM $src WHERE TRUE${duckEvalAnd("vec_id")}) $alias"
 
-  /** Staging tag for eval-sampled artifacts: the sample size is a fit
-    * dial for the truth tables, so it is part of the staging key (the
-    * p91 lesson — see DialCacheAuditSpec). Unset keeps the bare tag, so
-    * default-dial runs reuse previously staged truths. */
-  private def evalTag(base: String): String =
-    evalQueriesDial.map(m => s"$base-e$m").getOrElse(base)
+  /** Per-dir embedding count for [[evalTag]] — the tag is consulted on
+    * every staged-truth load, and the count behind it is immutable per
+    * corpus dir, so one aggregate-pushdown parquet read per (JVM, dir). */
+  private val embCountByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def embCount(s: SparkSession, dir: String): Long =
+    embCountByDir.computeIfAbsent(dir, d => emb(s, d).count())
+
+  /** Staging tag for eval-sampled artifacts: the EFFECTIVE sample size
+    * (explicit dial or auto-derived slice) is a fit dial for the truth
+    * tables, so it is part of the staging key (the p91 lesson — see
+    * DialCacheAuditSpec); an auto-derived m re-keys exactly like an
+    * explicit one. Identity resolutions (unset at n <= cap, or an
+    * explicit m >= n) keep the bare tag, so full-corpus runs reuse
+    * previously staged truths instead of duplicating them under
+    * `-e<m>`. */
+  private def evalTag(s: SparkSession, dir: String, base: String): String =
+    effectiveEvalM(embCount(s, dir)).map(m => s"$base-e$m").getOrElse(base)
 
   private def guardExactBaseline(s: SparkSession, dir: String,
       name: String, scalePath: String): Unit = {
@@ -868,8 +940,9 @@ object Pipeline {
     // cost model: q*n pair evaluations, q = the eval-query sample size
     // (= n unsampled, where the test reduces to the original n > cap).
     // Sampled, a corpus of any size passes with m <= cap^2 / n — the
-    // dial is exactly what makes the truth build legal at scale.
-    val q = evalQueriesDial.filter(_ < n).getOrElse(n)
+    // dial (or the auto-derived slice, which picks exactly m = cap^2/n)
+    // is what makes the truth build legal at scale.
+    val q = effectiveEvalM(n).getOrElse(n)
     val cap = exactBaselineMaxRows.toDouble
     if (q.toDouble * n.toDouble > cap * cap)
       throw new IllegalStateException(

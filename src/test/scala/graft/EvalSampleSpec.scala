@@ -116,18 +116,34 @@ class EvalSampleSpec extends SparkSpecBase {
     }
   }
 
-  test("the exact-baseline guard admits a bounded slice it would refuse unsampled") {
+  test("unset dial auto-derives the guard-admissible slice; explicit dial wins; " +
+      "full-corpus asks past the guard still refuse") {
     withEvalDial {
       val n = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
-      // sf0.001 has 500 vectors; cap 60 refuses 500^2 (> 3600) but
-      // admits the m=5 slice (5*500 = 2500 <= 3600)
+      // sf0.001 has 500 vectors; cap 60 refuses the unsampled 500^2
+      // build (> 3600), so the r17 default policy must auto-derive
+      // m = max(1, cap^2/n) = 7 (7*500 = 3500 <= 3600) instead of
+      // running the quadratic contract until memory dies
       sys.props("graft.exactBaselineMaxRows") = "60"
       try {
-        intercept[IllegalStateException] { entry("p05_knn_exact").count() }
+        val autoM = math.max(1L, 60L * 60L / n)
+        assert(autoM == 7L, s"test premise: corpus moved, autoM=$autoM")
+        assert(entry("p05_knn_exact").count() == 5L * sampledIds(n, autoM).size,
+          "unset dial must auto-sample exactly the cap²/n hash slice")
+        // the auto-derived m bakes into the staged-truth tag exactly like
+        // an explicit dial (re-keying is what DialCacheAuditSpec pins)
+        val f = queries.Pipeline.TruthStage.loadKnn(spark, sf0001)
+          .inputFiles.headOption.getOrElse(fail("no staged files"))
+        assert(f.contains(s"-e$autoM"),
+          s"auto slice must re-key the staged truth under -e$autoM: $f")
+        // explicit dial overrides the auto derivation
         sys.props("graft.evalQueries") = "5"
-        // deterministic: the hash slice is a pure function of the data,
-        // so the row count is exactly 5 * |slice| (top-5 per query)
         assert(entry("p05_knn_exact").count() == 5L * sampledIds(n, 5L).size)
+        // an explicit full-corpus ask (m >= n) past the guard product is
+        // a refusal, never a silent auto-sample of an explicit setting
+        sys.props("graft.evalQueries") = n.toString
+        val e = intercept[IllegalStateException] { entry("p05_knn_exact").count() }
+        assert(e.getMessage.contains("exact all-pairs baseline"), e.getMessage)
       } finally sys.props -= "graft.exactBaselineMaxRows"
     }
   }
