@@ -77,7 +77,7 @@ object Bench {
     // Timed OUTSIDE every query/stage timing region and recorded per
     // entry plus at bench start/end, so a contaminated artifact carries
     // its own evidence instead of needing forensic plan comparison.
-    var sentinelSink = 0L // defeats dead-code elimination of the spin
+    var sentinelSink = 0L // defeats dead-code elimination of the probes
     def sentinelMs(): Double = {
       var x = 0x9E3779B97F4A7C15L
       var i = 0
@@ -88,10 +88,35 @@ object Bench {
       sentinelSink ^= x
       (System.nanoTime() - t0) / 1e6
     }
+    // Memory-BANDWIDTH probe: one sequential sum over a fixed 64 MiB long
+    // array (allocated once — the probe must not itself create GC work).
+    // The r17 close runs showed the CPU spin has a blind spot: host
+    // memory-bandwidth contention inflated total jvmGCTime 7x and wall 2x
+    // while task cpuMs rose only 1.3x and the CPU spin stayed near its
+    // floor — GC and shuffle are bandwidth-bound, the xorshift loop runs
+    // entirely in registers. This probe reads ~64 MB from DRAM per call
+    // (far beyond L3), so its timing tracks exactly the resource those
+    // GC/wall inflations starve on.
+    val memProbe = {
+      val a = new Array[Long](8 << 20)
+      var i = 0
+      while (i < a.length) { a(i) = i * 0x9E3779B97F4A7C15L; i += 1 }
+      a
+    }
+    def memSentinelMs(): Double = {
+      var s = 0L
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < memProbe.length) { s += memProbe(i); i += 1 }
+      sentinelSink ^= s
+      (System.nanoTime() - t0) / 1e6
+    }
     // min-of-3 at start: the very first spin can pay JIT warm-up for the
     // loop itself; the minimum is the machine's uncontended floor
     val sentinelStart = (1 to 3).map(_ => sentinelMs()).min
+    val memSentinelStart = (1 to 3).map(_ => memSentinelMs()).min
     val sentinelPerEntry = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val memSentinelPerEntry = scala.collection.mutable.ArrayBuffer.empty[Double]
     // The shared shingle front (p02/p03/p20/p21) stages once per JVM;
     // time it as its OWN entry (sorts first as p00_*) so the first
     // consumer's number is self-contained and per-query timings stay
@@ -104,8 +129,10 @@ object Bench {
           Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}") }
       val m = snapshotMetrics()
       val sm = sentinelMs(); sentinelPerEntry += sm
+      val mm = memSentinelMs(); memSentinelPerEntry += mm
       (name, (System.nanoTime() - t0) / 1e9, 0L, err,
-        m + s""","sentMs":${math.round(sm * 10) / 10.0}""")
+        m + s""","sentMs":${math.round(sm * 10) / 10.0}""" +
+          s""","memMs":${math.round(mm * 10) / 10.0}""")
     }
     val stageEntries = Seq(
       stageEntry("p00_shingle_stage") {
@@ -206,8 +233,10 @@ object Bench {
           (-1L, Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")) }
       val m = snapshotMetrics()
       val sm = sentinelMs(); sentinelPerEntry += sm
+      val mm = memSentinelMs(); memSentinelPerEntry += mm
       ((System.nanoTime() - t0) / 1e9, rows, err,
-        m + s""","sentMs":${math.round(sm * 10) / 10.0}""")
+        m + s""","sentMs":${math.round(sm * 10) / 10.0}""" +
+          s""","memMs":${math.round(mm * 10) / 10.0}""")
     }
     val results = stageEntries ++ selected.map { case (name, fn) =>
       // This VM intermittently inflates OS-accounted task CPU time ~8-16x
@@ -252,14 +281,23 @@ object Bench {
     def r1(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
     val sentinelEnd = sentinelMs()
-    val sentAll = (sentinelPerEntry.toSeq :+ sentinelStart :+ sentinelEnd).sorted
-    val sentFloor = sentAll.head
+    val memSentinelEnd = memSentinelMs()
+    def series(start: Double, end: Double, per: Seq[Double]): (String, Boolean) = {
+      val all = (per :+ start :+ end).sorted
+      val floor = math.max(all.head, 0.001)
+      val healthy = all.last < 3.0 * floor + 5.0
+      (s"""{"startMs":${r1(start)},"endMs":${r1(end)},""" +
+        s""""minMs":${r1(all.head)},"medianMs":${r1(all(all.size / 2))},""" +
+        s""""maxMs":${r1(all.last)},"n":${all.size},""" +
+        s""""maxOverMin":${r1(all.last / floor)},""" +
+        s""""healthy":$healthy}""", healthy)
+    }
+    val (cpuSentJson, cpuHealthy) =
+      series(sentinelStart, sentinelEnd, sentinelPerEntry.toSeq)
+    val (memSentJson, memHealthy) =
+      series(memSentinelStart, memSentinelEnd, memSentinelPerEntry.toSeq)
     val sentJson =
-      s"""{"startMs":${r1(sentinelStart)},"endMs":${r1(sentinelEnd)},""" +
-        s""""minMs":${r1(sentFloor)},"medianMs":${r1(sentAll(sentAll.size / 2))},""" +
-        s""""maxMs":${r1(sentAll.last)},"n":${sentAll.size},""" +
-        s""""maxOverMin":${r1(sentAll.last / math.max(sentFloor, 0.001))},""" +
-        s""""healthy":${sentAll.last < 3.0 * math.max(sentFloor, 0.001) + 5.0}}"""
+      s"""{"cpu":$cpuSentJson,"mem":$memSentJson,"healthy":${cpuHealthy && memHealthy}}"""
     // the retry policy is part of the number's meaning: best-of-2 is a
     // downward-biased estimator conditioned on a slow first draw, so any
     // comparison against a single-shot baseline must know it was applied
