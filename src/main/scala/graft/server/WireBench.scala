@@ -147,6 +147,8 @@ object WireBench {
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     server.stop()
     spark.stop()
+    // the HttpServer handler pool is non-daemon; don't let it pin the JVM
+    sys.exit(0)
   }
 
   private implicit class PipeOps[A](private val a: A) extends AnyVal {
