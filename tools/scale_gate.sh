@@ -25,7 +25,10 @@ mkdir -p "$LOG_DIR"
 if [ "${SKIP_VERIFY:-0}" != 1 ]; then
   echo "[scale_gate] Verify $SF -> $VOUT"
   rm -rf "$VOUT"
-  SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-48g} SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
+  # 16g, not 48g: r16's operational note — a 48 GiB driver heap at sf1
+  # spends its time in giant mixed GCs (observed: 5 of 32 cores busy,
+  # 34 GB RSS, 10x slower than the 16g run of the same suite)
+  SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-16g} SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
     tools/run_main.sh graft.Verify "$SF" "$VOUT" > "$LOG_DIR/verify.log" 2>&1 \
     || { echo "[scale_gate] FAIL: Verify errored"; tail -20 "$LOG_DIR/verify.log"; exit 2; }
 fi
