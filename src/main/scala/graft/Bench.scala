@@ -176,6 +176,13 @@ object Bench {
       stageEntry("p00h_lr_stage") {
         queries.Pipeline.LrStage.load(spark, sfDir); ()
       },
+      // the distinct word table (w, freq, enc) — the corpus-scale token
+      // explode + word aggregation shared by the BPE/unigram/WordPiece
+      // tokenizer families (r17): one pass, its own line, every
+      // consumer below reads the staged copy
+      stageEntry("p00h2_word_stage") {
+        queries.Pipeline.BpeWordsStage.load(spark, sfDir); ()
+      },
       // the trained BPE vocabulary end-state (p48b/p48c's shared
       // artifact): the iterative merge fit stages once; its own line
       stageEntry("p00i_bpe_stage") {

@@ -23,6 +23,22 @@ object Pipeline {
   private def docs(s: SparkSession, dir: String) = t(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = t(s, dir, "embeddings")
 
+  /** Pre-explode spread (r17): `-Dgraft.explodeSpread` — partition width
+    * forced ahead of a corpus-scale explode whose per-row work dominates
+    * a stage (shingling, tokenizing, replica blowups). Default = the
+    * session's default parallelism; 0 disables. Rationale: the bench
+    * corpus ships as single-row-group parquet, so such explodes
+    * otherwise run on ONE split regardless of `maxPartitionBytes`
+    * (guide §2.5, input skew). A many-file 100 TB table is already
+    * split, so a production deployment sets 0 and skips the shuffle —
+    * the scale-dependent setting stays a dial with a local default, per
+    * the optimization contract. Values are repartition-invariant. */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val w = Dials.int("graft.explodeSpread")
+      .getOrElse(s.sparkContext.defaultParallelism)
+    if (w <= 0) df else df.repartition(w)
+  }
+
   /** Materialize-once staging of the shingle front shared by p02 / p03 /
     * p20 / p21. The explode of every document into distinct 3-token
     * shingles plus the per-shingle document frequency is by far the most
@@ -174,9 +190,9 @@ object Pipeline {
       * dropped at staging. */
     def load(s: SparkSession, dir: String): DataFrame =
       stage(s, dir, "sh") {
-        docs(s, dir)
+        spread(s, docs(s, dir)
             .select(col("doc_id"), split(col("text"), " ").as("arr"))
-            .filter(size(col("arr")) >= 3)
+            .filter(size(col("arr")) >= 3))
             .select(col("doc_id"), explode(array_distinct(expr(
               "transform(sequence(0, size(arr)-3), i -> concat_ws(' ', arr[i], arr[i+1], arr[i+2]))")))
               .as("shingle"))
@@ -248,7 +264,7 @@ object Pipeline {
         // streamed side's partitioning, and a single parquet file gives
         // too few partitions to use the machine — spread the O(n^2) work
         val e0 = emb(s, dir)
-        val q = evalSampleFilter(e0, e0.count())
+        val q = evalSampleFilter(e0, embCount(s, dir))
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
           .repartition(s.sparkContext.defaultParallelism)
         val c = emb(s, dir).select(col("vec_id").as("cid"), col("embedding").as("cv"))
@@ -273,7 +289,7 @@ object Pipeline {
         // same parallelism spread as the KNN truth: the streamed side
         // drives task count
         val e0 = emb(s, dir)
-        val a = evalSampleFilter(e0, e0.count())
+        val a = evalSampleFilter(e0, embCount(s, dir))
           .select(col("vec_id").as("a_id"), col("embedding").as("av"))
           .repartition(s.sparkContext.defaultParallelism)
         val b = emb(s, dir).select(col("vec_id").as("b_id"), col("embedding").as("bv"))
@@ -293,7 +309,7 @@ object Pipeline {
     * staged table, so the guard is a plain literal filter on the staged
     * scan; the doc count is a one-row aggregate-pushdown parquet read. */
   private def shingles(s: SparkSession, dir: String): DataFrame = {
-    val nDocs = docs(s, dir).count()
+    val nDocs = docsCount(s, dir)
     ShingleStage.load(s, dir)
       .filter(col("df").cast("double") <= lit(math.max(5.0, nDocs * 0.01)))
       .select(col("doc_id"), col("h"))
@@ -750,11 +766,16 @@ object Pipeline {
     // 8 bytes per row instead of ~30. The oracle mirrors the same hash
     // join, so the check still verifies the exact computation.
     val pairs = sh.groupBy(col("h"))
-      .agg(collect_list(col("doc_id")).as("ids"))
+      .agg(expr("array_sort(collect_list(doc_id))").as("ids"))
+      // successors-only expansion over the SORTED posting list: builds
+      // the k(k-1)/2 (a < b) pairs directly instead of all k² ordered
+      // pairs filtered after — same pair set (ids are distinct per h;
+      // sorted, so position order IS value order), half the struct
+      // allocations of the suite's biggest expansion (r17)
       .select(explode(expr(
-        """filter(
-             flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))),
-             p -> p.a < p.b)""")).as("p"))
+        """flatten(transform(ids, (a, i) ->
+             transform(slice(ids, i + 2, size(ids) - i - 1),
+               b -> struct(a, b))))""")).as("p"))
       .groupBy(col("p.a").as("a_id"), col("p.b").as("b_id"))
       .agg(count(lit(1)).as("inter"))
     pairs
@@ -923,6 +944,15 @@ object Pipeline {
   private def embCount(s: SparkSession, dir: String): Long =
     embCountByDir.computeIfAbsent(dir, d => emb(s, d).count())
 
+  /** Per-dir document count, same memo discipline as [[embCount]] (r17):
+    * immutable per corpus dir, consulted by every shingle consumer and
+    * the LR/readability fronts — one aggregate-pushdown read per
+    * (JVM, dir) instead of a driver-serialized job per query. */
+  private val docsCountByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def docsCount(s: SparkSession, dir: String): Long =
+    docsCountByDir.computeIfAbsent(dir, d => docs(s, d).count())
+
   /** Staging tag for eval-sampled artifacts: the EFFECTIVE sample size
     * (explicit dial or auto-derived slice) is a fit dial for the truth
     * tables, so it is part of the staging key (the p91 lesson — see
@@ -936,7 +966,7 @@ object Pipeline {
 
   private def guardExactBaseline(s: SparkSession, dir: String,
       name: String, scalePath: String): Unit = {
-    val n = emb(s, dir).count()
+    val n = embCount(s, dir)
     // cost model: q*n pair evaluations, q = the eval-query sample size
     // (= n unsampled, where the test reduces to the original n > cap).
     // Sampled, a corpus of any size passes with m <= cap^2 / n — the
@@ -989,7 +1019,7 @@ object Pipeline {
     * p00c line read the fitted index instead of re-fitting it — at 100 TB
     * re-fitting per query would triple the family's dominant cost. */
   private[graft] object CellStage {
-    def load(s: SparkSession, dir: String): DataFrame = {
+    private def tag: String = {
       // the fitted index depends on the index knobs, not just the
       // corpus: bake them into the staging key so two runs sharing one
       // staging root with different k / iteration / sample settings can
@@ -998,8 +1028,20 @@ object Pipeline {
         s"-$kmeansIters-$kmeansFitPoints"
       val ph = java.security.MessageDigest.getInstance("MD5")
         .digest(params.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
-      ShingleStage.stage(s, dir, s"cl$ph")(buildKmeansCells(s, dir))
+      s"cl$ph"
     }
+    def load(s: SparkSession, dir: String): DataFrame =
+      ShingleStage.stage(s, dir, tag)(buildKmeansCells(s, dir))
+
+    /** The fitted index's cell count, memoized per (staging key, dir):
+      * every two-level consumer (nearestCellsStaged — most ANN queries
+      * call it 1-3×) re-counted the staged table, a ~100 ms driver-
+      * serialized job per call that can never change for an immutable
+      * staged artifact (r17; the [[embCount]] discipline). */
+    private val cnt = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    def count(s: SparkSession, dir: String): Long =
+      cnt.computeIfAbsent(s"$tag|${new java.io.File(dir).getCanonicalPath}",
+        _ => load(s, dir).count())
   }
 
   /** Fit-sample size: the k-means iterations train on at most
@@ -1030,32 +1072,32 @@ object Pipeline {
     * DuckDB oracle reproduces every round bit-for-bit. */
   private def kmeansRounds(fit: DataFrame, seed: DataFrame, iters: Int): DataFrame = {
     var cent = seed
-    var prev: Option[Materialize.Handle] = None
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val assigned = nearestCells(fit, cent, 1)
-      // eager Materialize per round (the p20 trick): round i+1 analyzes
-      // a flat k-row plan instead of a depth-i nested tree that
-      // Catalyst re-analyzes and re-broadcasts per level. State is k
-      // centroid rows — a few hundred KB at any k this engine fits —
-      // and round i's copy is released once round i+1 materializes.
-      val h = Materialize.tracked(assigned
+      val next = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
         .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(16, 8)))
           .cast("double") / count(lit(1))).as("c"))
         .groupBy(col("cell"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> CAST(x.c AS FLOAT))")
-          .as("cv")), "km")
-      prev.foreach(_.release())
-      prev = Some(h)
-      cent = h.df
+          .as("cv"))
+      // r17: rounds chain LAZILY — each round is a straight groupBy→
+      // broadcast pipeline over a k-row state, so a ≤4-deep nested plan
+      // analyzes in milliseconds and the whole fit runs as ONE action
+      // instead of an eager localCheckpoint job per round (the eager
+      // form cost ~2-3 driver-serialized jobs/round; p00c read 5.3 s
+      // wall vs 2.6 executor-s at sf0.1). Beyond every 4th round a
+      // fire-and-forget barrier still caps plan depth for large-iters
+      // dials (state is k rows — a few hundred KB at any fitted k).
+      cent = if (i < iters && i % 4 == 0) Materialize(next, "km") else next
     }
     cent
   }
 
   private def buildKmeansCells(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val n = e.count()
+    val n = embCount(s, dir)
     val k = ivfK(n)
     val m = kmeansFitSample(n, k)
     val fit =
@@ -1123,7 +1165,7 @@ object Pipeline {
     * [[kmeansRounds]]), with the CELLS as the training points. */
   private def buildSuperCells(s: SparkSession, dir: String): DataFrame = {
     val cells = CellStage.load(s, dir)
-    val ks = superKFor(cells.count())
+    val ks = superKFor(CellStage.count(s, dir))
     val fit = cells.select(col("cell").as("cid0"), col("cv").as("embedding"))
     val seed = cells.select(col("cell"), col("cv"))
       .orderBy(md5(col("cell").cast("string")), col("cell"))
@@ -1213,14 +1255,17 @@ object Pipeline {
     val idx = cb.groupBy()
       .agg(collect_list(struct(col("sub"), col("cell"), col("cv"))).as("pidx"))
     val keep = e.columns.map(col).toSeq
+    // argmin as array_min over an orderable struct (r17): Spark's struct
+    // ordering is (d asc, cell asc) with NaN greatest — exactly
+    // [[distAscCmp]] — but without the interpreted per-comparison lambda
+    // the full array_sort paid (the PQ fit/encode evaluates this once
+    // per (row, subspace); the comparator calls were the stage's CPU).
     e.crossJoin(broadcast(idx))
       .select(keep :+ expr(
-        s"""element_at(
-              array_sort(
-                transform(filter(pidx, c -> c.sub = sub), c -> named_struct(
-                  'd', ${sparkL2Sq("sv", "c.cv")}, 'cell', c.cell)),
-                ${distAscCmp("d", "cell")}),
-              1)""").as("pc"): _*)
+        s"""array_min(
+              transform(filter(pidx, c -> c.sub = sub), c -> named_struct(
+                'd', ${sparkL2Sq("sv", "c.cv")}, 'cell', c.cell)))""")
+        .as("pc"): _*)
       .select(keep ++ Seq(col("pc.cell").as("cell"), col("pc.d").as("d")): _*)
   }
 
@@ -1245,36 +1290,33 @@ object Pipeline {
     // spreads the bounded sample across the executor width (the filtered
     // parquet scan otherwise yields 1-2 partitions and the 4 assign
     // rounds run nearly serial). Neither changes any arithmetic.
-    val fitH = Materialize.tracked(
+    // Fire-and-forget materialization (r17): the rounds are lazy now, so
+    // the sample's blocks must outlive this function — they are consumed
+    // by the caller's staging write and reclaimed by the session's next
+    // cache clear / JVM exit (the documented Materialize.apply contract;
+    // the sample is dial-bounded, ~MBs at any corpus size).
+    val fit = Materialize(
       fitRows.select(col("vec_id"), pqSubvecsCol.as(Seq("sub", "sv")))
         .repartition(s.sparkContext.defaultParallelism), "pqfit")
-    val fit = fitH.df
     var cent = src.select(col("vec_id"), col("embedding"))
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(pqK)
       .select(col("vec_id").as("cell"), pqSubvecsCol.as(Seq("sub", "cv")))
       .select(col("sub"), col("cell"), col("cv"))
-    var prev: Option[Materialize.Handle] = None
-    for (_ <- 1 to kmeansIters) {
+    for (i <- 1 to kmeansIters) {
       val assigned = nearestPqCell(fit, cent)
-      // eager Materialize per round (the kmeansRounds trick): round
-      // i+1 analyzes a flat M*k'-row plan, not a depth-i nested tree
-      val h = Materialize.tracked(assigned
+      val next = assigned
         .select(col("sub"), col("cell"), posexplode(col("sv")).as(Seq("pos", "v")))
         .groupBy(col("sub"), col("cell"), col("pos"))
         .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(16, 8)))
           .cast("double") / count(lit(1))).as("c"))
         .groupBy(col("sub"), col("cell"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> CAST(x.c AS FLOAT))")
-          .as("cv")), "pq")
-      prev.foreach(_.release())
-      prev = Some(h)
-      cent = h.df
+          .as("cv"))
+      // lazy round chaining over the M·k'-row state — the kmeansRounds
+      // r17 rationale; a depth-capping barrier only for large-iters dials
+      cent = if (i < kmeansIters && i % 4 == 0) Materialize(next, "pq") else next
     }
-    // the fit sample fed its last assign round; release it before the
-    // code-numbering epilogue (the final round's handle stays live —
-    // `cent` is consumed lazily by the caller's staging write)
-    fitH.release()
     cent.withColumn("code",
       (row_number().over(Window.partitionBy(col("sub")).orderBy(col("cell"))) - 1)
         .cast("int"))
@@ -1348,7 +1390,14 @@ object Pipeline {
   private[graft] object PqResidualStage {
     def load(s: SparkSession, dir: String): DataFrame =
       ShingleStage.stage(s, dir, s"rq${pqParamsHash(pqResidualParams)}")(
-        buildPqCodebookFrom(s, residuals(s, dir)))
+        // materialize the residual frame ONCE for the fit (r17): the
+        // codebook build consumes its source three times (count for the
+        // sample size, the hash-sliced fit rows, the md5-ordered seeds),
+        // and each lazy evaluation re-runs the full two-level assignment
+        // over the corpus. One eager pass, three cheap reads; values
+        // unchanged (plan shape only). Blocks are reclaimed at the next
+        // cache clear — the build runs once per (JVM, corpus).
+        buildPqCodebookFrom(s, Materialize(residuals(s, dir), "resid")))
   }
 
   /** The residual-encoded corpus (vec_id, sub, code), staged once. */
@@ -1462,9 +1511,15 @@ object Pipeline {
     * kTop=1 assignment — the SAME map the residuals were encoded
     * against, so the LUT cell always matches the code's reference
     * centroid. Output: (qid, cid, ascore). */
+  /** The codebook collapsed to ONE broadcast row of nested arrays
+    * (r17): `cbA[sub+1][code+1]` = the centroid vector, `cnA[sub+1]
+    * [code+1]` = its integer-scaled self-dot. Codes are densely
+    * renumbered 0..k'_sub−1 per subspace by construction, so position
+    * IS the code — an ADC consumer scores a candidate with M array
+    * lookups instead of an M-fanout join. */
   private def residualAdcScored(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val n = e.count()
+    val n = embCount(s, dir)
     val nprobe = ivfNprobe(ivfK(n))
     val cells = CellStage.load(s, dir)
     val m = pqM
@@ -1538,7 +1593,7 @@ object Pipeline {
     * ascore). */
   private def adcScored(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val n = e.count()
+    val n = embCount(s, dir)
     val nprobe = ivfNprobe(ivfK(n))
     val top = nearestCellsStaged(s, dir,
       e.select(col("vec_id"), col("embedding")), nprobe)
@@ -1653,6 +1708,27 @@ object Pipeline {
       supers: DataFrame, cellmap: DataFrame, kTop: Int, sprobe: Int): DataFrame = {
     val (sidx, midx) = twoLevelIndex(cells, supers, cellmap)
     val keep = e.columns.map(col).toSeq
+    if (kTop == 1) {
+      // kTop=1 is ASSIGNMENT — the once-per-corpus-row hot path (codes,
+      // residuals, SemDeDup cells). argmax as array_max over an
+      // orderable struct (csim, ~cell): struct ordering ranks csim desc
+      // at max with NaN greatest (= [[simDescCmp]]'s NaN-first rule) and
+      // the bit-flipped cell makes the tie-break ascending — identical
+      // winner, no interpreted per-comparison lambda (r17). An empty
+      // candidate set folds to NULL and is dropped, exactly like the old
+      // posexplode of an empty slice.
+      e.crossJoin(broadcast(sidx)).crossJoin(broadcast(midx))
+        .select(keep :+ expr(
+          s"""array_max(
+                transform(
+                  ${twoLevelCandidateArr(sprobe)},
+                  c -> named_struct(
+                    'csim', cosine_sim(embedding, c.cv), 'ck', ~c.cell)))""")
+          .as("pc"): _*)
+        .filter(col("pc").isNotNull)
+        .select(keep ++ Seq(lit(1).cast("int").as("crank"),
+          expr("~pc.ck").as("cell"), col("pc.csim").as("csim")): _*)
+    } else
     e.crossJoin(broadcast(sidx)).crossJoin(broadcast(midx))
       .select(keep :+ posexplode(expr(
         s"""slice(
@@ -1676,7 +1752,7 @@ object Pipeline {
       kTop: Int): DataFrame = {
     val cells = CellStage.load(s, dir)
     val (sc, cm) = SuperStage.load(s, dir)
-    val kAct = cells.count()
+    val kAct = CellStage.count(s, dir)
     val sprobe = superProbe(superKFor(kAct), kAct, kTop)
     val (sidx, midx) = twoLevelIndex(cells, sc, cm)
     emb(s, dir).select(col("vec_id"), col("embedding"))
@@ -1694,7 +1770,7 @@ object Pipeline {
       kTop: Int): DataFrame = {
     val cells = CellStage.load(s, dir)
     val (sc, cm) = SuperStage.load(s, dir)
-    val kAct = cells.count()
+    val kAct = CellStage.count(s, dir)
     val ks = superKFor(kAct)
     nearestCellsTwoLevel(e, cells, sc, cm, kTop, superProbe(ks, kAct, kTop))
   }
@@ -1726,6 +1802,19 @@ object Pipeline {
   private def nearestCells(e: DataFrame, cells: DataFrame, kTop: Int): DataFrame = {
     val idx = cells.groupBy().agg(collect_list(struct(col("cell"), col("cv"))).as("idx"))
     val keep = e.columns.map(col).toSeq
+    if (kTop == 1)
+      // argmax via orderable struct — the nearestCellsTwoLevel kTop=1
+      // rationale (r17): same winner as the sorted slice, no interpreted
+      // comparator; every k-means assign round rides this
+      e.crossJoin(broadcast(idx))
+        .select(keep :+ expr(
+          s"""array_max(transform(idx, c -> named_struct(
+                'csim', cosine_sim(embedding, c.cv), 'ck', ~c.cell)))""")
+          .as("pc"): _*)
+        .filter(col("pc").isNotNull)
+        .select(keep ++ Seq(lit(1).cast("int").as("crank"),
+          expr("~pc.ck").as("cell"), col("pc.csim").as("csim")): _*)
+    else
     e.crossJoin(broadcast(idx))
       .select(keep :+ posexplode(expr(
         s"""slice(
@@ -2700,50 +2789,81 @@ object Pipeline {
   /** The same chain under a CALLER-SUPPLIED piece lexicon (p, score) —
     * the E/M halves of hard-EM re-segment with re-estimated scores
     * through here — also emitting `ll`, the word's exact Viterbi path
-    * score. */
+    * score.
+    *
+    * r17 shape: the lexicon collapses to ONE broadcast map row and the
+    * whole DP runs as two `aggregate` higher-order expressions over a
+    * per-row candidate grid — no candidate explode, no pivot shuffle,
+    * no lineage barriers. The previous shape (42-column pivot + ~70
+    * chained withColumns with an RDD-conversion barrier every 6 to cap
+    * Catalyst's fanout^depth inlining) was DRIVER-bound: 7.2 s wall vs
+    * 4.3 executor-seconds on 32 cores at sf0.1, all of it plan
+    * analysis + per-barrier optimize passes + InternalRow↔Row
+    * round-trips. The accumulator form references each best_i exactly
+    * once through the array, so there is nothing to inline and the
+    * plan is a single narrow codegen'd projection. Arithmetic is
+    * unchanged (same BIGINT sums, same GREATEST/first-i tie-break,
+    * same NULL→sentinel coalesce), so seg/ll are bit-identical — the
+    * DuckDB mirror ([[duckUniChain]], rendered from [[uniDpColumns]])
+    * is untouched and the oracle gate proves the equivalence. */
   private[graft] def uniSegmentsFrom(s: SparkSession, dir: String,
       vocab: DataFrame): DataFrame = {
     val words = bpeWords(s, dir).filter(length(col("w")) <= uniMaxWordLen)
       .select(col("w"), col("freq"))
-    val gridEntries = uniGrid.map { case (j, i) =>
-      s"named_struct('j', $j, 'i', $i, 'piece', substring(w, ${i + 1}, ${j - i}))"
-    }
-    val cand = words.select(col("w"),
-        explode(expr(
-          s"filter(array(${gridEntries.mkString(", ")}), x -> x.j <= length(w))")).as("c"))
-      .select(col("w"), col("c.j").as("j"), col("c.i").as("i"),
-        col("c.piece").as("piece"))
-    val scored = cand.join(
-      broadcast(vocab.select(col("p").as("piece"), col("score"))),
-      Seq("piece"), "left")
-    val aggCols = uniGrid.map { case (j, i) =>
-      max(when(col("j") === j && col("i") === i, col("score"))).as(s"cs_${j}_$i")
-    }
-    var df = scored.groupBy(col("w")).agg(aggCols.head, aggCols.tail: _*)
-      .join(words, Seq("w"))
-    // The DP chain is depth-12 with fanout ~5 (each best_i feeds up to
-    // four later candidates plus its backpointer); letting the optimizer
-    // inline the whole chain into one projection grows the expression
-    // tree ~5^12 (observed as a driver OOM — the same explosion the BPE
-    // oracle hits without MATERIALIZED CTEs). A lineage barrier every
-    // few steps (schema-preserving RDD rebind, lazily evaluated, no
-    // materialization) caps inline depth; the per-row work is identical.
-    var sinceBarrier = 0
-    def addCol(name: String, text: String): Unit = {
-      df = df.withColumn(name, expr(text))
-      sinceBarrier += 1
-      if (sinceBarrier >= 6) {
-        df = s.createDataFrame(df.rdd, df.schema)
-        sinceBarrier = 0
+    val vmap = vocab.groupBy().agg(
+      map_from_entries(collect_list(struct(col("p"), col("score"))))
+        .as("vmap"))
+    // csa[j] = the (i, score) candidate list for end position j, ascending
+    // i (the pivot's column order — the bp tie-break depends on it);
+    // score NULL when the piece is absent from the lexicon OR j overruns
+    // the word, exactly the NULL the pivot's cs_j_i carried
+    val csaEntries = (1 to uniMaxWordLen).map { j =>
+      val entries = uniGrid.filter(_._1 == j).map(_._2).map { i =>
+        s"""named_struct('i', $i, 'sc',
+              CASE WHEN $j <= length(w)
+                   THEN try_element_at(vmap, substring(w, ${i + 1}, ${j - i}))
+              END)"""
       }
+      s"array(${entries.mkString(", ")})"
     }
-    uniDpColumns(
-      elemAt = (arr, idx) => s"element_at($arr, $idx)",
-      arrayOf = es => s"array(${es.mkString(", ")})",
-      filterNotNull = a => s"filter($a, x -> x IS NOT NULL)",
-      reverseArr = a => s"reverse($a)"
-    ).foreach { case (name, text) => addCol(name, text) }
-    df.select(col("w"), col("freq"), col("seg"), col("ll"))
+    val dpExpr =
+      s"""aggregate(
+            sequence(1, $uniMaxWordLen),
+            named_struct('best', array(CAST(0 AS BIGINT)),
+                         'bp', CAST(array() AS ARRAY<INT>)),
+            (acc, j) -> named_struct(
+              'best', concat(acc.best, array(
+                array_max(transform(element_at(csa, j),
+                  c -> coalesce(element_at(acc.best, c.i + 1) + c.sc,
+                                $uniSentinel))))),
+              'bp', concat(acc.bp, array(
+                element_at(filter(element_at(csa, j),
+                  c -> coalesce(element_at(acc.best, c.i + 1) + c.sc,
+                                $uniSentinel)
+                       = array_max(transform(element_at(csa, j),
+                           c2 -> coalesce(element_at(acc.best, c2.i + 1) + c2.sc,
+                                          $uniSentinel)))), 1).i))))"""
+    // the backpointer walk: e_0 = len(w); s_k = bp[e_{k-1}]; piece_k =
+    // w[s_k+1 .. e_{k-1}]; saturates at e = 0. Pieces emit end→start
+    // (the walk order), reversed at the end — the original
+    // reverse(filter(...)) contract.
+    val walkExpr =
+      s"""aggregate(
+            sequence(1, $uniMaxWordLen),
+            named_struct('e', CAST(length(w) AS INT),
+                         'seg', CAST(array() AS ARRAY<STRING>)),
+            (acc, k) -> CASE WHEN acc.e IS NULL OR acc.e = 0 THEN acc ELSE
+              named_struct(
+                'e', CAST(element_at(dp.bp, acc.e) AS INT),
+                'seg', concat(acc.seg, array(substring(w,
+                  element_at(dp.bp, acc.e) + 1,
+                  acc.e - element_at(dp.bp, acc.e))))) END)"""
+    words.crossJoin(broadcast(vmap))
+      .withColumn("csa", expr(s"array(${csaEntries.mkString(", ")})"))
+      .withColumn("dp", expr(dpExpr))
+      .withColumn("seg", expr(s"reverse(($walkExpr).seg)"))
+      .withColumn("ll", expr("element_at(dp.best, length(w) + 1)"))
+      .select(col("w"), col("freq"), col("seg"), col("ll"))
   }
 
   /** The DuckDB mirror of [[uniVocab]]+[[uniSegments]] as CTE text up to
@@ -2894,40 +3014,48 @@ object Pipeline {
     val words = bpeWords(s, dir).filter(length(col("w")) <= uniMaxWordLen)
       .select(col("w"), col("freq"))
     val vocab = wpVocab(s, dir)
-    val gridEntries = uniGrid.map { case (j, i) =>
-      s"named_struct('j', $j, 'i', $i, 'init', ${if (i == 0) 1 else 0}, " +
-        s"'piece', substring(w, ${i + 1}, ${j - i}))"
+    // r17 shape, the [[uniSegmentsFrom]] rewrite applied to the greedy
+    // walk: the position-classed lexicon collapses to ONE broadcast map
+    // (key "<init>:<piece>", value 1 — (p, init) is unique post-distinct)
+    // and the per-word walk is a single `aggregate` expression. No
+    // candidate explode, no 42-column pivot shuffle, no RDD barriers;
+    // g/walk semantics unchanged (longest-match with the j <= length(w)
+    // bound the candidate filter enforced, saturating 12-step walk), so
+    // seg is bit-identical — the DuckDB mirror ([[duckWpCtes]], rendered
+    // from [[wpColumns]]) is untouched and the oracle proves it.
+    val vmap = vocab.groupBy().agg(
+      map_from_entries(collect_list(struct(
+        concat_ws(":", col("init").cast("string"), col("p")),
+        lit(1)))).as("vmap"))
+    // g[i+1] = longest piece length at 0-based position i: first l from
+    // min(4, 12-i) down with (i+l <= len) and the classed piece present —
+    // the generated CASE's order, so ties resolve identically
+    val gEntries = (0 until uniMaxWordLen).map { i =>
+      val lens = math.min(uniMaxPieceLen, uniMaxWordLen - i) to 1 by -1
+      lens.map { l =>
+        s"""WHEN ${i + l} <= length(w) AND try_element_at(vmap,
+              '${if (i == 0) 1 else 0}:' || substring(w, ${i + 1}, $l))
+              IS NOT NULL THEN $l"""
+      }.mkString("CASE ", " ", " END")
     }
-    val cand = words.select(col("w"), explode(expr(
-        s"filter(array(${gridEntries.mkString(", ")}), x -> x.j <= length(w))")).as("c"))
-      .select(col("w"), col("c.j").as("j"), col("c.i").as("i"),
-        col("c.init").as("init"), col("c.piece").as("piece"))
-    val scored = cand.join(
-      broadcast(vocab.select(col("p").as("piece"), col("init"),
-        lit(1).as("hit"))),
-      Seq("piece", "init"), "left")
-    val aggCols = uniGrid.map { case (j, i) =>
-      max(when(col("j") === j && col("i") === i, col("hit"))).as(s"cs_${j}_$i")
-    }
-    var df = scored.groupBy(col("w")).agg(aggCols.head, aggCols.tail: _*)
-      .join(words, Seq("w"))
-    // same lineage-barrier discipline as uniSegments: cap expression
-    // inlining depth (the walk chain has fanout ~4 per step)
-    var sinceBarrier = 0
-    def addCol(name: String, text: String): Unit = {
-      df = df.withColumn(name, expr(text))
-      sinceBarrier += 1
-      if (sinceBarrier >= 6) {
-        df = s.createDataFrame(df.rdd, df.schema)
-        sinceBarrier = 0
-      }
-    }
-    wpColumns(
-      elemAt = (arr, idx) => s"element_at($arr, $idx)",
-      arrayOf = es => s"array(${es.mkString(", ")})",
-      filterNotNull = a => s"filter($a, x -> x IS NOT NULL)"
-    ).foreach { case (name, text) => addCol(name, text) }
-    df.select(col("w"), col("freq"), col("seg"))
+    val walkExpr =
+      s"""aggregate(
+            sequence(1, $uniMaxWordLen),
+            named_struct('pos', CAST(0 AS INT),
+                         'seg', CAST(array() AS ARRAY<STRING>)),
+            (acc, k) -> CASE
+              WHEN acc.pos >= length(w)
+                   OR element_at(garr, acc.pos + 1) IS NULL THEN acc
+              ELSE named_struct(
+                'pos', CAST(acc.pos + element_at(garr, acc.pos + 1) AS INT),
+                'seg', concat(acc.seg, array(
+                  (CASE WHEN acc.pos = 0 THEN '' ELSE '##' END)
+                    || substring(w, acc.pos + 1,
+                         element_at(garr, acc.pos + 1))))) END)"""
+    words.crossJoin(broadcast(vmap))
+      .withColumn("garr", expr(s"array(${gEntries.mkString(", ")})"))
+      .withColumn("seg", expr(s"($walkExpr).seg"))
+      .select(col("w"), col("freq"), col("seg"))
   }
 
   /** The DuckDB mirror of [[wpVocab]]+[[wpSegments]] as CTE text up to
@@ -3049,12 +3177,38 @@ object Pipeline {
 
   /** The distinct lowercase-alpha word table with occurrence counts and
     * the per-symbol parenthesized encoding BPE iterates on. */
-  private[graft] def bpeWords(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+  private[graft] def bpeWordsRaw(s: SparkSession, dir: String): DataFrame =
+    spread(s, docs(s, dir).select(col("text")))
       .select(explode(split(lower(col("text")), " ")).as("w"))
-      .filter(col("w").rlike("^[a-z]+$"))
+      // ^[a-z]+$ as a char-map test: translate deletes every [a-z], so
+      // the token matches iff nonempty and the deletion empties it —
+      // same predicate, no per-token regex engine (r17; this runs once
+      // per corpus TOKEN, the hottest scalar in the tokenizer front)
+      .filter(col("w") =!= "" &&
+        translate(col("w"), "abcdefghijklmnopqrstuvwxyz", "") === "")
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .withColumn("enc", regexp_replace(col("w"), "(.)", "($1)"))
+
+  /** The word table STAGED once per corpus (tag `bw1`) — the shared
+    * front of the whole tokenizer family. Before staging, every
+    * consumer (BPE fit p48/p00i, unigram p66 family ×2 lexicons + 3
+    * segmentation rounds, WordPiece p67 family ×2) re-ran the
+    * corpus-scale token explode + word aggregation from scratch — at
+    * 100 TB that is the same full-corpus pass up to eight times per
+    * suite run. Staged, the pass runs once and every consumer reads a
+    * vocabulary-bounded columnar table (guide §2.4: remove shuffles
+    * outright). Values are identical by determinism; the oracles keep
+    * deriving the same table from `documents` in SQL. */
+  private[graft] object BpeWordsStage {
+    def load(s: SparkSession, dir: String): DataFrame =
+      ShingleStage.stage(s, dir, "bw1") {
+        bpeWordsRaw(s, dir).repartition(
+          s.conf.get("spark.sql.shuffle.partitions").toInt, col("w"))
+      }
+  }
+
+  private[graft] def bpeWords(s: SparkSession, dir: String): DataFrame =
+    BpeWordsStage.load(s, dir)
 
   /** Adjacent symbol pairs of the current encoding, frequency-weighted. */
   private[graft] def bpePairs(words: DataFrame): DataFrame =
@@ -3086,6 +3240,39 @@ object Pipeline {
            END"""))
       .drop("_l", "_r")
 
+  /** The iterative merge fit with DRIVER-PACED rounds (r17): each
+    * round's argmax is a bounded 1-row collect (≤ [[bpeMerges]] ≤ 12
+    * rows total per fit — the MergeInto 1-row-aggregate class, not a
+    * data collect) applied to the next round's encoding as LITERAL
+    * replace arguments (symbols are [a-z]+ by construction, so inlining
+    * is injection-safe). The previous shape kept every round's argmax
+    * as a nested broadcast-join subplan, so round k's plan contained
+    * k-1 nested aggregate+join trees — 366 Exchange nodes in p48's
+    * physical plan, 3.9 s wall against 1.4 executor-seconds at sf0.1:
+    * pure Catalyst analysis cost, growing with the dial. Driver-paced,
+    * every round is one FLAT aggregation over the staged word table
+    * with the merges so far as a chain of literal `replace` calls.
+    * Returns the fully-merged word table and each round's argmax frame
+    * (the frame, not the row, so p48's output keeps its exact plan
+    * shape/schema). Merge choice and application are value-identical:
+    * same count/tie-break argmax, same replace semantics, and an empty
+    * round is a no-op exactly like [[bpeApply]]'s NULL branch. */
+  private[graft] def bpeFit(s: SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) = {
+    var cur = bpeWords(s, dir)
+    val bests = (1 to bpeMerges).map { _ =>
+      val bestDf = bpeBest(bpePairs(cur))
+      bestDf.collect().headOption.foreach { row =>
+        val l = row.getString(0)
+        val r = row.getString(1)
+        cur = cur.withColumn("enc",
+          expr(s"replace(enc, '($l)($r)', '($l$r)')"))
+      }
+      bestDf
+    }
+    (cur, bests)
+  }
+
   /** The trained BPE word table's END-STATE (w, freq, enc after all
     * [[bpeMerges]] rounds) staged once per corpus — p48b (trained
     * tokenizer applied) and p48c (fertility) both consume the same
@@ -3099,11 +3286,7 @@ object Pipeline {
       val ph = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$bpeMerges".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
       ShingleStage.stage(s, dir, s"bp$ph") {
-        var cur = bpeWords(s, dir)
-        (1 to bpeMerges).foreach { _ =>
-          cur = bpeApply(cur, bpeBest(bpePairs(cur)))
-        }
-        cur.repartition(1)
+        bpeFit(s, dir)._1.repartition(1)
       }
     }
   }
@@ -3525,7 +3708,7 @@ object Pipeline {
         forceDistributed: Boolean = false): Map[Long, Long] = {
       val ftc = lrFeatures(s, dir).repartition(col("doc_id")).persist()
       try {
-        val nDocs = docs(s, dir).count()
+        val nDocs = docsCount(s, dir)
         val nRows = ftc.count()
         val cap = Dials.long("graft.lrDriverRows")
           .getOrElse(2000000L)
@@ -3873,7 +4056,7 @@ object Pipeline {
         // the count is one aggregate-pushdown scan, and the bucket space
         // 2^np tracks n so expected bucket population stays ~64 at any
         // scale — the candidate budget is ~64 per query by construction
-        val np = lshNumPlanes(e.count())
+        val np = lshNumPlanes(embCount(s, dir))
         val q = e.select(col("vec_id").as("qid"), col("embedding").as("qv"),
           lshBucketCol(np, col("embedding")).as("bucket"))
         val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"),
@@ -3913,7 +4096,7 @@ object Pipeline {
     QDef("p37_knn_lsh_multi",
       (s, dir) => {
         val e = emb(s, dir)
-        val np = lshNumPlanes(e.count())
+        val np = lshNumPlanes(embCount(s, dir))
         val b = e.select(col("vec_id"),
           lshMultiBuckets(np, col("embedding")).as(Seq("t", "bucket")))
         val cand = b.select(col("vec_id").as("qid"), col("t"), col("bucket"))
@@ -3959,7 +4142,7 @@ object Pipeline {
     QDef("p16_knn_ivf",
       (s, dir) => {
         val e = emb(s, dir)
-        val nprobe = ivfNprobe(ivfK(e.count()))
+        val nprobe = ivfNprobe(ivfK(embCount(s, dir)))
         // two-level descent: ~sqrt(k) super-centroid scores, then only
         // the probed super-cells' members — never all k cells per vector
         val top = nearestCellsStaged(s, dir,
@@ -5773,7 +5956,7 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
         // the norms are the identical sqrt values factored out of the
         // pair expression.
         val e0 = emb(s, dir)
-        val nEmb = e0.count()
+        val nEmb = embCount(s, dir)
         val pe = e0
           .select(col("vec_id"), expr(jlProjectSql("embedding")).as("pv"))
           .withColumn("nrm", expr(s"sqrt(${dot("pv", "pv")})"))
@@ -6044,7 +6227,7 @@ ${duckTwoLevel("a", "embeddings", Nil, "1")},
     QDef("p34_hard_negatives",
       (s, dir) => {
         val e = emb(s, dir)
-        val nprobe = ivfNprobe(ivfK(e.count()))
+        val nprobe = ivfNprobe(ivfK(embCount(s, dir)))
         val top = nearestCellsStaged(s, dir,
           e.select(col("vec_id"), col("label"), col("embedding")), nprobe)
         val assigned = top.filter(col("crank") === 1)
@@ -6126,7 +6309,7 @@ ${duckTwoLevel("h", "embeddings", Seq("label"), duckNprobe)},
         val adc = adcScored(s, dir)
         val radc = residualAdcScored(s, dir)
         val e = emb(s, dir)
-        val np = lshNumPlanes(e.count())
+        val np = lshNumPlanes(embCount(s, dir))
         val b = e.select(col("vec_id"),
           lshBucketCol(np, col("embedding")).as("bucket"))
         val pairs = TruthStage.loadPairs(s, dir).select(col("a_id"), col("b_id"))
@@ -6756,11 +6939,11 @@ ${duckResidualAdcCtes("y", "v")}
     // for the algebra; the oracle unrolls the identical rounds. --------
     QDef("p48_bpe_merges",
       (s, dir) => {
-        var cur = bpeWords(s, dir)
-        val rounds = (1 to bpeMerges).map { r =>
-          val best = bpeBest(bpePairs(cur))
-          cur = bpeApply(cur, best)
-          best.select(lit(r).as("round"), col("l").as("l_sym"),
+        // driver-paced rounds (see bpeFit): each round's output frame is
+        // the SAME bpeBest plan as before, but over a flat literal-merge
+        // lineage instead of k-1 nested aggregate subplans
+        val rounds = bpeFit(s, dir)._2.zipWithIndex.map { case (best, r0) =>
+          best.select(lit(r0 + 1).as("round"), col("l").as("l_sym"),
             col("r").as("r_sym"), col("pair_count"))
         }
         rounds.reduce(_.unionAll(_)).orderBy(col("round"))
@@ -8382,7 +8565,7 @@ ${(1 to lexIters).map(duckLexIter).mkString(",\n")}
           .withColumn("wmin", min(col("h")).over(wwin))
           .filter(col("pos") <= col("n") - winnowW)
           .select(col("doc_id"), col("wmin").as("h")).distinct()
-        val nDocs = docs(s, dir).count()
+        val nDocs = docsCount(s, dir)
         val dfp = fps.groupBy(col("h")).agg(count(lit(1)).as("df"))
         // the kept-fingerprint front feeds FOUR consumers (the pair
         // expansion plus both size joins); eager Materialize (the
@@ -10217,7 +10400,10 @@ $duckPcaDeflateCtes,
         // mean; both engines drop it BEFORE ranking — otherwise its NULL
         // replica mean sorts first in Spark and last in DuckDB and the
         // percentile ranks diverge cross-engine (r13 ADVICE)
-        val reps = pv
+        // spread the ×B explode (one md5 + Poisson-CDF CASE per
+        // exploded row — the line's entire cost) across the executor
+        // width (r17; measured 5.9 executor-s over 10 tasks pre-spread)
+        val reps = spread(s, pv)
           .select(col("event_id"), col("vd"),
             explode(expr(s"sequence(0, ${B - 1})")).as("b"))
           .withColumn("u", expr(u))
