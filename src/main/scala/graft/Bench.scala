@@ -127,12 +127,22 @@ object Bench {
       val err = try { run; None: Option[String] }
         catch { case e: Throwable =>
           Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}") }
+      // capture the wall BEFORE the metrics drain and sentinels: until
+      // r17 the 150 ms listener-drain sleep plus both sentinel probes
+      // (~195 ms) sat INSIDE every entry's timed window — ~45 s of pure
+      // harness time across a 196-line run, reported as query time. The
+      // sum of that harness tail is still recorded per entry
+      // (`harnessMs`) so pre-r17 numbers remain reconstructible
+      // (old sec ≈ new sec + harnessMs/1000); see OPTIMIZATION_r17.md.
+      val sec = (System.nanoTime() - t0) / 1e9
       val m = snapshotMetrics()
       val sm = sentinelMs(); sentinelPerEntry += sm
       val mm = memSentinelMs(); memSentinelPerEntry += mm
-      (name, (System.nanoTime() - t0) / 1e9, 0L, err,
+      val harnessMs = (System.nanoTime() - t0) / 1e6 - sec * 1e3
+      (name, sec, 0L, err,
         m + s""","sentMs":${math.round(sm * 10) / 10.0}""" +
-          s""","memMs":${math.round(mm * 10) / 10.0}""")
+          s""","memMs":${math.round(mm * 10) / 10.0}""" +
+          s""","harnessMs":${math.round(harnessMs * 10) / 10.0}""")
     }
     val stageEntries = Seq(
       stageEntry("p00_shingle_stage") {
@@ -238,12 +248,18 @@ object Bench {
       val (rows, err) = try { (fn(spark, sfDir).count(), None: Option[String]) }
         catch { case e: Throwable =>
           (-1L, Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")) }
+      // wall captured before the drain/sentinel tail — the stageEntry
+      // rationale (the r17 measurement-bug fix, disclosed in
+      // OPTIMIZATION_r17.md; `harnessMs` preserves the old accounting)
+      val sec = (System.nanoTime() - t0) / 1e9
       val m = snapshotMetrics()
       val sm = sentinelMs(); sentinelPerEntry += sm
       val mm = memSentinelMs(); memSentinelPerEntry += mm
-      ((System.nanoTime() - t0) / 1e9, rows, err,
+      val harnessMs = (System.nanoTime() - t0) / 1e6 - sec * 1e3
+      (sec, rows, err,
         m + s""","sentMs":${math.round(sm * 10) / 10.0}""" +
-          s""","memMs":${math.round(mm * 10) / 10.0}""")
+          s""","memMs":${math.round(mm * 10) / 10.0}""" +
+          s""","harnessMs":${math.round(harnessMs * 10) / 10.0}""")
     }
     val results = stageEntries ++ selected.map { case (name, fn) =>
       // This VM intermittently inflates OS-accounted task CPU time ~8-16x

@@ -1303,19 +1303,20 @@ object Pipeline {
       .limit(pqK)
       .select(col("vec_id").as("cell"), pqSubvecsCol.as(Seq("sub", "cv")))
       .select(col("sub"), col("cell"), col("cv"))
-    for (i <- 1 to kmeansIters) {
+    for (_ <- 1 to kmeansIters) {
       val assigned = nearestPqCell(fit, cent)
-      val next = assigned
+      // eager Materialize per round: measured FASTER than lazy chaining
+      // here (unlike kmeansRounds) — the M-subspace state makes each
+      // round's exchanges wide enough that AQE's per-stage scheduling of
+      // the nested chain costs more than the per-round checkpoint jobs
+      cent = Materialize(assigned
         .select(col("sub"), col("cell"), posexplode(col("sv")).as(Seq("pos", "v")))
         .groupBy(col("sub"), col("cell"), col("pos"))
         .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(16, 8)))
           .cast("double") / count(lit(1))).as("c"))
         .groupBy(col("sub"), col("cell"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> CAST(x.c AS FLOAT))")
-          .as("cv"))
-      // lazy round chaining over the M·k'-row state — the kmeansRounds
-      // r17 rationale; a depth-capping barrier only for large-iters dials
-      cent = if (i < kmeansIters && i % 4 == 0) Materialize(next, "pq") else next
+          .as("cv")), "pq")
     }
     cent.withColumn("code",
       (row_number().over(Window.partitionBy(col("sub")).orderBy(col("cell"))) - 1)
