@@ -18,29 +18,39 @@ object Tables {
   /** Dimension tables small enough to broadcast at any realistic scale. */
   val broadcastable: Set[String] = Set("region", "nation")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts has shipped as two physical types across testdata
-    // generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
-    // rejects — read nanos as long and rebuild; `div` integer division is
-    // required: float division loses precision above 2^53 ns) and plain
-    // TIMESTAMP(MICROS) isAdjustedToUTC=false (reads as TIMESTAMP_NTZ —
-    // cast to session-time timestamp; the session is pinned to UTC so the
-    // wall-clock values are the same instants either way). Dispatch on the
-    // observed schema so both generations load identically.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events") {
-      import org.apache.spark.sql.functions._
-      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
-      df.schema("ts").dataType match {
-        case LongType =>
-          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case TimestampNTZType =>
-          df.withColumn("ts", col("ts").cast("timestamp"))
-        case _ => df
-      }
-    } else df
-  }
+  /** Loaded-frame cache (r17): the input dirs are immutable for the life
+    * of a run (UPDATE/DELETE are pure copy-on-write transformations, the
+    * emulator catalog manages its own dirs), yet every query re-ran
+    * schema inference — a serial driver footer read per table per query.
+    * One DataFrame per (session, dir, table); Spark plans are immutable,
+    * so reuse is free. Keyed by session so test sessions never share. */
+  private val frameCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    frameCache.computeIfAbsent((spark, sfDir, name), _ => {
+      // events.ts has shipped as two physical types across testdata
+      // generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
+      // rejects — read nanos as long and rebuild; `div` integer division is
+      // required: float division loses precision above 2^53 ns) and plain
+      // TIMESTAMP(MICROS) isAdjustedToUTC=false (reads as TIMESTAMP_NTZ —
+      // cast to session-time timestamp; the session is pinned to UTC so the
+      // wall-clock values are the same instants either way). Dispatch on the
+      // observed schema so both generations load identically.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      if (name == "events") {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+        df.schema("ts").dataType match {
+          case LongType =>
+            df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case TimestampNTZType =>
+            df.withColumn("ts", col("ts").cast("timestamp"))
+          case _ => df
+        }
+      } else df
+    })
 
   private val registeredDir =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()

@@ -176,12 +176,22 @@ object Pipeline {
           out.toString
         })
       }
-      s.read.parquet(path)
+      // per-(session, path) frame cache (r17): staged tables are
+      // immutable once committed, yet every consumer load re-ran schema
+      // inference over the staged files — with multi-file staged tables
+      // that is dozens of serial driver footer reads per query. Reusing
+      // the immutable plan is free; the Tables.load discipline.
+      frames.computeIfAbsent((s, path), _ => s.read.parquet(path))
     }
+
+    private val frames = new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), DataFrame]()
 
     /** Test hook: forget the in-JVM staging map (simulates a fresh JVM
       * against the same staging root). */
-    private[graft] def resetForTest(): Unit = synchronized { staged.clear() }
+    private[graft] def resetForTest(): Unit = synchronized {
+      staged.clear(); frames.clear()
+    }
 
     /** Distinct 3-token shingles per document plus each shingle's
       * document frequency (a window count over the same hash-partitioning
