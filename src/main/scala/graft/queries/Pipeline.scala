@@ -2568,7 +2568,7 @@ object Pipeline {
       phrases0: Seq[Seq[String]], requireAll: Boolean, k: Int): DataFrame = {
     val phrases = phrases0.filter(_.nonEmpty).distinct
     require(phrases.nonEmpty, "bm25Search: no query phrases")
-    val base = docs(s, dir)
+    val base = spread(s, docs(s, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), split(col("text"), " ").as("arr"))
       .withColumn("dl", size(col("arr")).cast("double"))
     val tf = phrases.zipWithIndex.map { case (ws, ix) =>
@@ -3717,7 +3717,16 @@ object Pipeline {
       *     nothing corpus-sized is ever broadcast or re-shuffled. */
     private[graft] def fitWeights(s: SparkSession, dir: String,
         forceDistributed: Boolean = false): Map[Long, Long] = {
-      val ftc = lrFeatures(s, dir).repartition(col("doc_id")).persist()
+      // persist WITHOUT pre-partitioning (r17): the doc_id repartition
+      // only pays off on the DISTRIBUTED path, where 12 rounds of
+      // groupBy(doc_id) reuse the cached partitioning; the driver path
+      // (validation scale) collects once and the repartition was a pure
+      // wasted shuffle of the whole feature table. The distributed
+      // branch re-partitions (and re-persists) itself below. Values are
+      // path-independent — every per-bucket/per-doc sum is an exact
+      // BIGINT, order-free.
+      val ftc0 = lrFeatures(s, dir).persist()
+      var ftc = ftc0
       try {
         val nDocs = docsCount(s, dir)
         val nRows = ftc.count()
@@ -3746,7 +3755,11 @@ object Pipeline {
               wm = wm.updated(b, wm.getOrElse(b, 0L) - delta)
             }
           }
-        } else (1 to lrIters).foreach { it =>
+        } else {
+          // distributed path: NOW pre-partition on doc_id so the 12
+          // per-round groupBys reuse one cached partitioning
+          ftc = ftc0.repartition(col("doc_id")).persist()
+          (1 to lrIters).foreach { it =>
           val withWv =
             if (wm.isEmpty) ftc.withColumn("wv", lit(0L))
             else {
@@ -3769,9 +3782,9 @@ object Pipeline {
               gg.toDouble / 1000000.0 / nDocs * lrEtaAt(it) + 0.5).toLong
             wm = wm.updated(b, wm.getOrElse(b, 0L) - delta)
           }
-        }
+        } }
         wm
-      } finally { ftc.unpersist(); () }
+      } finally { ftc0.unpersist(); if (ftc ne ftc0) ftc.unpersist(); () }
     }
   }
 
@@ -3996,7 +4009,7 @@ object Pipeline {
     // fingerprint bits 60–63 vote all-negative and are 0 in both engines.
     QDef("p04_dedup_simhash",
       (s, dir) => {
-        val hashed = docs(s, dir)
+        val hashed = spread(s, docs(s, dir).select(col("doc_id"), col("text")))
           .select(col("doc_id"),
             expr("simhash64(transform(split(text, ' '), " +
               "t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)))").as("sh"))
@@ -5718,8 +5731,12 @@ ${duckTwoLevel("i", "embeddings", Nil, duckNprobe)},
     QDef("p66d_unigram_em2",
       (s, dir) => {
         val r2 = UniSeg2Stage.load(s, dir)
-        val v2 = uniVocab2(s, dir)
-        val v3 = uniNextVocab(v2, r2)
+        // vocab frames are consumed twice each (the next M-step + the
+        // size row); they are vocabulary-bounded (~2k rows), so a
+        // fire-and-forget materialization flattens the repeated
+        // lexicon-derivation subtrees out of the plan (r17)
+        val v2 = Materialize(uniVocab2(s, dir), "uv2")
+        val v3 = Materialize(uniNextVocab(v2, r2), "uv3")
         val r3 = uniSegmentsFrom(s, dir, v3)
         val sizes = v2.agg(count(lit(1)).as("n_vocab2"))
           .crossJoin(broadcast(v3.agg(count(lit(1)).as("n_vocab3"))))
