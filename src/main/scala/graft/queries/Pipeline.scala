@@ -1164,9 +1164,26 @@ object Pipeline {
         s"-${sys.props.getOrElse("graft.ivfSuperCells", "auto")}"
       val ph = java.security.MessageDigest.getInstance("MD5")
         .digest(params.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
-      val sc = ShingleStage.stage(s, dir, s"sx$ph")(buildSuperCells(s, dir))
-      val cm = ShingleStage.stage(s, dir, s"sm$ph")(buildCellMap(s, dir, sc))
-      (sc, cm)
+      // ONE staged table for both k-row artifacts (r17; tag sy = the
+      // former sx + sm pair): kind 1 rows carry the super-centroids
+      // (scell, scv), kind 2 rows the cell→super map — halves the
+      // staged-write/commit cost of a line that is otherwise pure
+      // driver latency. Values and consumer schemas unchanged.
+      val both = ShingleStage.stage(s, dir, s"sy$ph") {
+        // the super fit feeds BOTH row kinds in one action — materialize
+        // its k rows once so the union does not run the fit twice
+        val sc0 = Materialize(buildSuperCells(s, dir), "sx")
+        sc0.select(lit(1).as("kind"), col("scell").as("a"),
+            lit(null).cast("long").as("b"), col("scv").as("cv"))
+          .unionAll(buildCellMap(s, dir, sc0)
+            .select(lit(2).as("kind"), col("cell").as("a"),
+              col("scell").as("b"),
+              lit(null).cast("array<float>").as("cv")))
+      }
+      (both.filter(col("kind") === 1)
+         .select(col("a").as("scell"), col("cv").as("scv")),
+       both.filter(col("kind") === 2)
+         .select(col("a").as("cell"), col("b").as("scell")))
     }
   }
 
