@@ -324,6 +324,16 @@ object SnowflakeExtensions {
         Cast(args(0), ArrayType(FloatType)), Cast(args(1), ArrayType(FloatType)))),
     ("simhash64", "simhash64(array_of_int64_token_hashes)",
       (args: Seq[Expression]) => SimHash64(Cast(args.head, ArrayType(LongType)))),
+    // Fused ANN assignment kernels (r17): one JVM loop per row instead
+    // of an interpreted lambda per index entry + comparator per sort
+    // comparison; arithmetic and ordering pinned to the expression
+    // chains they replace (see VectorExpressions scaladoc).
+    ("top_cells", "top_cells(vec, array_of_(cell,cv)_structs, k)",
+      (args: Seq[Expression]) => TopCells(
+        Cast(args(0), ArrayType(FloatType)), args(1), Cast(args(2), IntegerType))),
+    ("nearest_sub_cell", "nearest_sub_cell(subvec, array_of_(sub,cell,cv)_structs, sub)",
+      (args: Seq[Expression]) => NearestSubCell(
+        Cast(args(0), ArrayType(FloatType)), args(1), Cast(args(2), IntegerType))),
     // TO_NUMBER / TO_DECIMAL(x[, precision, scale]) — Snowflake defaults
     // to NUMBER(38,0); the TRY_ forms null out on conversion failure via
     // Spark's TRY-mode cast.

@@ -158,3 +158,185 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(newChild: Expression) =
     copy(child = newChild)
 }
+
+/** Exact top-k nearest cells of a broadcast index for one vector — the
+  * fused form of `slice(array_sort(transform(idx, c -> (cosine_sim(v,
+  * c.cv), c.cell)), <sim desc, cell asc>), 1, k)`. That expression
+  * chain evaluates an interpreted lambda per index entry plus an
+  * interpreted comparator per sort comparison, with argument-conversion
+  * overhead on each call; this kernel is one JVM loop per row — the
+  * per-corpus-row assignment path of every IVF/SemDeDup/PQ consumer,
+  * i.e. the hottest scalar at 100 TB.
+  *
+  * Semantics are pinned to the expression chain it replaces, bit for
+  * bit: the similarity is [[CosineSimilarity]]'s exact arithmetic
+  * (double accumulation in index order, 0.0 on a zero norm), ordering
+  * is (csim DESC, cell ASC) with NaN ranked GREATEST similarity (the
+  * simDescCmp contract / DuckDB's ORDER BY sim DESC) and -0.0 == 0.0
+  * (Spark's SQL double ordering; sims are normalized so the tie falls
+  * through to the cell like the `>`-based comparator did). Input
+  * element layout: STRUCT(cell BIGINT, cv ARRAY<FLOAT>); output:
+  * ARRAY<STRUCT(csim DOUBLE, cell BIGINT)> of min(k, |idx|) entries.
+  * Eval-only (CodegenFallback) — the win is removing per-element lambda
+  * machinery, not codegen of the outer loop.
+  */
+case class TopCells(vec: Expression, idx: Expression, k: Expression)
+    extends TernaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def first: Expression = vec
+  override def second: Expression = idx
+  override def third: Expression = k
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("csim", DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("cell", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "top_cells"
+
+  override def nullSafeEval(v: Any, ix: Any, kk: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val cells = ix.asInstanceOf[ArrayData]
+    val k = kk.asInstanceOf[Int]
+    val n = cells.numElements()
+    val keep = math.max(0, math.min(k, n))
+    // query norm hoisted for the common equal-dims case; recomputed per
+    // pair when the candidate is SHORTER, because CosineSimilarity
+    // accumulates all three sums over min(|x|, |y|) in one loop and the
+    // fused form must be arithmetic-identical
+    val d = x.numElements()
+    var nxFull = 0.0
+    var i = 0
+    while (i < d) { val xi = x.getFloat(i).toDouble; nxFull += xi * xi; i += 1 }
+    val topSim = new Array[Double](keep)
+    val topCell = new Array[Long](keep)
+    var filled = 0
+    // before(l, r): the pinned total order — NaN greatest sim first,
+    // then sim desc, then cell asc
+    def before(ls: Double, lc: Long, rs: Double, rc: Long): Boolean = {
+      val ln = java.lang.Double.isNaN(ls); val rn = java.lang.Double.isNaN(rs)
+      if (ln != rn) ln
+      else if (ls != rs && !ln) ls > rs
+      else lc < rc
+    }
+    i = 0
+    while (i < n) {
+      val row = cells.getStruct(i, 2)
+      val cell = row.getLong(0)
+      val cv = row.getArray(1)
+      val m = math.min(d, cv.numElements())
+      var dot = 0.0; var ny = 0.0
+      var nx = nxFull
+      var j = 0
+      while (j < m) {
+        val yj = cv.getFloat(j).toDouble
+        dot += x.getFloat(j).toDouble * yj; ny += yj * yj
+        j += 1
+      }
+      if (m < d) { // shorter candidate: re-bound the query norm at m
+        nx = 0.0; j = 0
+        while (j < m) { val xj = x.getFloat(j).toDouble; nx += xj * xj; j += 1 }
+      }
+      var sim = if (nx == 0.0 || ny == 0.0) 0.0
+                else dot / (math.sqrt(nx) * math.sqrt(ny))
+      if (sim == 0.0) sim = 0.0 // normalize -0.0 (SQL double ordering)
+      if (keep > 0) {
+        if (filled < keep || before(sim, cell, topSim(filled - 1), topCell(filled - 1))) {
+          var pos = if (filled < keep) filled else keep - 1
+          while (pos > 0 && before(sim, cell, topSim(pos - 1), topCell(pos - 1))) {
+            topSim(pos) = topSim(pos - 1); topCell(pos) = topCell(pos - 1)
+            pos -= 1
+          }
+          topSim(pos) = sim; topCell(pos) = cell
+          if (filled < keep) filled += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](filled)
+    i = 0
+    while (i < filled) {
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(topSim(i), topCell(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression) = copy(vec = f, idx = s, k = t)
+}
+
+/** Nearest PQ sub-centroid for one (subvector, subspace): the fused
+  * form of `array_min(transform(filter(pidx, c -> c.sub = sub), c ->
+  * (l2(sv, c.cv), c.cell)))` with the exact sparkL2Sq arithmetic —
+  * three separate double accumulations in index order combined as
+  * ((daa - (2*dab)) + dbb) — and (d ASC, cell ASC) ordering with NaN
+  * ranked GREATEST (the distAscCmp contract). NULL when no entry
+  * matches the subspace (the empty-filter NULL the old form produced).
+  * Input element layout: STRUCT(sub INT, cell BIGINT, cv ARRAY<FLOAT>);
+  * output: STRUCT(d DOUBLE, cell BIGINT). Eval-only (CodegenFallback).
+  */
+case class NearestSubCell(sv: Expression, pidx: Expression, sub: Expression)
+    extends TernaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def first: Expression = sv
+  override def second: Expression = pidx
+  override def third: Expression = sub
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("d", DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("cell", LongType, nullable = false)))
+  override def prettyName: String = "nearest_sub_cell"
+
+  override def nullSafeEval(v: Any, ix: Any, s: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val entries = ix.asInstanceOf[ArrayData]
+    val wantSub = s.asInstanceOf[Int]
+    val d = x.numElements()
+    var bestD = 0.0; var bestCell = 0L; var found = false
+    def before(ld: Double, lc: Long, rd: Double, rc: Long): Boolean = {
+      val ln = java.lang.Double.isNaN(ld); val rn = java.lang.Double.isNaN(rd)
+      if (ln != rn) rn // NaN is the GREATEST distance: non-NaN first
+      else if (ld != rd && !ln) ld < rd
+      else lc < rc
+    }
+    var i = 0
+    val n = entries.numElements()
+    while (i < n) {
+      val row = entries.getStruct(i, 3)
+      if (row.getInt(0) == wantSub) {
+        val cell = row.getLong(1)
+        val cv = row.getArray(2)
+        // sparkL2Sq composes three dot_products with DIFFERENT bounds:
+        // dot(a,a) over full |a|, dot(b,b) over full |b|, dot(a,b) over
+        // min — mirror each accumulation exactly
+        val e = cv.numElements()
+        val m = math.min(d, e)
+        var daa = 0.0; var dab = 0.0; var dbb = 0.0
+        var j = 0
+        while (j < d) { val xj = x.getFloat(j).toDouble; daa += xj * xj; j += 1 }
+        j = 0
+        while (j < e) { val yj = cv.getFloat(j).toDouble; dbb += yj * yj; j += 1 }
+        j = 0
+        while (j < m) {
+          dab += x.getFloat(j).toDouble * cv.getFloat(j).toDouble
+          j += 1
+        }
+        var dist = (daa - (2.0 * dab)) + dbb
+        if (dist == 0.0) dist = 0.0 // normalize -0.0
+        if (!found || before(dist, cell, bestD, bestCell)) {
+          bestD = dist; bestCell = cell; found = true
+        }
+      }
+      i += 1
+    }
+    if (!found) null
+    else org.apache.spark.sql.catalyst.InternalRow(bestD, bestCell)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression) = copy(sv = f, pidx = s, sub = t)
+}

@@ -1279,20 +1279,20 @@ object Pipeline {
     * (M·k' rows) collapses to ONE broadcast row and each input row
     * filters it to its own subspace. Adds (cell, d). */
   private def nearestPqCell(e: DataFrame, cb: DataFrame): DataFrame = {
+    // fixed element layout for the fused kernel: (sub INT, cell BIGINT,
+    // cv) — the codes path passes the dense code (INT) as `cell`, the
+    // fit path the seed vec_id (BIGINT); the widening cast is order-
+    // preserving so tie-breaks are unchanged
     val idx = cb.groupBy()
-      .agg(collect_list(struct(col("sub"), col("cell"), col("cv"))).as("pidx"))
+      .agg(collect_list(struct(col("sub").cast("int").as("sub"),
+        col("cell").cast("long").as("cell"), col("cv"))).as("pidx"))
     val keep = e.columns.map(col).toSeq
-    // argmin as array_min over an orderable struct (r17): Spark's struct
-    // ordering is (d asc, cell asc) with NaN greatest — exactly
-    // [[distAscCmp]] — but without the interpreted per-comparison lambda
-    // the full array_sort paid (the PQ fit/encode evaluates this once
-    // per (row, subspace); the comparator calls were the stage's CPU).
+    // fused argmin kernel (r17): one JVM loop over the codebook row per
+    // (row, subspace) — no per-element lambda, no per-comparison
+    // comparator machinery; arithmetic/ordering pinned to sparkL2Sq +
+    // distAscCmp (see [[graft.functions.NearestSubCell]]).
     e.crossJoin(broadcast(idx))
-      .select(keep :+ expr(
-        s"""array_min(
-              transform(filter(pidx, c -> c.sub = sub), c -> named_struct(
-                'd', ${sparkL2Sq("sv", "c.cv")}, 'cell', c.cell)))""")
-        .as("pc"): _*)
+      .select(keep :+ expr("nearest_sub_cell(sv, pidx, sub)").as("pc"): _*)
       .select(keep ++ Seq(col("pc.cell").as("cell"), col("pc.d").as("d")): _*)
   }
 
@@ -1723,50 +1723,24 @@ object Pipeline {
   private def twoLevelCandidateArr(sprobe: Int): String =
     s"""flatten(filter(
           transform(
-            slice(
-              array_sort(
-                transform(sidx, sc -> named_struct(
-                  'ssim', cosine_sim(embedding, sc.scv), 'scell', sc.scell)),
-                ${simDescCmp("ssim", "scell")}),
-              1, $sprobe),
-            ps -> try_element_at(midx, ps.scell)),
+            top_cells(embedding, sidx, $sprobe),
+            ps -> try_element_at(midx, ps.cell)),
           ms -> ms IS NOT NULL))"""
 
   private def nearestCellsTwoLevel(e: DataFrame, cells: DataFrame,
       supers: DataFrame, cellmap: DataFrame, kTop: Int, sprobe: Int): DataFrame = {
     val (sidx, midx) = twoLevelIndex(cells, supers, cellmap)
     val keep = e.columns.map(col).toSeq
-    if (kTop == 1) {
-      // kTop=1 is ASSIGNMENT — the once-per-corpus-row hot path (codes,
-      // residuals, SemDeDup cells). argmax as array_max over an
-      // orderable struct (csim, ~cell): struct ordering ranks csim desc
-      // at max with NaN greatest (= [[simDescCmp]]'s NaN-first rule) and
-      // the bit-flipped cell makes the tie-break ascending — identical
-      // winner, no interpreted per-comparison lambda (r17). An empty
-      // candidate set folds to NULL and is dropped, exactly like the old
-      // posexplode of an empty slice.
-      e.crossJoin(broadcast(sidx)).crossJoin(broadcast(midx))
-        .select(keep :+ expr(
-          s"""array_max(
-                transform(
-                  ${twoLevelCandidateArr(sprobe)},
-                  c -> named_struct(
-                    'csim', cosine_sim(embedding, c.cv), 'ck', ~c.cell)))""")
-          .as("pc"): _*)
-        .filter(col("pc").isNotNull)
-        .select(keep ++ Seq(lit(1).cast("int").as("crank"),
-          expr("~pc.ck").as("cell"), col("pc.csim").as("csim")): _*)
-    } else
+    // ONE fused top-k kernel for every probe width (r17): coarse ranking,
+    // member gather and fine ranking run as plain JVM loops per row —
+    // this is the per-corpus-row assignment path (codes, residuals,
+    // SemDeDup cells) and the probe path in one shape. A vector whose
+    // probed super-cells are all empty yields an empty array → no rows,
+    // the same contract as before (see [[graft.functions.TopCells]]).
     e.crossJoin(broadcast(sidx)).crossJoin(broadcast(midx))
       .select(keep :+ posexplode(expr(
-        s"""slice(
-              array_sort(
-                transform(
-                  ${twoLevelCandidateArr(sprobe)},
-                  c -> named_struct(
-                    'csim', cosine_sim(embedding, c.cv), 'cell', c.cell)),
-                ${simDescCmp("csim", "cell")}),
-              1, $kTop)""")).as(Seq("crank0", "pc")): _*)
+        s"top_cells(embedding, ${twoLevelCandidateArr(sprobe)}, $kTop)"))
+        .as(Seq("crank0", "pc")): _*)
       .select(keep ++ Seq((col("crank0") + 1).cast("int").as("crank"),
         col("pc.cell").as("cell"), col("pc.csim").as("csim")): _*)
   }
@@ -1830,27 +1804,11 @@ object Pipeline {
   private def nearestCells(e: DataFrame, cells: DataFrame, kTop: Int): DataFrame = {
     val idx = cells.groupBy().agg(collect_list(struct(col("cell"), col("cv"))).as("idx"))
     val keep = e.columns.map(col).toSeq
-    if (kTop == 1)
-      // argmax via orderable struct — the nearestCellsTwoLevel kTop=1
-      // rationale (r17): same winner as the sorted slice, no interpreted
-      // comparator; every k-means assign round rides this
-      e.crossJoin(broadcast(idx))
-        .select(keep :+ expr(
-          s"""array_max(transform(idx, c -> named_struct(
-                'csim', cosine_sim(embedding, c.cv), 'ck', ~c.cell)))""")
-          .as("pc"): _*)
-        .filter(col("pc").isNotNull)
-        .select(keep ++ Seq(lit(1).cast("int").as("crank"),
-          expr("~pc.ck").as("cell"), col("pc.csim").as("csim")): _*)
-    else
+    // the same fused top-k kernel as the two-level descent (r17) — every
+    // k-means assign round rides this
     e.crossJoin(broadcast(idx))
-      .select(keep :+ posexplode(expr(
-        s"""slice(
-              array_sort(
-                transform(idx, c -> named_struct(
-                  'csim', cosine_sim(embedding, c.cv), 'cell', c.cell)),
-                ${simDescCmp("csim", "cell")}),
-              1, $kTop)""")).as(Seq("crank0", "pc")): _*)
+      .select(keep :+ posexplode(expr(s"top_cells(embedding, idx, $kTop)"))
+        .as(Seq("crank0", "pc")): _*)
       .select(keep ++ Seq((col("crank0") + 1).cast("int").as("crank"),
         col("pc.cell").as("cell"), col("pc.csim").as("csim")): _*)
   }
