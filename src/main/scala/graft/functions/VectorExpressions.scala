@@ -188,6 +188,32 @@ case class TopCells(vec: Expression, idx: Expression, k: Expression)
   override def second: Expression = idx
   override def third: Expression = k
 
+  // the eval path reads the index struct POSITIONALLY with hard-coded
+  // physical types (getLong(0) / getArray(1)); registration casts the
+  // vec/k arguments but cannot cast a nested struct — so reject any
+  // other layout at ANALYSIS time instead of misreading UnsafeRows at
+  // runtime (r18, ADVICE)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.{IntegerType, StructType}
+    (vec.dataType, idx.dataType, k.dataType) match {
+      case (ArrayType(FloatType, _),
+            ArrayType(StructType(fs), _), IntegerType)
+          if fs.length == 2 && fs(0).dataType == LongType &&
+            (fs(1).dataType match {
+              case ArrayType(FloatType, _) => true
+              case _ => false
+            }) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: expects (ARRAY<FLOAT>, " +
+          "ARRAY<STRUCT<BIGINT, ARRAY<FLOAT>>>, INT); got (" +
+          s"${vec.dataType.simpleString}, ${idx.dataType.simpleString}, " +
+          s"${k.dataType.simpleString})")
+    }
+  }
+
   override def dataType: DataType = ArrayType(
     org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("csim", DoubleType, nullable = false),
@@ -285,10 +311,39 @@ case class NearestSubCell(sv: Expression, pidx: Expression, sub: Expression)
   override def second: Expression = pidx
   override def third: Expression = sub
 
+  // same analysis-time layout guard as TopCells (r18, ADVICE): the eval
+  // path reads (sub INT, cell BIGINT, cv ARRAY<FLOAT>) positionally
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.{IntegerType, StructType}
+    (sv.dataType, pidx.dataType, sub.dataType) match {
+      case (ArrayType(FloatType, _),
+            ArrayType(StructType(fs), _), IntegerType)
+          if fs.length == 3 && fs(0).dataType == IntegerType &&
+            fs(1).dataType == LongType &&
+            (fs(2).dataType match {
+              case ArrayType(FloatType, _) => true
+              case _ => false
+            }) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: expects (ARRAY<FLOAT>, " +
+          "ARRAY<STRUCT<INT, BIGINT, ARRAY<FLOAT>>>, INT); got (" +
+          s"${sv.dataType.simpleString}, ${pidx.dataType.simpleString}, " +
+          s"${sub.dataType.simpleString})")
+    }
+  }
+
   override def dataType: DataType =
     org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("d", DoubleType, nullable = false),
       org.apache.spark.sql.types.StructField("cell", LongType, nullable = false)))
+  // an empty subspace yields NULL even when every input is non-nullable
+  // (the empty-filter NULL of the chain this replaces) — without this
+  // override, consumers with non-nullable inputs would codegen without a
+  // null check and NPE (caught by AnnKernelsSpec, r18)
+  override def nullable: Boolean = true
   override def prettyName: String = "nearest_sub_cell"
 
   override def nullSafeEval(v: Any, ix: Any, s: Any): Any = {

@@ -781,7 +781,14 @@ object Pipeline {
       // the k(k-1)/2 (a < b) pairs directly instead of all k² ordered
       // pairs filtered after — same pair set (ids are distinct per h;
       // sorted, so position order IS value order), half the struct
-      // allocations of the suite's biggest expansion (r17)
+      // allocations of the suite's biggest expansion (r17).
+      // INVARIANT (r18, ADVICE): "distinct per h" rests on the shingle
+      // table being DISTINCT (doc_id, h) rows upstream; a 60-bit md5
+      // collision between two distinct shingles of ONE document would
+      // emit a (a, a) self-pair the old a<b filter dropped. That
+      // collision risk is accepted AND shared with the oracle — the
+      // DuckDB mirror expands the same md560 posting lists — so the
+      // engines can only diverge together, never from each other.
       .select(explode(expr(
         """flatten(transform(ids, (a, i) ->
              transform(slice(ids, i + 2, size(ids) - i - 1),
@@ -1449,22 +1456,25 @@ object Pipeline {
     val cb = PqStage.load(s, dir)
     val idx = cells.groupBy()
       .agg(collect_list(struct(col("cell"), col("cv"))).as("idx"))
+    // fixed kernel element layout (sub INT, cell BIGINT, cv) — the code
+    // rides as `cell`, widened like nearestPqCell's (order-preserving)
     val pidx = cb.select(col("sub"), col("code"), col("cv")).groupBy()
-      .agg(collect_list(struct(col("sub"), col("code"), col("cv"))).as("pidx"))
+      .agg(collect_list(struct(col("sub").cast("int").as("sub"),
+        col("code").cast("long").as("cell"), col("cv"))).as("pidx"))
     val m = pqM
     val dsub = s"(size(embedding) div $m)"
+    // fused kernels (r18): the stream path was the last interpreted
+    // array_sort-comparator assignment site — same arithmetic/ordering
+    // pin as the batch encode (see [[graft.functions.TopCells]] /
+    // [[NearestSubCell]]); the parity-with-staged-codes spec proves it
     docs.crossJoin(broadcast(idx)).crossJoin(broadcast(pidx))
       .withColumn("cell", expr(
-        s"""element_at(array_sort(transform(idx, c -> named_struct(
-              'csim', cosine_sim(embedding, c.cv), 'cell', c.cell)),
-              ${simDescCmp("csim", "cell")}), 1).cell"""))
+        "element_at(top_cells(embedding, idx, 1), 1).cell"))
       .withColumn("codes", expr(
         s"""transform(sequence(0, ${m - 1}), mm ->
-              element_at(array_sort(transform(filter(pidx, c -> c.sub = mm),
-                c -> named_struct('d',
-                  ${sparkL2Sq(s"slice(embedding, mm * $dsub + 1, $dsub)", "c.cv")},
-                  'code', c.code)),
-                ${distAscCmp("d", "code")}), 1).code)"""))
+              CAST(nearest_sub_cell(
+                slice(embedding, mm * $dsub + 1, $dsub), pidx, mm).cell
+              AS INT))"""))
       .drop("idx", "pidx")
   }
 
@@ -1478,18 +1488,18 @@ object Pipeline {
       df: DataFrame): DataFrame = {
     val cb = PqStage.load(s, dir)
     val pidx = cb.select(col("sub"), col("code"), col("cv")).groupBy()
-      .agg(collect_list(struct(col("sub"), col("code"), col("cv"))).as("pidx"))
+      .agg(collect_list(struct(col("sub").cast("int").as("sub"),
+        col("code").cast("long").as("cell"), col("cv"))).as("pidx"))
     val m = pqM
     val dsub = s"(size(embedding) div $m)"
+    // fused argmin kernel (r18) — arithmetic pinned to sparkL2Sq +
+    // distAscCmp, see [[graft.functions.NearestSubCell]]
     df.crossJoin(broadcast(pidx))
       .withColumn("sse", expr(
         s"""CAST(aggregate(
               transform(sequence(0, ${m - 1}), mm ->
-                element_at(array_sort(transform(filter(pidx, c -> c.sub = mm),
-                  c -> named_struct('d',
-                    ${sparkL2Sq(s"slice(embedding, mm * $dsub + 1, $dsub)", "c.cv")},
-                    'code', c.code)),
-                  ${distAscCmp("d", "code")}), 1).d),
+                nearest_sub_cell(
+                  slice(embedding, mm * $dsub + 1, $dsub), pidx, mm).d),
               CAST(0 AS BIGINT),
               (acc, dd) -> acc + CAST(floor(dd * 100000000.0 + 0.5) AS BIGINT))
             AS DOUBLE) / 100000000.0"""))
@@ -3161,17 +3171,23 @@ object Pipeline {
       }
   }
 
+  /** ^[a-z]+$ as a char-map test: translate deletes every [a-z], so the
+    * token matches iff nonempty and the deletion empties it — same
+    * predicate as DuckDB's regexp_full_match, no per-token regex engine
+    * (r17; this runs once per corpus TOKEN, the hottest scalar in the
+    * tokenizer front). Shared helper (r18, ADVICE): every Spark-side
+    * [a-z]+ word filter routes through here so the engines can never
+    * disagree on newline-edge tokens (Java regex '$' matches before a
+    * final line terminator; this test and the oracle do not). */
+  private def lowerAlphaOnly(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c =!= "" && translate(c, "abcdefghijklmnopqrstuvwxyz", "") === ""
+
   /** The distinct lowercase-alpha word table with occurrence counts and
     * the per-symbol parenthesized encoding BPE iterates on. */
   private[graft] def bpeWordsRaw(s: SparkSession, dir: String): DataFrame =
     spread(s, docs(s, dir).select(col("text")))
       .select(explode(split(lower(col("text")), " ")).as("w"))
-      // ^[a-z]+$ as a char-map test: translate deletes every [a-z], so
-      // the token matches iff nonempty and the deletion empties it —
-      // same predicate, no per-token regex engine (r17; this runs once
-      // per corpus TOKEN, the hottest scalar in the tokenizer front)
-      .filter(col("w") =!= "" &&
-        translate(col("w"), "abcdefghijklmnopqrstuvwxyz", "") === "")
+      .filter(lowerAlphaOnly(col("w")))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .withColumn("enc", regexp_replace(col("w"), "(.)", "($1)"))
 
@@ -6308,7 +6324,11 @@ ${duckTwoLevel("h", "embeddings", Seq("label"), duckNprobe)},
         // rows through the same adcTop5/adcRefined the QDefs use — the
         // identical aggregate subtrees dedupe via ReuseExchange inside
         // the single output action (measured cheaper than persist(),
-        // which pays block-manager serialization for multi-M-row sets)
+        // which pays block-manager serialization for multi-M-row sets;
+        // re-measured in r18: eager Materialize of both scored sets
+        // read 4.84 -> 7.2 s wall / 15.1 -> 20.2 executor-s — the
+        // runtime-final plan already reuses the scored aggregates, so
+        // the checkpoint only added serialization; see OPTIMIZATION_r18)
         val adc = adcScored(s, dir)
         val radc = residualAdcScored(s, dir)
         val e = emb(s, dir)
@@ -6850,19 +6870,21 @@ ${duckAdcCtes("w", "v")},
       (s, dir) => {
         val cb = PqStage.load(s, dir)
         val pidx = cb.select(col("sub"), col("code"), col("cv")).groupBy()
-          .agg(collect_list(struct(col("sub"), col("code"), col("cv"))).as("pidx"))
+          .agg(collect_list(struct(col("sub").cast("int").as("sub"),
+            col("code").cast("long").as("cell"), col("cv"))).as("pidx"))
         val m = pqM
         val dsub = s"(size(embedding) div $m)"
+        // fused argmin kernel (r18): one JVM loop per (row, subspace)
+        // instead of an interpreted lambda per codebook entry plus an
+        // interpreted comparator per sort comparison — arithmetic pinned
+        // to sparkL2Sq + distAscCmp (see [[graft.functions.NearestSubCell]])
         emb(s, dir).select(col("vec_id"), col("embedding"))
           .crossJoin(broadcast(pidx))
           .select(col("vec_id"), expr(
             s"""aggregate(
                   transform(sequence(0, ${m - 1}), mm ->
-                    element_at(array_sort(transform(filter(pidx, c -> c.sub = mm),
-                      c -> named_struct('d',
-                        ${sparkL2Sq(s"slice(embedding, mm * $dsub + 1, $dsub)", "c.cv")},
-                        'code', c.code)),
-                      ${distAscCmp("d", "code")}), 1).d),
+                    nearest_sub_cell(
+                      slice(embedding, mm * $dsub + 1, $dsub), pidx, mm).d),
                   CAST(0 AS BIGINT),
                   (acc, dd) -> acc + CAST(floor(dd * 100000000.0 + 0.5) AS BIGINT))""")
             .as("sse_s"))
@@ -6991,7 +7013,11 @@ ${duckResidualAdcCtes("y", "v")}
             .cast("bigint").as("ntok"))
         docs(s, dir)
           .select(col("lang"), explode(split(lower(col("text")), " ")).as("w"))
-          .filter(col("w").rlike("^[a-z]+$"))
+          // the shared translate-based [a-z]+ test (r18): same predicate
+          // as the word stage and the oracle's regexp_full_match — the
+          // rlike it replaces ran a regex engine per corpus token AND
+          // admitted tokens ending in '\n' that the other two reject
+          .filter(lowerAlphaOnly(col("w")))
           .join(broadcast(seg), Seq("w"))
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_tokens"))
