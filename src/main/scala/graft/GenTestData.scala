@@ -80,7 +80,17 @@ object GenTestData {
     def n(base: Long): Long = math.max(1L, (base * sf).round)
     def write(df: DataFrame, name: String, files: Int = 1): Unit = {
       val parts = if (files <= 1) df.coalesce(1) else df.repartition(files)
-      parts.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      // 8 MiB row groups (default 128 MiB): the driver-shipped testdata
+      // is single-row-group files, so every scan is ONE split no matter
+      // what maxPartitionBytes says and corpus-scale explodes needed a
+      // healing repartition (the explodeSpread dial). Generated data
+      // should scan the way production input would — multiple row
+      // groups per file, so splits carry the parallelism naturally
+      // (r17 verdict #2 / r18 brief). Values are unaffected: layout
+      // only.
+      parts.write.mode("overwrite")
+        .option("parquet.block.size", (8 << 20).toString)
+        .parquet(s"$out/$name.parquet")
       println(s"[gen] $name -> $out/$name.parquet")
     }
 
@@ -185,7 +195,7 @@ object GenTestData {
         lit("signup"), lit("view")), ui("id", 29, 5) + 1).as("event_type"),
       round(u("id", 30) * 490 + 0.01, 2).cast("double").as("value"),
       format_string("{\"k\": %d}", ui("id", 31, 100)).as("props")),
-      "events", files = math.max(1, (4 * sf).toInt))
+      "events", files = math.max(1, (16 * sf).toInt))
 
     // ---- documents -------------------------------------------------------
     val nDocs = n(50000)
@@ -273,7 +283,10 @@ object GenTestData {
           .withColumn("n_chars", length($"text").cast("long"))
           .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
       }
-    write(docs, "documents", files = math.max(1, (4 * sf).toInt))
+    // 16 files/sf (was 4): `documents` feeds the suite's heaviest
+    // explodes (shingle/word/simhash fronts) — give its scan the
+    // natural parallelism production input would have
+    write(docs, "documents", files = math.max(1, (16 * sf).toInt))
 
     // ---- embeddings: 64-dim unit-norm, like the driver's (isotropic
     // uniform components, normalized — verified: the shipped corpus'
@@ -288,7 +301,7 @@ object GenTestData {
       .withColumn("nrm", expr("sqrt(aggregate(raw, 0.0D, (acc, x) -> acc + x * x))"))
       .select($"vec_id",
         expr("transform(raw, x -> cast(x / nrm as float))").as("embedding"),
-        $"label"), "embeddings", files = math.max(1, (2 * sf).toInt))
+        $"label"), "embeddings", files = math.max(1, (8 * sf).toInt))
 
     println(s"[gen] done: sf=$sf adversarial=$adversarial -> $out")
     spark.stop()

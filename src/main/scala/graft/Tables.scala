@@ -23,12 +23,30 @@ object Tables {
     * emulator catalog manages its own dirs), yet every query re-ran
     * schema inference — a serial driver footer read per table per query.
     * One DataFrame per (session, dir, table); Spark plans are immutable,
-    * so reuse is free. Keyed by session so test sessions never share. */
-  private val frameCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    * so reuse is free. Keyed by session so test sessions never share.
+    *
+    * WEAKLY keyed by session (r18, ADVICE): a long-lived server churning
+    * sessions would otherwise pin every dead session's plans forever —
+    * the per-session map is dropped when the session itself becomes
+    * unreachable. The inner (dir, table) keys assume IMMUTABLE dirs
+    * (regenerating a corpus dir in-place within one JVM would serve the
+    * old schema); that assumption is shared with every staged artifact
+    * and the dir-keyed count memos in Pipeline. */
+  private val frameCache = new java.util.WeakHashMap[
+    SparkSession,
+    java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
+
+  private def sessionFrames(spark: SparkSession) = frameCache.synchronized {
+    var m = frameCache.get(spark)
+    if (m == null) {
+      m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+      frameCache.put(spark, m)
+    }
+    m
+  }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    frameCache.computeIfAbsent((spark, sfDir, name), _ => {
+    sessionFrames(spark).computeIfAbsent((sfDir, name), _ => {
       // events.ts has shipped as two physical types across testdata
       // generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
       // rejects — read nanos as long and rebuild; `div` integer division is
@@ -52,8 +70,9 @@ object Tables {
       } else df
     })
 
-  private val registeredDir =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  // weakly keyed like frameCache (r18): dead sessions must be collectable
+  private val registeredDir = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
 
   /** Register every table as a temp view named after the table, so
     * `spark.sql` text matches the DuckDB oracle SQL verbatim. Registration

@@ -36,7 +36,19 @@ object Pipeline {
   private def spread(s: SparkSession, df: DataFrame): DataFrame = {
     val w = Dials.int("graft.explodeSpread")
       .getOrElse(s.sparkContext.defaultParallelism)
-    if (w <= 0) df else df.repartition(w)
+    if (w <= 0) df
+    else {
+      // scale-adaptive (r18): a many-file / multi-row-group table
+      // already scans as multiple splits — repartitioning it would ADD
+      // a full shuffle at exactly the scale where this dial exists to
+      // be a no-op. The planned split count is read off the physical
+      // scan (driver-only planning, no job); only a scan narrower than
+      // half the target width pays the spread shuffle. The bench corpus
+      // (single-row-group files) still plans as 1 split per table, so
+      // local behavior is unchanged.
+      val natural = df.rdd.getNumPartitions
+      if (natural * 2 >= w) df else df.repartition(w)
+    }
   }
 
   /** Materialize-once staging of the shingle front shared by p02 / p03 /
@@ -180,12 +192,24 @@ object Pipeline {
       // immutable once committed, yet every consumer load re-ran schema
       // inference over the staged files — with multi-file staged tables
       // that is dozens of serial driver footer reads per query. Reusing
-      // the immutable plan is free; the Tables.load discipline.
-      frames.computeIfAbsent((s, path), _ => s.read.parquet(path))
+      // the immutable plan is free; the Tables.load discipline. Weakly
+      // keyed by session (r18, ADVICE) so a server churning sessions
+      // never pins dead sessions' plans.
+      sessionFrames(s).computeIfAbsent(path, _ => s.read.parquet(path))
     }
 
-    private val frames = new java.util.concurrent.ConcurrentHashMap[
-      (SparkSession, String), DataFrame]()
+    private val frames = new java.util.WeakHashMap[
+      SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+    private def sessionFrames(s: SparkSession) = frames.synchronized {
+      var m = frames.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        frames.put(s, m)
+      }
+      m
+    }
 
     /** Test hook: forget the in-JVM staging map (simulates a fresh JVM
       * against the same staging root). */
@@ -964,7 +988,14 @@ object Pipeline {
   /** Per-dir document count, same memo discipline as [[embCount]] (r17):
     * immutable per corpus dir, consulted by every shingle consumer and
     * the LR/readability fronts — one aggregate-pushdown read per
-    * (JVM, dir) instead of a driver-serialized job per query. */
+    * (JVM, dir) instead of a driver-serialized job per query.
+    *
+    * ASSUMPTION (shared by embCount, CellStage.count and every staged
+    * artifact): a corpus dir's contents are never regenerated in place
+    * within one JVM — a deployment that rewrites a dir must use a new
+    * path (the copy-on-write discipline UPDATE/DELETE already follow),
+    * or these memos and the staged tables keyed on the dir go stale
+    * together (r18, ADVICE). */
   private val docsCountByDir =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def docsCount(s: SparkSession, dir: String): Long =
