@@ -54,7 +54,13 @@ object GraftSession {
     b.config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      // `-Dgraft.aqe=off` measurement dial (r18): most pipeline lines
+      // are k-row frames where AQE's per-stage re-planning round trips
+      // are pure driver latency; the dial exists to MEASURE that cost
+      // (see OPTIMIZATION_r18.md). Default stays ON — at 100 TB the
+      // skew-join splitting and partition coalescing are load-bearing.
+      .config("spark.sql.adaptive.enabled",
+        (!Dials.str("graft.aqe", Set("on", "off")).contains("off")).toString)
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
